@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship daily-session OHLC rollup on the
+sf0.001 smoke data; ``queries()``/``oracle_sql()`` expose the full
+registry from :mod:`options_data_pipeline_spark.plans.registry` — one
+entry per implemented operator from SURVEY.md §2, each with a DuckDB
+oracle twin.
 """
 
 from __future__ import annotations
@@ -13,26 +13,35 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from options_data_pipeline_spark.plans import registry as _registry
+
+SMOKE_DIR = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    min_rows=1 relaxes the P7 sufficiency guard because the sf0.001 events
+    stream is too sparse to fill 20 hourly candles per day; the guarded
+    variant is what `queries()['daily_sessions']` runs at sf0.01.
+    """
+    from pyspark.sql import functions as F
+
+    from options_data_pipeline_spark.plans.sessions import daily_sessions
+
+    out = daily_sessions(spark, SMOKE_DIR, min_rows=1)
+    return out.select(
+        "instrument", "datetime", "open", "high", "low", "close", "move",
+        "chhigh", "chlow", "chclose", "chmax",
+        F.col("chhightime").cast("long").alias("chhightime"),
+        F.col("chlowtime").cast("long").alias("chlowtime"),
+        "firstextremumtype",
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return _registry.queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return _registry.oracle_sql()

@@ -1,0 +1,60 @@
+"""F1: option instrument-name parser as native expressions.
+
+The reference parses names like ``BTC-4JAN19-3500-P`` with the regex
+``(\\w+)-(\\d+)([A-Z]+)(\\d+)-(\\d+)-([CP])`` into (expiry date, strike,
+option type), mapping 3-letter month names and ``year = 2000 + yy``
+(/root/reference/src/pipeline/collectors/deribit.py:29-51). Unparseable
+names yield NULLs (rows are skipped downstream, deribit.py:90-92).
+
+Implemented with ``regexp_extract`` + a chained-when month map +
+``make_date`` — zero UDFs, stays in codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+INSTRUMENT_RE = r"(\w+)-(\d+)([A-Z]+)(\d+)-(\d+)-([CP])"
+
+MONTH_NAMES = ["JAN", "FEB", "MAR", "APR", "MAY", "JUN",
+               "JUL", "AUG", "SEP", "OCT", "NOV", "DEC"]
+MONTHS = {name: i for i, name in enumerate(MONTH_NAMES, start=1)}
+
+
+def month_number(mon: Column) -> Column:
+    # array_position is a single flat expression — a chained when/otherwise
+    # ladder here nests 12 deep and blows whole-stage codegen past 64KB.
+    arr = F.array(*[F.lit(m) for m in MONTH_NAMES])
+    pos = F.array_position(arr, mon)
+    return F.nullif(pos, F.lit(0)).cast("int")
+
+
+def _grp(name: Column, i: int) -> Column:
+    return F.regexp_extract(name, INSTRUMENT_RE, i)
+
+
+def parse_expiry_date(name: Column) -> Column:
+    """Expiry date or NULL when the name does not match / date invalid."""
+    day = _grp(name, 2)
+    mon = month_number(_grp(name, 3))
+    yy = _grp(name, 4)
+    return F.when(
+        (day != "") & mon.isNotNull() & (yy != ""),
+        F.make_date(F.lit(2000) + yy.cast("int"), mon, day.cast("int")),
+    )
+
+
+def parse_strike(name: Column) -> Column:
+    s = _grp(name, 5)
+    return F.when(s != "", s.cast("int"))
+
+
+def parse_option_type(name: Column) -> Column:
+    t = _grp(name, 6)
+    return F.when(t != "", t)
+
+
+def parse_underlying(name: Column) -> Column:
+    u = _grp(name, 1)
+    return F.when(u != "", u)

@@ -1,0 +1,202 @@
+"""Option-chain query: synthesize deterministic option trades from the
+benchmark ``events`` table, round-trip instrument names through the F1
+parser, and run the A5 hourly option-OHLC aggregate.
+
+The synthesis is pure deterministic column arithmetic computed identically
+by Spark and the DuckDB oracle, so the comparison exercises: string
+formatting, regexp extraction (F1), date construction, the null-skipping
+ordered firsts, decimal-exact VWAP/volume, the ordered trade-id CSV,
+hours-to-expiry and moneyness distance — i.e. nearly all of SURVEY.md §2.8.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import instruments as I
+from ..operators.option_ohlc import option_ohlc_hourly
+from ..sources.tables import load_table
+
+from ..functions.instruments import MONTH_NAMES as _MONTH_NAMES
+
+
+def _month_name(month_col):
+    return F.element_at(F.array(*[F.lit(m) for m in _MONTH_NAMES]), month_col)
+
+
+def synth_trades(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic option-trade stream derived from events."""
+    ev = load_table(spark, sf_dir, "events")
+    expiry = F.date_add(
+        F.lit("2024-02-02").cast("date"), ((F.col("user_id") % 4) * 10).cast("int")
+    )
+    strike = ((F.col("user_id") % 20 + 1) * 100).cast("int")
+    opt_type = F.when(F.col("event_id") % 2 == 0, "C").otherwise("P")
+    name = F.concat(
+        F.lit("BTC-"),
+        F.dayofmonth(expiry).cast("string"),
+        _month_name(F.month(expiry)),
+        (F.year(expiry) % 100).cast("string"),
+        F.lit("-"),
+        strike.cast("string"),
+        F.lit("-"),
+        opt_type,
+    )
+    return ev.select(
+        F.col("event_id").cast("string").alias("trade_id"),
+        F.col("event_id").alias("trade_seq"),
+        F.col("ts").alias("timestamp"),
+        name.alias("instrument_name"),
+        F.col("value").alias("price"),
+        ((F.col("event_id") % 10) + 1).cast("double").alias("amount"),
+        F.when(F.col("event_id") % 7 == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("value") * 0.5)
+        .alias("iv"),
+        F.when(F.col("event_id") % 5 == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("value") * 0.99)
+        .alias("mark_price"),
+        F.when(F.col("event_id") % 11 == 0, F.lit(None).cast("double"))
+        .otherwise(F.lit(2000.0) + F.col("value"))
+        .alias("index_price"),
+    )
+
+
+def q_option_chain_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse instrument names (F1), then run the A5 aggregate."""
+    trades = synth_trades(spark, sf_dir)
+    parsed = (
+        trades.withColumn("expiry_date", I.parse_expiry_date(F.col("instrument_name")))
+        .withColumn("strike", I.parse_strike(F.col("instrument_name")))
+        .withColumn("option_type", I.parse_option_type(F.col("instrument_name")))
+        .where(F.col("expiry_date").isNotNull())  # P8 skip-unparseable
+    )
+    out = option_ohlc_hourly(parsed)
+    # DATE-typed outputs round-trip differently through pandas/arrow in the
+    # two engines; emit midnight timestamps for comparison stability.
+    return out.withColumn("expiry_date", F.col("expiry_date").cast("timestamp"))
+
+
+_SYNTH_SQL = """
+trades AS (
+    SELECT
+        CAST(event_id AS VARCHAR) AS trade_id,
+        event_id AS trade_seq,
+        ts AS "timestamp",
+        'BTC-'
+          || CAST(day(expiry) AS VARCHAR)
+          || (CASE month(expiry)
+                WHEN 1 THEN 'JAN' WHEN 2 THEN 'FEB' WHEN 3 THEN 'MAR'
+                WHEN 4 THEN 'APR' WHEN 5 THEN 'MAY' WHEN 6 THEN 'JUN'
+                WHEN 7 THEN 'JUL' WHEN 8 THEN 'AUG' WHEN 9 THEN 'SEP'
+                WHEN 10 THEN 'OCT' WHEN 11 THEN 'NOV' ELSE 'DEC' END)
+          || CAST(year(expiry) % 100 AS VARCHAR)
+          || '-' || CAST(strike AS VARCHAR) || '-' || opt_type AS instrument_name,
+        value AS price,
+        CAST((event_id % 10) + 1 AS DOUBLE) AS amount,
+        CASE WHEN event_id % 7 = 0 THEN NULL ELSE value * 0.5 END AS iv,
+        CASE WHEN event_id % 5 = 0 THEN NULL ELSE value * 0.99 END AS mark_price,
+        CASE WHEN event_id % 11 = 0 THEN NULL ELSE 2000.0 + value END AS index_price
+    FROM (
+        SELECT *,
+            DATE '2024-02-02' + CAST((user_id % 4) * 10 AS INT) AS expiry,
+            CAST((user_id % 20 + 1) * 100 AS INTEGER) AS strike,
+            CASE WHEN event_id % 2 = 0 THEN 'C' ELSE 'P' END AS opt_type
+        FROM events
+    )
+),
+parsed AS (
+    SELECT *,
+        CAST(2000 + CAST(regexp_extract(instrument_name,
+            '(\\w+)-(\\d+)([A-Z]+)(\\d+)-(\\d+)-([CP])', 4) AS INT) AS INT) AS p_year,
+        (CASE regexp_extract(instrument_name,
+            '(\\w+)-(\\d+)([A-Z]+)(\\d+)-(\\d+)-([CP])', 3)
+            WHEN 'JAN' THEN 1 WHEN 'FEB' THEN 2 WHEN 'MAR' THEN 3 WHEN 'APR' THEN 4
+            WHEN 'MAY' THEN 5 WHEN 'JUN' THEN 6 WHEN 'JUL' THEN 7 WHEN 'AUG' THEN 8
+            WHEN 'SEP' THEN 9 WHEN 'OCT' THEN 10 WHEN 'NOV' THEN 11 WHEN 'DEC' THEN 12
+         END) AS p_month,
+        CAST(regexp_extract(instrument_name,
+            '(\\w+)-(\\d+)([A-Z]+)(\\d+)-(\\d+)-([CP])', 2) AS INT) AS p_day,
+        CAST(regexp_extract(instrument_name,
+            '(\\w+)-(\\d+)([A-Z]+)(\\d+)-(\\d+)-([CP])', 5) AS INTEGER) AS p_strike,
+        regexp_extract(instrument_name,
+            '(\\w+)-(\\d+)([A-Z]+)(\\d+)-(\\d+)-([CP])', 6) AS p_type
+    FROM trades
+),
+ptrades AS (
+    SELECT trade_id, trade_seq, "timestamp", instrument_name, price, amount,
+           iv, mark_price, index_price,
+           CAST(make_date(p_year, p_month, p_day) AS TIMESTAMP) AS expiry_date,
+           p_strike AS strike, p_type AS option_type
+    FROM parsed
+    WHERE p_month IS NOT NULL
+)
+"""
+
+
+def oracle_option_chain_ohlc() -> str:
+    return f"""
+WITH {_SYNTH_SQL},
+ranked AS (
+    SELECT *,
+        date_trunc('hour', "timestamp") AS hour_timestamp,
+        row_number() OVER (PARTITION BY date_trunc('hour', "timestamp"), instrument_name
+                           ORDER BY "timestamp", trade_seq) AS ra,
+        row_number() OVER (PARTITION BY date_trunc('hour', "timestamp"), instrument_name
+                           ORDER BY "timestamp" DESC, trade_seq DESC) AS rd,
+        row_number() OVER (PARTITION BY date_trunc('hour', "timestamp"), instrument_name,
+                               (iv IS NULL)
+                           ORDER BY "timestamp", trade_seq) AS ra_iv,
+        row_number() OVER (PARTITION BY date_trunc('hour', "timestamp"), instrument_name,
+                               (iv IS NULL)
+                           ORDER BY "timestamp" DESC, trade_seq DESC) AS rd_iv,
+        row_number() OVER (PARTITION BY date_trunc('hour', "timestamp"), instrument_name,
+                               (mark_price IS NULL)
+                           ORDER BY "timestamp", trade_seq) AS ra_mp,
+        row_number() OVER (PARTITION BY date_trunc('hour', "timestamp"), instrument_name,
+                               (mark_price IS NULL)
+                           ORDER BY "timestamp" DESC, trade_seq DESC) AS rd_mp,
+        row_number() OVER (PARTITION BY date_trunc('hour', "timestamp"), instrument_name,
+                               (index_price IS NULL)
+                           ORDER BY "timestamp", trade_seq) AS ra_ip
+    FROM ptrades
+),
+agg AS (
+    SELECT hour_timestamp, instrument_name, expiry_date, strike, option_type,
+        max(CASE WHEN ra = 1 THEN price END) AS open_price,
+        max(price) AS high_price,
+        min(price) AS low_price,
+        max(CASE WHEN rd = 1 THEN price END) AS close_price,
+        max(CASE WHEN ra_iv = 1 AND iv IS NOT NULL THEN iv END) AS open_iv,
+        max(iv) AS high_iv,
+        min(iv) AS low_iv,
+        max(CASE WHEN rd_iv = 1 AND iv IS NOT NULL THEN iv END) AS close_iv,
+        CAST(SUM(CAST(price AS DECIMAL(18,2)) * CAST(amount AS DECIMAL(14,2))) AS DOUBLE) AS pv,
+        CAST(SUM(CAST(amount AS DECIMAL(14,2))) AS DOUBLE) AS volume,
+        count(*) AS trade_count,
+        string_agg(trade_id, ',' ORDER BY "timestamp", trade_seq) AS trade_ids,
+        max(CASE WHEN ra_mp = 1 AND mark_price IS NOT NULL THEN mark_price END) AS mark_price_open,
+        max(mark_price) AS mark_price_high,
+        min(mark_price) AS mark_price_low,
+        max(CASE WHEN rd_mp = 1 AND mark_price IS NOT NULL THEN mark_price END) AS mark_price_close,
+        max(CASE WHEN ra_ip = 1 AND index_price IS NOT NULL THEN index_price END) AS index_price
+    FROM ranked
+    GROUP BY 1, 2, 3, 4, 5
+)
+SELECT hour_timestamp, instrument_name, expiry_date, strike, option_type,
+    open_price, high_price, low_price, close_price,
+    open_iv, high_iv, low_iv, close_iv,
+    CASE WHEN volume = 0 THEN NULL ELSE pv / volume END AS vwap,
+    volume, trade_count, trade_ids,
+    mark_price_open, mark_price_high, mark_price_low, mark_price_close,
+    index_price,
+    greatest(CAST(1 AS BIGINT),
+        CAST((epoch(CAST(expiry_date AS TIMESTAMP) + INTERVAL 8 HOUR)
+              - epoch(hour_timestamp)) / 3600 AS BIGINT)) AS hours_to_expiry,
+    CASE WHEN option_type = 'C'
+             THEN (index_price - strike) / nullif(index_price, 0) * 100.0
+         WHEN option_type = 'P'
+             THEN (strike - index_price) / nullif(index_price, 0) * 100.0
+         ELSE NULL END AS distance
+FROM agg
+"""

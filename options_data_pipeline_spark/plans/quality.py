@@ -1,0 +1,207 @@
+"""Data-quality / incremental-semantics queries over ``events``.
+
+Covers SURVEY.md §2 items that aren't session aggregates: gap detection
+(W1/T6), high-watermark + stats probes (S7/S8/A6), latest-wins keyed dedup
+(K1 upsert read-side semantics, O5/O6), top-k extremes (A3/O4), and the
+recency window filter (P4) anchored to ``max(ts)`` instead of ``NOW()`` so
+both engines see the same "now".
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.rounding import round_half_away, sql_round_half_away
+from ..operators.gaps import detect_gaps, gap_summary
+from ..sources.tables import load_table
+
+
+def q_gap_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return detect_gaps(
+        ev.withColumnRenamed("event_type", "instrument"),
+        keys=("instrument",),
+        time_col="ts",
+        min_gap_minutes=5.0,
+    )
+
+
+def oracle_gap_scan() -> str:
+    return """
+WITH lagged AS (
+    SELECT event_type AS instrument,
+           lag(ts) OVER (PARTITION BY event_type ORDER BY ts) AS prev_ts,
+           ts,
+    FROM events
+)
+SELECT instrument, prev_ts, ts,
+       (epoch_us(ts) - epoch_us(prev_ts)) / 60000000.0 AS gap_minutes
+FROM lagged
+WHERE (epoch_us(ts) - epoch_us(prev_ts)) / 60000000.0 > 5.0
+"""
+
+
+def q_gap_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gap_summary(q_gap_scan(spark, sf_dir), keys=("instrument",))
+
+
+def oracle_gap_summary() -> str:
+    return f"""
+WITH lagged AS (
+    SELECT event_type AS instrument,
+           lag(ts) OVER (PARTITION BY event_type ORDER BY ts) AS prev_ts,
+           ts
+    FROM events
+),
+gaps AS (
+    SELECT instrument,
+           epoch_us(ts) - epoch_us(prev_ts) AS gap_us,
+           (epoch_us(ts) - epoch_us(prev_ts)) / 60000000.0 AS gap_minutes
+    FROM lagged
+    WHERE (epoch_us(ts) - epoch_us(prev_ts)) / 60000000.0 > 5.0
+)
+SELECT instrument, count(*) AS gap_count,
+       CAST(SUM(gap_us) AS DOUBLE) / 60000000.0 AS total_gap_minutes,
+       max(gap_minutes) AS max_gap_minutes
+FROM gaps GROUP BY 1
+"""
+
+
+def q_watermark_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7/S8/A6: per-series high watermark, row count, distinct users."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(F.col("event_type").alias("instrument")).agg(
+        F.max("ts").alias("high_watermark"),
+        F.min("ts").alias("first_ts"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+def oracle_watermark_probe() -> str:
+    return """
+SELECT event_type AS instrument, max(ts) AS high_watermark, min(ts) AS first_ts,
+       count(*) AS n_rows, count(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1
+"""
+
+
+def q_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1/T5 read-side: latest-wins per (user_id, event_type) key — the
+    MERGE-emulation primitive used by the upsert sink."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("user_id", "event_type", "ts", "event_id", "value")
+    )
+
+
+def oracle_dedup_latest() -> str:
+    return """
+SELECT user_id, event_type, ts, event_id, value
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                 ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+) WHERE rn = 1
+"""
+
+
+def q_insert_if_absent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2/O6: bulk insert-if-absent as an anti-join — 'new' events whose
+    key is not already in the 'existing' half (even event_ids stand in for
+    the already-loaded table)."""
+    ev = load_table(spark, sf_dir, "events")
+    existing = ev.where(F.col("event_id") % 2 == 0).select(
+        F.col("event_id").alias("k")
+    )
+    incoming = ev.where(F.col("ts") >= F.lit("2024-01-15").cast("timestamp"))
+    return incoming.join(
+        existing, incoming["event_id"] == existing["k"], "left_anti"
+    ).select("event_id", "ts", "user_id", "event_type", "value")
+
+
+def oracle_insert_if_absent() -> str:
+    return """
+SELECT event_id, ts, user_id, event_type, value
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-15'
+  AND event_id NOT IN (SELECT event_id FROM events WHERE event_id % 2 = 0)
+"""
+
+
+def q_top2_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3/O4 (reference dead code, implemented per documented intent):
+    per instrument per day, the two hours with the largest |intra-hour %
+    move|, ranked deterministically."""
+    from .sessions import hourly_candles
+
+    hourly = hourly_candles(spark, sf_dir)
+    ch = F.when(F.col("open") == 0, F.lit(0.0)).otherwise(
+        round_half_away((F.col("close") - F.col("open")) / F.col("open") * 100.0, 4)
+    )
+    d = hourly.withColumn("ch", ch).withColumn(
+        "day", F.date_trunc("day", F.col("bucket_ts"))
+    )
+    w = Window.partitionBy("instrument", "day").orderBy(
+        F.abs(F.col("ch")).desc(), F.col("bucket_ts").asc()
+    )
+    return (
+        d.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 2)
+        .select(
+            "instrument", "day", F.col("bucket_ts").alias("hour_ts"), "ch",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def oracle_top2_extremes() -> str:
+    from .sessions import HOURLY_CTE
+
+    pct = sql_round_half_away("((close - open) / open * 100.0)", 4)
+    return f"""
+WITH {HOURLY_CTE},
+ch AS (
+    SELECT instrument, date_trunc('day', h) AS day, h AS hour_ts,
+           CASE WHEN open = 0 THEN 0.0 ELSE {pct} END AS ch
+    FROM hourly
+),
+rk AS (
+    SELECT *, row_number() OVER (PARTITION BY instrument, day
+                                 ORDER BY abs(ch) DESC, hour_ts ASC) AS rank
+    FROM ch
+)
+SELECT instrument, day, hour_ts, ch, rank FROM rk WHERE rank <= 2
+"""
+
+
+def q_recent_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4: recency filter with interval arithmetic, anchored to max(ts)
+    (deterministic 'now'), aggregated per instrument."""
+    ev = load_table(spark, sf_dir, "events")
+    anchor = ev.agg(F.max("ts").alias("__now"))
+    return (
+        ev.join(F.broadcast(anchor))
+        .where(F.col("ts") > F.col("__now") - F.expr("INTERVAL 7 DAYS"))
+        .groupBy(F.col("event_type").alias("instrument"))
+        .agg(
+            F.count(F.lit(1)).alias("n_recent"),
+            F.sum(F.col("value").cast("decimal(28,2)")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+def oracle_recent_events() -> str:
+    return """
+SELECT event_type AS instrument, count(*) AS n_recent,
+       CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS sum_value
+FROM events
+WHERE ts > (SELECT max(ts) FROM events) - INTERVAL 7 DAY
+GROUP BY 1
+"""

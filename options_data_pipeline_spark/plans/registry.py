@@ -1,0 +1,52 @@
+"""Query registry: every implemented operator exposed as a named query
+(spark_fn, oracle_sql) pair. ``__spark_entry__.py`` re-exports this."""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import options, quality, sessions, text, tpch, vectors
+
+# name -> (query fn, oracle sql builder or None)
+_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[], str] | None]] = {
+    # --- session OHLC family (A1/A4, F7-F9, P7, W2/W3) ---
+    "hourly_candles": (sessions.q_hourly_candles, sessions.oracle_hourly_candles),
+    "daily_sessions": (sessions.q_daily_sessions, sessions.oracle_daily_sessions),
+    "weekly_sessions": (sessions.q_weekly_sessions, sessions.oracle_weekly_sessions),
+    "monthly_sessions": (sessions.q_monthly_sessions, sessions.oracle_monthly_sessions),
+    # --- option OHLC (A5, F1, F4-F6, P5, P8) ---
+    "option_chain_ohlc": (options.q_option_chain_ohlc, options.oracle_option_chain_ohlc),
+    # --- data quality / incremental semantics (W1, T6, S7/S8, A6, A7, K1/K2, A3/O4, P4) ---
+    "gap_scan": (quality.q_gap_scan, quality.oracle_gap_scan),
+    "gap_summary": (quality.q_gap_summary, quality.oracle_gap_summary),
+    "watermark_probe": (quality.q_watermark_probe, quality.oracle_watermark_probe),
+    "dedup_latest": (quality.q_dedup_latest, quality.oracle_dedup_latest),
+    "insert_if_absent": (quality.q_insert_if_absent, quality.oracle_insert_if_absent),
+    "top2_extremes": (quality.q_top2_extremes, quality.oracle_top2_extremes),
+    "recent_events": (quality.q_recent_events, quality.oracle_recent_events),
+    # --- generic relational (joins, topk, hash agg) ---
+    "pricing_summary": (tpch.q_pricing_summary, tpch.oracle_pricing_summary),
+    "top_orders": (tpch.q_top_orders, tpch.oracle_top_orders),
+    "region_revenue": (tpch.q_region_revenue, tpch.oracle_region_revenue),
+    "segment_activity": (tpch.q_segment_activity, tpch.oracle_segment_activity),
+    # --- training-data ops: text ---
+    "doc_stats": (text.q_doc_stats, text.oracle_doc_stats),
+    "text_quality": (text.q_text_quality, text.oracle_text_quality),
+    "lang_profile": (text.q_lang_profile, text.oracle_lang_profile),
+    "doc_fingerprint": (text.q_fingerprint, text.oracle_fingerprint),
+    "exact_dup_groups": (text.q_exact_dup_groups, text.oracle_exact_dup_groups),
+    "minhash_near_dups": (text.q_minhash_near_dups, text.oracle_minhash_near_dups),
+    "ngram_jaccard_pairs": (text.q_ngram_jaccard_pairs, text.oracle_ngram_jaccard_pairs),
+    # --- training-data ops: vectors ---
+    "ann_cosine_topk": (vectors.q_ann_cosine_topk, vectors.oracle_ann_cosine_topk),
+}
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: fn for name, (fn, _) in _REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: o() for name, (_, o) in _REGISTRY.items() if o is not None}

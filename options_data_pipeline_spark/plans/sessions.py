@@ -1,0 +1,286 @@
+"""Session-OHLC query family over the benchmark ``events`` table.
+
+``events`` (event_id, ts, user_id, event_type, value) stands in for the
+reference's candle stream: ``event_type`` is the instrument, ``value`` the
+price. The chain mirrors the reference lifecycle exactly:
+
+    ticks -> hourly candles -> daily sessions (08:00 anchor, >=20h guard)
+          -> weekly sessions (Friday anchor, >=5d guard)
+          -> monthly sessions (last-Friday anchor, >=20d guard, extras)
+
+Every query has a DuckDB oracle built from the same CTE pipeline; ordering
+ties are broken by (ts, event_id) in both engines so results are
+deterministic bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import timeutil as T
+from ..functions.rounding import sql_round_half_away
+from ..operators.session_ohlc import session_ohlc, ticks_to_ohlc
+from ..sources.tables import load_table
+
+DAILY_MIN_HOURS = 20   # daily_sessions.py:183
+WEEKLY_MIN_DAYS = 5    # weekly_sessions.py:123
+MONTHLY_MIN_DAYS = 20  # monthly_sessions.py:153
+
+SESSION_COLS = [
+    "instrument", "datetime", "open", "high", "low", "close", "move",
+    "chhigh", "chlow", "chclose", "chmax", "chhightime", "chlowtime",
+    "firstextremumtype",
+]
+
+
+def hourly_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events ticks -> per-(event_type, hour) OHLC candles."""
+    ev = load_table(spark, sf_dir, "events")
+    return ticks_to_ohlc(
+        ev.withColumnRenamed("event_type", "instrument"),
+        bucket=F.date_trunc("hour", F.col("ts")),
+        keys=("instrument",),
+        time_col="ts",
+        price_col="value",
+        tiebreak_cols=("event_id",),
+    )
+
+
+def q_hourly_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hourly_candles(spark, sf_dir).select(
+        "instrument", F.col("bucket_ts").alias("hour_ts"),
+        "open", "high", "low", "close", "n_ticks",
+    )
+
+
+def _finalize(sessions: DataFrame) -> DataFrame:
+    return sessions.select(
+        *[
+            F.col(c).cast("long").alias(c)
+            if c in ("chhightime", "chlowtime")
+            else F.col(c)
+            for c in SESSION_COLS
+        ]
+    )
+
+
+def daily_sessions(spark: SparkSession, sf_dir: str, min_rows: int = DAILY_MIN_HOURS) -> DataFrame:
+    hourly = hourly_candles(spark, sf_dir)
+    out = session_ohlc(
+        hourly,
+        session_start=T.daily_session_start(F.col("bucket_ts")),
+        keys=("instrument",),
+        time_col="bucket_ts",
+        min_rows=min_rows,
+    )
+    return out.withColumnRenamed("session_start", "datetime")
+
+
+def q_daily_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _finalize(daily_sessions(spark, sf_dir)).withColumn(
+        "session_hours", F.lit(24)
+    )
+
+
+def q_weekly_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = daily_sessions(spark, sf_dir)
+    out = session_ohlc(
+        daily,
+        session_start=T.weekly_session_start(F.col("datetime")),
+        keys=("instrument",),
+        time_col="datetime",
+        min_rows=WEEKLY_MIN_DAYS,
+    )
+    return _finalize(out.drop("datetime").withColumnRenamed("session_start", "datetime")).withColumn(
+        "session_hours", F.lit(168)
+    )
+
+
+def q_monthly_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = daily_sessions(spark, sf_dir)
+    out = session_ohlc(
+        daily,
+        session_start=T.monthly_session_start(F.col("datetime")),
+        keys=("instrument",),
+        time_col="datetime",
+        min_rows=MONTHLY_MIN_DAYS,
+    )
+    out = out.drop("datetime").withColumnRenamed("session_start", "datetime")
+    end = T.monthly_session_end(F.col("datetime"))
+    secs = F.unix_timestamp(end) - F.unix_timestamp(F.col("datetime"))
+    return (
+        _finalize(out)
+        .withColumn("session_end", end)
+        .withColumn("counthours", (secs / 3600).cast("long"))
+        .withColumn("countdays", (secs / 86400).cast("long"))
+        .withColumn("year", F.year(F.col("datetime")))
+        .withColumn("month", F.month(F.col("datetime")))
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles — same pipeline, windowed-SQL formulation.
+# ---------------------------------------------------------------------------
+
+HOURLY_CTE = """
+ranked AS (
+    SELECT event_type AS instrument, date_trunc('hour', ts) AS h, value,
+           row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                              ORDER BY ts, event_id) AS ra,
+           row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                              ORDER BY ts DESC, event_id DESC) AS rd
+    FROM events
+),
+hourly AS (
+    SELECT instrument, h,
+           max(CASE WHEN ra = 1 THEN value END) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           max(CASE WHEN rd = 1 THEN value END) AS close,
+           count(*) AS n_ticks
+    FROM ranked GROUP BY 1, 2
+)
+"""
+
+
+def _session_agg_sql(src: str, start_expr: str, time_col: str, min_rows: int) -> str:
+    """CTE chain: assign session_start, index rows, aggregate A1 metrics.
+
+    Produces columns: instrument, datetime, open/high/low/close, move,
+    chhigh/chlow/chclose, chmax, chhightime, chlowtime, firstextremumtype.
+    """
+    pct = lambda target: (  # noqa: E731
+        f"CASE WHEN open = 0 THEN 0.0 ELSE "
+        f"{sql_round_half_away(f'(({target} - open) / open * 100.0)', 4)} END"
+    )
+    return f"""
+sess AS (
+    SELECT instrument, {start_expr.format(ts=time_col)} AS session_start, {time_col} AS t,
+           open, high, low, close
+    FROM {src}
+),
+idxed AS (
+    SELECT *,
+           row_number() OVER (PARTITION BY instrument, session_start ORDER BY t) - 1 AS idx,
+           row_number() OVER (PARTITION BY instrument, session_start ORDER BY t DESC) AS rdx,
+           max(high) OVER (PARTITION BY instrument, session_start) AS shigh,
+           min(low)  OVER (PARTITION BY instrument, session_start) AS slow
+    FROM sess
+),
+rolled AS (
+    SELECT instrument, session_start AS datetime,
+           max(CASE WHEN idx = 0 THEN open END) AS open,
+           max(high) AS high,
+           min(low) AS low,
+           max(CASE WHEN rdx = 1 THEN close END) AS close,
+           min(CASE WHEN high = shigh THEN idx END) AS chhightime,
+           min(CASE WHEN low = slow THEN idx END) AS chlowtime,
+           count(*) AS n
+    FROM idxed
+    GROUP BY 1, 2
+    HAVING count(*) >= {min_rows}
+),
+metrics AS (
+    SELECT instrument, datetime, open, high, low, close,
+           high - low AS move,
+           {pct('high')} AS chhigh,
+           {pct('low')} AS chlow,
+           {pct('close')} AS chclose,
+           chhightime, chlowtime
+    FROM rolled
+),
+final AS (
+    SELECT instrument, datetime, open, high, low, close, move,
+           chhigh, chlow, chclose,
+           CASE WHEN abs(chhigh) > abs(chlow) THEN chhigh ELSE chlow END AS chmax,
+           chhightime, chlowtime,
+           CASE WHEN chhightime < chlowtime THEN 'HIGH'
+                WHEN chlowtime < chhightime THEN 'LOW'
+                WHEN abs(chhigh) >= abs(chlow) THEN 'HIGH'
+                ELSE 'LOW' END AS firstextremumtype
+    FROM metrics
+)
+"""
+
+
+_FINAL_COLS = ("instrument, datetime, open, high, low, close, move, chhigh, "
+               "chlow, chclose, chmax, chhightime, chlowtime, firstextremumtype")
+
+
+def oracle_hourly_candles() -> str:
+    return (
+        f"WITH {HOURLY_CTE} "
+        "SELECT instrument, h AS hour_ts, open, high, low, close, n_ticks FROM hourly"
+    )
+
+
+def oracle_daily_sessions() -> str:
+    daily = _session_agg_sql(
+        "hourly", T.sql_daily_session_start("{ts}"), "h", DAILY_MIN_HOURS
+    )
+    return (
+        f"WITH {HOURLY_CTE}, {daily} "
+        f"SELECT {_FINAL_COLS}, 24 AS session_hours FROM final"
+    )
+
+
+def _daily_base_cte() -> str:
+    """hourly + daily rollup renamed so a second rollup can stack on top."""
+    daily = _session_agg_sql(
+        "hourly", T.sql_daily_session_start("{ts}"), "h", DAILY_MIN_HOURS
+    )
+    return (
+        f"{HOURLY_CTE}, {daily}, "
+        "daily AS (SELECT instrument, datetime, open, high, low, close FROM final)"
+    )
+
+
+def oracle_weekly_sessions() -> str:
+    weekly = _session_agg_sql(
+        "daily", T.sql_weekly_session_start("{ts}"), "datetime", WEEKLY_MIN_DAYS
+    )
+    # rename the inner CTEs to avoid collision with the daily-level ones
+    weekly = (
+        weekly.replace("sess AS", "wsess AS")
+        .replace("idxed", "widxed")
+        .replace("rolled", "wrolled")
+        .replace("metrics", "wmetrics")
+        .replace("final AS", "wfinal AS")
+        .replace("FROM wsess", "FROM wsess")
+        .replace("FROM final", "FROM wfinal")
+    )
+    weekly = weekly.replace("FROM sess", "FROM wsess").replace(
+        "FROM metrics", "FROM wmetrics"
+    )
+    return (
+        f"WITH {_daily_base_cte()}, {weekly} "
+        f"SELECT {_FINAL_COLS}, 168 AS session_hours FROM wfinal"
+    )
+
+
+def oracle_monthly_sessions() -> str:
+    monthly = _session_agg_sql(
+        "daily", T.sql_monthly_session_start("{ts}"), "datetime", MONTHLY_MIN_DAYS
+    )
+    monthly = (
+        monthly.replace("sess AS", "msess AS")
+        .replace("idxed", "midxed")
+        .replace("rolled", "mrolled")
+        .replace("metrics", "mmetrics")
+        .replace("final AS", "mfinal AS")
+    )
+    monthly = monthly.replace("FROM sess", "FROM msess").replace(
+        "FROM metrics", "FROM mmetrics"
+    )
+    end = T.sql_monthly_session_end("datetime")
+    return f"""
+WITH {_daily_base_cte()}, {monthly}
+SELECT {_FINAL_COLS},
+       {end} AS session_end,
+       CAST((epoch({end}) - epoch(datetime)) / 3600 AS BIGINT) AS counthours,
+       CAST((epoch({end}) - epoch(datetime)) / 86400 AS BIGINT) AS countdays,
+       CAST(year(datetime) AS INTEGER) AS year,
+       CAST(month(datetime) AS INTEGER) AS month
+FROM mfinal
+"""

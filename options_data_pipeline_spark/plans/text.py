@@ -1,0 +1,266 @@
+"""Training-data text queries over ``documents``.
+
+To make the dedup pipelines demonstrable (the synthetic corpus has no
+natural duplicates), both engines deterministically plant duplicates:
+exact copies for ``doc_id % 97 == 0`` (id + 200000) and near-dups with one
+appended word for ``doc_id % 50 == 0`` (id + 100000). The Spark side and
+the DuckDB oracle build the identical planted corpus, so the dedup results
+are fully checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup as D
+from ..operators import textstats as TS
+from ..sources.tables import load_table
+
+_DOC_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+
+
+def planted_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    exact = (
+        docs.where(F.col("doc_id") % 97 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 200000)
+        .withColumn("source", F.lit("mirror"))
+    )
+    near = (
+        docs.where(F.col("doc_id") % 50 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 100000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" copied")))
+        .withColumn("source", F.lit("scrape"))
+    )
+    return docs.select(_DOC_COLS).unionByName(exact.select(_DOC_COLS)).unionByName(
+        near.select(_DOC_COLS)
+    )
+
+
+_PLANTED_SQL = """
+corpus AS (
+    SELECT doc_id, text, lang, source, n_chars FROM documents
+    UNION ALL
+    SELECT doc_id + 200000, text, lang, 'mirror', n_chars
+    FROM documents WHERE doc_id % 97 = 0
+    UNION ALL
+    SELECT doc_id + 100000, text || ' copied', lang, 'scrape', n_chars
+    FROM documents WHERE doc_id % 50 = 0
+)
+"""
+
+_SHINGLES_SQL = """
+shingles AS (
+    SELECT DISTINCT doc_id, shingle
+    FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(string_split(text, ' '))),
+                      i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]))
+                   AS shingle
+        FROM corpus
+    )
+)
+"""
+
+
+def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return TS.doc_stats(docs).select(
+        "doc_id", "lang", "source", "n_tokens", "n_chars_calc",
+        "n_distinct_tokens", "type_token_ratio", "avg_token_len", "n_bpe_tokens",
+    )
+
+
+def oracle_doc_stats() -> str:
+    return """
+SELECT doc_id, lang, source,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+    CAST(length(text) AS BIGINT) AS n_chars_calc,
+    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_tokens,
+    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+        / CAST(len(string_split(text, ' ')) AS BIGINT) AS type_token_ratio,
+    (CAST(length(text) AS BIGINT) - (CAST(len(string_split(text, ' ')) AS BIGINT) - 1))
+        / CAST(len(string_split(text, ' ')) AS BIGINT) AS avg_token_len,
+    CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS BIGINT)
+        AS n_bpe_tokens
+FROM documents
+"""
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return TS.quality_score(docs).select(
+        "doc_id", "stopword_ratio", "symbol_ratio", "quality_score"
+    )
+
+
+def oracle_text_quality() -> str:
+    stop = "['the','a','of','and','to','in','is','on','for','it']"
+    return f"""
+WITH base AS (
+    SELECT doc_id,
+        CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tokens,
+        CAST(len(list_filter(string_split(text, ' '),
+                             w -> list_contains({stop}, w))) AS DOUBLE) AS n_stop,
+        CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS DOUBLE) AS n_symbols,
+        CAST(length(text) AS DOUBLE) AS n_chars
+    FROM documents
+)
+SELECT doc_id,
+    n_stop / n_tokens AS stopword_ratio,
+    n_symbols / n_chars AS symbol_ratio,
+    least(1.0, n_tokens / 64.0) * 0.5
+      + least(1.0, (n_stop / n_tokens) * 4.0) * 0.3
+      + (1.0 - least(1.0, (n_symbols / n_chars) * 10.0)) * 0.2 AS quality_score
+FROM base
+"""
+
+
+def q_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    out = TS.lang_id(docs)
+    return out.select(
+        "doc_id", "lang", "en_hits", "es_hits", "zh_hits", "predicted_lang",
+        (F.col("predicted_lang") == F.col("lang")).alias("is_match"),
+    )
+
+
+def oracle_lang_profile() -> str:
+    def hits(markers):
+        arr = "[" + ",".join(f"'{m}'" for m in markers) + "]"
+        return (
+            f"CAST(len(list_intersect(list_distinct(string_split(text, ' ')), {arr}))"
+            " AS BIGINT)"
+        )
+
+    en, es, zh = (hits(TS.MARKERS[k]) for k in ("en", "es", "zh"))
+    return f"""
+WITH h AS (
+    SELECT doc_id, lang, {en} AS en_hits, {es} AS es_hits, {zh} AS zh_hits
+    FROM documents
+)
+SELECT doc_id, lang, en_hits, es_hits, zh_hits,
+    CASE WHEN en_hits >= es_hits AND en_hits >= zh_hits THEN 'en'
+         WHEN es_hits >= zh_hits THEN 'es' ELSE 'zh' END AS predicted_lang,
+    (CASE WHEN en_hits >= es_hits AND en_hits >= zh_hits THEN 'en'
+          WHEN es_hits >= zh_hits THEN 'es' ELSE 'zh' END) = lang AS is_match
+FROM h
+"""
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return TS.fingerprint(docs).select("doc_id", "content_hash", "bagofwords_hash")
+
+
+def oracle_fingerprint() -> str:
+    return """
+SELECT doc_id, md5(text) AS content_hash,
+       md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+           AS bagofwords_hash
+FROM documents
+"""
+
+
+def q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = planted_corpus(spark, sf_dir)
+    return D.exact_dup_groups(corpus)
+
+
+def oracle_exact_dup_groups() -> str:
+    return f"""
+WITH {_PLANTED_SQL}
+SELECT md5(text) AS content_hash, min(doc_id) AS canonical_doc_id,
+       count(*) AS n_copies
+FROM corpus GROUP BY 1
+"""
+
+
+def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = planted_corpus(spark, sf_dir)
+    return D.minhash_near_dups(corpus, threshold=0.5)
+
+
+def oracle_minhash_near_dups() -> str:
+    n_perms, n_bands = D.DEFAULT_PERMS, D.DEFAULT_BANDS
+    rows = n_perms // n_bands
+    return f"""
+WITH {_PLANTED_SQL}, {_SHINGLES_SQL},
+sigs AS (
+    SELECT doc_id, perm, min(md5(shingle || '#' || CAST(perm AS VARCHAR))) AS minhash
+    FROM shingles, (SELECT unnest(range(0, {n_perms})) AS perm)
+    GROUP BY 1, 2
+),
+banded AS (
+    SELECT doc_id, CAST(floor(perm / {rows}) AS INT) AS band,
+           md5(string_agg(minhash, '|' ORDER BY perm)) AS band_hash
+    FROM sigs GROUP BY 1, 2
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY 1),
+common AS (
+    SELECT c.doc_a, c.doc_b, count(*) AS n_common
+    FROM cand c
+    JOIN shingles sa ON sa.doc_id = c.doc_a
+    JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_common,
+       n_common / (na.n_sh + nb.n_sh - n_common) AS jaccard
+FROM common
+JOIN sizes na ON na.doc_id = doc_a
+JOIN sizes nb ON nb.doc_id = doc_b
+WHERE n_common / (na.n_sh + nb.n_sh - n_common) >= 0.5
+"""
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standalone n-gram Jaccard near-dup (no LSH): all same-lang pairs
+    sharing at least one shingle, kept at jaccard >= 0.5."""
+    corpus = planted_corpus(spark, sf_dir)
+    sh = D.shingles(corpus)
+    langs = corpus.select("doc_id", "lang")
+    sh_l = sh.join(langs, "doc_id")
+    sa = sh_l.select(
+        F.col("doc_id").alias("doc_a"), F.col("lang").alias("lang_a"), "shingle"
+    )
+    sb = sh_l.select(
+        F.col("doc_id").alias("doc_b"), F.col("lang").alias("lang_b"), "shingle"
+    )
+    pairs = (
+        sa.join(sb, "shingle")
+        .where((F.col("doc_a") < F.col("doc_b")) & (F.col("lang_a") == F.col("lang_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return D.jaccard_verify(
+        pairs.select("doc_a", "doc_b"), sh, threshold=0.5
+    )
+
+
+def oracle_ngram_jaccard_pairs() -> str:
+    return f"""
+WITH {_PLANTED_SQL}, {_SHINGLES_SQL},
+sh_l AS (
+    SELECT s.doc_id, s.shingle, c.lang
+    FROM shingles s JOIN corpus c USING (doc_id)
+),
+pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+    FROM sh_l a JOIN sh_l b
+      ON a.shingle = b.shingle AND a.doc_id < b.doc_id AND a.lang = b.lang
+    GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY 1)
+SELECT doc_a, doc_b, n_common,
+       n_common / (na.n_sh + nb.n_sh - n_common) AS jaccard
+FROM pairs
+JOIN sizes na ON na.doc_id = doc_a
+JOIN sizes nb ON nb.doc_id = doc_b
+WHERE n_common / (na.n_sh + nb.n_sh - n_common) >= 0.5
+"""

@@ -1,0 +1,187 @@
+"""Generic relational coverage: aggregation, multi-way joins, top-k.
+
+The reference contains no joins (SURVEY.md §2.4) — these queries prove the
+engine's generic DataFrame surface (equi joins with broadcast dims, hash
+aggregation, deterministic top-k) that the north-star multi-asset analytics
+require. All double SUMs go through exact DECIMAL accumulation (see
+functions.rounding) so hashes match the oracle regardless of partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.rounding import dec_sum
+from ..sources.tables import load_table
+
+_D1 = "decimal(18,2)"   # money-ish columns
+_D2 = "decimal(5,2)"    # discount/tax factors
+
+
+def _disc_price(l):  # l_extendedprice * (1 - l_discount), exact decimal
+    one = F.lit(1).cast("decimal(3,2)")
+    return l["l_extendedprice"].cast(_D1) * (one - l["l_discount"].cast(_D2))
+
+
+def _charge(l):
+    one = F.lit(1).cast("decimal(3,2)")
+    return (
+        l["l_extendedprice"].cast(_D1)
+        * (one - l["l_discount"].cast(_D2))
+        * (one + l["l_tax"].cast(_D2))
+    )
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan + filter + hash aggregate with partial agg."""
+    l = load_table(spark, sf_dir, "lineitem")
+    f = l.where(F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp"))
+    return (
+        f.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dec_sum(F.col("l_quantity")).alias("sum_qty"),
+            dec_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+            F.sum(_disc_price(f)).cast("double").alias("sum_disc_price"),
+            F.sum(_charge(f)).cast("double").alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .withColumn("avg_qty", F.col("sum_qty") / F.col("count_order"))
+        .withColumn("avg_price", F.col("sum_base_price") / F.col("count_order"))
+    )
+
+
+def oracle_pricing_summary() -> str:
+    return """
+WITH agg AS (
+    SELECT l_returnflag, l_linestatus,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(5,2)))) AS DOUBLE)
+            AS sum_disc_price,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(5,2)))
+                 * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(5,2)))) AS DOUBLE)
+            AS sum_charge,
+        count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+    GROUP BY 1, 2
+)
+SELECT l_returnflag, l_linestatus, sum_qty, sum_base_price, sum_disc_price,
+       sum_charge, count_order,
+       sum_qty / count_order AS avg_qty,
+       sum_base_price / count_order AS avg_price
+FROM agg
+"""
+
+
+def q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join + agg + deterministic top-10."""
+    c = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    l = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    joined = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+    )
+    agg = joined.groupBy("o_orderkey", "o_orderdate", "o_orderpriority").agg(
+        F.sum(_disc_price(joined)).cast("double").alias("revenue")
+    )
+    return agg.orderBy(
+        F.col("revenue").desc(), F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    ).limit(10)
+
+
+def oracle_top_orders() -> str:
+    return """
+SELECT o_orderkey, o_orderdate, o_orderpriority,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(5,2)))) AS DOUBLE)
+        AS revenue
+FROM customer
+JOIN orders   ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate  > TIMESTAMP '1998-01-01'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, o_orderdate ASC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join, small dims broadcast, agg by nation."""
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    joined = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .where(c["c_nationkey"] == s["s_nationkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+    )
+    return joined.groupBy("n_name").agg(
+        F.sum(_disc_price(joined)).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_lineitems"),
+    )
+
+
+def oracle_region_revenue() -> str:
+    return """
+SELECT n_name,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(5,2)))) AS DOUBLE)
+        AS revenue,
+    count(*) AS n_lineitems
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND c_nationkey = s_nationkey
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY 1
+"""
+
+
+def q_segment_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-dim broadcast join: events enriched with customer segment."""
+    ev = load_table(spark, sf_dir, "events")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        ev.join(F.broadcast(c), ev["user_id"] == c["c_custkey"])
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,2)")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+def oracle_segment_activity() -> str:
+    return """
+SELECT c_mktsegment, event_type, count(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS sum_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY 1, 2
+"""

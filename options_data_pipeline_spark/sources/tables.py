@@ -1,0 +1,58 @@
+"""Benchmark table registry.
+
+Loads the driver-generated parquet tables (``TESTDATA.md``) with schema
+normalization so downstream operators always see proper Spark types.
+
+The ``events`` table is written with nanosecond parquet timestamps, which
+Spark 4 can only read as ``LongType`` (``spark.sql.legacy.parquet.nanosAsLong``).
+We truncate to microseconds exactly like DuckDB does when it coerces
+TIMESTAMP_NS -> TIMESTAMP, so the oracle and the engine agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def ensure_session_conf(spark: SparkSession) -> None:
+    """Apply runtime-settable configs this engine depends on.
+
+    The external driver owns the SparkSession it hands to ``entry()`` /
+    ``queries()``; it does not know about our session factory. Everything
+    here is a runtime SQL conf (not a static Spark conf), so setting it on
+    an already-running session is legal and idempotent.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one benchmark table, normalizing event-time columns."""
+    ensure_session_conf(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # nanos -> micros, exact integer truncation (matches DuckDB's coercion;
+        # double division would round and drift by 1us on ~half the rows)
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
+    """Register each table as a temp view for spark.sql() access."""
+    for name in tables:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
