@@ -1,0 +1,59 @@
+"""Benchmark harness: run every registry query at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line on stdout:
+    {"metric": "total_query_sec", "value": N, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": 0.1}
+
+All logs go to stderr so stdout stays machine-readable. Each query is
+executed to completion through a ``noop`` sink (full plan runs on the
+cluster; no driver-side materialization skews the timing).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else None
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from options_data_pipeline_spark.plans import registry
+    from options_data_pipeline_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+    log(f"bench: sf_dir={sf_dir} master={spark.sparkContext.master}")
+
+    timings: dict[str, float] = {}
+    for name, fn in registry.queries().items():
+        # warm the JVM/codegen once on the first query only via a cheap probe
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.write.mode("overwrite").format("noop").save()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        log(f"  {name}: {dt:.2f}s")
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "total_query_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }), flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
