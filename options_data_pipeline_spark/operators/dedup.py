@@ -11,6 +11,13 @@ Scale design (the point of these operators at 100 TB):
 - **n-gram Jaccard**: the verification kernel, also usable standalone on
   a bounded candidate set.
 
+Verification joins the small candidate-pair set against a per-doc
+shingle-SET table (one array row per doc, built once) and intersects
+arrays JVM-side — the pair set is broadcast, so verification adds zero
+shuffles beyond building the set table. At 100 TB the LSH band join is
+the only large shuffle, and it is keyed by (band, band_hash) which is
+uniform by construction of the hash.
+
 Portability note: the "random" permutations are md5 over
 ``shingle + '#' + seed`` and the min is taken over the hex *string* —
 MinHash only needs a uniform total order per permutation, and VARCHAR
@@ -39,85 +46,133 @@ def exact_dup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     )
 
 
-def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Distinct word-bigram shingles per document."""
+def _gram_array(text_col: str):
+    """Distinct word-bigram shingles of ``text_col`` as an array column.
+
+    ``zip_with`` over two shifted slices instead of ``transform`` over an
+    index ``sequence``: the indexed form re-evaluates ``element_at`` (and
+    the enclosing split) per element in the interpreted HOF path, measured
+    ~6x slower at sf0.1.
+    """
     w = F.split(F.col(text_col), " ")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(w) - 1),
-        lambda i: F.concat_ws(" ", F.element_at(w, i), F.element_at(w, i + 1)),
+    grams = F.zip_with(
+        F.slice(w, 1, F.size(w) - 1),
+        F.slice(w, 2, F.size(w) - 1),
+        lambda x, y: F.concat_ws(" ", x, y),
     )
+    return F.array_distinct(grams)
+
+
+def shingle_sets(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """One row per doc: (doc_id, shingles array, n_sh).
+
+    This is the narrow store every downstream step derives from — built in
+    a single scan, no shuffle.
+    """
     return df.select(
-        F.col(id_col).alias("doc_id"), F.explode(F.array_distinct(grams)).alias("shingle")
+        F.col(id_col).alias("doc_id"), _gram_array(text_col).alias("shingles")
+    ).withColumn("n_sh", F.size("shingles"))
+
+
+def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Distinct word-bigram shingles per document, exploded long-form."""
+    return shingle_sets(df, id_col, text_col).select(
+        "doc_id", F.explode("shingles").alias("shingle")
     )
 
 
-def minhash_signatures(sh: DataFrame, n_perms: int = DEFAULT_PERMS) -> DataFrame:
-    """One row per (doc_id, perm): min md5(shingle#perm) hex string."""
-    perms = F.explode(F.sequence(F.lit(0), F.lit(n_perms - 1))).alias("perm")
-    return (
-        sh.select("doc_id", "shingle", perms)
-        .groupBy("doc_id", "perm")
-        .agg(
-            F.min(
-                F.md5(F.concat(F.col("shingle"), F.lit("#"), F.col("perm").cast("string")))
-            ).alias("minhash")
-        )
+def minhash_signatures(sets: DataFrame, n_perms: int = DEFAULT_PERMS) -> DataFrame:
+    """One row per doc: array ``mh`` of ``n_perms`` minhashes (hex strings).
+
+    Signature k = min over shingles of md5(shingle + '#' + k). The
+    permutations are unrolled into ``n_perms`` plain ``min(md5(...))``
+    aggregates over the exploded shingles — every expression stays inside
+    whole-stage codegen (higher-order-function lambdas would be interpreted
+    per element), and the single groupBy(doc_id) combines map-side, so the
+    shuffle carries one skinny row per document.
+    """
+    sh = sets.select("doc_id", F.explode("shingles").alias("shingle"))
+    aggs = [
+        F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#{p}")))).alias(f"mh_{p}")
+        for p in range(n_perms)
+    ]
+    per_doc = sh.groupBy("doc_id").agg(*aggs)
+    return per_doc.select(
+        "doc_id", F.array(*[F.col(f"mh_{p}") for p in range(n_perms)]).alias("mh")
     )
 
 
 def lsh_candidates(
     sigs: DataFrame, n_perms: int = DEFAULT_PERMS, n_bands: int = DEFAULT_BANDS
 ) -> DataFrame:
-    """Band the signatures and self-join on (band, band_hash): candidate
-    near-dup pairs with doc_a < doc_b."""
+    """Band the signatures and bucket-join on (band, band_hash): candidate
+    near-dup pairs with doc_a < doc_b.
+
+    ``sigs`` is :func:`minhash_signatures` output (doc_id, mh array). Band
+    hashes are sliced out of the signature array row-locally; the only
+    shuffle is the groupBy on the bucket key, and bucket membership lists
+    are tiny by LSH construction (only near-dups collide on all rows of a
+    band), so the in-bucket pair expansion never explodes.
+    """
     rows_per_band = n_perms // n_bands
-    banded = (
-        sigs.withColumn("band", (F.col("perm") / rows_per_band).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
+    bands = F.transform(
+        F.sequence(F.lit(0), F.lit(n_bands - 1)),
+        lambda b: F.struct(
+            b.alias("band"),
             F.md5(
                 F.array_join(
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(F.struct(F.col("perm"), F.col("minhash")))
-                        ),
-                        lambda x: x["minhash"],
-                    ),
+                    F.slice(F.col("mh"), b * rows_per_band + F.lit(1), rows_per_band),
                     "|",
                 )
-            ).alias("band_hash")
-        )
+            ).alias("band_hash"),
+        ),
     )
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+    banded = sigs.select(
+        "doc_id", F.explode(bands).alias("bb")
+    ).select("doc_id", "bb.band", "bb.band_hash")
+    buckets = (
+        banded.groupBy("band", "band_hash")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .where(F.size("ids") > 1)
     )
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ids"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("ids"), i + F.lit(2), F.size(F.col("ids"))),
+                        lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return pairs.select("p.doc_a", "p.doc_b").distinct()
 
 
-def jaccard_verify(pairs: DataFrame, sh: DataFrame, threshold: float) -> DataFrame:
-    """True bigram-set Jaccard for each candidate pair; keep >= threshold."""
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    common = (
-        pairs.join(sa, "doc_a")
-        .join(sb, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+def jaccard_verify(pairs: DataFrame, sets: DataFrame, threshold: float) -> DataFrame:
+    """True bigram-set Jaccard for each candidate pair; keep >= threshold.
+
+    ``sets`` is the output of :func:`shingle_sets`. The candidate pair set
+    is broadcast (LSH keeps it small by construction), so this adds no
+    shuffle: two broadcast-hash joins against the set store, then a pure
+    ``array_intersect`` per surviving row.
+    """
+    a = sets.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shingles").alias("sh_a"),
+        F.col("n_sh").alias("n_a"),
     )
-    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    b = sets.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("shingles").alias("sh_b"),
+        F.col("n_sh").alias("n_b"),
+    )
     return (
-        common.join(na, "doc_a")
-        .join(nb, "doc_b")
+        a.join(F.broadcast(pairs), "doc_a")
+        .join(b, "doc_b")
+        .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
         .withColumn(
             "jaccard",
             F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
@@ -137,7 +192,7 @@ def minhash_near_dups(
 ) -> DataFrame:
     """Full MinHash-LSH near-duplicate pipeline: shingle -> sign -> band
     -> bucket-join -> Jaccard-verify."""
-    sh = shingles(docs, id_col, text_col)
-    sigs = minhash_signatures(sh, n_perms)
+    sets = shingle_sets(docs, id_col, text_col)
+    sigs = minhash_signatures(sets, n_perms)
     cand = lsh_candidates(sigs, n_perms, n_bands)
-    return jaccard_verify(cand, sh, threshold)
+    return jaccard_verify(cand, sets, threshold)

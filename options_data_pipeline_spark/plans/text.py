@@ -221,25 +221,40 @@ WHERE n_common / (na.n_sh + nb.n_sh - n_common) >= 0.5
 
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Standalone n-gram Jaccard near-dup (no LSH): all same-lang pairs
-    sharing at least one shingle, kept at jaccard >= 0.5."""
+    sharing at least one shingle, kept at jaccard >= 0.5.
+
+    The inverted-index self-join uses the composite key (lang, shingle) so
+    cross-language pairs never materialize, and the pair counts from that
+    join ARE ``n_common`` — no second pass. The per-doc size table rides in
+    on a broadcast-sized join (AQE broadcasts it; at full scale it is the
+    doc-count dimension, still the small side).
+    """
     corpus = planted_corpus(spark, sf_dir)
-    sh = D.shingles(corpus)
+    sets = D.shingle_sets(corpus)
     langs = corpus.select("doc_id", "lang")
-    sh_l = sh.join(langs, "doc_id")
-    sa = sh_l.select(
-        F.col("doc_id").alias("doc_a"), F.col("lang").alias("lang_a"), "shingle"
+    sh_l = sets.select("doc_id", F.explode("shingles").alias("shingle")).join(
+        langs, "doc_id"
     )
-    sb = sh_l.select(
-        F.col("doc_id").alias("doc_b"), F.col("lang").alias("lang_b"), "shingle"
-    )
+    sa = sh_l.select(F.col("doc_id").alias("doc_a"), "lang", "shingle")
+    sb = sh_l.select(F.col("doc_id").alias("doc_b"), "lang", "shingle")
     pairs = (
-        sa.join(sb, "shingle")
-        .where((F.col("doc_a") < F.col("doc_b")) & (F.col("lang_a") == F.col("lang_b")))
+        sa.join(sb, ["lang", "shingle"])
+        .where(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    return D.jaccard_verify(
-        pairs.select("doc_a", "doc_b"), sh, threshold=0.5
+    sizes = sets.select("doc_id", "n_sh")
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        pairs.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .where(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b", "n_common", "jaccard")
     )
 
 
