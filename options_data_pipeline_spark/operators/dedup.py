@@ -130,9 +130,19 @@ def lsh_candidates(
     banded = sigs.select(
         "doc_id", F.explode(bands).alias("bb")
     ).select("doc_id", "bb.band", "bb.band_hash")
+    return bucket_pairs(banded, ["band", "band_hash"])
+
+
+def bucket_pairs(df: DataFrame, key_cols: list[str], id_col: str = "doc_id") -> DataFrame:
+    """Distinct ordered id pairs co-occurring in any bucket.
+
+    One shuffle (groupBy on the bucket key); in-bucket pair expansion is
+    row-local. The caller guarantees buckets stay small (LSH banding),
+    which is what keeps this sub-quadratic.
+    """
     buckets = (
-        banded.groupBy("band", "band_hash")
-        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        df.groupBy(*key_cols)
+        .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
         .where(F.size("ids") > 1)
     )
     pairs = buckets.select(

@@ -39,14 +39,208 @@ def cosine_topk(
     query_vec: str = "qv",
     corpus_vec: str = "cv",
     sim_scale: int = 4,
+    parallelism: int | None = None,
 ) -> DataFrame:
     """Brute-force cosine top-k: for each query vector, the k nearest
     corpus vectors (excluding itself), ranked on the rounded similarity
-    with id tie-break so results are stable across engines."""
-    pairs = corpus.crossJoin(F.broadcast(queries)).where(
+    with id tie-break so results are stable across engines.
+
+    The squared norms are computed once per input row (not once per pair);
+    the per-pair similarity is ``dot / sqrt(qq * cc)`` — the exact
+    expression shape the oracle uses, so precomputation never changes a
+    bit of the result. ``parallelism`` repartitions the corpus side before
+    the broadcast cross join: a single-file corpus scan would otherwise
+    pin the whole O(|Q|x|C|) similarity computation to one task.
+    """
+    q = queries.withColumn("_qq", _dot(F.col(query_vec), F.col(query_vec)))
+    c = corpus.withColumn("_cc", _dot(F.col(corpus_vec), F.col(corpus_vec)))
+    if parallelism:
+        c = c.repartition(parallelism)
+    pairs = c.crossJoin(F.broadcast(q)).where(F.col(query_id) != F.col(corpus_id))
+    sim = round_half_away(
+        _dot(F.col(query_vec), F.col(corpus_vec))
+        / F.sqrt(F.col("_qq") * F.col("_cc")),
+        sim_scale,
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("cosine_sim").desc(), F.col(corpus_id).asc()
+    )
+    return (
+        pairs.withColumn("cosine_sim", sim)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            query_id, corpus_id, "cosine_sim", F.col("rank").cast("long").alias("rank")
+        )
+    )
+
+
+# --- hyperplane LSH / IVF ---------------------------------------------------
+#
+# Both need deterministic "random" projection vectors that Spark and DuckDB
+# can agree on: component j of plane p is derived from md5(f"{tag}:{p}:{j}")
+# in Python (engine-independent code, not data), then inlined as literals
+# into both plans.
+
+import hashlib
+
+N_PLANES = 32
+N_PLANE_BANDS = 4
+N_CELLS = 8
+DIM = 64
+
+
+def _pseudo_vec(tag: str, p: int, dim: int = DIM) -> list[float]:
+    """Deterministic pseudo-random unit-free vector with components in
+    [-1, 1), reproducible from the (tag, p, j) triple alone."""
+    return [
+        int(hashlib.md5(f"{tag}:{p}:{j}".encode()).hexdigest()[:8], 16) / 2**31 - 1.0
+        for j in range(dim)
+    ]
+
+
+def hyperplanes(n: int = N_PLANES, dim: int = DIM) -> list[list[float]]:
+    return [_pseudo_vec("plane", p, dim) for p in range(n)]
+
+
+def centroids(n: int = N_CELLS, dim: int = DIM) -> list[list[float]]:
+    return [_pseudo_vec("cell", c, dim) for c in range(n)]
+
+
+def _lit_vec(vals: list[float]) -> Column:
+    return F.array(*[F.lit(v) for v in vals])
+
+
+def sign_bands(
+    df: DataFrame,
+    vec_col: str,
+    planes: list[list[float]] | None = None,
+    n_bands: int = N_PLANE_BANDS,
+) -> DataFrame:
+    """Append (band, key) rows: the hyperplane sign pattern of ``vec_col``
+    split into ``n_bands`` integer band keys. Pure projection (the planes
+    are literals), so this costs no shuffle."""
+    planes = planes if planes is not None else hyperplanes()
+    per_band = len(planes) // n_bands
+    keys = []
+    for b in range(n_bands):
+        key = F.lit(0).cast("long")
+        for i in range(per_band):
+            p = b * per_band + i
+            bit = F.when(
+                _dot(F.col(vec_col), _lit_vec(planes[p])) >= 0, F.lit(2**i)
+            ).otherwise(F.lit(0))
+            key = key + bit
+        keys.append(F.struct(F.lit(b).alias("band"), key.alias("key")))
+    return df.select(
+        "*", F.explode(F.array(*keys)).alias("bb")
+    ).select(*df.columns, "bb.band", "bb.key")
+
+
+def embedding_near_dups(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sim_scale: int = 4,
+) -> DataFrame:
+    """Cosine near-duplicate pairs via random-hyperplane LSH.
+
+    Candidates = pairs agreeing on at least one full sign band; a pair at
+    cosine 1.0 (e.g. a rescaled copy) agrees on every band, so recall for
+    true duplicates is exact; recall for merely-similar pairs is the usual
+    banding curve (documented tradeoff, tune N_PLANES/N_PLANE_BANDS).
+    Verification computes the exact (rounded) cosine on candidates only.
+    """
+    from .dedup import bucket_pairs
+
+    with_qq = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("v"),
+        _dot(F.col(vec_col), F.col(vec_col)).alias("qq"),
+    )
+    banded = sign_bands(with_qq.select("vec_id", "v"), "v")
+    cand = bucket_pairs(
+        banded.select("vec_id", "band", "key"), ["band", "key"], id_col="vec_id"
+    ).select(F.col("doc_a").alias("vec_a"), F.col("doc_b").alias("vec_b"))
+    a = with_qq.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("qq").alias("qqa")
+    )
+    b = with_qq.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("qq").alias("qqb")
+    )
+    sim = round_half_away(
+        _dot(F.col("va"), F.col("vb")) / F.sqrt(F.col("qqa") * F.col("qqb")), sim_scale
+    )
+    return (
+        a.join(F.broadcast(cand), "vec_a")
+        .join(b, "vec_b")
+        .withColumn("cosine_sim", sim)
+        .where(F.col("cosine_sim") >= threshold)
+        .select("vec_a", "vec_b", "cosine_sim")
+    )
+
+
+def ivf_assign(
+    df: DataFrame, vec_col: str, cells: list[list[float]] | None = None, nprobe: int = 1
+) -> DataFrame:
+    """Assign each vector to its ``nprobe`` nearest coarse cells (by raw
+    dot product against the literal centroid vectors). Deterministic:
+    ranking ties break on the lower cell id, and the dot product is the
+    same left-fold both engines evaluate."""
+    cells = cells if cells is not None else centroids()
+    scored = df.select(
+        "*",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("cell"),
+                        _dot(F.col(vec_col), _lit_vec(cells[c])).alias("cell_sim"),
+                    )
+                    for c in range(len(cells))
+                ]
+            )
+        ).alias("cc"),
+    ).select(*df.columns, "cc.cell", "cc.cell_sim")
+    w = Window.partitionBy(*df.columns[:1]).orderBy(
+        F.col("cell_sim").desc(), F.col("cell").asc()
+    )
+    return scored.withColumn("cell_rank", F.row_number().over(w)).where(
+        F.col("cell_rank") <= nprobe
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    query_id: str = "qid",
+    corpus_id: str = "cid",
+    query_vec: str = "qv",
+    corpus_vec: str = "cv",
+    sim_scale: int = 4,
+) -> DataFrame:
+    """IVF-style approximate top-k: corpus vectors are partitioned into
+    coarse cells (nearest deterministic centroid); each query scores only
+    the vectors in its ``nprobe`` closest cells. The scan prunes to
+    ~nprobe/N_CELLS of the corpus — the 100 TB shape, where cells map to
+    partitions and pruning happens before any vector math."""
+    c_assigned = ivf_assign(
+        corpus.select(corpus_id, corpus_vec), corpus_vec, nprobe=1
+    ).select(corpus_id, corpus_vec, "cell")
+    q_probes = ivf_assign(
+        queries.select(query_id, query_vec), query_vec, nprobe=nprobe
+    ).select(query_id, query_vec, "cell")
+    pairs = c_assigned.join(F.broadcast(q_probes), "cell").where(
         F.col(query_id) != F.col(corpus_id)
     )
-    sim = round_half_away(cosine(F.col(query_vec), F.col(corpus_vec)), sim_scale)
+    qq = _dot(F.col(query_vec), F.col(query_vec))
+    cc = _dot(F.col(corpus_vec), F.col(corpus_vec))
+    sim = round_half_away(
+        _dot(F.col(query_vec), F.col(corpus_vec)) / F.sqrt(qq * cc), sim_scale
+    )
     w = Window.partitionBy(query_id).orderBy(
         F.col("cosine_sim").desc(), F.col(corpus_id).asc()
     )

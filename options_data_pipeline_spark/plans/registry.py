@@ -38,9 +38,12 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
     "doc_fingerprint": (text.q_fingerprint, text.oracle_fingerprint),
     "exact_dup_groups": (text.q_exact_dup_groups, text.oracle_exact_dup_groups),
     "minhash_near_dups": (text.q_minhash_near_dups, text.oracle_minhash_near_dups),
+    "simhash_near_dups": (text.q_simhash_near_dups, text.oracle_simhash_near_dups),
     "ngram_jaccard_pairs": (text.q_ngram_jaccard_pairs, text.oracle_ngram_jaccard_pairs),
     # --- training-data ops: vectors ---
     "ann_cosine_topk": (vectors.q_ann_cosine_topk, vectors.oracle_ann_cosine_topk),
+    "embedding_near_dups": (vectors.q_embedding_near_dups, vectors.oracle_embedding_near_dups),
+    "ivf_topk": (vectors.q_ivf_topk, vectors.oracle_ivf_topk),
 }
 
 

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import dedup as D
+from ..operators import simhash as SH
 from ..operators import textstats as TS
 from ..sources.tables import load_table
 
@@ -278,4 +279,37 @@ FROM pairs
 JOIN sizes na ON na.doc_id = doc_a
 JOIN sizes nb ON nb.doc_id = doc_b
 WHERE n_common / (na.n_sh + nb.n_sh - n_common) >= 0.5
+"""
+
+
+def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = planted_corpus(spark, sf_dir)
+    return SH.simhash_near_dups(corpus)
+
+
+def oracle_simhash_near_dups() -> str:
+    """Exact all-pairs scan — the *check* for the banded Spark pipeline,
+    which has provably full recall at hamming <= N_BANDS - 1."""
+    odd = "('1','3','5','7','9','b','d','f')"
+    votes = ",\n        ".join(
+        f"sum(CASE WHEN substring(md5(shingle || '#{i}'), 1, 1) IN {odd}"
+        f" THEN 1 ELSE -1 END) AS v_{i}"
+        for i in range(SH.N_BITS)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN v_{i} >= 0 THEN CAST({2**i} AS BIGINT) ELSE 0 END)"
+        for i in range(SH.N_BITS)
+    )
+    return f"""
+WITH {_PLANTED_SQL}, {_SHINGLES_SQL},
+votes AS (
+    SELECT doc_id,
+        {votes}
+    FROM shingles GROUP BY doc_id
+),
+sigs AS (SELECT doc_id, {sig} AS sig FROM votes)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sig, b.sig)) <= {SH.MAX_HAMMING}
 """

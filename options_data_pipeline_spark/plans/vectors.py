@@ -19,7 +19,9 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
     )
     corpus = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
-    return cosine_topk(queries, corpus, k=TOP_K)
+    return cosine_topk(
+        queries, corpus, k=TOP_K, parallelism=spark.sparkContext.defaultParallelism
+    )
 
 
 def oracle_ann_cosine_topk() -> str:
@@ -53,6 +55,128 @@ pairs AS (
     SELECT qid, cid, {sim} AS cosine_sim
     FROM q CROSS JOIN c
     WHERE qid != cid
+),
+rk AS (
+    SELECT *, row_number() OVER (PARTITION BY qid
+                                 ORDER BY cosine_sim DESC, cid ASC) AS rank
+    FROM pairs
+)
+SELECT qid, cid, cosine_sim, rank FROM rk WHERE rank <= {TOP_K}
+"""
+
+
+# --- planted scaled duplicates (cosine exactly 1.0 with their source) -------
+# The synthetic embeddings have no natural near-dups (max pairwise cosine
+# ~0.51), so both engines plant rescaled copies: vec_id % 20 == 0 gets a
+# twin at vec_id + 100000 with every component doubled (exact in binary
+# floating point, so the pair's cosine is 1.0 and LSH recall is provable).
+
+PLANT_MOD = 20
+NEAR_DUP_THRESHOLD = 0.9
+
+
+def planted_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    twins = emb.where(F.col("vec_id") % PLANT_MOD == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x * F.lit(2.0)).cast("float")
+        ).alias("embedding"),
+        "label",
+    )
+    return emb.select("vec_id", "embedding", "label").unionByName(twins)
+
+
+_PLANTED_EMB_SQL = f"""
+emb2 AS (
+    SELECT vec_id, embedding, label FROM embeddings
+    UNION ALL
+    SELECT vec_id + 100000,
+           list_transform(embedding, x -> CAST(x * 2 AS FLOAT)), label
+    FROM embeddings WHERE vec_id % {PLANT_MOD} = 0
+)
+"""
+
+
+def _sql_dot(a: str, b: str) -> str:
+    """Same left-fold dot product as the Spark ``_dot`` expression
+    (list_reduce is a sequential fold; 0.0 + x1 == x1 bitwise)."""
+    return (
+        f"list_reduce(list_transform(range(1, len({a})+1),"
+        f" i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)),"
+        " (acc, x) -> acc + x)"
+    )
+
+
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import embedding_near_dups
+
+    return embedding_near_dups(
+        planted_embeddings(spark, sf_dir), threshold=NEAR_DUP_THRESHOLD
+    )
+
+
+def oracle_embedding_near_dups() -> str:
+    """Exact all-pairs scan >= threshold — the check for the LSH pipeline
+    (every qualifying pair is a rescaled copy at cosine 1.0, which agrees
+    with its twin on every sign band, so banded recall is exact)."""
+    dot = _sql_dot("a.v", "b.v")
+    qqa, qqb = _sql_dot("a.v", "a.v"), _sql_dot("b.v", "b.v")
+    sim = sql_round_half_away(f"({dot} / sqrt({qqa} * {qqb}))", 4)
+    return f"""
+WITH {_PLANTED_EMB_SQL},
+e AS (SELECT vec_id, embedding AS v FROM emb2)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {sim} AS cosine_sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE {sim} >= {NEAR_DUP_THRESHOLD}
+"""
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    corpus = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
+    return ivf_topk(queries, corpus, k=TOP_K, nprobe=2)
+
+
+def oracle_ivf_topk() -> str:
+    """Replicates the IVF computation exactly (deterministic centroids,
+    same fold-order dots, same tie-breaks) — a strong oracle for an
+    *approximate* index: the check is 'the index does what it says', not
+    'the index equals exact top-k'."""
+    from ..operators.similarity import centroids
+
+    cells = ", ".join(
+        "({}, [{}])".format(c, ", ".join(repr(x) for x in vec))
+        for c, vec in enumerate(centroids())
+    )
+    cell_sim = _sql_dot("e.v", "w.w")
+    dot = _sql_dot("q.qv", "c.cv")
+    qq, cc = _sql_dot("q.qv", "q.qv"), _sql_dot("c.cv", "c.cv")
+    sim = sql_round_half_away(f"({dot} / sqrt({qq} * {cc}))", 4)
+    return f"""
+WITH cells(cell, w) AS (VALUES {cells}),
+scored AS (
+    SELECT e.vec_id, e.v, w.cell, {cell_sim} AS cell_sim
+    FROM (SELECT vec_id, embedding AS v FROM embeddings) e
+    CROSS JOIN (SELECT cell, w FROM cells) w
+),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY cell_sim DESC, cell ASC) AS cell_rank
+    FROM scored
+),
+c AS (SELECT vec_id AS cid, v AS cv, cell FROM ranked WHERE cell_rank = 1),
+q AS (SELECT vec_id AS qid, v AS qv, cell FROM ranked
+      WHERE cell_rank <= 2 AND vec_id < {N_QUERIES}),
+pairs AS (
+    SELECT q.qid, c.cid, {sim} AS cosine_sim
+    FROM q JOIN c USING (cell)
+    WHERE q.qid != c.cid
 ),
 rk AS (
     SELECT *, row_number() OVER (PARTITION BY qid

@@ -1,0 +1,90 @@
+"""Unit tests for dedup/similarity operator invariants (tiny inline data)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from options_data_pipeline_spark.operators import dedup as D
+from options_data_pipeline_spark.operators import simhash as SH
+from options_data_pipeline_spark.operators.similarity import (
+    cosine_topk,
+    embedding_near_dups,
+    ivf_topk,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_identical_docs_have_simhash_distance_zero(spark):
+    df = _docs(
+        spark,
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy dog"),
+         (3, "entirely different words compose this other document here now")],
+    )
+    out = {(r.doc_a, r.doc_b): r.hamming for r in SH.simhash_near_dups(df).collect()}
+    assert out.get((1, 2)) == 0
+    assert (1, 3) not in out and (2, 3) not in out
+
+
+def test_simhash_rejects_threshold_beyond_band_recall():
+    import pytest
+
+    with pytest.raises(ValueError):
+        SH.simhash_near_dups(None, max_hamming=SH.N_BANDS)
+
+
+def test_minhash_finds_planted_near_dup(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = _docs(spark, [(1, base), (2, base + " lambda"),
+                       (3, "one two three four five six seven eight nine ten")])
+    out = {(r.doc_a, r.doc_b): r.jaccard for r in
+           D.minhash_near_dups(df, threshold=0.5).collect()}
+    assert (1, 2) in out and out[(1, 2)] > 0.8
+    assert (1, 3) not in out
+
+
+def test_exact_dup_groups_counts(spark):
+    df = _docs(spark, [(1, "same text"), (2, "same text"), (3, "different")])
+    rows = {r.canonical_doc_id: r.n_copies
+            for r in D.exact_dup_groups(df).collect()}
+    assert rows == {1: 2, 3: 1}
+
+
+def test_bucket_pairs_orders_and_dedups(spark):
+    df = spark.createDataFrame(
+        [(10, "k1"), (7, "k1"), (3, "k1"), (5, "k2"), (9, "k3"), (9, "k4")],
+        "doc_id long, key string",
+    )
+    pairs = {(r.doc_a, r.doc_b) for r in D.bucket_pairs(df, ["key"]).collect()}
+    assert pairs == {(3, 7), (3, 10), (7, 10)}
+
+
+def test_embedding_near_dups_finds_scaled_twin(spark):
+    rows = [
+        (1, [1.0] + [0.0] * 63),
+        (2, [2.0] + [0.0] * 63),   # scaled copy of 1 -> cosine 1.0
+        (3, [0.0, 1.0] + [0.0] * 62),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {(r.vec_a, r.vec_b): r.cosine_sim
+           for r in embedding_near_dups(emb, threshold=0.9).collect()}
+    assert out == {(1, 2): 1.0}
+
+
+def test_ivf_topk_subset_of_exact_topk(spark):
+    import random
+
+    rnd = random.Random(7)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(64)]) for i in range(60)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+    c = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
+    exact = cosine_topk(q, c, k=60)
+    approx = ivf_topk(q, c, k=5, nprobe=8)  # nprobe = all cells -> exact
+    exact_top5 = {(r.qid, r.cid) for r in exact.where(F.col("rank") <= 5).collect()}
+    approx_pairs = {(r.qid, r.cid) for r in approx.collect()}
+    assert approx_pairs == exact_top5
