@@ -1,0 +1,165 @@
+"""Sink (MERGE emulation) and Structured Streaming tests.
+
+Covers SURVEY §2.2 K1-K4 metric semantics, §2.9 T1 (checkpoint resume),
+T2 (late-data lookback repair), T5 (idempotent reruns).
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from options_data_pipeline_spark.operators.session_ohlc import ticks_to_ohlc
+from options_data_pipeline_spark.sinks.upsert import (
+    insert_if_absent,
+    merge_upsert,
+    upsert_partitioned,
+)
+from options_data_pipeline_spark.streaming.candles import (
+    dedup_append_stream,
+    incremental_candles_stream,
+)
+
+
+@pytest.fixture()
+def tmp(tmp_path):
+    yield str(tmp_path)
+    shutil.rmtree(tmp_path, ignore_errors=True)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k long, v string")
+
+
+def test_merge_upsert_counts_and_content(spark, tmp):
+    t = f"{tmp}/t"
+    m1 = merge_upsert(spark, t, _df(spark, [(1, "a"), (2, "b")]), ["k"])
+    assert m1 == {"inserted": 2, "updated": 0}
+    m2 = merge_upsert(spark, t, _df(spark, [(2, "B"), (3, "c")]), ["k"])
+    assert m2 == {"inserted": 1, "updated": 1}
+    got = {(r.k, r.v) for r in spark.read.parquet(t).collect()}
+    assert got == {(1, "a"), (2, "B"), (3, "c")}
+
+
+def test_merge_upsert_idempotent(spark, tmp):
+    t = f"{tmp}/t"
+    batch = _df(spark, [(1, "a"), (2, "b")])
+    merge_upsert(spark, t, batch, ["k"])
+    m = merge_upsert(spark, t, batch, ["k"])
+    assert m == {"inserted": 0, "updated": 2}
+    assert spark.read.parquet(t).count() == 2
+
+
+def test_merge_upsert_last_wins_within_batch(spark, tmp):
+    t = f"{tmp}/t"
+    merge_upsert(spark, t, _df(spark, [(1, "old"), (1, "new")]), ["k"])
+    assert [r.v for r in spark.read.parquet(t).collect()] == ["new"]
+
+
+def test_insert_if_absent(spark, tmp):
+    t = f"{tmp}/t"
+    r1 = insert_if_absent(spark, t, _df(spark, [(1, "a"), (1, "dup"), (2, "b")]), ["k"])
+    assert r1 == {"inserted": 2, "skipped": 1}
+    r2 = insert_if_absent(spark, t, _df(spark, [(2, "CHANGED"), (3, "c")]), ["k"])
+    assert r2 == {"inserted": 1, "skipped": 1}
+    got = {(r.k, r.v) for r in spark.read.parquet(t).collect()}
+    assert got == {(1, "a"), (2, "b"), (3, "c")}  # existing row NOT changed
+
+
+def test_upsert_partitioned(spark, tmp):
+    t = f"{tmp}/t"
+    df = spark.createDataFrame(
+        [(1, "a", "d1"), (2, "b", "d1"), (3, "c", "d2")], "k long, v string, d string"
+    )
+    m1 = upsert_partitioned(spark, t, df, ["k"], "d")
+    assert m1 == {"inserted": 3, "updated": 0}
+    up = spark.createDataFrame([(2, "B", "d1"), (4, "e", "d3")], "k long, v string, d string")
+    m2 = upsert_partitioned(spark, t, up, ["k"], "d")
+    assert m2 == {"inserted": 1, "updated": 1}
+    got = {(r.k, r.v, r.d) for r in spark.read.parquet(t).collect()}
+    assert got == {(1, "a", "d1"), (2, "B", "d1"), (3, "c", "d2"), (4, "e", "d3")}
+
+
+# --- streaming ---------------------------------------------------------------
+
+EVENTS = "event_id long, ts string, event_type string, value double"
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(list(rows), EVENTS).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+
+
+def _slice1(spark):
+    return _events(spark, [
+        (0, "2024-01-01 10:00:05", "btc", 100.0),
+        (1, "2024-01-01 10:20:00", "btc", 105.0),
+        (2, "2024-01-01 10:40:00", "btc", 95.0),
+        (3, "2024-01-01 11:10:00", "btc", 99.0),
+        (4, "2024-01-01 10:15:00", "eth", 10.0),
+    ])
+
+
+def _slice2(spark):
+    # late row for hour 10 (repairs the closed candle) + new hour 12
+    return _events(spark, [
+        (5, "2024-01-01 10:55:00", "btc", 120.0),
+        (6, "2024-01-01 12:05:00", "btc", 101.0),
+    ])
+
+
+def _expected(spark, src):
+    full = spark.read.parquet(src).withColumnRenamed("event_type", "instrument")
+    exp = ticks_to_ohlc(
+        full, bucket=F.date_trunc("hour", F.col("ts")), keys=("instrument",),
+        time_col="ts", price_col="value", tiebreak_cols=("event_id",),
+    )
+    return {tuple(r) for r in exp.collect()}
+
+
+def _gold(spark, path):
+    return {tuple(r) for r in spark.read.parquet(path)
+            .select("instrument", "bucket_ts", "open", "high", "low", "close", "n_ticks")
+            .collect()}
+
+
+def test_incremental_candles_stream_with_late_data(spark, tmp):
+    src, gold, ckpt = f"{tmp}/src", f"{tmp}/gold", f"{tmp}/ckpt"
+    _slice1(spark).coalesce(1).write.mode("append").parquet(src)
+    q = incremental_candles_stream(spark, src, gold, ckpt)
+    q.awaitTermination(120)
+    g1 = _gold(spark, gold)
+    assert g1 == _expected(spark, src)
+    btc10 = next(r for r in g1 if r[0] == "btc" and r[1].hour == 10)
+    assert btc10[2:6] == (100.0, 105.0, 95.0, 95.0)  # open/high/low/close
+
+    # second batch arrives: late row mutates hour 10, new hour 12 appears
+    _slice2(spark).coalesce(1).write.mode("append").parquet(src)
+    q2 = incremental_candles_stream(spark, src, gold, ckpt)
+    q2.awaitTermination(120)
+    g2 = _gold(spark, gold)
+    assert g2 == _expected(spark, src)
+    btc10 = next(r for r in g2 if r[0] == "btc" and r[1].hour == 10)
+    assert btc10[2:6] == (100.0, 120.0, 95.0, 120.0)  # repaired by late row
+
+    # T1/T5: restart with no new data -> no change
+    q3 = incremental_candles_stream(spark, src, gold, ckpt)
+    q3.awaitTermination(120)
+    assert _gold(spark, gold) == g2
+
+
+def test_dedup_append_stream(spark, tmp):
+    src, bronze, ckpt = f"{tmp}/src", f"{tmp}/bronze", f"{tmp}/ckpt"
+    _events(spark, [
+        (0, "2024-01-01 10:00:00", "btc", 1.0),
+        (0, "2024-01-01 10:00:00", "btc", 1.0),  # duplicate key
+        (1, "2024-01-01 10:01:00", "btc", 2.0),
+    ]).coalesce(1).write.mode("append").parquet(src)
+    q = dedup_append_stream(spark, src, bronze, ckpt)
+    q.awaitTermination(120)
+    out = spark.read.parquet(bronze)
+    assert out.count() == 2
+    assert {r.event_id for r in out.collect()} == {0, 1}
