@@ -7,7 +7,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import options, quality, sessions, text, tpch, vectors
+from . import media, options, quality, sessions, text, tpch, vectors
 
 # name -> (query fn, oracle sql builder or None)
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[], str] | None]] = {
@@ -44,6 +44,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
     "ann_cosine_topk": (vectors.q_ann_cosine_topk, vectors.oracle_ann_cosine_topk),
     "embedding_near_dups": (vectors.q_embedding_near_dups, vectors.oracle_embedding_near_dups),
     "ivf_topk": (vectors.q_ivf_topk, vectors.oracle_ivf_topk),
+    # --- training-data ops: multimodal (mapInPandas over binary payloads) ---
+    "media_features": (media.q_media_features, media.oracle_media_features),
+    "media_frames": (media.q_media_frames, media.oracle_media_frames),
 }
 
 
