@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..operators import multimodal as MM
-from ..sources.tables import load_table
+from ..sources.tables import load_table, parallelized
 
 _KIND_SQL = (
     "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' "

@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from ..functions import instruments as I
 from ..operators.option_ohlc import option_ohlc_hourly
-from ..sources.tables import load_table
+from ..sources.tables import load_table, parallelized
 
 from ..functions.instruments import MONTH_NAMES as _MONTH_NAMES
 
@@ -27,7 +27,9 @@ def _month_name(month_col):
 
 def synth_trades(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic option-trade stream derived from events."""
-    ev = load_table(spark, sf_dir, "events")
+    # name synthesis + F1 re-parse are regexp/string-heavy map work; make
+    # sure it runs at full parallelism despite the single-row-group scan
+    ev = parallelized(spark, load_table(spark, sf_dir, "events"))
     expiry = F.date_add(
         F.lit("2024-02-02").cast("date"), ((F.col("user_id") % 4) * 10).cast("int")
     )

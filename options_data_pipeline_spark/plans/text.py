@@ -16,12 +16,14 @@ from pyspark.sql import functions as F
 from ..operators import dedup as D
 from ..operators import simhash as SH
 from ..operators import textstats as TS
-from ..sources.tables import load_table
+from ..sources.tables import load_table, parallelized
 
 _DOC_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
 
 
 def planted_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NB: measured — repartitioning this 5k-row table costs more than the
+    # map-side win; the heavy hashing work lands post-shuffle anyway
     docs = load_table(spark, sf_dir, "documents")
     exact = (
         docs.where(F.col("doc_id") % 97 == 0)

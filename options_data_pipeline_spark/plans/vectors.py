@@ -7,7 +7,7 @@ from pyspark.sql import functions as F
 
 from ..functions.rounding import sql_round_half_away
 from ..operators.similarity import cosine_topk
-from ..sources.tables import load_table
+from ..sources.tables import load_table, parallelized
 
 N_QUERIES = 20
 TOP_K = 5
@@ -76,6 +76,8 @@ NEAR_DUP_THRESHOLD = 0.9
 
 
 def planted_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NB: measured — repartitioning this 2k-row table costs more than the
+    # map-side win from spreading the hyperplane dots
     emb = load_table(spark, sf_dir, "embeddings")
     twins = emb.where(F.col("vec_id") % PLANT_MOD == 0).select(
         (F.col("vec_id") + 100000).alias("vec_id"),

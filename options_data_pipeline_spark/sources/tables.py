@@ -52,6 +52,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def parallelized(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Repartition up to the session's parallelism — but only when the
+    scan is under-partitioned.
+
+    The benchmark parquet files are written as a single row group, so a
+    scan yields 1-3 partitions and any map-heavy expression work
+    (regexp parse, hyperplane dots, shingling) runs on as many cores. On
+    production data with proper row-group sizing the guard makes this a
+    no-op — we never pay a gratuitous full shuffle of a big table.
+    """
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
     """Register each table as a temp view for spark.sql() access."""
     for name in tables:
