@@ -1,0 +1,98 @@
+"""Physical-plan assertions — the 100 TB posture, checked in CI.
+
+Correctness says the operators compute the right answer; these tests pin
+*how*: filters reach the parquet scan, projections prune the read schema,
+dimension joins broadcast, aggregates combine map-side, and the shuffle
+count per operator stays at its designed minimum. A regression here means
+a plan that still passes the oracle but would fall over at scale.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from options_data_pipeline_spark.plans import options, sessions, tpch
+
+from .conftest import SF_DIR
+
+
+def fmt(spark, df) -> str:
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def shuffle_exchanges(plan: str) -> list[str]:
+    """Numbered shuffle Exchange nodes (broadcast exchanges excluded)."""
+    return [
+        ln.strip()
+        for ln in plan.splitlines()
+        if re.match(r"^\(\d+\) Exchange$", ln.strip())
+    ]
+
+
+def test_pricing_summary_pushdown_pruning_single_shuffle(spark):
+    plan = fmt(spark, tpch.q_pricing_summary(spark, SF_DIR))
+    # predicate reaches the parquet scan
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # projection pruned: 16-column lineitem read as the 7 needed columns
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    cols = m.group(1)
+    assert "l_comment" not in cols and "l_orderkey" not in cols
+    assert cols.count(":") == 7
+    # classic partial/final hash aggregate: exactly one shuffle
+    assert len(shuffle_exchanges(plan)) == 1
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_region_revenue_broadcasts_all_dimensions(spark):
+    plan = fmt(spark, tpch.q_region_revenue(spark, SF_DIR))
+    # 5-way star join: every dimension side must broadcast, never shuffle
+    # (formatted explain prints each node in tree + detail; count details)
+    joins = re.findall(r"^\(\d+\) BroadcastHashJoin$", plan, re.M)
+    assert len(joins) == 5
+    assert "SortMergeJoin" not in plan
+    # the only shuffle is the final group-by
+    assert len(shuffle_exchanges(plan)) == 1
+    # date filter pushed into the orders scan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_hourly_candles_is_single_shuffle(spark):
+    plan = fmt(spark, sessions.q_hourly_candles(spark, SF_DIR))
+    # ticks -> candles is one groupBy. Struct-keyed min_by/max_by falls
+    # back to SortAggregate (struct buffers aren't hash-aggregable), but
+    # the scale-critical property holds: a PARTIAL aggregate runs before
+    # the exchange, so the shuffle carries one row per candle, not per
+    # tick.
+    assert len(shuffle_exchanges(plan)) == 1
+    tree = plan.split("(1) Scan")[0]  # the indented tree section
+    tree_lines = tree.splitlines()
+    exchange_at = next(i for i, ln in enumerate(tree_lines) if "+- Exchange" in ln)
+    below = "\n".join(tree_lines[exchange_at + 1 :])
+    assert "Aggregate" in below  # partial agg is a child of the shuffle
+
+
+def test_daily_sessions_two_level_rollup_two_shuffles(spark):
+    plan = fmt(spark, sessions.q_daily_sessions(spark, SF_DIR))
+    # level 1: ticks->hourly agg; level 2: window + groupBy on the session
+    # key SHARE one partitioning (same keys), so the whole chain is 2
+    assert len(shuffle_exchanges(plan)) == 2
+
+
+def test_option_chain_at_most_two_shuffles(spark):
+    plan = fmt(spark, options.q_option_chain_ohlc(spark, SF_DIR))
+    # parallelizing repartition + the A5 groupBy; the 24-column aggregate
+    # itself must stay a single-shuffle hash aggregate (no windows)
+    assert len(shuffle_exchanges(plan)) <= 2
+    assert "Window" not in plan
+
+
+def test_events_scan_prunes_columns(spark):
+    plan = fmt(spark, sessions.q_hourly_candles(spark, SF_DIR))
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    cols = m.group(1)
+    # events has 6 columns; the candle query needs 4
+    assert "props" not in cols and "user_id" not in cols
