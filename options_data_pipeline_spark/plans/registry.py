@@ -31,6 +31,11 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
     "top_orders": (tpch.q_top_orders, tpch.oracle_top_orders),
     "region_revenue": (tpch.q_region_revenue, tpch.oracle_region_revenue),
     "segment_activity": (tpch.q_segment_activity, tpch.oracle_segment_activity),
+    "sales_rollup": (tpch.q_sales_rollup, tpch.oracle_sales_rollup),
+    "salted_segment_activity": (
+        tpch.q_salted_segment_activity,
+        tpch.oracle_salted_segment_activity,
+    ),
     # --- training-data ops: text ---
     "doc_stats": (text.q_doc_stats, text.oracle_doc_stats),
     "text_quality": (text.q_text_quality, text.oracle_text_quality),
@@ -40,6 +45,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
     "minhash_near_dups": (text.q_minhash_near_dups, text.oracle_minhash_near_dups),
     "simhash_near_dups": (text.q_simhash_near_dups, text.oracle_simhash_near_dups),
     "ngram_jaccard_pairs": (text.q_ngram_jaccard_pairs, text.oracle_ngram_jaccard_pairs),
+    "corpus_curation": (text.q_corpus_curation, text.oracle_corpus_curation),
     # --- training-data ops: vectors ---
     "ann_cosine_topk": (vectors.q_ann_cosine_topk, vectors.oracle_ann_cosine_topk),
     "embedding_near_dups": (vectors.q_embedding_near_dups, vectors.oracle_embedding_near_dups),

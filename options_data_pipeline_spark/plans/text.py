@@ -10,7 +10,7 @@ are fully checkable.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import dedup as D
@@ -314,4 +314,100 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
 FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.sig, b.sig)) <= {SH.MAX_HAMMING}
+"""
+
+
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data pipeline: quality gate -> language
+    agreement -> exact dedup (keep canonical) -> near-dup removal (drop
+    the higher id of each qualifying pair) -> per (lang, source) corpus
+    stats. One DataFrame chain; every stage is an operator that is also
+    individually oracle-checked."""
+    corpus = planted_corpus(spark, sf_dir)
+    scored = TS.quality_score(TS.lang_id(corpus))
+    kept = scored.where(
+        (F.col("quality_score") >= 0.5) & (F.col("predicted_lang") == F.col("lang"))
+    )
+    canon = (
+        kept.withColumn("content_hash", F.md5("text"))
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("content_hash").orderBy("doc_id")
+            ),
+        )
+        .where(F.col("__rn") == 1)
+        .drop("__rn", "content_hash")
+    )
+    near = D.minhash_near_dups(corpus, threshold=0.5).select(
+        F.col("doc_b").alias("doc_id")
+    ).distinct()
+    survivors = canon.join(near, "doc_id", "left_anti")
+    return survivors.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " ")).cast("long")).alias("n_tokens"),
+    )
+
+
+def oracle_corpus_curation() -> str:
+    stop = "['the','a','of','and','to','in','is','on','for','it']"
+    minhash_body = oracle_minhash_near_dups().split("WITH", 1)[1]
+    return f"""
+WITH {minhash_body.rsplit("SELECT", 1)[0]}
+, near_pairs AS (
+    SELECT doc_a, doc_b, n_common,
+           n_common / (na.n_sh + nb.n_sh - n_common) AS jaccard
+    FROM common
+    JOIN sizes na ON na.doc_id = doc_a
+    JOIN sizes nb ON nb.doc_id = doc_b
+    WHERE n_common / (na.n_sh + nb.n_sh - n_common) >= 0.5
+),
+dropped AS (SELECT DISTINCT doc_b AS doc_id FROM near_pairs),
+scored AS (
+    SELECT *,
+        CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
+        CAST(len(list_filter(string_split(text, ' '),
+                             w -> list_contains({stop}, w))) AS DOUBLE) AS n_stop,
+        CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS DOUBLE) AS n_sym,
+        CAST(length(text) AS DOUBLE) AS n_ch
+    FROM corpus
+),
+quality AS (
+    SELECT *,
+        least(1.0, n_tok / 64.0) * 0.5
+          + least(1.0, (n_stop / n_tok) * 4.0) * 0.3
+          + (1.0 - least(1.0, (n_sym / n_ch) * 10.0)) * 0.2 AS quality_score,
+        CASE WHEN len(list_intersect(list_distinct(string_split(text, ' ')),
+                                     ['the','a','of','and','to'])) >=
+                  len(list_intersect(list_distinct(string_split(text, ' ')),
+                                     ['el','la','de','y','que']))
+              AND len(list_intersect(list_distinct(string_split(text, ' ')),
+                                     ['the','a','of','and','to'])) >=
+                  len(list_intersect(list_distinct(string_split(text, ' ')),
+                                     ['de','le','shi','bu','wo']))
+             THEN 'en'
+             WHEN len(list_intersect(list_distinct(string_split(text, ' ')),
+                                     ['el','la','de','y','que'])) >=
+                  len(list_intersect(list_distinct(string_split(text, ' ')),
+                                     ['de','le','shi','bu','wo']))
+             THEN 'es' ELSE 'zh' END AS predicted_lang
+    FROM scored
+),
+kept AS (
+    SELECT * FROM quality
+    WHERE quality_score >= 0.5 AND predicted_lang = lang
+),
+canon AS (
+    SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM kept
+    ) WHERE rn = 1
+),
+survivors AS (
+    SELECT c.* FROM canon c
+    WHERE c.doc_id NOT IN (SELECT doc_id FROM dropped)
+)
+SELECT lang, source, count(*) AS n_docs,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+FROM survivors GROUP BY 1, 2
 """

@@ -185,3 +185,51 @@ SELECT c_mktsegment, event_type, count(*) AS n_events,
 FROM events JOIN customer ON user_id = c_custkey
 GROUP BY 1, 2
 """
+
+
+def q_sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical totals via ROLLUP (flag -> flag+status -> grand
+    total) — Spark's hash aggregate expands the grouping sets in one
+    pass; no reference analog (SURVEY §2.5 notes the absence), part of
+    the generic relational surface."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            dec_sum(F.col("l_quantity")).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.grouping_id().cast("long").alias("level"),
+        )
+    )
+
+
+def oracle_sales_rollup() -> str:
+    return """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       count(*) AS n_rows,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS level
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def q_salted_segment_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """segment_activity computed through the deterministic salted join
+    (operators.skew) — the oracle is the PLAIN join, proving salting is
+    a pure physical rewrite."""
+    from ..operators.skew import salted_join
+
+    ev = load_table(spark, sf_dir, "events").withColumnRenamed(
+        "user_id", "c_custkey"
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = salted_join(ev, c, on=["c_custkey"], n_salts=8)
+    return joined.groupBy("c_mktsegment", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(28,2)")).cast("double").alias("sum_value"),
+    )
+
+
+def oracle_salted_segment_activity() -> str:
+    return oracle_segment_activity()

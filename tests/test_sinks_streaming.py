@@ -163,3 +163,35 @@ def test_dedup_append_stream(spark, tmp):
     out = spark.read.parquet(bronze)
     assert out.count() == 2
     assert {r.event_id for r in out.collect()} == {0, 1}
+
+
+def test_watermarked_window_aggregation_stream(spark, tmp):
+    """T4 in pure Structured Streaming form: tumbling 1h window + 2h
+    watermark, complete-mode memory sink (commutative aggregates only —
+    order statistics use the foreachBatch MERGE job instead)."""
+    src = f"{tmp}/src"
+    _slice1(spark).coalesce(1).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour"), F.col("event_type"))
+        .agg(
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.count(F.lit(1)).alias("n_ticks"),
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("wagg")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {(r["window"].start.hour, r.event_type): (r.high, r.low, r.n_ticks)
+            for r in spark.sql("SELECT * FROM wagg").collect()}
+    assert rows[(10, "btc")] == (105.0, 95.0, 3)
+    assert rows[(11, "btc")] == (99.0, 99.0, 1)
+    assert rows[(10, "eth")] == (10.0, 10.0, 1)
