@@ -26,10 +26,21 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+ROUND_PASSTHROUGH = 1e9  # |x| beyond this: no meaningful 4-dec fraction
+
+
 def round_half_away(col: Column, scale: int = 4) -> Column:
-    """Round half away from zero at ``scale`` decimals, IEEE-portable."""
+    """Round half away from zero at ``scale`` decimals, IEEE-portable.
+
+    Guard: Spark's ``floor(double)`` returns LONG and silently clamps at
+    Long.MAX (found by the property suite with degenerate near-zero
+    opens), while DuckDB's floor stays double — so huge magnitudes are
+    passed through unrounded in BOTH engines (above the threshold a
+    double has no representable ``scale``-decimal fraction anyway).
+    """
     factor = float(10**scale)
-    return F.floor(F.abs(col) * factor + F.lit(0.5)) / factor * _sign(col)
+    rounded = F.floor(F.abs(col) * factor + F.lit(0.5)) / factor * _sign(col)
+    return F.when(F.abs(col) >= F.lit(ROUND_PASSTHROUGH), col).otherwise(rounded)
 
 
 def _sign(col: Column) -> Column:
@@ -39,11 +50,16 @@ def _sign(col: Column) -> Column:
 
 
 def sql_round_half_away(expr: str, scale: int = 4) -> str:
-    """The DuckDB-side twin of :func:`round_half_away` (same IEEE ops)."""
+    """The DuckDB-side twin of :func:`round_half_away` (same IEEE ops,
+    same huge-magnitude passthrough)."""
     factor = float(10**scale)
-    return (
+    rounded = (
         f"floor(abs({expr}) * {factor} + 0.5) / {factor}"
         f" * (CASE WHEN ({expr}) < 0 THEN -1.0 ELSE 1.0 END)"
+    )
+    return (
+        f"(CASE WHEN abs({expr}) >= {ROUND_PASSTHROUGH} THEN ({expr})"
+        f" ELSE {rounded} END)"
     )
 
 
