@@ -34,9 +34,20 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     log(f"bench: sf_dir={sf_dir} master={spark.sparkContext.master}")
 
+    # untimed warmup: JVM JIT, codegen, shuffle service, parquet footer
+    # caches — one shuffle job + one scan so the first timed query isn't
+    # dominated by session startup
+    from pyspark.sql import functions as F
+
+    from options_data_pipeline_spark.sources.tables import load_table
+
+    t0 = time.perf_counter()
+    spark.range(1_000_000).groupBy(F.col("id") % 7).count().count()
+    load_table(spark, sf_dir, "events").count()
+    log(f"  warmup: {time.perf_counter()-t0:.2f}s (untimed)")
+
     timings: dict[str, float] = {}
     for name, fn in registry.queries().items():
-        # warm the JVM/codegen once on the first query only via a cheap probe
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
         df.write.mode("overwrite").format("noop").save()

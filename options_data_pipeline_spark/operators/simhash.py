@@ -5,9 +5,12 @@ with similar token sets land at small Hamming distance. Pipeline:
 
 1. **Signature** (one groupBy): for bit *i*, sum +1/-1 votes over the
    document's distinct word-bigram shingles — the vote is the parity of
-   the first hex char of ``md5(shingle + '#' + i)``, a coin flip both
-   Spark and DuckDB compute identically on strings, which keeps the whole
-   operator oracle-checkable. Bit *i* is 1 when the vote sum is >= 0.
+   the *i*-th hex char of ``md5(shingle)``, a coin flip both Spark and
+   DuckDB compute identically on strings, which keeps the whole operator
+   oracle-checkable. One md5 per shingle serves all 32 bits (md5's hex
+   chars are independent enough for sim-hashing; a per-bit salted hash
+   costs 32x the digest work for no measurable quality gain here).
+   Bit *i* is 1 when the vote sum is >= 0.
    Bigrams, not unigrams: this corpus shares most of its unigram
    vocabulary across documents, which left unigram signatures nearly
    constant (measured: >1k unrelated pairs at Hamming 0); bigram sets are
@@ -41,8 +44,12 @@ _ODD_HEX = ("1", "3", "5", "7", "9", "b", "d", "f")
 
 
 def _vote(i: int):
-    """+1/-1 vote of a token for bit i (parity of md5's first hex char)."""
-    probe = F.substring(F.md5(F.concat(F.col("token"), F.lit(f"#{i}"))), 1, 1)
+    """+1/-1 vote of a token for bit i (parity of md5's i-th hex char).
+
+    Expects a ``__md5`` column holding md5(token) so the digest is
+    computed once per row, not once per bit.
+    """
+    probe = F.substring(F.col("__md5"), i + 1, 1)
     return F.when(probe.isin(*_ODD_HEX), F.lit(1)).otherwise(F.lit(-1))
 
 
@@ -56,7 +63,7 @@ def simhash_signatures(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
     tokens = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(_gram_array(text_col)).alias("token"),
-    )
+    ).withColumn("__md5", F.md5(F.col("token")))
     aggs = [F.sum(_vote(i)).alias(f"v_{i}") for i in range(N_BITS)]
     votes = tokens.groupBy("doc_id").agg(*aggs)
     sig = None
@@ -94,16 +101,37 @@ def simhash_near_dups(
             for b in range(N_BANDS)
         ]
     )
-    banded = sigs.select("doc_id", F.explode(bands).alias("bb")).select(
-        "doc_id", "bb.band", "bb.nibble"
+    # Signatures ride INSIDE the bucket rows, so the sig pipeline runs
+    # exactly once and verification needs no join back: bucket -> in-bucket
+    # pair expansion -> row-local bit_count. One shuffle end to end.
+    banded = sigs.select(
+        F.explode(bands).alias("bb"), F.struct("doc_id", "sig").alias("item")
+    ).select("bb.band", "bb.nibble", "item")
+    buckets = (
+        banded.groupBy("band", "nibble")
+        .agg(F.array_sort(F.collect_list("item")).alias("items"))
+        .where(F.size("items") > 1)
     )
-    cand = bucket_pairs(banded, ["band", "nibble"])
-    a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
-    b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("items"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("items"), i + F.lit(2), F.size(F.col("items"))),
+                        lambda y: F.struct(
+                            x["doc_id"].alias("doc_a"),
+                            y["doc_id"].alias("doc_b"),
+                            x["sig"].alias("sig_a"),
+                            y["sig"].alias("sig_b"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.*").distinct()
     return (
-        a.join(F.broadcast(cand), "doc_a")
-        .join(b, "doc_b")
-        .withColumn(
+        pairs.withColumn(
             "hamming",
             F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("long"),
         )

@@ -32,6 +32,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
     "region_revenue": (tpch.q_region_revenue, tpch.oracle_region_revenue),
     "segment_activity": (tpch.q_segment_activity, tpch.oracle_segment_activity),
     "sales_rollup": (tpch.q_sales_rollup, tpch.oracle_sales_rollup),
+    "inactive_customers": (tpch.q_inactive_customers, tpch.oracle_inactive_customers),
+    "active_suppliers": (tpch.q_active_suppliers, tpch.oracle_active_suppliers),
     "salted_segment_activity": (
         tpch.q_salted_segment_activity,
         tpch.oracle_salted_segment_activity,

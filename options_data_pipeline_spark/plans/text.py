@@ -294,7 +294,7 @@ def oracle_simhash_near_dups() -> str:
     which has provably full recall at hamming <= N_BANDS - 1."""
     odd = "('1','3','5','7','9','b','d','f')"
     votes = ",\n        ".join(
-        f"sum(CASE WHEN substring(md5(shingle || '#{i}'), 1, 1) IN {odd}"
+        f"sum(CASE WHEN substring(md5(shingle), {i + 1}, 1) IN {odd}"
         f" THEN 1 ELSE -1 END) AS v_{i}"
         for i in range(SH.N_BITS)
     )

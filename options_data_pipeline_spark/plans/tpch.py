@@ -233,3 +233,54 @@ def q_salted_segment_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def oracle_salted_segment_activity() -> str:
     return oracle_segment_activity()
+
+
+def q_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join (NOT EXISTS): customers with no order after a cutoff,
+    counted per segment and nation — Spark's left_anti is the hash-join
+    shape of the subquery the reference never needed."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp")
+    )
+    inactive = c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+    return inactive.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(F.col("c_acctbal").cast("decimal(28,2)")).cast("double").alias("sum_acctbal"),
+    )
+
+
+def oracle_inactive_customers() -> str:
+    return """
+SELECT c_mktsegment, c_nationkey, count(*) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(28,2))) AS DOUBLE) AS sum_acctbal
+FROM customer c
+WHERE NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+      AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+)
+GROUP BY 1, 2
+"""
+
+
+def q_active_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join (EXISTS): suppliers with at least one high-quantity
+    shipment — left_semi keeps the probe side unreplicated."""
+    s = load_table(spark, sf_dir, "supplier")
+    l = load_table(spark, sf_dir, "lineitem").where(F.col("l_quantity") >= 30)
+    return (
+        s.join(l, s["s_suppkey"] == l["l_suppkey"], "left_semi")
+        .select("s_suppkey", "s_name", "s_nationkey")
+    )
+
+
+def oracle_active_suppliers() -> str:
+    return """
+SELECT s_suppkey, s_name, s_nationkey
+FROM supplier s
+WHERE EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity >= 30
+)
+"""
