@@ -58,3 +58,43 @@ def parse_option_type(name: Column) -> Column:
 def parse_underlying(name: Column) -> Column:
     u = _grp(name, 1)
     return F.when(u != "", u)
+
+
+def with_parsed_instrument(df, name_col: str = "instrument_name"):
+    """Attach expiry_date/strike/option_type, evaluating each regex group
+    exactly ONCE.
+
+    The per-field helpers above re-run the full regex for every group
+    reference *and* every validity condition (~11 executions/row through
+    Catalyst, measured ~2.1 s of the option-chain query at sf0.1);
+    materializing the groups as projection columns makes downstream
+    references attribute reads. Same regex, same NULL semantics.
+    """
+    name = F.col(name_col)
+    staged = df.withColumns(
+        {
+            "__day": _grp(name, 2),
+            "__mon": month_number(_grp(name, 3)),
+            "__yy": _grp(name, 4),
+            "__strike": _grp(name, 5),
+            "__type": _grp(name, 6),
+        }
+    )
+    return (
+        staged.withColumn(
+            "expiry_date",
+            F.when(
+                (F.col("__day") != "")
+                & F.col("__mon").isNotNull()
+                & (F.col("__yy") != ""),
+                F.make_date(
+                    F.lit(2000) + F.col("__yy").cast("int"),
+                    F.col("__mon"),
+                    F.col("__day").cast("int"),
+                ),
+            ),
+        )
+        .withColumn("strike", F.when(F.col("__strike") != "", F.col("__strike").cast("int")))
+        .withColumn("option_type", F.when(F.col("__type") != "", F.col("__type")))
+        .drop("__day", "__mon", "__yy", "__strike", "__type")
+    )

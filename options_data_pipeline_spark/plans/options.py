@@ -67,11 +67,8 @@ def synth_trades(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_option_chain_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Parse instrument names (F1), then run the A5 aggregate."""
     trades = synth_trades(spark, sf_dir)
-    parsed = (
-        trades.withColumn("expiry_date", I.parse_expiry_date(F.col("instrument_name")))
-        .withColumn("strike", I.parse_strike(F.col("instrument_name")))
-        .withColumn("option_type", I.parse_option_type(F.col("instrument_name")))
-        .where(F.col("expiry_date").isNotNull())  # P8 skip-unparseable
+    parsed = I.with_parsed_instrument(trades).where(
+        F.col("expiry_date").isNotNull()  # P8 skip-unparseable
     )
     out = option_ohlc_hourly(parsed)
     # DATE-typed outputs round-trip differently through pandas/arrow in the

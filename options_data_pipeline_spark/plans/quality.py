@@ -205,3 +205,51 @@ FROM events
 WHERE ts > (SELECT max(ts) FROM events) - INTERVAL 7 DAY
 GROUP BY 1
 """
+
+
+def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: per-user activity sessions split at 30
+    minutes of inactivity — ``F.session_window`` (the engine's dynamic
+    session operator, same construct Structured Streaming uses for
+    stateful sessionization). Oracle: the classic gaps-and-islands SQL."""
+    ev = load_table(spark, sf_dir, "events")
+    out = (
+        ev.groupBy(F.session_window("ts", "30 minutes"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+    )
+    dur = (F.unix_micros(F.col("last_ts")) - F.unix_micros(F.col("first_ts"))) / 60_000_000.0
+    return out.select(
+        "user_id",
+        F.col("session_window.start").alias("session_start"),
+        "n_events", "first_ts", "last_ts",
+        dur.alias("duration_minutes"),
+    )
+
+
+def oracle_user_sessions() -> str:
+    # session_window.start == first event ts of the island; islands split
+    # where the gap to the previous event exceeds 30 minutes
+    return """
+WITH marked AS (
+    SELECT user_id, ts,
+        CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 30 * 60000000
+              OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_start
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+islands AS (
+    SELECT user_id, ts,
+        SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS island
+    FROM marked
+)
+SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+       min(ts) AS first_ts, max(ts) AS last_ts,
+       (epoch_us(max(ts)) - epoch_us(min(ts))) / 60000000.0 AS duration_minutes
+FROM islands
+GROUP BY user_id, island
+"""

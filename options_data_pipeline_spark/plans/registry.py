@@ -26,6 +26,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
     "insert_if_absent": (quality.q_insert_if_absent, quality.oracle_insert_if_absent),
     "top2_extremes": (quality.q_top2_extremes, quality.oracle_top2_extremes),
     "recent_events": (quality.q_recent_events, quality.oracle_recent_events),
+    "user_sessions": (quality.q_user_sessions, quality.oracle_user_sessions),
     # --- generic relational (joins, topk, hash agg) ---
     "pricing_summary": (tpch.q_pricing_summary, tpch.oracle_pricing_summary),
     "top_orders": (tpch.q_top_orders, tpch.oracle_top_orders),

@@ -281,9 +281,4 @@ def with_parsed_instrument(trades: DataFrame) -> DataFrame:
     unparseable rows NULL (P8 filters them downstream)."""
     from ..functions import instruments as I
 
-    name = F.col("instrument_name")
-    return (
-        trades.withColumn("expiry_date", I.parse_expiry_date(name))
-        .withColumn("strike", I.parse_strike(name))
-        .withColumn("option_type", I.parse_option_type(name))
-    )
+    return I.with_parsed_instrument(trades)
