@@ -48,12 +48,17 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name, fn in registry.queries().items():
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        df.write.mode("overwrite").format("noop").save()
-        dt = time.perf_counter() - t0
-        timings[name] = round(dt, 3)
-        log(f"  {name}: {dt:.2f}s")
+        # two executions, report the min: the first pays plan compilation
+        # and fills OS page cache; the min is the steady-state number a
+        # warmed cluster would see and is far less noisy on a shared host
+        runs = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            df.write.mode("overwrite").format("noop").save()
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(min(runs), 3)
+        log(f"  {name}: {min(runs):.2f}s (runs: {', '.join(f'{r:.2f}' for r in runs)})")
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

@@ -92,8 +92,13 @@ def incremental_candles_stream(
     price_col: str = "value",
     id_col: str = "event_id",
     available_now: bool = True,
+    processing_time: str | None = None,
 ) -> StreamingQuery:
     """Gold job: maintain the hourly-candle table incrementally.
+
+    ``available_now=True`` drains the backlog and stops (batch-style
+    runs, tests); ``processing_time='5 seconds'`` instead runs the
+    reference's continuous micro-batch cadence (T3, flows/main.py:71-77).
 
     foreachBatch per micro-batch:
       1. touched buckets = distinct (instrument, hour) in the batch,
@@ -150,6 +155,8 @@ def incremental_candles_stream(
         events.writeStream.foreachBatch(process_batch)
         .option("checkpointLocation", checkpoint_dir)
     )
-    if available_now:
+    if processing_time is not None:
+        writer = writer.trigger(processingTime=processing_time)
+    elif available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
