@@ -96,3 +96,23 @@ def test_events_scan_prunes_columns(spark):
     cols = m.group(1)
     # events has 6 columns; the candle query needs 4
     assert "props" not in cols and "user_id" not in cols
+
+
+def test_partition_pruning_on_date_partitioned_layout(spark, tmp_path_factory):
+    """The bronze/gold layout is date-partitioned; a time predicate must
+    prune partitions at the scan, not filter rows after reading."""
+    import pyspark.sql.functions as F
+
+    from options_data_pipeline_spark.sources.tables import load_table
+
+    path = str(tmp_path_factory.mktemp("part") / "events_by_day")
+    ev = load_table(spark, SF_DIR, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    ev.write.partitionBy("day").mode("overwrite").parquet(path)
+    scan = spark.read.parquet(path).where(F.col("day") == "2024-01-02")
+    plan = fmt(spark, scan)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "day" in m.group(1)  # predicate became a partition filter
+    # and the row filter did NOT survive as a post-scan Filter node
+    assert "PushedFilters: []" in plan or "isnotnull(day" in plan
