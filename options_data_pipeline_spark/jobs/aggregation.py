@@ -120,3 +120,70 @@ def option_ohlc_job(
         "after": after,
         "new_records": after["total_records"] - before["total_records"],
     }
+
+
+WEEKLY_MIN_DAYS = 5    # reference weekly_sessions.py:123
+MONTHLY_MIN_DAYS = 20  # reference monthly_sessions.py:153
+
+
+def _chained_sessions_job(
+    spark: SparkSession,
+    daily: DataFrame,
+    target_path: str,
+    session_start_col,
+    min_rows: int,
+    cold_start: timedelta,
+    now: datetime | None,
+) -> dict[str, int]:
+    """Weekly/monthly lifecycle over the DAILY sessions table (the
+    reference chains granularities through the stored daily output,
+    weekly_sessions.py:84-166). Same resume-at-watermark convergence as
+    the daily job."""
+    now = now or datetime.utcnow()
+    wm = high_watermark(spark, target_path, "datetime")
+    start = wm if wm is not None else (now - cold_start)
+    in_scope = daily.where(F.col("datetime") >= F.lit(start))
+    sessions = session_ohlc(
+        in_scope,
+        session_start=session_start_col,
+        keys=("instrument",),
+        time_col="datetime",
+        min_rows=min_rows,
+    )
+    sessions = sessions.drop("datetime").withColumnRenamed("session_start", "datetime")
+    n = sessions.count()
+    if n == 0:
+        return {"sessions": 0, "inserted": 0, "updated": 0}
+    m = merge_upsert(
+        spark, target_path, sessions, keys=["instrument", "datetime"],
+        audit_col="updated_at",
+    )
+    return {"sessions": n, **m}
+
+
+def weekly_sessions_job(
+    spark: SparkSession,
+    daily: DataFrame,
+    target_path: str,
+    cold_start: timedelta = timedelta(days=60),
+    now: datetime | None = None,
+) -> dict[str, int]:
+    return _chained_sessions_job(
+        spark, daily, target_path,
+        T.weekly_session_start(F.col("datetime")), WEEKLY_MIN_DAYS,
+        cold_start, now,
+    )
+
+
+def monthly_sessions_job(
+    spark: SparkSession,
+    daily: DataFrame,
+    target_path: str,
+    cold_start: timedelta = timedelta(days=400),
+    now: datetime | None = None,
+) -> dict[str, int]:
+    return _chained_sessions_job(
+        spark, daily, target_path,
+        T.monthly_session_start(F.col("datetime")), MONTHLY_MIN_DAYS,
+        cold_start, now,
+    )

@@ -253,3 +253,48 @@ SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
 FROM islands
 GROUP BY user_id, island
 """
+
+
+def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ordered-set aggregates: per-type p50/p90/p99 of event value
+    (Spark's exact `percentile` matches DuckDB's quantile_cont
+    interpolation bit-for-bit — verified, see tests)."""
+    ev = load_table(spark, sf_dir, "events")
+    pct = F.expr("percentile(value, array(0.5, 0.9, 0.99))")
+    return (
+        ev.groupBy("event_type")
+        .agg(pct.alias("p"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "event_type",
+            F.col("p")[0].alias("p50"),
+            F.col("p")[1].alias("p90"),
+            F.col("p")[2].alias("p99"),
+            "n",
+        )
+    )
+
+
+def oracle_value_percentiles() -> str:
+    return """
+SELECT event_type,
+       quantile_cont(value, 0.5) AS p50,
+       quantile_cont(value, 0.9) AS p90,
+       quantile_cont(value, 0.99) AS p99,
+       count(*) AS n
+FROM events GROUP BY 1
+"""
+
+
+def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The at-scale sketch variants of the A6 stats probe:
+    approx_count_distinct (HyperLogLog++) and approx_percentile
+    (KLL-style). Deliberately registered WITHOUT an oracle — sketch
+    outputs are estimator-specific, so the driver records the weaker
+    rows-only check; the exact twins (`watermark_probe`,
+    `value_percentiles`) carry the hash-checked correctness."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.expr("approx_percentile(value, 0.5, 1000)").alias("approx_p50"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -27,6 +27,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
     "top2_extremes": (quality.q_top2_extremes, quality.oracle_top2_extremes),
     "recent_events": (quality.q_recent_events, quality.oracle_recent_events),
     "user_sessions": (quality.q_user_sessions, quality.oracle_user_sessions),
+    "value_percentiles": (quality.q_value_percentiles, quality.oracle_value_percentiles),
+    "approx_stats": (quality.q_approx_stats, None),
     # --- generic relational (joins, topk, hash agg) ---
     "pricing_summary": (tpch.q_pricing_summary, tpch.oracle_pricing_summary),
     "top_orders": (tpch.q_top_orders, tpch.oracle_top_orders),
@@ -49,6 +51,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
     "simhash_near_dups": (text.q_simhash_near_dups, text.oracle_simhash_near_dups),
     "ngram_jaccard_pairs": (text.q_ngram_jaccard_pairs, text.oracle_ngram_jaccard_pairs),
     "corpus_curation": (text.q_corpus_curation, text.oracle_corpus_curation),
+    "dedup_clusters": (text.q_dedup_clusters, text.oracle_dedup_clusters),
     # --- training-data ops: vectors ---
     "ann_cosine_topk": (vectors.q_ann_cosine_topk, vectors.oracle_ann_cosine_topk),
     "embedding_near_dups": (vectors.q_embedding_near_dups, vectors.oracle_embedding_near_dups),

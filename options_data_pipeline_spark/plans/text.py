@@ -411,3 +411,61 @@ SELECT lang, source, count(*) AS n_docs,
        CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
 FROM survivors GROUP BY 1, 2
 """
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive dedup clustering: exact-dup edges + minhash near-dup
+    edges -> connected components (iterative min-label propagation).
+    Every clustered doc maps to its component's minimum doc id."""
+    from ..operators.graph import connected_components
+
+    corpus = planted_corpus(spark, sf_dir)
+    hashes = corpus.select("doc_id", F.md5("text").alias("h"))
+    canon = hashes.groupBy("h").agg(F.min("doc_id").alias("c"))
+    exact_edges = (
+        hashes.join(canon, "h")
+        .where(F.col("doc_id") != F.col("c"))
+        .select(F.col("c").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    )
+    near_edges = D.minhash_near_dups(corpus, threshold=0.5).select("doc_a", "doc_b")
+    edges = exact_edges.unionByName(near_edges).distinct()
+    return connected_components(edges)
+
+
+def oracle_dedup_clusters() -> str:
+    """Same fixpoint as a recursive transitive closure."""
+    minhash_body = oracle_minhash_near_dups().split("WITH", 1)[1]
+    prefix = minhash_body.rsplit("SELECT", 1)[0]
+    return f"""
+WITH RECURSIVE {prefix}
+, near_edges AS (
+    SELECT doc_a, doc_b
+    FROM common
+    JOIN sizes na ON na.doc_id = doc_a
+    JOIN sizes nb ON nb.doc_id = doc_b
+    WHERE n_common / (na.n_sh + nb.n_sh - n_common) >= 0.5
+),
+hashes AS (SELECT doc_id, md5(text) AS h FROM corpus),
+canon AS (SELECT h, min(doc_id) AS c FROM hashes GROUP BY h),
+exact_edges AS (
+    SELECT c AS doc_a, doc_id AS doc_b FROM hashes JOIN canon USING (h)
+    WHERE doc_id != c
+),
+all_edges AS (
+    SELECT doc_a, doc_b FROM exact_edges
+    UNION
+    SELECT doc_a, doc_b FROM near_edges
+),
+edges AS (
+    SELECT doc_a AS a, doc_b AS b FROM all_edges
+    UNION
+    SELECT doc_b, doc_a FROM all_edges
+),
+reach(a, b) AS (
+    SELECT a, b FROM edges
+    UNION
+    SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+)
+SELECT a AS node, least(a, min(b)) AS component
+FROM reach GROUP BY a
+"""

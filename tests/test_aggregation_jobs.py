@@ -86,3 +86,31 @@ def test_option_ohlc_job_trailing_window_and_stats(spark, tmp_path):
     # rerun converges, delta reports 0 new
     out2 = option_ohlc_job(spark, _trades(spark, 6), t, hours_back=3, now=now)
     assert out2["new_records"] == 0
+
+
+def test_weekly_monthly_chained_jobs(spark, tmp_path):
+    from options_data_pipeline_spark.jobs.aggregation import (
+        monthly_sessions_job,
+        weekly_sessions_job,
+    )
+
+    daily_t = str(tmp_path / "daily")
+    # 50 days from Jan 10 so the Jan-26-anchored monthly session gets its
+    # >=20 qualifying days
+    now = EPOCH + dt.timedelta(days=55)
+    daily_sessions_job(spark, _hourly(spark, 50), daily_t, now=now)
+    daily = spark.read.parquet(daily_t)
+    assert daily.count() == 50
+
+    wk = weekly_sessions_job(spark, daily, str(tmp_path / "weekly"), now=now)
+    # 35 daily rows from Jan 10: full Friday-anchored weeks with >=5 days
+    assert wk["sessions"] >= 4 and wk["inserted"] == wk["sessions"]
+    weekly = spark.read.parquet(str(tmp_path / "weekly"))
+    # weekly chhightime/chlowtime are DAY indices within the session
+    assert weekly.where((F.col("chhightime") < 0) | (F.col("chhightime") > 6)).count() == 0
+
+    mo = monthly_sessions_job(spark, daily, str(tmp_path / "monthly"), now=now)
+    assert mo["sessions"] >= 1
+    # rerun converges
+    wk2 = weekly_sessions_job(spark, daily, str(tmp_path / "weekly"), now=now)
+    assert wk2["inserted"] == 0
