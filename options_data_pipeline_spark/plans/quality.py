@@ -298,3 +298,38 @@ def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("approx_percentile(value, 0.5, 1000)").alias("approx_p50"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+def q_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase event picks up the user's most recent
+    click at-or-before it (classic attribution / trade-to-quote shape).
+    Oracle: DuckDB's native ASOF LEFT JOIN."""
+    from ..operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("value").alias("click_value"),
+        F.col("event_id").alias("click_id"),
+    )
+    out = asof_join(
+        purchases, clicks, on=["user_id"],
+        right_cols=["click_value", "click_id"],
+    )
+    return out.select(
+        "event_id", "user_id", "ts", "value",
+        F.col("ts_asof").alias("click_ts"), "click_value_asof", "click_id_asof",
+    )
+
+
+def oracle_asof_attribution() -> str:
+    return """
+SELECT p.event_id, p.user_id, p.ts, p.value,
+       c.ts AS click_ts, c.value AS click_value_asof,
+       c.event_id AS click_id_asof
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+"""

@@ -29,6 +29,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
     "user_sessions": (quality.q_user_sessions, quality.oracle_user_sessions),
     "value_percentiles": (quality.q_value_percentiles, quality.oracle_value_percentiles),
     "approx_stats": (quality.q_approx_stats, None),
+    "asof_attribution": (quality.q_asof_attribution, quality.oracle_asof_attribution),
     # --- generic relational (joins, topk, hash agg) ---
     "pricing_summary": (tpch.q_pricing_summary, tpch.oracle_pricing_summary),
     "top_orders": (tpch.q_top_orders, tpch.oracle_top_orders),
@@ -37,6 +38,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
     "sales_rollup": (tpch.q_sales_rollup, tpch.oracle_sales_rollup),
     "inactive_customers": (tpch.q_inactive_customers, tpch.oracle_inactive_customers),
     "active_suppliers": (tpch.q_active_suppliers, tpch.oracle_active_suppliers),
+    "rolling_revenue": (tpch.q_rolling_revenue, tpch.oracle_rolling_revenue),
+    "pricier_than_brand_avg": (tpch.q_pricier_than_brand_avg, tpch.oracle_pricier_than_brand_avg),
+    "price_band_assignment": (tpch.q_price_band_assignment, tpch.oracle_price_band_assignment),
     "salted_segment_activity": (
         tpch.q_salted_segment_activity,
         tpch.oracle_salted_segment_activity,

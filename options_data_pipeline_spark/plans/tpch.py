@@ -284,3 +284,117 @@ WHERE EXISTS (
     WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity >= 30
 )
 """
+
+
+def q_rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window frame spec: 7-row trailing moving average of daily order
+    totals per priority — the rowsBetween surface the reference never
+    used but multi-asset analytics need."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    # day emitted as midnight timestamp: DATE round-trips through pandas
+    # as date-vs-Timestamp across the two engines and breaks the hash
+    daily = o.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.date_trunc("day", "o_orderdate").alias("day"),
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(28,2)")).cast("double").alias("revenue")
+    )
+    w = Window.partitionBy("priority").orderBy("day").rowsBetween(-6, 0)
+    # moving average via exact-decimal window sum then one double divide:
+    # double window sums are fold-order-dependent (DuckDB slides, Spark
+    # re-adds) so the naive avg() differs in the last ulp
+    ma7 = (
+        F.sum(F.col("revenue").cast("decimal(28,2)")).over(w).cast("double")
+        / F.count(F.lit(1)).over(w)
+    )
+    return daily.select(
+        "priority", "day", "revenue",
+        ma7.alias("ma7"),
+        F.count(F.lit(1)).over(w).cast("long").alias("window_n"),
+    )
+
+
+def oracle_rolling_revenue() -> str:
+    return """
+WITH daily AS (
+    SELECT o_orderpriority AS priority, date_trunc('day', o_orderdate) AS day,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS revenue
+    FROM orders GROUP BY 1, 2
+)
+SELECT priority, day, revenue,
+       CAST(SUM(CAST(revenue AS DECIMAL(28,2))) OVER w AS DOUBLE)
+           / (count(*) OVER w) AS ma7,
+       count(*) OVER w AS window_n
+FROM daily
+WINDOW w AS (PARTITION BY priority ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_pricier_than_brand_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-scalar-subquery shape: parts priced above their brand's
+    average. Expressed as a broadcast join against the decorrelated
+    aggregate — the plan Catalyst produces for the subquery form, written
+    explicitly."""
+    p = load_table(spark, sf_dir, "part")
+    # exact decimal SUM cast to double, THEN one double division — the
+    # decimal-division route extends scale differently per engine
+    brand_avg = p.groupBy("p_brand").agg(
+        (F.sum(F.col("p_retailprice").cast("decimal(28,4)")).cast("double")
+         / F.count(F.lit(1))).alias("brand_avg")
+    )
+    return (
+        p.join(F.broadcast(brand_avg), "p_brand")
+        .where(F.col("p_retailprice") > F.col("brand_avg"))
+        .select("p_partkey", "p_brand", "p_retailprice", "brand_avg")
+    )
+
+
+def oracle_pricier_than_brand_avg() -> str:
+    return """
+SELECT p_partkey, p_brand, p_retailprice,
+       (SELECT CAST(SUM(CAST(p2.p_retailprice AS DECIMAL(28,4))) AS DOUBLE) / COUNT(*)
+        FROM part p2 WHERE p2.p_brand = p.p_brand) AS brand_avg
+FROM part p
+WHERE p_retailprice > (
+    SELECT CAST(SUM(CAST(p2.p_retailprice AS DECIMAL(28,4))) AS DOUBLE) / COUNT(*)
+    FROM part p2 WHERE p2.p_brand = p.p_brand)
+"""
+
+
+def q_price_band_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: assign every lineitem price to a fixed
+    price band via a broadcast inequality join — the general form of the
+    reference's record->interval assignment (SURVEY §2.4 J1) when the
+    intervals are NOT derivable as an expression."""
+    bands = spark.createDataFrame(
+        [(i, float(i * 1000), float((i + 1) * 1000)) for i in range(100)],
+        "band int, lo double, hi double",
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    joined = l.join(
+        F.broadcast(bands),
+        (F.col("l_extendedprice") >= F.col("lo"))
+        & (F.col("l_extendedprice") < F.col("hi")),
+    )
+    return joined.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+    )
+
+
+def oracle_price_band_assignment() -> str:
+    return """
+WITH bands AS (
+    SELECT CAST(i AS INT) AS band, i * 1000.0 AS lo, (i + 1) * 1000.0 AS hi
+    FROM (SELECT unnest(range(0, 100)) AS i)
+)
+SELECT band, count(*) AS n_items,
+       min(l_extendedprice) AS min_price,
+       max(l_extendedprice) AS max_price
+FROM lineitem JOIN bands
+  ON l_extendedprice >= lo AND l_extendedprice < hi
+GROUP BY 1
+"""
