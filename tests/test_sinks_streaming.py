@@ -195,3 +195,53 @@ def test_watermarked_window_aggregation_stream(spark, tmp):
     assert rows[(10, "btc")] == (105.0, 95.0, 3)
     assert rows[(11, "btc")] == (99.0, 99.0, 1)
     assert rows[(10, "eth")] == (10.0, 10.0, 1)
+
+
+def test_stateful_running_candles_across_batches(spark, tmp):
+    """applyInPandasWithState: state persists across micro-batches and
+    late rows update highs/lows without clobbering the close."""
+    from options_data_pipeline_spark.streaming.stateful import running_candles
+
+    src = f"{tmp}/src"
+    _slice1(spark).coalesce(1).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    updates = f"{tmp}/updates"
+
+    def run_wave():
+        stream = spark.readStream.schema(schema).parquet(src)
+
+        def sink(bdf, bid):  # memory sink can't recover a checkpoint
+            bdf.withColumn("batch_id", F.lit(bid)).write.mode("append").parquet(updates)
+
+        q = (
+            running_candles(stream)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(120):
+            q.stop()  # never leave a live query holding the tmp dirs
+        # latest update per key = current state
+        rows = spark.read.parquet(updates).collect()
+        latest = {}
+        for r in rows:
+            k = (r.instrument, r.bucket_ts.hour)
+            if k not in latest or (r.batch_id, r.n_ticks) > (
+                latest[k].batch_id, latest[k].n_ticks
+            ):
+                latest[k] = r
+        return {
+            k: (r.open, r.high, r.low, r.close, r.n_ticks)
+            for k, r in latest.items()
+        }
+
+    g1 = run_wave()
+    assert g1[("btc", 10)] == (100.0, 105.0, 95.0, 95.0, 3)
+    _slice2(spark).coalesce(1).write.mode("append").parquet(src)
+    g2 = run_wave()
+    # late 10:55 row folded into existing state: high & close move
+    assert g2[("btc", 10)] == (100.0, 120.0, 95.0, 120.0, 4)
+    assert g2[("btc", 12)] == (101.0, 101.0, 101.0, 101.0, 1)
