@@ -32,10 +32,14 @@ def connected_components(
 ) -> DataFrame:
     """(node, component) for every node appearing in ``edges``; component
     id = the minimum node id reachable from the node."""
+    # materialize the symmetric edge list ONCE: edges often come from an
+    # expensive pipeline (minhash etc.) and every iteration joins against
+    # them — without this, each round re-runs the whole upstream plan
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
+        .localCheckpoint()
     )
     labels = (
         sym.select(F.col("a").alias("id"))

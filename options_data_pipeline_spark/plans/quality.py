@@ -333,3 +333,68 @@ FROM (SELECT * FROM events WHERE event_type = 'purchase') p
 ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
   ON p.user_id = c.user_id AND p.ts >= c.ts
 """
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_cohort_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot surface: user-cohort x event-type matrix of exact value
+    sums. The pivot values are pinned explicitly — an unpinned pivot
+    needs a discovery pass over the data (two jobs) and produces a
+    data-dependent schema, both wrong at scale."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("cohort", (F.col("user_id") % 10).cast("int"))
+        .groupBy("cohort")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.sum(F.col("value").cast("decimal(28,2)")).cast("double"))
+    )
+
+
+def oracle_cohort_pivot() -> str:
+    cols = ",\n       ".join(
+        f"CAST(SUM(CAST(value AS DECIMAL(28,2))) FILTER (event_type = '{t}')"
+        f" AS DOUBLE) AS {t}"
+        for t in _EVENT_TYPES
+    )
+    return f"""
+SELECT CAST(user_id % 10 AS INT) AS cohort,
+       {cols}
+FROM events GROUP BY 1
+"""
+
+
+def q_user_churn_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations: users active in the first half of the data window
+    classified against the second half (retained = INTERSECT, churned =
+    EXCEPT, new = reverse EXCEPT) — union'd into one labeled result."""
+    ev = load_table(spark, sf_dir, "events")
+    mid = ev.agg(
+        F.timestamp_micros(
+            ((F.unix_micros(F.min("ts")) + F.unix_micros(F.max("ts"))) / 2).cast("long")
+        )
+    ).first()[0]
+    first = ev.where(F.col("ts") < F.lit(mid)).select("user_id").distinct()
+    second = ev.where(F.col("ts") >= F.lit(mid)).select("user_id").distinct()
+    return (
+        first.intersect(second).withColumn("status", F.lit("retained"))
+        .unionByName(first.exceptAll(second).withColumn("status", F.lit("churned")))
+        .unionByName(second.exceptAll(first).withColumn("status", F.lit("new")))
+    )
+
+
+def oracle_user_churn_sets() -> str:
+    return """
+WITH bounds AS (
+    SELECT make_timestamp(CAST((epoch_us(min(ts)) + epoch_us(max(ts))) / 2 AS BIGINT)) AS mid
+    FROM events
+),
+first AS (SELECT DISTINCT user_id FROM events, bounds WHERE ts < mid),
+second AS (SELECT DISTINCT user_id FROM events, bounds WHERE ts >= mid)
+SELECT user_id, 'retained' AS status FROM (SELECT user_id FROM first INTERSECT SELECT user_id FROM second)
+UNION ALL
+SELECT user_id, 'churned' FROM (SELECT user_id FROM first EXCEPT SELECT user_id FROM second)
+UNION ALL
+SELECT user_id, 'new' FROM (SELECT user_id FROM second EXCEPT SELECT user_id FROM first)
+"""

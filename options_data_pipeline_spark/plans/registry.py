@@ -30,6 +30,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
     "value_percentiles": (quality.q_value_percentiles, quality.oracle_value_percentiles),
     "approx_stats": (quality.q_approx_stats, None),
     "asof_attribution": (quality.q_asof_attribution, quality.oracle_asof_attribution),
+    "cohort_pivot": (quality.q_cohort_pivot, quality.oracle_cohort_pivot),
+    "user_churn_sets": (quality.q_user_churn_sets, quality.oracle_user_churn_sets),
     # --- generic relational (joins, topk, hash agg) ---
     "pricing_summary": (tpch.q_pricing_summary, tpch.oracle_pricing_summary),
     "top_orders": (tpch.q_top_orders, tpch.oracle_top_orders),
