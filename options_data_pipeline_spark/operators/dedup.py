@@ -201,8 +201,14 @@ def minhash_near_dups(
     threshold: float = 0.5,
 ) -> DataFrame:
     """Full MinHash-LSH near-duplicate pipeline: shingle -> sign -> band
-    -> bucket-join -> Jaccard-verify."""
-    sets = shingle_sets(docs, id_col, text_col)
+    -> bucket-join -> Jaccard-verify.
+
+    The per-doc shingle-set store is localCheckpoint'ed: it feeds three
+    subplans (signatures + both verify sides) and Spark's exchange reuse
+    does not cover scan+transform subtrees — measured ~25% of the
+    pipeline recomputing grams without it.
+    """
+    sets = shingle_sets(docs, id_col, text_col).localCheckpoint()
     sigs = minhash_signatures(sets, n_perms)
     cand = lsh_candidates(sigs, n_perms, n_bands)
     return jaccard_verify(cand, sets, threshold)
