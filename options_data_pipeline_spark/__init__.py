@@ -10,9 +10,15 @@ Layout
 - ``functions``  : scalar expression library (rounding, calendar anchors,
                    instrument parsing, pct change)
 - ``operators``  : relational operators (session OHLC rollup, option OHLC,
-                   gap scan, dedup, similarity, text stats)
-- ``io``         : keyed-upsert / insert-if-absent sinks (MERGE emulation)
-- ``streaming``  : Structured Streaming micro-batch equivalents
+                   gap scan, dedup, simhash, similarity/ANN, as-of join,
+                   salted join, connected components, text stats,
+                   multimodal binary kernels)
+- ``sinks``      : keyed-upsert / insert-if-absent sinks (MERGE emulation,
+                   dynamic partition overwrite)
+- ``streaming``  : Structured Streaming jobs (dedup ingest, foreachBatch
+                   lookback-recompute MERGE, applyInPandasWithState)
+- ``jobs``       : batch lifecycles (watermark sync, gap repair, backfill,
+                   daily/weekly/monthly session + option OHLC aggregation)
 - ``plans``      : query registry binding operators to the benchmark tables,
                    each with a DuckDB oracle SQL twin
 """
