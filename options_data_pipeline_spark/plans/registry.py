@@ -16,6 +16,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
     "daily_sessions": (sessions.q_daily_sessions, sessions.oracle_daily_sessions),
     "weekly_sessions": (sessions.q_weekly_sessions, sessions.oracle_weekly_sessions),
     "monthly_sessions": (sessions.q_monthly_sessions, sessions.oracle_monthly_sessions),
+    "candle_returns": (sessions.q_candle_returns, sessions.oracle_candle_returns),
     # --- option OHLC (A5, F1, F4-F6, P5, P8) ---
     "option_chain_ohlc": (options.q_option_chain_ohlc, options.oracle_option_chain_ohlc),
     # --- data quality / incremental semantics (W1, T6, S7/S8, A6, A7, K1/K2, A3/O4, P4) ---
@@ -47,6 +48,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
         tpch.q_salted_segment_activity,
         tpch.oracle_salted_segment_activity,
     ),
+    "top_orders_per_segment": (
+        tpch.q_top_orders_per_segment,
+        tpch.oracle_top_orders_per_segment,
+    ),
     # --- training-data ops: text ---
     "doc_stats": (text.q_doc_stats, text.oracle_doc_stats),
     "text_quality": (text.q_text_quality, text.oracle_text_quality),
@@ -58,6 +63,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
     "ngram_jaccard_pairs": (text.q_ngram_jaccard_pairs, text.oracle_ngram_jaccard_pairs),
     "corpus_curation": (text.q_corpus_curation, text.oracle_corpus_curation),
     "dedup_clusters": (text.q_dedup_clusters, text.oracle_dedup_clusters),
+    "stratified_sample": (text.q_stratified_sample, text.oracle_stratified_sample),
+    "token_histogram": (text.q_token_histogram, text.oracle_token_histogram),
     # --- training-data ops: vectors ---
     "ann_cosine_topk": (vectors.q_ann_cosine_topk, vectors.oracle_ann_cosine_topk),
     "embedding_near_dups": (vectors.q_embedding_near_dups, vectors.oracle_embedding_near_dups),

@@ -284,3 +284,51 @@ SELECT {_FINAL_COLS},
        CAST(month(datetime) AS INTEGER) AS month
 FROM mfinal
 """
+
+
+def q_candle_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-over-hour close returns per instrument (lag window).
+
+    Composes the candle rollup with a per-instrument LAG — the canonical
+    time-series derivation the reference's %change family (SURVEY §2.5 A2)
+    implies but never materializes. Partitioned by instrument so there is
+    no global sort; the window reuses the (instrument) shuffle the candle
+    aggregate already produced.
+    """
+    from pyspark.sql import Window
+
+    c = hourly_candles(spark, sf_dir)
+    w = Window.partitionBy("instrument").orderBy("bucket_ts")
+    from ..functions.rounding import round_half_away
+
+    # ret must reference the materialized prev_close column, not the lag
+    # expression itself — a window expr placed after the filter would
+    # re-evaluate over the filtered rows and null the new first row.
+    prev = F.col("prev_close")
+    ret = (F.col("close") - prev) / F.nullif(prev, F.lit(0.0)) * F.lit(100.0)
+    return (
+        c.withColumn("prev_close", F.lag("close").over(w))
+        .where(F.col("prev_close").isNotNull())
+        .select(
+            "instrument",
+            F.col("bucket_ts").alias("hour_ts"),
+            "close",
+            "prev_close",
+            round_half_away(ret, 4).alias("ret_pct"),
+        )
+    )
+
+
+def oracle_candle_returns() -> str:
+    ret = "(close - prev_close) / nullif(prev_close, 0) * 100"
+    return (
+        f"WITH {HOURLY_CTE}, "
+        "lagged AS ( "
+        "    SELECT instrument, h, close, "
+        "           lag(close) OVER (PARTITION BY instrument ORDER BY h) AS prev_close "
+        "    FROM hourly "
+        ") "
+        "SELECT instrument, h AS hour_ts, close, prev_close, "
+        f"       {sql_round_half_away(ret, 4)} AS ret_pct "
+        "FROM lagged WHERE prev_close IS NOT NULL"
+    )

@@ -469,3 +469,66 @@ reach(a, b) AS (
 SELECT a AS node, least(a, min(b)) AS component
 FROM reach GROUP BY a
 """
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling for training-data curation.
+
+    Per-language sampling rates (en 25%, others ~10%) via an md5-derived
+    uniform key — the standard reservoir-free technique for reproducible
+    corpus downsampling at any scale: no RNG state, no driver coordination,
+    re-runs and backfills select the identical subset. The hex key is
+    compared lexicographically (fixed-length lowercase hex orders the same
+    as its numeric value), so the filter is a plain scan predicate that
+    pushes down and never shuffles.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.substring(
+        F.md5(F.concat(F.lit("sample#"), F.col("doc_id").cast("string"))), 1, 4
+    )
+    thresh = F.when(F.col("lang") == "en", F.lit("4000")).otherwise(F.lit("1999"))
+    return docs.where(key < thresh).select("doc_id", "lang", "source", "n_chars")
+
+
+def oracle_stratified_sample() -> str:
+    return """
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE substr(md5('sample#' || CAST(doc_id AS VARCHAR)), 1, 4)
+      < CASE WHEN lang = 'en' THEN '4000' ELSE '1999' END
+"""
+
+
+def q_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus length profile: width-8 token-count buckets with global share.
+
+    One map-side-combined groupBy over the scan; the share is computed from
+    the tiny aggregated result (one row per bucket) with an unpartitioned
+    window — safe because the bucket cardinality is O(max_len/8), not O(n).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    ntok = F.size(F.split(F.col("text"), " ", -1))
+    bucket = (F.floor(ntok / F.lit(8)) * 8).cast("long")
+    agg = docs.groupBy(bucket.alias("token_bucket")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(ntok.cast("long")).alias("sum_tokens"),
+    )
+    total = F.sum("n_docs").over(Window.partitionBy())
+    return agg.select(
+        "token_bucket", "n_docs", "sum_tokens",
+        (F.col("n_docs") / total).alias("doc_share"),
+    )
+
+
+def oracle_token_histogram() -> str:
+    return """
+WITH agg AS (
+    SELECT CAST(floor(len(string_split(text, ' ')) / 8) * 8 AS BIGINT) AS token_bucket,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens
+    FROM documents GROUP BY 1
+)
+SELECT token_bucket, n_docs, sum_tokens,
+       n_docs / SUM(n_docs) OVER () AS doc_share
+FROM agg
+"""

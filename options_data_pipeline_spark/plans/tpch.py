@@ -398,3 +398,43 @@ FROM lineitem JOIN bands
   ON l_extendedprice >= lo AND l_extendedprice < hi
 GROUP BY 1
 """
+
+
+def q_top_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k: 3 priciest orders per market segment.
+
+    The at-scale shape: a shuffled equi-join on o_custkey (both sides are
+    fact-sized at 100 TB — no broadcast), then row_number over the segment
+    partition. The rank window repartitions on the 5-value segment key,
+    which is fine because the post-filter result is tiny; at extreme group
+    counts the same pattern holds with no change. Ties broken by orderkey
+    so the result is deterministic in both engines.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    from pyspark.sql import Window
+
+    j = o.join(c, o["o_custkey"] == c["c_custkey"]).select(
+        "c_mktsegment", "o_orderkey", "o_totalprice"
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        j.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= 3)
+        .select("c_mktsegment", "rk", "o_orderkey", "o_totalprice")
+    )
+
+
+def oracle_top_orders_per_segment() -> str:
+    return """
+WITH ranked AS (
+    SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
+           row_number() OVER (PARTITION BY c.c_mktsegment
+                              ORDER BY o.o_totalprice DESC, o.o_orderkey ASC) AS rk
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+)
+SELECT c_mktsegment, CAST(rk AS BIGINT) AS rk, o_orderkey, o_totalprice
+FROM ranked WHERE rk <= 3
+"""
