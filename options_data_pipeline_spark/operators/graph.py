@@ -53,6 +53,10 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("label").alias("nb_label"))
         )
+        # the changed flag rides along in the same pass: a node's label
+        # moves iff a strictly smaller neighbor label arrived, so the
+        # convergence probe is a scan of the checkpointed result rather
+        # than an extra join against the previous labels
         new_labels = (
             labels.join(neighbor_min, labels["id"] == neighbor_min["a"], "left")
             .select(
@@ -60,16 +64,12 @@ def connected_components(
                 F.least(
                     F.col("label"), F.coalesce(F.col("nb_label"), F.col("label"))
                 ).alias("label"),
+                (F.col("nb_label") < F.col("label")).alias("moved"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.where(F.col("moved")).count()
+        labels = new_labels.select("id", "label")
         if changed == 0:
             break
     return labels.select(F.col("id").alias("node"), F.col("label").alias("component"))

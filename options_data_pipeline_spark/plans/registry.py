@@ -52,6 +52,11 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
         tpch.q_top_orders_per_segment,
         tpch.oracle_top_orders_per_segment,
     ),
+    "order_lines_profile": (
+        tpch.q_order_lines_profile,
+        tpch.oracle_order_lines_profile,
+    ),
+    "price_quartiles": (tpch.q_price_quartiles, tpch.oracle_price_quartiles),
     # --- training-data ops: text ---
     "doc_stats": (text.q_doc_stats, text.oracle_doc_stats),
     "text_quality": (text.q_text_quality, text.oracle_text_quality),

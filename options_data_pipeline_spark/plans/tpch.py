@@ -438,3 +438,65 @@ WITH ranked AS (
 SELECT c_mktsegment, CAST(rk AS BIGINT) AS rk, o_orderkey, o_totalprice
 FROM ranked WHERE rk <= 3
 """
+
+
+def q_order_lines_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested aggregation: per-order sorted array of line quantities.
+
+    Exercises collect_list + array_sort — the nested-type rollup a
+    training-data pipeline uses to pack per-document features into one row.
+    The array is serialized with concat_ws so the value hash is engine-
+    portable (array renderings differ between pandas/numpy and DuckDB).
+    One map-side-combinable groupBy on the natural lineitem key.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.concat_ws(
+                ",", F.array_sort(F.collect_list(F.col("l_quantity").cast("long")))
+            ).alias("qty_profile"),
+            F.max(F.col("l_quantity").cast("long")).alias("max_qty"),
+        )
+    )
+
+
+def oracle_order_lines_profile() -> str:
+    return """
+SELECT l_orderkey,
+       COUNT(*) AS n_lines,
+       array_to_string(list_sort(list(CAST(l_quantity AS BIGINT))), ',') AS qty_profile,
+       CAST(MAX(CAST(l_quantity AS BIGINT)) AS BIGINT) AS max_qty
+FROM lineitem GROUP BY l_orderkey
+"""
+
+
+def q_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-based quantile assignment: ntile(4) over price within brand.
+
+    The distributed binning pattern for dataset balancing (assign each
+    record a quartile, then sample per bin). Fully deterministic: the
+    ordering key is made total with the part key tie-break, so both
+    engines assign identical tiles.
+    """
+    from pyspark.sql import Window
+
+    p = load_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("p_retailprice").asc(), F.col("p_partkey").asc()
+    )
+    return p.select(
+        "p_partkey", "p_brand", "p_retailprice",
+        F.ntile(4).over(w).cast("long").alias("price_quartile"),
+    )
+
+
+def oracle_price_quartiles() -> str:
+    return """
+SELECT p_partkey, p_brand, p_retailprice,
+       CAST(ntile(4) OVER (PARTITION BY p_brand
+                           ORDER BY p_retailprice ASC, p_partkey ASC) AS BIGINT)
+           AS price_quartile
+FROM part
+"""
