@@ -70,6 +70,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
     "dedup_clusters": (text.q_dedup_clusters, text.oracle_dedup_clusters),
     "stratified_sample": (text.q_stratified_sample, text.oracle_stratified_sample),
     "token_histogram": (text.q_token_histogram, text.oracle_token_histogram),
+    "vocab_top_tokens": (text.q_vocab_top_tokens, text.oracle_vocab_top_tokens),
     # --- training-data ops: vectors ---
     "ann_cosine_topk": (vectors.q_ann_cosine_topk, vectors.oracle_ann_cosine_topk),
     "embedding_near_dups": (vectors.q_embedding_near_dups, vectors.oracle_embedding_near_dups),

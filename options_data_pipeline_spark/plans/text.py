@@ -532,3 +532,41 @@ SELECT token_bucket, n_docs, sum_tokens,
        n_docs / SUM(n_docs) OVER () AS doc_share
 FROM agg
 """
+
+
+def q_vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language vocabulary head: top-5 tokens by frequency.
+
+    The vocabulary-building shape every tokenizer-training pipeline runs:
+    explode tokens (rows fan out ~doc_len x), count by (lang, token) with
+    map-side partial aggregation soaking up the fan-out, then a per-lang
+    rank over the already-aggregated (small) result. Ties broken by token
+    so both engines rank identically. At 100 TB the explode never
+    materializes globally — it streams through the partial aggregate.
+    """
+    docs = parallelized(spark, load_table(spark, sf_dir, "documents"))
+    toks = docs.select("lang", F.explode(F.split("text", " ", -1)).alias("token"))
+    counts = toks.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("token").asc())
+    return (
+        counts.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= 5)
+        .select("lang", "token", "n", "rk")
+    )
+
+
+def oracle_vocab_top_tokens() -> str:
+    return """
+WITH toks AS (
+    SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents
+),
+counts AS (
+    SELECT lang, token, COUNT(*) AS n FROM toks GROUP BY 1, 2
+),
+ranked AS (
+    SELECT lang, token, n,
+           row_number() OVER (PARTITION BY lang ORDER BY n DESC, token ASC) AS rk
+    FROM counts
+)
+SELECT lang, token, n, CAST(rk AS BIGINT) AS rk FROM ranked WHERE rk <= 5
+"""
