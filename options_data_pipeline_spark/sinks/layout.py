@@ -1,0 +1,103 @@
+"""Data-layout management: range-sorted writes and partition compaction.
+
+The reference never manages physical layout — PostgreSQL hides it. A
+100 TB Parquet lakehouse cannot: scan pruning and join locality are
+decided by how files are laid out on disk, so layout maintenance is a
+first-class sink job alongside the upserts.
+
+Two jobs cover the patterns the incremental pipelines create:
+
+- :func:`write_range_sorted` — a **clustered rewrite** of a table:
+  ``repartitionByRange`` on the cluster key produces disjoint key ranges
+  per file, and ``sortWithinPartitions`` orders rows inside each file.
+  Parquet then stores tight min/max column statistics per file and per
+  row group, so any range predicate on the key (the dominant predicate
+  shape here: time) prunes to the few files that can contain it. This is
+  the vanilla-Spark equivalent of Delta OPTIMIZE ZORDER for a single
+  key; exact ordering beats Z-ordering when one column dominates
+  predicates.
+- :func:`compact_partitions` — micro-batch upserts (SURVEY §2.9 T2:
+  hourly lookback rewrites) leave a trail of small files in each date
+  partition; small files at 100 TB mean scheduler pressure and poor scan
+  throughput. Compaction rewrites only the named partitions down to
+  ``files_per_partition`` files, via the same atomic-swap discipline as
+  the upsert sinks — readers never see a half-compacted partition.
+
+Neither job changes a single row — both are pure physical rewrites, and
+the tests assert that (same content before/after) plus the layout
+property itself (disjoint per-file ranges; file count).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_range_sorted(
+    df: DataFrame,
+    path: str,
+    order_cols: list[str],
+    num_files: int,
+) -> None:
+    """Rewrite ``df`` as ``num_files`` parquet files globally range-
+    clustered on ``order_cols``: file ranges are disjoint, rows are
+    sorted within each file. One range-exchange shuffle; no global sort
+    on a single task."""
+    (
+        df.repartitionByRange(num_files, *[F.col(c) for c in order_cols])
+        .sortWithinPartitions(*order_cols)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def compact_partitions(
+    spark: SparkSession,
+    path: str,
+    partition_col: str,
+    partitions: list[str] | None = None,
+    files_per_partition: int = 1,
+) -> dict[str, int]:
+    """Compact a ``partitionBy(partition_col)`` parquet table down to
+    ``files_per_partition`` files per partition.
+
+    ``partitions=None`` compacts every partition; otherwise only the
+    named partition values are rewritten (the incremental case: compact
+    yesterday's partition after its last micro-batch). Returns
+    ``{"partitions_compacted": n, "files_before": b, "files_after": a}``.
+    """
+    targets = []
+    for entry in sorted(os.listdir(path)):
+        if not entry.startswith(f"{partition_col}="):
+            continue
+        value = entry.split("=", 1)[1]
+        if partitions is None or value in partitions:
+            targets.append((value, os.path.join(path, entry)))
+
+    files_before = files_after = 0
+    for value, part_dir in targets:
+        files = [f for f in os.listdir(part_dir) if f.endswith(".parquet")]
+        files_before += len(files)
+        if len(files) <= files_per_partition:
+            files_after += len(files)
+            continue
+        part_df = spark.read.parquet(part_dir)
+        staging = f"{part_dir}.staging-{uuid.uuid4().hex[:8]}"
+        part_df.coalesce(files_per_partition).write.mode("overwrite").parquet(staging)
+        old = f"{part_dir}.old-{uuid.uuid4().hex[:8]}"
+        os.rename(part_dir, old)
+        os.rename(staging, part_dir)
+        shutil.rmtree(old)
+        files_after += len(
+            [f for f in os.listdir(part_dir) if f.endswith(".parquet")]
+        )
+    return {
+        "partitions_compacted": len(targets),
+        "files_before": files_before,
+        "files_after": files_after,
+    }
