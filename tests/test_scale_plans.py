@@ -116,3 +116,34 @@ def test_partition_pruning_on_date_partitioned_layout(spark, tmp_path_factory):
     assert m and "day" in m.group(1)  # predicate became a partition filter
     # and the row filter did NOT survive as a post-scan Filter node
     assert "PushedFilters: []" in plan or "isnotnull(day" in plan
+
+
+def test_vocab_top_tokens_partial_agg_soaks_explode(spark):
+    from options_data_pipeline_spark.plans import text
+
+    plan = fmt(spark, text.q_vocab_top_tokens(spark, SF_DIR))
+    # the explode fan-out (~doc_len x rows) must be absorbed by a partial
+    # hash aggregate BEFORE the (lang, token) shuffle — the shuffle then
+    # carries one row per distinct token, not one per occurrence
+    assert "Generate" in plan  # the explode
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    # in the numbered tree the partial aggregate must sit between the
+    # Generate and the Exchange (map-side combine before the shuffle)
+    tree = [ln.strip() for ln in plan.splitlines() if re.match(r"^\(\d+\)", ln.strip())]
+    gen_i = next(i for i, ln in enumerate(tree) if "Generate" in ln)
+    agg_i = next(i for i, ln in enumerate(tree) if "HashAggregate" in ln and i > gen_i)
+    exch_i = next(i for i, ln in enumerate(tree) if ln.endswith("Exchange") and i > gen_i)
+    assert gen_i < agg_i < exch_i
+    # top-k rank runs on the aggregated (small) result
+    assert "Window" in plan
+
+
+def test_top_orders_per_segment_single_rank_shuffle_after_join(spark):
+    plan = fmt(spark, tpch.q_top_orders_per_segment(spark, SF_DIR))
+    # the rank window partitions on the 5-value segment key only after
+    # the join has reduced each row to 3 columns; no extra exchanges
+    # beyond (join, window) — and the window's sort is per-partition,
+    # never a global range sort
+    assert "Window" in plan
+    assert len(shuffle_exchanges(plan)) <= 3
+    assert "rangepartitioning" not in plan.lower()
