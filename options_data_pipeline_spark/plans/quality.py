@@ -370,9 +370,12 @@ def q_user_churn_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     classified against the second half (retained = INTERSECT, churned =
     EXCEPT, new = reverse EXCEPT) — union'd into one labeled result."""
     ev = load_table(spark, sf_dir, "events")
+    # integer `div` on both engines: double-divide + cast truncates in Spark
+    # but CAST(double AS BIGINT) rounds-to-nearest in DuckDB, so an odd
+    # epoch sum would put the midpoint 1µs apart between the two engines
     mid = ev.agg(
         F.timestamp_micros(
-            ((F.unix_micros(F.min("ts")) + F.unix_micros(F.max("ts"))) / 2).cast("long")
+            F.expr("(unix_micros(min(ts)) + unix_micros(max(ts))) div 2")
         )
     ).first()[0]
     first = ev.where(F.col("ts") < F.lit(mid)).select("user_id").distinct()
@@ -387,7 +390,7 @@ def q_user_churn_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 def oracle_user_churn_sets() -> str:
     return """
 WITH bounds AS (
-    SELECT make_timestamp(CAST((epoch_us(min(ts)) + epoch_us(max(ts))) / 2 AS BIGINT)) AS mid
+    SELECT make_timestamp((epoch_us(min(ts)) + epoch_us(max(ts))) // 2) AS mid
     FROM events
 ),
 first AS (SELECT DISTINCT user_id FROM events, bounds WHERE ts < mid),

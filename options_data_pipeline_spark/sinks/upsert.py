@@ -75,6 +75,7 @@ def merge_upsert(
     keys: list[str],
     audit_col: str | None = None,
     partition_by: list[str] | None = None,
+    order_by: list[str] | None = None,
 ) -> dict[str, int]:
     """MERGE ``updates`` into the parquet table at ``target_path``.
 
@@ -82,16 +83,32 @@ def merge_upsert(
     ``{"inserted": n, "updated": m}`` (reference K1 metric semantics).
     ``audit_col`` stamps ``current_timestamp()`` on every written update
     row (reference ``updated_at = NOW()``, binance_1m.py:124-132).
+
+    ``order_by`` names the columns that define in-batch "later" for
+    last-wins dedup (e.g. a batch-sequence or event-time column) — the
+    reference's later-statement-wins is only meaningful under an explicit
+    logical order. Without it the fallback is physical order
+    (``monotonically_increasing_id``), which is deterministic only for
+    single-partition driver-built batches; a shuffled/joined updates frame
+    should always pass ``order_by``.
     """
     if audit_col:
         updates = updates.withColumn(audit_col, F.current_timestamp())
     # last-wins within the batch itself (reference: later statement wins)
-    w = Window.partitionBy(*keys).orderBy(F.monotonically_increasing_id().desc())
+    if order_by:
+        ordering = [F.col(c).desc() for c in order_by]
+        ordering.append(F.monotonically_increasing_id().desc())  # tie-break
+    else:
+        ordering = [F.monotonically_increasing_id().desc()]
+    w = Window.partitionBy(*keys).orderBy(*ordering)
     updates = (
         updates.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
         .drop("_rn")
     )
+    # One evaluation of the dedup across the count/join/write actions below
+    # (monotonically_increasing_id could otherwise re-evaluate differently).
+    updates = updates.localCheckpoint(eager=False)
     current = _read_target(spark, target_path)
     if current is None:
         n = updates.count()
@@ -153,11 +170,27 @@ def upsert_partitioned(
     keys: list[str],
     partition_col: str,
     audit_col: str | None = None,
+    allow_cross_partition_keys: bool = False,
 ) -> dict[str, int]:
     """Partition-pruned MERGE: only partitions present in ``updates`` are
     read, merged, and dynamically overwritten — the 100 TB shape (the
     write cost follows the incremental slice, not the table).
+
+    Reconciliation only sees the touched partitions, so a key that moves
+    to a new ``partition_col`` value would leave its stale row alive in
+    the untouched partition — weaker than PG ``ON CONFLICT``. Therefore
+    ``partition_col`` must be part of ``keys`` (making moves impossible),
+    unless the caller passes ``allow_cross_partition_keys=True`` to vouch
+    for the invariant that a key's partition value never changes (true for
+    time-bucketed ingest, where the partition is derived from the key).
     """
+    if partition_col not in keys and not allow_cross_partition_keys:
+        raise ValueError(
+            f"partition_col {partition_col!r} is not in keys {keys}: a key "
+            "that changes partition would silently duplicate. Add it to "
+            "keys, or pass allow_cross_partition_keys=True if keys can "
+            "never move between partitions."
+        )
     if audit_col:
         updates = updates.withColumn(audit_col, F.current_timestamp())
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")

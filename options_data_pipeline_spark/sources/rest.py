@@ -267,7 +267,15 @@ class OptionTradesSource:
             out.extend(trades)
             if not has_more or not trades:
                 return out
-            last_ms = int(trades[-1]["ts"].replace(tzinfo=None).timestamp() * 1000)
+            # ts is a naive UTC datetime; pin tzinfo=utc before .timestamp()
+            # so the epoch math is host-timezone independent (a naive
+            # .timestamp() would shift the cursor by the local UTC offset —
+            # re-fetching forever west of UTC, skipping trades east of it).
+            from datetime import timezone
+
+            last_ms = int(
+                trades[-1]["ts"].replace(tzinfo=timezone.utc).timestamp() * 1000
+            )
             cursor = last_ms + 1
             if self.rate_limit_s:
                 time.sleep(self.rate_limit_s)

@@ -113,42 +113,46 @@ def incremental_candles_stream(
     events = read_event_stream(spark, source_dir)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # Distinct touched buckets stay a DataFrame — never collected to the
+        # driver, so a batch touching millions of buckets costs no driver
+        # memory. Only the 2-scalar (lo, hi) bound comes back, to build a
+        # literal range predicate that reaches the parquet scan (row-group /
+        # partition pruning on a date-partitioned source); exact bucket
+        # membership is a broadcast semi-join against the touched set.
         touched = (
             batch_df.select(
                 F.col(instrument_col).alias("instrument"),
                 F.date_trunc("hour", F.col(ts_col)).alias("bucket_ts"),
             )
             .distinct()
-            .collect()
+            .localCheckpoint()  # reused for bounds + the semi-join
         )
-        if not touched:
+        bounds = touched.agg(
+            F.min("bucket_ts").alias("lo"), F.max("bucket_ts").alias("hi")
+        ).first()
+        if bounds["lo"] is None:
             return
-        hours = sorted({r["bucket_ts"] for r in touched})
         source = spark.read.parquet(source_dir).withColumnRenamed(
             instrument_col, "instrument"
         )
-        in_scope = source.where(
-            F.date_trunc("hour", F.col(ts_col)).isin(hours)
+        in_scope = (
+            source.where(
+                (F.col(ts_col) >= F.lit(bounds["lo"]))
+                & (F.col(ts_col) < F.lit(bounds["hi"]) + F.expr("INTERVAL 1 HOUR"))
+            )
+            .withColumn("bucket_ts", F.date_trunc("hour", F.col(ts_col)))
+            .join(F.broadcast(touched), ["instrument", "bucket_ts"], "left_semi")
         )
         candles = ticks_to_ohlc(
             in_scope,
-            bucket=F.date_trunc("hour", F.col(ts_col)),
+            bucket=F.col("bucket_ts"),
             keys=("instrument",),
             time_col=ts_col,
             price_col=price_col,
             tiebreak_cols=(id_col,),
         )
-        # only buckets actually touched (an hour may exist for another
-        # instrument without being in this batch)
-        touched_df = spark.createDataFrame(
-            [(r["instrument"], r["bucket_ts"]) for r in touched],
-            "instrument string, bucket_ts timestamp",
-        )
-        updates = candles.join(
-            F.broadcast(touched_df), ["instrument", "bucket_ts"], "left_semi"
-        )
         merge_upsert(
-            spark, gold_path, updates, keys=["instrument", "bucket_ts"]
+            spark, gold_path, candles, keys=["instrument", "bucket_ts"]
         )
 
     writer = (

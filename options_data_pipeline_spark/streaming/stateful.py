@@ -27,7 +27,7 @@ OUTPUT_SCHEMA = (
 )
 STATE_SCHEMA = (
     "open double, high double, low double, close double,"
-    " n_ticks long, last_ts long, last_id long"
+    " n_ticks long, last_ts long, last_id long, first_ts long, first_id long"
 )
 
 
@@ -62,10 +62,11 @@ def running_candles(
             state.remove()
             return
         if state.exists:
-            o, h, lo, c, n, last_ts, last_id = state.get
+            o, h, lo, c, n, last_ts, last_id, first_ts, first_id = state.get
         else:
             o = h = lo = c = None
             n, last_ts, last_id = 0, -1, -1
+            first_ts, first_id = None, None
         for pdf in pdf_iter:
             pdf = pdf.sort_values(["ts", "event_id"])
             for ts, price, eid in zip(
@@ -73,15 +74,21 @@ def running_candles(
             ):
                 if o is None:
                     o = h = lo = c = float(price)
+                    first_ts, first_id = int(ts), int(eid)
                 else:
                     h = max(h, float(price))
                     lo = min(lo, float(price))
+                # first-by-(ts, id): a late row that precedes the recorded
+                # first must become the open (symmetric with the close guard)
+                if (ts, eid) <= (first_ts, first_id):
+                    o = float(price)
+                    first_ts, first_id = int(ts), int(eid)
                 # last-by-(ts, id): late rows must not overwrite close
                 if (ts, eid) >= (last_ts, last_id):
                     c = float(price)
                     last_ts, last_id = int(ts), int(eid)
                 n += 1
-        state.update((o, h, lo, c, n, last_ts, last_id))
+        state.update((o, h, lo, c, n, last_ts, last_id, first_ts, first_id))
         if timeout_minutes is not None:
             state.setTimeoutDuration(timeout_minutes * 60_000)
         yield pd.DataFrame(

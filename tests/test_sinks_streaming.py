@@ -73,13 +73,46 @@ def test_upsert_partitioned(spark, tmp):
     df = spark.createDataFrame(
         [(1, "a", "d1"), (2, "b", "d1"), (3, "c", "d2")], "k long, v string, d string"
     )
-    m1 = upsert_partitioned(spark, t, df, ["k"], "d")
+    m1 = upsert_partitioned(spark, t, df, ["k"], "d", allow_cross_partition_keys=True)
     assert m1 == {"inserted": 3, "updated": 0}
     up = spark.createDataFrame([(2, "B", "d1"), (4, "e", "d3")], "k long, v string, d string")
-    m2 = upsert_partitioned(spark, t, up, ["k"], "d")
+    m2 = upsert_partitioned(spark, t, up, ["k"], "d", allow_cross_partition_keys=True)
     assert m2 == {"inserted": 1, "updated": 1}
     got = {(r.k, r.v, r.d) for r in spark.read.parquet(t).collect()}
     assert got == {(1, "a", "d1"), (2, "B", "d1"), (3, "c", "d2"), (4, "e", "d3")}
+
+
+def test_upsert_partitioned_rejects_movable_keys(spark, tmp):
+    df = spark.createDataFrame([(1, "a", "d1")], "k long, v string, d string")
+    with pytest.raises(ValueError, match="partition_col"):
+        upsert_partitioned(spark, f"{tmp}/t", df, ["k"], "d")
+
+
+def test_upsert_partitioned_key_includes_partition(spark, tmp):
+    # partition_col in keys: the safe default — no flag needed
+    t = f"{tmp}/t"
+    df = spark.createDataFrame([(1, "a", "d1"), (2, "b", "d2")], "k long, v string, d string")
+    m1 = upsert_partitioned(spark, t, df, ["k", "d"], "d")
+    assert m1 == {"inserted": 2, "updated": 0}
+    up = spark.createDataFrame([(1, "A", "d1")], "k long, v string, d string")
+    m2 = upsert_partitioned(spark, t, up, ["k", "d"], "d")
+    assert m2 == {"inserted": 0, "updated": 1}
+    got = {(r.k, r.v, r.d) for r in spark.read.parquet(t).collect()}
+    assert got == {(1, "A", "d1"), (2, "b", "d2")}
+
+
+def test_merge_upsert_explicit_order_by(spark, tmp):
+    # a multi-partition, shuffled batch with an explicit logical order:
+    # the row with the highest seq must win regardless of physical layout
+    t = f"{tmp}/t"
+    rows = [(1, "v%d" % s, s) for s in range(20)]
+    batch = (
+        spark.createDataFrame(rows, "k long, v string, seq long")
+        .repartition(8)  # scramble physical order
+    )
+    merge_upsert(spark, t, batch, ["k"], order_by=["seq"])
+    got = [(r.k, r.v, r.seq) for r in spark.read.parquet(t).collect()]
+    assert got == [(1, "v19", 19)]
 
 
 # --- streaming ---------------------------------------------------------------
@@ -245,3 +278,57 @@ def test_stateful_running_candles_across_batches(spark, tmp):
     # late 10:55 row folded into existing state: high & close move
     assert g2[("btc", 10)] == (100.0, 120.0, 95.0, 120.0, 4)
     assert g2[("btc", 12)] == (101.0, 101.0, 101.0, 101.0, 1)
+
+    # a late row EARLIER than the recorded first: open must move too
+    # (first-by-(ts,id) guard, symmetric with the close guard)
+    _events(spark, [(7, "2024-01-01 10:00:01", "btc", 111.0)]).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    g3 = run_wave()
+    assert g3[("btc", 10)] == (111.0, 120.0, 95.0, 120.0, 5)
+
+
+def test_stateful_running_candles_processing_time_trigger(spark, tmp):
+    """T3's continuous cadence: the same stateful operator under a
+    processingTime trigger (with state-eviction timeout armed), stopped
+    once the first micro-batch lands — pins the wiring the availableNow
+    tests can't exercise."""
+    import time as _time
+
+    from options_data_pipeline_spark.streaming.stateful import running_candles
+
+    src, out = f"{tmp}/src", f"{tmp}/out"
+    _slice1(spark).coalesce(1).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+
+    def sink(bdf, bid):
+        bdf.write.mode("append").parquet(out)
+
+    q = (
+        running_candles(stream, timeout_minutes=60)
+        .writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = _time.time() + 120
+        rows = []
+        while _time.time() < deadline:
+            try:
+                rows = spark.read.parquet(out).collect()
+            except Exception:
+                rows = []
+            if rows:
+                break
+            _time.sleep(0.5)
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    got = {(r.instrument, r.bucket_ts.hour): (r.open, r.high, r.low, r.close, r.n_ticks)
+           for r in rows}
+    assert got[("btc", 10)] == (100.0, 105.0, 95.0, 95.0, 3)
+    assert got[("btc", 11)] == (99.0, 99.0, 99.0, 99.0, 1)
+    assert got[("eth", 10)] == (10.0, 10.0, 10.0, 10.0, 1)
