@@ -199,16 +199,22 @@ def minhash_near_dups(
     n_perms: int = DEFAULT_PERMS,
     n_bands: int = DEFAULT_BANDS,
     threshold: float = 0.5,
+    reliable: bool = False,
 ) -> DataFrame:
     """Full MinHash-LSH near-duplicate pipeline: shingle -> sign -> band
     -> bucket-join -> Jaccard-verify.
 
-    The per-doc shingle-set store is localCheckpoint'ed: it feeds three
+    The per-doc shingle-set store is materialized: it feeds three
     subplans (signatures + both verify sides) and Spark's exchange reuse
     does not cover scan+transform subtrees — measured ~25% of the
-    pipeline recomputing grams without it.
+    pipeline recomputing grams without it. ``reliable=True`` writes a
+    fault-tolerant checkpoint instead of executor-local blocks (see
+    :mod:`.materialize`) for cluster runs where node loss must not
+    recompute the shingle store from scratch.
     """
-    sets = shingle_sets(docs, id_col, text_col).localCheckpoint()
+    from .materialize import materialize
+
+    sets = materialize(shingle_sets(docs, id_col, text_col), reliable)
     sigs = minhash_signatures(sets, n_perms)
     cand = lsh_candidates(sigs, n_perms, n_bands)
     return jaccard_verify(cand, sets, threshold)

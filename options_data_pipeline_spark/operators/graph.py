@@ -23,29 +23,38 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .materialize import materialize
+
 
 def connected_components(
     edges: DataFrame,
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iterations: int = 20,
+    reliable: bool = False,
 ) -> DataFrame:
     """(node, component) for every node appearing in ``edges``; component
-    id = the minimum node id reachable from the node."""
+    id = the minimum node id reachable from the node.
+
+    ``reliable=True`` switches the per-iteration materialization from
+    executor-local blocks to fault-tolerant checkpoints (see
+    :mod:`.materialize`) — the cluster-scale mode where losing one
+    executor must not restart a multi-hour run.
+    """
     # materialize the symmetric edge list ONCE: edges often come from an
     # expensive pipeline (minhash etc.) and every iteration joins against
     # them — without this, each round re-runs the whole upstream plan
-    sym = (
+    sym = materialize(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        .distinct()
-        .localCheckpoint()
+        .distinct(),
+        reliable,
     )
-    labels = (
+    labels = materialize(
         sym.select(F.col("a").alias("id"))
         .distinct()
-        .withColumn("label", F.col("id"))
-        .localCheckpoint()
+        .withColumn("label", F.col("id")),
+        reliable,
     )
     for _ in range(max_iterations):
         neighbor_min = (
@@ -57,7 +66,7 @@ def connected_components(
         # moves iff a strictly smaller neighbor label arrived, so the
         # convergence probe is a scan of the checkpointed result rather
         # than an extra join against the previous labels
-        new_labels = (
+        new_labels = materialize(
             labels.join(neighbor_min, labels["id"] == neighbor_min["a"], "left")
             .select(
                 "id",
@@ -65,8 +74,8 @@ def connected_components(
                     F.col("label"), F.coalesce(F.col("nb_label"), F.col("label"))
                 ).alias("label"),
                 (F.col("nb_label") < F.col("label")).alias("moved"),
-            )
-            .localCheckpoint()
+            ),
+            reliable,
         )
         changed = new_labels.where(F.col("moved")).count()
         labels = new_labels.select("id", "label")

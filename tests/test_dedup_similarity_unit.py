@@ -88,3 +88,41 @@ def test_ivf_topk_subset_of_exact_topk(spark):
     exact_top5 = {(r.qid, r.cid) for r in exact.where(F.col("rank") <= 5).collect()}
     approx_pairs = {(r.qid, r.cid) for r in approx.collect()}
     assert approx_pairs == exact_top5
+
+
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """reliable=True materializes via fault-tolerant checkpoint(): same
+    fixpoint as the local-blocks default, and checkpoint files actually
+    land in the configured directory (node-loss safety at cluster scale)."""
+    import os
+
+    from options_data_pipeline_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 20)], "doc_a long, doc_b long"
+    )
+    want = {tuple(r) for r in connected_components(edges).collect()}
+
+    import pytest
+
+    with pytest.raises(ValueError, match="checkpoint dir"):
+        connected_components(edges, reliable=True)
+
+    ckpt = str(tmp_path / "ckpt")
+    spark.sparkContext.setCheckpointDir(ckpt)
+    got = {tuple(r) for r in connected_components(edges, reliable=True).collect()}
+    assert got == want
+    assert any(os.scandir(ckpt)), "no checkpoint files written"
+
+
+def test_minhash_reliable_matches_default(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy cat"),
+         (3, "completely unrelated text about spark plans")],
+        "doc_id long, text string",
+    )
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    want = {tuple(r) for r in D.minhash_near_dups(docs).collect()}
+    got = {tuple(r) for r in D.minhash_near_dups(docs, reliable=True).collect()}
+    assert got == want

@@ -42,3 +42,39 @@ def test_sql_join_over_views(spark):
     ).collect()
     # sf0.001 happens to cover 4 of the 5 market segments
     assert len(out) >= 4 and sum(r.n for r in out) > 0
+
+
+def test_approx_stats_error_bounds(spark, ddb):
+    """VERDICT r1 item 2: the sketch query gets a real verdict — every
+    estimate must sit within the estimator's published error bound of the
+    exact aggregate (HLL++ rsd=0.05 default -> 3-sigma 15%; KLL-style
+    approx_percentile(accuracy=1000) -> rank error 1/1000, checked as the
+    value landing inside the exact p45..p55 band)."""
+    from options_data_pipeline_spark.plans.quality import q_approx_stats
+
+    approx = {
+        r.event_type: r for r in q_approx_stats(spark, SF_DIR).collect()
+    }
+    exact = {
+        r[0]: r
+        for r in ddb.execute(
+            """
+            SELECT event_type,
+                   count(DISTINCT user_id) AS users,
+                   quantile_cont(value, 0.45) AS p45,
+                   quantile_cont(value, 0.55) AS p55,
+                   count(*) AS n
+            FROM events GROUP BY 1
+            """
+        ).fetchall()
+    }
+    assert set(approx) == set(exact)
+    for et, a in approx.items():
+        users, p45, p55, n = exact[et][1], exact[et][2], exact[et][3], exact[et][4]
+        assert a.n == n  # the exact count rides along and must be exact
+        assert abs(a.approx_users - users) / users <= 0.15, (
+            f"{et}: HLL++ estimate {a.approx_users} vs exact {users}"
+        )
+        assert p45 <= a.approx_p50 <= p55, (
+            f"{et}: approx p50 {a.approx_p50} outside exact [{p45}, {p55}]"
+        )
