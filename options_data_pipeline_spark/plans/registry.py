@@ -7,7 +7,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import media, options, quality, sessions, text, tpch, vectors
+from . import media, options, pii, quality, sessions, text, tpch, vectors
 
 # name -> (query fn, oracle sql builder or None)
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[], str] | None]] = {
@@ -68,9 +68,12 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
     "ngram_jaccard_pairs": (text.q_ngram_jaccard_pairs, text.oracle_ngram_jaccard_pairs),
     "corpus_curation": (text.q_corpus_curation, text.oracle_corpus_curation),
     "dedup_clusters": (text.q_dedup_clusters, text.oracle_dedup_clusters),
+    "cluster_survivors": (text.q_cluster_survivors, text.oracle_cluster_survivors),
     "stratified_sample": (text.q_stratified_sample, text.oracle_stratified_sample),
     "token_histogram": (text.q_token_histogram, text.oracle_token_histogram),
     "vocab_top_tokens": (text.q_vocab_top_tokens, text.oracle_vocab_top_tokens),
+    "token_shards": (text.q_token_shards, text.oracle_token_shards),
+    "pii_scrub": (pii.q_pii_scrub, pii.oracle_pii_scrub),
     # --- training-data ops: vectors ---
     "ann_cosine_topk": (vectors.q_ann_cosine_topk, vectors.oracle_ann_cosine_topk),
     "embedding_near_dups": (vectors.q_embedding_near_dups, vectors.oracle_embedding_near_dups),

@@ -471,6 +471,103 @@ FROM reach GROUP BY a
 """
 
 
+def q_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy dedup resolved at the *cluster* level: each connected
+    component of the duplicate graph keeps its highest-quality member
+    (ties: lowest doc id), instead of `corpus_curation`'s pairwise
+    drop-the-higher-id rule. This is the policy real curation pipelines
+    want — the survivor is chosen by merit, not by graph arrival order.
+
+    Shape: the component map (one row per clustered doc — tiny relative
+    to the corpus) joins the per-doc quality scores, then a single
+    map-side-combinable groupBy picks the argmax via lexicographic
+    struct ordering (max_by on (quality, -id)) — no window, no second
+    shuffle."""
+    clusters = q_dedup_clusters(spark, sf_dir)
+    qual = TS.quality_score(planted_corpus(spark, sf_dir)).select(
+        F.col("doc_id").alias("node"), "quality_score"
+    )
+    members = clusters.join(qual, "node")
+    order = F.struct(
+        F.col("quality_score").alias("q"), (-F.col("node")).alias("nid")
+    )
+    return members.groupBy("component").agg(
+        F.max_by("node", order).alias("survivor"),
+        F.max_by("quality_score", order).alias("survivor_quality"),
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+    )
+
+
+def oracle_cluster_survivors() -> str:
+    clusters_sql = oracle_dedup_clusters()
+    prefix = clusters_sql.rsplit("SELECT", 1)[0]
+    return f"""{prefix}
+, clusters AS (
+    SELECT a AS node, least(a, min(b)) AS component FROM reach GROUP BY a
+),
+qbase AS (
+    SELECT doc_id,
+        CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
+        CAST(len(list_filter(string_split(text, ' '),
+                             w -> list_contains(['the','a','of','and','to','in','is','on','for','it'], w))) AS DOUBLE) AS n_stop,
+        CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS DOUBLE) AS n_sym,
+        CAST(length(text) AS DOUBLE) AS n_ch
+    FROM corpus
+),
+qual AS (
+    SELECT doc_id AS node,
+        least(1.0, n_tok / 64.0) * 0.5
+          + least(1.0, (n_stop / n_tok) * 4.0) * 0.3
+          + (1.0 - least(1.0, (n_sym / n_ch) * 10.0)) * 0.2 AS quality_score
+    FROM qbase
+),
+ranked AS (
+    SELECT component, node, quality_score,
+           row_number() OVER (PARTITION BY component
+                              ORDER BY quality_score DESC, node ASC) AS rn
+    FROM clusters JOIN qual USING (node)
+)
+SELECT component,
+       max(CASE WHEN rn = 1 THEN node END) AS survivor,
+       max(CASE WHEN rn = 1 THEN quality_score END) AS survivor_quality,
+       CAST(count(*) AS BIGINT) AS n_members
+FROM ranked GROUP BY component
+"""
+
+
+def q_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budgeted shard manifest (see :mod:`..operators.packing`):
+    every (lang, shard) with its doc/token counts and id range. The
+    Spark plan is the two-level distributed prefix sum; the oracle is
+    the naive single window — provably the same assignment, so the
+    hash check verifies the parallel decomposition itself."""
+    from ..operators.packing import pack_token_shards, shard_summary
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    packed = pack_token_shards(docs, budget=2000, segment_width=128)
+    return shard_summary(packed)
+
+
+def oracle_token_shards() -> str:
+    return """
+WITH toks AS (
+    SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+    FROM documents
+),
+cum AS (
+    SELECT *, COALESCE(SUM(n_tokens) OVER (
+        PARTITION BY lang ORDER BY doc_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+    FROM toks
+)
+SELECT lang, CAST(CAST(before AS BIGINT) // 2000 AS BIGINT) AS shard_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM cum GROUP BY 1, 2
+"""
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sampling for training-data curation.
 

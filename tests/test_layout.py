@@ -79,3 +79,80 @@ def test_compact_partitions_reduces_files_keeps_content(spark, tmp):
 
     rows_after = {(r.k, r.d, r.v) for r in spark.read.parquet(t).collect()}
     assert rows_after == rows_before
+
+
+# --- token-budgeted shard packing -------------------------------------------
+
+
+def _naive_shards(rows, budget):
+    """Reference assignment: running token sum per lang in doc_id order."""
+    out = {}
+    by_lang = {}
+    for doc_id, lang, n in sorted(rows, key=lambda r: (r[1], r[0])):
+        before = by_lang.get(lang, 0)
+        out[doc_id] = before // budget
+        by_lang[lang] = before + n
+    return out
+
+
+def test_pack_token_shards_equals_naive_prefix_sum(spark):
+    """The two-level distributed prefix sum must be bit-identical to the
+    naive single-window semantics, across segment widths (including ones
+    that split languages into many segments)."""
+    from options_data_pipeline_spark.operators.packing import pack_token_shards
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "lang", "text")
+    rows = [
+        (r.doc_id, r.lang, len(r.text.split(" ")))
+        for r in docs.collect()
+    ]
+    for width in (7, 64, 100000):  # many tiny segments ... one segment
+        packed = pack_token_shards(docs, budget=1500, segment_width=width)
+        got = {r.doc_id: r.shard_id for r in packed.collect()}
+        assert got == _naive_shards(rows, 1500), f"segment_width={width}"
+
+
+def test_write_token_shards_layout_and_roundtrip(spark, tmp):
+    from options_data_pipeline_spark.sinks.layout import write_token_shards
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "lang", "text")
+    out = f"{tmp}/shards"
+    budget = 2000
+    write_token_shards(docs, out, budget=budget, segment_width=128)
+
+    back = spark.read.parquet(out)
+    # pure reshaping: every doc present exactly once
+    assert back.count() == docs.count()
+    assert back.select("doc_id").distinct().count() == docs.count()
+
+    # shard budget property: each shard STARTS under budget (its offset is
+    # shard_id*budget), so tokens(shard) <= budget + its largest doc
+    per_shard = (
+        back.groupBy("lang", "shard_id")
+        .agg(F.sum("n_tokens").alias("tok"), F.max("n_tokens").alias("mx"))
+        .collect()
+    )
+    for r in per_shard:
+        assert r.tok <= budget + r.mx
+    # shards within a lang are contiguous doc_id ranges
+    rngs = (
+        back.groupBy("lang", "shard_id")
+        .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+        .collect()
+    )
+    by_lang = {}
+    for r in rngs:
+        by_lang.setdefault(r.lang, []).append((r.shard_id, r.lo, r.hi))
+    for lang, triples in by_lang.items():
+        triples.sort()
+        for (s1, _, hi1), (s2, lo2, _) in zip(triples, triples[1:]):
+            assert s2 == s1 + 1 and lo2 > hi1, lang
+    # one file per shard (the schedulable unit)
+    for lang_dir in os.scandir(out):
+        if not lang_dir.name.startswith("lang="):
+            continue
+        for shard_dir in os.scandir(lang_dir.path):
+            if not shard_dir.name.startswith("shard_id="):
+                continue
+            files = [f for f in os.listdir(shard_dir.path) if f.endswith(".parquet")]
+            assert len(files) == 1, shard_dir.path

@@ -147,3 +147,44 @@ def test_top_orders_per_segment_single_rank_shuffle_after_join(spark):
     assert "Window" in plan
     assert len(shuffle_exchanges(plan)) <= 3
     assert "rangepartitioning" not in plan.lower()
+
+
+def test_pii_scrub_no_shuffle_narrow_pipeline(spark):
+    """PII detect/redact/flag is pure per-row expression work — zero
+    exchanges, no Python: the whole query is scan -> project."""
+    from options_data_pipeline_spark.plans import pii
+
+    plan = fmt(spark, pii.q_pii_scrub(spark, SF_DIR))
+    assert len(shuffle_exchanges(plan)) == 0
+    assert "Window" not in plan
+    for py in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py not in plan
+
+
+def test_token_shards_prefix_sum_shape(spark):
+    """The two-level prefix sum: windows hash-partition on (lang, segment)
+    — never a global range sort — and the per-segment offset table joins
+    back as a broadcast, so the only full-data exchanges are the local
+    window's hash repartition and the final summary groupBy."""
+    from options_data_pipeline_spark.plans import text
+
+    plan = fmt(spark, text.q_token_shards(spark, SF_DIR))
+    assert "rangepartitioning" not in plan.lower()  # no global sort anywhere
+    assert "BroadcastHashJoin" in plan  # offsets stitched via broadcast
+    assert "SortMergeJoin" not in plan
+    # full-data shuffles: local window + summary agg; the offset branch's
+    # two exchanges carry |segments| rows, a constant
+    assert len(shuffle_exchanges(plan)) <= 4
+
+
+def test_cluster_survivors_argmax_is_single_aggregate(spark):
+    """Survivor choice is max_by over a struct — one groupBy with a
+    partial aggregate, not a rank window over the joined members."""
+    from options_data_pipeline_spark.plans import text
+
+    plan = fmt(spark, text.q_cluster_survivors(spark, SF_DIR))
+    assert "max_by" in plan
+    # the final argmax section has no Window (the upstream dedup graph
+    # machinery contributes plan nodes of its own, so scope the check)
+    final = plan.split("(1) ")[0]
+    assert "Window" not in final
