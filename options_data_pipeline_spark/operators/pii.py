@@ -72,3 +72,46 @@ def flag_contamination(
     for p in probes:
         flag = flag | t.contains(p)
     return df.withColumn("is_contaminated", flag)
+
+
+def ngram_contamination(
+    docs: DataFrame,
+    probes: Sequence[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_hits: int = 2,
+) -> DataFrame:
+    """Decontamination at benchmark-suite scale: overlap of document
+    word-bigram shingles with the probe set's shingles.
+
+    This is the shape that survives millions of probe n-grams where the
+    verbatim ``contains`` scan cannot: documents explode into shingles
+    once (the same shingle machinery the dedup pipeline uses, reference-
+    free), the probe set becomes a distinct-shingle frame that
+    *broadcasts*, and the overlap is a broadcast inner join + per-doc
+    count — one map-side-combinable aggregation, no shuffle carrying
+    document text. Emits only suspect docs (``n_probe_hits >=
+    min_hits``), so the output is proportional to contamination, not
+    corpus size.
+    """
+    from .dedup import shingles
+
+    spark = docs.sparkSession
+    probe_rows = [(p,) for p in probes]
+    probe_sh = (
+        shingles(
+            spark.createDataFrame(probe_rows, "text string").withColumn(
+                "doc_id", F.lit(0)
+            ),
+            text_col="text",
+        )
+        .select("shingle")
+        .distinct()
+    )
+    doc_sh = shingles(docs, id_col=id_col, text_col=text_col)
+    return (
+        doc_sh.join(F.broadcast(probe_sh), "shingle")
+        .groupBy(F.col(id_col))
+        .agg(F.count(F.lit(1)).alias("n_probe_hits"))
+        .where(F.col("n_probe_hits") >= min_hits)
+    )

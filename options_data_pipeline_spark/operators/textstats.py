@@ -93,6 +93,72 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Within-document repetition signals (the Gopher/MassiveText rules):
+    duplicate-bigram fraction and the share of the most frequent token.
+
+    The bigram ratio is pure array math on the row (zero shuffle). The
+    top-token share needs per-(doc, token) counts — an explode soaked by
+    a map-side partial aggregate, then a per-doc max: the vocabulary
+    shape, bounded by distinct tokens per doc, never a window."""
+    t = F.col(text_col)
+    w = words(t)
+    n_tokens = F.size(w).cast("long")
+    n_grams = (n_tokens - 1).cast("long")
+    grams = F.zip_with(
+        F.slice(w, 1, F.size(w) - 1),
+        F.slice(w, 2, F.size(w) - 1),
+        lambda x, y: F.concat_ws(" ", x, y),
+    )
+    n_distinct_grams = F.size(F.array_distinct(grams)).cast("long")
+    with_grams = (
+        df.withColumn("n_tokens", n_tokens)
+        .withColumn("n_grams", n_grams)
+        .withColumn("n_distinct_grams", n_distinct_grams)
+        .withColumn(
+            "dup_gram_ratio",
+            F.when(n_grams <= 0, F.lit(0.0)).otherwise(
+                (F.col("n_grams") - F.col("n_distinct_grams"))
+                / F.col("n_grams").cast("double")
+            ),
+        )
+    )
+    top = (
+        df.select("doc_id", F.explode(w).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("max_token_count"))
+    )
+    return with_grams.join(top, "doc_id").withColumn(
+        "top_token_share", F.col("max_token_count") / F.col("n_tokens").cast("double")
+    )
+
+
+def rare_token_stats(df: DataFrame, min_count: int = 3, text_col: str = "text") -> DataFrame:
+    """Corpus-frequency quality signal (the CCNet shape, integer-exact):
+    fraction of a document's tokens whose *corpus-wide* count is below
+    ``min_count``. Two aggregations: global token counts (map-side
+    combined; at 100 TB this is the vocabulary, shuffled by token —
+    uniform keys), then token occurrences joined to their counts and
+    re-aggregated per doc. All thresholds are integer comparisons, so
+    the score is an exact rational — no float-accumulation ordering
+    hazard across engines or partitionings."""
+    toks = df.select("doc_id", F.explode(words(F.col(text_col))).alias("token"))
+    vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("corpus_count"))
+    return (
+        toks.join(vocab, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(
+                F.when(F.col("corpus_count") < min_count, 1).otherwise(0)
+            ).cast("long").alias("n_rare"),
+        )
+        .withColumn("rare_ratio", F.col("n_rare") / F.col("n_tokens").cast("double"))
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprints: exact-content hash + order-independent
     bag-of-words hash (for shuffled-word duplicates)."""

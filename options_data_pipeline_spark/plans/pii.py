@@ -97,6 +97,37 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle-overlap decontamination (scales to millions of probe
+    n-grams where the verbatim-substring scan cannot): planted canary
+    docs must surface with their full probe-bigram hit counts."""
+    corpus = pii_corpus(spark, sf_dir)
+    return P.ngram_contamination(corpus, CONTAMINATION_PROBES, min_hits=2)
+
+
+def oracle_ngram_contamination() -> str:
+    probes = ", ".join(f"('{p}')" for p in CONTAMINATION_PROBES)
+    bigrams = (
+        "list_transform(range(1, len(string_split(text, ' '))), "
+        "i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])"
+    )
+    return f"""
+WITH {_PII_CORPUS_SQL.strip()},
+doc_sh AS (
+    SELECT DISTINCT doc_id, shingle
+    FROM (SELECT doc_id, unnest({bigrams}) AS shingle FROM corpus)
+),
+probes(text) AS (VALUES {probes}),
+probe_sh AS (
+    SELECT DISTINCT unnest({bigrams}) AS shingle FROM probes
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_probe_hits
+FROM doc_sh JOIN probe_sh USING (shingle)
+GROUP BY doc_id
+HAVING count(*) >= 2
+"""
+
+
 def oracle_pii_scrub() -> str:
     counts = []
     redacted = "text"

@@ -73,7 +73,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
     "token_histogram": (text.q_token_histogram, text.oracle_token_histogram),
     "vocab_top_tokens": (text.q_vocab_top_tokens, text.oracle_vocab_top_tokens),
     "token_shards": (text.q_token_shards, text.oracle_token_shards),
+    "doc_repetition": (text.q_doc_repetition, text.oracle_doc_repetition),
+    "rare_tokens": (text.q_rare_tokens, text.oracle_rare_tokens),
     "pii_scrub": (pii.q_pii_scrub, pii.oracle_pii_scrub),
+    "ngram_contamination": (pii.q_ngram_contamination, pii.oracle_ngram_contamination),
     # --- training-data ops: vectors ---
     "ann_cosine_topk": (vectors.q_ann_cosine_topk, vectors.oracle_ann_cosine_topk),
     "embedding_near_dups": (vectors.q_embedding_near_dups, vectors.oracle_embedding_near_dups),

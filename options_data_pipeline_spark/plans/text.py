@@ -568,6 +568,66 @@ FROM cum GROUP BY 1, 2
 """
 
 
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-doc repetition profile (duplicate-bigram fraction, top-token
+    share) — the Gopher-style repetition filters."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return TS.repetition_stats(docs).select(
+        "doc_id", "n_tokens", "n_grams", "n_distinct_grams",
+        "dup_gram_ratio", "max_token_count", "top_token_share",
+    )
+
+
+def oracle_doc_repetition() -> str:
+    return """
+WITH base AS (
+    SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+g AS (
+    SELECT doc_id,
+        CAST(len(w) AS BIGINT) AS n_tokens,
+        CAST(len(w) - 1 AS BIGINT) AS n_grams,
+        CAST(len(list_distinct(list_transform(range(1, len(w)),
+             i -> w[i] || ' ' || w[i+1]))) AS BIGINT) AS n_distinct_grams
+    FROM base
+),
+tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+cnt AS (SELECT doc_id, token, count(*) AS c FROM tok GROUP BY 1, 2),
+mx AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS max_token_count FROM cnt GROUP BY 1)
+SELECT g.doc_id, n_tokens, n_grams, n_distinct_grams,
+    CASE WHEN n_grams <= 0 THEN 0.0
+         ELSE (n_grams - n_distinct_grams) / CAST(n_grams AS DOUBLE) END
+        AS dup_gram_ratio,
+    max_token_count,
+    max_token_count / CAST(n_tokens AS DOUBLE) AS top_token_share
+FROM g JOIN mx ON g.doc_id = mx.doc_id
+"""
+
+
+def q_rare_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency rare-token scoring (integer-exact CCNet-style
+    quality signal): global vocabulary counts joined back onto token
+    occurrences, re-aggregated per document."""
+    docs = parallelized(spark, load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "text"
+    )
+    return TS.rare_token_stats(docs, min_count=3)
+
+
+def oracle_rare_tokens() -> str:
+    return """
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+vocab AS (SELECT token, count(*) AS corpus_count FROM tok GROUP BY 1)
+SELECT doc_id,
+    CAST(count(*) AS BIGINT) AS n_tokens,
+    CAST(sum(CASE WHEN corpus_count < 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+    sum(CASE WHEN corpus_count < 3 THEN 1 ELSE 0 END)
+        / CAST(count(*) AS DOUBLE) AS rare_ratio
+FROM tok JOIN vocab USING (token)
+GROUP BY doc_id
+"""
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sampling for training-data curation.
 

@@ -188,3 +188,27 @@ def test_cluster_survivors_argmax_is_single_aggregate(spark):
     # machinery contributes plan nodes of its own, so scope the check)
     final = plan.split("(1) ")[0]
     assert "Window" not in final
+
+
+def test_ngram_contamination_broadcasts_probe_side(spark):
+    """The probe-shingle side must broadcast; document shingles must never
+    be the build side of anything, and the hit count must partial-agg."""
+    from options_data_pipeline_spark.plans import pii
+
+    plan = fmt(spark, pii.q_ngram_contamination(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # per-doc counting: partial + final aggregate around one exchange;
+    # the only other exchange is the probe-side distinct (|probes| rows)
+    assert plan.count("HashAggregate") >= 2
+    assert len(shuffle_exchanges(plan)) <= 2
+
+
+def test_rare_tokens_two_aggregations_no_window(spark):
+    from options_data_pipeline_spark.plans import text
+
+    plan = fmt(spark, text.q_rare_tokens(spark, SF_DIR))
+    assert "Window" not in plan
+    # vocab agg + per-doc agg (+ token join); explode fan-outs are soaked
+    # by partial aggregates before each exchange
+    assert plan.count("HashAggregate") >= 4  # 2x (partial + final)
