@@ -81,6 +81,32 @@ def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> D
     )
 
 
+def hashed_shingle_sets(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """:func:`shingle_sets` with each shingle compacted to the first 8 hex
+    chars of its md5 — the minhash path never needs the shingle *text*
+    (signatures hash it again anyway; verification only intersects), so
+    storing 8-char digests shrinks the materialized store and every
+    downstream compare (~25% off the whole pipeline, measured sf0.1).
+
+    Deterministic across engines (DuckDB: ``substr(md5(g), 1, 8)``), so
+    the oracle reproduces it exactly. A 32-bit prefix collision inside
+    one doc-pair's union (p ~ 1e-6 per pair) would nudge ``n_common`` by
+    one — both engines nudge identically, and the LSH family itself is
+    already approximate; the exact-text path (:func:`shingle_sets`)
+    remains for the n-gram Jaccard operator whose contract is exact."""
+    w = F.split(F.col(text_col), " ")
+    grams = F.zip_with(
+        F.slice(w, 1, F.size(w) - 1),
+        F.slice(w, 2, F.size(w) - 1),
+        lambda x, y: F.substring(F.md5(F.concat_ws(" ", x, y)), 1, 8),
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"), F.array_distinct(grams).alias("shingles")
+    ).withColumn("n_sh", F.size("shingles"))
+
+
 def minhash_signatures(sets: DataFrame, n_perms: int = DEFAULT_PERMS) -> DataFrame:
     """One row per doc: array ``mh`` of ``n_perms`` minhashes (hex strings).
 
@@ -204,7 +230,8 @@ def minhash_near_dups(
     """Full MinHash-LSH near-duplicate pipeline: shingle -> sign -> band
     -> bucket-join -> Jaccard-verify.
 
-    The per-doc shingle-set store is materialized: it feeds three
+    The per-doc shingle-set store (hash-compacted, see
+    :func:`hashed_shingle_sets`) is materialized: it feeds three
     subplans (signatures + both verify sides) and Spark's exchange reuse
     does not cover scan+transform subtrees — measured ~25% of the
     pipeline recomputing grams without it. ``reliable=True`` writes a
@@ -214,7 +241,7 @@ def minhash_near_dups(
     """
     from .materialize import materialize
 
-    sets = materialize(shingle_sets(docs, id_col, text_col), reliable)
+    sets = materialize(hashed_shingle_sets(docs, id_col, text_col), reliable)
     sigs = minhash_signatures(sets, n_perms)
     cand = lsh_candidates(sigs, n_perms, n_bands)
     return jaccard_verify(cand, sets, threshold)

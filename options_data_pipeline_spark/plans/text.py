@@ -66,6 +66,22 @@ shingles AS (
 )
 """
 
+# the minhash path's hash-compacted store (operators/dedup.py
+# hashed_shingle_sets): hash THEN distinct, exactly like
+# array_distinct over the hashed grams
+_HASHED_SHINGLES_SQL = """
+shingles AS (
+    SELECT DISTINCT doc_id, substr(md5(shingle), 1, 8) AS shingle
+    FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(string_split(text, ' '))),
+                      i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]))
+                   AS shingle
+        FROM corpus
+    )
+)
+"""
+
 
 def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -189,7 +205,7 @@ def oracle_minhash_near_dups() -> str:
     n_perms, n_bands = D.DEFAULT_PERMS, D.DEFAULT_BANDS
     rows = n_perms // n_bands
     return f"""
-WITH {_PLANTED_SQL}, {_SHINGLES_SQL},
+WITH {_PLANTED_SQL}, {_HASHED_SHINGLES_SQL},
 sigs AS (
     SELECT doc_id, perm, min(md5(shingle || '#' || CAST(perm AS VARCHAR))) AS minhash
     FROM shingles, (SELECT unnest(range(0, {n_perms})) AS perm)
