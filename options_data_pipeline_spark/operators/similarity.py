@@ -30,6 +30,48 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / F.sqrt(_dot(a, a) * _dot(b, b))
 
 
+def quantize_int8(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Per-vector symmetric int8 quantization (embedding compression for
+    training-data stores: 4x smaller than float32, dot products survive).
+
+    scale = max |x|; q_i = floor(x / scale * 127 + 0.5) — explicit
+    half-up via floor, because ``round()`` is half-away in Spark but
+    half-even in DuckDB and the quantized values must agree bit-for-bit
+    cross-engine. The zero vector quantizes to zeros (NULLIF guard).
+    Pure per-row expression work: zero shuffle, scales with input splits.
+
+    Emits the quantized array, its reconstruction SSE (left-fold in list
+    order — deterministic and oracle-identical), and max |error| bound
+    check material (sse rounded at 6 dp for hash parity safety).
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    scale = F.array_max(F.transform(v, F.abs))
+    s = F.nullif(scale, F.lit(0.0))
+    q = F.transform(
+        v,
+        lambda x: F.coalesce(
+            F.floor(x / s * 127 + F.lit(0.5)).cast("int"), F.lit(0)
+        ),
+    )
+    out = df.withColumn("scale", scale).withColumn("q", q)
+    dequant_err2 = F.zip_with(
+        F.col("q"),
+        v,
+        lambda qi, x: (x - qi.cast("double") * F.col("scale") / 127)
+        * (x - qi.cast("double") * F.col("scale") / 127),
+    )
+    sse = F.aggregate(dequant_err2, F.lit(0.0), lambda acc, x: acc + x)
+    return out.select(
+        "vec_id",
+        F.size("q").cast("long").alias("n_dims"),
+        "scale",
+        round_half_away(sse, 6).alias("sse"),
+        F.md5(
+            F.concat_ws(",", F.transform(F.col("q"), lambda x: x.cast("string")))
+        ).alias("q_md5"),
+    )
+
+
 def cosine_topk(
     queries: DataFrame,
     corpus: DataFrame,

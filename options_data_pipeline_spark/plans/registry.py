@@ -81,6 +81,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
     "ann_cosine_topk": (vectors.q_ann_cosine_topk, vectors.oracle_ann_cosine_topk),
     "embedding_near_dups": (vectors.q_embedding_near_dups, vectors.oracle_embedding_near_dups),
     "ivf_topk": (vectors.q_ivf_topk, vectors.oracle_ivf_topk),
+    "embedding_quantize": (vectors.q_embedding_quantize, vectors.oracle_embedding_quantize),
     # --- training-data ops: multimodal (mapInPandas over binary payloads) ---
     "media_features": (media.q_media_features, media.oracle_media_features),
     "media_frames": (media.q_media_frames, media.oracle_media_frames),

@@ -187,3 +187,41 @@ rk AS (
 )
 SELECT qid, cid, cosine_sim, rank FROM rk WHERE rank <= {TOP_K}
 """
+
+
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 embedding compression audit: per-vector scale, quantized-array
+    md5, reconstruction SSE. Zero-shuffle expression pipeline."""
+    from ..operators.similarity import quantize_int8
+
+    emb = parallelized(spark, load_table(spark, sf_dir, "embeddings"))
+    return quantize_int8(emb)
+
+
+def oracle_embedding_quantize() -> str:
+    err = "(v[i] - CAST(q[i] AS DOUBLE) * scale / 127)"
+    sse = (
+        f"list_reduce(list_transform(range(1, len(q)+1),"
+        f" i -> {err} * {err}), (acc, x) -> acc + x)"
+    )
+    return f"""
+WITH v AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+),
+sc AS (
+    SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS scale FROM v
+),
+qq AS (
+    SELECT vec_id, v, scale,
+           list_transform(v, x -> COALESCE(
+               CAST(floor(x / nullif(scale, 0.0) * 127 + 0.5) AS INT), 0)) AS q
+    FROM sc
+)
+SELECT vec_id,
+    CAST(len(q) AS BIGINT) AS n_dims,
+    scale,
+    {sql_round_half_away(sse, 6)} AS sse,
+    md5(array_to_string(list_transform(q, x -> CAST(x AS VARCHAR)), ',')) AS q_md5
+FROM qq
+"""

@@ -126,3 +126,22 @@ def test_minhash_reliable_matches_default(spark, tmp_path):
     want = {tuple(r) for r in D.minhash_near_dups(docs).collect()}
     got = {tuple(r) for r in D.minhash_near_dups(docs, reliable=True).collect()}
     assert got == want
+
+
+def test_quantize_int8_edges(spark):
+    from options_data_pipeline_spark.operators.similarity import quantize_int8
+
+    rows = [
+        (1, [1.0, -1.0, 0.5, -0.5]),   # symmetric extremes
+        (2, [0.0, 0.0, 0.0, 0.0]),     # zero vector -> zero codes, sse 0
+        (3, [2.0, 0.0, 0.0, 0.0]),     # single spike
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.vec_id: r for r in quantize_int8(df).collect()}
+    assert out[1].scale == 1.0 and out[1].n_dims == 4
+    assert out[2].scale == 0.0 and out[2].sse == 0.0
+    # spike: scale 2.0, q = [127,0,0,0], perfect reconstruction
+    assert out[3].sse == 0.0
+    import hashlib
+    assert out[3].q_md5 == hashlib.md5(b"127,0,0,0").hexdigest()
+    assert out[1].q_md5 == hashlib.md5(b"127,-127,64,-63").hexdigest()

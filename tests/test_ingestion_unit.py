@@ -191,3 +191,38 @@ def test_backfill_paginates_and_is_idempotent(spark, tmp_path):
                   start=EPOCH, end=end)
     assert m2["inserted"] == 0  # resume converges
     assert spark.read.parquet(t).count() == 10
+
+
+def test_trades_cursor_is_host_timezone_independent():
+    """Regression: the pagination cursor must be derived in UTC. A naive
+    datetime's .timestamp() reads the HOST timezone — west of UTC the
+    cursor went backwards (refetch loop), east it skipped trades."""
+    import os
+    import time as _time
+
+    cursors = []
+
+    def transport(url, payload):
+        start = int(url.split("start_timestamp=")[1].split("&")[0])
+        cursors.append(start)
+        if start <= 5000:
+            trades = [{"trade_id": 1, "timestamp": 5000,
+                       "instrument_name": "X", "price": 1.0, "amount": 1.0}]
+            return {"result": {"trades": trades, "has_more": True}}
+        return {"result": {"trades": [], "has_more": False}}
+
+    old_tz = os.environ.get("TZ")
+    os.environ["TZ"] = "America/Los_Angeles"  # UTC-8: naive ts would rewind
+    _time.tzset()
+    try:
+        src = OptionTradesSource(transport=transport)
+        rows = src.fetch_range(0, 10_000)
+    finally:
+        if old_tz is None:
+            os.environ.pop("TZ")
+        else:
+            os.environ["TZ"] = old_tz
+        _time.tzset()
+    # page 1 at 0, page 2 resumes at last trade ms + 1 — exactly once
+    assert cursors == [0, 5001]
+    assert len(rows) == 1

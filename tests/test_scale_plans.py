@@ -212,3 +212,14 @@ def test_rare_tokens_two_aggregations_no_window(spark):
     # vocab agg + per-doc agg (+ token join); explode fan-outs are soaked
     # by partial aggregates before each exchange
     assert plan.count("HashAggregate") >= 4  # 2x (partial + final)
+
+
+def test_embedding_quantize_zero_shuffle_no_python(spark):
+    from options_data_pipeline_spark.plans import vectors
+
+    plan = fmt(spark, vectors.q_embedding_quantize(spark, SF_DIR))
+    # the only exchange is `parallelized`'s repartition spreading the
+    # single-row-group bench parquet; the quantization itself adds none
+    assert len(shuffle_exchanges(plan)) <= 1
+    for py in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py not in plan
