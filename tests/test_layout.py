@@ -156,3 +156,59 @@ def test_write_token_shards_layout_and_roundtrip(spark, tmp):
                 continue
             files = [f for f in os.listdir(shard_dir.path) if f.endswith(".parquet")]
             assert len(files) == 1, shard_dir.path
+
+
+# --- Z-order clustered rewrite ----------------------------------------------
+
+
+def _file_ranges(spark, out, col):
+    """Per-file (min, max) of col, read back from the written files."""
+    import pyarrow.parquet as pq
+
+    ranges = []
+    for f in sorted(os.listdir(out)):
+        if not f.endswith(".parquet"):
+            continue
+        t = pq.read_table(os.path.join(out, f), columns=[col])
+        vals = t.column(col).to_pylist()
+        ranges.append((min(vals), max(vals)))
+    return ranges
+
+
+def test_write_zordered_prunes_both_dimensions(spark, tmp):
+    """Z-order files must give BOTH columns selective per-file ranges: a
+    point-ish predicate on either dimension should skip most files —
+    where a 1-D sort only helps its own column."""
+    from options_data_pipeline_spark.sinks.layout import (
+        write_range_sorted,
+        write_zordered,
+    )
+
+    ev = load_table(spark, SF_DIR, "events").select("event_id", "user_id", "value")
+    n_files = 16
+    z_out, s_out = f"{tmp}/z", f"{tmp}/s"
+    write_zordered(ev, z_out, "event_id", "user_id", num_files=n_files)
+    write_range_sorted(ev, s_out, ["event_id"], num_files=n_files)
+
+    # content identical
+    assert spark.read.parquet(z_out).count() == ev.count()
+    assert (
+        spark.read.parquet(z_out).union(ev).distinct().count()
+        == ev.distinct().count()
+    )
+
+    def hit_fraction(out, col, probe):
+        rng = _file_ranges(spark, out, col)
+        return sum(1 for lo, hi in rng if lo <= probe <= hi) / len(rng)
+
+    ids = [r.event_id for r in ev.select("event_id").collect()]
+    users = [r.user_id for r in ev.select("user_id").collect()]
+    mid_id, mid_user = sorted(ids)[len(ids) // 2], sorted(users)[len(users) // 2]
+
+    # both dimensions selective under Z-order: a point probe touches a
+    # minority of files on each axis
+    assert hit_fraction(z_out, "event_id", mid_id) <= 0.5
+    assert hit_fraction(z_out, "user_id", mid_user) <= 0.5
+    # whereas the 1-D sort leaves the second dimension unpruned
+    assert hit_fraction(s_out, "event_id", mid_id) <= 0.2
+    assert hit_fraction(s_out, "user_id", mid_user) >= 0.9
