@@ -59,6 +59,29 @@ def read_jsonl(
     )
 
 
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    header: bool = True,
+    sep: str = ",",
+) -> DataFrame:
+    """CSV twin of :func:`read_jsonl`: explicit schema, PERMISSIVE parse,
+    malformed lines captured in ``_corrupt_record`` for
+    :func:`split_corrupt`."""
+    capture = T.StructType(
+        [*schema.fields, T.StructField(CORRUPT_COL, T.StringType())]
+    )
+    return (
+        spark.read.schema(capture)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .option("header", str(header).lower())
+        .option("sep", sep)
+        .csv(path)
+    )
+
+
 def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(clean, quarantine): clean rows lose the capture column, corrupt
     rows keep only it (the raw line, for repair/re-ingest).

@@ -68,9 +68,24 @@ def dedup_append_stream(
     available_now: bool = True,
 ) -> StreamingQuery:
     """Bronze ingest: drop duplicate events (bounded state via watermark),
-    append to parquet. Checkpointing makes re-runs resume, not re-ingest."""
+    append to parquet. Checkpointing makes re-runs resume, not re-ingest.
+
+    Each micro-batch reports observed metrics (row count, event-time
+    bounds) through ``df.observe`` — the production observability hook:
+    they surface in ``query.lastProgress["observedMetrics"]["ingest"]``
+    and StreamingQueryListener without a second pass over the data
+    (metrics accumulate inside the running plan)."""
     events = read_event_stream(spark, source_dir)
-    deduped = events.withWatermark(ts_col, watermark).dropDuplicates([key_col])
+    deduped = (
+        events.withWatermark(ts_col, watermark)
+        .dropDuplicates([key_col])
+        .observe(
+            "ingest",
+            F.count(F.lit(1)).alias("rows"),
+            F.min(ts_col).alias("min_ts"),
+            F.max(ts_col).alias("max_ts"),
+        )
+    )
     writer = (
         deduped.writeStream.format("parquet")
         .option("path", bronze_path)

@@ -73,3 +73,30 @@ def test_with_doc_id_stable_and_layout_independent(spark, tmp_path):
     assert a == b
     assert len({d for _, d in a}) == 3  # distinct per distinct text
     assert all(d >= 0 for _, d in a)
+
+
+def test_read_csv_with_quarantine(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from options_data_pipeline_spark.sources.jsonl import read_csv
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+    lines = [
+        "doc_id,text,score",
+        "1,hello,0.5",
+        "2,world,not_a_number",  # malformed double -> quarantine
+        "3,ok,1.25",
+    ]
+    p = tmp_path / "docs.csv"
+    p.write_text("\n".join(lines) + "\n")
+    clean, quarantine = split_corrupt(read_csv(spark, str(p), schema))
+    got = {(r.doc_id, r.text, r.score) for r in clean.collect()}
+    assert got == {(1, "hello", 0.5), (3, "ok", 1.25)}
+    raws = {r.raw_line for r in quarantine.collect()}
+    assert raws == {"2,world,not_a_number"}

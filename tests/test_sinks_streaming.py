@@ -196,6 +196,20 @@ def test_dedup_append_stream(spark, tmp):
     out = spark.read.parquet(bronze)
     assert out.count() == 2
     assert {r.event_id for r in out.collect()} == {0, 1}
+    # observed per-batch metrics rode inside the plan (no second pass);
+    # the last progress entry may be the trailing empty batch, so find
+    # the data-carrying one
+    metrics = [
+        p["observedMetrics"]["ingest"]
+        for p in q.recentProgress
+        if p.get("observedMetrics", {}).get("ingest")
+        and p["observedMetrics"]["ingest"]["rows"] > 0
+    ]
+    assert len(metrics) == 1
+    obs = metrics[0]
+    assert obs["rows"] == 2
+    assert str(obs["min_ts"]).startswith("2024-01-01 10:00")
+    assert str(obs["max_ts"]).startswith("2024-01-01 10:01")
 
 
 def test_watermarked_window_aggregation_stream(spark, tmp):
