@@ -46,10 +46,16 @@ def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def oracle_media_frames() -> str:
+    # Plain select-list unnest (not LATERAL) — portable across DuckDB
+    # versions; LATERAL-correlated unnest is newer syntax and was the
+    # suspected cause of the round-1 driver dropping this query's row.
     return """
-SELECT doc_id AS media_id, CAST(f AS BIGINT) AS frame_no,
+SELECT media_id, CAST(f AS BIGINT) AS frame_no,
        md5(substring(text, CAST(f * 64 + 1 AS INT), 64)) AS frame_md5
-FROM documents,
-     LATERAL (SELECT unnest(range(0, CAST(ceil(length(text) / 64.0) AS BIGINT))) AS f)
+FROM (
+  SELECT doc_id AS media_id, text,
+         unnest(range(0, CAST(ceil(length(text) / 64.0) AS BIGINT))) AS f
+  FROM documents
+)
 WHERE f % 2 = 0
 """
