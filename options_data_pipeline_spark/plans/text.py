@@ -207,7 +207,11 @@ def oracle_minhash_near_dups() -> str:
     return f"""
 WITH {_PLANTED_SQL}, {_HASHED_SHINGLES_SQL},
 sigs AS (
-    SELECT doc_id, perm, min(md5(shingle || '#' || CAST(perm AS VARCHAR))) AS minhash
+    -- permutation p reads an 8-hex slice of digest p//4 (4 perms per md5),
+    -- mirroring operators/dedup.py:minhash_signatures exactly
+    SELECT doc_id, perm,
+           min(substr(md5(shingle || '#' || CAST(CAST(perm // 4 AS INT) AS VARCHAR)),
+                      CAST((perm % 4) * 8 + 1 AS INT), 8)) AS minhash
     FROM shingles, (SELECT unnest(range(0, {n_perms})) AS perm)
     GROUP BY 1, 2
 ),

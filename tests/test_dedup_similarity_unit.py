@@ -145,3 +145,23 @@ def test_quantize_int8_edges(spark):
     import hashlib
     assert out[3].q_md5 == hashlib.md5(b"127,0,0,0").hexdigest()
     assert out[1].q_md5 == hashlib.md5(b"127,-127,64,-63").hexdigest()
+
+
+def test_connected_components_driver_path_matches_distributed(spark):
+    """The adaptive small-graph union-find (driver path) and the
+    distributed min-label propagation (forced via driver_threshold=0)
+    compute the identical fixpoint, schema included."""
+    from options_data_pipeline_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        # chain, star, self-loop singleton, separate pair
+        [(5, 4), (4, 3), (3, 2), (2, 1), (10, 11), (10, 12), (10, 13),
+         (20, 20), (31, 30)],
+        "doc_a long, doc_b long",
+    )
+    driver = connected_components(edges)  # small -> driver union-find
+    dist = connected_components(edges, driver_threshold=0)
+    assert driver.schema == dist.schema
+    assert {tuple(r) for r in driver.collect()} == {tuple(r) for r in dist.collect()}
+    comp = {r.node: r.component for r in driver.collect()}
+    assert comp[5] == 1 and comp[13] == 10 and comp[20] == 20 and comp[31] == 30
