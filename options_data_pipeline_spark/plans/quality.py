@@ -401,3 +401,42 @@ SELECT user_id, 'churned' FROM (SELECT user_id FROM first EXCEPT SELECT user_id 
 UNION ALL
 SELECT user_id, 'new' FROM (SELECT user_id FROM second EXCEPT SELECT user_id FROM first)
 """
+
+
+def q_sliding_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window aggregation: 1-hour windows advancing every 15
+    minutes (each event lands in exactly 4 windows). ``F.window`` with a
+    slide is the engine's native hopping-window operator — identical
+    construct batch and streaming (T4's tumbling case generalized), and
+    the expansion happens row-locally before one map-side-combinable
+    groupBy, so the shuffle carries only aggregated (window, type) rows.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def oracle_sliding_activity() -> str:
+    # every event belongs to the 4 hour-long windows whose 15-min-aligned
+    # starts cover it: start = bucket(ts) - k*15min, k in 0..3
+    return """
+SELECT time_bucket(INTERVAL 15 MINUTE, ts) - k * INTERVAL 15 MINUTE AS win_start,
+       event_type, count(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS sum_value
+FROM events, (SELECT unnest(range(0, 4)) AS k)
+GROUP BY 1, 2
+"""

@@ -33,6 +33,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
     "asof_attribution": (quality.q_asof_attribution, quality.oracle_asof_attribution),
     "cohort_pivot": (quality.q_cohort_pivot, quality.oracle_cohort_pivot),
     "user_churn_sets": (quality.q_user_churn_sets, quality.oracle_user_churn_sets),
+    "sliding_activity": (quality.q_sliding_activity, quality.oracle_sliding_activity),
     # --- generic relational (joins, topk, hash agg) ---
     "pricing_summary": (tpch.q_pricing_summary, tpch.oracle_pricing_summary),
     "top_orders": (tpch.q_top_orders, tpch.oracle_top_orders),
@@ -57,6 +58,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
         tpch.oracle_order_lines_profile,
     ),
     "price_quartiles": (tpch.q_price_quartiles, tpch.oracle_price_quartiles),
+    "sales_cube": (tpch.q_sales_cube, tpch.oracle_sales_cube),
+    "customer_percentile": (tpch.q_customer_percentile, tpch.oracle_customer_percentile),
     # --- training-data ops: text ---
     "doc_stats": (text.q_doc_stats, text.oracle_doc_stats),
     "text_quality": (text.q_text_quality, text.oracle_text_quality),
@@ -82,6 +85,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
     "embedding_near_dups": (vectors.q_embedding_near_dups, vectors.oracle_embedding_near_dups),
     "ivf_topk": (vectors.q_ivf_topk, vectors.oracle_ivf_topk),
     "embedding_quantize": (vectors.q_embedding_quantize, vectors.oracle_embedding_quantize),
+    "kmeans_clusters": (vectors.q_kmeans_clusters, vectors.oracle_kmeans_clusters),
     # --- training-data ops: multimodal (mapInPandas over binary payloads) ---
     "media_features": (media.q_media_features, media.oracle_media_features),
     "media_frames": (media.q_media_frames, media.oracle_media_frames),

@@ -9,7 +9,7 @@ functions.rounding) so hashes match the oracle regardless of partitioning.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.rounding import dec_sum
@@ -499,4 +499,69 @@ SELECT p_partkey, p_brand, p_retailprice,
                            ORDER BY p_retailprice ASC, p_partkey ASC) AS BIGINT)
            AS price_quartile
 FROM part
+"""
+
+
+def q_sales_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets over (market segment, order priority): every
+    combination plus both marginals and the grand total in ONE pass —
+    Spark expands grouping sets before the aggregate, so partial
+    aggregation still applies (no per-grouping re-scan). Dimension join
+    broadcasts. Labels use 'ALL' (source columns are never null, so the
+    coalesce is unambiguous)."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    joined = orders.join(
+        F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+        orders["o_custkey"] == customer["c_custkey"],
+    )
+    return (
+        joined.cube("c_mktsegment", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dec_sum(F.col("o_totalprice"), scale=2).alias("revenue"),
+        )
+        .select(
+            F.coalesce("c_mktsegment", F.lit("ALL")).alias("segment"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "revenue",
+        )
+    )
+
+
+def oracle_sales_cube() -> str:
+    return """
+SELECT COALESCE(c_mktsegment, 'ALL') AS segment,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       count(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY CUBE (c_mktsegment, o_orderpriority)
+"""
+
+
+def q_customer_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist within each market segment ordered by
+    account balance (ties broken by custkey for full determinism). Both
+    are pure rank arithmetic — (rank-1)/(n-1) and rank/n — so the
+    doubles agree bitwise across engines with no rounding needed."""
+    customer = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return customer.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        "c_acctbal",
+        F.percent_rank().over(w).alias("bal_pct_rank"),
+        F.cume_dist().over(w).alias("bal_cume_dist"),
+    )
+
+
+def oracle_customer_percentile() -> str:
+    return """
+SELECT c_custkey, c_mktsegment AS segment, c_acctbal,
+       percent_rank() OVER w AS bal_pct_rank,
+       cume_dist()    OVER w AS bal_cume_dist
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
 """

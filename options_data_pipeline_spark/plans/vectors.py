@@ -225,3 +225,65 @@ SELECT vec_id,
     md5(array_to_string(list_transform(q, x -> CAST(x AS VARCHAR)), ',')) AS q_md5
 FROM qq
 """
+
+
+# --- k-means clustering -----------------------------------------------------
+
+KMEANS_K = 8
+KMEANS_ITERS = 2
+
+
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd k-means over the embedding corpus (see
+    :mod:`..operators.clustering` for the broadcast-centroid scale
+    design). Seeds = vec_id < k; 2 rounds; squared-L2 assignment."""
+    from ..operators.clustering import kmeans_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_assign(emb, k=KMEANS_K, iterations=KMEANS_ITERS)
+
+
+def oracle_kmeans_clusters() -> str:
+    # Mirrors operators/clustering.py exactly: left-fold squared-L2
+    # (list_reduce, no init — all terms are squares so no -0.0 issue),
+    # exact-decimal centroid means, (dist, cid) argmin tiebreak.
+    k, d = KMEANS_K, 64
+    dist = (
+        "list_reduce(list_transform(range(1, {n}), i ->"
+        " (v[i] - cv[i]) * (v[i] - cv[i])), (acc, x) -> acc + x)"
+    ).format(n=d + 1)
+    dist_r = sql_round_half_away("dist", 4)
+    return f"""
+WITH vecs AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+),
+seed AS (
+    SELECT vec_id AS cid, v AS cv FROM vecs WHERE vec_id < {k}
+),
+a1 AS (
+    SELECT vec_id, v, cid, dist,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM (SELECT x.vec_id, x.v, s.cid, {dist} AS dist
+          FROM vecs x CROSS JOIN seed s)
+),
+cent AS (
+    SELECT cid, pos,
+           CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS c
+    FROM (SELECT cid, unnest(v) AS x,
+                 unnest(range(0, len(v))) AS pos
+          FROM a1 WHERE rn = 1)
+    GROUP BY 1, 2
+),
+cent_v AS (
+    SELECT cid, list(c ORDER BY pos) AS cv FROM cent GROUP BY 1
+),
+a2 AS (
+    SELECT vec_id, cid, dist,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM (SELECT x.vec_id, s.cid, {dist} AS dist
+          FROM vecs x CROSS JOIN cent_v s)
+)
+SELECT vec_id, CAST(cid AS INT) AS cluster, {dist_r} AS dist
+FROM a2 WHERE rn = 1
+"""

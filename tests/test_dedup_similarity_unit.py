@@ -165,3 +165,47 @@ def test_connected_components_driver_path_matches_distributed(spark):
     assert {tuple(r) for r in driver.collect()} == {tuple(r) for r in dist.collect()}
     comp = {r.node: r.component for r in driver.collect()}
     assert comp[5] == 1 and comp[13] == 10 and comp[20] == 20 and comp[31] == 30
+
+
+def test_kmeans_assignment_and_refit(spark):
+    """Hand-checkable 1-D k-means: seeds from vec_id<k, one refit moves
+    centroids to member means, ties break to the lowest centroid id."""
+    from options_data_pipeline_spark.operators.clustering import kmeans_assign
+
+    rows = [
+        (0, [0.0]), (1, [10.0]),       # seeds: c0=0.0, c1=10.0
+        (2, [1.0]), (3, [2.0]),        # near c0
+        (4, [9.0]), (5, [5.0]),        # 5.0 is equidistant -> lowest cid (0)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.vec_id: (r.cluster, r.dist) for r in
+           kmeans_assign(emb, k=2, iterations=1).collect()}
+    assert out[2] == (0, 1.0) and out[3] == (0, 4.0)
+    assert out[4] == (1, 1.0)
+    assert out[5][0] == 0  # tie at dist 25.0 -> cluster 0
+
+    # after one refit: c0 = mean(0,1,2,5)=2.0, c1 = mean(10,9)=9.5
+    out2 = {r.vec_id: (r.cluster, r.dist) for r in
+            kmeans_assign(emb, k=2, iterations=2).collect()}
+    assert out2[3] == (0, 0.0)           # 2.0 sits on the refit centroid
+    assert out2[5] == (0, 9.0)           # 5.0 now firmly cluster 0
+    assert out2[1] == (1, 0.25)          # 10.0 vs c1=9.5
+
+
+def test_kmeans_assignment_plan_has_no_exchange(spark):
+    """The assignment stage must be a narrow map: literal centroids,
+    no shuffle. (Centroid refits shuffle k*dim rows; assignment never.)"""
+    from options_data_pipeline_spark.operators.clustering import (
+        assign_to_centroids,
+        _as_double_vectors,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 0.0]) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    vecs = _as_double_vectors(emb, "vec_id", "embedding")
+    plan = assign_to_centroids(
+        vecs, [(0, [0.0, 0.0]), (1, [5.0, 0.0])]
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
