@@ -165,3 +165,106 @@ def kmeans_assign(
         F.col("cluster").cast("int").alias("cluster"),
         round_half_away(F.col("dist"), 4).alias("dist"),
     )
+
+
+def normalize_vectors(vecs: DataFrame) -> DataFrame:
+    """L2-normalize the ``v`` column (left-fold norm, dimension order).
+
+    Scaled duplicates become bitwise-identical unit vectors: 2x scaling
+    multiplies both the components and the norm by an exact power of
+    two, and IEEE division cancels it exactly — which is what makes
+    planted-twin recall provable in :func:`semantic_prune`.
+
+    The norm rides into the division as a zip_with against an
+    array_repeat rather than a lambda-captured outer column: Catalyst's
+    attribute rewrite loses lambda-captured outer references under
+    projection collapse / self-join dedup (INTERNAL_ERROR_ATTRIBUTE_NOT_
+    FOUND), so the lambda here touches only its own variables.
+    """
+    from .similarity import _dot
+
+    norm = F.sqrt(_dot(F.col("v"), F.col("v")))
+    return vecs.select(
+        "vec_id",
+        F.zip_with(
+            F.col("v"),
+            F.array_repeat(norm, F.size(F.col("v"))),
+            lambda x, n: x / n,
+        ).alias("v"),
+    )
+
+
+def semantic_prune(
+    emb: DataFrame,
+    k: int = DEFAULT_K,
+    iterations: int = DEFAULT_ITERATIONS,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    reliable: bool = False,
+) -> DataFrame:
+    """SemDeDup: semantic near-duplicate pruning via k-means bucketing.
+
+    The O(n^2) pairwise-cosine problem becomes tractable by comparing
+    ONLY within k-means cells (Abbas et al. 2023, SemDeDup): cluster the
+    L2-normalized embeddings, then for each cell compute pairwise cosine
+    (= dot of unit vectors) and drop the higher id of every pair at
+    ``sim >= threshold``. Returns the dropped set
+    (vec_id, cluster, max_sim) — max_sim is the strongest same-cell
+    similarity to a lower-id vector.
+
+    Scale shape: the cell self-join shuffles on the cluster id, and pair
+    expansion is bounded per cell (n/k on average; k grows with the
+    corpus in practice), never global. Assignment itself is shuffle-free
+    (see :func:`assign_to_centroids`).
+    """
+    from .similarity import _dot
+
+    from .materialize import materialize
+
+    # materialized: consumed by the seed collect and every assignment
+    # pass, and the checkpoint stops CollapseProject from inlining the
+    # normalize expressions into the assignment's HOF lambdas (Catalyst
+    # loses attribute references nested two lambda levels deep —
+    # INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND without this barrier)
+    vecs = materialize(
+        normalize_vectors(_as_double_vectors(emb, id_col, vec_col)), reliable
+    )
+    seeds = [
+        (int(r["vec_id"]), list(r["v"]))
+        for r in vecs.where(F.col("vec_id") < k).collect()
+    ]
+    centroids = sorted(seeds)
+    assigned = assign_to_centroids(vecs, centroids)
+    for _ in range(iterations - 1):
+        centroids = update_centroids(assigned)
+        assigned = assign_to_centroids(vecs, centroids)
+
+    # materialize before the cell self-join (both pair sides consume the
+    # assignment — halves the recompute), and give the b side its OWN
+    # materialization: Spark 4's DeduplicateRelations re-instances a
+    # relation joined with itself but loses attribute rewrites nested in
+    # HOF lambdas (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND); two distinct
+    # leaf relations never trigger the rewrite. The b-side copy is a
+    # projection of the first checkpoint, so the extra job only re-writes
+    # (id, cluster, vector) rows, not the assignment compute.
+    assigned = materialize(assigned.select("vec_id", "cluster", "v"), reliable)
+    a = assigned.select(
+        F.col("cluster"), F.col("vec_id").alias("id_a"), F.col("v").alias("va")
+    )
+    b = materialize(
+        assigned.select(
+            F.col("cluster"), F.col("vec_id").alias("id_b"), F.col("v").alias("vb")
+        ),
+        reliable,
+    )
+    sim = round_half_away(_dot(F.col("va"), F.col("vb")), 4)
+    pairs = (
+        a.join(b, "cluster")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("sim", sim)
+        .where(F.col("sim") >= threshold)
+    )
+    return pairs.groupBy(
+        F.col("id_b").alias("vec_id"), F.col("cluster").cast("int").alias("cluster")
+    ).agg(F.max("sim").alias("max_sim"))

@@ -86,6 +86,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
     "ivf_topk": (vectors.q_ivf_topk, vectors.oracle_ivf_topk),
     "embedding_quantize": (vectors.q_embedding_quantize, vectors.oracle_embedding_quantize),
     "kmeans_clusters": (vectors.q_kmeans_clusters, vectors.oracle_kmeans_clusters),
+    "semantic_prune": (vectors.q_semantic_prune, vectors.oracle_semantic_prune),
     # --- training-data ops: multimodal (mapInPandas over binary payloads) ---
     "media_features": (media.q_media_features, media.oracle_media_features),
     "media_frames": (media.q_media_frames, media.oracle_media_frames),

@@ -287,3 +287,86 @@ a2 AS (
 SELECT vec_id, CAST(cid AS INT) AS cluster, {dist_r} AS dist
 FROM a2 WHERE rn = 1
 """
+
+
+# --- SemDeDup: semantic pruning inside k-means cells ------------------------
+
+SEMDEDUP_THRESHOLD = 0.9
+
+
+def q_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the planted corpus: cluster L2-normalized
+    embeddings (k-means, 2 Lloyd rounds), then pairwise cosine ONLY
+    within cells; drop the higher id at sim >= 0.9. The planted scaled
+    twins normalize to bitwise-identical unit vectors, so recall of the
+    true duplicates is provable, not probabilistic."""
+    from ..operators.clustering import semantic_prune
+
+    emb = planted_embeddings(spark, sf_dir)
+    return semantic_prune(
+        emb, k=KMEANS_K, iterations=KMEANS_ITERS, threshold=SEMDEDUP_THRESHOLD
+    )
+
+
+def oracle_semantic_prune() -> str:
+    k, d = KMEANS_K, 64
+    dist = (
+        "list_reduce(list_transform(range(1, {n}), i ->"
+        " (v[i] - cv[i]) * (v[i] - cv[i])), (acc, x) -> acc + x)"
+    ).format(n=d + 1)
+    dot = (
+        "list_reduce(list_transform(range(1, {n}), i ->"
+        " x.v[i] * y.v[i]), (acc, t) -> acc + t)"
+    ).format(n=d + 1)
+    sim = sql_round_half_away(dot, 4)
+    return f"""
+WITH {_PLANTED_EMB_SQL},
+raw AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS rv
+    FROM emb2
+),
+vecs AS (
+    SELECT vec_id,
+           list_transform(rv, x -> x / sqrt(
+               list_reduce(list_transform(rv, y -> y * y),
+                           (acc, t) -> acc + t))) AS v
+    FROM raw
+),
+seed AS (
+    SELECT vec_id AS cid, v AS cv FROM vecs WHERE vec_id < {k}
+),
+a1 AS (
+    SELECT vec_id, v, cid, dist,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM (SELECT x.vec_id, x.v, s.cid, {dist} AS dist
+          FROM vecs x CROSS JOIN seed s)
+),
+cent AS (
+    SELECT cid, pos,
+           CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS c
+    FROM (SELECT cid, unnest(v) AS x,
+                 unnest(range(0, len(v))) AS pos
+          FROM a1 WHERE rn = 1)
+    GROUP BY 1, 2
+),
+cent_v AS (
+    SELECT cid, list(c ORDER BY pos) AS cv FROM cent GROUP BY 1
+),
+a2 AS (
+    SELECT vec_id, cid, dist,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM (SELECT x.vec_id, s.cid, {dist} AS dist
+          FROM vecs x CROSS JOIN cent_v s)
+),
+m AS (
+    SELECT a2.vec_id, a2.cid, vecs.v
+    FROM a2 JOIN vecs USING (vec_id) WHERE a2.rn = 1
+),
+pairs AS (
+    SELECT y.vec_id AS id_b, y.cid AS cluster, {sim} AS sim
+    FROM m x JOIN m y ON x.cid = y.cid AND x.vec_id < y.vec_id
+)
+SELECT id_b AS vec_id, CAST(cluster AS INT) AS cluster, max(sim) AS max_sim
+FROM pairs WHERE sim >= {SEMDEDUP_THRESHOLD}
+GROUP BY 1, 2
+"""

@@ -209,3 +209,22 @@ def test_kmeans_assignment_plan_has_no_exchange(spark):
         vecs, [(0, [0.0, 0.0]), (1, [5.0, 0.0])]
     )._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_semantic_prune_drops_scaled_twins(spark):
+    """SemDeDup: scaled duplicates normalize to identical unit vectors,
+    land in the same k-means cell, and the higher id is dropped at
+    sim=1.0; unrelated vectors survive."""
+    from options_data_pipeline_spark.operators.clustering import semantic_prune
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0]),   # seeds
+        (2, [0.0, 0.0, 1.0]),
+        (100, [2.0, 0.0, 0.0]),                        # 2x twin of vec 0
+        (101, [0.0, 0.5, 0.0]),                        # 0.5x twin of vec 1
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.vec_id: (r.cluster, r.max_sim) for r in
+           semantic_prune(emb, k=2, iterations=2, threshold=0.9).collect()}
+    assert set(out) == {100, 101}
+    assert out[100][1] == 1.0 and out[101][1] == 1.0
