@@ -59,3 +59,41 @@ FROM (
 )
 WHERE f % 2 = 0
 """
+
+
+def q_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over opaque *binary* payloads: digest every payload in
+    the ``mapInPandas`` feature pass, then one map-side-combined groupBy
+    on the md5 — the scale shape for petabyte media dedup (bytes never
+    shuffle; only 16-byte digests do). Runs over the planted corpus (see
+    plans.text) so duplicate groups provably exist."""
+    from pyspark.sql import functions as F
+
+    from .text import planted_corpus
+
+    media = MM.documents_as_media(planted_corpus(spark, sf_dir))
+    feats = MM.extract_features(media)
+    return (
+        feats.groupBy("payload_md5")
+        .agg(
+            F.min("media_id").alias("canonical_id"),
+            F.count(F.lit(1)).cast("long").alias("n_copies"),
+            F.min("n_bytes").alias("n_bytes"),
+        )
+        .where(F.col("n_copies") > 1)
+    )
+
+
+def oracle_media_dedup() -> str:
+    from .text import _PLANTED_SQL
+
+    return f"""
+WITH {_PLANTED_SQL.strip()}
+SELECT md5(text) AS payload_md5,
+       min(doc_id) AS canonical_id,
+       CAST(count(*) AS BIGINT) AS n_copies,
+       CAST(min(length(text)) AS BIGINT) AS n_bytes
+FROM corpus
+GROUP BY 1
+HAVING count(*) > 1
+"""

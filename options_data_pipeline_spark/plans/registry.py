@@ -60,6 +60,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
     "price_quartiles": (tpch.q_price_quartiles, tpch.oracle_price_quartiles),
     "sales_cube": (tpch.q_sales_cube, tpch.oracle_sales_cube),
     "customer_percentile": (tpch.q_customer_percentile, tpch.oracle_customer_percentile),
+    "supplier_blame": (tpch.q_supplier_blame, tpch.oracle_supplier_blame),
     # --- training-data ops: text ---
     "doc_stats": (text.q_doc_stats, text.oracle_doc_stats),
     "text_quality": (text.q_text_quality, text.oracle_text_quality),
@@ -78,6 +79,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
     "token_shards": (text.q_token_shards, text.oracle_token_shards),
     "doc_repetition": (text.q_doc_repetition, text.oracle_doc_repetition),
     "rare_tokens": (text.q_rare_tokens, text.oracle_rare_tokens),
+    "doc_chunks": (text.q_doc_chunks, text.oracle_doc_chunks),
+    "unigram_logprob": (text.q_unigram_logprob, text.oracle_unigram_logprob),
+    "train_split": (text.q_train_split, text.oracle_train_split),
     "pii_scrub": (pii.q_pii_scrub, pii.oracle_pii_scrub),
     "ngram_contamination": (pii.q_ngram_contamination, pii.oracle_ngram_contamination),
     # --- training-data ops: vectors ---
@@ -90,6 +94,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
     # --- training-data ops: multimodal (mapInPandas over binary payloads) ---
     "media_features": (media.q_media_features, media.oracle_media_features),
     "media_frames": (media.q_media_frames, media.oracle_media_frames),
+    "media_dedup": (media.q_media_dedup, media.oracle_media_dedup),
 }
 
 

@@ -747,3 +747,176 @@ ranked AS (
 )
 SELECT lang, token, n, CAST(rk AS BIGINT) AS rk FROM ranked WHERE rk <= 5
 """
+
+
+# --- context-window chunking -------------------------------------------------
+
+_CHUNK_WINDOW = 64   # tokens per training chunk
+_CHUNK_STRIDE = 48   # => 16-token overlap between consecutive chunks
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-token-window chunker with overlap — the sequence-splitting
+    step that turns curated documents into model-context-sized training
+    rows (each chunk carries an md5 so downstream exact-dedup can run on
+    chunks, not docs).
+
+    Scale: a pure narrow fan-out — per-row ``sequence`` + ``explode``,
+    no shuffle anywhere; at 100 TB this is a map-only stage whose output
+    partitioning follows the input. The token array is materialized once
+    per row and sliced per chunk (Tungsten keeps the array in the row
+    buffer; no per-chunk re-split)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    chunked = (
+        docs.withColumn("__toks", F.split(F.col("text"), " "))
+        .withColumn("__n", F.size(F.col("__toks")))
+        .withColumn(
+            "chunk_id",
+            F.explode(F.expr(f"sequence(0L, (__n - 1) div {_CHUNK_STRIDE})")),
+        )
+    )
+    chunk = F.slice(
+        F.col("__toks"),
+        (F.col("chunk_id") * _CHUNK_STRIDE + 1).cast("int"),
+        _CHUNK_WINDOW,
+    )
+    return chunked.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.size(chunk).cast("long").alias("chunk_tokens"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
+    )
+
+
+def oracle_doc_chunks() -> str:
+    w, s = _CHUNK_WINDOW, _CHUNK_STRIDE
+    return f"""
+WITH base AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+c AS (
+    SELECT doc_id, w,
+           unnest(range(0, ((len(w) - 1) // {s}) + 1)) AS chunk_id
+    FROM base
+)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(len(w[(chunk_id * {s} + 1):(chunk_id * {s} + {w})]) AS BIGINT)
+           AS chunk_tokens,
+       md5(array_to_string(w[(chunk_id * {s} + 1):(chunk_id * {s} + {w})], ' '))
+           AS chunk_md5
+FROM c
+"""
+
+
+# --- corpus unigram language-model scoring -----------------------------------
+
+
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality score (the cheap stand-in for a KenLM
+    perplexity filter): corpus token frequencies give per-token
+    log-probabilities; each document scores the mean log-prob of its
+    tokens — low scores flag gibberish / OOV-heavy documents.
+
+    Cross-engine determinism: ln() differs by ULPs between libm
+    implementations, so each *vocabulary row* (few distinct tokens, not
+    every occurrence) rounds its log-prob to 9 dp and is carried as an
+    exact DECIMAL; per-doc sums are then associative and identical under
+    any partitioning, and the final mean rounds to 6 dp.
+
+    Scale: vocabulary aggregation is map-side combined (uniform token
+    keys); the occurrences->vocab join broadcasts in practice (a
+    vocabulary is tiny next to the corpus) and the per-doc re-aggregation
+    shuffles on doc_id once."""
+    from ..functions.rounding import round_half_away
+
+    docs = parallelized(spark, load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "text"
+    )
+    toks = docs.select("doc_id", F.explode(TS.words(F.col("text"))).alias("token"))
+    vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("corpus_count"))
+    total = vocab.agg(F.sum("corpus_count").cast("double").alias("total"))
+    scored_vocab = vocab.crossJoin(F.broadcast(total)).select(
+        "token",
+        round_half_away(
+            F.log(F.col("corpus_count").cast("double") / F.col("total")), 9
+        )
+        .cast("decimal(28,9)")
+        .alias("logp"),
+    )
+    return (
+        toks.join(F.broadcast(scored_vocab), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("logp").alias("__sum_logp"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            round_half_away(
+                F.col("__sum_logp").cast("double") / F.col("n_tokens"), 6
+            ).alias("avg_logprob"),
+        )
+    )
+
+
+def oracle_unigram_logprob() -> str:
+    from ..functions.rounding import sql_round_half_away
+
+    logp = sql_round_half_away("ln(corpus_count / total)", 9)
+    avg = sql_round_half_away("CAST(sum(logp) AS DOUBLE) / count(*)", 6)
+    return f"""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+vocab AS (SELECT token, count(*) AS corpus_count FROM tok GROUP BY 1),
+tot AS (SELECT CAST(sum(corpus_count) AS DOUBLE) AS total FROM vocab),
+v AS (SELECT token, CAST({logp} AS DECIMAL(28,9)) AS logp FROM vocab, tot)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, {avg} AS avg_logprob
+FROM tok JOIN v USING (token)
+GROUP BY doc_id
+"""
+
+
+# --- deterministic train/val/test split --------------------------------------
+
+
+def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-based train/val/test assignment (~80/10/10) with per-(lang,
+    split) document and token counts — the reproducible split every
+    training pipeline needs: no RNG state, stable under re-runs,
+    backfills, and cluster-size changes, because membership depends only
+    on the doc id. The 4-hex md5 key compares lexicographically, so the
+    assignment is a scan-level expression (no shuffle before the final
+    tiny aggregate)."""
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.substring(
+        F.md5(F.concat(F.lit("split#"), F.col("doc_id").cast("string"))), 1, 4
+    )
+    split = (
+        F.when(key < "cccc", F.lit("train"))      # 0xcccc/0x10000 = 79.99%
+        .when(key < "e666", F.lit("val"))          # next ~10%
+        .otherwise(F.lit("test"))
+    )
+    return (
+        docs.select(
+            "lang",
+            split.alias("split"),
+            F.size(F.split(F.col("text"), " ")).cast("long").alias("__tok"),
+        )
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__tok").alias("n_tokens"),
+        )
+    )
+
+
+def oracle_train_split() -> str:
+    return """
+SELECT lang,
+    CASE WHEN substr(md5('split#' || CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc'
+         THEN 'train'
+         WHEN substr(md5('split#' || CAST(doc_id AS VARCHAR)), 1, 4) < 'e666'
+         THEN 'val' ELSE 'test' END AS split,
+    CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+FROM documents
+GROUP BY 1, 2
+"""

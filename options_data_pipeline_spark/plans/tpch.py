@@ -565,3 +565,73 @@ SELECT c_custkey, c_mktsegment AS segment, c_acctbal,
 FROM customer
 WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
 """
+
+
+def q_supplier_blame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): for finished
+    orders, a supplier is blamed when its line shipped late (> 60 days
+    after the order date), the order involves at least one OTHER
+    supplier, and NO other supplier in the order shipped late — a
+    doubly-correlated EXISTS / NOT EXISTS, decorrelated here into a
+    semi-join plus an anti-join on (orderkey, suppkey) pairs.
+
+    Scale: both existence probes run against the *distinct pair* frames
+    (far smaller than lineitem); all joins are equi on l_orderkey with a
+    residual suppkey-inequality condition, so they hash-partition on the
+    order key — no cartesian anywhere. The supplier dim broadcasts."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+
+    pairs = l.select("l_orderkey", "l_suppkey").distinct()
+    late = (
+        l.join(
+            o.where(F.col("o_orderstatus") == "F").select(
+                "o_orderkey", "o_orderdate"
+            ),
+            l["l_orderkey"] == F.col("o_orderkey"),
+        )
+        .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+
+    l1, l2, l3 = late.alias("l1"), pairs.alias("l2"), late.alias("l3")
+    with_other = l1.join(
+        l2,
+        (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+        "left_semi",
+    )
+    sole_late = with_other.alias("l1").join(
+        l3,
+        (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
+        "left_anti",
+    )
+    return (
+        sole_late.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+def oracle_supplier_blame() -> str:
+    return """
+WITH pairs AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+late AS (
+    SELECT DISTINCT l.l_orderkey, l.l_suppkey
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+)
+SELECT s.s_suppkey, s.s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM late l1 JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+WHERE EXISTS (SELECT 1 FROM pairs l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM late l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey)
+GROUP BY 1, 2
+"""

@@ -66,9 +66,18 @@ def dedup_append_stream(
     ts_col: str = "ts",
     watermark: str = "2 hours",
     available_now: bool = True,
+    within_watermark: bool = False,
 ) -> StreamingQuery:
     """Bronze ingest: drop duplicate events (bounded state via watermark),
     append to parquet. Checkpointing makes re-runs resume, not re-ingest.
+
+    ``within_watermark=True`` switches to ``dropDuplicatesWithinWatermark``:
+    duplicates are recognized by ``key_col`` alone even when their event
+    times differ (at-least-once feeds re-deliver with a fresh timestamp —
+    the plain form would treat those as distinct because the event-time
+    column participates in the state key). State for a key is evicted once
+    the watermark passes its first-seen time + delay, so memory stays
+    bounded by the re-delivery horizon.
 
     Each micro-batch reports observed metrics (row count, event-time
     bounds) through ``df.observe`` — the production observability hook:
@@ -76,9 +85,14 @@ def dedup_append_stream(
     and StreamingQueryListener without a second pass over the data
     (metrics accumulate inside the running plan)."""
     events = read_event_stream(spark, source_dir)
+    marked = events.withWatermark(ts_col, watermark)
     deduped = (
-        events.withWatermark(ts_col, watermark)
-        .dropDuplicates([key_col])
+        marked.dropDuplicatesWithinWatermark([key_col])
+        if within_watermark
+        else marked.dropDuplicates([key_col])
+    )
+    deduped = (
+        deduped
         .observe(
             "ingest",
             F.count(F.lit(1)).alias("rows"),

@@ -346,3 +346,64 @@ def test_stateful_running_candles_processing_time_trigger(spark, tmp):
     assert got[("btc", 10)] == (100.0, 105.0, 95.0, 95.0, 3)
     assert got[("btc", 11)] == (99.0, 99.0, 99.0, 99.0, 1)
     assert got[("eth", 10)] == (10.0, 10.0, 10.0, 10.0, 1)
+
+
+def test_dedup_within_watermark_stream(spark, tmp):
+    # at-least-once re-delivery: same event_id arrives again with a LATER
+    # event time. Plain dropDuplicates would keep both (event-time differs);
+    # dropDuplicatesWithinWatermark recognizes the key alone.
+    src, bronze, ckpt = f"{tmp}/src", f"{tmp}/bronze", f"{tmp}/ckpt"
+    _events(spark, [
+        (0, "2024-01-01 10:00:00", "btc", 1.0),
+        (0, "2024-01-01 10:03:00", "btc", 1.0),  # re-delivery, new ts
+        (1, "2024-01-01 10:01:00", "btc", 2.0),
+    ]).coalesce(1).write.mode("append").parquet(src)
+    q = dedup_append_stream(spark, src, bronze, ckpt, within_watermark=True)
+    q.awaitTermination(120)
+    out = spark.read.parquet(bronze)
+    assert out.count() == 2
+    assert {r.event_id for r in out.collect()} == {0, 1}
+
+
+def test_interval_join_streams(spark, tmp):
+    from options_data_pipeline_spark.streaming.joins import interval_join_streams
+
+    # purchases attribute to views by the same user within the prior hour
+    views_src, buys_src = f"{tmp}/views", f"{tmp}/buys"
+    _events(spark, [
+        (10, "2024-01-01 09:30:00", "u1", 0.0),   # in window for buy@10:00
+        (11, "2024-01-01 08:30:00", "u1", 0.0),   # too old (>1h before)
+        (12, "2024-01-01 09:55:00", "u2", 0.0),   # other user
+        (13, "2024-01-01 10:10:00", "u1", 0.0),   # after the buy
+    ]).coalesce(1).write.mode("append").parquet(views_src)
+    _events(spark, [
+        (20, "2024-01-01 10:00:00", "u1", 42.0),
+    ]).coalesce(1).write.mode("append").parquet(buys_src)
+
+    from options_data_pipeline_spark.streaming.candles import read_event_stream
+
+    joined = interval_join_streams(
+        read_event_stream(spark, buys_src),
+        read_event_stream(spark, views_src),
+        key="event_type",  # the per-user key in this fixture
+        lookback="1 hour",
+    )
+    out_path, ckpt = f"{tmp}/out", f"{tmp}/jckpt"
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r.l_event_id, r.r_event_id) for r in spark.read.parquet(out_path).collect()}
+    assert got == {(20, 10)}  # only the in-window same-user view
+
+    # the batch twin: identical semantics on tables at rest
+    batch = interval_join_streams(
+        spark.read.parquet(buys_src), spark.read.parquet(views_src),
+        key="event_type", lookback="1 hour",
+    )
+    assert {(r.l_event_id, r.r_event_id) for r in batch.collect()} == {(20, 10)}
