@@ -440,3 +440,159 @@ SELECT time_bucket(INTERVAL 15 MINUTE, ts) - k * INTERVAL 15 MINUTE AS win_start
 FROM events, (SELECT unnest(range(0, 4)) AS k)
 GROUP BY 1, 2
 """
+
+
+# --- semi-structured (JSON) extraction ---------------------------------------
+
+
+def q_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read over the semi-structured ``props`` JSON column:
+    ``from_json`` projects the typed field inside the scan stage (a
+    per-row expression — no shuffle, no UDF), then a map-side-combined
+    aggregate profiles it per event type. The reference stores only flat
+    columns; event feeds in practice carry a JSON properties bag, and
+    this is the canonical Spark treatment: declare the struct schema,
+    let Catalyst prune to the single extracted field."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k BIGINT")["k"]
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+def oracle_props_extract() -> str:
+    return """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+           AS n_with_k,
+       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(min(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+       CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+FROM events
+GROUP BY 1
+"""
+
+
+# --- time-spine gap filling with forward fill --------------------------------
+
+
+def q_candle_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly close series: build each instrument's full hour
+    spine (``sequence`` + ``explode`` — per-row expansion, no driver
+    loop), left-join the observed closes, and forward-fill with
+    ``last(ignorenulls)`` over an ordered window. The missing-hour rows
+    the reference's gap-repair loop would re-ingest (T6) here become
+    explicit carried-forward rows, flagged ``is_gap``.
+
+    Scale: the spine explode is narrow (one range per instrument); the
+    join shuffles on (instrument, hour) — uniform keys; the fill window
+    partitions by instrument, matching the reference's per-instrument
+    series model (bounded partitions; a globally-dense spine would
+    instead ride the two-level prefix-sum pattern of operators/packing)."""
+    ev = load_table(spark, sf_dir, "events")
+    closes = (
+        ev.withColumn("bucket_ts", F.date_trunc("hour", F.col("ts")))
+        .groupBy(F.col("event_type").alias("instrument"), "bucket_ts")
+        .agg(
+            F.max_by(
+                "value", F.struct(F.col("ts"), F.col("event_id"))
+            ).alias("close")
+        )
+    )
+    spine = (
+        closes.groupBy("instrument")
+        .agg(F.min("bucket_ts").alias("lo"), F.max("bucket_ts").alias("hi"))
+        .select(
+            "instrument",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+            ).alias("bucket_ts"),
+        )
+    )
+    w = (
+        Window.partitionBy("instrument")
+        .orderBy("bucket_ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        spine.join(closes, ["instrument", "bucket_ts"], "left")
+        .select(
+            "instrument",
+            "bucket_ts",
+            F.last("close", ignorenulls=True).over(w).alias("filled_close"),
+            F.col("close").isNull().alias("is_gap"),
+        )
+    )
+
+
+def oracle_candle_ffill() -> str:
+    return """
+WITH ranked AS (
+    SELECT event_type AS instrument, date_trunc('hour', ts) AS bucket_ts, value,
+           row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                              ORDER BY ts DESC, event_id DESC) AS rd
+    FROM events
+),
+closes AS (
+    SELECT instrument, bucket_ts,
+           max(CASE WHEN rd = 1 THEN value END) AS close
+    FROM ranked GROUP BY 1, 2
+),
+spine AS (
+    SELECT instrument,
+           unnest(generate_series(min(bucket_ts), max(bucket_ts),
+                                  INTERVAL 1 HOUR)) AS bucket_ts
+    FROM closes GROUP BY instrument
+)
+SELECT s.instrument, s.bucket_ts,
+       last_value(c.close IGNORE NULLS) OVER (
+           PARTITION BY s.instrument ORDER BY s.bucket_ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_close,
+       c.close IS NULL AS is_gap
+FROM spine s LEFT JOIN closes c
+  ON s.instrument = c.instrument AND s.bucket_ts = c.bucket_ts
+"""
+
+
+# --- set operators (INTERSECT / EXCEPT) --------------------------------------
+
+
+def q_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience set algebra on real set operators: users who both viewed
+    ('click') and bought ('purchase') via INTERSECT, and view-only users
+    via EXCEPT — each branch labeled and unioned. Set ops compile to the
+    same hash aggregation/join machinery as semi/anti joins but
+    deduplicate by definition; at scale both branches shuffle once on
+    user_id and the two distinct event-type scans prune by predicate
+    pushdown."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select("user_id")
+    buys = ev.where(F.col("event_type") == "purchase").select("user_id")
+    both = clicks.intersect(buys).withColumn("cohort", F.lit("click_and_buy"))
+    only = clicks.subtract(buys).withColumn("cohort", F.lit("click_only"))
+    return both.unionByName(only)
+
+
+def oracle_user_overlap() -> str:
+    return """
+SELECT user_id, 'click_and_buy' AS cohort FROM (
+    SELECT user_id FROM events WHERE event_type = 'click'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+)
+UNION ALL
+SELECT user_id, 'click_only' AS cohort FROM (
+    SELECT user_id FROM events WHERE event_type = 'click'
+    EXCEPT
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+)
+"""

@@ -34,6 +34,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
     "cohort_pivot": (quality.q_cohort_pivot, quality.oracle_cohort_pivot),
     "user_churn_sets": (quality.q_user_churn_sets, quality.oracle_user_churn_sets),
     "sliding_activity": (quality.q_sliding_activity, quality.oracle_sliding_activity),
+    "props_extract": (quality.q_props_extract, quality.oracle_props_extract),
+    "candle_ffill": (quality.q_candle_ffill, quality.oracle_candle_ffill),
+    "user_overlap": (quality.q_user_overlap, quality.oracle_user_overlap),
     # --- generic relational (joins, topk, hash agg) ---
     "pricing_summary": (tpch.q_pricing_summary, tpch.oracle_pricing_summary),
     "top_orders": (tpch.q_top_orders, tpch.oracle_top_orders),

@@ -223,3 +223,53 @@ def test_embedding_quantize_zero_shuffle_no_python(spark):
     assert len(shuffle_exchanges(plan)) <= 1
     for py in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert py not in plan
+
+
+def test_doc_chunks_is_shuffle_free(spark):
+    from options_data_pipeline_spark.plans import text
+
+    plan = fmt(spark, text.q_doc_chunks(spark, SF_DIR))
+    # per-row sequence + explode: a pure map-side fan-out — zero exchanges
+    assert "Generate" in plan
+    assert len(shuffle_exchanges(plan)) == 0
+
+
+def test_unigram_logprob_broadcasts_vocab(spark):
+    from options_data_pipeline_spark.plans import text
+
+    plan = fmt(spark, text.q_unigram_logprob(spark, SF_DIR))
+    # occurrences join the scored vocabulary by broadcast, never by
+    # shuffling the (much larger) token-occurrence side
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_supplier_blame_joins_hash_partition_no_cartesian(spark):
+    plan = fmt(spark, tpch.q_supplier_blame(spark, SF_DIR))
+    # the EXISTS/NOT EXISTS decorrelation must stay equi-join based
+    # (hash-partitioned on l_orderkey with residual suppkey inequality) —
+    # a nested-loop/cartesian here would be quadratic at scale
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
+def test_props_extract_stays_jvm_side(spark):
+    from options_data_pipeline_spark.plans import quality
+
+    plan = fmt(spark, quality.q_props_extract(spark, SF_DIR))
+    # JSON extraction is a Catalyst expression (from_json), not a Python
+    # UDF, and the profile is one partial+final hash aggregate
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert len(shuffle_exchanges(plan)) == 1
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_candle_ffill_single_fill_window(spark):
+    from options_data_pipeline_spark.plans import quality
+
+    plan = fmt(spark, quality.q_candle_ffill(spark, SF_DIR))
+    # exactly one Window (the forward fill), partitioned by instrument —
+    # no global (unpartitioned) window anywhere in the chain
+    assert plan.count(") Window") == 1
+    assert len(shuffle_exchanges(plan)) <= 4
