@@ -17,6 +17,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
     "weekly_sessions": (sessions.q_weekly_sessions, sessions.oracle_weekly_sessions),
     "monthly_sessions": (sessions.q_monthly_sessions, sessions.oracle_monthly_sessions),
     "candle_returns": (sessions.q_candle_returns, sessions.oracle_candle_returns),
+    "ewma_close": (sessions.q_ewma_close, sessions.oracle_ewma_close),
     # --- option OHLC (A5, F1, F4-F6, P5, P8) ---
     "option_chain_ohlc": (options.q_option_chain_ohlc, options.oracle_option_chain_ohlc),
     # --- data quality / incremental semantics (W1, T6, S7/S8, A6, A7, K1/K2, A3/O4, P4) ---
@@ -85,6 +86,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
     "doc_chunks": (text.q_doc_chunks, text.oracle_doc_chunks),
     "unigram_logprob": (text.q_unigram_logprob, text.oracle_unigram_logprob),
     "train_split": (text.q_train_split, text.oracle_train_split),
+    "edit_distance_pairs": (text.q_edit_distance_pairs, text.oracle_edit_distance_pairs),
     "pii_scrub": (pii.q_pii_scrub, pii.oracle_pii_scrub),
     "ngram_contamination": (pii.q_ngram_contamination, pii.oracle_ngram_contamination),
     # --- training-data ops: vectors ---

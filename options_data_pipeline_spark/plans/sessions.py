@@ -332,3 +332,47 @@ def oracle_candle_returns() -> str:
         f"       {sql_round_half_away(ret, 4)} AS ret_pct "
         "FROM lagged WHERE prev_close IS NOT NULL"
     )
+
+
+def q_ewma_close(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential moving average of hourly closes (alpha = 1/2) per
+    instrument — the classic smoothing the reference's session math stops
+    short of. alpha = 0.5 is an exact binary fraction, so the recurrence
+    ``ewma = (close + ewma_prev) / 2`` is pure IEEE adds/halvings: a
+    left fold over the time-ordered close list gives bit-identical
+    results in any engine — no rounding shim needed.
+
+    Shape: one groupBy collects each instrument's (hour, close) series
+    (bounded: hours per instrument, not events) and the fold is a
+    per-row higher-order function. The heavy events->hourly reduction
+    underneath is the usual single-shuffle partial aggregate."""
+    hourly = hourly_candles(spark, sf_dir)
+    g = hourly.groupBy("instrument").agg(
+        F.array_sort(
+            F.collect_list(F.struct("bucket_ts", "close"))
+        ).alias("series"),
+        F.count(F.lit(1)).alias("n_hours"),
+        F.max("bucket_ts").alias("last_ts"),
+    )
+    ewma = F.aggregate(
+        F.col("series"),
+        F.lit(None).cast("double"),
+        lambda acc, s: F.when(acc.isNull(), s["close"]).otherwise(
+            (acc + s["close"]) / F.lit(2.0)
+        ),
+    )
+    return g.select("instrument", "n_hours", "last_ts", ewma.alias("ewma_close"))
+
+
+def oracle_ewma_close() -> str:
+    # list_reduce without init seeds the accumulator with the first
+    # element — identical to the Spark fold's null-init "first wins" arm
+    return (
+        f"WITH {HOURLY_CTE} "
+        """
+SELECT instrument, CAST(count(*) AS BIGINT) AS n_hours, max(h) AS last_ts,
+       list_reduce(list(close ORDER BY h), (acc, x) -> (acc + x) / 2)
+           AS ewma_close
+FROM hourly GROUP BY instrument
+"""
+    )

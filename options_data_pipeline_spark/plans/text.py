@@ -920,3 +920,52 @@ SELECT lang,
 FROM documents
 GROUP BY 1, 2
 """
+
+
+# --- edit-distance verification under prefix blocking ------------------------
+
+
+def q_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy-match verification by true edit distance: block candidate
+    pairs on a shared 64-char prefix (an equi-join — never all-pairs),
+    then verify with ``levenshtein`` and keep pairs within 16 edits.
+    Complements the set-based similarity family (minhash/simhash measure
+    token overlap; edit distance catches small in-place mutations).
+
+    Scale: the self-join shuffles on the prefix key; block sizes bound
+    the quadratic verify to within-block pairs (a hot prefix — e.g.
+    boilerplate headers — is the skew case; the mitigation is a longer
+    or hashed block key, same knob as LSH band width). levenshtein is a
+    JVM codegen expression, O(len^2) per pair, applied only to
+    survivors of the blocking join."""
+    corpus = planted_corpus(spark, sf_dir)
+    blocked = corpus.select(
+        "doc_id", "text", F.substring("text", 1, 64).alias("blk")
+    )
+    a = blocked.select(
+        F.col("blk"), F.col("doc_id").alias("doc_a"), F.col("text").alias("ta")
+    )
+    b = blocked.select(
+        F.col("blk"), F.col("doc_id").alias("doc_b"), F.col("text").alias("tb")
+    )
+    return (
+        a.join(b, "blk")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("ta", "tb").cast("long").alias("dist"),
+        )
+        .where(F.col("dist") <= 16)
+    )
+
+
+def oracle_edit_distance_pairs() -> str:
+    return f"""
+WITH {_PLANTED_SQL.strip()},
+blocked AS (SELECT doc_id, text, substring(text, 1, 64) AS blk FROM corpus)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
+FROM blocked a JOIN blocked b ON a.blk = b.blk AND a.doc_id < b.doc_id
+WHERE levenshtein(a.text, b.text) <= 16
+"""

@@ -219,3 +219,64 @@ def upsert_partitioned(
     ).parquet(target_path)
     shutil.rmtree(staging)
     return {"inserted": inserted, "updated": updated}
+
+
+def scd2_upsert(
+    spark: SparkSession,
+    target_path: str,
+    updates: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    current_col: str = "is_current",
+) -> dict[str, int]:
+    """Type-2 slowly-changing-dimension MERGE: history is preserved.
+
+    Where :func:`merge_upsert` overwrites the matched row (type 1), this
+    closes it — the previously-current version gets ``valid_to`` = the
+    new version's timestamp and ``is_current`` = false — and opens the
+    new version. Multiple versions of a key inside one batch chain in
+    ``ts_col`` order (each row's ``valid_to`` is the next row's
+    ``valid_from``). Returns ``{"opened": n, "closed": m}``.
+
+    Scale: untouched keys are isolated with an anti join and rewritten
+    unchanged; only matched current rows join the (tiny) first-version
+    frame. On a lakehouse runtime this maps to the standard two-branch
+    Delta MERGE (match on key AND is_current -> update close; insert all
+    staged versions); see PERFORMANCE.md "MERGE sink".
+    """
+    w = Window.partitionBy(*keys).orderBy(F.col(ts_col).asc())
+    staged = (
+        updates.withColumn(valid_from, F.col(ts_col))
+        .withColumn(valid_to, F.lead(ts_col).over(w))
+        .withColumn(current_col, F.lead(ts_col).over(w).isNull())
+        .drop(ts_col)
+    )
+    opened = staged.count()
+    current = _read_target(spark, target_path)
+    if current is None:
+        _atomic_replace(staged, target_path)
+        return {"opened": opened, "closed": 0}
+
+    firsts = staged.groupBy(*keys).agg(F.min(valid_from).alias("__new_from"))
+    open_rows = current.where(F.col(current_col))
+    closing = (
+        open_rows.join(F.broadcast(firsts), keys)
+        .withColumn(valid_to, F.col("__new_from"))
+        .withColumn(current_col, F.lit(False))
+        .drop("__new_from")
+    )
+    closed = closing.count()
+    untouched = current.join(F.broadcast(firsts.select(*keys)), keys, "left_anti")
+    closed_history = current.where(~F.col(current_col)).join(
+        F.broadcast(firsts.select(*keys)), keys, "left_semi"
+    )
+    merged = (
+        untouched.select(staged.columns)
+        .unionByName(closed_history.select(staged.columns))
+        .unionByName(closing.select(staged.columns))
+        .unionByName(staged)
+    )
+    _atomic_replace(merged, target_path)
+    return {"opened": opened, "closed": closed}

@@ -407,3 +407,49 @@ def test_interval_join_streams(spark, tmp):
         key="event_type", lookback="1 hour",
     )
     assert {(r.l_event_id, r.r_event_id) for r in batch.collect()} == {(20, 10)}
+
+
+def test_scd2_upsert_history_chain(spark, tmp):
+    from options_data_pipeline_spark.sinks.upsert import scd2_upsert
+
+    t = f"{tmp}/dim"
+    b1 = spark.createDataFrame(
+        [(1, "bronze", "2024-01-01 00:00:00"), (2, "gold", "2024-01-01 00:00:00")],
+        "k long, tier string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    m1 = scd2_upsert(spark, t, b1, ["k"])
+    assert m1 == {"opened": 2, "closed": 0}
+
+    # key 1 changes twice within one batch (versions must chain); key 3 is new
+    b2 = spark.createDataFrame(
+        [
+            (1, "silver", "2024-02-01 00:00:00"),
+            (1, "gold", "2024-03-01 00:00:00"),
+            (3, "bronze", "2024-02-15 00:00:00"),
+        ],
+        "k long, tier string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    m2 = scd2_upsert(spark, t, b2, ["k"])
+    assert m2 == {"opened": 3, "closed": 1}
+
+    rows = {
+        (r.k, r.tier, str(r.valid_from), str(r.valid_to), r.is_current)
+        for r in spark.read.parquet(t).collect()
+    }
+    assert rows == {
+        (1, "bronze", "2024-01-01 00:00:00", "2024-02-01 00:00:00", False),
+        (1, "silver", "2024-02-01 00:00:00", "2024-03-01 00:00:00", False),
+        (1, "gold", "2024-03-01 00:00:00", "None", True),
+        (2, "gold", "2024-01-01 00:00:00", "None", True),
+        (3, "bronze", "2024-02-15 00:00:00", "None", True),
+    }
+
+    # idempotence-of-history: an unrelated third batch leaves closed rows alone
+    b3 = spark.createDataFrame(
+        [(2, "platinum", "2024-04-01 00:00:00")], "k long, tier string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    m3 = scd2_upsert(spark, t, b3, ["k"])
+    assert m3 == {"opened": 1, "closed": 1}
+    out = spark.read.parquet(t)
+    assert out.count() == 6
+    assert out.where(F.col("is_current")).count() == 3
