@@ -596,3 +596,118 @@ SELECT user_id, 'click_only' AS cohort FROM (
     SELECT user_id FROM events WHERE event_type = 'purchase'
 )
 """
+
+
+# --- bronze/gold reconciliation probe ----------------------------------------
+
+
+def q_reconcile_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit query for the ingest→rollup contract: per instrument, the
+    raw event count must equal the sum of the derived hourly candles'
+    ``n_ticks`` (the reference re-verifies this implicitly each
+    aggregation run; here it is an explicit, cheap invariant probe a
+    scheduler can alert on). Both sides reduce before the tiny full-outer
+    reconciliation join, so the probe costs two partial-agg scans no
+    matter the table size."""
+    from .sessions import hourly_candles
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.col("event_type").alias("instrument"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    gold = (
+        hourly_candles(spark, sf_dir)
+        .groupBy("instrument")
+        .agg(F.sum("n_ticks").alias("n_ticks"))
+    )
+    return (
+        ev.join(gold, "instrument", "full_outer")
+        .select(
+            "instrument",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.coalesce("n_ticks", F.lit(0)).alias("n_ticks"),
+            (
+                F.coalesce("n_events", F.lit(0)) - F.coalesce("n_ticks", F.lit(0))
+            ).alias("diff"),
+            (
+                F.coalesce("n_events", F.lit(0)) == F.coalesce("n_ticks", F.lit(0))
+            ).alias("consistent"),
+        )
+    )
+
+
+def oracle_reconcile_counts() -> str:
+    from .sessions import HOURLY_CTE
+
+    return f"""
+WITH {HOURLY_CTE},
+ev AS (
+    SELECT event_type AS instrument, CAST(count(*) AS BIGINT) AS n_events
+    FROM events GROUP BY 1
+),
+gold AS (
+    SELECT instrument, CAST(sum(n_ticks) AS BIGINT) AS n_ticks
+    FROM hourly GROUP BY 1
+)
+SELECT COALESCE(ev.instrument, gold.instrument) AS instrument,
+       COALESCE(n_events, 0) AS n_events,
+       COALESCE(n_ticks, 0) AS n_ticks,
+       COALESCE(n_events, 0) - COALESCE(n_ticks, 0) AS diff,
+       COALESCE(n_events, 0) = COALESCE(n_ticks, 0) AS consistent
+FROM ev FULL OUTER JOIN gold ON ev.instrument = gold.instrument
+"""
+
+
+# --- exact rolling median ----------------------------------------------------
+
+
+def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 25-row trailing median per instrument — the robust
+    alternative to the rolling mean (``rolling_revenue``): sort the
+    bounded window frame and index its middle. The median arithmetic is
+    written out explicitly (odd → middle element, even → IEEE mean of
+    the two middles) so both engines compute identical bits —
+    ``quantile_cont``-style interpolation (lo + (hi-lo)*0.5) is NOT used
+    because it differs from (lo+hi)/2 in the last ulp.
+
+    Scale: the frame is bounded (25 rows), so per-row sort cost is
+    constant; partitions are per-instrument like every series window in
+    this engine."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-24, 0)
+    )
+    arr = F.array_sort(F.collect_list("value").over(w))
+    ev = ev.select("event_id", "event_type", "ts", "value", arr.alias("__w"))
+    n = F.size("__w")
+    med = F.when(
+        n % 2 == 1, F.element_at("__w", ((n + 1) / 2).cast("int"))
+    ).otherwise(
+        (
+            F.element_at("__w", (n / 2).cast("int"))
+            + F.element_at("__w", (n / 2 + 1).cast("int"))
+        )
+        / 2
+    )
+    return ev.select(
+        "event_id", "event_type", "ts", "value", med.alias("rolling_median")
+    )
+
+
+def oracle_rolling_median() -> str:
+    return """
+WITH w AS (
+    SELECT event_id, event_type, ts, value,
+           list_sort(list(value) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id
+               ROWS BETWEEN 24 PRECEDING AND CURRENT ROW)) AS l
+    FROM events
+)
+SELECT event_id, event_type, ts, value,
+       CASE WHEN len(l) % 2 = 1 THEN l[(len(l) + 1) // 2]
+            ELSE (l[len(l) // 2] + l[len(l) // 2 + 1]) / 2 END AS rolling_median
+FROM w
+"""

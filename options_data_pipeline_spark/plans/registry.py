@@ -36,6 +36,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
     "user_churn_sets": (quality.q_user_churn_sets, quality.oracle_user_churn_sets),
     "sliding_activity": (quality.q_sliding_activity, quality.oracle_sliding_activity),
     "props_extract": (quality.q_props_extract, quality.oracle_props_extract),
+    "reconcile_counts": (quality.q_reconcile_counts, quality.oracle_reconcile_counts),
+    "rolling_median": (quality.q_rolling_median, quality.oracle_rolling_median),
     "candle_ffill": (quality.q_candle_ffill, quality.oracle_candle_ffill),
     "user_overlap": (quality.q_user_overlap, quality.oracle_user_overlap),
     # --- generic relational (joins, topk, hash agg) ---
@@ -65,6 +67,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
     "sales_cube": (tpch.q_sales_cube, tpch.oracle_sales_cube),
     "customer_percentile": (tpch.q_customer_percentile, tpch.oracle_customer_percentile),
     "supplier_blame": (tpch.q_supplier_blame, tpch.oracle_supplier_blame),
+    "order_priority_check": (
+        tpch.q_order_priority_check,
+        tpch.oracle_order_priority_check,
+    ),
     # --- training-data ops: text ---
     "doc_stats": (text.q_doc_stats, text.oracle_doc_stats),
     "text_quality": (text.q_text_quality, text.oracle_text_quality),

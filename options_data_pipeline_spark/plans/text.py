@@ -679,9 +679,10 @@ WHERE substr(md5('sample#' || CAST(doc_id AS VARCHAR)), 1, 4)
 def q_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus length profile: width-8 token-count buckets with global share.
 
-    One map-side-combined groupBy over the scan; the share is computed from
-    the tiny aggregated result (one row per bucket) with an unpartitioned
-    window — safe because the bucket cardinality is O(max_len/8), not O(n).
+    One map-side-combined groupBy over the scan; the share divides by a
+    scalar total brought in as a broadcast cross join (1 row) — explicit
+    about intent, unlike an unpartitioned window, which warns at plan
+    time and implies a single-partition sort that isn't needed here.
     """
     docs = load_table(spark, sf_dir, "documents")
     ntok = F.size(F.split(F.col("text"), " ", -1))
@@ -690,10 +691,10 @@ def q_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(ntok.cast("long")).alias("sum_tokens"),
     )
-    total = F.sum("n_docs").over(Window.partitionBy())
-    return agg.select(
+    total = agg.agg(F.sum("n_docs").alias("__total"))
+    return agg.crossJoin(F.broadcast(total)).select(
         "token_bucket", "n_docs", "sum_tokens",
-        (F.col("n_docs") / total).alias("doc_share"),
+        (F.col("n_docs") / F.col("__total")).alias("doc_share"),
     )
 
 

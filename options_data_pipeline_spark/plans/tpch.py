@@ -635,3 +635,36 @@ WHERE EXISTS (SELECT 1 FROM pairs l2
                     AND l3.l_suppkey <> l1.l_suppkey)
 GROUP BY 1, 2
 """
+
+
+# One SQL text, two engines: the same ANSI string runs through spark.sql
+# on registered temp views AND through DuckDB as its own oracle — pinning
+# the engine's SQL front-end (not just the DataFrame API) to ANSI
+# semantics. TPC-H Q4 shape: EXISTS decorrelates to a semi join.
+_ORDER_PRIORITY_SQL = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '2024-01-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+  )
+GROUP BY o_orderpriority
+"""
+
+
+def q_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 via the SQL front-end: the exact oracle string is
+    executed by ``spark.sql`` over temp views — proving ANSI-dialect
+    parity of the SQL surface itself. Catalyst decorrelates the EXISTS
+    into a left-semi hash join on l_orderkey with the ship-date
+    condition as a residual; the date filter pushes into the orders
+    scan."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_ORDER_PRIORITY_SQL)
+
+
+def oracle_order_priority_check() -> str:
+    return _ORDER_PRIORITY_SQL

@@ -273,3 +273,21 @@ def test_candle_ffill_single_fill_window(spark):
     # no global (unpartitioned) window anywhere in the chain
     assert plan.count(") Window") == 1
     assert len(shuffle_exchanges(plan)) <= 4
+
+
+def test_order_priority_check_semi_join_pushdown(spark):
+    plan = fmt(spark, tpch.q_order_priority_check(spark, SF_DIR))
+    # Catalyst decorrelates EXISTS into a semi join; the date constant
+    # pushes into the orders scan
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_reconcile_counts_preaggregates_both_sides(spark):
+    from options_data_pipeline_spark.plans import quality
+
+    plan = fmt(spark, quality.q_reconcile_counts(spark, SF_DIR))
+    # both branches reduce to per-instrument rows BEFORE the outer join:
+    # >= 4 aggregates (partial+final per side) around a tiny join
+    assert plan.count("HashAggregate") + plan.count("SortAggregate") >= 4
