@@ -71,6 +71,16 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
         tpch.q_order_priority_check,
         tpch.oracle_order_priority_check,
     ),
+    "small_quantity_revenue": (
+        tpch.q_small_quantity_revenue,
+        tpch.oracle_small_quantity_revenue,
+    ),
+    "customer_order_counts": (
+        tpch.q_customer_order_counts,
+        tpch.oracle_customer_order_counts,
+    ),
+    "large_orders": (tpch.q_large_orders, tpch.oracle_large_orders),
+    "sales_opportunity": (tpch.q_sales_opportunity, tpch.oracle_sales_opportunity),
     # --- training-data ops: text ---
     "doc_stats": (text.q_doc_stats, text.oracle_doc_stats),
     "text_quality": (text.q_text_quality, text.oracle_text_quality),

@@ -668,3 +668,197 @@ def q_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def oracle_order_priority_check() -> str:
     return _ORDER_PRIORITY_SQL
+
+
+# --- scalar-subquery decorrelation (TPC-H Q17 shape) -------------------------
+
+
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue lost to small orders of one brand.
+
+    The correlated scalar subquery ``0.2 * avg(l_quantity) per part``
+    decorrelates into a per-part aggregate joined back to the fact —
+    the aggregate side has one row per part in the brand, so it
+    broadcasts; the fact side is never shuffled. The per-part mean uses
+    the repo-standard exact-decimal accumulation so the 0.2x threshold
+    is bitwise identical in both engines.
+    """
+    part = load_table(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#11")
+    l = load_table(spark, sf_dir, "lineitem")
+    branded = l.join(
+        F.broadcast(part.select("p_partkey")),
+        l["l_partkey"] == F.col("p_partkey"),
+    )
+    per_part = branded.groupBy("l_partkey").agg(
+        (dec_sum(F.col("l_quantity")) / F.count(F.lit(1))).alias("avg_qty")
+    )
+    small = branded.join(
+        F.broadcast(per_part.withColumnRenamed("l_partkey", "pk")),
+        branded["l_partkey"] == F.col("pk"),
+    ).where(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+    return small.agg(
+        (dec_sum(F.col("l_extendedprice")) / F.lit(7.0)).alias("avg_yearly")
+    )
+
+
+def oracle_small_quantity_revenue() -> str:
+    return """
+WITH branded AS (
+    SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand = 'Brand#11'
+),
+per_part AS (
+    SELECT l_partkey AS pk,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+               / COUNT(*) AS avg_qty
+    FROM branded GROUP BY 1
+)
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / 7.0
+       AS avg_yearly
+FROM branded b JOIN per_part ON b.l_partkey = pk
+WHERE b.l_quantity < 0.2 * avg_qty
+"""
+
+
+# --- outer-join distribution (TPC-H Q13 shape) -------------------------------
+
+
+def q_customer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of orders-per-customer, including
+    zero-order customers via the left outer join.
+
+    The priority predicate lives on the orders side BEFORE the join
+    (= the ON-clause placement: it must not drop unmatched customers).
+    Two-level aggregation — per-customer count, then the count-of-counts
+    — both hash aggregates with map-side partials; the second input is
+    one row per customer, the output one row per distinct count.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "4-NOT SPECIFIED"
+    )
+    per_cust = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+def oracle_customer_order_counts() -> str:
+    return """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (
+    SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+    FROM customer c
+    LEFT OUTER JOIN (SELECT * FROM orders
+                     WHERE o_orderpriority <> '4-NOT SPECIFIED') o
+      ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey
+)
+GROUP BY c_count
+"""
+
+
+# --- group-having semi join (TPC-H Q18 shape) --------------------------------
+
+LARGE_ORDER_QTY = 250.0
+
+
+def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity exceeds a threshold,
+    with customer attribution.
+
+    The IN (GROUP BY ... HAVING) subquery becomes the aggregate itself:
+    sum per order (exact decimal, map-side combinable), filter, then
+    join orders and broadcast-join customer. The having-filtered
+    aggregate is tiny (top ~1% of orders), so the orders join probes a
+    broadcast of it rather than shuffling the orders table.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(dec_sum(F.col("l_quantity")).alias("total_qty"))
+        .where(F.col("total_qty") > LARGE_ORDER_QTY)
+    )
+    return (
+        o.join(F.broadcast(big), o["o_orderkey"] == big["l_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .select(
+            "c_name", "c_custkey", "o_orderkey",
+            "o_orderdate", "o_totalprice", "total_qty",
+        )
+    )
+
+
+def oracle_large_orders() -> str:
+    return f"""
+WITH big AS (
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS total_qty
+    FROM lineitem GROUP BY 1
+    HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+           > {LARGE_ORDER_QTY}
+)
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, total_qty
+FROM orders o
+JOIN big ON o.o_orderkey = big.l_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+"""
+
+
+# --- anti join + scalar average (TPC-H Q22 shape) ----------------------------
+
+
+def q_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: wealthy customers with no urgent order, by
+    nation.
+
+    Three decorrelations in one query: the scalar AVG becomes a 1-row
+    broadcast cross join; NOT EXISTS becomes a left-anti hash join
+    against the (pre-filtered, projected) orders side; the final rollup
+    is a plain hash aggregate. The anti-join build side is just the
+    distinct urgent o_custkey column.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    pos = c.where(F.col("c_acctbal") > 0.0)
+    avg_bal = pos.agg(
+        (dec_sum(F.col("c_acctbal")) / F.count(F.lit(1))).alias("avg_bal")
+    )
+    urgent = o.where(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    return (
+        pos.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(urgent, pos["c_custkey"] == urgent["o_custkey"], "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dec_sum(F.col("c_acctbal")).alias("totacctbal"),
+        )
+    )
+
+
+def oracle_sales_opportunity() -> str:
+    return """
+WITH pos AS (SELECT * FROM customer WHERE c_acctbal > 0.0),
+avg_bal AS (
+    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE)
+           / COUNT(*) AS avg_bal
+    FROM pos
+)
+SELECT c_nationkey,
+       CAST(count(*) AS BIGINT) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS totacctbal
+FROM pos, avg_bal
+WHERE c_acctbal > avg_bal
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = pos.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+GROUP BY c_nationkey
+"""

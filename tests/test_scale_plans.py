@@ -291,3 +291,35 @@ def test_reconcile_counts_preaggregates_both_sides(spark):
     # both branches reduce to per-instrument rows BEFORE the outer join:
     # >= 4 aggregates (partial+final per side) around a tiny join
     assert plan.count("HashAggregate") + plan.count("SortAggregate") >= 4
+
+
+def test_small_quantity_revenue_broadcasts_both_builds(spark):
+    plan = fmt(spark, tpch.q_small_quantity_revenue(spark, SF_DIR))
+    # brand dim AND the per-part average both broadcast: the lineitem
+    # side never shuffles for a join (the only exchanges feed aggregates)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "EqualTo(p_brand,Brand#11)" in plan
+
+
+def test_large_orders_probe_side_broadcasts(spark):
+    plan = fmt(spark, tpch.q_large_orders(spark, SF_DIR))
+    # the having-filtered aggregate and the customer dim broadcast;
+    # orders is probed in place, never exchanged for the joins
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_customer_order_counts_outer_join_partial_agg(spark):
+    plan = fmt(spark, tpch.q_customer_order_counts(spark, SF_DIR))
+    # priority predicate pushed to the orders scan (= ON-clause placement)
+    assert "Not(EqualTo(o_orderpriority,4-NOT SPECIFIED))" in plan
+    # both aggregation levels have map-side partials
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_sales_opportunity_anti_join_no_cartesian(spark):
+    plan = fmt(spark, tpch.q_sales_opportunity(spark, SF_DIR))
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    # acctbal predicate reaches the customer scan
+    assert "GreaterThan(c_acctbal,0.0)" in plan
