@@ -711,3 +711,138 @@ SELECT event_id, event_type, ts, value,
             ELSE (l[len(l) // 2] + l[len(l) // 2 + 1]) / 2 END AS rolling_median
 FROM w
 """
+
+
+# --- interval (range) join: events inside other instruments' gaps ------------
+
+
+def q_gap_event_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-instrument outage correlation: how many events of each
+    instrument landed strictly inside another instrument's detected
+    gap.
+
+    This is the engine's range join: the naive ``start < ts < end``
+    predicate would plan as a nested-loop cartesian; instead intervals
+    explode into the hour buckets they overlap and the join is a hash
+    equi-join on the bucket with the exact range check as residual (see
+    :mod:`..operators.intervals`). A point owns one bucket, so no
+    post-join dedup is needed.
+    """
+    from ..operators.intervals import interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    gaps = detect_gaps(
+        ev.withColumnRenamed("event_type", "instrument"),
+        keys=("instrument",),
+        time_col="ts",
+        min_gap_minutes=5.0,
+    ).select("instrument", "prev_ts", F.col("ts").alias("gap_end"))
+    pts = ev.select(F.col("event_type").alias("evt_instrument"), "ts")
+    joined = interval_join(
+        pts,
+        gaps,
+        point_ts="ts",
+        start_col="prev_ts",
+        end_col="gap_end",
+        extra_cond=F.col("evt_instrument") != F.col("instrument"),
+    )
+    return (
+        joined.groupBy(
+            F.col("instrument").alias("gap_instrument"), "evt_instrument"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+def oracle_gap_event_overlap() -> str:
+    return """
+WITH lagged AS (
+    SELECT event_type AS instrument,
+           lag(ts) OVER (PARTITION BY event_type ORDER BY ts) AS prev_ts,
+           ts AS gap_end
+    FROM events
+),
+gaps AS (
+    SELECT instrument, prev_ts, gap_end FROM lagged
+    WHERE (epoch_us(gap_end) - epoch_us(prev_ts)) / 60000000.0 > 5.0
+)
+SELECT g.instrument AS gap_instrument,
+       e.event_type AS evt_instrument,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events e JOIN gaps g
+  ON e.ts > g.prev_ts AND e.ts < g.gap_end
+ AND e.event_type <> g.instrument
+GROUP BY 1, 2
+"""
+
+
+# --- ordered funnel conversion ----------------------------------------------
+
+
+def q_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: signup -> view -> click -> purchase, each stage
+    counted only when its first occurrence is at-or-after the previous
+    stage's first occurrence (event-sequence analytics over the raw
+    stream).
+
+    One hash aggregate per user (conditional min-timestamps, map-side
+    combinable) and a single-row reduction — no self-joins, no windows:
+    the per-user state is 4 timestamps however long the history is,
+    which is the shape that survives a 100 TB event log.
+    """
+    ev = load_table(spark, sf_dir, "events")
+
+    def first_ts(et: str):
+        return F.min(F.when(F.col("event_type") == et, F.col("ts")))
+
+    per_user = ev.groupBy("user_id").agg(
+        first_ts("signup").alias("t_signup"),
+        first_ts("view").alias("t_view"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    s1 = F.col("t_signup").isNotNull()
+    s2 = s1 & F.col("t_view").isNotNull() & (F.col("t_view") >= F.col("t_signup"))
+    s3 = s2 & F.col("t_click").isNotNull() & (F.col("t_click") >= F.col("t_view"))
+    s4 = (
+        s3
+        & F.col("t_purchase").isNotNull()
+        & (F.col("t_purchase") >= F.col("t_click"))
+    )
+    cnt = lambda c: F.sum(c.cast("long"))  # noqa: E731
+    return per_user.agg(
+        cnt(s1).alias("n_signup"),
+        cnt(s2).alias("n_view"),
+        cnt(s3).alias("n_click"),
+        cnt(s4).alias("n_purchase"),
+    )
+
+
+def oracle_funnel_stages() -> str:
+    return """
+WITH per_user AS (
+    SELECT user_id,
+           min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+           min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+           min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+           min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+    FROM events GROUP BY user_id
+),
+flags AS (
+    SELECT
+        (t_signup IS NOT NULL) AS s1,
+        (t_signup IS NOT NULL AND t_view IS NOT NULL
+         AND t_view >= t_signup) AS s2,
+        (t_signup IS NOT NULL AND t_view IS NOT NULL AND t_view >= t_signup
+         AND t_click IS NOT NULL AND t_click >= t_view) AS s3,
+        (t_signup IS NOT NULL AND t_view IS NOT NULL AND t_view >= t_signup
+         AND t_click IS NOT NULL AND t_click >= t_view
+         AND t_purchase IS NOT NULL AND t_purchase >= t_click) AS s4
+    FROM per_user
+)
+SELECT CAST(SUM(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+       CAST(SUM(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+       CAST(SUM(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+       CAST(SUM(CASE WHEN s4 THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase
+FROM flags
+"""

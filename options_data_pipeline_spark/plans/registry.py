@@ -40,6 +40,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
     "rolling_median": (quality.q_rolling_median, quality.oracle_rolling_median),
     "candle_ffill": (quality.q_candle_ffill, quality.oracle_candle_ffill),
     "user_overlap": (quality.q_user_overlap, quality.oracle_user_overlap),
+    "gap_event_overlap": (quality.q_gap_event_overlap, quality.oracle_gap_event_overlap),
+    "funnel_stages": (quality.q_funnel_stages, quality.oracle_funnel_stages),
     # --- generic relational (joins, topk, hash agg) ---
     "pricing_summary": (tpch.q_pricing_summary, tpch.oracle_pricing_summary),
     "top_orders": (tpch.q_top_orders, tpch.oracle_top_orders),
@@ -100,6 +102,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
     "doc_repetition": (text.q_doc_repetition, text.oracle_doc_repetition),
     "rare_tokens": (text.q_rare_tokens, text.oracle_rare_tokens),
     "doc_chunks": (text.q_doc_chunks, text.oracle_doc_chunks),
+    "chunk_dedup": (text.q_chunk_dedup, text.oracle_chunk_dedup),
     "unigram_logprob": (text.q_unigram_logprob, text.oracle_unigram_logprob),
     "train_split": (text.q_train_split, text.oracle_train_split),
     "edit_distance_pairs": (text.q_edit_distance_pairs, text.oracle_edit_distance_pairs),

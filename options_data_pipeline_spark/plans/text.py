@@ -970,3 +970,123 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
 FROM blocked a JOIN blocked b ON a.blk = b.blk AND a.doc_id < b.doc_id
 WHERE levenshtein(a.text, b.text) <= 16
 """
+
+
+# --- chunk-level (paragraph) dedup: CCNet-style ------------------------------
+
+_PDEDUP_WINDOW = 10  # tokens per dedup unit ("paragraph" of the corpus)
+
+
+def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level dedup (CCNet): drop every repeated chunk except
+    its globally-first occurrence, then rebuild each document from the
+    surviving chunks.
+
+    Documents are split into non-overlapping ``_PDEDUP_WINDOW``-token
+    units (the corpus has no newlines, so fixed windows stand in for
+    paragraphs); a unit survives iff its md5's first occurrence — lowest
+    (doc_id, chunk_idx) — is this one. Unlike doc-level dedup, this
+    removes boilerplate shared across *different* documents while
+    keeping the documents themselves.
+
+    Scale shape: narrow chunk fan-out (sequence + explode, no shuffle),
+    one md5-partitioned window min for the first-occurrence test (hash-
+    uniform keys — no skew by construction), one groupBy(doc_id) to
+    reassemble. Two shuffles total, both on uniform keys; no joins.
+    """
+    W = _PDEDUP_WINDOW
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    chunked = (
+        docs.withColumn("__toks", F.split(F.col("text"), " "))
+        .withColumn("__n", F.size(F.col("__toks")))
+        .withColumn(
+            "chunk_idx",
+            F.explode(F.expr(f"sequence(0L, (__n - 1) div {W})")),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.array_join(
+                F.slice(
+                    F.col("__toks"),
+                    (F.col("chunk_idx") * W + 1).cast("int"),
+                    W,
+                ),
+                " ",
+            ).alias("chunk_text"),
+        )
+        .withColumn("chunk_md5", F.md5("chunk_text"))
+    )
+    first = F.min(F.struct("doc_id", "chunk_idx")).over(
+        Window.partitionBy("chunk_md5")
+    )
+    surviving = chunked.withColumn("__first", first).where(
+        (F.col("doc_id") == F.col("__first.doc_id"))
+        & (F.col("chunk_idx") == F.col("__first.chunk_idx"))
+    )
+    kept = surviving.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("kept_chunks"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("chunk_idx", "chunk_text"))
+                    ),
+                    lambda s: s["chunk_text"],
+                ),
+                " ",
+            )
+        ).alias("dedup_md5"),
+    )
+    totals = chunked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks")
+    )
+    return (
+        totals.join(kept, "doc_id", "left_outer")
+        .select(
+            "doc_id",
+            "n_chunks",
+            F.coalesce("kept_chunks", F.lit(0)).alias("kept_chunks"),
+            F.coalesce("dedup_md5", F.md5(F.lit(""))).alias("dedup_md5"),
+        )
+    )
+
+
+def oracle_chunk_dedup() -> str:
+    w = _PDEDUP_WINDOW
+    return f"""
+WITH base AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+chunks AS (
+    SELECT doc_id, chunk_idx,
+           array_to_string(
+               toks[chunk_idx * {w} + 1 : chunk_idx * {w} + {w}], ' '
+           ) AS chunk_text
+    FROM (SELECT doc_id, toks,
+                 unnest(range(0, ((len(toks) - 1) // {w}) + 1)) AS chunk_idx
+          FROM base)
+),
+hashed AS (
+    SELECT doc_id, chunk_idx, chunk_text, md5(chunk_text) AS chunk_md5
+    FROM chunks
+),
+marked AS (
+    SELECT doc_id, chunk_idx, chunk_text,
+           min(ROW(doc_id, chunk_idx)) OVER (PARTITION BY chunk_md5)
+               AS first_occ
+    FROM hashed
+),
+kept AS (
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS kept_chunks,
+           md5(string_agg(chunk_text, ' ' ORDER BY chunk_idx)) AS dedup_md5
+    FROM marked
+    WHERE first_occ = ROW(doc_id, chunk_idx)
+    GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(t.n_chunks AS BIGINT) AS n_chunks,
+       COALESCE(kept_chunks, 0) AS kept_chunks,
+       COALESCE(dedup_md5, md5('')) AS dedup_md5
+FROM (SELECT doc_id, count(*) AS n_chunks FROM hashed GROUP BY 1) t
+LEFT OUTER JOIN kept ON t.doc_id = kept.doc_id
+"""

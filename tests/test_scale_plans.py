@@ -323,3 +323,35 @@ def test_sales_opportunity_anti_join_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     # acctbal predicate reaches the customer scan
     assert "GreaterThan(c_acctbal,0.0)" in plan
+
+
+def test_gap_event_overlap_is_equi_join_not_nested_loop(spark):
+    from options_data_pipeline_spark.plans import quality
+
+    plan = fmt(spark, quality.q_gap_event_overlap(spark, SF_DIR))
+    # the range predicate must ride a hash equi-join on the bucket,
+    # never a quadratic nested-loop / cartesian plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Join" in plan
+
+
+def test_funnel_stages_two_aggregates_no_join(spark):
+    from options_data_pipeline_spark.plans import quality
+
+    plan = fmt(spark, quality.q_funnel_stages(spark, SF_DIR))
+    # conditional-min funnel: no self-joins, no windows — just the
+    # per-user aggregate and the single-row reduction, both partial
+    assert "Join" not in plan
+    assert ") Window" not in plan
+    assert len(shuffle_exchanges(plan)) <= 2
+
+
+def test_chunk_dedup_two_uniform_shuffles(spark):
+    from options_data_pipeline_spark.plans import text
+
+    plan = fmt(spark, text.q_chunk_dedup(spark, SF_DIR))
+    # md5 window + doc_id reassembly (+ the outer-join back to totals);
+    # all keys hash-uniform, chunk fan-out is narrow (no pre-window join)
+    assert "CartesianProduct" not in plan
+    assert plan.count(") Window") == 1
