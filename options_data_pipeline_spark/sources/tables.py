@@ -49,6 +49,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # nanos -> micros, exact integer truncation (matches DuckDB's coercion;
         # double division would round and drift by 1us on ~half the rows)
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Parquet micros timestamps with isAdjustedToUTC=false arrive as
+    # TIMESTAMP_NTZ under Spark 4's NTZ inference. The whole engine (and the
+    # DuckDB oracle) treats event time as instants in a UTC session, and
+    # several time functions (unix_micros, window(), to_utc_timestamp) only
+    # accept TIMESTAMP. Cast NTZ -> TIMESTAMP; with the session pinned to UTC
+    # above this relabels the type without changing any stored value.
+    for col, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 
