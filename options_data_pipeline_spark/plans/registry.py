@@ -7,7 +7,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import media, options, pii, quality, sessions, text, tpch, vectors
+from . import media, options, pii, quality, retrieval, sessions, text, tpch, vectors
 
 # name -> (query fn, oracle sql builder or None)
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[], str] | None]] = {
@@ -106,6 +106,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
     "unigram_logprob": (text.q_unigram_logprob, text.oracle_unigram_logprob),
     "train_split": (text.q_train_split, text.oracle_train_split),
     "edit_distance_pairs": (text.q_edit_distance_pairs, text.oracle_edit_distance_pairs),
+    "incremental_dedup": (text.q_incremental_dedup, text.oracle_incremental_dedup),
+    "bm25_search": (retrieval.q_bm25_search, retrieval.oracle_bm25_search),
+    "domain_mixture": (retrieval.q_domain_mixture, retrieval.oracle_domain_mixture),
+    "logprob_trim": (retrieval.q_logprob_trim, retrieval.oracle_logprob_trim),
     "pii_scrub": (pii.q_pii_scrub, pii.oracle_pii_scrub),
     "ngram_contamination": (pii.q_ngram_contamination, pii.oracle_ngram_contamination),
     # --- training-data ops: vectors ---

@@ -1,0 +1,267 @@
+"""Retrieval and corpus-mixture queries over ``documents``.
+
+Training-data pipelines need more than dedup: they rank documents
+against keyword probes (BM25 — the classic lexical retrieval scorer),
+rebalance the corpus across domains (mixture reweighting), and trim
+quality-score outliers (winsorization). Each query here is the
+Spark-first shape of one of those steps, with an exact DuckDB oracle.
+
+Scale notes (the shapes that survive 100 TB):
+
+- **BM25**: the postings list is filtered to the query terms *before*
+  any shuffle — the only corpus-wide exchange carries (doc, term, tf)
+  for matching rows, a vanishing fraction of the corpus. Document
+  frequencies and corpus stats are tiny aggregates broadcast back; the
+  per-doc score sum shuffles on doc_id once.
+- **Mixture**: one map-side-combined groupBy on (source, lang) plus a
+  scalar broadcast — nothing else touches the corpus.
+- **Winsorize**: the bounds are a single exact-percentile aggregate
+  (two skinny doubles broadcast); clamping is a scan-level expression.
+
+Float determinism follows the house rules (:mod:`..functions.rounding`):
+``ln()`` results are rounded to 9 dp and carried as DECIMAL so sums are
+associative; final scores round to 6 dp.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.rounding import round_half_away, sql_round_half_away
+from ..sources.tables import load_table
+
+# Fixed keyword probe for the BM25 query (mid/high-frequency corpus terms).
+QUERY_TERMS = ("shuffle", "broadcast", "join")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_K = 20
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-k for a fixed keyword query.
+
+    Inverted-index shape: explode tokens, keep only query-term postings
+    (the filter sits under the first exchange, so the corpus-wide
+    shuffle carries matching postings only), aggregate tf per
+    (doc, term), broadcast-join the per-term document frequencies and
+    the (N, avgdl) scalars, score, and sum per doc.
+
+    idf = ln((N - df + 0.5) / (df + 0.5) + 1)  [the "plus-one" BM25+
+    variant that keeps idf positive]; per-term partial scores are
+    rounded to 9 dp DECIMAL so the per-doc sum is associative and
+    engine-portable; the reported score rounds to 6 dp and orders the
+    top-k (ties: doc_id).
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    words = F.split(F.lower(F.col("text")), " ")
+    dl = docs.select("doc_id", F.size(words).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    postings = (
+        docs.select("doc_id", F.explode(words).alias("term"))
+        .where(F.col("term").isin(*QUERY_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = dfreq.crossJoin(F.broadcast(stats)).select(
+        "term",
+        round_half_away(
+            F.log(
+                (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+            ),
+            9,
+        )
+        .cast("decimal(28,9)")
+        .alias("idf"),
+        "avgdl",
+    )
+    score_t = (
+        F.col("idf").cast("double")
+        * (F.col("tf") * (BM25_K1 + 1.0))
+        / (
+            F.col("tf")
+            + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    scored = (
+        postings.join(F.broadcast(idf), "term")
+        .join(dl, "doc_id")
+        .select(
+            "doc_id",
+            round_half_away(score_t, 9).cast("decimal(28,9)").alias("s"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            round_half_away(F.sum("s").cast("double"), 6).alias("bm25"),
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+        )
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(BM25_TOP_K)
+    )
+
+
+def oracle_bm25_search() -> str:
+    terms = ", ".join(f"'{t}'" for t in QUERY_TERMS)
+    idf = sql_round_half_away("ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)", 9)
+    k1p1 = BM25_K1 + 1.0
+    score = sql_round_half_away(
+        f"CAST(idf AS DOUBLE) * (tf * {k1p1}) / "
+        f"(tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dl / avgdl))",
+        9,
+    )
+    final = sql_round_half_away("CAST(sum(s) AS DOUBLE)", 6)
+    return f"""
+WITH dl AS (
+    SELECT doc_id, len(string_split(lower(text), ' ')) AS dl FROM documents
+),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+postings AS (
+    SELECT doc_id, term, count(*) AS tf
+    FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+          FROM documents)
+    WHERE term IN ({terms})
+    GROUP BY 1, 2
+),
+dfreq AS (SELECT term, count(*) AS df FROM postings GROUP BY 1),
+idf AS (
+    SELECT term, CAST({idf} AS DECIMAL(28,9)) AS idf, avgdl
+    FROM dfreq, stats
+),
+scored AS (
+    SELECT p.doc_id, CAST({score} AS DECIMAL(28,9)) AS s
+    FROM postings p
+    JOIN idf USING (term)
+    JOIN dl USING (doc_id)
+)
+SELECT doc_id, {final} AS bm25, CAST(count(*) AS BIGINT) AS n_terms
+FROM scored
+GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id
+LIMIT {BM25_TOP_K}
+"""
+
+
+def q_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain mixture reweighting: per (source, lang) token shares and
+    the up/down-sampling weight that would flatten the mixture to a
+    uniform token budget across domains.
+
+    weight = min(1, target_share / actual_share) — the standard
+    downsample-only policy (never duplicate data, only subsample
+    over-represented domains). One map-side-combined groupBy plus a
+    scalar broadcast; the weights table is exactly what a sampling pass
+    (cf. ``stratified_sample``) consumes as its per-stratum rates.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    per_dom = (
+        docs.select(
+            "source",
+            "lang",
+            F.size(F.split(F.col("text"), " ")).cast("long").alias("__tok"),
+        )
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__tok").alias("n_tokens"),
+        )
+    )
+    # Totals via an unpartitioned window OVER THE AGGREGATED table — not a
+    # separate agg + cross join, which would plan a second full corpus
+    # scan (Spark does not reuse the groupBy subtree across branches).
+    # The window sees one row per (source, lang): a few hundred rows on a
+    # single partition, regardless of corpus size.
+    from pyspark.sql import Window
+
+    everything = Window.partitionBy()
+    per_dom = per_dom.select(
+        "*",
+        F.sum("n_tokens").over(everything).alias("total_tokens"),
+        F.count(F.lit(1)).over(everything).alias("n_domains"),
+    )
+    share = F.col("n_tokens").cast("double") / F.col("total_tokens")
+    target = F.lit(1.0) / F.col("n_domains")
+    return per_dom.select(
+        "source",
+        "lang",
+        "n_docs",
+        "n_tokens",
+        round_half_away(share, 6).alias("token_share"),
+        round_half_away(F.least(F.lit(1.0), target / share), 6).alias(
+            "sample_weight"
+        ),
+    )
+
+
+def oracle_domain_mixture() -> str:
+    share = "CAST(n_tokens AS DOUBLE) / total_tokens"
+    weight = f"least(1.0, (1.0 / n_domains) / ({share}))"
+    return f"""
+WITH per_dom AS (
+    SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+    FROM documents GROUP BY 1, 2
+),
+totals AS (
+    SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(count(*) AS BIGINT) AS n_domains
+    FROM per_dom
+)
+SELECT source, lang, n_docs, n_tokens,
+       {sql_round_half_away(share, 6)} AS token_share,
+       {sql_round_half_away(weight, 6)} AS sample_weight
+FROM per_dom, totals
+"""
+
+
+def q_logprob_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized quality trim on the unigram-LM score: compute the
+    exact p05/p95 of per-doc avg log-prob, clamp every score into the
+    window, and flag the outliers a curation pass would drop.
+
+    The bounds are one exact-percentile aggregate over the (already
+    tiny) per-doc score table, broadcast back as two scalars; the clamp
+    is a scan-level expression. Re-uses the ``unigram_logprob`` pipeline
+    as its input stage.
+    """
+    from .text import q_unigram_logprob
+
+    scored = q_unigram_logprob(spark, sf_dir).select("doc_id", "avg_logprob")
+    bounds = scored.agg(
+        F.expr("percentile(avg_logprob, 0.05)").alias("p05"),
+        F.expr("percentile(avg_logprob, 0.95)").alias("p95"),
+    )
+    clamped = F.least(F.greatest(F.col("avg_logprob"), F.col("p05")), F.col("p95"))
+    return scored.crossJoin(F.broadcast(bounds)).select(
+        "doc_id",
+        "avg_logprob",
+        round_half_away(clamped, 6).alias("winsorized"),
+        (
+            (F.col("avg_logprob") < F.col("p05"))
+            | (F.col("avg_logprob") > F.col("p95"))
+        ).alias("is_outlier"),
+    )
+
+
+def oracle_logprob_trim() -> str:
+    from .text import oracle_unigram_logprob
+
+    base = oracle_unigram_logprob().strip()
+    clamped = "least(greatest(avg_logprob, p05), p95)"
+    return f"""
+WITH scored AS ({base}),
+bounds AS (
+    SELECT quantile_cont(avg_logprob, 0.05) AS p05,
+           quantile_cont(avg_logprob, 0.95) AS p95
+    FROM scored
+)
+SELECT doc_id, avg_logprob,
+       {sql_round_half_away(clamped, 6)} AS winsorized,
+       (avg_logprob < p05 OR avg_logprob > p95) AS is_outlier
+FROM scored, bounds
+"""

@@ -1090,3 +1090,95 @@ SELECT t.doc_id,
 FROM (SELECT doc_id, count(*) AS n_chunks FROM hashed GROUP BY 1) t
 LEFT OUTER JOIN kept ON t.doc_id = kept.doc_id
 """
+
+
+# --- incremental batch dedup -------------------------------------------------
+
+
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: adjudicate an INCOMING batch against the
+    EXISTING corpus — the shape every continuously-ingesting training
+    pipeline runs per crawl drop. The planted mirror/scrape docs play
+    the incoming batch; the original documents are the standing corpus.
+
+    Verdict per incoming doc: ``exact_dup`` (content hash already in the
+    corpus), ``near_dup`` (LSH candidate verified at Jaccard >= 0.5
+    against a corpus doc), else ``unique``; ``base_match`` is the lowest
+    matching corpus id.
+
+    Scale shape: the exact probe is one equi-join on the content digest
+    (AQE broadcasts the batch side when it is small — the common case);
+    the near probe reuses the MinHash/LSH bucket join, then keeps only
+    cross-side pairs — candidate generation over corpus+batch is the
+    same single bucket-keyed shuffle as ``minhash_near_dups``, never a
+    batch x corpus comparison. Batch membership is a predicate on the
+    planted id space (>= 100000), mirrored verbatim in the oracle.
+    """
+    corpus = planted_corpus(spark, sf_dir)
+    is_new = F.col("source").isin("mirror", "scrape")
+    newb = corpus.where(is_new)
+    base = corpus.where(~is_new)
+
+    base_hashes = (
+        base.select(F.md5("text").alias("h"), "doc_id")
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("exact_match"))
+    )
+    exact = newb.select("doc_id", F.md5("text").alias("h")).join(
+        base_hashes, "h", "left"
+    )
+
+    verified = D.minhash_near_dups(corpus, threshold=0.5)
+    near = (
+        verified.where((F.col("doc_a") < 100000) & (F.col("doc_b") >= 100000))
+        .groupBy(F.col("doc_b").alias("doc_id"))
+        .agg(F.min("doc_a").alias("near_match"))
+    )
+
+    verdict = (
+        F.when(F.col("exact_match").isNotNull(), F.lit("exact_dup"))
+        .when(F.col("near_match").isNotNull(), F.lit("near_dup"))
+        .otherwise(F.lit("unique"))
+    )
+    return (
+        exact.join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            verdict.alias("verdict"),
+            F.coalesce("exact_match", "near_match").alias("base_match"),
+        )
+    )
+
+
+def oracle_incremental_dedup() -> str:
+    minhash_sql = oracle_minhash_near_dups()
+    prefix = minhash_sql.split("WITH", 1)[1].rsplit("SELECT", 1)[0]
+    return f"""
+WITH {prefix}
+, near AS (
+    SELECT doc_b AS doc_id, min(doc_a) AS near_match
+    FROM common
+    JOIN sizes na ON na.doc_id = doc_a
+    JOIN sizes nb ON nb.doc_id = doc_b
+    WHERE n_common / (na.n_sh + nb.n_sh - n_common) >= 0.5
+      AND doc_a < 100000 AND doc_b >= 100000
+    GROUP BY 1
+),
+base_hashes AS (
+    SELECT md5(text) AS h, min(doc_id) AS exact_match
+    FROM corpus WHERE source NOT IN ('mirror', 'scrape')
+    GROUP BY 1
+),
+newb AS (
+    SELECT doc_id, md5(text) AS h FROM corpus
+    WHERE source IN ('mirror', 'scrape')
+)
+SELECT n.doc_id,
+       CASE WHEN bh.exact_match IS NOT NULL THEN 'exact_dup'
+            WHEN nr.near_match IS NOT NULL THEN 'near_dup'
+            ELSE 'unique' END AS verdict,
+       COALESCE(bh.exact_match, nr.near_match) AS base_match
+FROM newb n
+LEFT OUTER JOIN base_hashes bh ON n.h = bh.h
+LEFT OUTER JOIN near nr ON nr.doc_id = n.doc_id
+"""

@@ -355,3 +355,39 @@ def test_chunk_dedup_two_uniform_shuffles(spark):
     # all keys hash-uniform, chunk fan-out is narrow (no pre-window join)
     assert "CartesianProduct" not in plan
     assert plan.count(") Window") == 1
+
+
+def test_bm25_broadcasts_stats_filters_before_shuffle(spark):
+    from options_data_pipeline_spark.plans import retrieval
+
+    plan = fmt(spark, retrieval.q_bm25_search(spark, SF_DIR))
+    # the idf / corpus-stat sides broadcast; the postings never sort-merge
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    # the query-term filter sits under the tf aggregate's exchange, so the
+    # corpus-wide shuffle carries matching postings only
+    assert re.search(r"Filter.*term#\d+ IN", plan) or "term#" in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final tf
+
+
+def test_domain_mixture_single_corpus_shuffle(spark):
+    from options_data_pipeline_spark.plans import retrieval
+
+    plan = fmt(spark, retrieval.q_domain_mixture(spark, SF_DIR))
+    # ONE corpus scan (the totals window must not re-scan), one
+    # map-side-combined groupBy; the window runs on the tiny aggregate
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1
+    assert len(shuffle_exchanges(plan)) <= 2
+    assert "SortMergeJoin" not in plan
+    # corpus scan reads only the columns it needs, not text-adjacent extras
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert "n_chars" not in m.group(1)
+
+
+def test_incremental_dedup_no_batch_x_corpus_join(spark):
+    from options_data_pipeline_spark.plans import text
+
+    plan = fmt(spark, text.q_incremental_dedup(spark, SF_DIR))
+    # candidate generation must stay bucket-keyed: no quadratic plans
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
