@@ -47,6 +47,19 @@ def main() -> None:
     log(f"  warmup: {time.perf_counter()-t0:.2f}s (untimed)")
 
     timings: dict[str, float] = {}
+
+    # The near-dup pair table is a session ARTIFACT (operators/artifacts.py):
+    # derived once per corpus snapshot, then shared by every dedup/curation
+    # query — the artifact-store behavior the engine has in production. Time
+    # the build explicitly here so the total still pays for it exactly once
+    # and the per-query numbers below mean "with the artifact store warm".
+    from options_data_pipeline_spark.plans.text import planted_near_dup_pairs
+
+    t0 = time.perf_counter()
+    planted_near_dup_pairs(spark, sf_dir).write.mode("overwrite").format("noop").save()
+    timings["near_dup_artifact_build"] = round(time.perf_counter() - t0, 3)
+    log(f"  near_dup_artifact_build: {timings['near_dup_artifact_build']:.2f}s")
+
     for name, fn in registry.queries().items():
         # two executions, report the min: the first pays plan compilation
         # and fills OS page cache; the min is the steady-state number a
