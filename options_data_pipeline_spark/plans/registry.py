@@ -107,6 +107,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
     "train_split": (text.q_train_split, text.oracle_train_split),
     "edit_distance_pairs": (text.q_edit_distance_pairs, text.oracle_edit_distance_pairs),
     "incremental_dedup": (text.q_incremental_dedup, text.oracle_incremental_dedup),
+    "text_normalize": (text.q_text_normalize, text.oracle_text_normalize),
+    "quality_calibration": (text.q_quality_calibration, text.oracle_quality_calibration),
     "bm25_search": (retrieval.q_bm25_search, retrieval.oracle_bm25_search),
     "domain_mixture": (retrieval.q_domain_mixture, retrieval.oracle_domain_mixture),
     "logprob_trim": (retrieval.q_logprob_trim, retrieval.oracle_logprob_trim),
@@ -119,6 +121,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
     "embedding_quantize": (vectors.q_embedding_quantize, vectors.oracle_embedding_quantize),
     "kmeans_clusters": (vectors.q_kmeans_clusters, vectors.oracle_kmeans_clusters),
     "semantic_prune": (vectors.q_semantic_prune, vectors.oracle_semantic_prune),
+    "label_cohesion": (vectors.q_label_cohesion, vectors.oracle_label_cohesion),
     # --- training-data ops: multimodal (mapInPandas over binary payloads) ---
     "media_features": (media.q_media_features, media.oracle_media_features),
     "media_frames": (media.q_media_frames, media.oracle_media_frames),

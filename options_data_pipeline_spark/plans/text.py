@@ -1199,3 +1199,101 @@ FROM newb n
 LEFT OUTER JOIN base_hashes bh ON n.h = bh.h
 LEFT OUTER JOIN near nr ON nr.doc_id = n.doc_id
 """
+
+
+# --- text normalization audit ------------------------------------------------
+
+
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization pass audit: lowercase, strip non-alphanumerics,
+    collapse whitespace — the canonical pre-dedup text cleanup — with
+    per-doc before/after sizes and the digest of the normalized form
+    (what an exact-dedup stage downstream would key on).
+
+    Pure scan-level expressions (regexp_replace chains); zero shuffles.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    normalized = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+            " +",
+            " ",
+        )
+    )
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_before"),
+        F.length(normalized).cast("long").alias("n_chars_after"),
+        (F.length("text") - F.length(normalized)).cast("long").alias("n_removed"),
+        F.md5(normalized).alias("norm_md5"),
+    )
+
+
+def oracle_text_normalize() -> str:
+    norm = (
+        "trim(regexp_replace(regexp_replace(lower(text),"
+        " '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
+    )
+    return f"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars_before,
+       CAST(length({norm}) AS BIGINT) AS n_chars_after,
+       CAST(length(text) - length({norm}) AS BIGINT) AS n_removed,
+       md5({norm}) AS norm_md5
+FROM documents
+"""
+
+
+# --- quality-score calibration ----------------------------------------------
+
+
+def q_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration table: fixed-width quality-score buckets vs the
+    unigram-LM score — does the cheap heuristic rank documents the same
+    way the LM does? Fixed-width buckets (floor(q*10)) instead of
+    deciles on purpose: an ntile would demand a GLOBAL sort of the
+    corpus, while the bucket id is a scan-level expression — the shape
+    that survives 100 TB. Joins two per-doc derived tables on doc_id and
+    reduces to at most 11 rows."""
+    quality = TS.quality_score(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "quality_score"
+    )
+    lm = q_unigram_logprob(spark, sf_dir).select("doc_id", "avg_logprob")
+    from ..functions.rounding import round_half_away
+
+    joined = quality.join(lm, "doc_id").select(
+        F.floor(F.col("quality_score") * 10).cast("int").alias("q_bucket"),
+        F.col("quality_score").cast("decimal(28,9)").alias("q"),
+        F.col("avg_logprob").cast("decimal(28,9)").alias("lp"),
+    )
+    return joined.groupBy("q_bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        round_half_away(
+            F.sum("q").cast("double") / F.count(F.lit(1)), 6
+        ).alias("mean_quality"),
+        round_half_away(
+            F.sum("lp").cast("double") / F.count(F.lit(1)), 6
+        ).alias("mean_logprob"),
+    )
+
+
+def oracle_quality_calibration() -> str:
+    from ..functions.rounding import sql_round_half_away
+
+    base = oracle_unigram_logprob().strip()
+    quality_sql = oracle_text_quality().strip()
+    mean_q = sql_round_half_away("CAST(sum(q) AS DOUBLE) / count(*)", 6)
+    mean_lp = sql_round_half_away("CAST(sum(lp) AS DOUBLE) / count(*)", 6)
+    return f"""
+WITH lm AS ({base}),
+qual AS ({quality_sql})
+SELECT CAST(floor(qual.quality_score * 10) AS INT) AS q_bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       {mean_q} AS mean_quality,
+       {mean_lp} AS mean_logprob
+FROM (SELECT doc_id, quality_score, CAST(quality_score AS DECIMAL(28,9)) AS q
+      FROM qual) qual
+JOIN (SELECT doc_id, CAST(avg_logprob AS DECIMAL(28,9)) AS lp FROM lm) lm
+  ON qual.doc_id = lm.doc_id
+GROUP BY 1
+"""

@@ -370,3 +370,107 @@ SELECT id_b AS vec_id, CAST(cluster AS INT) AS cluster, max(sim) AS max_sim
 FROM pairs WHERE sim >= {SEMDEDUP_THRESHOLD}
 GROUP BY 1, 2
 """
+
+
+# --- per-label centroid cohesion --------------------------------------------
+
+
+def q_label_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space QA: per label, the centroid and how tightly the
+    label's vectors hug it (mean / min cosine to centroid). Low cohesion
+    flags mislabeled or heterogeneous strata before they poison a
+    curriculum or a contrastive objective.
+
+    Scale shape: centroids are one map-side-combined groupBy over
+    (label, dim) after posexplode — #labels x dim rows out regardless of
+    corpus size — then broadcast back; the per-row cosine is a narrow
+    fold. Means accumulate as exact DECIMAL (order-free, bitwise
+    reproducible under any partitioning — house rule)."""
+    from ..functions.rounding import round_half_away
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "label",
+        F.col("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    cent = (
+        vecs.select("label", F.posexplode("v").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(
+            (
+                F.sum(F.col("x").cast("decimal(38,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("c")
+        )
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda s: s["c"],
+            ).alias("cv")
+        )
+    )
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+
+    cos = round_half_away(
+        dot(F.col("v"), F.col("cv"))
+        / F.sqrt(dot(F.col("v"), F.col("v")) * dot(F.col("cv"), F.col("cv"))),
+        9,
+    ).cast("decimal(28,9)")
+    scored = vecs.join(F.broadcast(cent), "label").select(
+        "label", cos.alias("cos")
+    )
+    return scored.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        round_half_away(
+            F.sum("cos").cast("double") / F.count(F.lit(1)), 6
+        ).alias("mean_cos"),
+        round_half_away(F.min("cos").cast("double"), 6).alias("min_cos"),
+    )
+
+
+def oracle_label_cohesion() -> str:
+    dot_vc = (
+        "list_reduce(list_transform(range(1, len(v)+1), i -> v[i] * cv[i]),"
+        " (acc, x) -> acc + x)"
+    )
+    dot_vv = (
+        "list_reduce(list_transform(range(1, len(v)+1), i -> v[i] * v[i]),"
+        " (acc, x) -> acc + x)"
+    )
+    dot_cc = (
+        "list_reduce(list_transform(range(1, len(cv)+1), i -> cv[i] * cv[i]),"
+        " (acc, x) -> acc + x)"
+    )
+    cos = sql_round_half_away(f"{dot_vc} / sqrt({dot_vv} * {dot_cc})", 9)
+    mean = sql_round_half_away("CAST(sum(cos) AS DOUBLE) / count(*)", 6)
+    mn = sql_round_half_away("CAST(min(cos) AS DOUBLE)", 6)
+    return f"""
+WITH vecs AS (
+    SELECT label, vec_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+),
+cent AS (
+    SELECT label, pos,
+           CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS c
+    FROM (SELECT label, unnest(v) AS x, unnest(range(0, len(v))) AS pos
+          FROM vecs)
+    GROUP BY 1, 2
+),
+cent_v AS (SELECT label, list(c ORDER BY pos) AS cv FROM cent GROUP BY 1),
+scored AS (
+    SELECT vecs.label, CAST({cos} AS DECIMAL(28,9)) AS cos
+    FROM vecs JOIN cent_v ON vecs.label = cent_v.label
+)
+SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+       {mean} AS mean_cos, {mn} AS min_cos
+FROM scored GROUP BY label
+"""

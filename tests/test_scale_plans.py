@@ -391,3 +391,25 @@ def test_incremental_dedup_no_batch_x_corpus_join(spark):
     # candidate generation must stay bucket-keyed: no quadratic plans
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_text_normalize_zero_shuffles_pruned_scan(spark):
+    from options_data_pipeline_spark.plans import text
+
+    plan = fmt(spark, text.q_text_normalize(spark, SF_DIR))
+    # pure scan-level expression chain: no exchanges at all, and the scan
+    # reads only (doc_id, text)
+    assert len(shuffle_exchanges(plan)) == 0
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m.group(1).count(":") == 2
+
+
+def test_label_cohesion_broadcasts_centroids(spark):
+    from options_data_pipeline_spark.plans import vectors
+
+    plan = fmt(spark, vectors.q_label_cohesion(spark, SF_DIR))
+    # the #labels x dim centroid table broadcasts back to the corpus; the
+    # corpus itself never sort-merges
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
