@@ -453,3 +453,60 @@ def test_scd2_upsert_history_chain(spark, tmp):
     out = spark.read.parquet(t)
     assert out.count() == 6
     assert out.where(F.col("is_current")).count() == 3
+
+
+def test_streaming_session_windows(spark, tmp):
+    """Native session_window sessionization: two sessions for user A
+    (gap > 30 min between event 2 and 3), one for user B; a second
+    micro-batch EXTENDS user B's open session before the watermark
+    seals it. Complete-mode memory sink so sealed and open sessions are
+    both visible to the assertion."""
+    from options_data_pipeline_spark.streaming.sessions import (
+        streaming_user_sessions,
+    )
+
+    src = f"{tmp}/src"
+    _events(spark, [
+        (0, "2024-01-01 10:00:00", "A", 1.0),
+        (1, "2024-01-01 10:10:00", "A", 1.0),
+        (2, "2024-01-01 11:30:00", "A", 1.0),   # > 30 min gap: new session
+        (3, "2024-01-01 10:05:00", "B", 1.0),
+    ]).coalesce(1).write.mode("append").parquet(src)
+    _events(spark, [
+        (4, "2024-01-01 10:20:00", "B", 1.0),   # extends B's session
+    ]).coalesce(1).write.mode("append").parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    sessions = streaming_user_sessions(
+        stream, key_col="event_type", gap="30 minutes", watermark="1 hour"
+    )
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("sess")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        (r.event_type, r.session_start.isoformat()): (
+            r.n_events,
+            r.first_ts.isoformat(),
+            r.last_ts.isoformat(),
+        )
+        for r in spark.sql("SELECT * FROM sess").collect()
+    }
+    assert rows[("A", "2024-01-01T10:00:00")] == (
+        2, "2024-01-01T10:00:00", "2024-01-01T10:10:00",
+    )
+    assert rows[("A", "2024-01-01T11:30:00")] == (
+        1, "2024-01-01T11:30:00", "2024-01-01T11:30:00",
+    )
+    # B's two micro-batches merged into ONE session spanning both events
+    assert rows[("B", "2024-01-01T10:05:00")] == (
+        2, "2024-01-01T10:05:00", "2024-01-01T10:20:00",
+    )
+    assert len(rows) == 3
