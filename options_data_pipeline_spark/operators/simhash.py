@@ -53,17 +53,30 @@ def _vote(i: int):
     return F.when(probe.isin(*_ODD_HEX), F.lit(1)).otherwise(F.lit(-1))
 
 
-def simhash_signatures(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def simhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sets: DataFrame | None = None,
+) -> DataFrame:
     """One row per doc: (doc_id, sig) with a 32-bit simhash as a long.
 
     Unrolled into ``N_BITS`` plain conditional-sum aggregates so the
     whole computation stays in whole-stage codegen and combines map-side
     (one skinny row per doc crosses the shuffle).
+
+    ``sets`` optionally supplies a pre-built (doc_id, shingles) store
+    (:func:`..dedup.shingle_sets`, possibly a shared session artifact)
+    so the shingling pass is not recomputed per consumer.
     """
-    tokens = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(_gram_array(text_col)).alias("token"),
-    ).withColumn("__md5", F.md5(F.col("token")))
+    if sets is not None:
+        tokens = sets.select("doc_id", F.explode("shingles").alias("token"))
+    else:
+        tokens = df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(_gram_array(text_col)).alias("token"),
+        )
+    tokens = tokens.withColumn("__md5", F.md5(F.col("token")))
     aggs = [F.sum(_vote(i)).alias(f"v_{i}") for i in range(N_BITS)]
     votes = tokens.groupBy("doc_id").agg(*aggs)
     sig = None
@@ -80,15 +93,18 @@ def simhash_near_dups(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = MAX_HAMMING,
+    sets: DataFrame | None = None,
 ) -> DataFrame:
     """Pairs of documents within ``max_hamming`` simhash bits.
 
     ``max_hamming`` must stay < N_BANDS for the banded candidate set to
     provably cover every qualifying pair (see module docstring).
+    ``sets`` passes a pre-built shingle store through to the signature
+    stage.
     """
     if max_hamming >= N_BANDS:
         raise ValueError("banding only has full recall for hamming < N_BANDS")
-    sigs = simhash_signatures(df, id_col, text_col)
+    sigs = simhash_signatures(df, id_col, text_col, sets=sets)
     bits_per_band = N_BITS // N_BANDS
     bands = F.array(
         *[

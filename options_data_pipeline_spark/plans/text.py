@@ -259,6 +259,19 @@ WHERE n_common / (na.n_sh + nb.n_sh - n_common) >= 0.5
 """
 
 
+def planted_shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-text word-bigram shingle store of the planted corpus as a
+    session artifact (shared by the n-gram Jaccard and SimHash queries;
+    the MinHash path uses its hash-compacted twin)."""
+    from ..operators.artifacts import session_artifact
+
+    return session_artifact(
+        spark,
+        f"planted_shingle_sets:{sf_dir}",
+        lambda: D.shingle_sets(planted_corpus(spark, sf_dir)),
+    )
+
+
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Standalone n-gram Jaccard near-dup (no LSH): all same-lang pairs
     sharing at least one shingle, kept at jaccard >= 0.5.
@@ -270,7 +283,7 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc-count dimension, still the small side).
     """
     corpus = planted_corpus(spark, sf_dir)
-    sets = D.shingle_sets(corpus)
+    sets = planted_shingle_sets(spark, sf_dir)
     langs = corpus.select("doc_id", "lang")
     sh_l = sets.select("doc_id", F.explode("shingles").alias("shingle")).join(
         langs, "doc_id"
@@ -323,7 +336,7 @@ WHERE n_common / (na.n_sh + nb.n_sh - n_common) >= 0.5
 
 def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = planted_corpus(spark, sf_dir)
-    return SH.simhash_near_dups(corpus)
+    return SH.simhash_near_dups(corpus, sets=planted_shingle_sets(spark, sf_dir))
 
 
 def oracle_simhash_near_dups() -> str:

@@ -41,8 +41,21 @@ def ensure_session_conf(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.ansi.enabled", "false")
 
 
+# (applicationId, sf_dir, name) -> loaded DataFrame. The benchmark tables
+# are immutable snapshots, and a DataFrame is an immutable logical plan, so
+# reusing one across queries is safe — and skips the ~100 ms of driver-side
+# file listing + footer/schema read that spark.read.parquet pays per call
+# (tens of seconds across a 90-query benchmark session). Keyed by
+# applicationId so a frame never leaks into another session.
+_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one benchmark table, normalizing event-time columns."""
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     ensure_session_conf(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
@@ -58,6 +71,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for col, dtype in df.dtypes:
         if dtype == "timestamp_ntz":
             df = df.withColumn(col, F.col(col).cast("timestamp"))
+    _TABLE_CACHE[key] = df
+    while len(_TABLE_CACHE) > 64:
+        _TABLE_CACHE.pop(next(iter(_TABLE_CACHE)))
     return df
 
 
@@ -72,7 +88,16 @@ def parallelized(spark: SparkSession, df: DataFrame) -> DataFrame:
     no-op — we never pay a gratuitous full shuffle of a big table.
     """
     target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    nparts = getattr(df, "_odps_nparts", None)
+    if nparts is None:
+        # the physical-RDD probe costs ~10-100 ms of driver work; stash it
+        # on the (cached, immutable) frame so repeat consumers skip it
+        nparts = df.rdd.getNumPartitions()
+        try:
+            df._odps_nparts = nparts
+        except AttributeError:
+            pass
+    if nparts < target:
         return df.repartition(target)
     return df
 
