@@ -151,6 +151,19 @@ def lsh_candidates(
     are tiny by LSH construction (only near-dups collide on all rows of a
     band), so the in-bucket pair expansion never explodes.
     """
+    banded = banded_signatures(sigs, n_perms, n_bands)
+    return bucket_pairs(banded, ["band", "band_hash"])
+
+
+def banded_signatures(
+    sigs: DataFrame, n_perms: int = DEFAULT_PERMS, n_bands: int = DEFAULT_BANDS
+) -> DataFrame:
+    """(doc_id, band, band_hash): the LSH band table of a signature set.
+
+    Exposed separately from :func:`lsh_candidates` so cross-cohort
+    probes (an incoming batch against a standing corpus's band table —
+    see :mod:`..streaming.corpus_dedup`) can equi-join two band tables
+    instead of re-bucketing the union."""
     rows_per_band = n_perms // n_bands
     bands = F.transform(
         F.sequence(F.lit(0), F.lit(n_bands - 1)),
@@ -164,10 +177,9 @@ def lsh_candidates(
             ).alias("band_hash"),
         ),
     )
-    banded = sigs.select(
+    return sigs.select(
         "doc_id", F.explode(bands).alias("bb")
     ).select("doc_id", "bb.band", "bb.band_hash")
-    return bucket_pairs(banded, ["band", "band_hash"])
 
 
 def bucket_pairs(df: DataFrame, key_cols: list[str], id_col: str = "doc_id") -> DataFrame:

@@ -122,6 +122,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
     "kmeans_clusters": (vectors.q_kmeans_clusters, vectors.oracle_kmeans_clusters),
     "semantic_prune": (vectors.q_semantic_prune, vectors.oracle_semantic_prune),
     "label_cohesion": (vectors.q_label_cohesion, vectors.oracle_label_cohesion),
+    "rp_reduce": (vectors.q_rp_reduce, vectors.oracle_rp_reduce),
     # --- training-data ops: multimodal (mapInPandas over binary payloads) ---
     "media_features": (media.q_media_features, media.oracle_media_features),
     "media_frames": (media.q_media_frames, media.oracle_media_frames),

@@ -474,3 +474,73 @@ SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
        {mean} AS mean_cos, {mn} AS min_cos
 FROM scored GROUP BY label
 """
+
+
+# --- random-projection dimensionality reduction ------------------------------
+
+RP_OUT_DIMS = 8
+RP_IN_DIMS = 64
+
+
+def _rp_signs(j: int) -> list[int]:
+    """Deterministic +-1 row j of the projection matrix: the parity of
+    the first hex char of md5('rp#j#i'). Computed once driver-side and
+    embedded as a plan constant in BOTH engines (the matrix is part of
+    the operator's definition, like a model weight — not data)."""
+    import hashlib
+
+    return [
+        1 if int(hashlib.md5(f"rp#{j}#{i}".encode()).hexdigest()[0], 16) % 2 else -1
+        for i in range(RP_IN_DIMS)
+    ]
+
+
+def q_rp_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection: 64-dim embeddings down
+    to 8 dims with a deterministic +-1 sign matrix (scaled 1/sqrt(d)).
+    The cheap dimensionality-reduction pass before coarse clustering or
+    visualization; sign matrices are the classic Achlioptas choice.
+
+    Scale shape: the matrix rides as a constant array in the plan
+    (kmeans-centroid pattern) and each output dim is a row-local fold —
+    zero shuffles, embarrassingly parallel at any corpus size.
+    """
+    from ..functions.rounding import round_half_away
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    scale = float(RP_IN_DIMS) ** 0.5
+    outs = []
+    for j in range(RP_OUT_DIMS):
+        sv = F.array(*[F.lit(float(s)) for s in _rp_signs(j)])
+        fold = F.aggregate(
+            F.zip_with(F.col("v"), sv, lambda x, s: x * s),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+        outs.append(round_half_away(fold / F.lit(scale), 6).alias(f"r_{j}"))
+    return vecs.select("vec_id", *outs)
+
+
+def oracle_rp_reduce() -> str:
+    scale = float(RP_IN_DIMS) ** 0.5
+    cols = []
+    for j in range(RP_OUT_DIMS):
+        sv = "[" + ", ".join(f"{float(s)}" for s in _rp_signs(j)) + "]"
+        fold = (
+            f"list_reduce(list_transform(range(1, {RP_IN_DIMS + 1}),"
+            f" i -> v[i] * ({sv})[i]), (acc, t) -> acc + t)"
+        )
+        cols.append(sql_round_half_away(f"{fold} / {scale}", 6) + f" AS r_{j}")
+    cols_sql = ",\n       ".join(cols)
+    return f"""
+WITH vecs AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+)
+SELECT vec_id,
+       {cols_sql}
+FROM vecs
+"""

@@ -510,3 +510,39 @@ def test_streaming_session_windows(spark, tmp):
         2, "2024-01-01T10:05:00", "2024-01-01T10:20:00",
     )
     assert len(rows) == 3
+
+
+def test_streaming_incremental_dedup_matches_batch(spark, tmp):
+    """Stream/batch equivalence: feeding the planted mirror/scrape docs
+    through the foreachBatch incremental dedup stream (one file per
+    micro-batch) yields exactly the batch `incremental_dedup` query's
+    verdicts."""
+    from options_data_pipeline_spark.plans.text import (
+        planted_corpus,
+        q_incremental_dedup,
+    )
+    from options_data_pipeline_spark.streaming.corpus_dedup import (
+        incremental_dedup_stream,
+    )
+    from tests.conftest import SF_DIR
+
+    corpus = planted_corpus(spark, SF_DIR)
+    is_new = F.col("source").isin("mirror", "scrape")
+    base = corpus.where(~is_new)
+    newb = corpus.where(is_new)
+
+    src, out, ckpt = f"{tmp}/src", f"{tmp}/out", f"{tmp}/ckpt"
+    # two micro-batches: the mirrors, then the scrapes
+    newb.where(F.col("source") == "mirror").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    newb.where(F.col("source") == "scrape").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    q = incremental_dedup_stream(spark, src, base, out, ckpt)
+    q.awaitTermination(180)
+
+    got = {tuple(r) for r in spark.read.parquet(out).collect()}
+    want = {tuple(r) for r in q_incremental_dedup(spark, SF_DIR).collect()}
+    assert got == want and len(got) > 0
