@@ -855,7 +855,23 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: vocabulary aggregation is map-side combined (uniform token
     keys); the occurrences->vocab join broadcasts in practice (a
     vocabulary is tiny next to the corpus) and the per-doc re-aggregation
-    shuffles on doc_id once."""
+    shuffles on doc_id once.
+
+    The per-doc score table is a session artifact — the LM-score column
+    a curation pass derives once and reads from three queries
+    (``unigram_logprob``, ``logprob_trim``, ``quality_calibration``);
+    without it each consumer replays the explode + vocab join
+    (plan-audited at 15 shuffles for the trim query vs ~3 with it)."""
+    from ..operators.artifacts import session_artifact
+
+    return session_artifact(
+        spark,
+        f"unigram_doc_scores:{sf_dir}",
+        lambda: _unigram_doc_scores(spark, sf_dir),
+    )
+
+
+def _unigram_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.rounding import round_half_away
 
     docs = parallelized(spark, load_table(spark, sf_dir, "documents")).select(

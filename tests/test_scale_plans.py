@@ -237,7 +237,9 @@ def test_doc_chunks_is_shuffle_free(spark):
 def test_unigram_logprob_broadcasts_vocab(spark):
     from options_data_pipeline_spark.plans import text
 
-    plan = fmt(spark, text.q_unigram_logprob(spark, SF_DIR))
+    # audit the derivation below the session-artifact cache (the registry
+    # query serves the materialized artifact, whose plan is just a scan)
+    plan = fmt(spark, text._unigram_doc_scores(spark, SF_DIR))
     # occurrences join the scored vocabulary by broadcast, never by
     # shuffling the (much larger) token-occurrence side
     assert "BroadcastHashJoin" in plan
