@@ -846,3 +846,33 @@ SELECT CAST(SUM(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
        CAST(SUM(CASE WHEN s4 THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase
 FROM flags
 """
+
+
+# --- unpivot (melt) ----------------------------------------------------------
+
+
+def q_cohort_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reshaping inverse of ``cohort_pivot``: melt the cohort x
+    event-type matrix back to long form with Spark's native ``unpivot``
+    (Catalyst Expand — row-local fan-out, no shuffle beyond the pivot's
+    own aggregate; the wide matrix is tiny post-aggregation). Null cells
+    (cohorts with no such event) are dropped, matching relational melt
+    semantics."""
+    wide = q_cohort_pivot(spark, sf_dir)
+    return wide.unpivot(
+        ids=["cohort"],
+        values=list(_EVENT_TYPES),
+        variableColumnName="event_type",
+        valueColumnName="total_value",
+    ).where(F.col("total_value").isNotNull())
+
+
+def oracle_cohort_unpivot() -> str:
+    pivot = oracle_cohort_pivot().strip()
+    types = ", ".join(_EVENT_TYPES)
+    return f"""
+WITH wide AS ({pivot})
+SELECT cohort, event_type, total_value
+FROM wide
+UNPIVOT (total_value FOR event_type IN ({types}))
+"""
