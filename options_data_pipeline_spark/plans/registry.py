@@ -113,6 +113,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
     "bm25_search": (retrieval.q_bm25_search, retrieval.oracle_bm25_search),
     "domain_mixture": (retrieval.q_domain_mixture, retrieval.oracle_domain_mixture),
     "logprob_trim": (retrieval.q_logprob_trim, retrieval.oracle_logprob_trim),
+    "mixture_resample": (retrieval.q_mixture_resample, retrieval.oracle_mixture_resample),
     "pii_scrub": (pii.q_pii_scrub, pii.oracle_pii_scrub),
     "ngram_contamination": (pii.q_ngram_contamination, pii.oracle_ngram_contamination),
     # --- training-data ops: vectors ---

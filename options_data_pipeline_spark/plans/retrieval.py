@@ -265,3 +265,77 @@ SELECT doc_id, avg_logprob,
        (avg_logprob < p05 OR avg_logprob > p95) AS is_outlier
 FROM scored, bounds
 """
+
+
+def q_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the ``domain_mixture`` weights: deterministic weighted
+    downsampling to a near-uniform token budget, reported as per-domain
+    before/after counts. A doc survives when its md5-uniform draw
+    (first 6 hex of md5('mix#'||doc_id) / 16^6) falls under its
+    domain's sample_weight — replay-stable, no RNG state, exactly the
+    ``stratified_sample`` scan-predicate mechanism driven by *computed*
+    rates instead of fixed ones.
+
+    Scale shape: weights are a tiny aggregate broadcast back onto the
+    corpus scan; the survival test is a scan-level expression; one final
+    map-side-combined groupBy reports the audit."""
+    docs = load_table(spark, sf_dir, "documents")
+    weights = q_domain_mixture(spark, sf_dir).select(
+        "source", "lang", "sample_weight"
+    )
+    # draw and threshold compare as FIXED-WIDTH lowercase hex strings
+    # (lexicographic == numeric for same-width hex) — the train_split
+    # mechanism, avoiding any hex->int builtin that differs cross-engine
+    draw = F.substring(
+        F.md5(F.concat(F.lit("mix#"), F.col("doc_id").cast("string"))), 1, 6
+    )
+    threshold = F.lower(
+        F.lpad(
+            F.hex(
+                F.floor(F.col("sample_weight") * F.lit(float(16**6))).cast("bigint")
+            ),
+            6,
+            "0",
+        )
+    )
+    toks = F.size(F.split(F.col("text"), " ")).cast("long")
+    return (
+        docs.select("doc_id", "source", "lang", toks.alias("__tok"))
+        .join(F.broadcast(weights), ["source", "lang"])
+        .select(
+            "source",
+            "lang",
+            "__tok",
+            (draw < threshold).alias("__keep"),
+        )
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("__keep"), 1).otherwise(0)).cast("long").alias("kept_docs"),
+            F.sum(F.when(F.col("__keep"), F.col("__tok")).otherwise(F.lit(0))).alias("kept_tokens"),
+        )
+    )
+
+
+def oracle_mixture_resample() -> str:
+    mixture = oracle_domain_mixture().strip()
+    draw = "substr(md5('mix#' || CAST(doc_id AS VARCHAR)), 1, 6)"
+    threshold = (
+        "lower(lpad(hex(CAST(floor(w.sample_weight * 16777216.0) AS BIGINT)),"
+        " 6, '0'))"
+    )
+    return f"""
+WITH weights AS ({mixture}),
+scored AS (
+    SELECT d.source, d.lang,
+           len(string_split(d.text, ' ')) AS tok,
+           {draw} < {threshold} AS keep
+    FROM documents d
+    JOIN weights w ON d.source = w.source AND d.lang = w.lang
+)
+SELECT source, lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs,
+       CAST(sum(CASE WHEN keep THEN tok ELSE 0 END) AS BIGINT) AS kept_tokens
+FROM scored GROUP BY 1, 2
+"""
