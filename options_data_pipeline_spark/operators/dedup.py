@@ -107,6 +107,23 @@ def hashed_shingle_sets(
     ).withColumn("n_sh", F.size("shingles"))
 
 
+def hash_compact_sets(sets: DataFrame) -> DataFrame:
+    """:func:`hashed_shingle_sets` derived from an EXISTING exact-text
+    shingle store instead of re-shingling the corpus: hash each stored
+    shingle row-locally and re-distinct (a distinct set hashes to a
+    distinct-after-collision set identically in both derivations). Used
+    when the exact store is already a shared session artifact — one
+    shingling pass serves the Jaccard, SimHash, and MinHash paths."""
+    return sets.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                "shingles", lambda s: F.substring(F.md5(s), 1, 8)
+            )
+        ).alias("shingles"),
+    ).withColumn("n_sh", F.size("shingles"))
+
+
 def minhash_signatures(sets: DataFrame, n_perms: int = DEFAULT_PERMS) -> DataFrame:
     """One row per doc: array ``mh`` of ``n_perms`` minhashes (hex strings).
 
@@ -249,6 +266,7 @@ def minhash_near_dups(
     n_bands: int = DEFAULT_BANDS,
     threshold: float = 0.5,
     reliable: bool = False,
+    sets: DataFrame | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH near-duplicate pipeline: shingle -> sign -> band
     -> bucket-join -> Jaccard-verify.
@@ -260,11 +278,14 @@ def minhash_near_dups(
     pipeline recomputing grams without it. ``reliable=True`` writes a
     fault-tolerant checkpoint instead of executor-local blocks (see
     :mod:`.materialize`) for cluster runs where node loss must not
-    recompute the shingle store from scratch.
+    recompute the shingle store from scratch. ``sets`` supplies an
+    already-materialized hashed store (e.g. :func:`hash_compact_sets`
+    over a shared exact-store artifact) and skips the build.
     """
     from .materialize import materialize
 
-    sets = materialize(hashed_shingle_sets(docs, id_col, text_col), reliable)
+    if sets is None:
+        sets = materialize(hashed_shingle_sets(docs, id_col, text_col), reliable)
     sigs = minhash_signatures(sets, n_perms)
     cand = lsh_candidates(sigs, n_perms, n_bands)
     return jaccard_verify(cand, sets, threshold)

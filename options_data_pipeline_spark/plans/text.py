@@ -206,12 +206,19 @@ def planted_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     artifact-store behavior a production curation pass has at scale.
     """
     from ..operators.artifacts import session_artifact
+    from ..operators.materialize import materialize
 
-    return session_artifact(
-        spark,
-        f"planted_near_dup_pairs:{sf_dir}:t=0.5",
-        lambda: D.minhash_near_dups(planted_corpus(spark, sf_dir), threshold=0.5),
-    )
+    def build() -> DataFrame:
+        # one shingling pass corpus-wide: the hashed store derives from
+        # the shared exact-text store artifact row-locally
+        hashed = materialize(
+            D.hash_compact_sets(planted_shingle_sets(spark, sf_dir))
+        )
+        return D.minhash_near_dups(
+            planted_corpus(spark, sf_dir), threshold=0.5, sets=hashed
+        )
+
+    return session_artifact(spark, f"planted_near_dup_pairs:{sf_dir}:t=0.5", build)
 
 
 def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
