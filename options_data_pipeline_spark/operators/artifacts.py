@@ -40,17 +40,41 @@ def session_artifact(
     key: str,
     builder: Callable[[], DataFrame],
     reliable: bool = False,
+    store_dir: str | None = None,
 ) -> DataFrame:
     """Materialized ``builder()`` output, computed once per (session, key).
 
     ``key`` must name the artifact's full derivation (inputs + variant +
     thresholds); two different derivations must never share a key.
+
+    ``store_dir`` upgrades the in-session memo to a PERSISTED artifact
+    store: the artifact is written to ``<store_dir>/<key-slug>`` parquet
+    on first build and read back by every later consumer — including
+    consumers in *other* sessions. This is the 100 TB posture: derived
+    tables of an immutable corpus snapshot (signatures, near-dup pairs,
+    LM scores) survive the cluster that computed them, and downstream
+    jobs scan the store instead of recomputing. Executor loss costs
+    nothing (the store is on the DFS), unlike ``localCheckpoint``.
     """
-    full_key = (spark.sparkContext.applicationId, key, reliable)
+    full_key = (spark.sparkContext.applicationId, key, reliable, store_dir)
     df = _CACHE.get(full_key)
-    if df is None:
+    if df is not None:
+        return df
+    if store_dir is not None:
+        path = f"{store_dir}/{_slug(key)}"
+        try:
+            df = spark.read.parquet(path)
+            df.schema  # force a footer read: missing/corrupt -> rebuild
+        except Exception:
+            builder().write.mode("overwrite").parquet(path)
+            df = spark.read.parquet(path)
+    else:
         df = materialize(builder(), reliable)
-        _CACHE[full_key] = df
-        while len(_CACHE) > _MAX_ENTRIES:
-            _CACHE.popitem(last=False)
+    _CACHE[full_key] = df
+    while len(_CACHE) > _MAX_ENTRIES:
+        _CACHE.popitem(last=False)
     return df
+
+
+def _slug(key: str) -> str:
+    return "".join(c if c.isalnum() or c in "-_." else "_" for c in key)

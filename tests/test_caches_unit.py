@@ -62,3 +62,30 @@ def test_table_cache_frames_stay_valid_across_uses(spark):
     n1 = df.count()
     n2 = load_table(spark, SF_DIR, "nation").count()
     assert n1 == n2 and n1 > 0
+
+
+def test_persisted_artifact_survives_rebuild_requests(spark, tmp_path):
+    """store_dir turns the memo into a persisted artifact store: after
+    the first build the parquet is the source of truth - a later
+    consumer (here: fresh key cache, poisoned builder) reads the store
+    instead of rebuilding."""
+    import options_data_pipeline_spark.operators.artifacts as A
+
+    store = str(tmp_path / "store")
+    built = []
+
+    def build():
+        built.append(1)
+        return spark.range(4).withColumn("y", F.col("id") + 10)
+
+    a = A.session_artifact(spark, "test:persist/v1", build, store_dir=store)
+    assert a.count() == 4 and len(built) == 1
+
+    # simulate a different session: clear the in-memory memo entirely
+    A._CACHE.clear()
+
+    def poisoned():
+        raise AssertionError("must be served from the store, not rebuilt")
+
+    b = A.session_artifact(spark, "test:persist/v1", poisoned, store_dir=store)
+    assert {r.y for r in b.collect()} == {10, 11, 12, 13}
