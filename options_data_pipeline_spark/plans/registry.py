@@ -84,6 +84,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
     ),
     "large_orders": (tpch.q_large_orders, tpch.oracle_large_orders),
     "sales_opportunity": (tpch.q_sales_opportunity, tpch.oracle_sales_opportunity),
+    "promo_revenue": (tpch.q_promo_revenue, tpch.oracle_promo_revenue),
+    "priority_shipping": (tpch.q_priority_shipping, tpch.oracle_priority_shipping),
     # --- training-data ops: text ---
     "doc_stats": (text.q_doc_stats, text.oracle_doc_stats),
     "text_quality": (text.q_text_quality, text.oracle_text_quality),

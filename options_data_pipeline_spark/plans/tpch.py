@@ -862,3 +862,99 @@ WHERE c_acctbal > avg_bal
                     AND o.o_orderpriority = '1-URGENT')
 GROUP BY c_nationkey
 """
+
+
+# --- promo revenue share (TPC-H Q14 shape) -----------------------------------
+
+
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 shape: the PROMO part type's share of one year's revenue.
+
+    Conditional-aggregate ratio over a fact-dim join: the date filter
+    pushes into the lineitem scan, the part dimension broadcasts, and
+    both sums accumulate as exact DECIMAL in ONE partial-aggregated
+    pass — no second scan, no window. The single-row result divides at
+    the end (deterministic: decimal/decimal)."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice").cast(_D1) * (
+        F.lit(1).cast(_D1) - F.col("l_discount").cast(_D2)
+    )
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    out = joined.agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", rev)).alias("__promo"),
+        F.sum(rev).alias("__total"),
+    )
+    return out.select(
+        (
+            F.lit(100.0) * F.col("__promo").cast("double")
+            / F.col("__total").cast("double")
+        ).alias("promo_pct"),
+        F.col("__promo").cast("double").alias("promo_revenue"),
+        F.col("__total").cast("double").alias("total_revenue"),
+    )
+
+
+def oracle_promo_revenue() -> str:
+    rev = (
+        "CAST(l_extendedprice AS DECIMAL(18,2))"
+        " * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(5,2)))"
+    )
+    return f"""
+WITH j AS (
+    SELECT {rev} AS rev, p_type
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+)
+SELECT 100.0 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev END) AS DOUBLE)
+           / CAST(sum(rev) AS DOUBLE) AS promo_pct,
+       CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev END) AS DOUBLE)
+           AS promo_revenue,
+       CAST(sum(rev) AS DOUBLE) AS total_revenue
+FROM j
+"""
+
+
+# --- priority shipping audit (TPC-H Q12 shape) -------------------------------
+
+
+def q_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shape: per return-flag, how many of one year's order lines
+    belong to high-priority vs lower-priority orders.
+
+    The classic conditional-count-over-join: the shipdate filter pushes
+    into the lineitem scan, the join shuffles on the uniform orderkey
+    (orders is fact-sized — never broadcast), and both CASE-counts
+    ride one partial-aggregated groupBy."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    ).select("l_orderkey", "l_returnflag")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+def oracle_priority_shipping() -> str:
+    return """
+SELECT l_returnflag,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY l_returnflag
+"""

@@ -415,3 +415,18 @@ def test_label_cohesion_broadcasts_centroids(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_promo_revenue_broadcast_dim_pushed_dates(spark):
+    plan = fmt(spark, tpch.q_promo_revenue(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan  # pushed to the scan
+    assert plan.count("HashAggregate") >= 2  # one partial-agg pass
+
+
+def test_priority_shipping_fact_fact_join_pushed_dates(spark):
+    plan = fmt(spark, tpch.q_priority_shipping(spark, SF_DIR))
+    # orders is fact-sized: the join must key-shuffle, not build a
+    # broadcast of a 1.5M-row-per-SF table
+    assert "CartesianProduct" not in plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan
