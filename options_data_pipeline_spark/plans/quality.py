@@ -876,3 +876,135 @@ SELECT cohort, event_type, total_value
 FROM wide
 UNPIVOT (total_value FOR event_type IN ({types}))
 """
+
+
+# --- distributional data-quality probes --------------------------------------
+
+
+def q_benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leading-digit distribution per event type vs the Benford
+    expectation log10(1 + 1/d) — the classic anomaly probe for
+    machine-generated vs organic numeric columns. One scan-level digit
+    extraction + one map-side-combined groupBy; expected shares are
+    compile-time constants.
+
+    Digits come from the value's decimal string via regexp (first
+    nonzero digit), so zero/sign/leading-'0.' cases are handled
+    identically in both engines."""
+    import math
+
+    from ..functions.rounding import round_half_away
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    digit = F.regexp_extract(
+        F.format_string("%.6f", F.abs(F.col("value"))), "[1-9]", 0
+    )
+    per = (
+        ev.select("event_type", digit.alias("d"))
+        .where(F.col("d") != "")
+        .groupBy("event_type", "d")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    from pyspark.sql import Window
+
+    total = F.sum("n").over(Window.partitionBy("event_type"))
+    expected = F.element_at(
+        F.array(*[F.lit(math.log10(1 + 1 / d)) for d in range(1, 10)]),
+        F.col("d").cast("int"),
+    )
+    return per.select(
+        "event_type",
+        F.col("d").cast("int").alias("digit"),
+        "n",
+        round_half_away(F.col("n") / total, 6).alias("share"),
+        round_half_away(F.col("n") / total - expected, 6).alias("benford_dev"),
+    )
+
+
+def oracle_benford_deviation() -> str:
+    import math
+
+    from ..functions.rounding import sql_round_half_away
+
+    exp_list = ", ".join(str(math.log10(1 + 1 / d)) for d in range(1, 10))
+    share = "CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY event_type)"
+    dev = f"{share} - ([{exp_list}])[CAST(d AS INT)]"
+    return f"""
+WITH per AS (
+    SELECT event_type,
+           regexp_extract(printf('%.6f', abs(value)), '[1-9]') AS d,
+           count(*) AS n
+    FROM events
+    WHERE value IS NOT NULL
+      AND regexp_extract(printf('%.6f', abs(value)), '[1-9]') <> ''
+    GROUP BY 1, 2
+)
+SELECT event_type, CAST(d AS INT) AS digit, CAST(n AS BIGINT) AS n,
+       {sql_round_half_away(share, 6)} AS share,
+       {sql_round_half_away(dev, 6)} AS benford_dev
+FROM per
+"""
+
+
+def q_lineorder_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-integrity probe: l_linenumber per order must be exactly
+    1..n with no gaps or dups — the invariant check an ingest pipeline
+    runs after every load. Integer identity max(k)==count(*)==distinct
+    AND sum(k)==n(n+1)/2 detects both gaps and duplicates in ONE
+    map-side-combinable aggregate (no sort, no window, no explode).
+    Emits only violating orders plus a single summary row (-1)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber"
+    )
+    per = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.max("l_linenumber").alias("max_line"),
+        F.sum("l_linenumber").alias("sum_line"),
+    )
+    bad = per.where(
+        (F.col("max_line") != F.col("n_lines"))
+        | (F.col("sum_line") != F.col("n_lines") * (F.col("n_lines") + 1) / 2)
+    )
+    summary = per.agg(
+        F.lit(-1).cast("long").alias("l_orderkey"),
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(
+            F.when(
+                (F.col("max_line") != F.col("n_lines"))
+                | (
+                    F.col("sum_line")
+                    != F.col("n_lines") * (F.col("n_lines") + 1) / 2
+                ),
+                1,
+            ).otherwise(0)
+        ).cast("long").alias("max_line"),
+        F.lit(0).cast("long").alias("sum_line"),
+    )
+    return bad.select(
+        "l_orderkey",
+        F.col("n_lines").cast("long").alias("n_lines"),
+        F.col("max_line").cast("long").alias("max_line"),
+        F.col("sum_line").cast("long").alias("sum_line"),
+    ).unionByName(summary)
+
+
+def oracle_lineorder_integrity() -> str:
+    return """
+WITH per AS (
+    SELECT l_orderkey, count(*) AS n_lines, max(l_linenumber) AS max_line,
+           sum(l_linenumber) AS sum_line
+    FROM lineitem GROUP BY 1
+)
+SELECT l_orderkey, CAST(n_lines AS BIGINT) AS n_lines,
+       CAST(max_line AS BIGINT) AS max_line,
+       CAST(sum_line AS BIGINT) AS sum_line
+FROM per
+WHERE max_line <> n_lines OR sum_line <> n_lines * (n_lines + 1) / 2
+UNION ALL
+SELECT CAST(-1 AS BIGINT), CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN max_line <> n_lines
+                      OR sum_line <> n_lines * (n_lines + 1) / 2
+                THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(0 AS BIGINT)
+FROM per
+"""

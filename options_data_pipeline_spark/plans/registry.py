@@ -43,6 +43,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
     "user_overlap": (quality.q_user_overlap, quality.oracle_user_overlap),
     "gap_event_overlap": (quality.q_gap_event_overlap, quality.oracle_gap_event_overlap),
     "funnel_stages": (quality.q_funnel_stages, quality.oracle_funnel_stages),
+    "benford_deviation": (quality.q_benford_deviation, quality.oracle_benford_deviation),
+    "lineorder_integrity": (quality.q_lineorder_integrity, quality.oracle_lineorder_integrity),
     # --- generic relational (joins, topk, hash agg) ---
     "pricing_summary": (tpch.q_pricing_summary, tpch.oracle_pricing_summary),
     "top_orders": (tpch.q_top_orders, tpch.oracle_top_orders),
