@@ -53,12 +53,22 @@ def main() -> None:
     # query — the artifact-store behavior the engine has in production. Time
     # the build explicitly here so the total still pays for it exactly once
     # and the per-query numbers below mean "with the artifact store warm".
+    from options_data_pipeline_spark.operators import artifacts
     from options_data_pipeline_spark.plans.text import planted_near_dup_pairs
 
-    t0 = time.perf_counter()
-    planted_near_dup_pairs(spark, sf_dir).write.mode("overwrite").format("noop").save()
-    timings["near_dup_artifact_build"] = round(time.perf_counter() - t0, 3)
-    log(f"  near_dup_artifact_build: {timings['near_dup_artifact_build']:.2f}s")
+    build_runs = []
+    for _ in range(2):
+        artifacts._CACHE.clear()  # force a real rebuild: min-of-2 like every entry
+        t0 = time.perf_counter()
+        planted_near_dup_pairs(spark, sf_dir).write.mode("overwrite").format(
+            "noop"
+        ).save()
+        build_runs.append(time.perf_counter() - t0)
+    timings["near_dup_artifact_build"] = round(min(build_runs), 3)
+    log(
+        f"  near_dup_artifact_build: {min(build_runs):.2f}s "
+        f"(runs: {', '.join(f'{r:.2f}' for r in build_runs)})"
+    )
 
     for name, fn in registry.queries().items():
         # two executions, report the min: the first pays plan compilation
