@@ -1,0 +1,94 @@
+"""Degenerate-input behavior: empty frames, single rows, no matches.
+
+At 100 TB something is always empty — a partition, a day, a language
+stratum, a filter with no survivors. Operators must return empty/identity
+results, not throw."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from options_data_pipeline_spark.operators import dedup as D
+from options_data_pipeline_spark.operators.gaps import detect_gaps, gap_summary
+from options_data_pipeline_spark.operators.graph import connected_components
+from options_data_pipeline_spark.operators.simhash import simhash_near_dups
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_empty_corpus(spark):
+    assert D.minhash_near_dups(_docs(spark, [])).count() == 0
+
+
+def test_minhash_single_doc(spark):
+    assert D.minhash_near_dups(_docs(spark, [(1, "a b c d")])).count() == 0
+
+
+def test_minhash_one_word_docs(spark):
+    # a 1-token doc has ZERO bigram shingles: must not throw, never match
+    out = D.minhash_near_dups(
+        _docs(spark, [(1, "solo"), (2, "solo"), (3, "a b a b")])
+    )
+    assert {tuple(r)[:2] for r in out.collect()} == set()
+
+
+def test_exact_dup_groups_empty(spark):
+    assert D.exact_dup_groups(_docs(spark, [])).count() == 0
+
+
+def test_simhash_empty_and_single(spark):
+    assert simhash_near_dups(_docs(spark, [])).count() == 0
+    assert simhash_near_dups(_docs(spark, [(1, "x y z")])).count() == 0
+
+
+def test_detect_gaps_empty_and_single_row(spark):
+    ev = spark.createDataFrame([], "instrument string, ts timestamp")
+    assert detect_gaps(ev, keys=("instrument",)).count() == 0
+    one = spark.createDataFrame(
+        [("btc", "2024-01-01 10:00:00")], "instrument string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    assert detect_gaps(one, keys=("instrument",)).count() == 0
+
+
+def test_gap_summary_of_no_gaps(spark):
+    ev = spark.createDataFrame([], "instrument string, ts timestamp")
+    gaps = detect_gaps(ev, keys=("instrument",))
+    assert gap_summary(gaps, keys=("instrument",)).count() == 0
+
+
+def test_connected_components_empty_edges(spark):
+    edges = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert connected_components(edges).count() == 0
+
+
+def test_connected_components_self_loop_only(spark):
+    edges = spark.createDataFrame([(5, 5)], "doc_a long, doc_b long")
+    out = {(r.node, r.component) for r in connected_components(edges).collect()}
+    assert out == {(5, 5)}
+
+
+def test_kmeans_fewer_vectors_than_k(spark):
+    from options_data_pipeline_spark.operators.clustering import kmeans_assign
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "vec_id long, embedding array<float>"
+    )
+    out = kmeans_assign(emb, k=8, iterations=2)
+    rows = {r.vec_id: r.cluster for r in out.collect()}
+    assert set(rows) == {0, 1}  # every vector assigned despite k > n
+
+
+def test_cosine_topk_empty_queries(spark):
+    from options_data_pipeline_spark.operators.similarity import cosine_topk
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    q = emb.where(F.lit(False)).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    c = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
+    assert cosine_topk(q, c, k=3, parallelism=2).count() == 0
