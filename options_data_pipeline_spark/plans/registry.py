@@ -118,6 +118,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
     "domain_mixture": (retrieval.q_domain_mixture, retrieval.oracle_domain_mixture),
     "logprob_trim": (retrieval.q_logprob_trim, retrieval.oracle_logprob_trim),
     "mixture_resample": (retrieval.q_mixture_resample, retrieval.oracle_mixture_resample),
+    "doc_keywords": (retrieval.q_doc_keywords, retrieval.oracle_doc_keywords),
     "pii_scrub": (pii.q_pii_scrub, pii.oracle_pii_scrub),
     "ngram_contamination": (pii.q_ngram_contamination, pii.oracle_ngram_contamination),
     # --- training-data ops: vectors ---

@@ -339,3 +339,73 @@ SELECT source, lang,
        CAST(sum(CASE WHEN keep THEN tok ELSE 0 END) AS BIGINT) AS kept_tokens
 FROM scored GROUP BY 1, 2
 """
+
+
+def q_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: top-3 tf-idf terms — the
+    summarization/tagging primitive of a corpus pipeline (BM25 ranks
+    docs for a query; this ranks terms for a doc).
+
+    idf = ln(N / df) rounded to 9 dp DECIMAL (house float rule); tf-idf
+    = tf x idf is then an exact DECIMAL product, so the per-doc rank
+    has no float-ordering hazard at all. Vocabulary document
+    frequencies broadcast (a vocab is tiny next to its corpus); the
+    rank window partitions on doc_id — hash-uniform, never a global
+    sort."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    idf = dfreq.crossJoin(F.broadcast(n_docs)).select(
+        "term",
+        round_half_away(F.log(F.col("n_docs") / F.col("df")), 9)
+        .cast("decimal(28,9)")
+        .alias("idf"),
+    )
+    scored = tf.join(F.broadcast(idf), "term").select(
+        "doc_id", "term", (F.col("tf").cast("decimal(28,9)") * F.col("idf")).alias("w")
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(F.col("w").desc(), F.col("term"))
+    )
+    return (
+        scored.withColumn("rank", rk)
+        .where(F.col("rank") <= 3)
+        .select(
+            "doc_id",
+            "rank",
+            "term",
+            round_half_away(F.col("w").cast("double"), 6).alias("tfidf"),
+        )
+    )
+
+
+def oracle_doc_keywords() -> str:
+    idf = sql_round_half_away("ln(CAST(n_docs AS DOUBLE) / df)", 9)
+    return f"""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+    FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+nd AS (SELECT count(*) AS n_docs FROM documents),
+idf AS (SELECT term, CAST({idf} AS DECIMAL(28,9)) AS idf FROM dfreq, nd),
+scored AS (
+    SELECT doc_id, term, CAST(tf AS DECIMAL(28,9)) * idf AS w
+    FROM tf JOIN idf USING (term)
+),
+rk AS (
+    SELECT doc_id, term, w,
+           row_number() OVER (PARTITION BY doc_id ORDER BY w DESC, term) AS rank
+    FROM scored
+)
+SELECT doc_id, CAST(rank AS BIGINT) AS rank, term,
+       {sql_round_half_away("CAST(w AS DOUBLE)", 6)} AS tfidf
+FROM rk WHERE rank <= 3
+"""
