@@ -37,12 +37,21 @@ def asof_join(
     right_cols: Sequence[str] | None = None,
     tolerance_seconds: float | None = None,
     suffix: str = "_asof",
+    direction: str = "backward",
 ) -> DataFrame:
     """Attach the latest ``right`` row at-or-before each ``left`` row.
 
     Right rows never match forward in time. Left rows with no prior
     right row (or none within ``tolerance_seconds``) keep NULLs.
+
+    ``direction="forward"`` flips the semantics to the EARLIEST right
+    row at-or-after each left row (pandas ``merge_asof`` directions):
+    same single union+window pass, traversed in descending time order —
+    the tie rule is unchanged (an exactly-simultaneous right row
+    matches in both directions).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
     on = list(on)
     right_cols = list(right_cols if right_cols is not None else
                       [c for c in right.columns if c not in (*on, right_ts)])
@@ -66,9 +75,10 @@ def asof_join(
         *[F.col(c).alias(f"__r_{c}") for c in right_cols],
     )
     unioned = l_tag.unionByName(r_tag)
+    t_order = F.col("__t").asc() if direction == "backward" else F.col("__t").desc()
     w = (
         Window.partitionBy(*on)
-        .orderBy(F.col("__t").asc(), F.col("__side").asc())
+        .orderBy(t_order, F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = unioned.select(
@@ -80,9 +90,10 @@ def asof_join(
         ],
     ).where(F.col("__side") == 1)
     if tolerance_seconds is not None:
-        in_tol = (
-            F.unix_micros(F.col("__t")) - F.unix_micros(F.col("__rts_filled"))
-        ) <= int(tolerance_seconds * 1_000_000)
+        gap = F.unix_micros(F.col("__t")) - F.unix_micros(F.col("__rts_filled"))
+        if direction == "forward":
+            gap = -gap
+        in_tol = gap <= int(tolerance_seconds * 1_000_000)
     else:
         in_tol = F.lit(True)
     keep = F.col("__rts_filled").isNotNull() & in_tol

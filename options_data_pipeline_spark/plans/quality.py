@@ -1008,3 +1008,67 @@ SELECT CAST(-1 AS BIGINT), CAST(count(*) AS BIGINT),
        CAST(0 AS BIGINT)
 FROM per
 """
+
+
+# --- forward as-of: conversion latency ---------------------------------------
+
+
+def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: each click picks up the user's next purchase
+    at-or-after it, with the latency in minutes — the conversion-lag
+    analysis that pairs with ``asof_attribution``'s backward direction.
+    Same one-shuffle union+window operator, traversed in descending
+    time order (`operators/asof.py` direction='forward').
+
+    DuckDB's native ASOF is backward-only, so the oracle states the
+    forward semantics directly: min next purchase ts per click, then a
+    tie-safe join back (purchases are unique per (user, ts) in this
+    data; min(value)/min(event_id) pin determinism regardless)."""
+    from ..operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts",
+        F.col("value").alias("purchase_value"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    out = asof_join(
+        clicks, purchases, on=["user_id"],
+        right_cols=["purchase_value", "purchase_id"],
+        direction="forward",
+    )
+    latency = (
+        F.unix_micros(F.col("ts_asof")) - F.unix_micros(F.col("ts"))
+    ) / 60_000_000.0
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.col("ts_asof").alias("purchase_ts"),
+        "purchase_value_asof",
+        latency.alias("latency_minutes"),
+    )
+
+
+def oracle_conversion_latency() -> str:
+    return """
+WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+p AS (SELECT user_id, ts, value, event_id FROM events
+      WHERE event_type = 'purchase'),
+nxt AS (
+    SELECT c.event_id, min(p.ts) AS purchase_ts
+    FROM c JOIN p ON p.user_id = c.user_id AND p.ts >= c.ts
+    GROUP BY 1
+)
+SELECT c.event_id, c.user_id, c.ts,
+       nxt.purchase_ts,
+       pv.purchase_value_asof,
+       (epoch_us(nxt.purchase_ts) - epoch_us(c.ts)) / 60000000.0
+           AS latency_minutes
+FROM c
+LEFT OUTER JOIN nxt ON nxt.event_id = c.event_id
+LEFT OUTER JOIN (
+    SELECT user_id, ts, min(value) AS purchase_value_asof FROM p GROUP BY 1, 2
+) pv ON pv.user_id = c.user_id AND pv.ts = nxt.purchase_ts
+"""

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pyspark.sql.functions as F
+
 from options_data_pipeline_spark.operators.asof import asof_join
 
 
@@ -37,3 +39,41 @@ def test_asof_tolerance(spark):
     assert with_tol.v_asof is None  # 2h-old quote outside 1h tolerance
     without = asof_join(left, right, on=["k"]).collect()[0]
     assert without.v_asof == 100.0
+
+
+def test_asof_forward_direction(spark):
+    from options_data_pipeline_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "k", "2024-01-01 10:00:00"), (2, "k", "2024-01-01 12:00:00")],
+        "id long, k string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [("k", "2024-01-01 10:00:00", 5.0), ("k", "2024-01-01 11:00:00", 7.0)],
+        "k string, ts string, v double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {
+        r.id: (r.v_asof, str(r.ts_asof))
+        for r in asof_join(
+            left, right, on=["k"], right_cols=["v"], direction="forward"
+        ).collect()
+    }
+    # id 1: simultaneous right row matches (>= tie rule); id 2: nothing after
+    assert out[1] == (5.0, "2024-01-01 10:00:00")
+    assert out[2] == (None, "None")
+
+
+def test_asof_forward_tolerance(spark):
+    from options_data_pipeline_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "k", "2024-01-01 10:00:00")], "id long, k string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [("k", "2024-01-01 10:45:00", 9.0)], "k string, ts string, v double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    hit = asof_join(left, right, on=["k"], right_cols=["v"],
+                    direction="forward", tolerance_seconds=3600).collect()
+    miss = asof_join(left, right, on=["k"], right_cols=["v"],
+                     direction="forward", tolerance_seconds=60).collect()
+    assert hit[0].v_asof == 9.0 and miss[0].v_asof is None
