@@ -115,6 +115,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
     "incremental_dedup": (text.q_incremental_dedup, text.oracle_incremental_dedup),
     "text_normalize": (text.q_text_normalize, text.oracle_text_normalize),
     "quality_calibration": (text.q_quality_calibration, text.oracle_quality_calibration),
+    "corpus_report": (text.q_corpus_report, text.oracle_corpus_report),
     "bm25_search": (retrieval.q_bm25_search, retrieval.oracle_bm25_search),
     "domain_mixture": (retrieval.q_domain_mixture, retrieval.oracle_domain_mixture),
     "logprob_trim": (retrieval.q_logprob_trim, retrieval.oracle_logprob_trim),

@@ -1333,3 +1333,92 @@ JOIN (SELECT doc_id, CAST(avg_logprob AS DECIMAL(28,9)) AS lp FROM lm) lm
   ON qual.doc_id = lm.doc_id
 GROUP BY 1
 """
+
+
+# --- composed corpus health report -------------------------------------------
+
+
+def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-language corpus health dashboard: doc/token volumes, mean
+    heuristic quality, mean unigram-LM score, and the exact-duplicate
+    count — one row per language, composing three derived tables the
+    engine already maintains (quality scores, the LM-score artifact, and
+    content digests). Every input is per-doc and joins on doc_id before
+    a single tiny groupBy; the LM scores come from the session artifact,
+    so this report adds ONE corpus scan beyond it."""
+    from ..functions.rounding import round_half_away
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("__tok"),
+        F.md5("text").alias("__h"),
+    )
+    dup_counts = base.groupBy("lang", "__h").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    dups = dup_counts.groupBy("lang").agg(
+        F.sum(F.when(F.col("__n") > 1, F.col("__n")).otherwise(0))
+        .cast("long")
+        .alias("exact_dup_docs")
+    )
+    qual = TS.quality_score(docs).select(
+        "doc_id", F.col("quality_score").cast("decimal(28,9)").alias("__q")
+    )
+    lm = q_unigram_logprob(spark, sf_dir).select(
+        "doc_id", F.col("avg_logprob").cast("decimal(28,9)").alias("__lp")
+    )
+    per_doc = base.join(qual, "doc_id").join(lm, "doc_id")
+    agg = per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("__tok").alias("n_tokens"),
+        round_half_away(
+            F.sum("__q").cast("double") / F.count(F.lit(1)), 6
+        ).alias("mean_quality"),
+        round_half_away(
+            F.sum("__lp").cast("double") / F.count(F.lit(1)), 6
+        ).alias("mean_logprob"),
+    )
+    return agg.join(dups, "lang")
+
+
+def oracle_corpus_report() -> str:
+    from ..functions.rounding import sql_round_half_away
+
+    qual = oracle_text_quality().strip()
+    lm = oracle_unigram_logprob().strip()
+    mean_q = sql_round_half_away("CAST(sum(q) AS DOUBLE) / count(*)", 6)
+    mean_lp = sql_round_half_away("CAST(sum(lp) AS DOUBLE) / count(*)", 6)
+    return f"""
+WITH qual AS ({qual}),
+lm AS ({lm}),
+base AS (
+    SELECT doc_id, lang, len(string_split(text, ' ')) AS tok, md5(text) AS h
+    FROM documents
+),
+dups AS (
+    SELECT lang,
+           CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT)
+               AS exact_dup_docs
+    FROM (SELECT lang, h, count(*) AS n FROM base GROUP BY 1, 2)
+    GROUP BY 1
+),
+per_doc AS (
+    SELECT b.lang, b.tok,
+           CAST(qual.quality_score AS DECIMAL(28,9)) AS q,
+           CAST(lm.avg_logprob AS DECIMAL(28,9)) AS lp
+    FROM base b
+    JOIN qual ON qual.doc_id = b.doc_id
+    JOIN lm ON lm.doc_id = b.doc_id
+),
+agg AS (
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(tok) AS BIGINT) AS n_tokens,
+           {mean_q} AS mean_quality,
+           {mean_lp} AS mean_logprob
+    FROM per_doc GROUP BY 1
+)
+SELECT agg.lang, n_docs, n_tokens, mean_quality, mean_logprob, exact_dup_docs
+FROM agg JOIN dups ON agg.lang = dups.lang
+"""
