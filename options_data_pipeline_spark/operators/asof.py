@@ -48,10 +48,15 @@ def asof_join(
     row at-or-after each left row (pandas ``merge_asof`` directions):
     same single union+window pass, traversed in descending time order —
     the tie rule is unchanged (an exactly-simultaneous right row
-    matches in both directions).
+    matches in both directions). ``direction="nearest"`` picks
+    whichever of the two candidates is closer in absolute time (equal
+    distance resolves backward, pandas-style); it runs BOTH window
+    passes over the one unioned frame — two sorts but a single
+    hash-partition exchange, since both windows share the key
+    partitioning.
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError("direction must be 'backward' or 'forward'")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError("direction must be 'backward', 'forward' or 'nearest'")
     on = list(on)
     right_cols = list(right_cols if right_cols is not None else
                       [c for c in right.columns if c not in (*on, right_ts)])
@@ -75,27 +80,69 @@ def asof_join(
         *[F.col(c).alias(f"__r_{c}") for c in right_cols],
     )
     unioned = l_tag.unionByName(r_tag)
-    t_order = F.col("__t").asc() if direction == "backward" else F.col("__t").desc()
-    w = (
-        Window.partitionBy(*on)
-        .orderBy(t_order, F.col("__side").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    filled = unioned.select(
-        "*",
-        F.last(F.col("__rts"), ignorenulls=True).over(w).alias("__rts_filled"),
-        *[
-            F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(f"__rf_{c}")
-            for c in right_cols
-        ],
-    ).where(F.col("__side") == 1)
-    if tolerance_seconds is not None:
-        gap = F.unix_micros(F.col("__t")) - F.unix_micros(F.col("__rts_filled"))
-        if direction == "forward":
-            gap = -gap
-        in_tol = gap <= int(tolerance_seconds * 1_000_000)
+    def fill(order_desc: bool, tag: str):
+        t_order = F.col("__t").desc() if order_desc else F.col("__t").asc()
+        w = (
+            Window.partitionBy(*on)
+            .orderBy(t_order, F.col("__side").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return [
+            F.last(F.col("__rts"), ignorenulls=True).over(w).alias(f"__rts_{tag}"),
+            *[
+                F.last(F.col(f"__r_{c}"), ignorenulls=True)
+                .over(w)
+                .alias(f"__rf_{tag}_{c}")
+                for c in right_cols
+            ],
+        ]
+
+    if direction in ("backward", "forward"):
+        tag = "b" if direction == "backward" else "f"
+        filled = unioned.select(
+            "*", *fill(direction == "forward", tag)
+        ).where(F.col("__side") == 1)
+        filled = filled.select(
+            "*",
+            F.col(f"__rts_{tag}").alias("__rts_filled"),
+            *[F.col(f"__rf_{tag}_{c}").alias(f"__rf_{c}") for c in right_cols],
+        )
+        if tolerance_seconds is not None:
+            gap = F.unix_micros(F.col("__t")) - F.unix_micros(F.col("__rts_filled"))
+            if direction == "forward":
+                gap = -gap
+            in_tol = gap <= int(tolerance_seconds * 1_000_000)
+        else:
+            in_tol = F.lit(True)
     else:
-        in_tol = F.lit(True)
+        filled = unioned.select(
+            "*", *fill(False, "b"), *fill(True, "f")
+        ).where(F.col("__side") == 1)
+        gap_b = F.unix_micros(F.col("__t")) - F.unix_micros(F.col("__rts_b"))
+        gap_f = F.unix_micros(F.col("__rts_f")) - F.unix_micros(F.col("__t"))
+        tol_us = (
+            int(tolerance_seconds * 1_000_000)
+            if tolerance_seconds is not None
+            else None
+        )
+        ok_b = F.col("__rts_b").isNotNull() & (
+            F.lit(True) if tol_us is None else (gap_b <= tol_us)
+        )
+        ok_f = F.col("__rts_f").isNotNull() & (
+            F.lit(True) if tol_us is None else (gap_f <= tol_us)
+        )
+        # backward wins ties (pandas nearest semantics)
+        use_b = ok_b & (~ok_f | (gap_b <= gap_f))
+        pick = lambda b, f: F.when(use_b, b).otherwise(F.when(ok_f, f))
+        filled = filled.select(
+            "*",
+            pick(F.col("__rts_b"), F.col("__rts_f")).alias("__rts_filled"),
+            *[
+                pick(F.col(f"__rf_b_{c}"), F.col(f"__rf_f_{c}")).alias(f"__rf_{c}")
+                for c in right_cols
+            ],
+        )
+        in_tol = F.lit(True)  # already folded into the pick
     keep = F.col("__rts_filled").isNotNull() & in_tol
     out_right = [
         F.when(keep, F.col(f"__rf_{c}")).alias(f"{c}{suffix}") for c in right_cols

@@ -77,3 +77,42 @@ def test_asof_forward_tolerance(spark):
     miss = asof_join(left, right, on=["k"], right_cols=["v"],
                      direction="forward", tolerance_seconds=60).collect()
     assert hit[0].v_asof == 9.0 and miss[0].v_asof is None
+
+
+def test_asof_nearest_picks_closer_side_ties_backward(spark):
+    left = spark.createDataFrame(
+        [
+            (1, "k", "2024-01-01 10:10:00"),  # 10 min after A, 50 before B
+            (2, "k", "2024-01-01 10:50:00"),  # 50 after A, 10 before B
+            (3, "k", "2024-01-01 10:30:00"),  # exactly between: backward wins
+        ],
+        "id long, k string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [("k", "2024-01-01 10:00:00", 1.0), ("k", "2024-01-01 11:00:00", 2.0)],
+        "k string, ts string, v double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {
+        r.id: r.v_asof
+        for r in asof_join(
+            left, right, on=["k"], right_cols=["v"], direction="nearest"
+        ).collect()
+    }
+    assert out == {1: 1.0, 2: 2.0, 3: 1.0}
+
+
+def test_asof_nearest_tolerance_each_side(spark):
+    left = spark.createDataFrame(
+        [(1, "k", "2024-01-01 10:50:00")], "id long, k string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [("k", "2024-01-01 10:00:00", 1.0), ("k", "2024-01-01 11:00:00", 2.0)],
+        "k string, ts string, v double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    # 50 min back / 10 min forward; tolerance 15 min excludes backward
+    out = asof_join(left, right, on=["k"], right_cols=["v"],
+                    direction="nearest", tolerance_seconds=900).collect()
+    assert out[0].v_asof == 2.0
+    none = asof_join(left, right, on=["k"], right_cols=["v"],
+                     direction="nearest", tolerance_seconds=60).collect()
+    assert none[0].v_asof is None
