@@ -1072,3 +1072,64 @@ LEFT OUTER JOIN (
     SELECT user_id, ts, min(value) AS purchase_value_asof FROM p GROUP BY 1, 2
 ) pv ON pv.user_id = c.user_id AND pv.ts = nxt.purchase_ts
 """
+
+
+def q_nearest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of join: each purchase pairs with the user's closest
+    click in either time direction (signed minutes; ties resolve
+    backward, pandas-style) — the third merge_asof direction, under the
+    same one-exchange union+window operator.
+
+    The oracle states nearest-argmin directly: rank the user's clicks
+    by (|dt|, prefer-backward, click ts) per purchase."""
+    from ..operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    # one click per (user, ts): equal-timestamp right rows would make the
+    # window fill order-dependent, so the lowest click id wins up front
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.min("event_id").alias("click_id"))
+    )
+    out = asof_join(
+        purchases, clicks, on=["user_id"],
+        right_cols=["click_id"], direction="nearest",
+    )
+    signed_minutes = (
+        F.unix_micros(F.col("ts")) - F.unix_micros(F.col("ts_asof"))
+    ) / 60_000_000.0
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.col("ts_asof").alias("click_ts"),
+        "click_id_asof",
+        signed_minutes.alias("minutes_since_click"),
+    )
+
+
+def oracle_nearest_click() -> str:
+    return """
+WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+c AS (SELECT user_id, ts, min(event_id) AS click_id FROM events
+      WHERE event_type = 'click' GROUP BY 1, 2),
+ranked AS (
+    SELECT p.event_id, p.user_id, p.ts, c.ts AS click_ts, c.click_id,
+           row_number() OVER (
+               PARTITION BY p.event_id
+               ORDER BY abs(epoch_us(p.ts) - epoch_us(c.ts)),
+                        CASE WHEN c.ts <= p.ts THEN 0 ELSE 1 END,
+                        c.ts
+           ) AS rn
+    FROM p JOIN c ON c.user_id = p.user_id
+)
+SELECT p.event_id, p.user_id, p.ts,
+       r.click_ts, r.click_id AS click_id_asof,
+       (epoch_us(p.ts) - epoch_us(r.click_ts)) / 60000000.0
+           AS minutes_since_click
+FROM p
+LEFT OUTER JOIN (SELECT * FROM ranked WHERE rn = 1) r
+  ON r.event_id = p.event_id
+"""
