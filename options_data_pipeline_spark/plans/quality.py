@@ -1133,3 +1133,76 @@ FROM p
 LEFT OUTER JOIN (SELECT * FROM ranked WHERE rn = 1) r
   ON r.event_id = p.event_id
 """
+
+
+def q_activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operational heatmap: events per (day-of-week, hour-of-day) per
+    type — the load-pattern matrix behind capacity planning. Calendar
+    extraction is scan-level; one map-side-combined groupBy of at most
+    7x24xtypes rows. DuckDB's dayofweek is 0=Sunday while Spark's
+    dayofweek is 1=Sunday; both sides emit ISO day numbers (1=Monday)
+    to pin a single convention."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.col("event_type").alias("instrument"),
+            F.expr("extract(DAYOFWEEK_ISO FROM ts)").cast("int").alias("iso_dow"),
+            F.hour("ts").alias("hour_of_day"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+def oracle_activity_heatmap() -> str:
+    return """
+SELECT event_type AS instrument,
+       CAST(isodow(ts) AS INT) AS iso_dow,
+       CAST(extract(hour FROM ts) AS BIGINT) AS hour_of_day,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width value histogram via ``width_bucket`` over a fixed
+    [0, 1000) domain, 20 buckets per event type — the profile primitive
+    a quality monitor charts. Bucket assignment is a scan expression;
+    one tiny groupBy."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    # explicit width-bucket arithmetic (DuckDB has no width_bucket, and
+    # builtin boundary handling differs subtly between engines anyway):
+    # bucket 0 = below domain, 21 = at-or-above, else floor(v/50)+1
+    bucket = (
+        F.when(F.col("value") < 0.0, F.lit(0))
+        .when(F.col("value") >= 1000.0, F.lit(21))
+        .otherwise((F.floor(F.col("value") / 50.0) + 1).cast("int"))
+        .cast("int")
+    )
+    return (
+        ev.groupBy(
+            F.col("event_type").alias("instrument"), bucket.alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+    )
+
+
+def oracle_value_histogram() -> str:
+    return """
+SELECT event_type AS instrument,
+       CAST(CASE WHEN value < 0.0 THEN 0
+                 WHEN value >= 1000.0 THEN 21
+                 ELSE floor(value / 50.0) + 1 END AS INT) AS bucket,
+       count(*) AS n, min(value) AS min_value, max(value) AS max_value
+FROM events
+WHERE value IS NOT NULL
+GROUP BY 1, 2
+"""

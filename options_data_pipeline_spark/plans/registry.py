@@ -34,6 +34,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
     "asof_attribution": (quality.q_asof_attribution, quality.oracle_asof_attribution),
     "conversion_latency": (quality.q_conversion_latency, quality.oracle_conversion_latency),
     "nearest_click": (quality.q_nearest_click, quality.oracle_nearest_click),
+    "activity_heatmap": (quality.q_activity_heatmap, quality.oracle_activity_heatmap),
+    "value_histogram": (quality.q_value_histogram, quality.oracle_value_histogram),
     "cohort_pivot": (quality.q_cohort_pivot, quality.oracle_cohort_pivot),
     "cohort_unpivot": (quality.q_cohort_unpivot, quality.oracle_cohort_unpivot),
     "user_churn_sets": (quality.q_user_churn_sets, quality.oracle_user_churn_sets),
