@@ -1422,3 +1422,51 @@ agg AS (
 SELECT agg.lang, n_docs, n_tokens, mean_quality, mean_logprob, exact_dup_docs
 FROM agg JOIN dups ON agg.lang = dups.lang
 """
+
+
+# --- cross-source duplication matrix -----------------------------------------
+
+
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: for every source pair (a < b),
+    how many identical-text doc pairs span the two sources — the view
+    that tells a crawl pipeline WHICH feeds mirror each other (the
+    planted mirror/scrape cohorts light up against their origins).
+
+    Shape: per-(hash, source) counts first (one map-side-combined
+    groupBy — the fan-in happens BEFORE any join), then a self-join on
+    the content hash restricted to hashes seen in >1 source; pair count
+    = n_a x n_b. The join input is one row per (hash, source), a
+    vanishing fraction of the corpus."""
+    corpus = planted_corpus(spark, sf_dir)
+    hs = (
+        corpus.select(F.md5("text").alias("h"), "source")
+        .groupBy("h", "source")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    a = hs.select("h", F.col("source").alias("source_a"), F.col("n").alias("n_a"))
+    b = hs.select("h", F.col("source").alias("source_b"), F.col("n").alias("n_b"))
+    return (
+        a.join(b, "h")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.sum(F.col("n_a") * F.col("n_b")).cast("long").alias("dup_pairs"),
+            F.countDistinct("h").alias("shared_texts"),
+        )
+    )
+
+
+def oracle_source_overlap() -> str:
+    return f"""
+WITH {_PLANTED_SQL},
+hs AS (
+    SELECT md5(text) AS h, source, count(*) AS n
+    FROM corpus GROUP BY 1, 2
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(sum(a.n * b.n) AS BIGINT) AS dup_pairs,
+       CAST(count(DISTINCT a.h) AS BIGINT) AS shared_texts
+FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source
+GROUP BY 1, 2
+"""
