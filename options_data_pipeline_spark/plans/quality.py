@@ -1030,10 +1030,18 @@ def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     clicks = ev.where(F.col("event_type") == "click").select(
         "event_id", "user_id", "ts"
     )
-    purchases = ev.where(F.col("event_type") == "purchase").select(
-        "user_id", "ts",
-        F.col("value").alias("purchase_value"),
-        F.col("event_id").alias("purchase_id"),
+    # Pre-aggregate purchases per (user_id, ts): the window fill inside
+    # asof_join is order-dependent if two purchases ever share a key+ts,
+    # while the oracle pins min(value). Collapse ties the same way the
+    # oracle does (q_nearest_click pre-aggregates clicks for this reason)
+    # instead of assuming per-(user, ts) uniqueness of the data.
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.min("value").alias("purchase_value"),
+            F.min("event_id").alias("purchase_id"),
+        )
     )
     out = asof_join(
         clicks, purchases, on=["user_id"],

@@ -299,6 +299,11 @@ def q_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     toks = F.size(F.split(F.col("text"), " ")).cast("long")
+    # weight >= 1.0 must keep EVERYTHING: floor(1.0 * 16^6) = 0x1000000
+    # hex-encodes to 7 chars and lpad(...,6) would TRUNCATE it to
+    # '100000', silently dropping ~93.75% of a domain that should be
+    # kept whole. Saturate the predicate before the hex compare.
+    keep = (F.col("sample_weight") >= 1.0) | (draw < threshold)
     return (
         docs.select("doc_id", "source", "lang", toks.alias("__tok"))
         .join(F.broadcast(weights), ["source", "lang"])
@@ -306,7 +311,7 @@ def q_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             "lang",
             "__tok",
-            (draw < threshold).alias("__keep"),
+            keep.alias("__keep"),
         )
         .groupBy("source", "lang")
         .agg(
@@ -329,7 +334,7 @@ WITH weights AS ({mixture}),
 scored AS (
     SELECT d.source, d.lang,
            len(string_split(d.text, ' ')) AS tok,
-           {draw} < {threshold} AS keep
+           (w.sample_weight >= 1.0 OR {draw} < {threshold}) AS keep
     FROM documents d
     JOIN weights w ON d.source = w.source AND d.lang = w.lang
 )

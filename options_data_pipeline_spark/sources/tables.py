@@ -53,10 +53,14 @@ _TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one benchmark table, normalizing event-time columns."""
     key = (spark.sparkContext.applicationId, sf_dir, name)
+    # Re-pin session invariants on EVERY access, not just cache misses:
+    # the NTZ->TIMESTAMP cast embedded in a cached plan is evaluated with
+    # the session timezone at execution time, so a consumer that drifted
+    # the conf between queries would silently shift cached tables' values.
+    ensure_session_conf(spark)
     cached = _TABLE_CACHE.get(key)
     if cached is not None:
         return cached
-    ensure_session_conf(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # nanos -> micros, exact integer truncation (matches DuckDB's coercion;

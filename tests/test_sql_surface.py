@@ -78,3 +78,30 @@ def test_approx_stats_error_bounds(spark, ddb):
         assert p45 <= a.approx_p50 <= p55, (
             f"{et}: approx p50 {a.approx_p50} outside exact [{p45}, {p55}]"
         )
+
+
+def test_mixture_resample_saturates_at_weight_one(spark):
+    """A domain whose sample_weight is 1.0 must keep ALL of its docs.
+
+    Regression: floor(1.0 * 16^6) hex-encodes to 7 chars '1000000' and
+    lpad(..., 6, '0') truncates it to '100000', so the strict hex
+    compare kept only draws starting with '0' (~6.25%) in full-keep
+    domains. At least one domain always has token_share <= 1/n_domains,
+    so weight 1.0 always occurs in practice."""
+    from options_data_pipeline_spark.plans.retrieval import (
+        q_domain_mixture,
+        q_mixture_resample,
+    )
+
+    weights = {
+        (r.source, r.lang): r.sample_weight
+        for r in q_domain_mixture(spark, SF_DIR).collect()
+    }
+    full_keep = {k for k, w in weights.items() if w >= 1.0}
+    assert full_keep, "mixture weights should saturate for >=1 domain"
+    for r in q_mixture_resample(spark, SF_DIR).collect():
+        if (r.source, r.lang) in full_keep:
+            assert r.kept_docs == r.n_docs, (
+                f"{r.source}/{r.lang}: weight 1.0 but kept "
+                f"{r.kept_docs}/{r.n_docs}"
+            )
