@@ -1,8 +1,11 @@
 """Benchmark harness: run every registry query at $SPARK_GRAFT_SF_DIR.
 
-Prints ONE JSON line on stdout:
-    {"metric": "total_query_sec", "value": N, "unit": "sec",
-     "queries": {name: sec, ...}, "sf": 0.1}
+Prints ONE COMPACT JSON line on stdout:
+    {"metric": "total_query_sec", "value": N, "unit": "sec", "sf": 0.1,
+     "n_queries": N, "queries": {10 slowest: sec}, "detail": path}
+and writes the FULL per-query map to BENCH_DETAIL.json next to this file
+(the >4 KB full map overflowed the driver's stdout tail capture in round
+2 — BENCH_r02.json came back ``parsed: null``).
 
 All logs go to stderr so stdout stays machine-readable. Each query is
 executed to completion through a ``noop`` sink (full plan runs on the
@@ -48,27 +51,39 @@ def main() -> None:
 
     timings: dict[str, float] = {}
 
-    # The near-dup pair table is a session ARTIFACT (operators/artifacts.py):
-    # derived once per corpus snapshot, then shared by every dedup/curation
-    # query — the artifact-store behavior the engine has in production. Time
-    # the build explicitly here so the total still pays for it exactly once
-    # and the per-query numbers below mean "with the artifact store warm".
+    # Session ARTIFACTS (operators/artifacts.py) are derived once per corpus
+    # snapshot, then shared by every downstream query — the artifact-store
+    # behavior the engine has in production. Time each build explicitly here
+    # (cache cleared, min-of-2 like every entry) so the total pays for every
+    # artifact exactly once and the per-query numbers below mean "with the
+    # artifact store warm".
     from options_data_pipeline_spark.operators import artifacts
-    from options_data_pipeline_spark.plans.text import planted_near_dup_pairs
-
-    build_runs = []
-    for _ in range(2):
-        artifacts._CACHE.clear()  # force a real rebuild: min-of-2 like every entry
-        t0 = time.perf_counter()
-        planted_near_dup_pairs(spark, sf_dir).write.mode("overwrite").format(
-            "noop"
-        ).save()
-        build_runs.append(time.perf_counter() - t0)
-    timings["near_dup_artifact_build"] = round(min(build_runs), 3)
-    log(
-        f"  near_dup_artifact_build: {min(build_runs):.2f}s "
-        f"(runs: {', '.join(f'{r:.2f}' for r in build_runs)})"
+    from options_data_pipeline_spark.plans.text import (
+        planted_near_dup_pairs,
+        q_unigram_logprob,
     )
+
+    artifact_builds = {
+        "near_dup_artifact_build": lambda: planted_near_dup_pairs(spark, sf_dir),
+        # q_unigram_logprob is a thin select over the unigram_doc_scores
+        # artifact — with the cache cleared this times the artifact build
+        "unigram_lm_artifact_build": lambda: q_unigram_logprob(spark, sf_dir),
+    }
+    for bname, builder in artifact_builds.items():
+        build_runs = []
+        for _ in range(2):
+            artifacts._CACHE.clear()  # force a real rebuild
+            t0 = time.perf_counter()
+            builder().write.mode("overwrite").format("noop").save()
+            build_runs.append(time.perf_counter() - t0)
+        timings[bname] = round(min(build_runs), 3)
+        log(
+            f"  {bname}: {min(build_runs):.2f}s "
+            f"(runs: {', '.join(f'{r:.2f}' for r in build_runs)})"
+        )
+    # rebuild both artifacts warm so query timings see a fully-warm store
+    planted_near_dup_pairs(spark, sf_dir)
+    q_unigram_logprob(spark, sf_dir)
 
     for name, fn in registry.queries().items():
         # two executions, report the min: the first pays plan compilation
@@ -84,12 +99,37 @@ def main() -> None:
         log(f"  {name}: {min(runs):.2f}s (runs: {', '.join(f'{r:.2f}' for r in runs)})")
 
     total = round(sum(timings.values()), 3)
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as fh:
+        json.dump(
+            {
+                "metric": "total_query_sec",
+                "value": total,
+                "unit": "sec",
+                "sf": sf,
+                "n_queries": len(timings),
+                "queries": timings,
+            },
+            fh,
+            indent=1,
+            sort_keys=True,
+        )
+        fh.write("\n")
+    # stdout stays COMPACT (a full 100+ query map overflowed the driver's
+    # tail capture in round 2): total + the 10 slowest; full map on disk.
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:10]
+    )
     print(json.dumps({
         "metric": "total_query_sec",
         "value": total,
         "unit": "sec",
-        "queries": timings,
         "sf": sf,
+        "n_queries": len(timings),
+        "queries": slowest,
+        "detail": "BENCH_DETAIL.json",
     }), flush=True)
     spark.stop()
 
