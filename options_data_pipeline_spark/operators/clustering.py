@@ -44,6 +44,31 @@ DEFAULT_K = 8
 DEFAULT_ITERATIONS = 2
 CENTROID_DECIMAL = "decimal(38,6)"
 
+# SemDeDup cell sizing: the within-cell pairwise join is quadratic in
+# cell population, so k must GROW with the corpus — a fixed k makes
+# cells n/k and pair expansion (n/k)^2, a scale-killer at 100x data.
+# TARGET_CELL_SIZE fixes the average cell, making total pair work
+# n/target * target^2 = n * target — LINEAR in corpus size.
+TARGET_CELL_SIZE = 512
+# Hard per-cell cap: a cell that still exceeds this (skewed centroid)
+# is deterministically re-split into ceil(size/cap) sub-cells by
+# vec_id % n_sub; pairs are only compared within a sub-cell. This is
+# the standard SemDeDup approximation (pairs across sub-cells of one
+# oversized cell are forgone) and bounds worst-case pair expansion.
+MAX_CELL_SIZE = 4096
+
+
+def adaptive_k(
+    n: int,
+    target_cell_size: int = TARGET_CELL_SIZE,
+    floor_k: int = DEFAULT_K,
+) -> int:
+    """k for an n-vector corpus: ceil(n / target_cell_size), never
+    below ``floor_k``. Linear-in-n pair work (see TARGET_CELL_SIZE)."""
+    import math
+
+    return max(floor_k, math.ceil(n / target_cell_size))
+
 
 def _as_double_vectors(
     emb: DataFrame, id_col: str, vec_col: str
@@ -196,12 +221,13 @@ def normalize_vectors(vecs: DataFrame) -> DataFrame:
 
 def semantic_prune(
     emb: DataFrame,
-    k: int = DEFAULT_K,
+    k: int | None = None,
     iterations: int = DEFAULT_ITERATIONS,
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     reliable: bool = False,
+    max_cell_size: int = MAX_CELL_SIZE,
 ) -> DataFrame:
     """SemDeDup: semantic near-duplicate pruning via k-means bucketing.
 
@@ -213,10 +239,15 @@ def semantic_prune(
     (vec_id, cluster, max_sim) — max_sim is the strongest same-cell
     similarity to a lower-id vector.
 
-    Scale shape: the cell self-join shuffles on the cluster id, and pair
-    expansion is bounded per cell (n/k on average; k grows with the
-    corpus in practice), never global. Assignment itself is shuffle-free
-    (see :func:`assign_to_centroids`).
+    Scale shape: ``k=None`` (the default) sizes k ADAPTIVELY as
+    :func:`adaptive_k` — ceil(n / TARGET_CELL_SIZE) — so average cell
+    population stays constant and total pair work is LINEAR in corpus
+    size instead of quadratic-in-(n/k). Cells an unlucky centroid still
+    overgrows are re-split by ``vec_id % ceil(size / max_cell_size)``
+    (deterministic, oracle-reproducible) before the pairwise join, which
+    caps worst-case expansion at ~max_cell_size^2 per sub-cell. The cell
+    self-join shuffles on (cluster, sub); assignment itself is
+    shuffle-free (see :func:`assign_to_centroids`).
     """
     from .similarity import _dot
 
@@ -230,6 +261,10 @@ def semantic_prune(
     vecs = materialize(
         normalize_vectors(_as_double_vectors(emb, id_col, vec_col)), reliable
     )
+    if k is None:
+        # one count job over the materialized (skinny) vector table —
+        # the same bounded driver read a broadcast-join sizing makes
+        k = adaptive_k(vecs.count())
     seeds = [
         (int(r["vec_id"]), list(r["v"]))
         for r in vecs.where(F.col("vec_id") < k).collect()
@@ -249,18 +284,31 @@ def semantic_prune(
     # projection of the first checkpoint, so the extra job only re-writes
     # (id, cluster, vector) rows, not the assignment compute.
     assigned = materialize(assigned.select("vec_id", "cluster", "v"), reliable)
+    # Hard cap on cell population: re-split any oversized cell into
+    # ceil(size / max_cell_size) sub-cells keyed by vec_id % n_sub.
+    # The per-cluster size table is k rows — broadcast it back.
+    cell_sub = assigned.groupBy("cluster").agg(
+        F.ceil(
+            F.count(F.lit(1)) / F.lit(float(max_cell_size))
+        ).cast("bigint").alias("n_sub")
+    )
+    assigned = assigned.join(F.broadcast(cell_sub), "cluster").withColumn(
+        "sub", F.pmod(F.col("vec_id").cast("bigint"), F.col("n_sub"))
+    )
     a = assigned.select(
-        F.col("cluster"), F.col("vec_id").alias("id_a"), F.col("v").alias("va")
+        "cluster", "sub",
+        F.col("vec_id").alias("id_a"), F.col("v").alias("va"),
     )
     b = materialize(
         assigned.select(
-            F.col("cluster"), F.col("vec_id").alias("id_b"), F.col("v").alias("vb")
+            "cluster", "sub",
+            F.col("vec_id").alias("id_b"), F.col("v").alias("vb"),
         ),
         reliable,
     )
     sim = round_half_away(_dot(F.col("va"), F.col("vb")), 4)
     pairs = (
-        a.join(b, "cluster")
+        a.join(b, ["cluster", "sub"])
         .where(F.col("id_a") < F.col("id_b"))
         .withColumn("sim", sim)
         .where(F.col("sim") >= threshold)

@@ -27,7 +27,17 @@ from pyspark.sql import types as T
 from .materialize import materialize
 
 
-DRIVER_EDGE_THRESHOLD = 4_000_000
+# Driver union-find budget, sized in BYTES like Spark's
+# autoBroadcastJoinThreshold — an edge count alone mis-states driver
+# pressure. A collected 2-long edge lands on the driver as a Row object
+# + two boxed Python ints: ~128 bytes measured (sys.getsizeof of the
+# Row, its tuple slots, and two small-int objects), an order of
+# magnitude over the 16 raw payload bytes. 64 MB of that is ~500k
+# edges — the point where one driver job still beats ~2 distributed
+# label-propagation rounds without risking driver heap.
+DRIVER_COLLECT_BUDGET_BYTES = 64 * 1024 * 1024
+DRIVER_EDGE_ROW_BYTES = 128
+DRIVER_EDGE_THRESHOLD = DRIVER_COLLECT_BUDGET_BYTES // DRIVER_EDGE_ROW_BYTES
 
 
 def connected_components(
@@ -46,12 +56,13 @@ def connected_components(
     every iteration), and its size — already paid for by that
     materialization — picks the strategy:
 
-    - ``<= driver_threshold`` edges: collect the (tiny) edge list and run
-      union-find on the driver, one job instead of ~2 distributed
-      iterations x (join + groupBy + checkpoint + count). Dedup graphs
-      are sparse by construction — edges exist only between near-dups —
-      so even a billion-doc corpus with a 0.1% dup rate stays in the
-      driver range; measured 5.4s -> ~2.6s for the sf0.1 cluster query.
+    - ``<= driver_threshold`` edges (default: a 64 MB driver-heap
+      budget divided by the ~128 B/edge cost of a collected Row —
+      ~500k edges): collect the edge list and run union-find on the
+      driver, one job instead of ~2 distributed iterations x (join +
+      groupBy + checkpoint + count). Dedup graphs are sparse by
+      construction — edges exist only between near-dups; measured
+      5.4s -> ~2.6s for the sf0.1 cluster query.
     - larger: distributed min-label propagation, O(diameter) iterations,
       each one join + groupBy on uniform keys. This is the 100 TB path;
       ``driver_threshold=0`` forces it (used by tests to pin equality).

@@ -303,13 +303,26 @@ def q_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.clustering import semantic_prune
 
     emb = planted_embeddings(spark, sf_dir)
+    # k=None -> adaptive: ceil(n / TARGET_CELL_SIZE), floored at
+    # KMEANS_K. The oracle computes the identical k from count(*), so
+    # parity holds at EVERY sf, not just the ones where adaptive == 8.
     return semantic_prune(
-        emb, k=KMEANS_K, iterations=KMEANS_ITERS, threshold=SEMDEDUP_THRESHOLD
+        emb, k=None, iterations=KMEANS_ITERS, threshold=SEMDEDUP_THRESHOLD
     )
 
 
 def oracle_semantic_prune() -> str:
-    k, d = KMEANS_K, 64
+    from ..operators.clustering import (
+        DEFAULT_K,
+        MAX_CELL_SIZE,
+        TARGET_CELL_SIZE,
+    )
+
+    d = 64
+    k = (
+        f"(SELECT greatest({DEFAULT_K}, CAST(ceil(cnt / {TARGET_CELL_SIZE}.0)"
+        f" AS BIGINT)) FROM params)"
+    )
     dist = (
         "list_reduce(list_transform(range(1, {n}), i ->"
         " (v[i] - cv[i]) * (v[i] - cv[i])), (acc, x) -> acc + x)"
@@ -332,6 +345,7 @@ vecs AS (
                            (acc, t) -> acc + t))) AS v
     FROM raw
 ),
+params AS (SELECT count(*) AS cnt FROM vecs),
 seed AS (
     SELECT vec_id AS cid, v AS cv FROM vecs WHERE vec_id < {k}
 ),
@@ -362,9 +376,18 @@ m AS (
     SELECT a2.vec_id, a2.cid, vecs.v
     FROM a2 JOIN vecs USING (vec_id) WHERE a2.rn = 1
 ),
+cellsz AS (
+    SELECT cid, CAST(ceil(count(*) / {MAX_CELL_SIZE}.0) AS BIGINT) AS n_sub
+    FROM m GROUP BY 1
+),
+msub AS (
+    SELECT m.vec_id, m.cid, m.v, m.vec_id % c.n_sub AS sub
+    FROM m JOIN cellsz c USING (cid)
+),
 pairs AS (
     SELECT y.vec_id AS id_b, y.cid AS cluster, {sim} AS sim
-    FROM m x JOIN m y ON x.cid = y.cid AND x.vec_id < y.vec_id
+    FROM msub x JOIN msub y
+      ON x.cid = y.cid AND x.sub = y.sub AND x.vec_id < y.vec_id
 )
 SELECT id_b AS vec_id, CAST(cluster AS INT) AS cluster, max(sim) AS max_sim
 FROM pairs WHERE sim >= {SEMDEDUP_THRESHOLD}

@@ -228,3 +228,50 @@ def test_semantic_prune_drops_scaled_twins(spark):
            semantic_prune(emb, k=2, iterations=2, threshold=0.9).collect()}
     assert set(out) == {100, 101}
     assert out[100][1] == 1.0 and out[101][1] == 1.0
+
+
+def test_adaptive_k_scales_linearly():
+    """k = ceil(n / target): constant average cell -> pair work linear
+    in n. Floored at DEFAULT_K for small corpora."""
+    from options_data_pipeline_spark.operators.clustering import (
+        DEFAULT_K,
+        TARGET_CELL_SIZE,
+        adaptive_k,
+    )
+
+    assert adaptive_k(0) == DEFAULT_K
+    assert adaptive_k(500) == DEFAULT_K
+    assert adaptive_k(DEFAULT_K * TARGET_CELL_SIZE) == DEFAULT_K
+    assert adaptive_k(100 * TARGET_CELL_SIZE) == 100
+    assert adaptive_k(100 * TARGET_CELL_SIZE + 1) == 101
+    # 100x the corpus -> ~100x the cells, average cell size unchanged
+    # (within ceil rounding): pair work stays ~n * target, never (n/8)^2
+    k1, k100 = adaptive_k(10**6), adaptive_k(100 * 10**6)
+    assert 99 * k1 <= 100 * adaptive_k(10**6) and k100 <= 100 * k1
+    assert abs(k100 - 100 * k1) / k100 < 0.01
+
+
+def test_semantic_prune_cell_cap_bounds_pairs(spark):
+    """The max_cell_size re-split only FORGOES pairs (across sub-cells
+    of an oversized cell) — the capped drop set is a subset of the
+    uncapped one, and the cap strictly reduces candidate pairs when it
+    fires. Planted twins at the default cap are covered by the oracle
+    parity suite."""
+    from options_data_pipeline_spark.plans.vectors import planted_embeddings
+
+    from options_data_pipeline_spark.operators.clustering import semantic_prune
+
+    emb = planted_embeddings(spark, "/root/testdata/sf0.001")
+    uncapped = {
+        r.vec_id
+        for r in semantic_prune(
+            emb, k=8, iterations=2, threshold=0.9, max_cell_size=1 << 30
+        ).collect()
+    }
+    capped = {
+        r.vec_id
+        for r in semantic_prune(
+            emb, k=8, iterations=2, threshold=0.9, max_cell_size=4
+        ).collect()
+    }
+    assert capped <= uncapped
