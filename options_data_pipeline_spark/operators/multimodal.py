@@ -39,8 +39,55 @@ except ImportError:
 FEATURE_SCHEMA = (
     "media_id long, kind string, n_bytes long, sum_bytes long, payload_md5 string"
 )
+REAL_FEATURE_SCHEMA = (
+    "media_id long, kind string, n_bytes long, width int, height int, "
+    "mode string, payload_md5 string"
+)
 RESIZE_SCHEMA = "media_id long, kind string, payload binary, width int, height int"
 FRAME_SCHEMA = "media_id long, frame_no long, frame binary, frame_md5 string"
+
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+FRAME_CONTAINER_MAGIC = b"FAKV"
+
+
+def png_payload(
+    width: int, height: int, pixel: tuple[int, int, int] = (128, 64, 32)
+) -> bytes:
+    """A genuine, spec-valid PNG (8-bit RGB, solid ``pixel`` color),
+    written with struct+zlib only — no imaging library needed to
+    *generate* real test payloads, so the real-decode tests can build
+    their corpus anywhere and PIL is only required to read it back."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    row = b"\x00" + bytes(pixel) * width  # filter 0 + RGB scanline
+    idat = zlib.compress(row * height)
+    return (
+        PNG_MAGIC + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+
+
+def pack_frames(frames: list[bytes]) -> bytes:
+    """Length-prefixed frame container (``FAKV`` + per-frame u32 length
+    + bytes) — the stand-in video format. Parsing it back (container
+    demux) needs no codec; decoding the *pixels* of each frame does."""
+    import struct
+
+    out = [FRAME_CONTAINER_MAGIC]
+    for f in frames:
+        out.append(struct.pack(">I", len(f)))
+        out.append(f)
+    return b"".join(out)
 
 
 def _decode_kernel(payload: bytes) -> dict:
@@ -77,12 +124,47 @@ def documents_as_media(docs: DataFrame) -> DataFrame:
 
 def extract_features(media: DataFrame, real_decode: bool = False) -> DataFrame:
     """Per-payload features via ``mapInPandas`` (one Arrow batch at a
-    time, partition-parallel)."""
+    time, partition-parallel).
+
+    ``real_decode=True`` swaps the byte-statistics fake for a genuine
+    PIL decode (width/height/mode from the actual image header+pixels);
+    the Spark plumbing — Arrow batching, schema, partition parallelism —
+    is identical either way, which is the point of the slot-in design."""
     if real_decode and not _HAS_PIL:
         raise NotImplementedError(
             "real image decode requires PIL, which is not installed; "
             "use real_decode=False for the deterministic fake kernel"
         )
+
+    if real_decode:
+
+        def real_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import hashlib as _hl
+            import io as _io
+
+            from PIL import Image as _Image  # worker-side import
+
+            for pdf in it:
+                feats = []
+                for p in pdf["payload"]:
+                    p = bytes(p)
+                    with _Image.open(_io.BytesIO(p)) as img:
+                        img.load()
+                        feats.append(
+                            {
+                                "n_bytes": len(p),
+                                "width": img.width,
+                                "height": img.height,
+                                "mode": img.mode,
+                                "payload_md5": _hl.md5(p).hexdigest(),
+                            }
+                        )
+                out = pd.DataFrame(feats)
+                out.insert(0, "kind", pdf["kind"].values)
+                out.insert(0, "media_id", pdf["media_id"].values)
+                yield out
+
+        return media.mapInPandas(real_batches, schema=REAL_FEATURE_SCHEMA)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib as _hl
@@ -104,10 +186,51 @@ def extract_features(media: DataFrame, real_decode: bool = False) -> DataFrame:
     return media.mapInPandas(batches, schema=FEATURE_SCHEMA)
 
 
-def resize_payloads(media: DataFrame, width: int = 8, height: int = 8) -> DataFrame:
+def resize_payloads(
+    media: DataFrame,
+    width: int = 8,
+    height: int = 8,
+    real_decode: bool = False,
+) -> DataFrame:
     """'Resize' every payload to width*height bytes (truncate or cycle-pad
-    — the deterministic fake for a thumbnailing kernel)."""
+    — the deterministic fake for a thumbnailing kernel).
+
+    ``real_decode=True``: PIL thumbnailing — decode, bilinear-resize to
+    (width, height), re-encode PNG. Same schema; ``payload`` is then a
+    real PNG of the requested dimensions."""
+    if real_decode and not _HAS_PIL:
+        raise NotImplementedError(
+            "real image resize requires PIL, which is not installed; "
+            "use real_decode=False for the deterministic fake kernel"
+        )
     target = width * height
+
+    if real_decode:
+
+        def real_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import io as _io
+
+            from PIL import Image as _Image
+
+            for pdf in it:
+                resized = []
+                for p in pdf["payload"]:
+                    with _Image.open(_io.BytesIO(bytes(p))) as img:
+                        small = img.resize((width, height))
+                        buf = _io.BytesIO()
+                        small.save(buf, format="PNG")
+                        resized.append(buf.getvalue())
+                yield pd.DataFrame(
+                    {
+                        "media_id": pdf["media_id"].values,
+                        "kind": pdf["kind"].values,
+                        "payload": resized,
+                        "width": width,
+                        "height": height,
+                    }
+                )
+
+        return media.mapInPandas(real_batches, schema=RESIZE_SCHEMA)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -128,11 +251,58 @@ def resize_payloads(media: DataFrame, width: int = 8, height: int = 8) -> DataFr
     return media.mapInPandas(batches, schema=RESIZE_SCHEMA)
 
 
-def sample_frames(media: DataFrame, frame_bytes: int = 64, every_n: int = 2) -> DataFrame:
+def sample_frames(
+    media: DataFrame,
+    frame_bytes: int = 64,
+    every_n: int = 2,
+    real_decode: bool = False,
+) -> DataFrame:
     """Split each payload into fixed-size 'frames' and keep every n-th —
     the fake for video frame sampling. One input row fans out to many
     output rows, which is exactly what mapInPandas allows (unlike a
-    scalar pandas_udf)."""
+    scalar pandas_udf).
+
+    ``real_decode=True``: treat each payload as a :func:`pack_frames`
+    container (``FAKV`` + u32-length-prefixed frames, e.g. real PNGs)
+    and demux it — variable-length frames from the container header, not
+    fixed-size byte chunks. Demuxing needs no codec, so this path runs
+    without PIL; decoding the extracted frames' pixels is the PIL step
+    downstream (see :func:`extract_features`)."""
+
+    if real_decode:
+
+        def demux_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import hashlib as _hl
+            import struct as _struct
+
+            magic = b"FAKV"  # inline: closures must not capture module state
+
+            for pdf in it:
+                ids, nos, frames, hashes = [], [], [], []
+                for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                    p = bytes(p)
+                    if not p.startswith(magic):
+                        raise ValueError(
+                            f"media_id {mid}: not a frame container"
+                        )
+                    off, no = len(magic), 0
+                    while off < len(p):
+                        (ln,) = _struct.unpack_from(">I", p, off)
+                        off += 4
+                        chunk = p[off : off + ln]
+                        off += ln
+                        if no % every_n == 0:
+                            ids.append(mid)
+                            nos.append(no)
+                            frames.append(chunk)
+                            hashes.append(_hl.md5(chunk).hexdigest())
+                        no += 1
+                yield pd.DataFrame(
+                    {"media_id": ids, "frame_no": nos, "frame": frames,
+                     "frame_md5": hashes}
+                )
+
+        return media.mapInPandas(demux_batches, schema=FRAME_SCHEMA)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

@@ -50,3 +50,98 @@ def test_sample_frames_fanout(spark):
     f2 = {r.frame_no: r for r in by_id[2]}
     assert bytes(f2[2].frame) == bytes(range(200))[128:192]
     assert f2[2].frame_md5 == hashlib.md5(bytes(range(200))[128:192]).hexdigest()
+
+
+# --- real decode path (PIL slot-in) -----------------------------------------
+
+
+def _png_media(spark):
+    rows = [
+        (1, "image", MM.png_payload(12, 7, (255, 0, 0))),
+        (2, "image", MM.png_payload(3, 3, (0, 255, 0))),
+        (3, "image", MM.png_payload(20, 5, (0, 0, 255))),
+    ]
+    return spark.createDataFrame(rows, "media_id long, kind string, payload binary")
+
+
+def test_png_payload_is_spec_valid():
+    """The generated payloads are REAL PNGs: magic + parseable IHDR dims
+    + CRC-valid chunks — checked with struct/zlib so this pins payload
+    validity even where PIL is absent."""
+    import struct
+    import zlib
+
+    p = MM.png_payload(12, 7, (9, 9, 9))
+    assert p.startswith(MM.PNG_MAGIC)
+    off = len(MM.PNG_MAGIC)
+    seen = []
+    while off < len(p):
+        (ln,) = struct.unpack_from(">I", p, off)
+        tag = p[off + 4 : off + 8]
+        data = p[off + 8 : off + 8 + ln]
+        (crc,) = struct.unpack_from(">I", p, off + 8 + ln)
+        assert crc == zlib.crc32(tag + data) & 0xFFFFFFFF
+        seen.append(tag)
+        if tag == b"IHDR":
+            w, h = struct.unpack_from(">II", data, 0)
+            assert (w, h) == (12, 7)
+        off += 12 + ln
+    assert seen == [b"IHDR", b"IDAT", b"IEND"]
+
+
+def test_sample_frames_real_demux(spark):
+    """Container demux needs no codec: real PNG frames come back intact
+    (byte-identical, every_n sampled) from the FAKV container."""
+    f0 = MM.png_payload(4, 4, (1, 2, 3))
+    f1 = MM.png_payload(4, 4, (4, 5, 6))
+    f2 = MM.png_payload(4, 4, (7, 8, 9))
+    rows = [(7, "video", MM.pack_frames([f0, f1, f2]))]
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary"
+    )
+    out = {
+        r.frame_no: r
+        for r in MM.sample_frames(media, every_n=2, real_decode=True).collect()
+    }
+    assert sorted(out) == [0, 2]
+    assert bytes(out[0].frame) == f0
+    assert bytes(out[2].frame) == f2
+    assert out[2].frame_md5 == hashlib.md5(f2).hexdigest()
+
+
+@pytest.mark.skipif(not MM._HAS_PIL, reason="PIL not installed")
+def test_extract_features_real_decode(spark):
+    """extract_features(real_decode=True) reports the TRUE pixel
+    dimensions of genuine PNG payloads via PIL inside mapInPandas."""
+    out = {
+        r.media_id: r
+        for r in MM.extract_features(_png_media(spark), real_decode=True).collect()
+    }
+    assert (out[1].width, out[1].height) == (12, 7)
+    assert (out[2].width, out[2].height) == (3, 3)
+    assert (out[3].width, out[3].height) == (20, 5)
+    assert out[1].mode == "RGB"
+
+
+@pytest.mark.skipif(not MM._HAS_PIL, reason="PIL not installed")
+def test_resize_payloads_real_decode(spark):
+    """Real resize: output payloads are PNGs that decode to exactly the
+    requested dimensions."""
+    import io
+
+    from PIL import Image
+
+    out = MM.resize_payloads(
+        _png_media(spark), width=5, height=6, real_decode=True
+    ).collect()
+    assert len(out) == 3
+    for r in out:
+        with Image.open(io.BytesIO(bytes(r.payload))) as img:
+            assert (img.width, img.height) == (5, 6)
+
+
+def test_extract_features_real_decode_raises_without_pil(spark):
+    if MM._HAS_PIL:
+        pytest.skip("PIL installed")
+    with pytest.raises(NotImplementedError):
+        MM.extract_features(_png_media(spark), real_decode=True)
