@@ -69,6 +69,7 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     dfreq = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     idf = dfreq.crossJoin(F.broadcast(stats)).select(
         "term",
+        "df",
         round_half_away(
             F.log(
                 (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
@@ -79,27 +80,79 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("idf"),
         "avgdl",
     )
-    score_t = (
-        F.col("idf").cast("double")
-        * (F.col("tf") * (BM25_K1 + 1.0))
-        / (
-            F.col("tf")
-            + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+
+    def score_t(tf, idf_col, dl_col, avgdl):
+        return (
+            idf_col.cast("double")
+            * (tf * (BM25_K1 + 1.0))
+            / (tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl_col / avgdl))
+        )
+
+    # --- WAND-style exact pruning --------------------------------------
+    # Per-term score ceiling: score_t < idf * (k1+1) for any tf/dl, so a
+    # doc's total is bounded by the sum of ceilings of its matched terms.
+    # theta = the k-th best TRUE score among docs matching the RAREST
+    # query term (a small, broadcastable candidate set). At least k real
+    # docs score >= theta, so any doc whose ceiling-sum < theta provably
+    # cannot reach the top-k — postings dominated by frequent terms are
+    # dropped BEFORE the corpus-wide doc-length join. The final top-k is
+    # bit-identical to the unpruned plan (oracle unchanged).
+    from ..operators.materialize import materialize
+
+    postings = materialize(postings)
+    per_doc = (
+        postings.join(F.broadcast(idf), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.collect_list(F.struct("tf", "idf")).alias("ts"),
+            F.sum(F.col("idf").cast("double") * (BM25_K1 + 1.0)).alias("ub"),
+            F.min("avgdl").alias("avgdl"),
         )
     )
-    scored = (
-        postings.join(F.broadcast(idf), "term")
+
+    rarest = idf.orderBy("df", "term").limit(1).select("term")
+    cand = postings.join(F.broadcast(rarest), "term").select("doc_id")
+    cand_scored = (
+        postings.join(F.broadcast(cand), "doc_id")
+        .join(F.broadcast(idf), "term")
         .join(dl, "doc_id")
         .select(
             "doc_id",
-            round_half_away(score_t, 9).cast("decimal(28,9)").alias("s"),
+            round_half_away(
+                score_t(F.col("tf"), F.col("idf"), F.col("dl"), F.col("avgdl")), 9
+            )
+            .cast("decimal(28,9)")
+            .alias("s"),
         )
+        .groupBy("doc_id")
+        .agg(round_half_away(F.sum("s").cast("double"), 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(BM25_TOP_K)
+        .collect()
+    )
+    # fewer than k candidates -> no provable threshold -> prune nothing
+    theta = (
+        cand_scored[-1].bm25 if len(cand_scored) >= BM25_TOP_K else float("-inf")
+    )
+
+    survivors = per_doc.where(F.col("ub") >= theta).join(dl, "doc_id")
+    # survivors' scores fold over the collected (tf, idf) pairs at scan
+    # level — the per-term DECIMAL(28,9) partials sum exactly (order-
+    # free), identical to the unpruned per-posting aggregation
+    per_term = lambda acc, t: (  # noqa: E731
+        acc
+        + round_half_away(
+            score_t(t["tf"], t["idf"], F.col("dl"), F.col("avgdl")), 9
+        ).cast("decimal(28,9)")
+    ).cast("decimal(38,9)")
+    total = F.aggregate(
+        F.col("ts"), F.lit(0).cast("decimal(38,9)"), per_term
     )
     return (
-        scored.groupBy("doc_id")
-        .agg(
-            round_half_away(F.sum("s").cast("double"), 6).alias("bm25"),
-            F.count(F.lit(1)).cast("long").alias("n_terms"),
+        survivors.select(
+            "doc_id",
+            round_half_away(total.cast("double"), 6).alias("bm25"),
+            F.size("ts").cast("long").alias("n_terms"),
         )
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(BM25_TOP_K)
