@@ -191,3 +191,52 @@ def compact_partitions(
         "files_before": files_before,
         "files_after": files_after,
     }
+
+
+def parquet_file_ranges(
+    path: str, key: str
+) -> list[tuple[str, object, object]]:
+    """Per-file (path, min, max) of ``key``, read from parquet FOOTER
+    statistics only — no data pages are touched, so cost is O(#files)
+    metadata reads regardless of table size. This is the vanilla-parquet
+    equivalent of the per-file stats a Delta/Iceberg transaction log
+    serves from its manifest: the pruning input for a file-level MERGE
+    (:func:`..sinks.upsert.upsert_file_pruned`).
+
+    Files without min/max stats for ``key`` report ``(path, None,
+    None)`` — callers must treat them as unprunable (always touched).
+    Flat (non-partitioned) directories only, matching
+    :func:`write_range_sorted` output. At cluster scale the per-footer
+    loop distributes trivially (one task per file); on the driver it is
+    the same O(#files) work a Delta log replay does.
+    """
+    import pyarrow.parquet as pq
+
+    out: list[tuple[str, object, object]] = []
+    for fname in sorted(os.listdir(path)):
+        if not fname.endswith(".parquet"):
+            continue
+        fp = os.path.join(path, fname)
+        md = pq.ParquetFile(fp).metadata
+        col_idx = next(
+            (
+                i
+                for i in range(md.num_columns)
+                if md.schema.column(i).name == key
+            ),
+            None,
+        )
+        lo = hi = None
+        if col_idx is not None:
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(col_idx).statistics
+                if st is None or not st.has_min_max:
+                    mins = []
+                    break
+                mins.append(st.min)
+                maxs.append(st.max)
+            if mins:
+                lo, hi = min(mins), max(maxs)
+        out.append((fp, lo, hi))
+    return out

@@ -280,3 +280,123 @@ def scd2_upsert(
     )
     _atomic_replace(merged, target_path)
     return {"opened": opened, "closed": closed}
+
+
+def upsert_file_pruned(
+    spark: SparkSession,
+    target_path: str,
+    updates: DataFrame,
+    keys: list[str],
+    range_key: str,
+    audit_col: str | None = None,
+) -> dict[str, int]:
+    """FILE-level MERGE: rewrite only the parquet files whose footer
+    min/max range on ``range_key`` intersects the update batch's keys —
+    every other file is left byte-for-byte untouched on disk.
+
+    This is the no-Delta answer to reference K1 per-key upserts
+    (reference src/pipeline/collectors/binance.py:76-125) at 100 TB:
+    where :func:`upsert_partitioned` prunes at PARTITION granularity
+    (days), this prunes at file granularity within a range-clustered
+    table (:func:`..sinks.layout.write_range_sorted` keeps per-file
+    ranges disjoint and tight). An hourly batch against a year of data
+    rewrites a handful of files, not a day partition. ``range_key``
+    must be one of ``keys`` (or functionally determined by them) so a
+    merged key can never live outside the file ranges being rewritten.
+
+    Mechanics: footer stats (:func:`..sinks.layout.parquet_file_ranges`)
+    -> broadcast range-join against the batch's distinct ``range_key``
+    values -> read ONLY intersecting files -> latest-wins reconcile ->
+    write the merged slice to staging -> swap those files in place.
+    Files with missing stats are always treated as touched. The
+    delete+move swap is per-file, not one atomic directory rename; a
+    production deployment commits the same file list through a
+    Delta/Iceberg manifest instead (see PERFORMANCE.md MERGE note).
+    Returns ``{"inserted": n, "updated": m, "files_rewritten": t,
+    "files_untouched": u}``.
+    """
+    if range_key not in keys:
+        raise ValueError(
+            f"range_key {range_key!r} must be one of keys {keys}: pruning "
+            "by a non-key range could leave a merged key's stale row "
+            "alive in an unread file."
+        )
+    if audit_col:
+        updates = updates.withColumn(audit_col, F.current_timestamp())
+    current = _read_target(spark, target_path)
+    if current is None:
+        n = updates.count()
+        _atomic_replace(updates, target_path)
+        return {
+            "inserted": n,
+            "updated": 0,
+            "files_rewritten": 0,
+            "files_untouched": 0,
+        }
+
+    from .layout import parquet_file_ranges
+
+    ranges = parquet_file_ranges(target_path, range_key)
+    unprunable = [f for f, lo, _ in ranges if lo is None]
+    prunable = [(f, lo, hi) for f, lo, hi in ranges if lo is not None]
+    touched = set(unprunable)
+    if prunable:
+        rng = spark.createDataFrame(prunable, ["_file", "_lo", "_hi"])
+        kvals = updates.select(F.col(range_key).alias("_k")).distinct()
+        hits = (
+            kvals.join(
+                F.broadcast(rng),
+                (F.col("_k") >= F.col("_lo")) & (F.col("_k") <= F.col("_hi")),
+            )
+            .select("_file")
+            .distinct()
+            .collect()
+        )
+        touched |= {r._file for r in hits}
+
+    total = updates.count()
+    if not touched:
+        # pure insert outside every existing range: new file(s) only
+        updates.select(current.columns).write.mode("append").parquet(
+            target_path
+        )
+        return {
+            "inserted": total,
+            "updated": 0,
+            "files_rewritten": 0,
+            "files_untouched": len(ranges),
+        }
+
+    touched_df = spark.read.parquet(*sorted(touched))
+    if audit_col and audit_col not in touched_df.columns:
+        touched_df = touched_df.withColumn(
+            audit_col, F.lit(None).cast("timestamp")
+        )
+    updated = updates.join(
+        touched_df.select(*keys).distinct(), keys, "left_semi"
+    ).count()
+    survivors = touched_df.join(updates.select(*keys), keys, "left_anti")
+    merged = survivors.select(updates.columns).unionByName(updates)
+
+    # stage the merged slice (sorted on the range key so the replacement
+    # files carry tight footer stats again), then swap per-file
+    staging = f"{target_path}.staging-{uuid.uuid4().hex[:8]}"
+    merged.sortWithinPartitions(range_key).write.mode("overwrite").parquet(
+        staging
+    )
+    for f in touched:
+        os.remove(f)
+    tag = uuid.uuid4().hex[:8]
+    for i, fname in enumerate(sorted(os.listdir(staging))):
+        if fname.endswith(".parquet"):
+            shutil.move(
+                os.path.join(staging, fname),
+                os.path.join(target_path, f"part-merge-{tag}-{i:05d}.parquet"),
+            )
+    shutil.rmtree(staging)
+    return {
+        "inserted": total - updated,
+        "updated": updated,
+        "files_rewritten": len(touched),
+        "files_untouched": len(ranges) - len(touched),
+    }
