@@ -287,10 +287,18 @@ def semantic_prune(
     # Hard cap on cell population: re-split any oversized cell into
     # ceil(size / max_cell_size) sub-cells keyed by vec_id % n_sub.
     # The per-cluster size table is k rows — broadcast it back.
-    cell_sub = assigned.groupBy("cluster").agg(
-        F.ceil(
-            F.count(F.lit(1)) / F.lit(float(max_cell_size))
-        ).cast("bigint").alias("n_sub")
+    # own materialization: joining assigned with an aggregate OF assigned
+    # is a self-join, and DeduplicateRelations loses attribute rewrites
+    # nested in the normalize HOF lambdas (INTERNAL_ERROR_ATTRIBUTE_NOT_
+    # FOUND — same Catalyst bug as the b-side below); a distinct k-row
+    # leaf never triggers the rewrite and costs one trivial job
+    cell_sub = materialize(
+        assigned.groupBy("cluster").agg(
+            F.ceil(
+                F.count(F.lit(1)) / F.lit(float(max_cell_size))
+            ).cast("bigint").alias("n_sub")
+        ),
+        reliable,
     )
     assigned = assigned.join(F.broadcast(cell_sub), "cluster").withColumn(
         "sub", F.pmod(F.col("vec_id").cast("bigint"), F.col("n_sub"))

@@ -1,0 +1,55 @@
+"""PLANS.md is CI-enforced for a sentinel subset: a new shuffle /
+sort-merge join / py-eval node in an expensive query fails the build
+instead of relying on regenerate-and-review discipline."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from options_data_pipeline_spark.plans import registry
+from tools.plan_audit import audit_row, committed_rows
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+PLANS_MD = os.path.join(REPO, "PLANS.md")
+# committed PLANS.md is generated at sf0.01 — audit at the same sf so
+# size-estimate-driven plan choices (broadcast thresholds) match
+AUDIT_SF_DIR = "/root/testdata/sf0.01"
+
+# the ten historically most expensive queries (BENCH_DETAIL.json order)
+SENTINELS = [
+    "semantic_prune",
+    "simhash_near_dups",
+    "ngram_jaccard_pairs",
+    "embedding_near_dups",
+    "supplier_blame",
+    "kmeans_clusters",
+    "cluster_survivors",
+    "pricing_summary",
+    "option_chain_ohlc",
+    "bm25_search",
+]
+
+
+@pytest.mark.parametrize("name", SENTINELS)
+def test_sentinel_plan_matches_committed_audit(spark, name):
+    committed = committed_rows(PLANS_MD)
+    assert name in committed, f"{name} missing from PLANS.md — regenerate"
+    live = audit_row(spark, name, registry.queries()[name], AUDIT_SF_DIR)
+    assert live == committed[name], (
+        f"{name}: physical plan drifted from the committed audit "
+        f"(live {live} != committed {committed[name]}). If intentional, "
+        "regenerate with `python tools/plan_audit.py` and review the diff."
+    )
+
+
+def test_audit_catches_injected_shuffle(spark):
+    """Negative control: a deliberately-degraded plan (extra
+    repartition) must NOT match the committed row."""
+    committed = committed_rows(PLANS_MD)
+    fn = registry.queries()["pricing_summary"]
+    broken = lambda s, d: fn(s, d).repartition(77)  # noqa: E731
+    live = audit_row(spark, "pricing_summary", broken, AUDIT_SF_DIR)
+    assert live != committed["pricing_summary"]
+    assert live[1] == committed["pricing_summary"][1] + 1  # exactly +1 shuffle
