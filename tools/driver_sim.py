@@ -1,0 +1,178 @@
+"""Driver simulator: run the __spark_entry__ contract exactly as the
+external driver does, over the FULL registry, and emit a
+CORRECTNESS_r*-format JSON artifact.
+
+The external driver samples ~50 queries per round; this tool adjudicates
+all of them so every registry entry has a committed correctness row
+(VERDICT r2 ask #1a). It deliberately builds a VANILLA SparkSession (no
+engine helper) so any session conf the engine forgot to self-apply
+surfaces here, not in the driver's run.
+
+Usage:
+    python tools/driver_sim.py [sf_dir] [out_json]
+
+Defaults: sf_dir=/root/testdata/sf0.01, out_json=stdout summary +
+CORRECTNESS_SELF.json next to the repo root.
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import math
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def _canon_cell(v):
+    import pandas as pd
+
+    if v is None or (isinstance(v, float) and math.isnan(v)):
+        return None
+    if isinstance(v, pd.Timestamp):
+        if v.tzinfo is not None:
+            v = v.tz_convert("UTC").tz_localize(None)
+        return v.isoformat()
+    if isinstance(v, datetime.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        return v.isoformat()
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, float):
+        return v.hex()
+    if isinstance(v, bool):
+        return bool(v)
+    if isinstance(v, int):
+        return int(v)
+    return v
+
+
+def canonical_hash(pdf) -> str:
+    import hashlib
+
+    cols = sorted(pdf.columns)
+    rows = sorted(
+        (
+            tuple(_canon_cell(pdf.iloc[i][c]) for c in cols)
+            for i in range(len(pdf))
+        ),
+        key=lambda r: tuple(str(x) for x in r),
+    )
+    h = hashlib.sha256()
+    for r in rows:
+        h.update(repr(r).encode())
+    return h.hexdigest()
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out_path = (
+        sys.argv[2]
+        if len(sys.argv) > 2
+        else os.path.join(REPO, "CORRECTNESS_SELF.json")
+    )
+
+    import duckdb
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.driver.memory", "8g")
+        .config("spark.ui.enabled", "false")
+        .appName("driver-sim")
+        .getOrCreate()
+    )
+
+    import __spark_entry__ as E
+
+    # entry smoke check, exactly like the driver
+    rows = E.entry(spark).collect()
+    print(f"entry(): {len(rows)} rows", file=sys.stderr)
+
+    ddb = duckdb.connect()
+    for t in TABLES:
+        ddb.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    queries = E.queries()
+    oracles = E.oracle_sql()
+    report: dict[str, dict] = {}
+    n_ok = n_weak = n_fail = 0
+    for name in sorted(queries):
+        row = {
+            "rows_match": None,
+            "schema_match": None,
+            "hash_match": None,
+            "spark_rows": None,
+            "oracle_rows": None,
+            "err": None,
+        }
+        t0 = time.monotonic()
+        try:
+            spdf = queries[name](spark, sf_dir).toPandas()
+            row["spark_rows"] = len(spdf)
+            if name not in oracles:
+                row["err"] = "no_oracle"
+                n_weak += 1
+            else:
+                opdf = ddb.execute(oracles[name]).fetchdf()
+                row["oracle_rows"] = len(opdf)
+                row["rows_match"] = len(spdf) == len(opdf)
+                row["schema_match"] = sorted(spdf.columns) == sorted(
+                    opdf.columns
+                )
+                row["hash_match"] = (
+                    row["rows_match"]
+                    and row["schema_match"]
+                    and canonical_hash(spdf) == canonical_hash(opdf)
+                )
+                if row["hash_match"]:
+                    n_ok += 1
+                else:
+                    n_fail += 1
+        except Exception as exc:  # noqa: BLE001 — report, don't abort
+            row["err"] = f"{type(exc).__name__}: {exc}"[:300]
+            n_fail += 1
+        report[name] = row
+        status = (
+            "ok"
+            if row["hash_match"]
+            else ("weak" if row["err"] == "no_oracle" else "FAIL")
+        )
+        print(
+            f"{name}: {status} ({time.monotonic() - t0:.1f}s)",
+            file=sys.stderr,
+        )
+
+    with open(out_path, "w") as fh:
+        json.dump(report, fh, indent=2)
+    print(
+        json.dumps(
+            {
+                "sf_dir": sf_dir,
+                "n_queries": len(queries),
+                "ok": n_ok,
+                "weak_no_oracle": n_weak,
+                "fail": n_fail,
+                "out": out_path,
+            }
+        )
+    )
+    return 0 if n_fail == 0 else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
