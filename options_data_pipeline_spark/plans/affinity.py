@@ -1,0 +1,259 @@
+"""Co-occurrence / graph-affinity analytics over the order-lines fact.
+
+The reference pipeline has no graph surface; these queries prove the
+engine's iterative/graph shapes on Spark — bounded self-join pair
+expansion, degree-oriented triangle enumeration, and a fixed-point
+integer PageRank whose arithmetic is exactly reproducible across
+engines (no float accumulation order dependence).
+
+Scale notes common to all three: the raw pair expansion is bounded by
+per-order basket size (≤ ~13 distinct parts per order in TPC-H-like
+data, so ≤ C(13,2) = 78 pair rows per order — linear in the fact, not
+quadratic in the dimension); every downstream shuffle is keyed on
+hash-uniform part ids.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.artifacts import session_artifact
+from ..operators.graphalgo import PR_SCALE, pagerank_fixed_point, triangle_stats
+from ..sources.tables import load_table
+
+# minimum co-occurrence count for a pair to become a graph edge — keeps
+# the affinity graph sparse (support-1 pairs are noise at any scale)
+EDGE_SUPPORT = 2
+
+PR_ITERS = 3
+
+
+def _order_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (order, part) pairs → co-occurring part pairs (a < b).
+
+    One aggregate to distinct the basket rows, then a self-equi-join on
+    l_orderkey. The join is per-order and baskets are small, so the
+    output is O(|lineitem| × basket_size), never |part|².
+    """
+    lp = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = lp.alias("a")
+    b = lp.alias("b")
+    return (
+        a.join(b, on="l_orderkey")
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+    )
+
+
+_PAIR_SQL = f"""
+    WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pair AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+        FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey
+        WHERE a.l_partkey < b.l_partkey
+    ),
+    edge AS (
+        SELECT part_a, part_b, count(*) AS support
+        FROM pair GROUP BY 1, 2
+        HAVING count(*) >= {EDGE_SUPPORT}
+    )
+"""
+
+
+def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: top part pairs by support, with lift.
+
+    Pair counts via one hash aggregate on (part_a, part_b); per-part
+    order counts are a small aggregate broadcast back for the lift
+    denominator. Lift operands are exact integers cast to double, so the
+    IEEE result is engine-independent.
+    """
+    lp = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n_orders = lp.agg(
+        F.countDistinct("l_orderkey").alias("n_orders")
+    )
+    part_cnt = lp.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("part_orders")
+    )
+    support = support_edge_artifact(spark, sf_dir)
+    ca = part_cnt.select(
+        F.col("l_partkey").alias("part_a"),
+        F.col("part_orders").alias("orders_a"),
+    )
+    cb = part_cnt.select(
+        F.col("l_partkey").alias("part_b"),
+        F.col("part_orders").alias("orders_b"),
+    )
+    return (
+        support.join(F.broadcast(ca), "part_a")
+        .join(F.broadcast(cb), "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "support",
+            "orders_a",
+            "orders_b",
+            (
+                F.col("support").cast("double")
+                * F.col("n_orders").cast("double")
+                / (
+                    F.col("orders_a").cast("double")
+                    * F.col("orders_b").cast("double")
+                )
+            ).alias("lift"),
+        )
+        .orderBy(
+            F.col("support").desc(), F.col("part_a").asc(), F.col("part_b").asc()
+        )
+        .limit(50)
+    )
+
+
+def oracle_basket_pairs() -> str:
+    return f"""
+{_PAIR_SQL},
+    cnt AS (
+        SELECT l_partkey, count(*) AS part_orders FROM lp GROUP BY 1
+    ),
+    tot AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM lp)
+SELECT e.part_a, e.part_b, e.support,
+       ca.part_orders AS orders_a, cb.part_orders AS orders_b,
+       CAST(e.support AS DOUBLE) * CAST(tot.n_orders AS DOUBLE)
+           / (CAST(ca.part_orders AS DOUBLE) * CAST(cb.part_orders AS DOUBLE))
+           AS lift
+FROM edge e
+JOIN cnt ca ON ca.l_partkey = e.part_a
+JOIN cnt cb ON cb.l_partkey = e.part_b
+CROSS JOIN tot
+ORDER BY e.support DESC, e.part_a ASC, e.part_b ASC
+LIMIT 50
+"""
+
+
+def support_edge_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized co-purchase edge list (part_a < part_b, support).
+
+    Derived once per corpus snapshot via the session artifact store —
+    triangle counting and PageRank each consume the edge list from
+    multiple plan branches (degrees, orientation, closure, iteration),
+    and without a materialization point Catalyst re-derives the
+    lineitem self-join per branch (~68 exchanges). At 100 TB the edge
+    list is a persisted derived table; `store_dir` upgrades this memo
+    to that posture.
+    """
+
+    def build() -> DataFrame:
+        return (
+            _order_part_pairs(spark, sf_dir)
+            .groupBy("part_a", "part_b")
+            .agg(F.count(F.lit(1)).alias("support"))
+            .where(F.col("support") >= EDGE_SUPPORT)
+        )
+
+    return session_artifact(
+        spark, f"affinity_edges#{sf_dir}#sup{EDGE_SUPPORT}", build
+    )
+
+
+def _support_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return support_edge_artifact(spark, sf_dir).select("part_a", "part_b")
+
+
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count + clustering coefficient of the co-purchase graph.
+
+    Thin wrapper over :func:`..operators.graphalgo.triangle_stats`
+    (degree-oriented enumeration — see its docstring for the scale
+    argument) applied to the materialized support-edge artifact.
+    """
+    return triangle_stats(_support_edges(spark, sf_dir))
+
+
+def oracle_triangle_count() -> str:
+    # the oracle enumerates with the simple id-orientation (a<b<c); the
+    # triangle COUNT is orientation-invariant, which is exactly what we
+    # want to pin: Spark's degree-oriented plan must agree with the
+    # naive enumeration.
+    return f"""
+{_PAIR_SQL},
+    deg AS (
+        SELECT node, count(*) AS deg FROM (
+            SELECT part_a AS node FROM edge
+            UNION ALL SELECT part_b FROM edge
+        ) GROUP BY 1
+    ),
+    tri AS (
+        SELECT count(*) AS n_triangles
+        FROM edge e1
+        JOIN edge e2 ON e2.part_a = e1.part_b
+        JOIN edge e3 ON e3.part_a = e1.part_a AND e3.part_b = e2.part_b
+    )
+SELECT (SELECT count(*) FROM deg) AS n_nodes,
+       (SELECT count(*) FROM edge) AS n_edges,
+       (SELECT CAST(SUM(deg * (deg - 1) // 2) AS BIGINT) FROM deg) AS n_wedges,
+       tri.n_triangles,
+       3.0 * CAST(tri.n_triangles AS DOUBLE)
+           / CAST((SELECT CAST(SUM(deg * (deg - 1) // 2) AS BIGINT) FROM deg) AS DOUBLE)
+           AS clustering_coeff
+FROM tri
+"""
+
+
+def q_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point integer PageRank over the co-purchase graph, 3
+    iterations, damping 0.85 — top 20 parts by rank.
+
+    Thin wrapper over :func:`..operators.graphalgo.pagerank_fixed_point`
+    (bit-exact integer arithmetic — see its docstring) applied to the
+    materialized support-edge artifact.
+    """
+    ranks = pagerank_fixed_point(_support_edges(spark, sf_dir), iters=PR_ITERS)
+    return ranks.orderBy(F.col("rank").desc(), F.col("node").asc()).limit(20)
+
+
+def oracle_pagerank_parts() -> str:
+    base = PR_SCALE * 15 // 100
+    iters = []
+    prev = "r0"
+    for i in range(1, PR_ITERS + 1):
+        iters.append(
+            f"""r{i} AS (
+        SELECT e.dst AS node,
+               -- SUM(BIGINT) is HUGEINT in DuckDB; pin back to BIGINT so
+               -- the arithmetic (and the pandas dtype) matches Spark LONG
+               {base} + (85 * CAST(SUM({prev}.rank // d.deg) AS BIGINT)) // 100
+                   AS rank
+        FROM edges e
+        JOIN deg d ON d.node = e.src
+        JOIN {prev} ON {prev}.node = e.src
+        GROUP BY 1
+    )"""
+        )
+        prev = f"r{i}"
+    chain = ",\n    ".join(iters)
+    return f"""
+{_PAIR_SQL},
+    edges AS (
+        SELECT part_a AS src, part_b AS dst FROM edge
+        UNION ALL SELECT part_b, part_a FROM edge
+    ),
+    deg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY 1),
+    r0 AS (SELECT node, CAST({PR_SCALE} AS BIGINT) AS rank FROM deg),
+    {chain}
+SELECT node, rank FROM {prev}
+ORDER BY rank DESC, node ASC
+LIMIT 20
+"""

@@ -1214,3 +1214,66 @@ FROM events
 WHERE value IS NOT NULL
 GROUP BY 1, 2
 """
+
+
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type outlier profile: median / MAD / 3-sigma-equivalent
+    outlier counts over event values.
+
+    Median absolute deviation needs two exact-percentile passes (median
+    of values, then median of |v - median|); each is a partial-aggregable
+    groupBy on the ~5-row event_type domain, and the tiny per-type stats
+    are broadcast back between passes — the fact table is scanned twice
+    but never shuffled on anything wider than event_type. |v - med| and
+    3*mad are IEEE double ops on identical operands in both engines, so
+    the flag is hash-stable.
+    """
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("median_value")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "absdev", F.abs(F.col("value") - F.col("median_value"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(absdev, 0.5)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.min("median_value").alias("median_value"),
+            F.min("mad").alias("mad"),
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(
+                F.when(F.col("absdev") > F.lit(3.0) * F.col("mad"), 1).otherwise(0)
+            ).cast("long").alias("n_outliers"),
+        )
+    )
+
+
+def oracle_mad_outliers() -> str:
+    return """
+WITH ev AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
+med AS (
+    SELECT event_type, quantile_cont(value, 0.5) AS median_value
+    FROM ev GROUP BY 1
+),
+dev AS (
+    SELECT ev.event_type, ev.value, med.median_value,
+           abs(ev.value - med.median_value) AS absdev
+    FROM ev JOIN med USING (event_type)
+),
+mad AS (
+    SELECT event_type, quantile_cont(absdev, 0.5) AS mad
+    FROM dev GROUP BY 1
+)
+SELECT dev.event_type,
+       min(dev.median_value) AS median_value,
+       min(mad.mad) AS mad,
+       count(*) AS n_total,
+       CAST(sum(CASE WHEN dev.absdev > 3.0 * mad.mad THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_outliers
+FROM dev JOIN mad USING (event_type)
+GROUP BY 1
+"""

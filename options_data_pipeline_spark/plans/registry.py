@@ -7,7 +7,18 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import media, options, pii, quality, retrieval, sessions, text, tpch, vectors
+from . import (
+    affinity,
+    media,
+    options,
+    pii,
+    quality,
+    retrieval,
+    sessions,
+    text,
+    tpch,
+    vectors,
+)
 
 # name -> (query fn, oracle sql builder or None)
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[], str] | None]] = {
@@ -136,6 +147,12 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
     "semantic_prune": (vectors.q_semantic_prune, vectors.oracle_semantic_prune),
     "label_cohesion": (vectors.q_label_cohesion, vectors.oracle_label_cohesion),
     "rp_reduce": (vectors.q_rp_reduce, vectors.oracle_rp_reduce),
+    # --- affinity / graph analytics (round 3) ---
+    "basket_pairs": (affinity.q_basket_pairs, affinity.oracle_basket_pairs),
+    "triangle_count": (affinity.q_triangle_count, affinity.oracle_triangle_count),
+    "pagerank_parts": (affinity.q_pagerank_parts, affinity.oracle_pagerank_parts),
+    "skyline_parts": (tpch.q_skyline_parts, tpch.oracle_skyline_parts),
+    "mad_outliers": (quality.q_mad_outliers, quality.oracle_mad_outliers),
     # --- training-data ops: multimodal (mapInPandas over binary payloads) ---
     "media_features": (media.q_media_features, media.oracle_media_features),
     "media_frames": (media.q_media_frames, media.oracle_media_frames),

@@ -958,3 +958,58 @@ WHERE l_shipdate >= TIMESTAMP '1997-01-01'
   AND l_shipdate < TIMESTAMP '1998-01-01'
 GROUP BY l_returnflag
 """
+
+
+def q_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto skyline: parts not dominated on (p_size, p_retailprice).
+
+    A part is dominated iff some other part is <= on both axes and < on
+    at least one. Instead of the naive all-pairs NOT EXISTS (quadratic),
+    the plan aggregates to the size domain first (|sizes| ~ 50 rows:
+    min price per size), runs the strictly-smaller-size running minimum
+    as a window over that tiny relation, and broadcast-joins the two
+    thresholds back — one shuffle over the fact, O(|sizes|) window work.
+    The same decomposition holds at any scale because the window runs on
+    the aggregated domain, never the fact.
+
+    Dominance split per part x with price p at size s:
+      - dominated-by-smaller-size: min price over sizes < s is <= p;
+      - dominated-within-size: min price at size s is < p (ties on both
+        axes survive — equal points don't dominate each other).
+    """
+    part = load_table(spark, sf_dir, "part")
+    per_size = part.groupBy("p_size").agg(
+        F.min("p_retailprice").alias("best_price")
+    )
+    w = (
+        Window.orderBy("p_size")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    thresholds = per_size.select(
+        "p_size",
+        "best_price",
+        F.min("best_price").over(w).alias("smaller_best"),
+    )
+    return (
+        part.join(F.broadcast(thresholds), "p_size")
+        .where(
+            (
+                F.col("smaller_best").isNull()
+                | (F.col("smaller_best") > F.col("p_retailprice"))
+            )
+            & (F.col("best_price") >= F.col("p_retailprice"))
+        )
+        .select("p_partkey", "p_name", "p_brand", "p_size", "p_retailprice")
+    )
+
+
+def oracle_skyline_parts() -> str:
+    return """
+SELECT p_partkey, p_name, p_brand, p_size, p_retailprice
+FROM part x
+WHERE NOT EXISTS (
+    SELECT 1 FROM part y
+    WHERE y.p_size <= x.p_size AND y.p_retailprice <= x.p_retailprice
+      AND (y.p_size < x.p_size OR y.p_retailprice < x.p_retailprice)
+)
+"""
