@@ -1277,3 +1277,60 @@ SELECT dev.event_type,
 FROM dev JOIN mad USING (event_type)
 GROUP BY 1
 """
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams:
+    for each (prev_type -> type) adjacency, the count and the conditional
+    probability P(type | prev_type).
+
+    One lag window partitioned by user (hash-uniform key, no global
+    sort), one hash aggregate on the ~25-cell type-pair domain, and the
+    per-prev-type denominator as a window sum over that tiny aggregate.
+    The (ts, event_id) window order is a total order (event_id unique),
+    so lag is deterministic. Probability operands are exact BIGINTs cast
+    to double — IEEE-identical in any engine.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # denominator as a window sum over the ~25-cell aggregate — one plan
+    # branch, so the lag subtree is computed once (a totals self-join
+    # would re-derive it)
+    n_from = F.sum("n").over(Window.partitionBy("prev_type"))
+    return steps.select(
+        "prev_type",
+        "event_type",
+        "n",
+        (F.col("n").cast("double") / n_from.cast("double")).alias("prob"),
+    )
+
+
+def oracle_event_transitions() -> str:
+    return """
+WITH steps AS (
+    SELECT lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS prev_type,
+           event_type
+    FROM events
+),
+agg AS (
+    SELECT prev_type, event_type, count(*) AS n
+    FROM steps WHERE prev_type IS NOT NULL
+    GROUP BY 1, 2
+),
+tot AS (
+    SELECT prev_type, CAST(SUM(n) AS BIGINT) AS n_from FROM agg GROUP BY 1
+)
+SELECT agg.prev_type, agg.event_type, agg.n,
+       CAST(agg.n AS DOUBLE) / CAST(tot.n_from AS BIGINT) AS prob
+FROM agg JOIN tot USING (prev_type)
+"""

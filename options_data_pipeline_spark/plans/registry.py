@@ -147,6 +147,13 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
     "semantic_prune": (vectors.q_semantic_prune, vectors.oracle_semantic_prune),
     "label_cohesion": (vectors.q_label_cohesion, vectors.oracle_label_cohesion),
     "rp_reduce": (vectors.q_rp_reduce, vectors.oracle_rp_reduce),
+    # --- round-3 additions: substring dedup, weighted sampling, Markov ---
+    "repeated_spans": (text.q_repeated_spans, text.oracle_repeated_spans),
+    "weighted_sample": (text.q_weighted_sample, text.oracle_weighted_sample),
+    "event_transitions": (
+        quality.q_event_transitions,
+        quality.oracle_event_transitions,
+    ),
     # --- affinity / graph analytics (round 3) ---
     "basket_pairs": (affinity.q_basket_pairs, affinity.oracle_basket_pairs),
     "triangle_count": (affinity.q_triangle_count, affinity.oracle_triangle_count),

@@ -1470,3 +1470,118 @@ SELECT a.source AS source_a, b.source AS source_b,
 FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source
 GROUP BY 1, 2
 """
+
+
+# substring-level dedup: fixed-width char spans on a stride; a span seen
+# in >= 2 distinct docs is cross-doc boilerplate (the span-granular
+# variant of Lee et al.'s exact-substring dedup)
+_SPAN_W = 40
+_SPAN_STRIDE = 20
+
+
+def q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated character spans: top 100 spans (by distinct
+    doc count) appearing in at least two documents.
+
+    Each doc fans out to ~len/stride fixed-width char spans (a scan-level
+    sequence+explode, no shuffle), then one hash aggregate on span_md5
+    computes (distinct docs, occurrences) with partial aggregation; the
+    top-100 is TakeOrderedAndProject, never a global sort. Fan-out is
+    linear in corpus bytes — the same I/O the shingle stores already pay
+    — and the md5 keys are hash-uniform, so the aggregate has no skew by
+    construction.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    spans = (
+        docs.withColumn(
+            "pos",
+            F.explode(
+                F.expr(
+                    f"sequence(1, greatest(length(text) - {_SPAN_W - 1}, 1),"
+                    f" {_SPAN_STRIDE})"
+                )
+            ),
+        )
+        .select(
+            "doc_id",
+            F.md5(
+                F.expr(f"substring(text, pos, {_SPAN_W})")
+            ).alias("span_md5"),
+        )
+    )
+    return (
+        spans.groupBy("span_md5")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .where(F.col("n_docs") >= 2)
+        .orderBy(
+            F.col("n_docs").desc(),
+            F.col("n_occurrences").desc(),
+            F.col("span_md5").asc(),
+        )
+        .limit(100)
+    )
+
+
+def oracle_repeated_spans() -> str:
+    return f"""
+WITH spans AS (
+    -- scalar range() + unnest: DuckDB's lateral generate_series cannot
+    -- take column arguments; range() is stop-exclusive hence the +1
+    SELECT doc_id,
+           md5(substr(text, CAST(pos AS INT), {_SPAN_W})) AS span_md5
+    FROM (
+        SELECT d.doc_id, d.text,
+               unnest(range(1, greatest(length(d.text) - {_SPAN_W - 1}, 1) + 1,
+                            {_SPAN_STRIDE})) AS pos
+        FROM documents d
+    )
+)
+SELECT span_md5,
+       count(DISTINCT doc_id) AS n_docs,
+       count(*) AS n_occurrences
+FROM spans
+GROUP BY 1
+HAVING count(DISTINCT doc_id) >= 2
+ORDER BY n_docs DESC, n_occurrences DESC, span_md5 ASC
+LIMIT 100
+"""
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weight-proportional sampling: keep each doc with
+    probability (n_chars / max_n_chars) * 0.5 — longer docs (more
+    tokens) are proportionally more likely to be kept, the standard
+    token-mass-preserving downsample.
+
+    The coin is the first 8 md5 hex digits parsed as an integer u in
+    [0, 2^32); the keep test `u * max_chars < n_chars * 2^31` is pure
+    BIGINT arithmetic (products < 2^63), so the selected set is
+    bit-identical across engines, partitionings, and re-runs — no RNG
+    state, no float rounding. The corpus max is a scalar aggregate
+    broadcast into the scan predicate.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    maxc = docs.agg(F.max("n_chars").alias("max_chars"))
+    u = F.expr(
+        "cast(conv(substring(md5(concat('wsample#', cast(doc_id as string)))"
+        ", 1, 8), 16, 10) as bigint)"
+    )
+    return (
+        docs.crossJoin(F.broadcast(maxc))
+        .where(u * F.col("max_chars") < F.col("n_chars") * F.lit(2147483648))
+        .select("doc_id", "lang", "source", "n_chars")
+    )
+
+
+def oracle_weighted_sample() -> str:
+    return """
+SELECT doc_id, lang, source, n_chars
+FROM documents
+CROSS JOIN (SELECT max(n_chars) AS max_chars FROM documents)
+WHERE CAST(concat('0x', substr(md5('wsample#' || CAST(doc_id AS VARCHAR)), 1, 8))
+           AS BIGINT) * max_chars
+      < n_chars * 2147483648
+"""
