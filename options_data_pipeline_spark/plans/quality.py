@@ -1334,3 +1334,229 @@ SELECT agg.prev_type, agg.event_type, agg.n,
        CAST(agg.n AS DOUBLE) / CAST(tot.n_from AS BIGINT) AS prob
 FROM agg JOIN tot USING (prev_type)
 """
+
+
+# gaps-and-islands: each event opens a 5-minute presence interval;
+# overlapping intervals per user merge into islands
+_COVER_US = 300_000_000
+
+
+def q_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged-interval coverage per user (gaps-and-islands): number of
+    disjoint presence islands and total covered microseconds, where each
+    event opens a [ts, ts+5min) interval and overlaps merge.
+
+    The classic two-window decomposition, both windows partitioned by
+    the hash-uniform user key (no global sort anywhere): a running max
+    of interval ends over strictly-preceding rows marks island starts
+    (`start > max(prev ends)`), a running sum of those flags numbers the
+    islands, then one hash aggregate per (user, island) and one per
+    user. All arithmetic is integer epoch-microseconds — no float
+    accumulation, hash-stable in any engine. (event_id breaks ts ties,
+    so the window order is total.)
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    iv = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("s"),
+        (F.unix_micros("ts") + F.lit(_COVER_US)).alias("e"),
+    )
+    w_order = Window.partitionBy("user_id").orderBy("s", "event_id")
+    prev_max = F.max("e").over(
+        w_order.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = iv.withColumn(
+        "new_island",
+        F.when(prev_max.isNull() | (F.col("s") > prev_max), 1).otherwise(0),
+    )
+    islands = flagged.withColumn(
+        "island_id",
+        F.sum("new_island").over(
+            w_order.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    per_island = islands.groupBy("user_id", "island_id").agg(
+        F.min("s").alias("st"), F.max("e").alias("en")
+    )
+    return per_island.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.sum(F.col("en") - F.col("st")).alias("covered_us"),
+    )
+
+
+def oracle_interval_coverage() -> str:
+    return f"""
+WITH iv AS (
+    SELECT user_id, event_id, epoch_us(ts) AS s,
+           epoch_us(ts) + {_COVER_US} AS e
+    FROM events
+),
+m AS (
+    SELECT user_id, s, e, event_id,
+           max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_max
+    FROM iv
+),
+fl AS (
+    SELECT *, CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END
+              AS new_island
+    FROM m
+),
+isl AS (
+    SELECT *, SUM(new_island) OVER (PARTITION BY user_id ORDER BY s, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS island_id
+    FROM fl
+),
+g AS (
+    SELECT user_id, island_id, min(s) AS st, max(e) AS en
+    FROM isl GROUP BY 1, 2
+)
+SELECT user_id, count(*) AS n_islands, CAST(SUM(en - st) AS BIGINT) AS covered_us
+FROM g GROUP BY 1
+"""
+
+
+def q_candle_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linearly-interpolated hourly close series: the interpolation
+    sibling of `candle_ffill` — missing hours take the time-weighted
+    value between the surrounding observed closes (edges clamp to the
+    nearest observation).
+
+    Same spine + left-join as the ffill variant; the fill needs four
+    ignore-nulls window fills (prev/next value and their timestamps)
+    over the same per-instrument ordered window — one shuffle, two sort
+    passes (forward + backward frame). The interpolation weight is
+    an exact integer microsecond ratio cast to double, with the
+    float expression grouped identically in the oracle so IEEE gives
+    bit-equal results.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    closes = (
+        ev.withColumn("bucket_ts", F.date_trunc("hour", F.col("ts")))
+        .groupBy(F.col("event_type").alias("instrument"), "bucket_ts")
+        .agg(
+            F.max_by(
+                "value", F.struct(F.col("ts"), F.col("event_id"))
+            ).alias("close")
+        )
+    )
+    spine = (
+        closes.groupBy("instrument")
+        .agg(F.min("bucket_ts").alias("lo"), F.max("bucket_ts").alias("hi"))
+        .select(
+            "instrument",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+            ).alias("bucket_ts"),
+        )
+    )
+    joined = spine.join(closes, ["instrument", "bucket_ts"], "left")
+    wb = (
+        Window.partitionBy("instrument")
+        .orderBy("bucket_ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy("instrument")
+        .orderBy("bucket_ts")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    obs_ts = F.when(F.col("close").isNotNull(), F.col("bucket_ts"))
+    t = F.unix_micros("bucket_ts")
+    filled = joined.select(
+        "instrument",
+        "bucket_ts",
+        "close",
+        F.last("close", ignorenulls=True).over(wb).alias("pv"),
+        F.unix_micros(
+            F.last(obs_ts, ignorenulls=True).over(wb)
+        ).alias("pt"),
+        F.first("close", ignorenulls=True).over(wf).alias("nv"),
+        F.unix_micros(
+            F.first(obs_ts, ignorenulls=True).over(wf)
+        ).alias("nt"),
+        t.alias("t_us"),
+    )
+    interp = (
+        F.when(F.col("close").isNotNull(), F.col("close"))
+        .when(F.col("pv").isNull(), F.col("nv"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .otherwise(
+            F.col("pv")
+            + (F.col("nv") - F.col("pv"))
+            * (
+                (F.col("t_us") - F.col("pt")).cast("double")
+                / (F.col("nt") - F.col("pt")).cast("double")
+            )
+        )
+    )
+    kind = (
+        F.when(F.col("close").isNotNull(), F.lit("observed"))
+        .when(F.col("pv").isNull() | F.col("nv").isNull(), F.lit("edge"))
+        .otherwise(F.lit("interpolated"))
+    )
+    return filled.select(
+        "instrument",
+        "bucket_ts",
+        interp.alias("interp_close"),
+        kind.alias("kind"),
+    )
+
+
+def oracle_candle_interpolate() -> str:
+    return """
+WITH ranked AS (
+    SELECT event_type AS instrument, date_trunc('hour', ts) AS bucket_ts, value,
+           row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                              ORDER BY ts DESC, event_id DESC) AS rd
+    FROM events
+),
+closes AS (
+    SELECT instrument, bucket_ts,
+           max(CASE WHEN rd = 1 THEN value END) AS close
+    FROM ranked GROUP BY 1, 2
+),
+spine AS (
+    SELECT instrument, unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+               AS bucket_ts
+    FROM (SELECT instrument, min(bucket_ts) AS lo, max(bucket_ts) AS hi
+          FROM closes GROUP BY 1)
+),
+j AS (
+    SELECT s.instrument, s.bucket_ts, c.close
+    FROM spine s LEFT JOIN closes c USING (instrument, bucket_ts)
+),
+f AS (
+    SELECT instrument, bucket_ts, close,
+           last_value(close IGNORE NULLS) OVER (
+               PARTITION BY instrument ORDER BY bucket_ts
+               ROWS UNBOUNDED PRECEDING) AS pv,
+           epoch_us(last_value(CASE WHEN close IS NOT NULL THEN bucket_ts END
+                               IGNORE NULLS) OVER (
+               PARTITION BY instrument ORDER BY bucket_ts
+               ROWS UNBOUNDED PRECEDING)) AS pt,
+           first_value(close IGNORE NULLS) OVER (
+               PARTITION BY instrument ORDER BY bucket_ts
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+           epoch_us(first_value(CASE WHEN close IS NOT NULL THEN bucket_ts END
+                                IGNORE NULLS) OVER (
+               PARTITION BY instrument ORDER BY bucket_ts
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) AS nt,
+           epoch_us(bucket_ts) AS t_us
+    FROM j
+)
+SELECT instrument, bucket_ts,
+       CASE WHEN close IS NOT NULL THEN close
+            WHEN pv IS NULL THEN nv
+            WHEN nv IS NULL THEN pv
+            ELSE pv + (nv - pv) * (CAST(t_us - pt AS DOUBLE)
+                                   / CAST(nt - pt AS DOUBLE))
+       END AS interp_close,
+       CASE WHEN close IS NOT NULL THEN 'observed'
+            WHEN pv IS NULL OR nv IS NULL THEN 'edge'
+            ELSE 'interpolated'
+       END AS kind
+FROM f
+"""

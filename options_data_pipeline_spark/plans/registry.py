@@ -150,6 +150,14 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
     # --- round-3 additions: substring dedup, weighted sampling, Markov ---
     "repeated_spans": (text.q_repeated_spans, text.oracle_repeated_spans),
     "weighted_sample": (text.q_weighted_sample, text.oracle_weighted_sample),
+    "candle_interpolate": (
+        quality.q_candle_interpolate,
+        quality.oracle_candle_interpolate,
+    ),
+    "interval_coverage": (
+        quality.q_interval_coverage,
+        quality.oracle_interval_coverage,
+    ),
     "event_transitions": (
         quality.q_event_transitions,
         quality.oracle_event_transitions,
