@@ -103,6 +103,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
     "sales_opportunity": (tpch.q_sales_opportunity, tpch.oracle_sales_opportunity),
     "promo_revenue": (tpch.q_promo_revenue, tpch.oracle_promo_revenue),
     "priority_shipping": (tpch.q_priority_shipping, tpch.oracle_priority_shipping),
+    "qty_price_corr": (tpch.q_qty_price_corr, tpch.oracle_qty_price_corr),
     # --- training-data ops: text ---
     "doc_stats": (text.q_doc_stats, text.oracle_doc_stats),
     "text_quality": (text.q_text_quality, text.oracle_text_quality),

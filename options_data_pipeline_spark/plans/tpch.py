@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.rounding import dec_sum
+from ..functions.rounding import dec_sum, round_half_away, sql_round_half_away
 from ..sources.tables import load_table
 
 _D1 = "decimal(18,2)"   # money-ish columns
@@ -1013,3 +1013,79 @@ WHERE NOT EXISTS (
       AND (y.p_size < x.p_size OR y.p_retailprice < x.p_retailprice)
 )
 """
+
+
+def q_qty_price_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation / population covariance of (quantity, price)
+    per return flag, with bit-deterministic results.
+
+    Built-in `corr`/`covar_pop` accumulate float moments in partition
+    order — non-deterministic bits under re-partitioning, so they can
+    never pass a value-hash gate. Instead the five raw moments are exact
+    DECIMAL sums (quantities and 2-dp prices are exactly representable),
+    and the closed-form corr/covar are computed from those exact sums in
+    double with the SAME expression grouping as the oracle — one IEEE
+    evaluation of identical operands. One partial-aggregable shuffle on
+    the 3-row flag domain.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    qd = F.col("l_quantity").cast("decimal(18,2)")
+    pd_ = F.col("l_extendedprice").cast("decimal(18,2)")
+    agg = l.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(qd).cast("double").alias("sx"),
+        F.sum(pd_).cast("double").alias("sy"),
+        F.sum(qd * qd).cast("double").alias("sxx"),
+        F.sum(pd_ * pd_).cast("double").alias("syy"),
+        F.sum(qd * pd_).cast("double").alias("sxy"),
+    )
+    n = F.col("n_rows").cast("double")
+    cov_num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    var_x = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    var_y = n * F.col("syy") - F.col("sy") * F.col("sy")
+    # the closed forms differ from the oracle by <=1 ulp (decimal->double
+    # conversion of the big scaled moment ints takes different paths), so
+    # the outputs are pinned at 9/6 decimals via the portable rounding
+    return agg.select(
+        "l_returnflag",
+        "n_rows",
+        round_half_away(cov_num / F.sqrt(var_x * var_y), 9).alias(
+            "corr_qty_price"
+        ),
+        round_half_away(cov_num / (n * n), 6).alias("covar_pop_qty_price"),
+    )
+
+
+def oracle_qty_price_corr() -> str:
+    return """
+WITH agg AS (
+    SELECT l_returnflag,
+           count(*) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                    * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                    * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+    FROM lineitem
+    GROUP BY 1
+)
+SELECT l_returnflag, n_rows,
+       {corr} AS corr_qty_price,
+       {covar} AS covar_pop_qty_price
+FROM agg
+""".format(
+        corr=sql_round_half_away(
+            "(CAST(n_rows AS DOUBLE) * sxy - sx * sy)"
+            " / sqrt((CAST(n_rows AS DOUBLE) * sxx - sx * sx)"
+            " * (CAST(n_rows AS DOUBLE) * syy - sy * sy))",
+            9,
+        ),
+        covar=sql_round_half_away(
+            "(CAST(n_rows AS DOUBLE) * sxy - sx * sy)"
+            " / (CAST(n_rows AS DOUBLE) * CAST(n_rows AS DOUBLE))",
+            6,
+        ),
+    )
