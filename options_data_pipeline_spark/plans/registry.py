@@ -104,6 +104,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
     "promo_revenue": (tpch.q_promo_revenue, tpch.oracle_promo_revenue),
     "priority_shipping": (tpch.q_priority_shipping, tpch.oracle_priority_shipping),
     "qty_price_corr": (tpch.q_qty_price_corr, tpch.oracle_qty_price_corr),
+    "weighted_median_price": (
+        tpch.q_weighted_median_price,
+        tpch.oracle_weighted_median_price,
+    ),
     # --- training-data ops: text ---
     "doc_stats": (text.q_doc_stats, text.oracle_doc_stats),
     "text_quality": (text.q_text_quality, text.oracle_text_quality),

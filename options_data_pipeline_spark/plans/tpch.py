@@ -1089,3 +1089,64 @@ FROM agg
             6,
         ),
     )
+
+
+def q_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quantity-weighted median price per return flag: the price at
+    which the running quantity mass first reaches half the total.
+
+    The classic sort-based exact algorithm, expressed as two windows
+    over the same per-flag ordering (cumulative weight, then the global
+    total as a full-partition sum) and a min_by over the crossing rows —
+    no collect, no percentile approximation. Weights are exact DECIMAL
+    sums; the crossing test `2*cum >= total` stays in decimal, so no
+    float order-dependence anywhere. Rows tie-break on (orderkey,
+    linenumber), and any intra-tie order yields the same crossing price,
+    so the result is hash-stable. At scale the per-flag ordering is the
+    only sort and partitions by the 3-value flag domain — for a
+    high-cardinality group key the same shape applies per key; for a
+    SINGLE global median the two-level prefix-sum of operators/packing
+    replaces the window.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    qd = F.col("l_quantity").cast("decimal(18,2)")
+    w_ord = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    w_all = Window.partitionBy("l_returnflag")
+    cum = l.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.sum(qd)
+        .over(w_ord.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum_w"),
+        F.sum(qd).over(w_all).alias("total_w"),
+    )
+    crossed = cum.where(
+        F.lit(2).cast("decimal(18,2)") * F.col("cum_w") >= F.col("total_w")
+    )
+    return crossed.groupBy("l_returnflag").agg(
+        F.min("l_extendedprice").alias("weighted_median_price"),
+        F.min(F.col("total_w").cast("double")).alias("total_qty"),
+    )
+
+
+def oracle_weighted_median_price() -> str:
+    return """
+WITH cum AS (
+    SELECT l_returnflag, l_extendedprice,
+           SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+               PARTITION BY l_returnflag
+               ORDER BY l_extendedprice, l_orderkey, l_linenumber
+               ROWS UNBOUNDED PRECEDING) AS cum_w,
+           SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+               PARTITION BY l_returnflag) AS total_w
+    FROM lineitem
+)
+SELECT l_returnflag,
+       min(l_extendedprice) AS weighted_median_price,
+       CAST(min(total_w) AS DOUBLE) AS total_qty
+FROM cum
+WHERE CAST(2 AS DECIMAL(18,2)) * cum_w >= total_w
+GROUP BY 1
+"""
