@@ -111,3 +111,38 @@ class TestSkylineInvariants:
         brute = {k for (k, s, p) in parts if not dominated((k, s, p))}
         assert survivors == brute
         assert survivors  # non-degenerate
+
+
+class TestGraphProperties:
+    def test_triangle_count_matches_brute_force_on_random_graphs(self, spark):
+        import itertools
+        import random
+
+        rng = random.Random(7)
+        for trial in range(4):
+            n = rng.randint(4, 11)
+            edges = [
+                (a, b)
+                for a in range(n)
+                for b in range(a + 1, n)
+                if rng.random() < 0.45
+            ]
+            if not edges:
+                continue
+            adj = set(edges)
+            brute = sum(
+                1
+                for a, b, c in itertools.combinations(range(n), 3)
+                if (a, b) in adj and (b, c) in adj and (a, c) in adj
+            )
+            row = triangle_stats(_edges(spark, edges)).first()
+            assert row.n_triangles == brute, (trial, edges)
+
+    def test_pagerank_rank_floor_and_node_set(self, spark):
+        # every node's rank is >= the teleport base, and the output node
+        # set is exactly the edge list's node set
+        edges = [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3)]
+        rows = pagerank_fixed_point(_edges(spark, edges)).collect()
+        base = PR_SCALE * 15 // 100
+        assert {r.node for r in rows} == {1, 2, 3, 4}
+        assert all(r.rank >= base for r in rows)
