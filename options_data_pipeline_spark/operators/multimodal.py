@@ -186,6 +186,62 @@ def extract_features(media: DataFrame, real_decode: bool = False) -> DataFrame:
     return media.mapInPandas(batches, schema=FEATURE_SCHEMA)
 
 
+PROBE_SCHEMA = (
+    "media_id long, kind string, n_bytes long, is_png boolean, "
+    "width long, height long, bit_depth long, color_type long, "
+    "payload_md5 string"
+)
+
+
+def probe_png_headers(media: DataFrame) -> DataFrame:
+    """REAL format metadata with zero codec dependencies: parse each
+    payload's PNG signature + IHDR chunk (width, height, bit depth,
+    color type live at fixed offsets 16..25 of a valid PNG) inside the
+    same ``mapInPandas`` plumbing as the decode kernels.
+
+    This is the production pattern for 100 TB media triage: a header
+    probe touches the first ~33 bytes of each blob, so corrupt or
+    mislabeled payloads are quarantined by a cheap full scan BEFORE any
+    expensive pixel decode is scheduled. Non-PNG payloads report
+    ``is_png=false`` with NULL dimensions rather than erroring the job.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hl
+        import struct as _struct
+
+        magic = b"\x89PNG\r\n\x1a\n"
+
+        def kernel(p: bytes) -> dict:
+            out = {
+                "n_bytes": len(p),
+                "is_png": False,
+                "width": None,
+                "height": None,
+                "bit_depth": None,
+                "color_type": None,
+                "payload_md5": _hl.md5(p).hexdigest(),
+            }
+            if len(p) >= 26 and p[:8] == magic and p[12:16] == b"IHDR":
+                w, h = _struct.unpack_from(">II", p, 16)
+                out.update(
+                    is_png=True,
+                    width=w,
+                    height=h,
+                    bit_depth=p[24],
+                    color_type=p[25],
+                )
+            return out
+
+        for pdf in it:
+            feats = pd.DataFrame([kernel(bytes(p)) for p in pdf["payload"]])
+            feats.insert(0, "kind", pdf["kind"].values)
+            feats.insert(0, "media_id", pdf["media_id"].values)
+            yield feats
+
+    return media.mapInPandas(batches, schema=PROBE_SCHEMA)
+
+
 def resize_payloads(
     media: DataFrame,
     width: int = 8,

@@ -145,3 +145,23 @@ def test_extract_features_real_decode_raises_without_pil(spark):
         pytest.skip("PIL installed")
     with pytest.raises(NotImplementedError):
         MM.extract_features(_png_media(spark), real_decode=True)
+
+
+def test_probe_png_headers_reads_true_dimensions(spark):
+    """Header probe: REAL width/height/bit-depth from genuine PNG bytes,
+    no codec library involved; non-PNG payloads degrade to is_png=False
+    instead of failing the scan."""
+    rows = [
+        (1, "image", MM.png_payload(12, 7, (9, 9, 9))),
+        (2, "image", MM.png_payload(3, 3, (0, 0, 0))),
+        (3, "blob", b"not a png at all" * 4),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary"
+    )
+    out = {r.media_id: r for r in MM.probe_png_headers(media).collect()}
+    assert (out[1].width, out[1].height) == (12, 7)
+    assert (out[2].width, out[2].height) == (3, 3)
+    assert out[1].is_png and out[1].bit_depth == 8 and out[1].color_type == 2
+    assert not out[3].is_png and out[3].width is None
+    assert out[3].payload_md5 == hashlib.md5(rows[2][2]).hexdigest()
