@@ -146,3 +146,9 @@ class TestGraphProperties:
         base = PR_SCALE * 15 // 100
         assert {r.node for r in rows} == {1, 2, 3, 4}
         assert all(r.rank >= base for r in rows)
+
+    def test_empty_edge_list_degenerates_gracefully(self, spark):
+        empty = spark.createDataFrame([], "part_a long, part_b long")
+        row = triangle_stats(empty).first()
+        assert (row.n_nodes, row.n_edges, row.n_triangles) == (0, 0, 0)
+        assert pagerank_fixed_point(empty).count() == 0
