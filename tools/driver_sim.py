@@ -110,8 +110,21 @@ def main() -> int:
     queries = E.queries()
     oracles = E.oracle_sql()
     report: dict[str, dict] = {}
+    resume = "--resume" in sys.argv
+    if resume and os.path.exists(out_path):
+        with open(out_path) as fh:
+            report = json.load(fh)
     n_ok = n_weak = n_fail = 0
     for name in sorted(queries):
+        if resume and name in report:
+            row = report[name]
+            if row.get("hash_match"):
+                n_ok += 1
+            elif row.get("err") == "no_oracle":
+                n_weak += 1
+            else:
+                n_fail += 1
+            continue
         row = {
             "rows_match": None,
             "schema_match": None,
@@ -147,6 +160,10 @@ def main() -> int:
             row["err"] = f"{type(exc).__name__}: {exc}"[:300]
             n_fail += 1
         report[name] = row
+        # flush after every query so a timeout still leaves a usable
+        # artifact that --resume can extend
+        with open(out_path, "w") as fh:
+            json.dump(report, fh, indent=2)
         status = (
             "ok"
             if row["hash_match"]
