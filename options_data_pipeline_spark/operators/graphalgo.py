@@ -43,9 +43,11 @@ def triangle_stats(edges: DataFrame, a: str = "part_a", b: str = "part_b") -> Da
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("deg"))
     )
+    # deg is O(|nodes|) — never force-broadcast it; the equi-joins are
+    # hash joins that AQE downgrades to broadcast when the graph is small
     da = deg.select(F.col("node").alias("na"), F.col("deg").alias("deg_a"))
     db = deg.select(F.col("node").alias("nb"), F.col("deg").alias("deg_b"))
-    ranked = edges.join(F.broadcast(da), "na").join(F.broadcast(db), "nb")
+    ranked = edges.join(da, "na").join(db, "nb")
     # orient toward higher (deg, id); the struct encodes the total order
     rank_a = F.struct(F.col("deg_a").alias("d"), F.col("na").alias("i"))
     rank_b = F.struct(F.col("deg_b").alias("d"), F.col("nb").alias("i"))
@@ -101,7 +103,8 @@ def pagerank_fixed_point(
     `rank div deg`), so the result is bit-identical regardless of
     partitioning, join order, or engine — the float-free way to make an
     iterative algorithm pass a value-hash gate. Per iteration: one
-    shuffle (groupBy dst); the degree table is broadcast. Symmetrizing
+    shuffle (groupBy dst); the degree/rank joins are key-partitioned
+    equi-joins (AQE broadcasts them when small). Symmetrizing
     the edge list guarantees no dangling nodes. The iteration count is
     a plan-time constant, so the whole computation is one Catalyst plan
     (no driver-side collect).
@@ -111,17 +114,17 @@ def pagerank_fixed_point(
     edges = edges_und.select(
         F.col(a).alias("src"), F.col(b).alias("dst")
     ).unionAll(edges_und.select(F.col(b).alias("src"), F.col(a).alias("dst")))
+    # deg and ranks are O(|nodes|): plain equi-joins (AQE broadcasts
+    # them only when they actually fit)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    edges_d = edges.join(F.broadcast(deg), "src")
+    edges_d = edges.join(deg, "src")
     base = PR_SCALE * 15 // 100
     ranks = deg.select(
         F.col("src").alias("node"), F.lit(PR_SCALE).cast("long").alias("rank")
     )
     for _ in range(iters):
         contrib = (
-            edges_d.join(
-                F.broadcast(ranks.withColumnRenamed("node", "src")), "src"
-            )
+            edges_d.join(ranks.withColumnRenamed("node", "src"), "src")
             .select("dst", F.expr("rank div deg").alias("share"))
             .groupBy("dst")
             .agg(F.sum("share").alias("s"))

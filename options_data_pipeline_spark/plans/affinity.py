@@ -72,7 +72,7 @@ def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket co-occurrence: top part pairs by support, with lift.
 
     Pair counts via one hash aggregate on (part_a, part_b); per-part
-    order counts are a small aggregate broadcast back for the lift
+    order counts join back on the hash-uniform part key for the lift
     denominator. Lift operands are exact integers cast to double, so the
     IEEE result is engine-independent.
     """
@@ -96,9 +96,11 @@ def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_partkey").alias("part_b"),
         F.col("part_orders").alias("orders_b"),
     )
+    # part_cnt is O(|parts|) — scales with the dimension, so no forced
+    # broadcast (AQE picks broadcast when it fits); n_orders is one row
     return (
-        support.join(F.broadcast(ca), "part_a")
-        .join(F.broadcast(cb), "part_b")
+        support.join(ca, "part_a")
+        .join(cb, "part_b")
         .crossJoin(F.broadcast(n_orders))
         .select(
             "part_a",
