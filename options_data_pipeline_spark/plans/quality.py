@@ -1560,3 +1560,42 @@ SELECT instrument, bucket_ts,
        END AS kind
 FROM f
 """
+
+
+def q_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props via the VARIANT type (Spark 4): parse once
+    with ``try_parse_json`` (corrupt/NULL rows degrade to NULL, never
+    fail the scan), extract the typed path with ``variant_get``, then a
+    map-side-combined per-type profile.
+
+    VARIANT is the at-scale schema-on-read answer when the props bag is
+    heterogeneous: the binary-encoded value parses once per row and every
+    downstream path extraction is an O(path) read, vs re-parsing the
+    JSON string per field as `from_json`/`get_json_object` do. Same
+    zero-shuffle scan-stage shape as `props_extract`.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    k = F.variant_get(F.try_parse_json(F.col("props")), "$.k", "bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+def oracle_props_variant() -> str:
+    return """
+SELECT event_type,
+       count(*) AS n_events,
+       count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+           AS sum_k,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events
+GROUP BY 1
+"""

@@ -53,6 +53,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
     "sliding_activity": (quality.q_sliding_activity, quality.oracle_sliding_activity),
     "props_extract": (quality.q_props_extract, quality.oracle_props_extract),
     "reconcile_counts": (quality.q_reconcile_counts, quality.oracle_reconcile_counts),
+    "props_variant": (quality.q_props_variant, quality.oracle_props_variant),
     "rolling_median": (quality.q_rolling_median, quality.oracle_rolling_median),
     "candle_ffill": (quality.q_candle_ffill, quality.oracle_candle_ffill),
     "user_overlap": (quality.q_user_overlap, quality.oracle_user_overlap),
@@ -103,6 +104,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
     "sales_opportunity": (tpch.q_sales_opportunity, tpch.oracle_sales_opportunity),
     "promo_revenue": (tpch.q_promo_revenue, tpch.oracle_promo_revenue),
     "priority_shipping": (tpch.q_priority_shipping, tpch.oracle_priority_shipping),
+    "nation_trade_volume": (
+        tpch.q_nation_trade_volume,
+        tpch.oracle_nation_trade_volume,
+    ),
     "qty_price_corr": (tpch.q_qty_price_corr, tpch.oracle_qty_price_corr),
     "weighted_median_price": (
         tpch.q_weighted_median_price,

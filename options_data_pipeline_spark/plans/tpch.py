@@ -1150,3 +1150,73 @@ FROM cum
 WHERE CAST(2 AS DECIMAL(18,2)) * cum_w >= total_w
 GROUP BY 1
 """
+
+
+_Q7_NATIONS = ("NATION_1", "NATION_2")
+
+
+def q_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: shipped revenue between two nations, by
+    (supplier nation, customer nation, ship year).
+
+    Five-way join where only the FACT-fact edge (lineitem->orders)
+    shuffles; supplier, customer, and both nation legs are dimension
+    joins Spark broadcasts (asserted small side), and the nation filter
+    is pushed into each dimension BEFORE its join, so the fact rows that
+    survive to the shuffle are already pair-restricted. DECIMAL-exact
+    revenue accumulation as everywhere.
+    """
+    n1, n2 = _Q7_NATIONS
+    nat = load_table(spark, sf_dir, "nation").where(
+        F.col("n_name").isin(n1, n2)
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nat.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(nat.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    j = (
+        l.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return (
+        j.groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("ship_year")
+        )
+        .agg(F.sum(_disc_price(j)).cast("double").alias("revenue"))
+    )
+
+
+def oracle_nation_trade_volume() -> str:
+    n1, n2 = _Q7_NATIONS
+    return f"""
+SELECT n2.n_name AS supp_nation, n1.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INT) AS ship_year,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(5,2))))
+            AS DOUBLE) AS revenue
+FROM lineitem
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation n2 ON n2.n_nationkey = s_nationkey
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n1 ON n1.n_nationkey = c_nationkey
+WHERE n1.n_name IN ('{n1}', '{n2}') AND n2.n_name IN ('{n1}', '{n2}')
+  AND n1.n_name <> n2.n_name
+GROUP BY 1, 2, 3
+"""
