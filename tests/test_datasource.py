@@ -86,3 +86,49 @@ def test_values_follow_synthetic_contract(registered):
     seed = sum(b"BTCUSDT")
     assert all(r.volume == float(seed % 97) for r in rows)
     assert all(r.high == r.open + 1.0 and r.close == r.open + 0.5 for r in rows)
+
+
+def test_streaming_reader_equals_batch_and_resumes(registered, tmp_path):
+    """Each query start processes one max_batch_ms micro-batch (Python
+    micro-batch sources run single-batch under availableNow), so a LOOP
+    of restarts on the same checkpoint walks the offset to the horizon —
+    the T1 high-watermark resume living in the WAL: every restart
+    continues exactly where the last stopped, and a drained source
+    appends nothing. The union of all restarts must equal the batch read
+    bit-for-bit."""
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def run():
+        stream = (
+            registered.readStream.format("klines")
+            .option("symbols", "BTCUSDT,ETHUSDT")
+            .option("start_ms", str(START))
+            .option("end_ms", str(START + 2 * HOUR))
+            .option("max_batch_ms", str(30 * 60_000))
+            .option("transport", "synthetic")
+            .load()
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return registered.read.parquet(out).count()
+
+    counts = [run()]
+    assert counts[0] == 60  # 30 min x 2 symbols x 1 row/min
+    for _ in range(6):  # horizon needs 4 restarts; extras must add 0
+        n = run()
+        if n == counts[-1]:
+            break
+        counts.append(n)
+    assert counts == [60, 120, 180, 240]
+
+    streamed = sorted(map(tuple, registered.read.parquet(out).collect()))
+    batch = sorted(map(tuple, _read(registered).collect()))
+    assert streamed == batch
