@@ -118,18 +118,41 @@ def merge_upsert(
     if audit_col and audit_col not in current.columns:
         current = current.withColumn(audit_col, F.lit(None).cast("timestamp"))
 
-    existing_keys = current.select(*keys).distinct()
-    counts = (
-        updates.join(existing_keys, keys, "left_semi").count(),
-        updates.count(),
-    )
-    updated, total = counts
-    inserted = total - updated
+    # Single-pass MERGE: one full-outer join on the keys replaces the
+    # semi-count + anti-join + distinct trio (three actions, target
+    # scanned twice), and the inserted/updated metrics ride the WRITE
+    # itself via an Observation — no extra job runs just to count.
+    from pyspark.sql import Observation
 
-    survivors = current.join(updates.select(*keys), keys, "left_anti")
-    merged = survivors.select(updates.columns).unionByName(updates)
-    _atomic_replace(merged, target_path, partition_by)
-    return {"inserted": inserted, "updated": updated}
+    u = updates.withColumn("_u_present", F.lit(True))
+    c = current.withColumn("_c_present", F.lit(True))
+    joined = u.alias("u").join(c.alias("c"), keys, "full_outer")
+    from_update = F.col("u._u_present").isNotNull()
+    in_target = F.col("c._c_present").isNotNull()
+    merged = joined.select(
+        *[
+            F.when(from_update, F.col(f"u.{col}"))
+            .otherwise(F.col(f"c.{col}"))
+            .alias(col)
+            if col not in keys
+            else F.col(col)
+            for col in updates.columns
+        ],
+        (from_update & in_target).alias("_is_update"),
+        (from_update & ~in_target).alias("_is_insert"),
+    )
+    obs = Observation()
+    observed = merged.observe(
+        obs,
+        F.sum(F.col("_is_update").cast("long")).alias("updated"),
+        F.sum(F.col("_is_insert").cast("long")).alias("inserted"),
+    ).drop("_is_update", "_is_insert")
+    _atomic_replace(observed, target_path, partition_by)
+    got = obs.get
+    return {
+        "inserted": int(got["inserted"] or 0),
+        "updated": int(got["updated"] or 0),
+    }
 
 
 def insert_if_absent(
