@@ -86,6 +86,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
     ),
     "price_quartiles": (tpch.q_price_quartiles, tpch.oracle_price_quartiles),
     "sales_cube": (tpch.q_sales_cube, tpch.oracle_sales_cube),
+    "sales_grouping_sets": (
+        tpch.q_sales_grouping_sets,
+        tpch.oracle_sales_grouping_sets,
+    ),
     "customer_percentile": (tpch.q_customer_percentile, tpch.oracle_customer_percentile),
     "supplier_blame": (tpch.q_supplier_blame, tpch.oracle_supplier_blame),
     "order_priority_check": (

@@ -1220,3 +1220,40 @@ WHERE n1.n_name IN ('{n1}', '{n2}') AND n2.n_name IN ('{n1}', '{n2}')
   AND n1.n_name <> n2.n_name
 GROUP BY 1, 2, 3
 """
+
+
+def q_sales_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the third grouping surface next to the
+    rollup/cube queries): segment totals, priority totals, and the grand
+    total in ONE pass — Spark expands the sets inside a single hash
+    aggregate (one shuffle), not one job per set, and ``grouping_id``
+    disambiguates the NULLs of "not in this set" from data NULLs.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    j = o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+    return (
+        j.groupingSets(
+            [["c_mktsegment"], ["o_orderpriority"], []],
+            "c_mktsegment",
+            "o_orderpriority",
+        )
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            dec_sum(F.col("o_totalprice")).alias("total_price"),
+        )
+    )
+
+
+def oracle_sales_grouping_sets() -> str:
+    return """
+SELECT c_mktsegment, o_orderpriority,
+       CAST(GROUPING(c_mktsegment, o_orderpriority) AS BIGINT) AS gid,
+       count(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY GROUPING SETS ((c_mktsegment), (o_orderpriority), ())
+"""
