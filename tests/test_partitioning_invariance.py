@@ -1,0 +1,53 @@
+"""Systemic determinism contract: a representative query from every
+family must produce BIT-IDENTICAL results under different shuffle
+parallelism.
+
+This is the invariant all the engine's determinism machinery exists for
+(decimal accumulation, struct-ordered min_by/max_by, md5-derived
+randomness, fixed-point integer iteration, portable rounding): if any
+aggregate or join were partition-order sensitive, changing
+``spark.sql.shuffle.partitions`` would change the hash. The DuckDB
+parity suite can't catch an instability that happens to match the
+oracle under ONE partitioning — this does.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from options_data_pipeline_spark.plans import registry
+
+from ._compare import canonical_rows
+from .conftest import SF_DIR
+
+# one per family: scan-agg, session rollup, window, as-of, near-dup,
+# ANN, packing prefix-sum, sampling, graph iteration, exact weighted
+# median, retrieval scoring, islands
+SAMPLE = [
+    "pricing_summary",
+    "daily_sessions",
+    "rolling_median",
+    "nearest_click",
+    "minhash_near_dups",
+    "ann_cosine_topk",
+    "token_shards",
+    "mixture_resample",
+    "pagerank_parts",
+    "weighted_median_price",
+    "bm25_search",
+    "interval_coverage",
+]
+
+
+@pytest.mark.parametrize("name", SAMPLE)
+def test_result_is_partitioning_invariant(spark, name):
+    q = registry.queries()[name]
+    original = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "1")
+        low = canonical_rows(q(spark, SF_DIR).toPandas())
+        spark.conf.set("spark.sql.shuffle.partitions", "64")
+        high = canonical_rows(q(spark, SF_DIR).toPandas())
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", original)
+    assert low == high
