@@ -48,3 +48,42 @@ def test_stream_write_commits_manifested_batches(spark, tmp_path):
     got = sorted((r["k"], r["v"]) for r in read_committed(out))
     assert got == [(1, "a"), (2, "b"), (3, "c"), (4, "d")]
     assert len([f for f in os.listdir(out) if f.endswith(".manifest")]) == 2
+
+
+def test_failed_batch_leaves_nothing_visible(spark, tmp_path):
+    """A micro-batch that fails mid-write must leave NO manifest and no
+    committed files — the abort path of the two-phase commit."""
+    import pyspark.sql.functions as F
+
+    spark.dataSource.register(FeedSinkDataSource)
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(
+        [(1, "a"), (0, "boom")], "k long, v string"
+    ).coalesce(1).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema("k long, v string")
+        .parquet(src)
+        # assert_true blows up on the poisoned row inside the batch
+        # (1/0 would be NULL here: the engine pins ANSI off)
+        .withColumn("__guard", F.expr("assert_true(k <> 0, 'poison')"))
+    )
+    q = (
+        stream.writeStream.format("feedsink")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    failed = False
+    try:
+        q.awaitTermination(120)
+    except Exception:
+        failed = True
+    assert failed or q.exception() is not None
+    assert read_committed(out) == []
+    assert not [
+        f for f in os.listdir(out) if f.endswith(".manifest")
+    ] if os.path.exists(out) else True
