@@ -18,6 +18,8 @@ PLANS_MD = os.path.join(REPO, "PLANS.md")
 AUDIT_SF_DIR = "/root/testdata/sf0.01"
 
 # the ten historically most expensive queries (BENCH_DETAIL.json order)
+# plus the round-3 graph/affinity shapes whose efficiency rests on the
+# edge-artifact materialization point and AQE-decided join strategies
 SENTINELS = [
     "semantic_prune",
     "simhash_near_dups",
@@ -29,6 +31,10 @@ SENTINELS = [
     "pricing_summary",
     "option_chain_ohlc",
     "bm25_search",
+    "pagerank_parts",
+    "triangle_count",
+    "nation_trade_volume",
+    "repeated_spans",
 ]
 
 
