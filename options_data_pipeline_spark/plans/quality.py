@@ -1599,3 +1599,72 @@ SELECT event_type,
 FROM events
 GROUP BY 1
 """
+
+
+# exponential decay: weight halves every _DECAY_HALFLIFE_DAYS; ages are
+# bucketed to whole half-lives so the weight 2^-k is an exact scaled
+# BIGINT (2^(40-k)) and the weighted sum stays in exact DECIMAL
+_DECAY_HALFLIFE_DAYS = 7
+_DECAY_SCALE_BITS = 40
+_DECAY_MAX_K = 40
+
+
+def q_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decayed engagement score per user: each event contributes
+    value * 2^-(age_in_halflives), the recency weighting behind
+    engagement ranking and curriculum "freshness" scoring.
+
+    The float-pow trap: ``pow(0.5, age/halflife)`` is not guaranteed
+    bit-identical across engines, and a double sum is partition-order
+    dependent. Instead ages bucket to whole half-lives (integer k), the
+    weight becomes the exact BIGINT 2^(40-k), and the weighted sum
+    accumulates in DECIMAL — exact, associative, order-free; one final
+    double division by 2^40 at the end. One scan, one groupBy on the
+    hash-uniform user key; the anchor is max(ts) over the table (scalar
+    aggregate, broadcast cross join), so the query is deterministic on
+    a frozen snapshot.
+    """
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    anchor = ev.agg(F.max("ts").alias("anchor_ts"))
+    halflife_us = _DECAY_HALFLIFE_DAYS * 86_400_000_000
+    k = F.least(
+        F.expr(
+            f"(unix_micros(anchor_ts) - unix_micros(ts)) div {halflife_us}"
+        ),
+        F.lit(_DECAY_MAX_K),
+    )
+    staged = ev.crossJoin(F.broadcast(anchor)).withColumn("__k", k)
+    weight = F.expr(
+        f"shiftleft(1L, cast({_DECAY_SCALE_BITS} - __k as int))"
+    )
+    contrib = F.col("value").cast("decimal(18,6)") * weight.cast("decimal(20,0)")
+    return (
+        staged
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (
+                F.sum(contrib).cast("double")
+                / F.lit(float(2**_DECAY_SCALE_BITS))
+            ).alias("decayed_score"),
+        )
+    )
+
+
+def oracle_decayed_engagement() -> str:
+    hl = _DECAY_HALFLIFE_DAYS * 86_400_000_000
+    return f"""
+WITH ev AS (SELECT user_id, ts, value FROM events WHERE value IS NOT NULL),
+anchor AS (SELECT max(ts) AS anchor_ts FROM ev),
+w AS (
+    SELECT user_id, value,
+           CAST(pow(2, {_DECAY_SCALE_BITS} - least(
+               (epoch_us(anchor_ts) - epoch_us(ts)) // {hl},
+               {_DECAY_MAX_K})) AS BIGINT) AS weight
+    FROM ev CROSS JOIN anchor
+)
+SELECT user_id, count(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(weight AS DECIMAL(20,0)))
+            AS DOUBLE) / {float(2**_DECAY_SCALE_BITS)} AS decayed_score
+FROM w GROUP BY 1
+"""

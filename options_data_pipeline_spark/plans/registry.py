@@ -54,6 +54,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
     "props_extract": (quality.q_props_extract, quality.oracle_props_extract),
     "reconcile_counts": (quality.q_reconcile_counts, quality.oracle_reconcile_counts),
     "props_variant": (quality.q_props_variant, quality.oracle_props_variant),
+    "decayed_engagement": (
+        quality.q_decayed_engagement,
+        quality.oracle_decayed_engagement,
+    ),
     "rolling_median": (quality.q_rolling_median, quality.oracle_rolling_median),
     "candle_ffill": (quality.q_candle_ffill, quality.oracle_candle_ffill),
     "user_overlap": (quality.q_user_overlap, quality.oracle_user_overlap),
