@@ -1257,3 +1257,103 @@ SELECT c_mktsegment, o_orderpriority,
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY GROUPING SETS ((c_mktsegment), (o_orderpriority), ())
 """
+
+
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (recency / frequency / monetary) with
+    quintile boundaries computed as exact percentiles and applied as
+    scan predicates — the scale-correct replacement for ``ntile``:
+    a global ntile needs one total ordering of every customer (a
+    single-partition window), while percentile thresholds are one tiny
+    aggregate broadcast into a per-row bucket expression.
+
+    Two aggregates (per-customer profile, then the 3x4 threshold row)
+    and one broadcast join; segment counts come from one final hash
+    aggregate on the 125-cell segment domain. Recency anchors to
+    max(o_orderdate) so the result is deterministic on a snapshot.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    prof = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        dec_sum(F.col("o_totalprice")).alias("monetary"),
+    )
+    anchor = prof.agg(F.max("last_order").alias("anchor"))
+    prof = prof.crossJoin(F.broadcast(anchor)).withColumn(
+        "recency_days",
+        F.expr("(unix_micros(anchor) - unix_micros(last_order))"
+               " div 86400000000"),
+    )
+    th = prof.agg(
+        F.expr(
+            "percentile(recency_days, array(0.2, 0.4, 0.6, 0.8))"
+        ).alias("tr"),
+        F.expr("percentile(frequency, array(0.2, 0.4, 0.6, 0.8))").alias(
+            "tf"
+        ),
+        F.expr("percentile(monetary, array(0.2, 0.4, 0.6, 0.8))").alias(
+            "tm"
+        ),
+    )
+
+    def bucket(col, t):
+        # 1..5; <= matches SQL's cumulative-distribution convention here
+        c = F.col(col).cast("double")
+        return (
+            F.when(c <= t[0], 1)
+            .when(c <= t[1], 2)
+            .when(c <= t[2], 3)
+            .when(c <= t[3], 4)
+            .otherwise(5)
+        )
+
+    t = F.col
+    scored = prof.crossJoin(F.broadcast(th)).select(
+        "o_custkey",
+        bucket("recency_days", [t("tr")[i] for i in range(4)]).alias("r"),
+        bucket("frequency", [t("tf")[i] for i in range(4)]).alias("f"),
+        bucket("monetary", [t("tm")[i] for i in range(4)]).alias("m"),
+    )
+    return scored.groupBy("r", "f", "m").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+
+
+def oracle_rfm_segments() -> str:
+    return """
+WITH prof AS (
+    SELECT o_custkey,
+           max(o_orderdate) AS last_order,
+           count(*) AS frequency,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+               AS monetary
+    FROM orders GROUP BY 1
+),
+anchored AS (
+    SELECT p.*, (epoch_us((SELECT max(last_order) FROM prof))
+                 - epoch_us(last_order)) // 86400000000 AS recency_days
+    FROM prof p
+),
+th AS (
+    SELECT quantile_cont(recency_days, [0.2, 0.4, 0.6, 0.8]) AS tr,
+           quantile_cont(frequency,    [0.2, 0.4, 0.6, 0.8]) AS tf,
+           quantile_cont(monetary,     [0.2, 0.4, 0.6, 0.8]) AS tm
+    FROM anchored
+),
+scored AS (
+    SELECT o_custkey,
+           CASE WHEN recency_days <= tr[1] THEN 1 WHEN recency_days <= tr[2]
+                THEN 2 WHEN recency_days <= tr[3] THEN 3
+                WHEN recency_days <= tr[4] THEN 4 ELSE 5 END AS r,
+           CASE WHEN frequency <= tf[1] THEN 1 WHEN frequency <= tf[2]
+                THEN 2 WHEN frequency <= tf[3] THEN 3
+                WHEN frequency <= tf[4] THEN 4 ELSE 5 END AS f,
+           CASE WHEN monetary <= tm[1] THEN 1 WHEN monetary <= tm[2]
+                THEN 2 WHEN monetary <= tm[3] THEN 3
+                WHEN monetary <= tm[4] THEN 4 ELSE 5 END AS m
+    FROM anchored CROSS JOIN th
+)
+SELECT CAST(r AS INT) AS r, CAST(f AS INT) AS f, CAST(m AS INT) AS m,
+       count(*) AS n_customers
+FROM scored GROUP BY 1, 2, 3
+"""
