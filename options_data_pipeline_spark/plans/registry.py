@@ -91,6 +91,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
     "price_quartiles": (tpch.q_price_quartiles, tpch.oracle_price_quartiles),
     "sales_cube": (tpch.q_sales_cube, tpch.oracle_sales_cube),
     "rfm_segments": (tpch.q_rfm_segments, tpch.oracle_rfm_segments),
+    "order_cadence": (tpch.q_order_cadence, tpch.oracle_order_cadence),
     "sales_grouping_sets": (
         tpch.q_sales_grouping_sets,
         tpch.oracle_sales_grouping_sets,

@@ -1357,3 +1357,66 @@ SELECT CAST(r AS INT) AS r, CAST(f AS INT) AS f, CAST(m AS INT) AS m,
        count(*) AS n_customers
 FROM scored GROUP BY 1, 2, 3
 """
+
+
+def q_order_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival analysis: the distribution of per-customer median
+    order gaps, bucketed by week.
+
+    Per-customer gaps come from one lag window on the hash-uniform
+    customer key (days between consecutive orders, integer floor-div on
+    epoch micros — no timezone arithmetic); the per-customer median is
+    an exact percentile aggregate; the final histogram is a tiny
+    groupBy on the week-bucket domain with the mean kept as an exact
+    ratio (decimal sum / count, one IEEE division).
+    """
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate")
+    gaps = (
+        o.withColumn("prev", F.lag("o_orderdate").over(w))
+        .where(F.col("prev").isNotNull())
+        .withColumn(
+            "gap_days",
+            F.expr(
+                "(unix_micros(o_orderdate) - unix_micros(prev))"
+                " div 86400000000"
+            ),
+        )
+    )
+    per_cust = gaps.groupBy("o_custkey").agg(
+        F.expr("percentile(gap_days, 0.5)").alias("median_gap"),
+        F.count(F.lit(1)).alias("n_gaps"),
+    )
+    return (
+        per_cust.groupBy(
+            F.expr("cast(floor(median_gap / 7.0) as long)").alias("week_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            (
+                F.sum(F.col("median_gap").cast("decimal(18,4)")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("avg_median_gap"),
+        )
+    )
+
+
+def oracle_order_cadence() -> str:
+    return """
+WITH gaps AS (
+    SELECT o_custkey,
+           (epoch_us(o_orderdate) - epoch_us(lag(o_orderdate) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate))) // 86400000000
+               AS gap_days
+    FROM orders
+),
+per_cust AS (
+    SELECT o_custkey, quantile_cont(gap_days, 0.5) AS median_gap
+    FROM gaps WHERE gap_days IS NOT NULL GROUP BY 1
+)
+SELECT CAST(floor(median_gap / 7.0) AS BIGINT) AS week_bucket,
+       count(*) AS n_customers,
+       CAST(SUM(CAST(median_gap AS DECIMAL(18,4))) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) AS avg_median_gap
+FROM per_cust GROUP BY 1
+"""
