@@ -1668,3 +1668,73 @@ SELECT user_id, count(*) AS n_events,
             AS DOUBLE) / {float(2**_DECAY_SCALE_BITS)} AS decayed_score
 FROM w GROUP BY 1
 """
+
+
+def q_ab_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test for conversion lift between deterministic
+    exposure groups (user_id parity stands in for the assignment
+    column an experiment system would land).
+
+    Per-user conversion (any 'purchase' event) is one boolean aggregate
+    on the hash-uniform user key; group counts are exact BIGINTs, so
+    the pooled z-score is one IEEE expression over exactly-representable
+    operands — identical bits in any engine with the same expression
+    grouping, no rounding pin needed. Single row out.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("conv")
+    )
+    g = users.groupBy((F.col("user_id") % 2).alias("grp")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("conv").alias("k"),
+    )
+    wide = g.groupBy().agg(
+        F.max(F.when(F.col("grp") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("grp") == 0, F.col("k"))).alias("k0"),
+        F.max(F.when(F.col("grp") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("grp") == 1, F.col("k"))).alias("k1"),
+    )
+    n0, k0 = F.col("n0").cast("double"), F.col("k0").cast("double")
+    n1, k1 = F.col("n1").cast("double"), F.col("k1").cast("double")
+    p0, p1 = k0 / n0, k1 / n1
+    pool = (k0 + k1) / (n0 + n1)
+    z = (p0 - p1) / F.sqrt(pool * (F.lit(1.0) - pool) * (F.lit(1.0) / n0 + F.lit(1.0) / n1))
+    return wide.select(
+        "n0", "k0", "n1", "k1",
+        p0.alias("rate0"), p1.alias("rate1"), z.alias("z_score"),
+    )
+
+
+def oracle_ab_conversion_ztest() -> str:
+    return """
+WITH users AS (
+    SELECT user_id,
+           max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+    FROM events GROUP BY 1
+),
+g AS (
+    SELECT user_id % 2 AS grp, count(*) AS n,
+           CAST(SUM(conv) AS BIGINT) AS k
+    FROM users GROUP BY 1
+),
+wide AS (
+    SELECT max(CASE WHEN grp = 0 THEN n END) AS n0,
+           max(CASE WHEN grp = 0 THEN k END) AS k0,
+           max(CASE WHEN grp = 1 THEN n END) AS n1,
+           max(CASE WHEN grp = 1 THEN k END) AS k1
+    FROM g
+)
+SELECT n0, k0, n1, k1,
+       CAST(k0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS rate0,
+       CAST(k1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS rate1,
+       (CAST(k0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+        - CAST(k1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+       / sqrt(((CAST(k0 AS DOUBLE) + CAST(k1 AS DOUBLE))
+               / (CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE)))
+              * (1.0 - (CAST(k0 AS DOUBLE) + CAST(k1 AS DOUBLE))
+                       / (CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE)))
+              * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE)))
+           AS z_score
+FROM wide
+"""
