@@ -171,6 +171,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
     "semantic_prune": (vectors.q_semantic_prune, vectors.oracle_semantic_prune),
     "label_cohesion": (vectors.q_label_cohesion, vectors.oracle_label_cohesion),
     "rp_reduce": (vectors.q_rp_reduce, vectors.oracle_rp_reduce),
+    "curation_decisions": (
+        vectors.q_curation_decisions,
+        vectors.oracle_curation_decisions,
+    ),
     # --- round-3 additions: substring dedup, weighted sampling, Markov ---
     "repeated_spans": (text.q_repeated_spans, text.oracle_repeated_spans),
     "weighted_sample": (text.q_weighted_sample, text.oracle_weighted_sample),

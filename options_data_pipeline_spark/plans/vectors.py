@@ -567,3 +567,65 @@ SELECT vec_id,
        {cols_sql}
 FROM vecs
 """
+
+
+_CURATION_QUALITY_MIN = 0.3
+
+
+def q_curation_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal curation: the final keep/drop decision per document,
+    joining the TEXT quality signal with the EMBEDDING semantic-dup
+    signal — the composition a real training-data pipeline runs after
+    computing both.
+
+    keep = quality_score >= threshold AND not semantically-duplicated.
+    The dedup side is the full SemDeDup pipeline (adaptive-k k-means +
+    within-cell cosine) reused from `semantic_prune`; its dropped set
+    left-anti-joins the quality-scored corpus on the aligned
+    vec_id == doc_id key. Output is the per-(lang, keep) summary a
+    curation report needs. One broadcast-able dropped set (duplicates
+    are a small fraction by construction), one scan of documents.
+    """
+    from ..operators.textstats import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = quality_score(docs).select(
+        "doc_id", "lang", "n_chars", "quality_score"
+    )
+    dropped = q_semantic_prune(spark, sf_dir).select(
+        F.col("vec_id").alias("doc_id"), F.lit(True).alias("is_dup")
+    )
+    keep = (
+        (F.col("quality_score") >= F.lit(_CURATION_QUALITY_MIN))
+        & F.col("is_dup").isNull()
+    )
+    return (
+        scored.join(dropped, "doc_id", "left_outer")
+        .groupBy("lang", keep.alias("keep"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )
+
+
+def oracle_curation_decisions() -> str:
+    from .text import oracle_text_quality
+
+    return f"""
+WITH quality AS (
+    SELECT q.doc_id, d.lang, d.n_chars, q.quality_score
+    FROM ({oracle_text_quality()}) q
+    JOIN documents d USING (doc_id)
+),
+dropped AS (
+    SELECT vec_id AS doc_id FROM ({oracle_semantic_prune()})
+)
+SELECT quality.lang,
+       quality.quality_score >= {_CURATION_QUALITY_MIN}
+           AND dropped.doc_id IS NULL AS keep,
+       count(*) AS n_docs,
+       CAST(SUM(quality.n_chars) AS BIGINT) AS sum_chars
+FROM quality LEFT JOIN dropped USING (doc_id)
+GROUP BY 1, 2
+"""
