@@ -1272,11 +1272,17 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate on the 125-cell segment domain. Recency anchors to
     max(o_orderdate) so the result is deterministic on a snapshot.
     """
+    from ..operators.materialize import materialize
+
     o = load_table(spark, sf_dir, "orders")
-    prof = o.groupBy("o_custkey").agg(
-        F.max("o_orderdate").alias("last_order"),
-        F.count(F.lit(1)).alias("frequency"),
-        dec_sum(F.col("o_totalprice")).alias("monetary"),
+    # three consumers (anchor, thresholds, bucketing) — materialize the
+    # per-customer profile once instead of re-aggregating orders per branch
+    prof = materialize(
+        o.groupBy("o_custkey").agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("frequency"),
+            dec_sum(F.col("o_totalprice")).alias("monetary"),
+        )
     )
     anchor = prof.agg(F.max("last_order").alias("anchor"))
     prof = prof.crossJoin(F.broadcast(anchor)).withColumn(
