@@ -1738,3 +1738,97 @@ SELECT n0, k0, n1, k1,
            AS z_score
 FROM wide
 """
+
+
+def q_value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift between the first and second
+    half of the stream, per event type — the standard "did the value
+    distribution shift" monitor for long-running feeds.
+
+    The time split is pure integer arithmetic on the min/max epoch
+    midpoint (broadcast scalar aggregate); buckets reuse the
+    equi-width histogram grid; shares are exact-count ratios. PSI's
+    ln() is the one libm call — cross-engine log can differ in the last
+    ulp, so the output is pinned at 9 decimals with the portable
+    rounding used everywhere. Buckets observed in only one period are
+    excluded (deterministic filter) rather than epsilon-smoothed.
+    """
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    span = ev.agg(
+        F.min(F.unix_micros("ts")).alias("lo"),
+        F.max(F.unix_micros("ts")).alias("hi"),
+    )
+    bucket = (
+        F.when(F.col("value") < 0.0, 0)
+        .when(F.col("value") >= 1000.0, 21)
+        .otherwise(F.floor(F.col("value") / 50.0) + 1)
+    ).cast("int")
+    period = F.when(
+        F.unix_micros("ts") * 2 < F.col("lo") + F.col("hi"), F.lit("p1")
+    ).otherwise(F.lit("p2"))
+    counts = (
+        ev.crossJoin(F.broadcast(span))
+        .groupBy("event_type", bucket.alias("bucket"), period.alias("period"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("event_type", "period")
+    shares = counts.withColumn(
+        "share", F.col("n").cast("double") / F.sum("n").over(w).cast("double")
+    )
+    p1 = shares.where(F.col("period") == "p1").select(
+        "event_type", "bucket", F.col("share").alias("s1")
+    )
+    p2 = shares.where(F.col("period") == "p2").select(
+        "event_type", "bucket", F.col("share").alias("s2")
+    )
+    both = p1.join(p2, ["event_type", "bucket"])
+    # each term is IEEE-deterministic; the SUM goes through decimal so
+    # partial-aggregation order can never perturb the last ulp
+    psi = F.sum(
+        (
+            (F.col("s1") - F.col("s2")) * F.log(F.col("s1") / F.col("s2"))
+        ).cast("decimal(38,18)")
+    ).cast("double")
+    return both.groupBy("event_type").agg(
+        round_half_away(psi, 9).alias("psi"),
+        F.count(F.lit(1)).alias("n_buckets"),
+    )
+
+
+def oracle_value_drift_psi() -> str:
+    psi_expr = sql_round_half_away(
+        "CAST(SUM(CAST((s1 - s2) * ln(s1 / s2) AS DECIMAL(38,18)))"
+        " AS DOUBLE)",
+        9,
+    )
+    return f"""
+WITH ev AS (
+    SELECT event_type, value, epoch_us(ts) AS t FROM events
+    WHERE value IS NOT NULL
+),
+span AS (SELECT min(t) AS lo, max(t) AS hi FROM ev),
+counts AS (
+    SELECT event_type,
+           CAST(CASE WHEN value < 0.0 THEN 0
+                     WHEN value >= 1000.0 THEN 21
+                     ELSE floor(value / 50.0) + 1 END AS INT) AS bucket,
+           CASE WHEN t * 2 < lo + hi THEN 'p1' ELSE 'p2' END AS period,
+           count(*) AS n
+    FROM ev CROSS JOIN span
+    GROUP BY 1, 2, 3
+),
+shares AS (
+    SELECT event_type, bucket, period,
+           CAST(n AS DOUBLE) / CAST(SUM(n) OVER (
+               PARTITION BY event_type, period) AS DOUBLE) AS share
+    FROM counts
+),
+joined AS (
+    SELECT a.event_type, a.bucket, a.share AS s1, b.share AS s2
+    FROM shares a JOIN shares b
+      ON a.event_type = b.event_type AND a.bucket = b.bucket
+     AND a.period = 'p1' AND b.period = 'p2'
+)
+SELECT event_type, {psi_expr} AS psi, count(*) AS n_buckets
+FROM joined GROUP BY 1
+"""
