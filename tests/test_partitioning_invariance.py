@@ -36,6 +36,8 @@ SAMPLE = [
     "weighted_median_price",
     "bm25_search",
     "interval_coverage",
+    "qty_price_corr",
+    "value_drift_psi",
 ]
 
 
