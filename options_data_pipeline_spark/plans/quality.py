@@ -1771,9 +1771,16 @@ def q_value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", bucket.alias("bucket"), period.alias("period"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
+    from ..operators.materialize import materialize
+
+    # shares is consumed by both period branches — materialize the tiny
+    # (~|types| x |buckets| x 2) aggregate so the events scan runs once
     w = Window.partitionBy("event_type", "period")
-    shares = counts.withColumn(
-        "share", F.col("n").cast("double") / F.sum("n").over(w).cast("double")
+    shares = materialize(
+        counts.withColumn(
+            "share",
+            F.col("n").cast("double") / F.sum("n").over(w).cast("double"),
+        )
     )
     p1 = shares.where(F.col("period") == "p1").select(
         "event_type", "bucket", F.col("share").alias("s1")
