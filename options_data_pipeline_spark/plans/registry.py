@@ -100,6 +100,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
     "sales_cube": (tpch.q_sales_cube, tpch.oracle_sales_cube),
     "rfm_segments": (tpch.q_rfm_segments, tpch.oracle_rfm_segments),
     "order_cadence": (tpch.q_order_cadence, tpch.oracle_order_cadence),
+    "hierarchy_rollup": (
+        tpch.q_hierarchy_rollup,
+        tpch.oracle_hierarchy_rollup,
+    ),
     "sales_grouping_sets": (
         tpch.q_sales_grouping_sets,
         tpch.oracle_sales_grouping_sets,

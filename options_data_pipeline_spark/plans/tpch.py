@@ -1426,3 +1426,61 @@ SELECT CAST(floor(median_gap / 7.0) AS BIGINT) AS week_bucket,
            / CAST(count(*) AS DOUBLE) AS avg_median_gap
 FROM per_cust GROUP BY 1
 """
+
+
+# synthetic decimal hierarchy: parent(k) = k div 10 (0 = virtual root,
+# excluded). Depth is bounded by the key width, so the ancestor set of
+# any node is a PLAN-TIME-bounded array — 18 levels covers int64.
+_HIER_LEVELS = 18
+
+
+def q_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical aggregation: for every ancestor node in the implied
+    part hierarchy, the count and total retail price of ALL its
+    descendants (not just direct children).
+
+    Spark has no recursive CTE; the idiomatic translation when the
+    hierarchy has bounded depth is to EXPLODE each row's full ancestor
+    chain (a plan-time array of `div` expressions — scan-level, no
+    iteration, no driver loop) and run one hash aggregate on the
+    ancestor key. That turns "recursion" into a single shuffle whose
+    input is rows x depth — linear, partition-parallel, and exactly
+    what the recursive-CTE oracle computes. DECIMAL price accumulation
+    as everywhere.
+    """
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice"
+    )
+    ancestors = F.array_compact(
+        F.array(
+            *[
+                F.expr(f"nullif(p_partkey div {10 ** i}, 0)")
+                for i in range(1, _HIER_LEVELS + 1)
+            ]
+        )
+    )
+    exploded = part.select(
+        F.explode(ancestors).alias("ancestor"),
+        "p_retailprice",
+    )
+    return exploded.groupBy("ancestor").agg(
+        F.count(F.lit(1)).alias("n_descendants"),
+        dec_sum(F.col("p_retailprice")).alias("desc_price_sum"),
+    )
+
+
+def oracle_hierarchy_rollup() -> str:
+    return """
+WITH RECURSIVE anc AS (
+    SELECT p_partkey AS node, p_partkey // 10 AS ancestor, p_retailprice
+    FROM part WHERE p_partkey // 10 > 0
+    UNION ALL
+    SELECT node, ancestor // 10, p_retailprice
+    FROM anc WHERE ancestor // 10 > 0
+)
+SELECT ancestor,
+       count(*) AS n_descendants,
+       CAST(SUM(CAST(p_retailprice AS DECIMAL(38,6))) AS DOUBLE)
+           AS desc_price_sum
+FROM anc GROUP BY 1
+"""
