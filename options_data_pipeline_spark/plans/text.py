@@ -1585,3 +1585,72 @@ WHERE CAST(concat('0x', substr(md5('wsample#' || CAST(doc_id AS VARCHAR)), 1, 8)
            AS BIGINT) * max_chars
       < n_chars * 2147483648
 """
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot reconciliation: classify every doc across two
+    dataset versions as added / removed / changed / unchanged — the
+    CDC-style diff a versioned data lake computes between releases.
+
+    Snapshot v2 is derived deterministically from v1 in-plan (docs with
+    id % 11 == 3 dropped, id % 7 == 2 get edited text, plus re-keyed
+    additions), so both engines materialize identical versions with no
+    side files. The diff itself is ONE full-outer join on the id plus an
+    md5 comparison — the scalable shape (hash-partitioned join, no
+    window, content equality via digest, never string compare).
+    """
+    v1 = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = v1.where(F.col("doc_id") % 11 != 3)
+    edited = base.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 2,
+            F.concat(F.lit("v2 revision: "), F.col("text")),
+        ).otherwise(F.col("text")),
+    )
+    added = v1.where(F.col("doc_id") % 13 == 5).select(
+        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"), "text"
+    )
+    v2 = edited.unionByName(added)
+
+    a = v1.select("doc_id", F.md5("text").alias("md5_v1"))
+    b = v2.select("doc_id", F.md5("text").alias("md5_v2"))
+    j = a.join(b, "doc_id", "full_outer")
+    status = (
+        F.when(F.col("md5_v1").isNull(), F.lit("added"))
+        .when(F.col("md5_v2").isNull(), F.lit("removed"))
+        .when(F.col("md5_v1") != F.col("md5_v2"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.groupBy(status.alias("status")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+def oracle_snapshot_diff() -> str:
+    return """
+WITH v1 AS (SELECT doc_id, text FROM documents),
+v2 AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 7 = 2 THEN 'v2 revision: ' || text
+                ELSE text END AS text
+    FROM v1 WHERE doc_id % 11 != 3
+    UNION ALL
+    SELECT doc_id + 1000000, text FROM v1 WHERE doc_id % 13 = 5
+),
+j AS (
+    SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+           md5(a.text) AS md5_v1, md5(b.text) AS md5_v2
+    FROM v1 a FULL OUTER JOIN v2 b USING (doc_id)
+)
+SELECT CASE WHEN md5_v1 IS NULL THEN 'added'
+            WHEN md5_v2 IS NULL THEN 'removed'
+            WHEN md5_v1 <> md5_v2 THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       count(*) AS n_docs,
+       min(doc_id) AS min_doc,
+       max(doc_id) AS max_doc
+FROM j GROUP BY 1
+"""
