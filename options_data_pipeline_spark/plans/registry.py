@@ -164,6 +164,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
     "corpus_report": (text.q_corpus_report, text.oracle_corpus_report),
     "source_overlap": (text.q_source_overlap, text.oracle_source_overlap),
     "snapshot_diff": (text.q_snapshot_diff, text.oracle_snapshot_diff),
+    "span_corruption": (text.q_span_corruption, text.oracle_span_corruption),
     "bm25_search": (retrieval.q_bm25_search, retrieval.oracle_bm25_search),
     "domain_mixture": (retrieval.q_domain_mixture, retrieval.oracle_domain_mixture),
     "logprob_trim": (retrieval.q_logprob_trim, retrieval.oracle_logprob_trim),

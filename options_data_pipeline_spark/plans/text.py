@@ -1654,3 +1654,68 @@ SELECT CASE WHEN md5_v1 IS NULL THEN 'added'
        max(doc_id) AS max_doc
 FROM j GROUP BY 1
 """
+
+
+# MLM-style corruption: mask ~16% of tokens (md5 coin per (doc, pos))
+_MASK_THRESHOLD = "29"  # first 2 md5 hex chars < '29' -> 41/256 ~ 16%
+
+
+def q_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic masked-LM corruption pairs: per document, the
+    masked input and the extraction targets, as digests.
+
+    The mask coin is md5(doc_id # position) — reproducible across
+    engines, partitionings, and re-runs (the property a training
+    pipeline needs so restarts regenerate byte-identical examples). The
+    whole transform is array lambdas inside the scan stage (indexed
+    `transform`/`filter`, no shuffle, no UDF); position indices are
+    1-based to match the oracle's 1-based list lambdas.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+
+    def coin(i):
+        # i is Spark's 0-based lambda index; hash the 1-based position
+        return F.substring(
+            F.md5(
+                F.concat(
+                    F.col("doc_id").cast("string"),
+                    F.lit("#"),
+                    (i + 1).cast("string"),
+                )
+            ),
+            1,
+            2,
+        ) < F.lit(_MASK_THRESHOLD)
+
+    masked = F.transform(
+        toks, lambda x, i: F.when(coin(i), F.lit("<M>")).otherwise(x)
+    )
+    targets = F.filter(toks, lambda x, i: coin(i))
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(targets).cast("long").alias("n_masked"),
+        F.md5(F.array_join(masked, " ")).alias("masked_md5"),
+        F.md5(F.array_join(targets, " ")).alias("targets_md5"),
+    )
+
+
+def oracle_span_corruption() -> str:
+    coin = (
+        "substr(md5(CAST(doc_id AS VARCHAR) || '#' || CAST(i AS VARCHAR)),"
+        f" 1, 2) < '{_MASK_THRESHOLD}'"
+    )
+    return f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(len(list_filter(toks, (x, i) -> {coin})) AS BIGINT) AS n_masked,
+       md5(array_to_string(
+           list_transform(toks, (x, i) ->
+               CASE WHEN {coin} THEN '<M>' ELSE x END), ' ')) AS masked_md5,
+       -- DuckDB: array_to_string([]) is NULL, Spark joins to '' — pin
+       md5(coalesce(array_to_string(
+           list_filter(toks, (x, i) -> {coin}), ' '), '')) AS targets_md5
+FROM t
+"""
