@@ -38,6 +38,9 @@ SAMPLE = [
     "interval_coverage",
     "qty_price_corr",
     "value_drift_psi",
+    "hierarchy_rollup",
+    "snapshot_diff",
+    "span_corruption",
 ]
 
 
