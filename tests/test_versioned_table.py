@@ -1,0 +1,82 @@
+"""Versioned table (commit log + immutable snapshots): time travel,
+append reuse, upsert semantics, orphan invisibility, vacuum bounds."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+
+from options_data_pipeline_spark.sinks.versioned import (
+    commit_append,
+    commit_upsert,
+    commit_write,
+    history,
+    read_version,
+    vacuum,
+)
+
+
+@pytest.fixture()
+def tmp(tmp_path):
+    yield str(tmp_path)
+    shutil.rmtree(tmp_path, ignore_errors=True)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k long, v string")
+
+
+def test_time_travel_across_write_append_upsert(spark, tmp):
+    t = f"{tmp}/table"
+    commit_write(_df(spark, [(1, "a"), (2, "b")]), t)
+    commit_append(_df(spark, [(3, "c")]), t)
+    commit_upsert(spark, t, _df(spark, [(2, "B2"), (4, "d")]), keys=["k"])
+
+    v0 = {(r.k, r.v) for r in read_version(spark, t, 0).collect()}
+    v1 = {(r.k, r.v) for r in read_version(spark, t, 1).collect()}
+    v2 = {(r.k, r.v) for r in read_version(spark, t).collect()}
+    assert v0 == {(1, "a"), (2, "b")}
+    assert v1 == {(1, "a"), (2, "b"), (3, "c")}
+    assert v2 == {(1, "a"), (2, "B2"), (3, "c"), (4, "d")}
+
+    h = history(t)
+    assert [e["op"] for e in h] == ["write", "append", "upsert"]
+    assert [e["count"] for e in h] == [2, 3, 4]
+    # append reuses v0's data directory instead of rewriting it
+    assert h[1]["dirs"][0] == h[0]["dirs"][0]
+
+
+def test_orphan_directories_are_invisible(spark, tmp):
+    t = f"{tmp}/table"
+    commit_write(_df(spark, [(1, "a")]), t)
+    # simulate a crash: data landed, log rename never happened
+    _df(spark, [(9, "ghost")]).write.parquet(f"{t}/data/v9-deadbeef")
+    assert {(r.k, r.v) for r in read_version(spark, t).collect()} == {(1, "a")}
+
+
+def test_vacuum_bounds_time_travel_but_keeps_latest(spark, tmp):
+    t = f"{tmp}/table"
+    commit_write(_df(spark, [(1, "a")]), t)
+    commit_upsert(spark, t, _df(spark, [(1, "a2")]), keys=["k"])
+    out = vacuum(t, keep_latest=1)
+    assert out["removed_dirs"] == 1 and out["kept_dirs"] == 1
+    assert {(r.k, r.v) for r in read_version(spark, t).collect()} == {(1, "a2")}
+    assert not os.path.exists(
+        os.path.join(t, history(t)[0]["dirs"][0])
+    )
+
+
+def test_upsert_last_wins_within_batch(spark, tmp):
+    t = f"{tmp}/table"
+    commit_upsert(
+        spark,
+        t,
+        _df(spark, [(1, "first"), (1, "second")]),
+        keys=["k"],
+        order_by=["v"],
+    )
+    assert {(r.k, r.v) for r in read_version(spark, t).collect()} == {
+        (1, "second")
+    }
