@@ -53,10 +53,18 @@ def _entries(table: str) -> list[dict]:
     return out
 
 
-def _commit(table: str, op: str, dirs: list[str], count: int) -> dict:
+def _commit(
+    table: str,
+    op: str,
+    dirs: list[str],
+    count: int,
+    batch_id: int | None = None,
+) -> dict:
     os.makedirs(_log_dir(table), exist_ok=True)
     version = len(_entries(table))
     entry = {"version": version, "op": op, "dirs": dirs, "count": count}
+    if batch_id is not None:
+        entry["batch_id"] = batch_id
     tmp = os.path.join(_log_dir(table), f".tmp-{uuid.uuid4().hex[:8]}")
     with open(tmp, "w") as fh:
         json.dump(entry, fh)
@@ -78,13 +86,47 @@ def commit_write(df: DataFrame, table: str) -> dict:
     return _commit(table, "write", [rel], n)
 
 
-def commit_append(df: DataFrame, table: str) -> dict:
-    """Append-only commit: previous directories + one new directory."""
+def commit_append(
+    df: DataFrame, table: str, batch_id: int | None = None
+) -> dict:
+    """Append-only commit: previous directories + one new directory.
+
+    ``batch_id`` makes the append IDEMPOTENT for streaming replay: if
+    any committed entry already carries this id, the call is a no-op
+    returning that entry — a micro-batch re-delivered after a sink
+    commit (post-commit crash before the WAL advanced) appends nothing.
+    """
     entries = _entries(table)
+    if batch_id is not None:
+        for e in entries:
+            if e.get("batch_id") == batch_id:
+                return e
     prev = entries[-1]["dirs"] if entries else []
     rel, n_new = _write_snapshot(df, table, len(entries))
     total = (entries[-1]["count"] if entries else 0) + n_new
-    return _commit(table, "append", [*prev, rel], total)
+    return _commit(table, "append", [*prev, rel], total, batch_id=batch_id)
+
+
+def append_stream(
+    stream_df: DataFrame,
+    table: str,
+    checkpoint: str,
+    trigger_available_now: bool = True,
+):
+    """Structured-Streaming writer into the versioned table: each
+    micro-batch is one idempotent `commit_append(batch_id=...)`, so the
+    commit log and the streaming WAL agree — exactly-once into a table
+    format, via foreachBatch."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        commit_append(batch_df, table, batch_id=batch_id)
+
+    writer = stream_df.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 def commit_upsert(

@@ -80,3 +80,43 @@ def test_upsert_last_wins_within_batch(spark, tmp):
     assert {(r.k, r.v) for r in read_version(spark, t).collect()} == {
         (1, "second")
     }
+
+
+def test_append_is_idempotent_per_batch_id(spark, tmp):
+    t = f"{tmp}/table"
+    commit_append(_df(spark, [(1, "a")]), t, batch_id=0)
+    # replay of batch 0 (post-commit crash re-delivery): no-op
+    commit_append(_df(spark, [(1, "a")]), t, batch_id=0)
+    commit_append(_df(spark, [(2, "b")]), t, batch_id=1)
+    assert [e["count"] for e in history(t)] == [1, 2]
+    assert read_version(spark, t).count() == 2
+
+
+def test_streaming_appends_into_versioned_table(spark, tmp):
+    from options_data_pipeline_spark.sinks.versioned import append_stream
+
+    src = f"{tmp}/src"
+    t = f"{tmp}/table"
+    _df(spark, [(1, "a"), (2, "b")]).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    _df(spark, [(3, "c")]).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("k long, v string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = append_stream(stream, t, f"{tmp}/ckpt")
+    q.awaitTermination(120)
+
+    assert {(r.k, r.v) for r in read_version(spark, t).collect()} == {
+        (1, "a"), (2, "b"), (3, "c"),
+    }
+    # one commit per micro-batch, every entry stamped with its batch id
+    assert [e.get("batch_id") for e in history(t)] == [0, 1]
+
+    # restart on the same checkpoint: no new source data -> no commits
+    q = append_stream(stream, t, f"{tmp}/ckpt")
+    q.awaitTermination(120)
+    assert len(history(t)) == 2
