@@ -198,3 +198,23 @@ def vacuum(table: str, keep_latest: int = 1) -> dict:
             shutil.rmtree(os.path.join(data_root, name))
             removed += 1
     return {"removed_dirs": removed, "kept_dirs": kept}
+
+
+def compact(spark: SparkSession, table: str, target_files: int = 1) -> dict:
+    """OPTIMIZE-equivalent: rewrite the latest version's directory list
+    (append chains accumulate one directory per micro-batch) into a
+    single coalesced snapshot committed as a new version. Pure physical
+    rewrite — row content is identical, and readers switch atomically at
+    the log entry; old directories remain for time travel until vacuum.
+    """
+    entries = _entries(table)
+    if not entries:
+        raise FileNotFoundError(f"no committed versions at {table}")
+    current = read_version(spark, table)
+    rel = f"data/v{len(entries)}-compact-{uuid.uuid4().hex[:8]}"
+    current.coalesce(target_files).write.mode("error").parquet(
+        os.path.join(table, rel)
+    )
+    n = spark.read.parquet(os.path.join(table, rel)).count()
+    entry = _commit(table, "compact", [rel], n)
+    return {**entry, "dirs_before": len(entries[-1]["dirs"])}

@@ -120,3 +120,21 @@ def test_streaming_appends_into_versioned_table(spark, tmp):
     q = append_stream(stream, t, f"{tmp}/ckpt")
     q.awaitTermination(120)
     assert len(history(t)) == 2
+
+
+def test_compact_rewrites_append_chain_without_changing_rows(spark, tmp):
+    from options_data_pipeline_spark.sinks.versioned import compact
+
+    t = f"{tmp}/table"
+    for i in range(4):
+        commit_append(_df(spark, [(i, f"v{i}")]), t, batch_id=i)
+    before = sorted(map(tuple, read_version(spark, t).collect()))
+    out = compact(spark, t)
+    assert out["dirs_before"] == 4
+    assert len(history(t)[-1]["dirs"]) == 1
+    after = sorted(map(tuple, read_version(spark, t).collect()))
+    assert before == after
+    # pre-compaction versions still time-travel until vacuumed
+    assert read_version(spark, t, 3).count() == 4
+    vacuum(t, keep_latest=1)
+    assert read_version(spark, t).count() == 4
