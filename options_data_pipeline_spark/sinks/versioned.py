@@ -80,14 +80,46 @@ def _write_snapshot(df: DataFrame, table: str, version_hint: int) -> tuple[str, 
     return rel, n
 
 
-def commit_write(df: DataFrame, table: str) -> dict:
+class ExpectationError(ValueError):
+    """A commit-time data contract failed; nothing was committed."""
+
+
+def check_expectations(df: DataFrame, expectations: dict[str, str]) -> None:
+    """dbt-style contracts at the sink: each expectation is a boolean
+    SQL predicate every row must satisfy. One aggregate pass counts all
+    violations together; any failure raises BEFORE data is written, so
+    a bad batch can never become a committed version."""
+    if not expectations:
+        return
+    counts = df.agg(
+        *[
+            F.sum(F.when(~F.expr(pred), 1).otherwise(0)).alias(name)
+            for name, pred in expectations.items()
+        ]
+    ).first()
+    failed = {
+        name: int(counts[name] or 0)
+        for name in expectations
+        if (counts[name] or 0) > 0
+    }
+    if failed:
+        raise ExpectationError(f"expectations violated: {failed}")
+
+
+def commit_write(
+    df: DataFrame, table: str, expectations: dict[str, str] | None = None
+) -> dict:
     """Full snapshot write as a new version."""
+    check_expectations(df, expectations or {})
     rel, n = _write_snapshot(df, table, len(_entries(table)))
     return _commit(table, "write", [rel], n)
 
 
 def commit_append(
-    df: DataFrame, table: str, batch_id: int | None = None
+    df: DataFrame,
+    table: str,
+    batch_id: int | None = None,
+    expectations: dict[str, str] | None = None,
 ) -> dict:
     """Append-only commit: previous directories + one new directory.
 
@@ -96,6 +128,7 @@ def commit_append(
     returning that entry — a micro-batch re-delivered after a sink
     commit (post-commit crash before the WAL advanced) appends nothing.
     """
+    check_expectations(df, expectations or {})
     entries = _entries(table)
     if batch_id is not None:
         for e in entries:
@@ -170,7 +203,9 @@ def read_version(
         raise FileNotFoundError(f"no committed versions at {table}")
     entry = entries[-1] if version is None else entries[version]
     paths = [os.path.join(table, d) for d in entry["dirs"]]
-    return spark.read.parquet(*paths)
+    # mergeSchema: append commits may evolve the schema (new columns);
+    # older snapshot dirs surface NULLs for columns they predate
+    return spark.read.option("mergeSchema", "true").parquet(*paths)
 
 
 def history(table: str) -> list[dict]:

@@ -138,3 +138,28 @@ def test_compact_rewrites_append_chain_without_changing_rows(spark, tmp):
     assert read_version(spark, t, 3).count() == 4
     vacuum(t, keep_latest=1)
     assert read_version(spark, t).count() == 4
+
+
+def test_schema_evolution_on_append(spark, tmp):
+    t = f"{tmp}/table"
+    commit_append(_df(spark, [(1, "a")]), t, batch_id=0)
+    evolved = spark.createDataFrame(
+        [(2, "b", 9.5)], "k long, v string, score double"
+    )
+    commit_append(evolved, t, batch_id=1)
+    rows = {r.k: (r.v, r.score) for r in read_version(spark, t).collect()}
+    assert rows == {1: ("a", None), 2: ("b", 9.5)}
+
+
+def test_expectations_block_bad_commits(spark, tmp):
+    from options_data_pipeline_spark.sinks.versioned import ExpectationError
+
+    t = f"{tmp}/table"
+    good = {"k_not_null": "k IS NOT NULL", "v_nonempty": "length(v) > 0"}
+    commit_write(_df(spark, [(1, "a")]), t, expectations=good)
+    bad = spark.createDataFrame([(None, "x"), (2, "")], "k long, v string")
+    with pytest.raises(ExpectationError, match="k_not_null.*1"):
+        commit_append(bad, t, batch_id=1, expectations=good)
+    # nothing committed, no orphan visible
+    assert len(history(t)) == 1
+    assert read_version(spark, t).count() == 1
