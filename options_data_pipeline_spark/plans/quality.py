@@ -1839,3 +1839,56 @@ joined AS (
 SELECT event_type, {psi_expr} AS psi, count(*) AS n_buckets
 FROM joined GROUP BY 1
 """
+
+
+_PROFILE_COLS = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+
+
+def q_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column completeness audit: null count and fill rate for every
+    column of the events table, as rows.
+
+    One aggregate computes every column's null count in a single scan
+    (map-side combined), then `stack` unpivots the 1-row result into the
+    (column, n_null) form a data-quality dashboard consumes — the
+    columnar-profile shape, never one job per column. Fill rate divides
+    exact BIGINTs cast to double.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__null_{c}")
+            for c in _PROFILE_COLS
+        ],
+    )
+    stack_expr = "stack({n}, {args}) as (column_name, n_null)".format(
+        n=len(_PROFILE_COLS),
+        args=", ".join(f"'{c}', __null_{c}" for c in _PROFILE_COLS),
+    )
+    return agg.select(F.col("__n"), F.expr(stack_expr)).select(
+        "column_name",
+        "n_null",
+        F.col("__n").alias("n_rows"),
+        (
+            (F.col("__n") - F.col("n_null")).cast("double")
+            / F.col("__n").cast("double")
+        ).alias("fill_rate"),
+    )
+
+
+def oracle_null_profile() -> str:
+    branches = "\nUNION ALL\n".join(
+        f"SELECT '{c}' AS column_name,"
+        f" CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS n_null, count(*) AS n_rows FROM events"
+        for c in _PROFILE_COLS
+    )
+    return f"""
+WITH per_col AS (
+{branches}
+)
+SELECT column_name, n_null, n_rows,
+       CAST(n_rows - n_null AS DOUBLE) / CAST(n_rows AS DOUBLE) AS fill_rate
+FROM per_col
+"""

@@ -54,6 +54,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
     "props_extract": (quality.q_props_extract, quality.oracle_props_extract),
     "reconcile_counts": (quality.q_reconcile_counts, quality.oracle_reconcile_counts),
     "props_variant": (quality.q_props_variant, quality.oracle_props_variant),
+    "null_profile": (quality.q_null_profile, quality.oracle_null_profile),
     "value_drift_psi": (
         quality.q_value_drift_psi,
         quality.oracle_value_drift_psi,
