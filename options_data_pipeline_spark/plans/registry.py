@@ -17,6 +17,7 @@ from . import (
     sessions,
     text,
     tpch,
+    tpch2,
     vectors,
 )
 
@@ -132,6 +133,22 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
         tpch.oracle_nation_trade_volume,
     ),
     "qty_price_corr": (tpch.q_qty_price_corr, tpch.oracle_qty_price_corr),
+    # --- round-4: remaining TPC-H archetypes (Q2/Q8/Q9/Q10/Q11/Q15/Q16/Q19/Q20) ---
+    "min_cost_supplier": (tpch2.q_min_cost_supplier, tpch2.oracle_min_cost_supplier),
+    "market_share": (tpch2.q_market_share, tpch2.oracle_market_share),
+    "product_profit": (tpch2.q_product_profit, tpch2.oracle_product_profit),
+    "returned_items": (tpch2.q_returned_items, tpch2.oracle_returned_items),
+    "important_parts": (tpch2.q_important_parts, tpch2.oracle_important_parts),
+    "top_supplier": (tpch2.q_top_supplier, tpch2.oracle_top_supplier),
+    "supplier_part_counts": (
+        tpch2.q_supplier_part_counts,
+        tpch2.oracle_supplier_part_counts,
+    ),
+    "disjunctive_revenue": (
+        tpch2.q_disjunctive_revenue,
+        tpch2.oracle_disjunctive_revenue,
+    ),
+    "excess_suppliers": (tpch2.q_excess_suppliers, tpch2.oracle_excess_suppliers),
     "weighted_median_price": (
         tpch.q_weighted_median_price,
         tpch.oracle_weighted_median_price,

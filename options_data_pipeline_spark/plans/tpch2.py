@@ -1,0 +1,577 @@
+"""Advanced relational shapes: the TPC-H query archetypes not yet covered
+by :mod:`plans.tpch` — correlated argmin (Q2), conditional-aggregate market
+share (Q8), multi-dim profit rollup (Q9), returned-items top-k (Q10),
+global-scalar HAVING (Q11), aggregated-view max (Q15), anti-join distinct
+counting (Q16), disjunctive join predicates (Q19), and nested semi-join
+chains (Q20).
+
+The benchmark schema has no ``partsupp`` table, so the queries that need a
+part-supplier catalog derive one from ``lineitem`` (distinct
+(l_partkey, l_suppkey) with min price / total qty) — the *shape* of each
+plan (decorrelation, broadcast of dims, partial aggregation) is the point,
+and it is identical to the canonical form.
+
+Scale notes are per-query; all money sums go through exact DECIMAL
+accumulation (functions.rounding) so hashes match the oracle regardless of
+partitioning, and every dim join is broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.rounding import dec_sum, sql_dec_sum
+from ..sources.tables import load_table
+
+_D1 = "decimal(18,2)"
+_D2 = "decimal(5,2)"
+
+
+def _disc_price(l):  # l_extendedprice * (1 - l_discount), exact decimal
+    one = F.lit(1).cast("decimal(3,2)")
+    return l["l_extendedprice"].cast(_D1) * (one - l["l_discount"].cast(_D2))
+
+
+_SQL_DISC_PRICE = (
+    "CAST(l_extendedprice AS DECIMAL(18,2))"
+    " * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(5,2)))"
+)
+
+
+def _supply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived part-supplier catalog (the schema has no partsupp):
+    one row per observed (l_partkey, l_suppkey) with the minimum offered
+    line price and total shipped quantity. One map-side-combined groupBy."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(
+        F.min(F.col("l_extendedprice").cast(_D1)).cast("double").alias("ps_cost"),
+        dec_sum(F.col("l_quantity")).alias("ps_qty"),
+    )
+
+
+_SQL_SUPPLY = """
+    SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+           CAST(MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS ps_cost,
+           {qty} AS ps_qty
+    FROM lineitem GROUP BY 1, 2
+""".format(qty=sql_dec_sum("l_quantity"))
+
+
+# --- Q2 shape: cheapest supplier per part within a region --------------------
+
+_Q2_SIZE = 15
+_Q2_TYPE = "STANDARD"
+_Q2_REGION = "EUROPE"
+
+
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for parts of one size+type, the supplier(s) in one
+    region offering the minimum cost — the correlated MIN subquery
+    decorrelated into a per-part aggregate joined back (ties kept, as in
+    the canonical query).
+
+    Scale shape: the supply catalog aggregates lineitem once (map-side
+    combine, one shuffle on (part, supp)); part/supplier/nation/region are
+    broadcast dims; the per-part min is a second small aggregate over the
+    already-filtered catalog, re-joined on ps_partkey. No windows, no
+    global sort until the final top-100.
+    """
+    supply = _supply(spark, sf_dir)
+    p = load_table(spark, sf_dir, "part").where(
+        (F.col("p_size") == _Q2_SIZE) & (F.col("p_type") == _Q2_TYPE)
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == _Q2_REGION)
+    regional = (
+        supply.join(F.broadcast(s), supply["ps_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .join(F.broadcast(p), supply["ps_partkey"] == p["p_partkey"])
+        .select("ps_partkey", "ps_suppkey", "ps_cost", "s_acctbal",
+                "s_name", "n_name", "p_brand")
+    )
+    min_cost = regional.groupBy("ps_partkey").agg(
+        F.min("ps_cost").alias("__min_cost")
+    )
+    return (
+        regional.join(min_cost, "ps_partkey")
+        .where(F.col("ps_cost") == F.col("__min_cost"))
+        .select("s_acctbal", "s_name", "n_name",
+                F.col("ps_partkey").alias("p_partkey"), "p_brand", "ps_cost")
+        .orderBy(F.col("s_acctbal").desc(), F.col("n_name").asc(),
+                 F.col("s_name").asc(), F.col("p_partkey").asc())
+        .limit(100)
+    )
+
+
+def oracle_min_cost_supplier() -> str:
+    return f"""
+WITH supply AS ({_SQL_SUPPLY}),
+regional AS (
+    SELECT ps_partkey, ps_suppkey, ps_cost, s_acctbal, s_name, n_name, p_brand
+    FROM supply
+    JOIN supplier ON ps_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    JOIN part     ON ps_partkey = p_partkey
+    WHERE r_name = '{_Q2_REGION}' AND p_size = {_Q2_SIZE} AND p_type = '{_Q2_TYPE}'
+)
+SELECT s_acctbal, s_name, n_name, ps_partkey AS p_partkey, p_brand, ps_cost
+FROM regional x
+WHERE ps_cost = (SELECT MIN(ps_cost) FROM regional y
+                 WHERE y.ps_partkey = x.ps_partkey)
+ORDER BY s_acctbal DESC, n_name ASC, s_name ASC, p_partkey ASC
+LIMIT 100
+"""
+
+
+# --- Q8 shape: national market share -----------------------------------------
+
+_Q8_REGION = "AMERICA"   # customers' region
+_Q8_NATION = "NATION_3"  # suppliers' nation whose share we measure
+_Q8_TYPE = "ECONOMY"
+
+
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one supplier-nation's share of a region's spend on
+    one part type, per order year — CASE-conditional aggregation over a
+    7-table join.
+
+    Scale shape: lineitem⋈orders is the only fact-fact join (shuffle on
+    orderkey); part / supplier / both nation roles / region / customer are
+    broadcast. The share is a plain double division of two identically
+    accumulated decimal sums, so it is bitwise reproducible.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(F.col("p_type") == _Q8_TYPE)
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n_cust = load_table(spark, sf_dir, "nation").alias("nc")
+    n_supp = load_table(spark, sf_dir, "nation").alias("ns")
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == _Q8_REGION)
+    joined = (
+        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n_cust), c["c_nationkey"] == F.col("nc.n_nationkey"))
+        .join(F.broadcast(r), F.col("nc.n_regionkey") == r["r_regionkey"])
+        .join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n_supp), s["s_nationkey"] == F.col("ns.n_nationkey"))
+    )
+    vol = _disc_price(joined)
+    zero = F.lit(0).cast("decimal(23,4)")
+    agg = joined.groupBy(
+        F.year(F.col("o_orderdate")).cast("int").alias("o_year")
+    ).agg(
+        F.sum(
+            F.when(F.col("ns.n_name") == _Q8_NATION, vol).otherwise(zero)
+        ).cast("double").alias("nation_volume"),
+        F.sum(vol).cast("double").alias("total_volume"),
+    )
+    return agg.select(
+        "o_year", "nation_volume", "total_volume",
+        (F.col("nation_volume") / F.col("total_volume")).alias("mkt_share"),
+    )
+
+
+def oracle_market_share() -> str:
+    return f"""
+WITH agg AS (
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+        CAST(SUM(CASE WHEN ns.n_name = '{_Q8_NATION}'
+                      THEN {_SQL_DISC_PRICE}
+                      ELSE CAST(0 AS DECIMAL(23,4)) END) AS DOUBLE) AS nation_volume,
+        CAST(SUM({_SQL_DISC_PRICE}) AS DOUBLE) AS total_volume
+    FROM lineitem
+    JOIN part     ON l_partkey = p_partkey
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation nc ON c_nationkey = nc.n_nationkey
+    JOIN region   ON nc.n_regionkey = r_regionkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ns ON s_nationkey = ns.n_nationkey
+    WHERE p_type = '{_Q8_TYPE}' AND r_name = '{_Q8_REGION}'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY 1
+)
+SELECT o_year, nation_volume, total_volume,
+       nation_volume / total_volume AS mkt_share
+FROM agg
+"""
+
+
+# --- Q9 shape: product profit by nation and year ------------------------------
+
+_Q9_TOKEN = "widget"
+
+
+def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit on one product family, by supplier nation and
+    order year. The schema has no ps_supplycost, so profit is the
+    discounted price (documented divergence; the plan shape — LIKE-filtered
+    part dim broadcast into the fact, two-level group — is the point).
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(
+        F.col("p_name").contains(_Q9_TOKEN)
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders")
+    joined = (
+        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+    )
+    return joined.groupBy(
+        F.col("n_name").alias("nation"),
+        F.year(F.col("o_orderdate")).cast("int").alias("o_year"),
+    ).agg(
+        F.sum(_disc_price(joined)).cast("double").alias("sum_profit"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+def oracle_product_profit() -> str:
+    return f"""
+SELECT n_name AS nation,
+       CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+       CAST(SUM({_SQL_DISC_PRICE}) AS DOUBLE) AS sum_profit,
+       COUNT(*) AS n_lines
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE contains(p_name, '{_Q9_TOKEN}')
+GROUP BY 1, 2
+"""
+
+
+# --- Q10 shape: returned-items top customers ----------------------------------
+
+
+def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: customers ranked by revenue lost to returned lines
+    in one quarter — 4-way join, wide group key, deterministic top-20."""
+    l = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    joined = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+    )
+    agg = joined.groupBy("c_custkey", "c_name", "c_acctbal", "n_name").agg(
+        F.sum(_disc_price(joined)).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_returned_lines"),
+    )
+    return agg.orderBy(F.col("revenue").desc(), F.col("c_custkey").asc()).limit(20)
+
+
+def oracle_returned_items() -> str:
+    return f"""
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       CAST(SUM({_SQL_DISC_PRICE}) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_returned_lines
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-04-01'
+GROUP BY 1, 2, 3, 4
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+# --- Q11 shape: important parts (global-scalar HAVING) ------------------------
+
+_Q11_NATION = "NATION_7"
+_Q11_FRACTION = 0.002
+
+
+def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts representing a significant share of one
+    nation's supply value — HAVING against a scalar subquery over the same
+    aggregate.
+
+    Scale shape: the national supply value aggregates once (map-side
+    combine); the global total is a 1-row re-aggregate of that result,
+    broadcast back as a cross join — the decorrelated form of the
+    correlated scalar (no second scan of lineitem).
+    """
+    supply = _supply(spark, sf_dir)
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").where(F.col("n_name") == _Q11_NATION)
+    national = (
+        supply.join(F.broadcast(s), supply["ps_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+    )
+    # part value = cost * qty, exact decimal product of two money doubles
+    value = (
+        F.col("ps_cost").cast("decimal(18,2)")
+        * F.col("ps_qty").cast("decimal(18,2)")
+    )
+    per_part = national.groupBy("ps_partkey").agg(
+        F.sum(value).cast("double").alias("part_value")
+    )
+    total = per_part.agg(
+        F.sum(F.col("part_value").cast("decimal(38,6)")).cast("double").alias("__total")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .where(F.col("part_value") > F.col("__total") * F.lit(_Q11_FRACTION))
+        .select("ps_partkey", "part_value")
+    )
+
+
+def oracle_important_parts() -> str:
+    return f"""
+WITH supply AS ({_SQL_SUPPLY}),
+per_part AS (
+    SELECT ps_partkey,
+           CAST(SUM(CAST(ps_cost AS DECIMAL(18,2))
+                    * CAST(ps_qty AS DECIMAL(18,2))) AS DOUBLE) AS part_value
+    FROM supply
+    JOIN supplier ON ps_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE n_name = '{_Q11_NATION}'
+    GROUP BY 1
+)
+SELECT ps_partkey, part_value
+FROM per_part
+WHERE part_value > (SELECT CAST(SUM(CAST(part_value AS DECIMAL(38,6))) AS DOUBLE)
+                    FROM per_part) * {_Q11_FRACTION}
+"""
+
+
+# --- Q15 shape: top supplier via aggregated view ------------------------------
+
+
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) with the maximum revenue in one
+    quarter — the aggregated CTE referenced twice (once for the max, once
+    for the equality filter), ties kept.
+
+    Both branches reuse the same revenue aggregate; the 1-row max is
+    broadcast. Revenue is an exact decimal sum so the double equality
+    against its own max is bit-safe.
+    """
+    l = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-06-01").cast("timestamp"))
+    )
+    revenue = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(_disc_price(l)).cast("double").alias("total_revenue")
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("__max_rev"))
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        revenue.crossJoin(F.broadcast(mx))
+        .where(F.col("total_revenue") == F.col("__max_rev"))
+        .join(F.broadcast(s), F.col("supplier_no") == s["s_suppkey"])
+        .select("s_suppkey", "s_name", "s_acctbal", "total_revenue")
+    )
+
+
+def oracle_top_supplier() -> str:
+    return f"""
+WITH revenue AS (
+    SELECT l_suppkey AS supplier_no,
+           CAST(SUM({_SQL_DISC_PRICE}) AS DOUBLE) AS total_revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+      AND l_shipdate <  TIMESTAMP '1997-06-01'
+    GROUP BY 1
+)
+SELECT s_suppkey, s_name, s_acctbal, total_revenue
+FROM revenue JOIN supplier ON supplier_no = s_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+"""
+
+
+# --- Q16 shape: supplier diversity per part attribute -------------------------
+
+_Q16_EXCL_BRAND = "Brand#5"
+_Q16_SIZES = (1, 9, 17, 25, 33, 41, 49)
+
+
+def q_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: how many distinct suppliers can furnish each
+    (brand, type, size) combination, excluding one brand, the PROMO type,
+    and suppliers in deficit (the NOT IN subquery, decorrelated to a
+    broadcast anti join)."""
+    supply = _supply(spark, sf_dir).select("ps_partkey", "ps_suppkey")
+    p = load_table(spark, sf_dir, "part").where(
+        (F.col("p_brand") != _Q16_EXCL_BRAND)
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(*_Q16_SIZES)
+    )
+    bad_supp = load_table(spark, sf_dir, "supplier").where(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    return (
+        supply.join(F.broadcast(p), supply["ps_partkey"] == p["p_partkey"])
+        .join(
+            F.broadcast(bad_supp),
+            supply["ps_suppkey"] == bad_supp["s_suppkey"],
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+    )
+
+
+def oracle_supplier_part_counts() -> str:
+    sizes = ", ".join(str(s) for s in _Q16_SIZES)
+    return f"""
+WITH supply AS ({_SQL_SUPPLY})
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT ps_suppkey) AS supplier_cnt
+FROM supply
+JOIN part ON ps_partkey = p_partkey
+WHERE p_brand <> '{_Q16_EXCL_BRAND}'
+  AND p_type <> 'PROMO'
+  AND p_size IN ({sizes})
+  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+"""
+
+
+# --- Q19 shape: disjunctive join predicates -----------------------------------
+
+
+def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue matching an OR of three (brand, size-range,
+    qty-range) conjunct bundles — the classic disjunctive-predicate plan
+    where the common l_partkey = p_partkey conjunct must still drive the
+    (broadcast) join with the OR applied post-join."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    joined = l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+    bundle = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    matched = joined.where(bundle)
+    return matched.agg(
+        F.sum(_disc_price(matched)).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+def oracle_disjunctive_revenue() -> str:
+    return f"""
+SELECT CAST(SUM({_SQL_DISC_PRICE}) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+# --- Q20 shape: excess suppliers (nested semi joins) --------------------------
+
+_Q20_NATION = "NATION_5"
+_Q20_PREFIX = "small"
+_Q20_SHARE = 0.25
+
+
+def q_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers in one nation who dominate the 1997
+    supply of any part in one name family (their shipped qty > 25% of the
+    part's total) — the nested IN-subquery chain decorrelated into
+    aggregate → join-back → semi join.
+
+    Scale shape: one shuffle to aggregate (part, supp) qty, a per-part
+    total re-aggregated from that result (no second lineitem scan), part
+    name filter broadcast, and a final LEFT SEMI into the supplier dim.
+    """
+    l = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part").where(
+        F.col("p_name").startswith(_Q20_PREFIX)
+    ).select("p_partkey")
+    per_pair = (
+        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(dec_sum(F.col("l_quantity")).alias("pair_qty"))
+    )
+    per_part = per_pair.groupBy("l_partkey").agg(
+        F.sum(F.col("pair_qty").cast("decimal(38,6)")).cast("double").alias("part_qty")
+    )
+    dominant = (
+        per_pair.join(per_part, "l_partkey")
+        .where(F.col("pair_qty") > F.col("part_qty") * F.lit(_Q20_SHARE))
+        .select("l_suppkey")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").where(F.col("n_name") == _Q20_NATION)
+    return (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(dominant, s["s_suppkey"] == dominant["l_suppkey"], "left_semi")
+        .select("s_suppkey", "s_name", "s_acctbal")
+    )
+
+
+def oracle_excess_suppliers() -> str:
+    return f"""
+WITH per_pair AS (
+    SELECT l_partkey, l_suppkey, {sql_dec_sum("l_quantity")} AS pair_qty
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+      AND l_partkey IN (SELECT p_partkey FROM part
+                        WHERE p_name LIKE '{_Q20_PREFIX}%')
+    GROUP BY 1, 2
+),
+per_part AS (
+    SELECT l_partkey,
+           CAST(SUM(CAST(pair_qty AS DECIMAL(38,6))) AS DOUBLE) AS part_qty
+    FROM per_pair GROUP BY 1
+)
+SELECT s_suppkey, s_name, s_acctbal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = '{_Q20_NATION}'
+  AND s_suppkey IN (
+    SELECT l_suppkey FROM per_pair JOIN per_part USING (l_partkey)
+    WHERE pair_qty > part_qty * {_Q20_SHARE}
+  )
+"""
