@@ -203,6 +203,13 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
         vectors.q_curation_decisions,
         vectors.oracle_curation_decisions,
     ),
+    "embedding_covariance": (
+        vectors.q_embedding_covariance,
+        vectors.oracle_embedding_covariance,
+    ),
+    # rows-only: eigendecomposition has no SQL oracle (tests/test_pca.py
+    # pins the algebraic invariants)
+    "pca_project": (vectors.q_pca_project, None),
     # --- round-3 additions: substring dedup, weighted sampling, Markov ---
     "repeated_spans": (text.q_repeated_spans, text.oracle_repeated_spans),
     "weighted_sample": (text.q_weighted_sample, text.oracle_weighted_sample),

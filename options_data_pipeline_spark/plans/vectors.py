@@ -629,3 +629,90 @@ SELECT quality.lang,
 FROM quality LEFT JOIN dropped USING (doc_id)
 GROUP BY 1, 2
 """
+
+
+# --- round-4: PCA family ------------------------------------------------------
+
+
+def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle covariance matrix of the embedding dimensions —
+    the distributed half of tall-skinny PCA (see operators/pca.py).
+
+    Exact DECIMAL moment sums make every entry bit-deterministic under
+    any partitioning; the d(d+1)/2 = 2080 output rows are constant in
+    corpus size, so the query's output never grows with n.
+    """
+    from ..operators.pca import covariance_frame
+
+    emb = parallelized(spark, load_table(spark, sf_dir, "embeddings"))
+    return covariance_frame(emb)
+
+
+def oracle_embedding_covariance() -> str:
+    # same scaled-integer quantization as operators/pca.py flat_positions:
+    # an explicit IEEE half-away formula, not a float->decimal cast (the
+    # engines split scale-6 cast ties differently)
+    cov = sql_round_half_away(
+        "(sxy_s - sx_i * sx_j / n_d) / 1000000000000.0 / n_d", 9
+    )
+    return f"""
+WITH flat AS (
+    SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+           CAST(floor(abs(CAST(unnest(embedding) AS DOUBLE)) * 1000000 + 0.5)
+                AS BIGINT)
+           * (CASE WHEN CAST(unnest(embedding) AS DOUBLE) < 0
+                   THEN -1 ELSE 1 END) AS w
+    FROM embeddings
+),
+moments2 AS (
+    SELECT a.i AS i, b.i AS j, COUNT(*) AS n_vecs,
+           CAST(SUM(CAST(a.w * b.w AS DECIMAL(38,0))) AS DOUBLE) AS sxy_s
+    FROM flat a JOIN flat b USING (vec_id)
+    WHERE a.i <= b.i
+    GROUP BY 1, 2
+),
+means AS (
+    SELECT i, CAST(SUM(CAST(w AS DECIMAL(38,0))) AS DOUBLE) AS sx_s
+    FROM flat GROUP BY 1
+)
+SELECT m2.i, m2.j, m2.n_vecs, {cov} AS cov
+FROM (
+    SELECT m2.i, m2.j, m2.n_vecs, m2.sxy_s,
+           mi.sx_s AS sx_i, mj.sx_s AS sx_j,
+           CAST(m2.n_vecs AS DOUBLE) AS n_d
+    FROM moments2 m2
+    JOIN means mi ON m2.i = mi.i
+    JOIN means mj ON m2.j = mj.i
+) m2
+"""
+
+
+_PCA_COMPONENTS = 2
+
+
+def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tall-skinny PCA projection: fit d×d loadings from the exact
+    covariance frame (driver-side eigh of a 64×64 matrix — no data
+    volume), then project every embedding as a narrow per-row fold.
+
+    No SQL oracle: eigendecomposition is not SQL-expressible. The
+    driver records a rows-only check; the algebraic invariants
+    (orthonormal loadings, descending explained variance, projection
+    variance ≈ eigenvalue) are pinned by tests/test_pca.py.
+    """
+    from ..operators.pca import fit_loadings, project
+
+    emb = parallelized(spark, load_table(spark, sf_dir, "embeddings"))
+    loadings, _ = fit_loadings(emb, n_components=_PCA_COMPONENTS)
+    flat = emb.select(F.posexplode("embedding").alias("pos", "vf"))
+    mean_rows = (
+        flat.groupBy("pos")
+        .agg((F.sum(F.col("vf").cast("decimal(38,6)")) / F.count(F.lit(1)))
+             .cast("double").alias("mu"))
+        .orderBy("pos")
+        .collect()
+    )
+    means = [r["mu"] for r in mean_rows]
+    return project(emb, loadings, means).select(
+        "vec_id", "label", "pc1", "pc2"
+    )
