@@ -194,6 +194,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
     "ann_cosine_topk": (vectors.q_ann_cosine_topk, vectors.oracle_ann_cosine_topk),
     "embedding_near_dups": (vectors.q_embedding_near_dups, vectors.oracle_embedding_near_dups),
     "ivf_topk": (vectors.q_ivf_topk, vectors.oracle_ivf_topk),
+    "ann_recall": (vectors.q_ann_recall, vectors.oracle_ann_recall),
     "embedding_quantize": (vectors.q_embedding_quantize, vectors.oracle_embedding_quantize),
     "kmeans_clusters": (vectors.q_kmeans_clusters, vectors.oracle_kmeans_clusters),
     "semantic_prune": (vectors.q_semantic_prune, vectors.oracle_semantic_prune),

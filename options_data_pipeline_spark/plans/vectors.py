@@ -716,3 +716,43 @@ def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     return project(emb, loadings, means).select(
         "vec_id", "label", "pc1", "pc2"
     )
+
+
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-quality evaluation: recall@k of the IVF index against the
+    exact brute-force top-k, per query point — the measurement loop any
+    ANN deployment runs before trusting an approximate index.
+
+    Both sides reuse the registry pipelines unchanged; the comparison
+    is one (qid, cid) equi-join of two k·|Q|-row frames (tiny), so the
+    cost is the two index runs themselves.
+    """
+    exact = q_ann_cosine_topk(spark, sf_dir).select("qid", "cid")
+    approx = q_ivf_topk(spark, sf_dir).select(
+        F.col("qid").alias("aqid"), F.col("cid").alias("acid"),
+        F.lit(1).alias("hit"),
+    )
+    joined = exact.join(
+        approx,
+        (exact["qid"] == approx["aqid"]) & (exact["cid"] == approx["acid"]),
+        "left",
+    )
+    return joined.groupBy("qid").agg(
+        F.coalesce(F.sum("hit"), F.lit(0)).cast("long").alias("n_hits"),
+    ).select(
+        "qid", "n_hits",
+        (F.col("n_hits") / F.lit(float(TOP_K))).alias("recall_at_k"),
+    )
+
+
+def oracle_ann_recall() -> str:
+    return f"""
+WITH exact AS ({oracle_ann_cosine_topk()}),
+approx AS ({oracle_ivf_topk()})
+SELECT exact.qid,
+       CAST(COUNT(approx.cid) AS BIGINT) AS n_hits,
+       COUNT(approx.cid) / CAST({TOP_K} AS DOUBLE) AS recall_at_k
+FROM exact
+LEFT JOIN approx ON exact.qid = approx.qid AND exact.cid = approx.cid
+GROUP BY 1
+"""
