@@ -1892,3 +1892,49 @@ SELECT column_name, n_null, n_rows,
        CAST(n_rows - n_null AS DOUBLE) / CAST(n_rows AS DOUBLE) AS fill_rate
 FROM per_col
 """
+
+
+# --- round-4: time-range window frames ---------------------------------------
+
+_TRAIL_SECONDS = 1800  # 30-minute trailing frame
+
+
+def q_trailing_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-purchase trailing 30-minute spend per user — a value-based
+    RANGE window frame (``rangeBetween`` over epoch-micros ordering), the
+    frame spec none of the other window queries exercise.
+
+    RANGE frames are tie-safe by construction (the frame is defined by
+    the ordering *value*, so same-timestamp rows always share a frame),
+    and the framed SUM accumulates exact DECIMAL, so the result is
+    bit-deterministic under any partitioning. One shuffle on user_id;
+    no global sort.
+    """
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    )
+    us = F.unix_micros(F.col("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-_TRAIL_SECONDS * 1_000_000, 0)
+    )
+    return ev.select(
+        "event_id", "user_id", "ts",
+        F.sum(F.col("value").cast("decimal(28,2)")).over(w)
+        .cast("double").alias("trailing_spend"),
+        F.count(F.lit(1)).over(w).cast("long").alias("trailing_purchases"),
+    )
+
+
+def oracle_trailing_spend() -> str:
+    return f"""
+SELECT event_id, user_id, ts,
+       CAST(SUM(CAST(value AS DECIMAL(28,2))) OVER w AS DOUBLE) AS trailing_spend,
+       CAST(COUNT(*) OVER w AS BIGINT) AS trailing_purchases
+FROM events
+WHERE event_type = 'purchase'
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN {_TRAIL_SECONDS * 1_000_000} PRECEDING
+                       AND CURRENT ROW)
+"""

@@ -232,6 +232,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
     "pagerank_parts": (affinity.q_pagerank_parts, affinity.oracle_pagerank_parts),
     "skyline_parts": (tpch.q_skyline_parts, tpch.oracle_skyline_parts),
     "mad_outliers": (quality.q_mad_outliers, quality.oracle_mad_outliers),
+    "trailing_spend": (quality.q_trailing_spend, quality.oracle_trailing_spend),
     # --- training-data ops: multimodal (mapInPandas over binary payloads) ---
     "media_features": (media.q_media_features, media.oracle_media_features),
     "media_frames": (media.q_media_frames, media.oracle_media_frames),
