@@ -68,18 +68,32 @@ def covariance_frame(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
     groupBy on (i, j): d² running sums per task, nothing quadratic in n
     ever materializes.
     """
-    flat = flat_positions(emb, vec_col)
-    a, b = flat.alias("a"), flat.alias("b")
-    pairs = a.join(b, "vec_id").where(F.col("a.i") <= F.col("b.i"))
-    # scaled-integer products summed as exact DECIMAL(38,0): associative,
-    # engine-agnostic; descale only in the final double closed form
-    moments2 = pairs.groupBy(
-        F.col("a.i").alias("i"), F.col("b.i").alias("j")
-    ).agg(
-        F.count(F.lit(1)).alias("n_vecs"),
-        F.sum((F.col("a.w") * F.col("b.w")).cast("decimal(38,0)"))
-        .cast("double").alias("sxy_s"),
+    # Per-row upper-triangle pair products as ONE nested array expression
+    # (no self-join): each vector fans out to its d(d+1)/2 (i, j, w_i*w_j)
+    # structs row-locally, so the only shuffle in the whole plan is the
+    # d²-group partial aggregate. (An earlier version self-joined the
+    # exploded positions on vec_id — a full n·d shuffle that this
+    # expression makes unnecessary.) Products stay in LONG (|w| ≤ 1e6 ·
+    # |v|max; embeddings are O(1)-magnitude so no overflow headroom
+    # issues), summed as exact DECIMAL(38,0): associative, engine-
+    # agnostic; descaled only in the final double closed form.
+    wd = (
+        "transform({v}, x -> CAST(floor(abs(CAST(x AS DOUBLE)) * {s} + 0.5)"
+        " AS BIGINT) * (CASE WHEN CAST(x AS DOUBLE) < 0 THEN -1 ELSE 1 END))"
+    ).format(v=vec_col, s=_SCALE)
+    pairs_expr = (
+        "flatten(transform(sequence(1, size({w})), i ->"
+        " transform(sequence(i, size({w})), j ->"
+        " struct(i AS i, j AS j, {w}[i-1] * {w}[j-1] AS p))))"
+    ).format(w="__w")
+    fan = emb.selectExpr(f"{wd} AS __w").select(
+        F.explode(F.expr(pairs_expr)).alias("t")
     )
+    moments2 = fan.select("t.i", "t.j", "t.p").groupBy("i", "j").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum(F.col("p").cast("decimal(38,0)")).cast("double").alias("sxy_s"),
+    )
+    flat = flat_positions(emb, vec_col)
     means = flat.groupBy("i").agg(
         F.sum(F.col("w").cast("decimal(38,0)")).cast("double").alias("sx_s")
     )

@@ -213,6 +213,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
     "pca_project": (vectors.q_pca_project, None),
     # --- round-3 additions: substring dedup, weighted sampling, Markov ---
     "repeated_spans": (text.q_repeated_spans, text.oracle_repeated_spans),
+    "frequent_ngrams": (text.q_frequent_ngrams, text.oracle_frequent_ngrams),
     "weighted_sample": (text.q_weighted_sample, text.oracle_weighted_sample),
     "candle_interpolate": (
         quality.q_candle_interpolate,

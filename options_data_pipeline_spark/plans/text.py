@@ -1719,3 +1719,67 @@ SELECT doc_id,
            list_filter(toks, (x, i) -> {coin}), ' '), '')) AS targets_md5
 FROM t
 """
+
+
+# --- round-4: corpus-wide frequent n-grams -----------------------------------
+
+_FNG_MIN_DOCS = 3
+_FNG_TOP = 50
+
+
+def q_frequent_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide frequent word trigrams: the boilerplate/template
+    detector (navigation chrome, license headers, prompt-injection
+    strings) every pretraining pipeline runs before span-level dedup.
+
+    Scan-level trigram fan-out (~len/1 per doc, linear in corpus bytes)
+    absorbed by one partially-aggregated groupBy on the gram string;
+    the (distinct-doc, occurrence) pair comes from a single aggregate.
+    Top-50 is TakeOrderedAndProject — never a global sort. Ties broken
+    by the gram text so both engines rank identically.
+    """
+    docs = parallelized(spark, load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "text"
+    )
+    grams_expr = (
+        "CASE WHEN size(split(text, ' ')) >= 3 THEN "
+        "transform(sequence(1, size(split(text, ' ')) - 2), "
+        "i -> concat_ws(' ', split(text, ' ')[i-1], split(text, ' ')[i],"
+        " split(text, ' ')[i+1])) "
+        "ELSE array() END"
+    )
+    grams = docs.select("doc_id", F.explode(F.expr(grams_expr)).alias("ngram"))
+    return (
+        grams.groupBy("ngram")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .where(F.col("n_docs") >= _FNG_MIN_DOCS)
+        .orderBy(
+            F.col("n_docs").desc(),
+            F.col("n_occurrences").desc(),
+            F.col("ngram").asc(),
+        )
+        .limit(_FNG_TOP)
+    )
+
+
+def oracle_frequent_ngrams() -> str:
+    return f"""
+WITH grams AS (
+    SELECT doc_id,
+           unnest(list_transform(
+               range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1),
+               i -> string_split(text, ' ')[i] || ' '
+                    || string_split(text, ' ')[i+1] || ' '
+                    || string_split(text, ' ')[i+2])) AS ngram
+    FROM documents
+)
+SELECT ngram, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occurrences
+FROM grams
+GROUP BY 1
+HAVING COUNT(DISTINCT doc_id) >= {_FNG_MIN_DOCS}
+ORDER BY n_docs DESC, n_occurrences DESC, ngram ASC
+LIMIT {_FNG_TOP}
+"""

@@ -304,8 +304,8 @@ LIMIT 20
 
 # --- Q11 shape: important parts (global-scalar HAVING) ------------------------
 
-_Q11_NATION = "NATION_7"
-_Q11_FRACTION = 0.002
+_Q11_NATION = "NATION_8"  # populated at every sf (sf0.001 has ~10 suppliers)
+_Q11_MEAN_MULT = 3  # "important" = >3x the mean part value: scale-free threshold
 
 
 def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -318,12 +318,26 @@ def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast back as a cross join — the decorrelated form of the
     correlated scalar (no second scan of lineitem).
     """
-    supply = _supply(spark, sf_dir)
+    # Push the (selective) nation filter BELOW the wide pair-aggregate:
+    # restrict lineitem to the nation's suppliers first via a broadcast
+    # semi join, so the (part, supp) groupBy sees 1/|nations| of the fact
+    # instead of aggregating everything and discarding 24/25 after.
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation").where(F.col("n_name") == _Q11_NATION)
-    national = (
-        supply.join(F.broadcast(s), supply["ps_suppkey"] == s["s_suppkey"])
-        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+    nat_supp = s.join(
+        F.broadcast(n), s["s_nationkey"] == n["n_nationkey"]
+    ).select("s_suppkey")
+    l = load_table(spark, sf_dir, "lineitem").join(
+        F.broadcast(nat_supp),
+        F.col("l_suppkey") == F.col("s_suppkey"),
+        "left_semi",
+    )
+    national = l.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(
+        F.min(F.col("l_extendedprice").cast(_D1)).cast("double").alias("ps_cost"),
+        dec_sum(F.col("l_quantity")).alias("ps_qty"),
     )
     # part value = cost * qty, exact decimal product of two money doubles
     value = (
@@ -334,11 +348,15 @@ def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(value).cast("double").alias("part_value")
     )
     total = per_part.agg(
-        F.sum(F.col("part_value").cast("decimal(38,6)")).cast("double").alias("__total")
+        F.sum(F.col("part_value").cast("decimal(38,6)")).cast("double").alias("__total"),
+        F.count(F.lit(1)).alias("__n"),
     )
     return (
         per_part.crossJoin(F.broadcast(total))
-        .where(F.col("part_value") > F.col("__total") * F.lit(_Q11_FRACTION))
+        .where(
+            F.col("part_value")
+            > F.col("__total") / F.col("__n") * F.lit(_Q11_MEAN_MULT)
+        )
         .select("ps_partkey", "part_value")
     )
 
@@ -359,7 +377,8 @@ per_part AS (
 SELECT ps_partkey, part_value
 FROM per_part
 WHERE part_value > (SELECT CAST(SUM(CAST(part_value AS DECIMAL(38,6))) AS DOUBLE)
-                    FROM per_part) * {_Q11_FRACTION}
+                           / COUNT(*) * {_Q11_MEAN_MULT}
+                    FROM per_part)
 """
 
 
@@ -506,7 +525,7 @@ WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
 
 # --- Q20 shape: excess suppliers (nested semi joins) --------------------------
 
-_Q20_NATION = "NATION_5"
+_Q20_NATION = "NATION_8"  # populated at every sf
 _Q20_PREFIX = "small"
 _Q20_SHARE = 0.25
 

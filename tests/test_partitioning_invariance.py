@@ -41,6 +41,14 @@ SAMPLE = [
     "hierarchy_rollup",
     "snapshot_diff",
     "span_corruption",
+    # round-4 families: correlated argmin, scalar-HAVING, RANGE frames,
+    # scaled-integer covariance, index-recall join, trigram top-k
+    "min_cost_supplier",
+    "important_parts",
+    "trailing_spend",
+    "embedding_covariance",
+    "ann_recall",
+    "frequent_ngrams",
 ]
 
 
