@@ -63,6 +63,7 @@ def main() -> None:
         planted_near_dup_pairs,
         q_unigram_logprob,
     )
+    from options_data_pipeline_spark.plans.vectors import q_semantic_prune
 
     artifact_builds = {
         "near_dup_artifact_build": lambda: planted_near_dup_pairs(spark, sf_dir),
@@ -72,6 +73,9 @@ def main() -> None:
         "affinity_edges_artifact_build": lambda: support_edge_artifact(
             spark, sf_dir
         ),
+        # q_semantic_prune serves its dropped set from the artifact store
+        # (also consumed by curation_decisions) — this times the build
+        "semdedup_artifact_build": lambda: q_semantic_prune(spark, sf_dir),
     }
     for bname, builder in artifact_builds.items():
         build_runs = []
@@ -89,6 +93,7 @@ def main() -> None:
     planted_near_dup_pairs(spark, sf_dir)
     q_unigram_logprob(spark, sf_dir)
     support_edge_artifact(spark, sf_dir)
+    q_semantic_prune(spark, sf_dir)
 
     for name, fn in registry.queries().items():
         # two executions, report the min: the first pays plan compilation

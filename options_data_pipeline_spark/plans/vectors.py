@@ -300,15 +300,28 @@ def q_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     within cells; drop the higher id at sim >= 0.9. The planted scaled
     twins normalize to bitwise-identical unit vectors, so recall of the
     true duplicates is provable, not probabilistic."""
+    from ..operators.artifacts import session_artifact
     from ..operators.clustering import semantic_prune
 
-    emb = planted_embeddings(spark, sf_dir)
-    # k=None -> adaptive: ceil(n / TARGET_CELL_SIZE), floored at
-    # KMEANS_K. The oracle computes the identical k from count(*), so
-    # parity holds at EVERY sf, not just the ones where adaptive == 8.
-    return semantic_prune(
-        emb, k=None, iterations=KMEANS_ITERS, threshold=SEMDEDUP_THRESHOLD
+    # The dropped set is a deterministic function of the immutable corpus
+    # snapshot and is consumed by BOTH this query and curation_decisions;
+    # serve it from the session artifact store (built once per snapshot,
+    # like the near-dup pair store). bench.py times the build explicitly
+    # as semdedup_artifact_build.
+    def _build() -> DataFrame:
+        emb = planted_embeddings(spark, sf_dir)
+        # k=None -> adaptive: ceil(n / TARGET_CELL_SIZE), floored at
+        # KMEANS_K. The oracle computes the identical k from count(*), so
+        # parity holds at EVERY sf, not just the ones where adaptive == 8.
+        return semantic_prune(
+            emb, k=None, iterations=KMEANS_ITERS, threshold=SEMDEDUP_THRESHOLD
+        )
+
+    key = (
+        f"semantic_prune:{sf_dir}:planted:k=adaptive:"
+        f"iters={KMEANS_ITERS}:thr={SEMDEDUP_THRESHOLD}"
     )
+    return session_artifact(spark, key, _build)
 
 
 def oracle_semantic_prune() -> str:
