@@ -214,6 +214,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
     # --- round-3 additions: substring dedup, weighted sampling, Markov ---
     "repeated_spans": (text.q_repeated_spans, text.oracle_repeated_spans),
     "frequent_ngrams": (text.q_frequent_ngrams, text.oracle_frequent_ngrams),
+    "bpe_pair_counts": (text.q_bpe_pair_counts, text.oracle_bpe_pair_counts),
     "weighted_sample": (text.q_weighted_sample, text.oracle_weighted_sample),
     "candle_interpolate": (
         quality.q_candle_interpolate,

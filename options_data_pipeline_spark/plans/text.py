@@ -1783,3 +1783,55 @@ HAVING COUNT(DISTINCT doc_id) >= {_FNG_MIN_DOCS}
 ORDER BY n_docs DESC, n_occurrences DESC, ngram ASC
 LIMIT {_FNG_TOP}
 """
+
+
+# --- round-4: BPE tokenizer-training pair counts -----------------------------
+
+_BPE_TOP = 20
+
+
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First BPE training round: the corpus's top adjacent character-pair
+    frequencies over the word-frequency table (operators/bpe.py) — the
+    distributed step every merge iteration repeats.
+
+    Scale shape: the corpus collapses to (word, freq) once (one groupBy);
+    the pair fan-out then runs over DISTINCT WORDS, not corpus tokens —
+    the reduction that makes iterative BPE affordable at 100 TB. Ties
+    break lexicographically so the top-20 is deterministic.
+    """
+    from ..operators.bpe import pair_counts, with_symbols, word_freq_table
+
+    docs = parallelized(spark, load_table(spark, sf_dir, "documents"))
+    words = word_freq_table(docs)
+    return (
+        pair_counts(with_symbols(words))
+        .orderBy(
+            F.col("pair_count").desc(),
+            F.col("left").asc(),
+            F.col("right").asc(),
+        )
+        .limit(_BPE_TOP)
+    )
+
+
+def oracle_bpe_pair_counts() -> str:
+    return f"""
+WITH words AS (
+    SELECT word, COUNT(*) AS freq
+    FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+    WHERE length(word) > 0
+    GROUP BY 1
+),
+pairs AS (
+    SELECT freq,
+           unnest(list_transform(range(1, greatest(length(word) - 1, 0) + 1),
+                  i -> struct_pack(l := word[i], r := word[i+1]))) AS p
+    FROM words
+)
+SELECT p.l AS "left", p.r AS "right", CAST(SUM(freq) AS BIGINT) AS pair_count
+FROM pairs
+GROUP BY 1, 2
+ORDER BY pair_count DESC, "left" ASC, "right" ASC
+LIMIT {_BPE_TOP}
+"""
