@@ -16,6 +16,7 @@ from . import (
     retrieval,
     sessions,
     text,
+    timeseries,
     tpch,
     tpch2,
     vectors,
@@ -235,6 +236,17 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
     "skyline_parts": (tpch.q_skyline_parts, tpch.oracle_skyline_parts),
     "mad_outliers": (quality.q_mad_outliers, quality.oracle_mad_outliers),
     "trailing_spend": (quality.q_trailing_spend, quality.oracle_trailing_spend),
+    # --- time-series analytics (drawdown / TWAP / accumulation / clamped fold) ---
+    "max_drawdown": (timeseries.q_max_drawdown, timeseries.oracle_max_drawdown),
+    "twap": (timeseries.q_twap, timeseries.oracle_twap),
+    "cumulative_uniques": (
+        timeseries.q_cumulative_uniques,
+        timeseries.oracle_cumulative_uniques,
+    ),
+    "capped_running_sum": (
+        timeseries.q_capped_running_sum,
+        timeseries.oracle_capped_running_sum,
+    ),
     # --- training-data ops: multimodal (mapInPandas over binary payloads) ---
     "media_features": (media.q_media_features, media.oracle_media_features),
     "media_frames": (media.q_media_frames, media.oracle_media_frames),

@@ -1,0 +1,269 @@
+"""Time-series analytics the reference's OHLC domain implies but never
+ships: drawdown scans, time-weighted averages over irregular samples,
+user-base accumulation, and a clamped sequential accumulator.
+
+All four are new *shapes* for the engine:
+
+- ``max_drawdown`` — running-peak window then per-key argmax with a
+  first-wins tie ladder (the A1 tie discipline applied to a derived
+  window metric).
+- ``twap`` — interval-weighted aggregation where the weight itself is a
+  window function (``lead`` gap to the next sample), DECIMAL-exact.
+- ``cumulative_uniques`` — global first-occurrence collapse followed by
+  a running total over the *compact* daily aggregate (the unbounded
+  window runs over O(#days) rows, never over raw events).
+- ``capped_running_sum`` — the clamped fold from
+  :mod:`..operators.statefold`: sequential per-key state that no window
+  frame expresses, pinned against a DuckDB recursive CTE.
+
+Reference anchors: session OHLC chain (`/root/reference/src/pipeline/
+aggregators/base.py:87-153`) for the tie ladders; the incremental
+resume loop (`collectors/binance.py:147-156`) for per-key carried
+state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.statefold import (
+    clamped_running_sum,
+    clamped_running_sum_oracle_sql,
+)
+from ..sources.tables import load_table
+from .sessions import HOURLY_CTE, hourly_candles
+
+# engagement meter saturation bounds, in cents
+ENGAGEMENT_LO = 0
+ENGAGEMENT_HI = 50_000
+
+
+# ---------------------------------------------------------------------------
+# max_drawdown
+# ---------------------------------------------------------------------------
+
+def q_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Worst peak-to-trough drawdown per instrument over hourly closes.
+
+    Running peak is a rows-frame MAX over the per-instrument hourly
+    candles (bucket_ts is unique within an instrument, so ordering is
+    total); the drawdown fraction uses only IEEE-exact ops (sub, div)
+    on identical doubles, so it is engine-portable without rounding.
+    Ties on the max drawdown keep the EARLIEST trough (struct-ordered
+    max_by, the A1 first-wins discipline). Two shuffles total: the
+    candle rollup, then the per-instrument window+aggregate (same key,
+    so AQE keeps them colocated).
+    """
+    hourly = hourly_candles(spark, sf_dir)
+    w = (
+        Window.partitionBy("instrument")
+        .orderBy("bucket_ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    peak = F.max("close").over(w)
+    dd = F.when(peak == 0, F.lit(0.0)).otherwise(
+        (peak - F.col("close")) / peak
+    )
+    scanned = hourly.select(
+        "instrument", "bucket_ts", "close",
+        peak.alias("peak"), dd.alias("dd"),
+    )
+    # argmax with earliest-trough tie-break: order struct(dd, -epoch)
+    tie = F.struct(
+        F.col("dd"), (-F.unix_micros(F.col("bucket_ts"))).alias("neg_ts")
+    )
+    return scanned.groupBy("instrument").agg(
+        F.max("dd").alias("max_drawdown"),
+        F.max_by(F.col("bucket_ts"), tie).alias("trough_ts"),
+        F.max_by(F.col("peak"), tie).alias("peak_price"),
+        F.max_by(F.col("close"), tie).alias("trough_price"),
+        F.count(F.lit(1)).cast("long").alias("n_hours"),
+    )
+
+
+def oracle_max_drawdown() -> str:
+    return f"""
+WITH {HOURLY_CTE},
+scanned AS (
+    SELECT instrument, h, close,
+           max(close) OVER (PARTITION BY instrument ORDER BY h
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+    FROM hourly
+),
+dd AS (
+    SELECT instrument, h, close, peak,
+           CASE WHEN peak = 0 THEN 0.0 ELSE (peak - close) / peak END AS dd,
+           count(*) OVER (PARTITION BY instrument) AS n_hours
+    FROM scanned
+),
+ranked2 AS (
+    SELECT *, row_number() OVER (PARTITION BY instrument
+                                 ORDER BY dd DESC, h ASC) AS r
+    FROM dd
+)
+SELECT instrument, dd AS max_drawdown, h AS trough_ts,
+       peak AS peak_price, close AS trough_price, n_hours
+FROM ranked2 WHERE r = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# twap
+# ---------------------------------------------------------------------------
+
+def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average close per (instrument, day) over the
+    irregular hourly candles: each candle's close holds until the next
+    candle that day (last candle holds to midnight), the textbook TWAP
+    on gappy samples. Weights are exact integer seconds from a ``lead``
+    window; the weighted sum accumulates DECIMAL, so the aggregate is
+    order-independent; the single final division is IEEE-exact.
+    """
+    hourly = hourly_candles(spark, sf_dir)
+    df = hourly.withColumn("day", F.date_trunc("day", F.col("bucket_ts")))
+    w = Window.partitionBy("instrument", "day").orderBy("bucket_ts")
+    next_ts = F.lead("bucket_ts").over(w)
+    day_end = F.col("day") + F.expr("INTERVAL 1 DAY")
+    weight = (
+        F.unix_timestamp(F.coalesce(next_ts, day_end))
+        - F.unix_timestamp(F.col("bucket_ts"))
+    ).cast("long")
+    weighted = df.select(
+        "instrument", "day",
+        weight.alias("w_secs"),
+        (F.col("close").cast("decimal(18,6)") * weight).alias("pw"),
+    )
+    return (
+        weighted.groupBy("instrument", "day")
+        .agg(
+            (
+                F.sum("pw").cast("double")
+                / F.sum("w_secs").cast("double")
+            ).alias("twap"),
+            F.sum("w_secs").cast("long").alias("covered_secs"),
+            F.count(F.lit(1)).cast("long").alias("n_candles"),
+        )
+    )
+
+
+def oracle_twap() -> str:
+    return f"""
+WITH {HOURLY_CTE},
+daily AS (
+    SELECT instrument, date_trunc('day', h) AS day, h, close,
+           lead(h) OVER (PARTITION BY instrument, date_trunc('day', h)
+                         ORDER BY h) AS next_h
+    FROM hourly
+),
+weighted AS (
+    SELECT instrument, day,
+           CAST(epoch(coalesce(next_h, day + INTERVAL 1 DAY)) - epoch(h) AS BIGINT) AS w_secs,
+           CAST(close AS DECIMAL(18,6))
+               * CAST(epoch(coalesce(next_h, day + INTERVAL 1 DAY)) - epoch(h) AS BIGINT) AS pw
+    FROM daily
+)
+SELECT instrument, day,
+       CAST(SUM(pw) AS DOUBLE) / CAST(SUM(w_secs) AS DOUBLE) AS twap,
+       CAST(SUM(w_secs) AS BIGINT) AS covered_secs,
+       CAST(count(*) AS BIGINT) AS n_candles
+FROM weighted GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# cumulative_uniques
+# ---------------------------------------------------------------------------
+
+def q_cumulative_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new users and the running size of the user base.
+
+    Cumulative COUNT(DISTINCT) is not window-expressible at scale; the
+    scalable decomposition is (1) collapse each user to their first
+    active day — one hash aggregate on the hash-uniform user key — then
+    (2) count per day and run an unbounded-preceding SUM over the
+    per-day aggregate, whose cardinality is O(#days): the only
+    single-partition window in the plan runs on dozens of rows, never
+    on the fact table.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    # day as a TIMESTAMP (date_trunc), not DATE: identical pandas dtype
+    # on both engines for the comparator
+    first_day = (
+        ev.groupBy("user_id")
+        .agg(F.min(F.date_trunc("day", F.col("ts"))).alias("day"))
+    )
+    daily = first_day.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "day", "new_users",
+        F.sum("new_users").over(w).cast("long").alias("cumulative_users"),
+    )
+
+
+def oracle_cumulative_uniques() -> str:
+    return """
+WITH first_day AS (
+    SELECT user_id, min(date_trunc('day', ts)) AS day FROM events GROUP BY 1
+),
+daily AS (
+    SELECT day, CAST(count(*) AS BIGINT) AS new_users FROM first_day GROUP BY 1
+)
+SELECT day, new_users,
+       CAST(SUM(new_users) OVER (ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cumulative_users
+FROM daily
+"""
+
+
+# ---------------------------------------------------------------------------
+# capped_running_sum
+# ---------------------------------------------------------------------------
+
+def q_capped_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user engagement meter: every event adds its value, errors
+    subtract it, and the meter saturates at [0, 500] after EVERY step —
+    the clamped fold (see :mod:`..operators.statefold` for why no
+    window frame can express this and how it still scales).
+    """
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    # Pre-scale to exact integer cents with the repo's portable
+    # half-away rule (floor(|v|*100 + 0.5) * sign): bit-identical in
+    # both engines, so the fold runs on exact BIGINTs.
+    cents = F.floor(F.abs(F.col("value")) * 100 + F.lit(0.5)).cast("long")
+    sign = F.when(F.col("event_type") == "error", F.lit(-1)).otherwise(F.lit(1))
+    src = ev.select(
+        "user_id", "ts", "event_id", (cents * sign).alias("delta")
+    )
+    return clamped_running_sum(
+        src,
+        keys=["user_id"],
+        order=["ts", "event_id"],
+        delta_col="delta",
+        lo=ENGAGEMENT_LO,
+        hi=ENGAGEMENT_HI,
+        divisor=100.0,
+        out_col="balance",
+    )
+
+
+def oracle_capped_running_sum() -> str:
+    src = """src AS (
+    SELECT user_id, ts, event_id,
+           CAST(floor(abs(value) * 100 + 0.5) AS BIGINT)
+               * (CASE WHEN event_type = 'error' THEN -1 ELSE 1 END) AS delta
+    FROM events WHERE value IS NOT NULL
+)"""
+    return clamped_running_sum_oracle_sql(
+        source_cte=src,
+        keys="user_id",
+        order_cols="ts, event_id",
+        lo=ENGAGEMENT_LO,
+        hi=ENGAGEMENT_HI,
+        divisor=100.0,
+        out_col="balance",
+        select_cols="user_id, ts, event_id",
+    )

@@ -1,0 +1,78 @@
+"""Edge semantics of the time-series family: clamped-fold saturation,
+drawdown tie-breaks, TWAP interval weighting."""
+
+from __future__ import annotations
+
+from options_data_pipeline_spark.operators.statefold import clamped_running_sum
+
+
+def _fold(spark, rows, lo=0, hi=100):
+    df = spark.createDataFrame(rows, "k string, seq int, delta long")
+    out = clamped_running_sum(
+        df, keys=["k"], order=["seq"], delta_col="delta",
+        lo=lo, hi=hi, divisor=1.0, out_col="bal",
+    )
+    return {(r.k, r.seq): r.bal for r in out.collect()}
+
+
+def test_clamp_saturates_at_both_bounds(spark):
+    # k1: 60 +60 -> clamp 100; then -250 -> clamp 0; then +30 -> 30
+    # (an unclamped sum would give 120 -> -130 -> -100: saturation is
+    # path-dependent, which is exactly what windows can't express)
+    got = _fold(spark, [
+        ("k1", 1, 60), ("k1", 2, 60), ("k1", 3, -250), ("k1", 4, 30),
+    ])
+    assert got[("k1", 1)] == 60.0
+    assert got[("k1", 2)] == 100.0
+    assert got[("k1", 3)] == 0.0
+    assert got[("k1", 4)] == 30.0
+
+
+def test_clamp_applies_to_first_row(spark):
+    got = _fold(spark, [("k1", 1, 999), ("k2", 1, -5)])
+    assert got[("k1", 1)] == 100.0
+    assert got[("k2", 1)] == 0.0
+
+
+def test_fold_is_per_key_and_order_driven(spark):
+    # rows arrive out of order; the fold must order by seq within key
+    got = _fold(spark, [
+        ("a", 2, -10), ("a", 1, 50), ("b", 1, 70), ("b", 2, 70),
+    ])
+    assert got[("a", 1)] == 50.0
+    assert got[("a", 2)] == 40.0
+    assert got[("b", 2)] == 100.0
+
+
+def test_drawdown_and_twap_shapes(spark):
+    """max_drawdown: peak is running (never decreases); drawdown uses the
+    prior peak, not the global max. twap: each close weighted by its gap
+    to the next candle, last candle held to midnight."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    rows = [
+        ("X", "2024-01-01 00:00:00", 100.0),
+        ("X", "2024-01-01 01:00:00", 80.0),   # dd 0.20 vs peak 100
+        ("X", "2024-01-01 05:00:00", 120.0),  # new peak
+        ("X", "2024-01-01 06:00:00", 102.0),  # dd 0.15 vs peak 120
+    ]
+    df = spark.createDataFrame(rows, "instrument string, ts string, close double") \
+        .selectExpr("instrument", "cast(ts as timestamp) bucket_ts", "close")
+    w = (
+        Window.partitionBy("instrument").orderBy("bucket_ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    peak = F.max("close").over(w)
+    dd = (peak - F.col("close")) / peak
+    got = df.select("bucket_ts", dd.alias("dd")).collect()
+    dds = [round(r.dd, 4) for r in got]
+    assert dds == [0.0, 0.2, 0.0, 0.15]
+
+    # TWAP weights: candle at 00:00 holds 1h, 01:00 holds 4h (gap),
+    # 05:00 holds 1h, 06:00 holds 18h to midnight
+    nxt = F.lead("bucket_ts").over(Window.partitionBy("instrument").orderBy("bucket_ts"))
+    day_end = F.date_trunc("day", F.col("bucket_ts")) + F.expr("INTERVAL 1 DAY")
+    wsec = F.unix_timestamp(F.coalesce(nxt, day_end)) - F.unix_timestamp("bucket_ts")
+    weights = [r.w for r in df.select(wsec.alias("w")).collect()]
+    assert weights == [3600, 4 * 3600, 3600, 18 * 3600]
