@@ -1835,3 +1835,129 @@ GROUP BY 1, 2
 ORDER BY pair_count DESC, "left" ASC, "right" ASC
 LIMIT {_BPE_TOP}
 """
+
+
+# ---------------------------------------------------------------------------
+# bigram_pmi — collocation mining
+# ---------------------------------------------------------------------------
+
+_PMI_MIN_PAIR = 5   # min bigram occurrences before PMI is meaningful
+_PMI_TOP = 50
+
+
+def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: adjacent word pairs ranked by a PMI-style
+    association ratio — the phrase detector (``"new york"``,
+    ``"machine learning"``) run before vocabulary building so
+    multi-word units become single tokens.
+
+    The statistic is the exact rational
+
+        ratio = (c_ab * N_uni * N_uni) / (N_bi * c_a * c_b)
+
+    (the exp of PMI with unigram/bigram normalizers) computed with
+    IEEE-exact double products in a pinned association order — no
+    ``log``, so no libm variance between engines. Shapes: one bigram
+    fan-out + hash aggregate, one unigram aggregate, two 1-row scalar
+    aggregates broadcast, then two joins against the unigram counts on
+    the hash-uniform term key (dimension-sized — AQE broadcasts them).
+    Top-50 is TakeOrderedAndProject.
+    """
+    docs = parallelized(spark, load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "text"
+    )
+    toks = docs.select(F.explode(F.split("text", " ")).alias("term")).where(
+        F.length("term") > 0
+    )
+    uni = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c_term"))
+    n_uni = uni.agg(F.sum("c_term").cast("long").alias("n_uni"))
+
+    bigram_expr = (
+        "CASE WHEN size(split(text, ' ')) >= 2 THEN "
+        "transform(sequence(1, size(split(text, ' ')) - 1), "
+        "i -> struct(split(text, ' ')[i-1] AS term_a, split(text, ' ')[i] AS term_b)) "
+        "ELSE array() END"
+    )
+    bi = (
+        docs.select(F.explode(F.expr(bigram_expr)).alias("bg"))
+        .select("bg.term_a", "bg.term_b")
+        .where((F.length("term_a") > 0) & (F.length("term_b") > 0))
+        .groupBy("term_a", "term_b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .where(F.col("c_ab") >= _PMI_MIN_PAIR)
+    )
+    n_bi = bi.agg(F.sum("c_ab").cast("long").alias("n_bi"))
+
+    ua = uni.select(F.col("term").alias("term_a"), F.col("c_term").alias("c_a"))
+    ub = uni.select(F.col("term").alias("term_b"), F.col("c_term").alias("c_b"))
+    ratio = (
+        F.col("c_ab").cast("double")
+        * F.col("n_uni").cast("double")
+        * F.col("n_uni").cast("double")
+    ) / (
+        F.col("n_bi").cast("double")
+        * F.col("c_a").cast("double")
+        * F.col("c_b").cast("double")
+    )
+    return (
+        bi.join(ua, "term_a")
+        .join(ub, "term_b")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_bi))
+        .select(
+            "term_a", "term_b",
+            F.col("c_ab").cast("long").alias("pair_count"),
+            F.col("c_a").cast("long").alias("count_a"),
+            F.col("c_b").cast("long").alias("count_b"),
+            ratio.alias("pmi_ratio"),
+        )
+        .orderBy(
+            F.col("pmi_ratio").desc(),
+            F.col("pair_count").desc(),
+            F.col("term_a").asc(),
+            F.col("term_b").asc(),
+        )
+        .limit(_PMI_TOP)
+    )
+
+
+def oracle_bigram_pmi() -> str:
+    return f"""
+WITH toks AS (
+    SELECT unnest(string_split(text, ' ')) AS term FROM documents
+),
+uni AS (
+    SELECT term, count(*) AS c_term FROM toks WHERE length(term) > 0 GROUP BY 1
+),
+nu AS (SELECT CAST(SUM(c_term) AS BIGINT) AS n_uni FROM uni),
+bg AS (
+    SELECT p.term_a, p.term_b
+    FROM (
+        SELECT unnest(list_transform(
+                   range(1, greatest(len(string_split(text, ' ')) - 1, 0) + 1),
+                   i -> struct_pack(term_a := string_split(text, ' ')[i],
+                                    term_b := string_split(text, ' ')[i+1]))) AS p
+        FROM documents
+    )
+    WHERE length(p.term_a) > 0 AND length(p.term_b) > 0
+),
+bi AS (
+    SELECT term_a, term_b, count(*) AS c_ab
+    FROM bg GROUP BY 1, 2
+    HAVING count(*) >= {_PMI_MIN_PAIR}
+),
+nb AS (SELECT CAST(SUM(c_ab) AS BIGINT) AS n_bi FROM bi)
+SELECT bi.term_a, bi.term_b,
+       CAST(bi.c_ab AS BIGINT) AS pair_count,
+       CAST(ua.c_term AS BIGINT) AS count_a,
+       CAST(ub.c_term AS BIGINT) AS count_b,
+       (CAST(bi.c_ab AS DOUBLE) * CAST(nu.n_uni AS DOUBLE) * CAST(nu.n_uni AS DOUBLE))
+           / (CAST(nb.n_bi AS DOUBLE) * CAST(ua.c_term AS DOUBLE) * CAST(ub.c_term AS DOUBLE))
+           AS pmi_ratio
+FROM bi
+JOIN uni ua ON ua.term = bi.term_a
+JOIN uni ub ON ub.term = bi.term_b
+CROSS JOIN nu CROSS JOIN nb
+ORDER BY pmi_ratio DESC, pair_count DESC, term_a ASC, term_b ASC
+LIMIT {_PMI_TOP}
+"""

@@ -769,3 +769,105 @@ FROM exact
 LEFT JOIN approx ON exact.qid = approx.qid AND exact.cid = approx.cid
 GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# hard_negatives — contrastive mining
+# ---------------------------------------------------------------------------
+
+HN_K = 3  # hardest negatives kept per anchor
+
+
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining: for each anchor vector, the
+    HN_K most-similar vectors with a DIFFERENT label — the pairs a
+    contrastive/embedding trainer needs (similar in vector space,
+    separated by supervision).
+
+    Same guarded broadcast-cross-join shape as ``ann_cosine_topk``
+    (anchors broadcast, corpus repartitioned so the O(|A|x|C|) scoring
+    spreads across tasks), with the label-inequality predicate applied
+    before ranking so the window only sees cross-label pairs. At scale
+    the corpus side swaps for the IVF cell-probe path unchanged — the
+    predicate composes with any candidate generator.
+    """
+    from ..operators.similarity import _dot
+    from ..functions.rounding import round_half_away
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchors = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        F.col("label").alias("qlabel"),
+    )
+    corpus = parallelized(
+        spark,
+        emb.select(
+            F.col("vec_id").alias("cid"),
+            F.col("embedding").alias("cv"),
+            F.col("label").alias("clabel"),
+        ),
+    )
+    q = anchors.withColumn("_qq", _dot(F.col("qv"), F.col("qv")))
+    c = corpus.withColumn("_cc", _dot(F.col("cv"), F.col("cv")))
+    pairs = c.crossJoin(F.broadcast(q)).where(
+        F.col("clabel") != F.col("qlabel")
+    )
+    sim = round_half_away(
+        _dot(F.col("qv"), F.col("cv")) / F.sqrt(F.col("_qq") * F.col("_cc")), 4
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cosine_sim").desc(), F.col("cid").asc()
+    )
+    return (
+        pairs.withColumn("cosine_sim", sim)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= HN_K)
+        .select(
+            "qid", F.col("qlabel").alias("anchor_label"),
+            "cid", F.col("clabel").alias("negative_label"),
+            "cosine_sim", F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def oracle_hard_negatives() -> str:
+    dot = (
+        "list_reduce(list_transform(range(1, len(qv)+1), i -> qv[i] * cv[i]),"
+        " (acc, x) -> acc + x)"
+    )
+    qq = (
+        "list_reduce(list_transform(range(1, len(qv)+1), i -> qv[i] * qv[i]),"
+        " (acc, x) -> acc + x)"
+    )
+    cc = (
+        "list_reduce(list_transform(range(1, len(cv)+1), i -> cv[i] * cv[i]),"
+        " (acc, x) -> acc + x)"
+    )
+    sim = sql_round_half_away(f"({dot} / sqrt({qq} * {cc}))", 4)
+    return f"""
+WITH q AS (
+    SELECT vec_id AS qid, label AS qlabel,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+    FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+c AS (
+    SELECT vec_id AS cid, label AS clabel,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+    FROM embeddings
+),
+pairs AS (
+    SELECT qid, qlabel, cid, clabel, {sim} AS cosine_sim
+    FROM q CROSS JOIN c
+    WHERE clabel != qlabel
+),
+rk AS (
+    SELECT *, row_number() OVER (PARTITION BY qid
+                                 ORDER BY cosine_sim DESC, cid ASC) AS rank
+    FROM pairs
+)
+SELECT qid, qlabel AS anchor_label, cid, clabel AS negative_label,
+       cosine_sim, CAST(rank AS BIGINT) AS rank
+FROM rk WHERE rank <= {HN_K}
+"""
