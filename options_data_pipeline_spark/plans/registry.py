@@ -249,6 +249,14 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
         timeseries.q_capped_running_sum,
         timeseries.oracle_capped_running_sum,
     ),
+    "top_event_paths": (
+        timeseries.q_top_event_paths,
+        timeseries.oracle_top_event_paths,
+    ),
+    "user_value_trend": (
+        timeseries.q_user_value_trend,
+        timeseries.oracle_user_value_trend,
+    ),
     # --- training-data ops: multimodal (mapInPandas over binary payloads) ---
     "media_features": (media.q_media_features, media.oracle_media_features),
     "media_frames": (media.q_media_frames, media.oracle_media_frames),

@@ -267,3 +267,175 @@ def oracle_capped_running_sum() -> str:
         out_col="balance",
         select_cols="user_id, ts, event_id",
     )
+
+
+# ---------------------------------------------------------------------------
+# top_event_paths
+# ---------------------------------------------------------------------------
+
+PATH_PREFIX_LEN = 3   # leading events kept per session path
+PATH_TOP = 20
+
+
+def q_top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most common session-opening event paths: per 30-minute activity
+    session, the first ``PATH_PREFIX_LEN`` event types in time order
+    collapsed to a ``view>click>purchase`` path string, then counted
+    across sessions — the navigation-flow report.
+
+    The ordered collapse is ``array_sort(collect_list(struct(ts,
+    event_id, event_type)))`` inside the session aggregate: struct
+    ordering makes the sequence total (ties break on event_id), so the
+    path string is deterministic under any partitioning — no window,
+    no second shuffle; sessionization reuses ``F.session_window``
+    exactly as `user_sessions` (proven equal to the gaps-and-islands
+    SQL there). Two shuffles end-to-end (session agg, path count).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ordered = F.array_sort(
+        F.collect_list(F.struct("ts", "event_id", "event_type"))
+    )
+    path = F.array_join(
+        F.slice(
+            F.transform(ordered, lambda x: x["event_type"]),
+            1, PATH_PREFIX_LEN,
+        ),
+        ">",
+    )
+    sessions = (
+        ev.groupBy(F.session_window("ts", "30 minutes"), F.col("user_id"))
+        .agg(
+            path.alias("path"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    return (
+        sessions.groupBy("path")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            F.sum("n_events").cast("long").alias("n_events"),
+        )
+        .orderBy(F.col("n_sessions").desc(), F.col("path").asc())
+        .limit(PATH_TOP)
+    )
+
+
+def oracle_top_event_paths() -> str:
+    return f"""
+WITH marked AS (
+    SELECT user_id, ts, event_id, event_type,
+        CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 30 * 60000000
+              OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_start
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+    SELECT user_id, ts, event_id, event_type,
+           SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sid
+    FROM marked
+),
+paths AS (
+    SELECT user_id, sid,
+           array_to_string(
+               list_slice(list(event_type ORDER BY ts, event_id),
+                          1, {PATH_PREFIX_LEN}), '>') AS path,
+           count(*) AS n_events
+    FROM sess GROUP BY 1, 2
+)
+SELECT path, CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(n_events) AS BIGINT) AS n_events
+FROM paths GROUP BY 1
+ORDER BY n_sessions DESC, path ASC
+LIMIT {PATH_TOP}
+"""
+
+
+# ---------------------------------------------------------------------------
+# user_value_trend — grouped OLS on sufficient statistics
+# ---------------------------------------------------------------------------
+
+TREND_MIN_N = 5
+_TREND_T0 = "2024-01-01 00:00:00"  # x origin: keeps x small => BIGINT-exact x²
+
+
+def q_user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user purchase-value trend: OLS slope of value (cents) vs
+    time, computed entirely from the five sufficient statistics
+    (n, Σx, Σy, Σxy, Σx²) — each an exact BIGINT partial aggregate, so
+    the regression is one scan + one hash aggregate with map-side
+    combine and NO per-user sort: the textbook scale-out decomposition
+    of grouped regression.
+
+    x is seconds since a fixed origin (bounds x² within BIGINT at any
+    per-user history this domain produces), y is portable half-away
+    cents. The final slope/intercept arithmetic converts the exact
+    integers to doubles in a pinned association order, so both engines
+    compute bit-identical results.
+    """
+    ev = load_table(spark, sf_dir, "events").where(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    )
+    # whole seconds via floored micros on BOTH engines (DuckDB's epoch()
+    # keeps the fractional part and its BIGINT cast rounds — a 1-second
+    # x disagreement on ~half the rows otherwise)
+    x = (
+        F.expr("unix_micros(ts) div 1000000")
+        - F.unix_timestamp(F.lit(_TREND_T0).cast("timestamp"))
+    ).cast("long")
+    y = F.floor(F.abs(F.col("value")) * 100 + F.lit(0.5)).cast("long")
+    src = ev.select("user_id", x.alias("x"), y.alias("y"))
+    stats = src.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    ).where(F.col("n") >= TREND_MIN_N)
+    n_d = F.col("n").cast("double")
+    sx_d = F.col("sx").cast("double")
+    sy_d = F.col("sy").cast("double")
+    sxy_d = F.col("sxy").cast("double")
+    sxx_d = F.col("sxx").cast("double")
+    denom = n_d * sxx_d - sx_d * sx_d
+    slope = F.when(denom == 0, F.lit(None).cast("double")).otherwise(
+        (n_d * sxy_d - sx_d * sy_d) / denom
+    )
+    return stats.select(
+        "user_id",
+        F.col("n").alias("n_purchases"),
+        (slope * 86400.0 / 100.0).alias("slope_per_day"),
+        ((sy_d / n_d) / 100.0).alias("mean_value"),
+    )
+
+
+def oracle_user_value_trend() -> str:
+    return f"""
+WITH src AS (
+    SELECT user_id,
+           (epoch_us(ts) // 1000000)
+               - CAST(epoch(TIMESTAMP '{_TREND_T0}') AS BIGINT) AS x,
+           CAST(floor(abs(value) * 100 + 0.5) AS BIGINT) AS y
+    FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+),
+stats AS (
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(x) AS BIGINT) AS sx,
+           CAST(SUM(y) AS BIGINT) AS sy,
+           CAST(SUM(x * y) AS BIGINT) AS sxy,
+           CAST(SUM(x * x) AS BIGINT) AS sxx
+    FROM src GROUP BY 1
+    HAVING count(*) >= {TREND_MIN_N}
+)
+SELECT user_id, n AS n_purchases,
+       (CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) = 0 THEN NULL
+             ELSE (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        END) * 86400.0 / 100.0 AS slope_per_day,
+       (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) / 100.0 AS mean_value
+FROM stats
+"""
