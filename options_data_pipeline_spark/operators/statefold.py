@@ -128,3 +128,162 @@ walk AS (
 )
 SELECT {select_cols}, CAST(bal AS DOUBLE) / {divisor} AS {out_col} FROM walk
 """
+
+
+# ---------------------------------------------------------------------------
+# Distributed scan variant — keys larger than a task
+# ---------------------------------------------------------------------------
+
+def _compose(g1: tuple[float, float, int], g2: tuple[float, float, int]):
+    """Composition g2∘g1 of capped affine maps g=(l,u,d) meaning
+    x -> min(u, max(l, x + d)). Closed form:
+
+        l = min(u2, max(l2, l1 + d2))
+        u = min(u2, max(l2, u1 + d2))
+        d = d1 + d2
+
+    (shift g1's clamp band by d2, then clamp it into g2's band; the
+    translation parts add). Associative with identity (-inf, +inf, 0).
+    """
+    l1, u1, d1 = g1
+    l2, u2, d2 = g2
+    return (
+        min(u2, max(l2, l1 + d2)),
+        min(u2, max(l2, u1 + d2)),
+        d1 + d2,
+    )
+
+
+def clamped_running_sum_scan(
+    df: DataFrame,
+    *,
+    keys: Iterable[str],
+    order: Iterable[str],
+    delta_col: str,
+    lo: int,
+    hi: int,
+    divisor: float = 100.0,
+    out_col: str = "balance",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Two-phase distributed version of :func:`clamped_running_sum` for
+    keys whose history exceeds a single task — the Blelloch-style scan
+    over capped-affine function composition promised in the module
+    docstring, made concrete.
+
+    Phase A: range-partition + sort on (keys..., order...), then one
+    ``mapInPandas`` pass emits, per (partition, key) segment, the
+    composition (l, u, d) of all its steps — O(segments) rows, where
+    segments ≤ n_keys + n_partitions (a key crosses a partition
+    boundary at most once per boundary).
+
+    Driver: for each key spanning multiple partitions, fold the segment
+    compositions in partition order to get the state *entering* every
+    segment (starting from 0 — ``S_0 = clamp(0 + d_0)`` makes the seed
+    uniform). The collected frame is segment-sized, not row-sized, and
+    only boundary keys (≤ 2× partitions) need any folding.
+
+    Phase B: a second ``mapInPandas`` over the SAME persisted
+    partitioning replays each segment's rows from its entering state.
+    The input is persisted between phases because range partitioning
+    samples its bounds — unpinned, the two jobs could see different
+    partition assignments.
+
+    Bit-equal to the grouped-map fold under any partitioning (pinned by
+    tests/test_timeseries_unit.py), including a single key spread over
+    every partition.
+    """
+    import pandas as pd
+
+    keys = list(keys)
+    order = list(order)
+    spark = df.sparkSession
+    n_parts = num_partitions or spark.sparkContext.defaultParallelism
+
+    parted = (
+        df.select(*keys, *order, delta_col)
+        .repartitionByRange(n_parts, *keys, *order)
+        .sortWithinPartitions(*keys, *order)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    key_t = [df.schema[k] for k in keys]
+    seg_schema = T.StructType(
+        [T.StructField("_pid", T.IntegerType())]
+        + key_t
+        + [
+            T.StructField("_l", T.DoubleType()),
+            T.StructField("_u", T.DoubleType()),
+            T.StructField("_d", T.LongType()),
+        ]
+    )
+
+    lo_f, hi_f = float(lo), float(hi)
+
+    def phase_a(batches):
+        # compose per (pid, key) in row order (input arrives sorted)
+        acc: dict[tuple, tuple] = {}
+        seen: list[tuple] = []
+        for pdf in batches:
+            cols = [pdf["_pid"].values] + [pdf[c].values for c in keys]
+            deltas = pdf[delta_col].values
+            for i, d in enumerate(deltas):
+                k = tuple(c[i] for c in cols)
+                step = (lo_f, hi_f, int(d))
+                if k in acc:
+                    acc[k] = _compose(acc[k], step)
+                else:
+                    acc[k] = step
+                    seen.append(k)
+        out = {
+            "_pid": [int(k[0]) for k in seen],
+            **{c: [k[1 + i] for k in seen] for i, c in enumerate(keys)},
+            "_l": [acc[k][0] for k in seen],
+            "_u": [acc[k][1] for k in seen],
+            "_d": [acc[k][2] for k in seen],
+        }
+        yield pd.DataFrame(out)
+
+    segs = parted.mapInPandas(phase_a, schema=seg_schema).collect()
+
+    # entering state per (pid, key): fold prior segments of the key
+    segs.sort(key=lambda r: r["_pid"])
+    entering: dict[tuple, float] = {}
+    running: dict[tuple, float] = {}
+    for r in segs:
+        k = tuple(r[c] for c in keys)
+        pk = (r["_pid"],) + k
+        state = running.get(k, 0.0)
+        entering[pk] = state
+        # state after this segment = g(state)
+        running[k] = min(r["_u"], max(r["_l"], state + r["_d"]))
+    b_entering = spark.sparkContext.broadcast(entering)
+
+    out_fields = [df.schema[c] for c in keys + order]
+    out_schema = T.StructType(
+        out_fields + [T.StructField(out_col, T.DoubleType())]
+    )
+
+    def phase_b(batches):
+        ent = b_entering.value
+        state: dict[tuple, float] = {}
+        for pdf in batches:
+            cols = [pdf["_pid"].values] + [pdf[c].values for c in keys]
+            deltas = pdf[delta_col].values
+            bals = []
+            for i, d in enumerate(deltas):
+                k = tuple(c[i] for c in cols)
+                bal = state.get(k)
+                if bal is None:
+                    bal = ent.get(k, 0.0)
+                bal = min(hi_f, max(lo_f, bal + int(d)))
+                state[k] = bal
+                bals.append(bal / divisor)
+            out = pdf[keys + order].copy()
+            out[out_col] = bals
+            yield out
+
+    # parted stays persisted for the lifetime of the result's lineage
+    # (range-partition bounds are sampled — recomputing could reassign
+    # rows between phases); Spark evicts LRU, tests clearCache().
+    return parted.mapInPandas(phase_b, schema=out_schema)

@@ -76,3 +76,52 @@ def test_drawdown_and_twap_shapes(spark):
     wsec = F.unix_timestamp(F.coalesce(nxt, day_end)) - F.unix_timestamp("bucket_ts")
     weights = [r.w for r in df.select(wsec.alias("w")).collect()]
     assert weights == [3600, 4 * 3600, 3600, 18 * 3600]
+
+
+def test_distributed_scan_equals_grouped_fold(spark):
+    """clamped_running_sum_scan (capped-affine composition two-phase
+    scan) is bit-equal to the grouped-map fold — including ONE key whose
+    history spans every partition, the case grouped-map can't shard."""
+    import random
+
+    from options_data_pipeline_spark.operators.statefold import (
+        clamped_running_sum_scan,
+    )
+
+    rng = random.Random(7)
+    rows = [
+        ("hot", i, rng.randint(-40, 45)) for i in range(2000)
+    ] + [
+        (f"k{j}", i, rng.randint(-40, 45))
+        for j in range(5) for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "k string, seq int, delta long")
+
+    kw = dict(keys=["k"], order=["seq"], delta_col="delta",
+              lo=0, hi=100, divisor=1.0, out_col="bal")
+    expect = {
+        (r.k, r.seq): r.bal
+        for r in clamped_running_sum(df, **kw).collect()
+    }
+    got = {
+        (r.k, r.seq): r.bal
+        for r in clamped_running_sum_scan(df, num_partitions=8, **kw).collect()
+    }
+    assert got == expect and len(got) == 2250
+    spark.catalog.clearCache()
+
+
+def test_compose_algebra():
+    """g2∘g1 closed form: check against direct application on a grid."""
+    from options_data_pipeline_spark.operators.statefold import _compose
+
+    def apply(g, x):
+        low, u, d = g
+        return min(u, max(low, x + d))
+
+    gs = [(0.0, 100.0, 30), (0.0, 100.0, -70), (10.0, 60.0, 5), (0.0, 100.0, 200)]
+    for g1 in gs:
+        for g2 in gs:
+            comp = _compose(g1, g2)
+            for x in range(-50, 160, 7):
+                assert apply(comp, float(x)) == apply(g2, apply(g1, float(x)))
