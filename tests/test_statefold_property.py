@@ -1,0 +1,99 @@
+"""Property-based invariants of the clamped fold: for random deltas,
+bounds, and key layouts, the grouped-map fold, the distributed
+composition scan, and a plain-Python reference walk must agree exactly.
+One Spark round per example is slow, so the strategy packs several keys
+into a single example and caps example counts."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from options_data_pipeline_spark.operators.statefold import (
+    _compose,
+    clamped_running_sum,
+    clamped_running_sum_scan,
+)
+
+
+def _reference(rows, lo, hi):
+    """Plain-Python walk: the executable spec."""
+    out = {}
+    state: dict[str, int] = {}
+    for k, seq, d in sorted(rows):
+        bal = state.get(k, 0) + d
+        bal = min(hi, max(lo, bal))
+        state[k] = bal
+        out[(k, seq)] = float(bal)
+    return out
+
+
+@st.composite
+def fold_case(draw):
+    n_keys = draw(st.integers(1, 4))
+    lo = draw(st.integers(-50, 0))
+    hi = draw(st.integers(1, 120))
+    rows = []
+    for ki in range(n_keys):
+        n = draw(st.integers(1, 30))
+        deltas = draw(
+            st.lists(st.integers(-200, 200), min_size=n, max_size=n)
+        )
+        rows += [(f"k{ki}", i, d) for i, d in enumerate(deltas)]
+    return rows, lo, hi
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(fold_case())
+def test_fold_and_scan_match_reference(spark, case):
+    rows, lo, hi = case
+    df = spark.createDataFrame(rows, "k string, seq int, delta long")
+    kw = dict(keys=["k"], order=["seq"], delta_col="delta",
+              lo=lo, hi=hi, divisor=1.0, out_col="bal")
+    expect = _reference(rows, lo, hi)
+    fold = {(r.k, r.seq): r.bal for r in clamped_running_sum(df, **kw).collect()}
+    assert fold == expect
+    scan = {
+        (r.k, r.seq): r.bal
+        for r in clamped_running_sum_scan(df, num_partitions=3, **kw).collect()
+    }
+    assert scan == expect
+    spark.catalog.clearCache()
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(-30, 0), st.integers(0, 60), st.integers(-100, 100)
+        ).map(lambda t: (float(min(t[0], t[1])), float(max(t[0], t[1])), t[2])),
+        min_size=2,
+        max_size=6,
+    ),
+    st.integers(-80, 80),
+)
+def test_compose_chain_associativity(gs, x0):
+    """Folding the whole chain through _compose equals applying the maps
+    one-by-one, for any association order (left fold vs right fold)."""
+    def apply(g, x):
+        lo, hi, d = g
+        return min(hi, max(lo, x + d))
+
+    direct = float(x0)
+    for g in gs:
+        direct = apply(g, direct)
+
+    left = gs[0]
+    for g in gs[1:]:
+        left = _compose(left, g)
+
+    right = gs[-1]
+    for g in reversed(gs[:-1]):
+        right = _compose(g, right)
+
+    assert apply(left, float(x0)) == direct
+    assert apply(right, float(x0)) == direct
