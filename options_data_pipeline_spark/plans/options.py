@@ -66,11 +66,21 @@ def synth_trades(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_option_chain_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Parse instrument names (F1), then run the A5 aggregate."""
+    from ..operators.materialize import materialize
+
     trades = synth_trades(spark, sf_dir)
-    parsed = I.with_parsed_instrument(trades).where(
-        F.col("expiry_date").isNotNull()  # P8 skip-unparseable
+    # Materialize the parsed trades (the silver table of the reference's
+    # bronze->silver->gold lifecycle) before filtering: the P8 predicate
+    # references expiry_date, and without a lineage barrier Catalyst
+    # pushes isnotnull(<full regex+make_date CASE>) through every project
+    # AND the parallelizing exchange, inlining it into the FileScan's
+    # DataFilters — where it runs serially on the 1-3 scan partitions
+    # (measured ~3 s of the query at sf0.1). Behind the barrier, parse
+    # runs once at full parallelism and the filter is an attribute read.
+    parsed = materialize(I.with_parsed_instrument(trades))
+    out = option_ohlc_hourly(
+        parsed.where(F.col("expiry_date").isNotNull())  # P8 skip-unparseable
     )
-    out = option_ohlc_hourly(parsed)
     # DATE-typed outputs round-trip differently through pandas/arrow in the
     # two engines; emit midnight timestamps for comparison stability.
     return out.withColumn("expiry_date", F.col("expiry_date").cast("timestamp"))
