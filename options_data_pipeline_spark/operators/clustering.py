@@ -101,14 +101,16 @@ def assign_to_centroids(
     vectorized Pandas UDF, which would trade away oracle bit-parity
     (numpy reduces pairwise, not left-fold).
     """
-    cent = F.array(
-        *[
-            F.struct(
-                F.lit(int(cid)).alias("cid"),
-                F.array(*[F.lit(float(x)) for x in cv]).alias("cv"),
-            )
+    # JVM-parsed constant (functions/litconst.py rationale): k x dim
+    # literals built Column-by-Column cost a py4j trip per element, and
+    # kmeans rebuilds this plan EVERY iteration
+    from ..functions.litconst import double_array_sql
+
+    cent = F.expr(
+        "array(" + ", ".join(
+            f"named_struct('cid', {int(cid)}, 'cv', {double_array_sql(cv)})"
             for cid, cv in centroids
-        ]
+        ) + ")"
     )
     best = F.array_min(
         F.transform(

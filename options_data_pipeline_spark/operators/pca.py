@@ -201,9 +201,11 @@ def project(
     (``F.aggregate``), so results do not depend on partitioning."""
     out = emb
     d = len(means)
-    mean_arr = F.array(*[F.lit(float(m)) for m in means])
+    from ..functions.litconst import lit_double_array
+
+    mean_arr = lit_double_array(means)
     for m, w in enumerate(loadings, start=1):
-        w_arr = F.array(*[F.lit(float(x)) for x in w])
+        w_arr = lit_double_array(w)
         centered = F.zip_with(
             F.col(vec_col).cast("array<double>"), mean_arr,
             lambda x, mu: x - mu,

@@ -5,6 +5,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.litconst import lit_double_array
 from ..functions.rounding import sql_round_half_away
 from ..operators.similarity import cosine_topk
 from ..sources.tables import load_table, parallelized
@@ -550,7 +551,7 @@ def q_rp_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale = float(RP_IN_DIMS) ** 0.5
     outs = []
     for j in range(RP_OUT_DIMS):
-        sv = F.array(*[F.lit(float(s)) for s in _rp_signs(j)])
+        sv = lit_double_array(_rp_signs(j))
         fold = F.aggregate(
             F.zip_with(F.col("v"), sv, lambda x, s: x * s),
             F.lit(0.0),
