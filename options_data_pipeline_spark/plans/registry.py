@@ -134,6 +134,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
         tpch.oracle_nation_trade_volume,
     ),
     "qty_price_corr": (tpch.q_qty_price_corr, tpch.oracle_qty_price_corr),
+    "yoy_revenue": (tpch.q_yoy_revenue, tpch.oracle_yoy_revenue),
     # --- round-4: remaining TPC-H archetypes (Q2/Q8/Q9/Q10/Q11/Q15/Q16/Q19/Q20) ---
     "min_cost_supplier": (tpch2.q_min_cost_supplier, tpch2.oracle_min_cost_supplier),
     "market_share": (tpch2.q_market_share, tpch2.oracle_market_share),

@@ -1484,3 +1484,70 @@ SELECT ancestor,
            AS desc_price_sum
 FROM anc GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# yoy_revenue — calendar-true year-over-year comparison
+# ---------------------------------------------------------------------------
+
+def q_yoy_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue per order priority with the same-month-last-year
+    comparison: the YoY report every sales dashboard runs.
+
+    The prior-year figure comes from a self-join of the COMPACT monthly
+    aggregate on a shifted month key (``add_months(month, 12)``), not
+    ``lag(12)`` — a missing month misaligns a row-offset lag silently,
+    while the calendar join stays correct under gaps and is a
+    broadcast-sized join (months x priorities rows). Revenue sums are
+    exact DECIMAL; the ratio divides the exact operands as doubles.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = (
+        orders.groupBy(
+            F.date_trunc("month", F.col("o_orderdate")).alias("month"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+        )
+    )
+    prev = monthly.select(
+        F.add_months(F.col("month"), 12).cast("timestamp").alias("month"),
+        F.col("priority"),
+        F.col("rev").alias("prev_rev"),
+    )
+    joined = monthly.join(prev, ["month", "priority"], "left")
+    return joined.select(
+        "month", "priority",
+        F.col("rev").cast("double").alias("revenue"),
+        "n_orders",
+        F.col("prev_rev").cast("double").alias("prev_revenue"),
+        F.when(
+            F.col("prev_rev").isNull() | (F.col("prev_rev") == 0),
+            F.lit(None).cast("double"),
+        ).otherwise(
+            F.col("rev").cast("double") / F.col("prev_rev").cast("double")
+        ).alias("yoy_ratio"),
+    )
+
+
+def oracle_yoy_revenue() -> str:
+    return """
+WITH monthly AS (
+    SELECT date_trunc('month', o_orderdate) AS month,
+           o_orderpriority AS priority,
+           SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY 1, 2
+)
+SELECT m.month, m.priority,
+       CAST(m.rev AS DOUBLE) AS revenue,
+       m.n_orders,
+       CAST(p.rev AS DOUBLE) AS prev_revenue,
+       CASE WHEN p.rev IS NULL OR p.rev = 0 THEN NULL
+            ELSE CAST(m.rev AS DOUBLE) / CAST(p.rev AS DOUBLE) END AS yoy_ratio
+FROM monthly m
+LEFT JOIN monthly p
+  ON p.month + INTERVAL 12 MONTH = m.month AND p.priority = m.priority
+"""
