@@ -1863,13 +1863,23 @@ def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     the hash-uniform term key (dimension-sized — AQE broadcasts them).
     Top-50 is TakeOrderedAndProject.
     """
+    from ..operators.materialize import materialize
+
     docs = parallelized(spark, load_table(spark, sf_dir, "documents")).select(
         "doc_id", "text"
     )
     toks = docs.select(F.explode(F.split("text", " ")).alias("term")).where(
         F.length("term") > 0
     )
-    uni = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c_term"))
+    # Materialize both compact aggregates: three plan branches consume
+    # the unigram counts (marginal a, marginal b, normalizer) and two
+    # consume the bigram counts — without a materialization point
+    # Catalyst re-derives the corpus explode+aggregate per branch
+    # (12 shuffles, 5 corpus scans; with it: the corpus is scanned once
+    # per gram order and the join inputs are vocabulary-sized tables).
+    uni = materialize(
+        toks.groupBy("term").agg(F.count(F.lit(1)).alias("c_term"))
+    )
     n_uni = uni.agg(F.sum("c_term").cast("long").alias("n_uni"))
 
     bigram_expr = (
@@ -1878,7 +1888,7 @@ def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         "i -> struct(split(text, ' ')[i-1] AS term_a, split(text, ' ')[i] AS term_b)) "
         "ELSE array() END"
     )
-    bi = (
+    bi = materialize(
         docs.select(F.explode(F.expr(bigram_expr)).alias("bg"))
         .select("bg.term_a", "bg.term_b")
         .where((F.length("term_a") > 0) & (F.length("term_b") > 0))
@@ -1960,4 +1970,87 @@ JOIN uni ub ON ub.term = bi.term_b
 CROSS JOIN nu CROSS JOIN nb
 ORDER BY pmi_ratio DESC, pair_count DESC, term_a ASC, term_b ASC
 LIMIT {_PMI_TOP}
+"""
+
+
+# ---------------------------------------------------------------------------
+# length_ks_drift — two-sample Kolmogorov–Smirnov
+# ---------------------------------------------------------------------------
+
+def q_length_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic between the document
+    length distribution of English and non-English docs — the
+    distribution-drift gate a corpus pipeline runs when a new source or
+    language mix lands.
+
+    Exactness: D = max_v |F_en(v) - F_other(v)| is evaluated on the
+    INTEGER cross-product |ca*n2 - cb*n1| (ca, cb = cumulative counts at
+    each distinct length), so the argmax and the max are found with zero
+    float comparisons; the single division by n1*n2 happens once at the
+    end. Shapes: one scan + one hash aggregate on the length value, a
+    cumulative window over the ~|distinct lengths| aggregate (compact by
+    construction — lengths, not documents), one 1-row reduce.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    per_len = (
+        docs.groupBy(F.col("n_chars").alias("v"))
+        .agg(
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("a"),
+            F.sum(F.when(F.col("lang") != "en", 1).otherwise(0)).alias("b"),
+        )
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_len.select(
+        "v",
+        F.sum("a").over(w).alias("ca"),
+        F.sum("b").over(w).alias("cb"),
+    )
+    totals = per_len.agg(
+        F.sum("a").cast("long").alias("n1"), F.sum("b").cast("long").alias("n2")
+    )
+    scored = cum.crossJoin(F.broadcast(totals)).select(
+        "v", "n1", "n2",
+        F.abs(
+            F.col("ca") * F.col("n2") - F.col("cb") * F.col("n1")
+        ).alias("num"),
+    )
+    # argmax with smallest-v tie-break: struct-ordered max_by
+    tie = F.struct(F.col("num"), (-F.col("v")).alias("neg_v"))
+    return scored.groupBy("n1", "n2").agg(
+        (
+            F.max("num").cast("double")
+            / (F.col("n1") * F.col("n2")).cast("double")
+        ).alias("ks_stat"),
+        F.max_by(F.col("v"), tie).alias("at_length"),
+    ).select("n1", "n2", "ks_stat", "at_length")
+
+
+def oracle_length_ks_drift() -> str:
+    return """
+WITH per_len AS (
+    SELECT n_chars AS v,
+           SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS a,
+           SUM(CASE WHEN lang != 'en' THEN 1 ELSE 0 END) AS b
+    FROM documents GROUP BY 1
+),
+cum AS (
+    SELECT v,
+           SUM(a) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+           SUM(b) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb
+    FROM per_len
+),
+tot AS (
+    SELECT CAST(SUM(a) AS BIGINT) AS n1, CAST(SUM(b) AS BIGINT) AS n2 FROM per_len
+),
+scored AS (
+    SELECT v, n1, n2, abs(ca * n2 - cb * n1) AS num
+    FROM cum CROSS JOIN tot
+),
+ranked AS (
+    SELECT *, row_number() OVER (ORDER BY num DESC, v ASC) AS r FROM scored
+)
+SELECT n1, n2,
+       CAST(num AS DOUBLE) / CAST(n1 * n2 AS DOUBLE) AS ks_stat,
+       v AS at_length
+FROM ranked WHERE r = 1
 """
