@@ -49,6 +49,13 @@ SAMPLE = [
     "embedding_covariance",
     "ann_recall",
     "frequent_ngrams",
+    # round-3 continuation: stateful fold (mapInPandas dict state),
+    # ordered sequence collapse, grouped OLS, collocations, KS drift
+    "capped_running_sum",
+    "top_event_paths",
+    "user_value_trend",
+    "bigram_pmi",
+    "length_ks_drift",
 ]
 
 
