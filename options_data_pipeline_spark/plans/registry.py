@@ -259,6 +259,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
         timeseries.q_user_value_trend,
         timeseries.oracle_user_value_trend,
     ),
+    "session_pattern_match": (
+        timeseries.q_session_pattern_match,
+        timeseries.oracle_session_pattern_match,
+    ),
     # --- training-data ops: multimodal (mapInPandas over binary payloads) ---
     "media_features": (media.q_media_features, media.oracle_media_features),
     "media_frames": (media.q_media_frames, media.oracle_media_frames),

@@ -439,3 +439,82 @@ SELECT user_id, n AS n_purchases,
        (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) / 100.0 AS mean_value
 FROM stats
 """
+
+
+# ---------------------------------------------------------------------------
+# session_pattern_match — MATCH_RECOGNIZE-style sequence detection
+# ---------------------------------------------------------------------------
+
+# browse-then-buy with no intervening error: one or more view/click
+# steps leading directly into a purchase, anywhere in the session
+_SESSION_PATTERN = "(view|click)>((view|click)>)*purchase"
+
+
+def q_session_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern detection over sessions — the MATCH_RECOGNIZE
+    workload (SQL:2016 row pattern matching, which Spark lacks natively)
+    expressed as ordered collapse + regex: each 30-minute session's
+    events become a total-order ``a>b>c`` string inside the session
+    aggregate (the `top_event_paths` mechanism), and the pattern is an
+    anchored-free regex both engines interpret identically (alternation,
+    concatenation, star — the regular-language core, no engine-specific
+    syntax). Output: per user, sessions matched vs total.
+
+    Scale: the string per session is bounded by session length (30-min
+    inactivity splits), the match is row-local, and the rollup is one
+    partial-aggregable groupBy — no NFA state machine across rows, no
+    self-join chain (the naive SQL encoding of sequence patterns).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ordered = F.array_sort(
+        F.collect_list(F.struct("ts", "event_id", "event_type"))
+    )
+    path = F.array_join(
+        F.transform(ordered, lambda x: x["event_type"]), ">"
+    )
+    sessions = (
+        ev.groupBy(F.session_window("ts", "30 minutes"), F.col("user_id"))
+        .agg(path.alias("path"))
+    )
+    matched = F.when(
+        F.col("path").rlike(_SESSION_PATTERN), F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        sessions.select("user_id", matched.alias("m"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            F.sum("m").cast("long").alias("matched_sessions"),
+        )
+        .where(F.col("matched_sessions") > 0)
+    )
+
+
+def oracle_session_pattern_match() -> str:
+    return f"""
+WITH marked AS (
+    SELECT user_id, ts, event_id, event_type,
+        CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 30 * 60000000
+              OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_start
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+    SELECT user_id, ts, event_id, event_type,
+           SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sid
+    FROM marked
+),
+paths AS (
+    SELECT user_id, sid,
+           array_to_string(list(event_type ORDER BY ts, event_id), '>') AS path
+    FROM sess GROUP BY 1, 2
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(CASE WHEN regexp_matches(path, '{_SESSION_PATTERN}')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS matched_sessions
+FROM paths GROUP BY 1
+HAVING SUM(CASE WHEN regexp_matches(path, '{_SESSION_PATTERN}')
+               THEN 1 ELSE 0 END) > 0
+"""
