@@ -92,3 +92,17 @@ def test_cosine_topk_empty_queries(spark):
     )
     c = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
     assert cosine_topk(q, c, k=3, parallelism=2).count() == 0
+
+
+def test_clamped_fold_empty_and_scan_empty(spark):
+    from options_data_pipeline_spark.operators.statefold import (
+        clamped_running_sum,
+        clamped_running_sum_scan,
+    )
+
+    empty = spark.createDataFrame([], "k string, seq int, delta long")
+    kw = dict(keys=["k"], order=["seq"], delta_col="delta",
+              lo=0, hi=10, divisor=1.0, out_col="bal")
+    assert clamped_running_sum(empty, **kw).count() == 0
+    assert clamped_running_sum_scan(empty, num_partitions=4, **kw).count() == 0
+    spark.catalog.clearCache()
