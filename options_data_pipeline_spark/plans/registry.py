@@ -135,6 +135,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
     ),
     "qty_price_corr": (tpch.q_qty_price_corr, tpch.oracle_qty_price_corr),
     "yoy_revenue": (tpch.q_yoy_revenue, tpch.oracle_yoy_revenue),
+    "revenue_contribution": (
+        tpch.q_revenue_contribution,
+        tpch.oracle_revenue_contribution,
+    ),
     # --- round-4: remaining TPC-H archetypes (Q2/Q8/Q9/Q10/Q11/Q15/Q16/Q19/Q20) ---
     "min_cost_supplier": (tpch2.q_min_cost_supplier, tpch2.oracle_min_cost_supplier),
     "market_share": (tpch2.q_market_share, tpch2.oracle_market_share),

@@ -1551,3 +1551,69 @@ FROM monthly m
 LEFT JOIN monthly p
   ON p.month + INTERVAL 12 MONTH = m.month AND p.priority = m.priority
 """
+
+
+# ---------------------------------------------------------------------------
+# revenue_contribution — ratio-to-report windows over a rollup
+# ---------------------------------------------------------------------------
+
+def q_revenue_contribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total contribution analysis: each supplier nation's
+    revenue as a share of its region and of the world — the
+    ratio-to-report window pattern (RATIO_TO_REPORT in older warehouse
+    dialects).
+
+    One fact aggregate (lineitem -> supplier -> nation -> region, dims
+    broadcast) down to ~25 nation rows; both denominators are window
+    SUMs over that COMPACT rollup, so the two unpartitioned windows
+    touch dozens of rows, never the fact. Revenue accumulates exact
+    DECIMAL; each share is one double division of exact operands.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    joined = (
+        lineitem.join(F.broadcast(s), lineitem["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+    )
+    nat = joined.groupBy(
+        F.col("r_name").alias("region"), F.col("n_name").alias("nation")
+    ).agg(F.sum(_disc_price(joined)).alias("rev"))
+    w_region = Window.partitionBy("region")
+    w_all = Window.partitionBy()
+    return nat.select(
+        "region", "nation",
+        F.col("rev").cast("double").alias("revenue"),
+        (
+            F.col("rev").cast("double")
+            / F.sum("rev").over(w_region).cast("double")
+        ).alias("share_of_region"),
+        (
+            F.col("rev").cast("double")
+            / F.sum("rev").over(w_all).cast("double")
+        ).alias("share_of_total"),
+    )
+
+
+def oracle_revenue_contribution() -> str:
+    return """
+WITH nat AS (
+    SELECT r_name AS region, n_name AS nation,
+           SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(5,2)))) AS rev
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY 1, 2
+)
+SELECT region, nation,
+       CAST(rev AS DOUBLE) AS revenue,
+       CAST(rev AS DOUBLE)
+           / CAST(SUM(rev) OVER (PARTITION BY region) AS DOUBLE) AS share_of_region,
+       CAST(rev AS DOUBLE)
+           / CAST(SUM(rev) OVER () AS DOUBLE) AS share_of_total
+FROM nat
+"""
