@@ -423,3 +423,97 @@ def upsert_file_pruned(
         "files_rewritten": len(touched),
         "files_untouched": len(ranges) - len(touched),
     }
+
+
+def apply_cdc(
+    spark: SparkSession,
+    target_path: str,
+    changes: DataFrame,
+    keys: list[str],
+    seq_col: str,
+    op_col: str = "op",
+    partition_by: list[str] | None = None,
+) -> dict[str, int]:
+    """Apply a CDC change log (insert/update/delete) to the parquet
+    table at ``target_path`` — the Debezium-shaped sink the MERGE
+    emulation family lacked: ``merge_upsert`` can only add or replace
+    rows, but a replicated source also RETRACTS them.
+
+    ``changes`` carries the key columns, ``seq_col`` (the change order —
+    LSN / binlog position / event time) and ``op_col`` with values
+    'I'/'U'/'D'; payload columns ride alongside. Semantics:
+
+    - per key, only the HIGHEST-``seq_col`` change matters for final
+      state (struct-ordered max_by — one hash aggregate, no window);
+    - latest op D => the key disappears from the target;
+    - latest op I/U => the key holds that change's payload (upsert).
+
+    One full-outer join against the target applies both effects in a
+    single pass; inserted/updated/deleted counts ride the write via
+    ``Observation`` (same single-action metric discipline as
+    ``merge_upsert``). Idempotent: re-applying the same log is a no-op.
+
+    Contract: ``seq_col`` is unique per key (an LSN / binlog position
+    is); equal-seq changes for one key have no defined winner.
+    """
+    payload_cols = [
+        c for c in changes.columns if c not in (*keys, seq_col, op_col)
+    ]
+    ordered = F.struct(F.col(seq_col))
+    latest = changes.groupBy(*keys).agg(
+        F.max_by(F.col(op_col), ordered).alias("_op"),
+        *[
+            F.max_by(F.col(c), ordered).alias(c)
+            for c in payload_cols
+        ],
+    )
+    latest = latest.localCheckpoint(eager=False)
+
+    current = _read_target(spark, target_path)
+    out_cols = keys + payload_cols
+    if current is None:
+        live = latest.where(F.col("_op") != "D").select(*out_cols)
+        n = live.count()
+        _atomic_replace(live, target_path, partition_by)
+        return {"inserted": n, "updated": 0, "deleted": 0}
+
+    from pyspark.sql import Observation
+
+    ch = latest.withColumn("_ch_present", F.lit(True))
+    c = current.withColumn("_c_present", F.lit(True))
+    joined = ch.alias("u").join(c.alias("c"), keys, "full_outer")
+    has_change = F.col("u._ch_present").isNotNull()
+    in_target = F.col("c._c_present").isNotNull()
+    is_delete = has_change & (F.col("u._op") == "D")
+    merged = joined.select(
+        *[
+            F.col(col)
+            if col in keys
+            else F.when(has_change, F.col(f"u.{col}"))
+            .otherwise(F.col(f"c.{col}"))
+            .alias(col)
+            for col in out_cols
+        ],
+        (is_delete & in_target).alias("_is_delete"),
+        (has_change & ~is_delete & in_target).alias("_is_update"),
+        (has_change & ~is_delete & ~in_target).alias("_is_insert"),
+        is_delete.alias("_drop"),
+    )
+    obs = Observation()
+    observed = (
+        merged.observe(
+            obs,
+            F.sum(F.col("_is_insert").cast("long")).alias("inserted"),
+            F.sum(F.col("_is_update").cast("long")).alias("updated"),
+            F.sum(F.col("_is_delete").cast("long")).alias("deleted"),
+        )
+        .where(~F.col("_drop"))
+        .drop("_is_insert", "_is_update", "_is_delete", "_drop")
+    )
+    _atomic_replace(observed, target_path, partition_by)
+    got = obs.get
+    return {
+        "inserted": int(got["inserted"] or 0),
+        "updated": int(got["updated"] or 0),
+        "deleted": int(got["deleted"] or 0),
+    }

@@ -1,0 +1,69 @@
+"""apply_cdc: insert/update/delete change-log application with
+last-change-wins per key, retraction, metrics, and idempotence."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+
+from options_data_pipeline_spark.sinks.upsert import apply_cdc
+
+
+@pytest.fixture()
+def tmp(tmp_path):
+    yield str(tmp_path)
+    shutil.rmtree(tmp_path, ignore_errors=True)
+
+
+SCHEMA = "k long, seq long, op string, v string"
+
+
+def _log(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _state(spark, path):
+    return {r.k: r.v for r in spark.read.parquet(path).collect()}
+
+
+def test_cdc_full_lifecycle(spark, tmp):
+    path = f"{tmp}/t"
+
+    # cold start: I/U materialize, a D for an unseen key is a no-op,
+    # and an insert-then-delete within one log never lands
+    m = apply_cdc(spark, path, _log(spark, [
+        (1, 10, "I", "a"),
+        (2, 11, "I", "b"),
+        (3, 12, "D", "zzz"),          # delete of never-inserted key
+        (4, 13, "I", "c"), (4, 14, "D", "c"),   # born and retracted
+    ]), keys=["k"], seq_col="seq")
+    assert _state(spark, path) == {1: "a", 2: "b"}
+    assert m == {"inserted": 2, "updated": 0, "deleted": 0}
+
+    # second batch: update 1, delete 2, insert 5; out-of-order arrivals
+    # within the batch resolve by seq, not input order
+    batch2 = [
+        (1, 21, "U", "a2"),
+        (2, 22, "D", None),
+        (5, 23, "I", "e"),
+        (5, 20, "U", "stale"),        # lower seq than the insert above
+    ]
+    m2 = apply_cdc(spark, path, _log(spark, batch2), keys=["k"], seq_col="seq")
+    assert _state(spark, path) == {1: "a2", 5: "e"}
+    assert m2 == {"inserted": 1, "updated": 1, "deleted": 1}
+
+    # idempotence: replaying the same log converges to the same state
+    m3 = apply_cdc(spark, path, _log(spark, batch2), keys=["k"], seq_col="seq")
+    assert _state(spark, path) == {1: "a2", 5: "e"}
+    assert m3["deleted"] == 0  # key 2 already gone
+
+
+def test_cdc_delete_everything(spark, tmp):
+    path = f"{tmp}/t"
+    apply_cdc(spark, path, _log(spark, [(1, 1, "I", "x")]),
+              keys=["k"], seq_col="seq")
+    m = apply_cdc(spark, path, _log(spark, [(1, 2, "D", None)]),
+                  keys=["k"], seq_col="seq")
+    assert m == {"inserted": 0, "updated": 0, "deleted": 1}
+    assert _state(spark, path) == {}
