@@ -67,3 +67,39 @@ def test_cdc_delete_everything(spark, tmp):
                   keys=["k"], seq_col="seq")
     assert m == {"inserted": 0, "updated": 0, "deleted": 1}
     assert _state(spark, path) == {}
+
+
+def test_cdc_streaming_foreachbatch(spark, tmp):
+    """Change-log stream -> foreachBatch apply_cdc: the streaming CDC
+    pipeline (replication tailer) converges to the same state as batch
+    application, across query restarts."""
+    src = f"{tmp}/log"
+    path = f"{tmp}/t"
+
+    def wave():
+        schema = spark.read.parquet(src).schema
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda bdf, bid: apply_cdc(
+                    bdf.sparkSession, path, bdf, keys=["k"], seq_col="seq"
+                )
+            )
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(120):
+            q.stop()
+
+    _log(spark, [(1, 1, "I", "a"), (2, 2, "I", "b")]).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    wave()
+    assert _state(spark, path) == {1: "a", 2: "b"}
+
+    _log(spark, [(1, 3, "U", "a2"), (2, 4, "D", None), (3, 5, "I", "c")]).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    wave()
+    assert _state(spark, path) == {1: "a2", 3: "c"}
