@@ -267,6 +267,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
         timeseries.q_session_pattern_match,
         timeseries.oracle_session_pattern_match,
     ),
+    "rolling_beta": (
+        timeseries.q_rolling_beta,
+        timeseries.oracle_rolling_beta,
+    ),
     # --- training-data ops: multimodal (mapInPandas over binary payloads) ---
     "media_features": (media.q_media_features, media.oracle_media_features),
     "media_frames": (media.q_media_frames, media.oracle_media_frames),

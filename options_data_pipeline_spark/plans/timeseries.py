@@ -518,3 +518,100 @@ FROM paths GROUP BY 1
 HAVING SUM(CASE WHEN regexp_matches(path, '{_SESSION_PATTERN}')
                THEN 1 ELSE 0 END) > 0
 """
+
+
+# ---------------------------------------------------------------------------
+# rolling_beta — sliding-frame bivariate regression, DECIMAL-exact
+# ---------------------------------------------------------------------------
+
+BETA_WINDOW = 24   # trailing samples per frame
+BETA_MIN_N = 12
+
+
+def q_rolling_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-24-sample regression slope (beta) of one instrument's
+    hourly close against another's, over the hours where both traded.
+
+    The determinism point of this query: sliding-frame FLOAT sums are
+    engine-divergent by construction (Spark re-aggregates each frame in
+    row order; DuckDB maintains a segment tree — different association
+    orders, different last-ulp results). Every frame statistic here
+    (Σx, Σy, Σxy, Σx²) therefore accumulates exact DECIMAL; the only
+    floating arithmetic is the final pinned-order beta expression over
+    exact operands. Shapes: one candle rollup, one hour-aligned
+    equi-join of two skinny series, one ordered window over the
+    compact joined series (O(#hours) rows).
+    """
+    hourly = hourly_candles(spark, sf_dir)
+    x = hourly.where(F.col("instrument") == "view").select(
+        F.col("bucket_ts").alias("hour_ts"),
+        F.col("close").cast("decimal(18,6)").alias("x"),
+    )
+    y = hourly.where(F.col("instrument") == "click").select(
+        F.col("bucket_ts").alias("hour_ts"),
+        F.col("close").cast("decimal(18,6)").alias("y"),
+    )
+    j = x.join(y, "hour_ts")
+    w = (
+        Window.orderBy("hour_ts")
+        .rowsBetween(-(BETA_WINDOW - 1), 0)
+    )
+    n = F.count(F.lit(1)).over(w).cast("long")
+    sx = F.sum("x").over(w)
+    sy = F.sum("y").over(w)
+    sxy = F.sum(F.col("x") * F.col("y")).over(w)
+    sxx = F.sum(F.col("x") * F.col("x")).over(w)
+    n_d = n.cast("double")
+    denom = n_d * sxx.cast("double") - sx.cast("double") * sx.cast("double")
+    beta = F.when(
+        (n < BETA_MIN_N) | (denom == 0), F.lit(None).cast("double")
+    ).otherwise(
+        (n_d * sxy.cast("double") - sx.cast("double") * sy.cast("double"))
+        / denom
+    )
+    return j.select(
+        "hour_ts",
+        F.col("x").cast("double").alias("x_close"),
+        F.col("y").cast("double").alias("y_close"),
+        n.alias("n_samples"),
+        beta.alias("beta"),
+    )
+
+
+def oracle_rolling_beta() -> str:
+    return f"""
+WITH {HOURLY_CTE},
+x AS (
+    SELECT h AS hour_ts, CAST(close AS DECIMAL(18,6)) AS x
+    FROM hourly WHERE instrument = 'view'
+),
+y AS (
+    SELECT h AS hour_ts, CAST(close AS DECIMAL(18,6)) AS y
+    FROM hourly WHERE instrument = 'click'
+),
+j AS (SELECT x.hour_ts, x.x, y.y FROM x JOIN y USING (hour_ts)),
+framed AS (
+    SELECT hour_ts, x, y,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n,
+           SUM(x) OVER w AS sx,
+           SUM(y) OVER w AS sy,
+           SUM(x * y) OVER w AS sxy,
+           SUM(x * x) OVER w AS sxx
+    FROM j
+    WINDOW w AS (ORDER BY hour_ts
+                 ROWS BETWEEN {BETA_WINDOW - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT hour_ts,
+       CAST(x AS DOUBLE) AS x_close,
+       CAST(y AS DOUBLE) AS y_close,
+       n AS n_samples,
+       CASE WHEN n < {BETA_MIN_N}
+              OR CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) = 0 THEN NULL
+            ELSE (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+       END AS beta
+FROM framed
+"""
