@@ -224,6 +224,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
     "weighted_sample": (text.q_weighted_sample, text.oracle_weighted_sample),
     "bigram_pmi": (text.q_bigram_pmi, text.oracle_bigram_pmi),
     "length_ks_drift": (text.q_length_ks_drift, text.oracle_length_ks_drift),
+    "zipf_fit": (text.q_zipf_fit, text.oracle_zipf_fit),
     "hard_negatives": (vectors.q_hard_negatives, vectors.oracle_hard_negatives),
     "candle_interpolate": (
         quality.q_candle_interpolate,

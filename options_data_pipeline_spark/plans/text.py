@@ -2054,3 +2054,98 @@ SELECT n1, n2,
        v AS at_length
 FROM ranked WHERE r = 1
 """
+
+
+# ---------------------------------------------------------------------------
+# zipf_fit — power-law diagnostic of the corpus vocabulary
+# ---------------------------------------------------------------------------
+
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit: OLS slope of ln(frequency) against ln(rank) over
+    the corpus vocabulary — the power-law diagnostic (a healthy natural
+    corpus fits slope ≈ -1; template/boilerplate floods flatten it).
+
+    Portability recipe: ln() differs by ULPs across libm builds, so
+    both log factors follow the house rule — round to 9 dp and carry as
+    DECIMAL(18,9) — and every OLS sufficient statistic (Σx, Σy, Σxy,
+    Σx²) is then an EXACT decimal sum; only the final slope/intercept
+    expression touches floats, in pinned association order. Rank is a
+    total order (count desc, term asc). The window and the sums run
+    over the VOCABULARY table (compact by Heaps' law), not the corpus.
+    """
+    from ..functions.rounding import round_half_away
+
+    docs = parallelized(spark, load_table(spark, sf_dir, "documents"))
+    toks = docs.select(F.explode(F.split("text", " ")).alias("term")).where(
+        F.length("term") > 0
+    )
+    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("freq"))
+    w = Window.orderBy(F.col("freq").desc(), F.col("term").asc())
+    ranked = vocab.select(
+        "freq", F.row_number().over(w).cast("long").alias("rank")
+    )
+    lx = round_half_away(F.log(F.col("rank").cast("double")), 9).cast(
+        "decimal(18,9)"
+    )
+    ly = round_half_away(F.log(F.col("freq").cast("double")), 9).cast(
+        "decimal(18,9)"
+    )
+    stats = ranked.select(lx.alias("x"), ly.alias("y")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    n_d = F.col("n").cast("double")
+    sx_d, sy_d = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy_d, sxx_d = F.col("sxy").cast("double"), F.col("sxx").cast("double")
+    denom = n_d * sxx_d - sx_d * sx_d
+    slope = (n_d * sxy_d - sx_d * sy_d) / denom
+    return stats.select(
+        F.col("n").alias("n_terms"),
+        slope.alias("zipf_slope"),
+        ((sy_d - slope * sx_d) / n_d).alias("intercept"),
+    )
+
+
+def oracle_zipf_fit() -> str:
+    from ..functions.rounding import sql_round_half_away
+
+    lx = sql_round_half_away("ln(CAST(rank AS DOUBLE))", 9)
+    ly = sql_round_half_away("ln(CAST(freq AS DOUBLE))", 9)
+    return f"""
+WITH vocab AS (
+    SELECT term, count(*) AS freq
+    FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+    WHERE length(term) > 0 GROUP BY 1
+),
+ranked AS (
+    SELECT freq,
+           CAST(row_number() OVER (ORDER BY freq DESC, term ASC) AS BIGINT) AS rank
+    FROM vocab
+),
+logs AS (
+    SELECT CAST({lx} AS DECIMAL(18,9)) AS x,
+           CAST({ly} AS DECIMAL(18,9)) AS y
+    FROM ranked
+),
+stats AS (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           SUM(x) AS sx, SUM(y) AS sy,
+           SUM(x * y) AS sxy, SUM(x * x) AS sxx
+    FROM logs
+)
+SELECT n AS n_terms,
+       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS zipf_slope,
+       (CAST(sy AS DOUBLE)
+        - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) * CAST(sx AS DOUBLE))
+       / CAST(n AS DOUBLE) AS intercept
+FROM stats
+"""
