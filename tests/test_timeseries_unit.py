@@ -125,3 +125,35 @@ def test_compose_algebra():
             comp = _compose(g1, g2)
             for x in range(-50, 160, 7):
                 assert apply(comp, float(x)) == apply(g2, apply(g1, float(x)))
+
+
+def test_yoy_join_is_gap_safe(spark):
+    """A missing month must yield NULL prev_revenue, not a silently
+    misaligned lag-12 value (the reason yoy_revenue joins on the shifted
+    calendar key instead of using lag)."""
+    import pyspark.sql.functions as F
+
+    rows = [
+        ("1995-01-01", "A", 100.0),
+        # 1995-02 missing entirely
+        ("1995-03-01", "A", 300.0),
+        ("1996-01-01", "A", 110.0),
+        ("1996-02-01", "A", 220.0),   # no 1995-02 -> prev NULL
+        ("1996-03-01", "A", 330.0),
+    ]
+    monthly = spark.createDataFrame(rows, "month string, priority string, rev double") \
+        .select(F.col("month").cast("timestamp").alias("month"), "priority",
+                F.col("rev").cast("decimal(18,2)").alias("rev"))
+    prev = monthly.select(
+        F.add_months(F.col("month"), 12).cast("timestamp").alias("month"),
+        "priority", F.col("rev").alias("prev_rev"),
+    )
+    got = {
+        r.month.strftime("%Y-%m"): (
+            None if r.prev_rev is None else float(r.prev_rev)
+        )
+        for r in monthly.join(prev, ["month", "priority"], "left").collect()
+    }
+    assert got["1996-01"] == 100.0
+    assert got["1996-02"] is None       # lag(12) would have returned 1995-03
+    assert got["1996-03"] == 300.0
