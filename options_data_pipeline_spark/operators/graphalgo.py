@@ -35,9 +35,19 @@ def triangle_stats(edges: DataFrame, a: str = "part_a", b: str = "part_b") -> Da
 
     Returns one row: n_nodes, n_edges, n_wedges, n_triangles,
     clustering_coeff (= 3*triangles/wedges, IEEE double on exact ints).
+
+    Both derived tables are materialized: ``deg`` feeds four plan
+    branches (two orientation joins, the wedge-count aggregate, the
+    node count) and the oriented edge list feeds three (both wedge
+    sides and the closing semi-join) — without the barriers Catalyst
+    re-derives each per branch (20 exchanges at audit; 8 with them).
+    Both are node-/edge-sized derived tables, the graph-pipeline
+    artifact posture.
     """
+    from .materialize import materialize
+
     edges = edges.select(F.col(a).alias("na"), F.col(b).alias("nb"))
-    deg = (
+    deg = materialize(
         edges.select(F.col("na").alias("node"))
         .unionAll(edges.select(F.col("nb").alias("node")))
         .groupBy("node")
@@ -52,10 +62,12 @@ def triangle_stats(edges: DataFrame, a: str = "part_a", b: str = "part_b") -> Da
     rank_a = F.struct(F.col("deg_a").alias("d"), F.col("na").alias("i"))
     rank_b = F.struct(F.col("deg_b").alias("d"), F.col("nb").alias("i"))
     fwd = rank_a < rank_b
-    directed = ranked.select(
-        F.when(fwd, F.col("na")).otherwise(F.col("nb")).alias("src"),
-        F.when(fwd, F.col("nb")).otherwise(F.col("na")).alias("dst"),
-        F.when(fwd, rank_b).otherwise(rank_a).alias("dst_rank"),
+    directed = materialize(
+        ranked.select(
+            F.when(fwd, F.col("na")).otherwise(F.col("nb")).alias("src"),
+            F.when(fwd, F.col("nb")).otherwise(F.col("na")).alias("dst"),
+            F.when(fwd, rank_b).otherwise(rank_a).alias("dst_rank"),
+        )
     )
     e1 = directed.alias("e1")
     e2 = directed.alias("e2")
