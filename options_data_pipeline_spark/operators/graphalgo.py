@@ -123,13 +123,19 @@ def pagerank_fixed_point(
 
     Returns (node, rank) for every node in the edge list.
     """
+    from .materialize import materialize
+
     edges = edges_und.select(
         F.col(a).alias("src"), F.col(b).alias("dst")
     ).unionAll(edges_und.select(F.col(b).alias("src"), F.col(a).alias("dst")))
     # deg and ranks are O(|nodes|): plain equi-joins (AQE broadcasts
     # them only when they actually fit)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    edges_d = edges.join(deg, "src")
+    # every iteration's contribution join consumes the degree-annotated
+    # edge list; materialized once, the symmetrize+degree+join subtree
+    # stops being re-derived per iteration (the standard posture for an
+    # iteration-invariant table in an iterative job)
+    edges_d = materialize(edges.join(deg, "src"))
     base = PR_SCALE * 15 // 100
     ranks = deg.select(
         F.col("src").alias("node"), F.lit(PR_SCALE).cast("long").alias("rank")
