@@ -1938,3 +1938,77 @@ WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
              RANGE BETWEEN {_TRAIL_SECONDS * 1_000_000} PRECEDING
                        AND CURRENT ROW)
 """
+
+
+# ---------------------------------------------------------------------------
+# key_skew_report — shuffle-key skew diagnosis
+# ---------------------------------------------------------------------------
+
+def q_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew diagnosis of the events shuffle key (user_id): top-key
+    share, hot-key identity, and the Gini coefficient of the key
+    distribution — the report that decides whether a join needs the
+    salting path (`operators/skew.py`) before anyone burns a cluster
+    run discovering it.
+
+    Gini on sorted counts is computed in pure BIGINT:
+
+        G = (2*Σ(i*c_i) - (n+1)*Σc_i) / (n*Σc_i)
+
+    with i = ascending (count, key) rank — every operand exact, one
+    double division at the end. The rank window runs over the COMPACT
+    per-key aggregate (O(#keys) rows), not events.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_key = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy(F.col("c").asc(), F.col("user_id").asc())
+    ranked = per_key.select(
+        "user_id", "c", F.row_number().over(w).cast("long").alias("i")
+    )
+    top_tie = F.struct(F.col("c"), (-F.col("user_id")).alias("neg_k"))
+    return ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("c").cast("long").alias("n_rows"),
+        F.max("c").cast("long").alias("max_rows"),
+        F.max_by(F.col("user_id"), top_tie).alias("hottest_key"),
+        (
+            F.max("c").cast("double") / F.sum("c").cast("double")
+        ).alias("max_share"),
+        (
+            (
+                F.lit(2.0) * F.sum(F.col("i") * F.col("c")).cast("double")
+                - (F.count(F.lit(1)) + F.lit(1)).cast("double")
+                * F.sum("c").cast("double")
+            )
+            / (
+                F.count(F.lit(1)).cast("double")
+                * F.sum("c").cast("double")
+            )
+        ).alias("gini"),
+    )
+
+
+def oracle_key_skew_report() -> str:
+    return """
+WITH per_key AS (
+    SELECT user_id, count(*) AS c FROM events GROUP BY 1
+),
+ranked AS (
+    SELECT user_id, c,
+           CAST(row_number() OVER (ORDER BY c ASC, user_id ASC) AS BIGINT) AS i
+    FROM per_key
+),
+hot AS (
+    SELECT user_id AS hottest_key
+    FROM per_key ORDER BY c DESC, user_id ASC LIMIT 1
+)
+SELECT CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(SUM(c) AS BIGINT) AS n_rows,
+       CAST(MAX(c) AS BIGINT) AS max_rows,
+       (SELECT hottest_key FROM hot) AS hottest_key,
+       CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS max_share,
+       (2.0 * CAST(SUM(i * c) AS DOUBLE)
+        - CAST(count(*) + 1 AS DOUBLE) * CAST(SUM(c) AS DOUBLE))
+       / (CAST(count(*) AS DOUBLE) * CAST(SUM(c) AS DOUBLE)) AS gini
+FROM ranked
+"""

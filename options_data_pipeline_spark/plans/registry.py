@@ -76,6 +76,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
     "funnel_stages": (quality.q_funnel_stages, quality.oracle_funnel_stages),
     "benford_deviation": (quality.q_benford_deviation, quality.oracle_benford_deviation),
     "lineorder_integrity": (quality.q_lineorder_integrity, quality.oracle_lineorder_integrity),
+    "key_skew_report": (quality.q_key_skew_report, quality.oracle_key_skew_report),
     # --- generic relational (joins, topk, hash agg) ---
     "pricing_summary": (tpch.q_pricing_summary, tpch.oracle_pricing_summary),
     "top_orders": (tpch.q_top_orders, tpch.oracle_top_orders),
