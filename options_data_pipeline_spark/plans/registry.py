@@ -273,6 +273,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
         timeseries.q_rolling_beta,
         timeseries.oracle_rolling_beta,
     ),
+    "user_burstiness": (
+        timeseries.q_user_burstiness,
+        timeseries.oracle_user_burstiness,
+    ),
     # --- training-data ops: multimodal (mapInPandas over binary payloads) ---
     "media_features": (media.q_media_features, media.oracle_media_features),
     "media_frames": (media.q_media_frames, media.oracle_media_frames),

@@ -615,3 +615,80 @@ SELECT hour_ts,
        END AS beta
 FROM framed
 """
+
+
+# ---------------------------------------------------------------------------
+# user_burstiness — inter-arrival-time analytics
+# ---------------------------------------------------------------------------
+
+BURST_MIN_GAPS = 5
+
+
+def q_user_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user burstiness of event inter-arrival times — the
+    Goh–Barabási measure B = (cv - 1)/(cv + 1) on the coefficient of
+    variation of gaps (B → -1 periodic, 0 Poisson, → 1 bursty). The
+    behavioral-rhythm profile (bot detection, engagement typing) that
+    complements `gap_scan`'s completeness view of the same lag shape.
+
+    Gaps are exact whole-second BIGINTs from a lag window (floored
+    micros, the `user_value_trend` rule); Σg and Σg² are exact integer
+    aggregates, so cv = sqrt(n·Σg² - (Σg)²) / Σg touches floats only in
+    the final pinned-order expression (sqrt is correctly rounded —
+    portable). One window + one hash aggregate, both on user_id.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    secs = F.expr("unix_micros(ts) div 1000000")
+    gap = (secs - F.lag(secs).over(w)).cast("long")
+    gaps = ev.select(
+        "user_id", gap.alias("g")
+    ).where(F.col("g").isNotNull())
+    stats = gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.sum("g").alias("sg"),
+        F.sum(F.col("g") * F.col("g")).alias("sgg"),
+    ).where((F.col("n_gaps") >= BURST_MIN_GAPS) & (F.col("sg") > 0))
+    n_d = F.col("n_gaps").cast("double")
+    sg_d = F.col("sg").cast("double")
+    sgg_d = F.col("sgg").cast("double")
+    cv = F.sqrt(n_d * sgg_d - sg_d * sg_d) / sg_d
+    return stats.select(
+        "user_id", "n_gaps",
+        (sg_d / n_d).alias("mean_gap_secs"),
+        cv.alias("cv"),
+        ((cv - F.lit(1.0)) / (cv + F.lit(1.0))).alias("burstiness"),
+    )
+
+
+def oracle_user_burstiness() -> str:
+    return f"""
+WITH gaps AS (
+    SELECT user_id,
+           (epoch_us(ts) // 1000000)
+               - lag(epoch_us(ts) // 1000000)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id) AS g
+    FROM events
+),
+stats AS (
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_gaps,
+           CAST(SUM(g) AS BIGINT) AS sg,
+           CAST(SUM(g * g) AS BIGINT) AS sgg
+    FROM gaps WHERE g IS NOT NULL
+    GROUP BY 1
+    HAVING count(*) >= {BURST_MIN_GAPS} AND SUM(g) > 0
+)
+SELECT user_id, n_gaps,
+       CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE) AS mean_gap_secs,
+       sqrt(CAST(n_gaps AS DOUBLE) * CAST(sgg AS DOUBLE)
+            - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE))
+           / CAST(sg AS DOUBLE) AS cv,
+       (sqrt(CAST(n_gaps AS DOUBLE) * CAST(sgg AS DOUBLE)
+             - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE))
+            / CAST(sg AS DOUBLE) - 1.0)
+       / (sqrt(CAST(n_gaps AS DOUBLE) * CAST(sgg AS DOUBLE)
+               - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE))
+              / CAST(sg AS DOUBLE) + 1.0) AS burstiness
+FROM stats
+"""
