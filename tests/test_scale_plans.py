@@ -430,3 +430,48 @@ def test_priority_shipping_fact_fact_join_pushed_dates(spark):
     # broadcast of a 1.5M-row-per-SF table
     assert "CartesianProduct" not in plan
     assert "GreaterThanOrEqual(l_shipdate" in plan
+
+
+def test_capped_running_sum_one_shuffle_one_pyeval(spark):
+    """The clamped fold is ONE hash exchange + ONE Arrow python node —
+    no per-key grouped-map, no window, no sort beyond the partition-local
+    one feeding the fold."""
+    from options_data_pipeline_spark.plans import timeseries
+
+    plan = fmt(spark, timeseries.q_capped_running_sum(spark, SF_DIR))
+    assert len(shuffle_exchanges(plan)) == 1
+    assert len(re.findall(r"^\(\d+\) MapInPandas$", plan, re.M)) == 1
+    assert "Window" not in plan
+
+
+def test_user_value_trend_partial_aggregates_no_window(spark):
+    """Grouped OLS rides sufficient statistics: partial+final hash
+    aggregate on the user key, zero windows, zero python."""
+    from options_data_pipeline_spark.plans import timeseries
+
+    plan = fmt(spark, timeseries.q_user_value_trend(spark, SF_DIR))
+    assert len(shuffle_exchanges(plan)) == 1
+    assert plan.count("HashAggregate") >= 2  # map-side combine
+    assert "Window" not in plan and "InPandas" not in plan
+
+
+def test_cumulative_uniques_window_runs_on_compact_aggregate(spark):
+    """The only window sits ABOVE both aggregates (it scans O(#days)
+    rows); the events scan reads just (ts, user_id)."""
+    from options_data_pipeline_spark.plans import timeseries
+
+    plan = fmt(spark, timeseries.q_cumulative_uniques(spark, SF_DIR))
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and m.group(1).count(":") == 2
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1
+    # one window node over the output of two partial+final aggregates
+    assert len(re.findall(r"^\(\d+\) Window", plan, re.M)) == 1
+    assert len(re.findall(r"^\(\d+\) HashAggregate", plan, re.M)) == 4
+
+
+def test_key_skew_report_reads_only_the_key(spark):
+    from options_data_pipeline_spark.plans import quality
+
+    plan = fmt(spark, quality.q_key_skew_report(spark, SF_DIR))
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and m.group(1).count(":") == 1 and "user_id" in m.group(1)
