@@ -277,6 +277,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
         timeseries.q_user_burstiness,
         timeseries.oracle_user_burstiness,
     ),
+    "retention_curve": (
+        timeseries.q_retention_curve,
+        timeseries.oracle_retention_curve,
+    ),
     # --- training-data ops: multimodal (mapInPandas over binary payloads) ---
     "media_features": (media.q_media_features, media.oracle_media_features),
     "media_frames": (media.q_media_frames, media.oracle_media_frames),

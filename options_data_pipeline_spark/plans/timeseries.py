@@ -692,3 +692,91 @@ SELECT user_id, n_gaps,
               / CAST(sg AS DOUBLE) + 1.0) AS burstiness
 FROM stats
 """
+
+
+# ---------------------------------------------------------------------------
+# retention_curve — day-N cohort retention
+# ---------------------------------------------------------------------------
+
+RETENTION_DAYS = (1, 3, 7)
+
+
+def q_retention_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-N retention per signup-day cohort: of the users first seen on
+    day D, how many came back exactly N days later (N = 1, 3, 7) — the
+    growth dashboard's retention triangle, flattened.
+
+    Decomposition: first-occurrence collapse (one hash aggregate on the
+    user key), a distinct (user, day) activity table, one join back on
+    the user key, then per-user boolean offsets collapse into the
+    cohort aggregate. Day offsets are exact integer divisions of
+    midnight-truncated micros — no date arithmetic ambiguity — and
+    every rate is one double division of exact counts.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    act = ev.select("user_id", day.alias("day")).distinct()
+    first = act.groupBy("user_id").agg(F.min("day").alias("d0"))
+    off = F.expr(
+        "(unix_micros(day) - unix_micros(d0)) div 86400000000"
+    ).alias("off")
+    j = act.join(first, "user_id").select("user_id", "d0", off)
+    per_user = j.groupBy("user_id", "d0").agg(
+        *[
+            F.max(F.when(F.col("off") == k, 1).otherwise(0)).alias(f"r{k}")
+            for k in RETENTION_DAYS
+        ]
+    )
+    agg = per_user.groupBy("d0").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        *[F.sum(f"r{k}").cast("long").alias(f"retained_d{k}") for k in RETENTION_DAYS],
+    )
+    return agg.select(
+        F.col("d0").alias("cohort_day"),
+        "n_users",
+        *[F.col(f"retained_d{k}") for k in RETENTION_DAYS],
+        *[
+            (
+                F.col(f"retained_d{k}").cast("double")
+                / F.col("n_users").cast("double")
+            ).alias(f"rate_d{k}")
+            for k in RETENTION_DAYS
+        ],
+    )
+
+
+def oracle_retention_curve() -> str:
+    rs = ",\n           ".join(
+        f"MAX(CASE WHEN off = {k} THEN 1 ELSE 0 END) AS r{k}"
+        for k in RETENTION_DAYS
+    )
+    sums = ",\n       ".join(
+        f"CAST(SUM(r{k}) AS BIGINT) AS retained_d{k}" for k in RETENTION_DAYS
+    )
+    rates = ",\n       ".join(
+        f"CAST(SUM(r{k}) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS rate_d{k}"
+        for k in RETENTION_DAYS
+    )
+    return f"""
+WITH act AS (
+    SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+),
+first AS (
+    SELECT user_id, min(day) AS d0 FROM act GROUP BY 1
+),
+j AS (
+    SELECT a.user_id, f.d0,
+           (epoch_us(a.day) - epoch_us(f.d0)) // 86400000000 AS off
+    FROM act a JOIN first f ON a.user_id = f.user_id
+),
+per_user AS (
+    SELECT user_id, d0,
+           {rs}
+    FROM j GROUP BY 1, 2
+)
+SELECT d0 AS cohort_day,
+       CAST(count(*) AS BIGINT) AS n_users,
+       {sums},
+       {rates}
+FROM per_user GROUP BY 1
+"""
