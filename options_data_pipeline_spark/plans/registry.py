@@ -140,6 +140,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
         tpch.q_revenue_contribution,
         tpch.oracle_revenue_contribution,
     ),
+    "supplier_concentration": (
+        tpch.q_supplier_concentration,
+        tpch.oracle_supplier_concentration,
+    ),
     # --- round-4: remaining TPC-H archetypes (Q2/Q8/Q9/Q10/Q11/Q15/Q16/Q19/Q20) ---
     "min_cost_supplier": (tpch2.q_min_cost_supplier, tpch2.oracle_min_cost_supplier),
     "market_share": (tpch2.q_market_share, tpch2.oracle_market_share),

@@ -1617,3 +1617,66 @@ SELECT region, nation,
            / CAST(SUM(rev) OVER () AS DOUBLE) AS share_of_total
 FROM nat
 """
+
+
+# ---------------------------------------------------------------------------
+# supplier_concentration — Herfindahl index per brand
+# ---------------------------------------------------------------------------
+
+def q_supplier_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supply-base concentration per part brand: the Herfindahl–
+    Hirschman index of supplier shares of the brand's line items, plus
+    the dominant supplier — the sourcing-risk report.
+
+    HHI = Σ share² is float-hostile as written (sums of squared
+    rationals in arbitrary order), but equals Σc² / (Σc)² on the raw
+    integer counts — two exact BIGINT aggregates and ONE final double
+    division. Shapes: lineitem joins the broadcast part dim, two-level
+    hash aggregate (brand × supplier, then brand), argmax by struct for
+    the dominant supplier with the smallest-key tie-break.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    per_sup = (
+        lineitem.join(F.broadcast(p), lineitem["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand", "l_suppkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tie = F.struct(F.col("c"), (-F.col("l_suppkey")).alias("neg_k"))
+    return per_sup.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+        F.sum("c").cast("long").alias("n_lineitems"),
+        F.max_by(F.col("l_suppkey"), tie).alias("top_supplier"),
+        (
+            F.max("c").cast("double") / F.sum("c").cast("double")
+        ).alias("top_share"),
+        (
+            F.sum(F.col("c") * F.col("c")).cast("double")
+            / (F.sum("c") * F.sum("c")).cast("double")
+        ).alias("hhi"),
+    )
+
+
+def oracle_supplier_concentration() -> str:
+    return """
+WITH per_sup AS (
+    SELECT p_brand, l_suppkey, count(*) AS c
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY 1, 2
+),
+top AS (
+    SELECT p_brand, l_suppkey AS top_supplier,
+           row_number() OVER (PARTITION BY p_brand
+                              ORDER BY c DESC, l_suppkey ASC) AS r
+    FROM per_sup
+)
+SELECT s.p_brand,
+       CAST(count(*) AS BIGINT) AS n_suppliers,
+       CAST(SUM(c) AS BIGINT) AS n_lineitems,
+       (SELECT top_supplier FROM top t
+        WHERE t.p_brand = s.p_brand AND t.r = 1) AS top_supplier,
+       CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top_share,
+       CAST(SUM(c * c) AS DOUBLE)
+           / CAST(SUM(c) * SUM(c) AS DOUBLE) AS hhi
+FROM per_sup s GROUP BY 1
+"""
