@@ -230,6 +230,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
     "bigram_pmi": (text.q_bigram_pmi, text.oracle_bigram_pmi),
     "length_ks_drift": (text.q_length_ks_drift, text.oracle_length_ks_drift),
     "zipf_fit": (text.q_zipf_fit, text.oracle_zipf_fit),
+    "quantile_map_lengths": (
+        text.q_quantile_map_lengths,
+        text.oracle_quantile_map_lengths,
+    ),
     "hard_negatives": (vectors.q_hard_negatives, vectors.oracle_hard_negatives),
     "candle_interpolate": (
         quality.q_candle_interpolate,

@@ -2149,3 +2149,92 @@ SELECT n AS n_terms,
        / CAST(n AS DOUBLE) AS intercept
 FROM stats
 """
+
+
+# ---------------------------------------------------------------------------
+# quantile_map_lengths — distribution alignment via exact rank mapping
+# ---------------------------------------------------------------------------
+
+def q_quantile_map_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization: map each non-English document length to
+    its English-distribution equivalent — the distribution-alignment
+    transform (normalize a feature across domains before mixing them in
+    training data) on the same integer-exact machinery as
+    `length_ks_drift`.
+
+    For each distinct non-en length v with cumulative count cb (of n2),
+    the target rank in the en distribution is ceil(cb*n1/n2) — integer
+    ceiling division, no float quantiles — and the mapped length is the
+    smallest en length whose cumulative count reaches that rank. Both
+    cumulative tables are O(distinct lengths); the rank-lookup
+    inequality join runs between those compact tables (the as-of
+    operator is the swap-in at scale). Zero float comparisons anywhere.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+
+    def cum(side):
+        per = side.groupBy(F.col("n_chars").alias("v")).agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        return per.select("v", F.sum("c").over(w).alias("cum"))
+
+    en = cum(docs.where(F.col("lang") == "en"))
+    other = cum(docs.where(F.col("lang") != "en"))
+    n1 = en.agg(F.max("cum").cast("long").alias("n1"))
+    n2 = other.agg(F.max("cum").cast("long").alias("n2"))
+    tgt = (
+        other.crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(n2))
+        .select(
+            "v", F.col("cum").alias("cb"), "n1", "n2",
+            F.expr("(cum * n1 + n2 - 1) div n2").alias("r"),
+        )
+    )
+    en_l = en.select(F.col("v").alias("u"), F.col("cum").alias("ca"))
+    mapped = (
+        tgt.join(F.broadcast(en_l), F.col("ca") >= F.col("r"))
+        .groupBy("v", "cb", "r")
+        .agg(F.min("u").cast("long").alias("mapped_len"))
+    )
+    return mapped.select(
+        F.col("v").cast("long").alias("orig_len"),
+        F.col("cb").cast("long").alias("cum_other"),
+        F.col("r").cast("long").alias("target_rank"),
+        "mapped_len",
+    )
+
+
+def oracle_quantile_map_lengths() -> str:
+    return """
+WITH en_per AS (
+    SELECT n_chars AS v, count(*) AS c FROM documents WHERE lang = 'en' GROUP BY 1
+),
+en_cum AS (
+    SELECT v AS u,
+           SUM(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca
+    FROM en_per
+),
+ot_per AS (
+    SELECT n_chars AS v, count(*) AS c FROM documents WHERE lang != 'en' GROUP BY 1
+),
+ot_cum AS (
+    SELECT v,
+           SUM(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb
+    FROM ot_per
+),
+tot AS (
+    SELECT (SELECT CAST(MAX(ca) AS BIGINT) FROM en_cum) AS n1,
+           (SELECT CAST(MAX(cb) AS BIGINT) FROM ot_cum) AS n2
+),
+tgt AS (
+    SELECT v, cb, (cb * n1 + n2 - 1) // n2 AS r
+    FROM ot_cum CROSS JOIN tot
+)
+SELECT CAST(t.v AS BIGINT) AS orig_len,
+       CAST(t.cb AS BIGINT) AS cum_other,
+       CAST(t.r AS BIGINT) AS target_rank,
+       CAST(MIN(e.u) AS BIGINT) AS mapped_len
+FROM tgt t JOIN en_cum e ON e.ca >= t.r
+GROUP BY 1, 2, 3
+"""
