@@ -2170,6 +2170,8 @@ def q_quantile_map_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     inequality join runs between those compact tables (the as-of
     operator is the swap-in at scale). Zero float comparisons anywhere.
     """
+    from ..operators.materialize import materialize
+
     docs = load_table(spark, sf_dir, "documents")
     w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
 
@@ -2177,7 +2179,11 @@ def q_quantile_map_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
         per = side.groupBy(F.col("n_chars").alias("v")).agg(
             F.count(F.lit(1)).alias("c")
         )
-        return per.select("v", F.sum("c").over(w).alias("cum"))
+        # materialized: each cumulative table feeds its total branch AND
+        # the rank join; unbarriered, Catalyst re-ran the scan+window per
+        # branch (8 exchanges / 4 windows at audit; now each window runs
+        # once, inside its table's materialization job)
+        return materialize(per.select("v", F.sum("c").over(w).alias("cum")))
 
     en = cum(docs.where(F.col("lang") == "en"))
     other = cum(docs.where(F.col("lang") != "en"))
