@@ -194,3 +194,148 @@ SELECT kind,
             AS BIGINT) AS fmt_checksum
 FROM probed GROUP BY 1
 """
+
+
+def q_audio_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio triage with the same NON-circular oracle discipline as
+    `media_probe`, for the WAV container: payloads are CONSTRUCTED as
+    RIFF/WAVE + fmt + data-chunk headers carrying per-doc parameters
+    (channels from doc_id parity, sample rate from doc_id, frame count
+    from n_chars) via native little-endian byte expressions; the Spark
+    side parses them with the REAL ``probe_wav_headers`` struct kernel
+    (which knows nothing of the construction), and the DuckDB oracle
+    independently INVERTS the little-endian fields with hex-substring
+    arithmetic. A wrong offset, endianness, or magic test on either
+    side breaks the hash. Every third doc carries raw text bytes (the
+    non-audio to triage out).
+    """
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "n_chars"
+    )
+
+    def le(col_expr: str, nbytes: int):
+        parts = ", ".join(
+            f"lpad(hex(CAST(({col_expr}) div {256 ** i} % 256 AS INT)), 2, '0')"
+            for i in range(nbytes)
+        )
+        return F.expr(f"unhex(concat({parts}))")
+
+    channels = "1 + doc_id % 2"
+    rate = "8000 + (doc_id % 8) * 1000"
+    balign = f"({channels}) * 2"
+    dsize = f"n_chars * ({balign})"
+    wav_header = F.concat(
+        F.encode(F.lit("RIFF"), "UTF-8"),
+        le(f"36 + {dsize}", 4),
+        F.encode(F.lit("WAVEfmt "), "UTF-8"),
+        le("16", 4),                      # fmt chunk size
+        le("1", 2),                       # PCM
+        le(channels, 2),
+        le(rate, 4),
+        le(f"({rate}) * ({balign})", 4),  # byte rate
+        le(balign, 2),
+        le("16", 2),                      # bits per sample
+        F.encode(F.lit("data"), "UTF-8"),
+        le(dsize, 4),
+    )
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("blob"))
+        .otherwise(F.lit("audio"))
+        .alias("kind"),
+        F.when(F.col("doc_id") % 3 == 0, F.encode(F.col("text"), "UTF-8"))
+        .otherwise(wav_header)
+        .alias("payload"),
+    )
+    probed = MM.probe_wav_headers(media)
+    return probed.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.sum(F.col("is_wav").cast("long")).alias("n_wav"),
+        F.sum("n_channels").alias("sum_channels"),
+        F.sum("sample_rate").alias("sum_rate"),
+        F.sum("n_frames").alias("sum_frames"),
+        F.sum("bits_per_sample").alias("sum_bits"),
+    )
+
+
+def oracle_audio_probe() -> str:
+    # little-endian inversion in hex-string space: byte offset o (0-based)
+    # lives at hex offset 2*o + 1 (1-based); LE value = sum of byte_i*256^i
+    def le_val(byte_off: int, nbytes: int) -> str:
+        terms = " + ".join(
+            f"CAST(concat('0x', substr(h, {2 * (byte_off + i) + 1}, 2)) AS BIGINT)"
+            f" * {256 ** i}"
+            for i in range(nbytes)
+        )
+        return f"({terms})"
+
+    ch = le_val(22, 2)
+    rate = le_val(24, 4)
+    balign = le_val(32, 2)
+    bits = le_val(34, 2)
+    dsize = le_val(40, 4)
+    return f"""
+WITH media AS (
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'blob' ELSE 'audio' END AS kind,
+           CASE WHEN doc_id % 3 = 0 THEN encode(text)
+                ELSE encode('RIFF')
+                     || from_hex(lpad(hex(CAST((36 + n_chars * ((1 + doc_id % 2) * 2)) % 256 AS INT)), 2, '0'))
+                     || from_hex(lpad(hex(CAST((36 + n_chars * ((1 + doc_id % 2) * 2)) // 256 % 256 AS INT)), 2, '0'))
+                     || from_hex(lpad(hex(CAST((36 + n_chars * ((1 + doc_id % 2) * 2)) // 65536 % 256 AS INT)), 2, '0'))
+                     || from_hex(lpad(hex(CAST((36 + n_chars * ((1 + doc_id % 2) * 2)) // 16777216 % 256 AS INT)), 2, '0'))
+                     || encode('WAVEfmt ')
+                     || from_hex('10000000') || from_hex('0100')
+                     || from_hex(lpad(hex(CAST((1 + doc_id % 2) % 256 AS INT)), 2, '0'))
+                     || from_hex(lpad(hex(CAST((1 + doc_id % 2) // 256 % 256 AS INT)), 2, '0'))
+                     || from_hex(lpad(hex(CAST((8000 + (doc_id % 8) * 1000) % 256 AS INT)), 2, '0'))
+                     || from_hex(lpad(hex(CAST((8000 + (doc_id % 8) * 1000) // 256 % 256 AS INT)), 2, '0'))
+                     || from_hex(lpad(hex(CAST((8000 + (doc_id % 8) * 1000) // 65536 % 256 AS INT)), 2, '0'))
+                     || from_hex(lpad(hex(CAST((8000 + (doc_id % 8) * 1000) // 16777216 % 256 AS INT)), 2, '0'))
+                     || from_hex(lpad(hex(CAST(((8000 + (doc_id % 8) * 1000) * ((1 + doc_id % 2) * 2)) % 256 AS INT)), 2, '0'))
+                     || from_hex(lpad(hex(CAST(((8000 + (doc_id % 8) * 1000) * ((1 + doc_id % 2) * 2)) // 256 % 256 AS INT)), 2, '0'))
+                     || from_hex(lpad(hex(CAST(((8000 + (doc_id % 8) * 1000) * ((1 + doc_id % 2) * 2)) // 65536 % 256 AS INT)), 2, '0'))
+                     || from_hex(lpad(hex(CAST(((8000 + (doc_id % 8) * 1000) * ((1 + doc_id % 2) * 2)) // 16777216 % 256 AS INT)), 2, '0'))
+                     || from_hex(lpad(hex(CAST(((1 + doc_id % 2) * 2) % 256 AS INT)), 2, '0'))
+                     || from_hex(lpad(hex(CAST(((1 + doc_id % 2) * 2) // 256 % 256 AS INT)), 2, '0'))
+                     || from_hex('1000')
+                     || encode('data')
+                     || from_hex(lpad(hex(CAST((n_chars * ((1 + doc_id % 2) * 2)) % 256 AS INT)), 2, '0'))
+                     || from_hex(lpad(hex(CAST((n_chars * ((1 + doc_id % 2) * 2)) // 256 % 256 AS INT)), 2, '0'))
+                     || from_hex(lpad(hex(CAST((n_chars * ((1 + doc_id % 2) * 2)) // 65536 % 256 AS INT)), 2, '0'))
+                     || from_hex(lpad(hex(CAST((n_chars * ((1 + doc_id % 2) * 2)) // 16777216 % 256 AS INT)), 2, '0'))
+           END AS payload
+    FROM documents
+),
+probed AS (
+    SELECT media_id, kind, hex(payload) AS h,
+           octet_length(payload) AS n_bytes
+    FROM media
+),
+parsed AS (
+    SELECT media_id, kind,
+           CASE WHEN n_bytes >= 44
+                     AND substr(h, 1, 8) = '52494646'
+                     AND substr(h, 17, 8) = '57415645'
+                     AND substr(h, 25, 8) = '666D7420'
+                THEN {le_val(20, 2)} = 1
+           AND substr(h, 73, 8) = '64617461'
+                     AND {balign} > 0
+                ELSE FALSE END AS is_wav,
+           CASE WHEN n_bytes >= 44 THEN {ch} END AS n_channels,
+           CASE WHEN n_bytes >= 44 THEN {rate} END AS sample_rate,
+           CASE WHEN n_bytes >= 44 THEN {bits} END AS bits_per_sample,
+           CASE WHEN n_bytes >= 44 AND {balign} > 0 THEN {dsize} // {balign} END AS n_frames
+    FROM probed
+)
+SELECT kind,
+       CAST(count(*) AS BIGINT) AS n_media,
+       CAST(SUM(CASE WHEN is_wav THEN 1 ELSE 0 END) AS BIGINT) AS n_wav,
+       CAST(SUM(CASE WHEN is_wav THEN n_channels END) AS BIGINT) AS sum_channels,
+       CAST(SUM(CASE WHEN is_wav THEN sample_rate END) AS BIGINT) AS sum_rate,
+       CAST(SUM(CASE WHEN is_wav THEN n_frames END) AS BIGINT) AS sum_frames,
+       CAST(SUM(CASE WHEN is_wav THEN bits_per_sample END) AS BIGINT) AS sum_bits
+FROM parsed GROUP BY 1
+"""
