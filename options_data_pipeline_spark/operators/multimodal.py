@@ -442,3 +442,59 @@ def probe_wav_headers(media: DataFrame) -> DataFrame:
             yield feats
 
     return media.mapInPandas(batches, schema=WAV_PROBE_SCHEMA)
+
+
+PCM_STATS_SCHEMA = (
+    "media_id long, is_wav boolean, n_samples long,"
+    " sum_abs long, peak long"
+)
+
+
+def pcm_stats(media: DataFrame) -> DataFrame:
+    """REAL full audio decode, no codec dependencies: struct-parse every
+    little-endian int16 PCM sample of each WAV payload and reduce to
+    exact integer statistics (sample count, sum of |amplitude|, peak).
+
+    This is the honest end of the media family's decode story: unlike
+    the md5-fake image codec, the bytes here are a genuine PCM stream
+    and the kernel must get container offsets, endianness, AND two's-
+    complement sign handling right — the `media_pcm_stats` oracle
+    computes the same statistics from the generating formula, so any
+    decode defect breaks the hash. Integer outputs only: no float audio
+    math to drift.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+
+        def kernel(p: bytes) -> dict:
+            out = {
+                "is_wav": False,
+                "n_samples": None,
+                "sum_abs": None,
+                "peak": None,
+            }
+            if (
+                len(p) >= 44
+                and p[:4] == b"RIFF"
+                and p[8:12] == b"WAVE"
+                and p[12:16] == b"fmt "
+                and p[36:40] == b"data"
+            ):
+                (dsize,) = _struct.unpack_from("<I", p, 40)
+                n = min(dsize, len(p) - 44) // 2
+                samples = _struct.unpack_from(f"<{n}h", p, 44)
+                out.update(
+                    is_wav=True,
+                    n_samples=n,
+                    sum_abs=sum(abs(s) for s in samples),
+                    peak=max((abs(s) for s in samples), default=0),
+                )
+            return out
+
+        for pdf in it:
+            feats = pd.DataFrame([kernel(bytes(p)) for p in pdf["payload"]])
+            feats.insert(0, "media_id", pdf["media_id"].values)
+            yield feats
+
+    return media.mapInPandas(batches, schema=PCM_STATS_SCHEMA)

@@ -339,3 +339,86 @@ SELECT kind,
        CAST(SUM(CASE WHEN is_wav THEN bits_per_sample END) AS BIGINT) AS sum_bits
 FROM parsed GROUP BY 1
 """
+
+
+# deterministic synthetic waveform: s_i = ((doc_id + i) % 251) - 125,
+# int16 range, encoded two's-complement little-endian
+_PCM_N = "least(n_chars, 256)"   # samples per doc, bounded for plan sanity
+
+
+def q_media_pcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full REAL audio decode, adversarially checked: each doc carries a
+    mono 16-bit WAV whose PCM samples follow a known formula; Spark
+    struct-parses every byte of the stream (`operators/multimodal.py`
+    ``pcm_stats``) while the oracle computes the identical statistics
+    FROM THE FORMULA (unnested ranges, never touching the bytes). The
+    construction encodes two's-complement little-endian int16 with
+    native expressions; a sign, endianness, or offset defect in the
+    decode kernel — or the construction — breaks the hash. All
+    statistics are exact integers.
+    """
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+    n = _PCM_N
+    sample = f"((doc_id + i) % 251) - 125"
+    enc = f"((({sample}) + 65536) % 65536)"
+    data_hex = (
+        f"concat_ws('', transform(sequence(0, {n} - 1), i -> "
+        f"concat(lpad(hex(CAST({enc} % 256 AS INT)), 2, '0'), "
+        f"lpad(hex(CAST({enc} div 256 AS INT)), 2, '0'))))"
+    )
+
+    def le(col_expr: str, nbytes: int):
+        parts = ", ".join(
+            f"lpad(hex(CAST(({col_expr}) div {256 ** i} % 256 AS INT)), 2, '0')"
+            for i in range(nbytes)
+        )
+        return F.expr(f"unhex(concat({parts}))")
+
+    dsize = f"({n}) * 2"
+    payload = F.concat(
+        F.encode(F.lit("RIFF"), "UTF-8"),
+        le(f"36 + {dsize}", 4),
+        F.encode(F.lit("WAVEfmt "), "UTF-8"),
+        le("16", 4), le("1", 2), le("1", 2),       # PCM, mono
+        le("8000", 4), le("16000", 4),             # rate, byte rate
+        le("2", 2), le("16", 2),                   # block align, bits
+        F.encode(F.lit("data"), "UTF-8"),
+        le(dsize, 4),
+        F.expr(f"unhex({data_hex})"),
+    )
+    media = docs.select(
+        F.col("doc_id").alias("media_id"), payload.alias("payload")
+    )
+    stats = MM.pcm_stats(media)
+    return stats.agg(
+        F.count(F.lit(1)).cast("long").alias("n_payloads"),
+        F.sum(F.col("is_wav").cast("long")).alias("n_wav"),
+        F.sum("n_samples").cast("long").alias("total_samples"),
+        F.sum("sum_abs").cast("long").alias("total_abs"),
+        F.max("peak").cast("long").alias("max_peak"),
+    )
+
+
+def oracle_media_pcm_stats() -> str:
+    # the oracle NEVER builds or parses bytes: it evaluates the
+    # generating formula directly over an unnested sample index range
+    return """
+WITH per_doc AS (
+    SELECT doc_id, least(n_chars, 256) AS n FROM documents
+),
+samples AS (
+    SELECT doc_id, unnest(range(0, n)) AS i, n FROM per_doc
+),
+vals AS (
+    SELECT doc_id, abs(((doc_id + i) % 251) - 125) AS a FROM samples
+)
+SELECT CAST((SELECT count(*) FROM per_doc) AS BIGINT) AS n_payloads,
+       CAST((SELECT count(*) FROM per_doc) AS BIGINT) AS n_wav,
+       CAST((SELECT SUM(n) FROM per_doc) AS BIGINT) AS total_samples,
+       CAST(SUM(a) AS BIGINT) AS total_abs,
+       CAST(MAX(a) AS BIGINT) AS max_peak
+FROM vals
+"""

@@ -295,6 +295,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
     "media_dedup": (media.q_media_dedup, media.oracle_media_dedup),
     "media_probe": (media.q_media_probe, media.oracle_media_probe),
     "audio_probe": (media.q_audio_probe, media.oracle_audio_probe),
+    "media_pcm_stats": (media.q_media_pcm_stats, media.oracle_media_pcm_stats),
 }
 
 
