@@ -2102,10 +2102,15 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     sxy_d, sxx_d = F.col("sxy").cast("double"), F.col("sxx").cast("double")
     denom = n_d * sxx_d - sx_d * sx_d
     slope = (n_d * sxy_d - sx_d * sy_d) / denom
+    # Outputs rounded at 6 dp (house rule): DuckDB converts a
+    # DECIMAL(38,18) sum to DOUBLE through its int128 numerator (two
+    # roundings), Spark's BigDecimal converts once — a last-ULP sum
+    # divergence that surfaced at sf0.1. Rounding the derived
+    # statistics absorbs it on both sides.
     return stats.select(
         F.col("n").alias("n_terms"),
-        slope.alias("zipf_slope"),
-        ((sy_d - slope * sx_d) / n_d).alias("intercept"),
+        round_half_away(slope, 6).alias("zipf_slope"),
+        round_half_away((sy_d - slope * sx_d) / n_d, 6).alias("intercept"),
     )
 
 
@@ -2114,6 +2119,16 @@ def oracle_zipf_fit() -> str:
 
     lx = sql_round_half_away("ln(CAST(rank AS DOUBLE))", 9)
     ly = sql_round_half_away("ln(CAST(freq AS DOUBLE))", 9)
+    slope_sql = (
+        "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+        " / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    )
+    icept_sql = (
+        f"(CAST(sy AS DOUBLE) - ({slope_sql}) * CAST(sx AS DOUBLE))"
+        " / CAST(n AS DOUBLE)"
+    )
     return f"""
 WITH vocab AS (
     SELECT term, count(*) AS freq
@@ -2137,16 +2152,8 @@ stats AS (
     FROM logs
 )
 SELECT n AS n_terms,
-       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-       / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS zipf_slope,
-       (CAST(sy AS DOUBLE)
-        - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-           / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) * CAST(sx AS DOUBLE))
-       / CAST(n AS DOUBLE) AS intercept
+       {sql_round_half_away(slope_sql, 6)} AS zipf_slope,
+       {sql_round_half_away(icept_sql, 6)} AS intercept
 FROM stats
 """
 
