@@ -165,3 +165,68 @@ def test_probe_png_headers_reads_true_dimensions(spark):
     assert out[1].is_png and out[1].bit_depth == 8 and out[1].color_type == 2
     assert not out[3].is_png and out[3].width is None
     assert out[3].payload_md5 == hashlib.md5(rows[2][2]).hexdigest()
+
+
+def _wav_bytes(
+    channels=1, rate=8000, bits=16, samples=(0, 100, -100, 32767, -32768)
+):
+    import struct
+
+    balign = channels * bits // 8
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    hdr = (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, channels, rate, rate * balign, balign, bits)
+        + b"data"
+        + struct.pack("<I", len(data))
+    )
+    return hdr + data
+
+
+def test_wav_probe_parses_real_header_and_rejects_garbage(spark):
+    rows = [
+        (1, "audio", _wav_bytes(channels=2, rate=44100, samples=(1, 2, 3, 4))),
+        (2, "audio", b"RIFFxxxxNOPE" + bytes(40)),   # wrong WAVE magic
+        (3, "audio", _wav_bytes()[:30]),             # truncated header
+        (4, "blob", b"just some text bytes, definitely not audio!!"),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, kind string, payload binary")
+    out = {r.media_id: r for r in MM.probe_wav_headers(media).collect()}
+    assert out[1].is_wav and out[1].n_channels == 2
+    assert out[1].sample_rate == 44100 and out[1].bits_per_sample == 16
+    assert out[1].n_frames == 2  # 4 samples = 8 bytes / block align 4
+    assert not out[2].is_wav and out[2].n_channels is None
+    assert not out[3].is_wav
+    assert not out[4].is_wav
+
+
+def test_wav_probe_frame_count_uses_block_align(spark):
+    # stereo: 4 samples = 8 bytes, block align 4 -> 2 frames
+    media = spark.createDataFrame(
+        [(1, "audio", _wav_bytes(channels=2, samples=(1, 2, 3, 4)))],
+        "media_id long, kind string, payload binary",
+    )
+    row = MM.probe_wav_headers(media).collect()[0]
+    assert row.n_frames == 2
+
+
+def test_pcm_stats_sign_and_extremes(spark):
+    # includes int16 extremes: two's-complement decode must be exact
+    media = spark.createDataFrame(
+        [(1, "audio", _wav_bytes(samples=(0, 100, -100, 32767, -32768)))],
+        "media_id long, kind string, payload binary",
+    )
+    row = MM.pcm_stats(media).collect()[0]
+    assert row.is_wav and row.n_samples == 5
+    assert row.sum_abs == 0 + 100 + 100 + 32767 + 32768
+    assert row.peak == 32768
+
+    # non-wav payload: nulls, not an error
+    garbage = spark.createDataFrame(
+        [(2, "blob", b"0123456789" * 10)],
+        "media_id long, kind string, payload binary",
+    )
+    g = MM.pcm_stats(garbage).collect()[0]
+    assert not g.is_wav and g.n_samples is None
