@@ -144,6 +144,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
         tpch.q_supplier_concentration,
         tpch.oracle_supplier_concentration,
     ),
+    "shipping_sla": (tpch.q_shipping_sla, tpch.oracle_shipping_sla),
     # --- round-4: remaining TPC-H archetypes (Q2/Q8/Q9/Q10/Q11/Q15/Q16/Q19/Q20) ---
     "min_cost_supplier": (tpch2.q_min_cost_supplier, tpch2.oracle_min_cost_supplier),
     "market_share": (tpch2.q_market_share, tpch2.oracle_market_share),

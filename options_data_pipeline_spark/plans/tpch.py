@@ -1680,3 +1680,72 @@ SELECT s.p_brand,
            / CAST(SUM(c) * SUM(c) AS DOUBLE) AS hhi
 FROM per_sup s GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# shipping_sla — order-to-ship latency distribution per priority
+# ---------------------------------------------------------------------------
+
+SLA_DAYS = 30
+
+
+def q_shipping_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency per order priority: exact p50/p90 of the
+    integer day lag plus the share of line items shipped within the
+    {SLA_DAYS}-day SLA — the fulfillment report.
+
+    Latency is an exact BIGINT (floored-micros day division on both
+    engines); the percentiles are Spark's exact ``percentile`` against
+    DuckDB's ``quantile_cont`` (bit-parity proven by
+    `value_percentiles`); the SLA share is one double division of exact
+    counts. One fact-fact join on the order key, one hash aggregate.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    j = li.join(o, li["l_orderkey"] == o["o_orderkey"])
+    lat = F.expr(
+        "(unix_micros(l_shipdate) - unix_micros(o_orderdate)) div 86400000000"
+    )
+    base = j.select(F.col("o_orderpriority").alias("priority"), lat.alias("lat"))
+    pct = F.expr("percentile(lat, array(0.5, 0.9))")
+    return (
+        base.groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lineitems"),
+            pct.alias("p"),
+            F.sum(
+                F.when(F.col("lat") <= SLA_DAYS, 1).otherwise(0)
+            ).cast("long").alias("within_sla"),
+        )
+        .select(
+            "priority", "n_lineitems",
+            F.col("p")[0].alias("p50_days"),
+            F.col("p")[1].alias("p90_days"),
+            "within_sla",
+            (
+                F.col("within_sla").cast("double")
+                / F.col("n_lineitems").cast("double")
+            ).alias("sla_rate"),
+        )
+    )
+
+
+def oracle_shipping_sla() -> str:
+    return f"""
+WITH base AS (
+    SELECT o_orderpriority AS priority,
+           (epoch_us(l_shipdate) - epoch_us(o_orderdate)) // 86400000000 AS lat
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+)
+SELECT priority,
+       CAST(count(*) AS BIGINT) AS n_lineitems,
+       quantile_cont(lat, 0.5) AS p50_days,
+       quantile_cont(lat, 0.9) AS p90_days,
+       CAST(SUM(CASE WHEN lat <= {SLA_DAYS} THEN 1 ELSE 0 END) AS BIGINT)
+           AS within_sla,
+       CAST(SUM(CASE WHEN lat <= {SLA_DAYS} THEN 1 ELSE 0 END) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) AS sla_rate
+FROM base GROUP BY 1
+"""
