@@ -290,6 +290,12 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
         timeseries.q_retention_curve,
         timeseries.oracle_retention_curve,
     ),
+    # distributed composition scan, adjudicated against the SAME oracle
+    # as the single-pass fold
+    "capped_running_scan": (
+        timeseries.q_capped_running_scan,
+        timeseries.oracle_capped_running_sum,
+    ),
     # --- training-data ops: multimodal (mapInPandas over binary payloads) ---
     "media_features": (media.q_media_features, media.oracle_media_features),
     "media_frames": (media.q_media_frames, media.oracle_media_frames),

@@ -780,3 +780,32 @@ SELECT d0 AS cohort_day,
        {rates}
 FROM per_user GROUP BY 1
 """
+
+
+def q_capped_running_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME engagement-meter semantics as `capped_running_sum`,
+    executed by the DISTRIBUTED two-phase composition scan
+    (:func:`..operators.statefold.clamped_running_sum_scan`) instead of
+    the single-pass fold — registered separately so the scan path gets
+    its own driver correctness row against the identical recursive-CTE
+    oracle. Any divergence between the capped-affine composition
+    algebra and the direct fold shows up here as a hash mismatch.
+    """
+    from ..operators.statefold import clamped_running_sum_scan
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    cents = F.floor(F.abs(F.col("value")) * 100 + F.lit(0.5)).cast("long")
+    sign = F.when(F.col("event_type") == "error", F.lit(-1)).otherwise(F.lit(1))
+    src = ev.select(
+        "user_id", "ts", "event_id", (cents * sign).alias("delta")
+    )
+    return clamped_running_sum_scan(
+        src,
+        keys=["user_id"],
+        order=["ts", "event_id"],
+        delta_col="delta",
+        lo=ENGAGEMENT_LO,
+        hi=ENGAGEMENT_HI,
+        divisor=100.0,
+        out_col="balance",
+    )
