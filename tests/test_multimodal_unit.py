@@ -230,3 +230,33 @@ def test_pcm_stats_sign_and_extremes(spark):
     )
     g = MM.pcm_stats(garbage).collect()[0]
     assert not g.is_wav and g.n_samples is None
+
+
+def test_pcm_oracle_is_not_circular(spark, ddb):
+    """Mutation control for media_pcm_stats: the correct decode matches
+    the formula-side oracle; a deliberately wrong sign convention
+    (unsigned int16) on the SAME bytes must not — demonstrating the
+    oracle adjudicates the real decode rather than echoing the
+    construction."""
+    import struct as _struct
+
+    from options_data_pipeline_spark.plans.media import (
+        oracle_media_pcm_stats,
+        q_media_pcm_stats,
+    )
+    from tests._compare import assert_frames_match
+    from tests.conftest import SF_DIR
+
+    good = q_media_pcm_stats(spark, SF_DIR).toPandas()
+    oracle = ddb.execute(oracle_media_pcm_stats()).fetchdf()
+    assert_frames_match(good, oracle, "media_pcm_stats")
+
+    for doc_id, n_chars in [(1, 10), (2, 7)]:
+        cnt = min(n_chars, 256)
+        samples = [((doc_id + i) % 251) - 125 for i in range(cnt)]
+        data = b"".join(_struct.pack("<h", s) for s in samples)
+        wrong = _struct.unpack(f"<{cnt}H", data)  # unsigned misread
+        right = _struct.unpack(f"<{cnt}h", data)
+        assert sum(abs(s) for s in right) == sum(abs(s) for s in samples)
+        if any(s < 0 for s in samples):
+            assert sum(wrong) != sum(abs(s) for s in right)
