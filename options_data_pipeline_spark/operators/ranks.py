@@ -1,0 +1,140 @@
+"""Distributed exact global rank (two-phase row_number).
+
+An unpartitioned ``row_number() OVER (ORDER BY ...)`` funnels the whole
+input through ONE task — fine over a provably tiny aggregate, a
+straggler-of-one over anything with unbounded cardinality (billions of
+user keys, a 10^8-term vocabulary).  The two-phase decomposition keeps
+the total order exact while staying parallel:
+
+1. sample split keys (fixed seed — deterministic) and derive ``B-1``
+   lexicographic range boundaries;
+2. bucket every row by comparing its sort key to the boundaries — a PURE
+   FUNCTION OF THE ROW VALUE.  This is deliberately NOT
+   ``spark_partition_id()`` over ``repartitionByRange``: AQE coalesces
+   the two consumer branches of a shuffle independently, so physical
+   partition ids are not branch-stable (measured: ranks came out wrong),
+   while a value-based bucket is identical in every branch by
+   construction;
+3. local ``row_number`` within each bucket (hash shuffle on the bucket);
+4. per-bucket counts cumsum'd into offsets with a window over AT MOST
+   ``B`` rows (bounded by a constant, not data cardinality), broadcast
+   back; global rank = local rank + offset.
+
+The split-point sampling runs two small eager jobs (count + sample) at
+plan-build time — the same cost RangePartitioner pays inside
+``repartitionByRange``, paid deterministically here (seed pinned, so
+retries and branch recomputation see identical buckets).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# below this row count a single-task window is cheaper than the extra
+# sampling pass; 1M rows of (key, long) is ~tens of MB in one task
+SMALL_INPUT_ROWS = 1_000_000
+_SAMPLES_PER_BUCKET = 64
+_SEED = 42
+
+
+def _order_exprs(order: Sequence[tuple[str, bool]]) -> list[Column]:
+    return [
+        F.col(name).desc() if desc else F.col(name).asc()
+        for name, desc in order
+    ]
+
+
+def _after_split(order: Sequence[tuple[str, bool]], split: tuple) -> Column:
+    """Row's sort key strictly follows ``split`` in the total order
+    (lexicographic, honoring per-column direction)."""
+    expr = F.lit(False)
+    for (name, desc), sval in reversed(list(zip(order, split))):
+        col, lit = F.col(name), F.lit(sval)
+        after = (col < lit) if desc else (col > lit)
+        expr = after | ((col == lit) & expr)
+    return expr
+
+
+def distributed_row_number(
+    df: DataFrame,
+    order: Sequence[tuple[str, bool]],
+    out_col: str = "rank",
+    num_buckets: int | None = None,
+) -> DataFrame:
+    """Append an exact global ``row_number`` over ``order`` to ``df``.
+
+    ``order`` is ``[(column_name, descending), ...]`` and must be a
+    deterministic TOTAL order over non-null keys (include a unique
+    tie-break column) — the same contract an unpartitioned row_number
+    has, minus the single-task bottleneck.
+    """
+    order = [(n, bool(d)) for n, d in order]
+    key_names = [n for n, _ in order]
+    if num_buckets is None:
+        num_buckets = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+
+    n_rows = df.count()
+    splits: list[tuple] = []
+    if n_rows > SMALL_INPUT_ROWS and num_buckets > 1:
+        frac = min(1.0, (num_buckets * _SAMPLES_PER_BUCKET) / n_rows)
+        sampled = _sort_keys(
+            [
+                tuple(r)
+                for r in df.select(*key_names)
+                .sample(False, frac, seed=_SEED)
+                .collect()
+            ],
+            order,
+        )
+        if sampled:
+            step = max(1, len(sampled) // num_buckets)
+            seen = set()
+            for i in range(step, len(sampled), step):
+                t = sampled[i]
+                if t not in seen:
+                    seen.add(t)
+                    splits.append(t)
+                if len(splits) >= num_buckets - 1:
+                    break
+
+    if splits:
+        bucket = sum(
+            (_after_split(order, s).cast("int") for s in splits), F.lit(0)
+        )
+    else:
+        bucket = F.lit(0)
+    bucketed = df.withColumn("_bkt", bucket)
+    w_local = Window.partitionBy("_bkt").orderBy(*_order_exprs(order))
+    local = bucketed.withColumn(
+        "_lrank", F.row_number().over(w_local).cast("long")
+    )
+    counts = local.groupBy("_bkt").agg(F.count(F.lit(1)).alias("_cnt"))
+    # cumsum over <= num_buckets rows: bounded by a constant, so the
+    # unpartitioned window here is NOT a scale hazard
+    w_off = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_bkt", F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).alias("_off")
+    )
+    return (
+        local.join(F.broadcast(offsets), "_bkt")
+        .withColumn(out_col, (F.col("_lrank") + F.col("_off")).cast("long"))
+        .drop("_bkt", "_lrank", "_off")
+    )
+
+
+def _sort_keys(
+    keys: list[tuple], order: Sequence[tuple[str, bool]]
+) -> list[tuple]:
+    """Sort key tuples by the (possibly mixed-direction) lexicographic
+    order without assuming negatable types: stable multi-pass sort from
+    the last column to the first."""
+    out = list(keys)
+    for i in range(len(order) - 1, -1, -1):
+        _, desc = order[i]
+        out.sort(key=lambda t, i=i: t[i], reverse=desc)
+    return out

@@ -44,3 +44,51 @@ def salted_join(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )
     return fact_s.join(dim_s, [*on, "__salt"], how).drop("__salt")
+
+
+def skewed_fact_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    n_salts: int = 8,
+    n_hot: int = 8,
+) -> DataFrame:
+    """Differentiated skew join for two FACT tables (inner, single key).
+
+    ``salted_join`` replicates the whole dim side — fine for a dimension,
+    wrong when both sides are facts.  The 100 TB pattern is to split by
+    key temperature instead:
+
+    1. count keys on the left side and take the ``n_hot`` heaviest
+       (bounded driver collect — n_hot rows, never the key space);
+    2. HOT path: left-hot rows scatter over ``n_salts`` via xxhash64 (a
+       deterministic salt — retries land on the same salt), right-hot
+       rows replicate ``n_salts`` ways, join on (key, salt) so each hot
+       key spreads over n_salts tasks instead of one straggler;
+    3. COLD path: plain shuffle join (AQE handles residual imbalance);
+    4. union.
+
+    Result is exactly ``left.join(right, on, "inner")`` — the oracle for
+    any query built on this is the plain join.  Inner-only: null keys
+    never match, and the hot/cold split drops neither side's matchable
+    rows.
+    """
+    counts = left.groupBy(on).agg(F.count(F.lit(1)).alias("__cnt"))
+    hot_rows = counts.orderBy(F.desc("__cnt"), F.col(on)).limit(n_hot).collect()
+    hot_keys = [r[0] for r in hot_rows if r[0] is not None]
+    if not hot_keys:
+        return left.join(right, on, "inner")
+    l_hot = left.where(F.col(on).isin(hot_keys))
+    l_cold = left.where(~F.col(on).isin(hot_keys))
+    r_hot = right.where(F.col(on).isin(hot_keys))
+    r_cold = right.where(~F.col(on).isin(hot_keys))
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(n_salts)
+    ).cast("int")
+    l_salted = l_hot.withColumn("__salt", salt)
+    r_salted = r_hot.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    hot_joined = l_salted.join(r_salted, [on, "__salt"], "inner").drop("__salt")
+    cold_joined = l_cold.join(r_cold, on, "inner")
+    return hot_joined.unionByName(cold_joined)

@@ -12,7 +12,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.rounding import round_half_away, sql_round_half_away
+from ..functions.rounding import (
+    dec_sum,
+    round_half_away,
+    sql_dec_sum,
+    sql_round_half_away,
+)
 from ..operators.gaps import detect_gaps, gap_summary
 from ..sources.tables import load_table
 
@@ -287,17 +292,104 @@ FROM events GROUP BY 1
 
 def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The at-scale sketch variants of the A6 stats probe:
-    approx_count_distinct (HyperLogLog++) and approx_percentile
-    (KLL-style). Deliberately registered WITHOUT an oracle — sketch
-    outputs are estimator-specific, so the driver records the weaker
-    rows-only check; the exact twins (`watermark_probe`,
-    `value_percentiles`) carry the hash-checked correctness."""
+    approx_count_distinct (HyperLogLog++, rsd=0.02) and
+    approx_percentile (KLL-style, accuracy=1000).
+
+    Adjudicable (VERDICT r3 ask #6): instead of raw estimator values
+    (sketch-specific, no SQL oracle), the query emits exact n and exact
+    distinct count (hash-checked directly) plus two booleans asserting
+    each sketch is inside its published error bound — ``users_within_bound``
+    (|HLL - exact| <= max(0.1*exact, 5), i.e. 5x the configured rsd) and
+    ``p50_within_rank_bound`` (the exact rank of the returned percentile
+    value is within 1% of the 0.5 target — 10x the 1/accuracy rank-error
+    guarantee).  Both sketches are deterministic (hash-based, no RNG), so
+    the flags are stable; the DuckDB oracle computes the exact columns and
+    emits TRUE flags — an out-of-bound sketch hash-mismatches.
+
+    Scale note: one groupBy shuffle for the sketch+exact pass, then a
+    broadcast of the tiny per-type sketch row back onto events for the
+    exact rank count — no second wide shuffle."""
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id").alias("approx_users"),
-        F.expr("approx_percentile(value, 0.5, 1000)").alias("approx_p50"),
+    sk = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("_approx_users"),
+        F.expr("approx_percentile(value, 0.5, 1000)").alias("_approx_p50"),
         F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("exact_users"),
     )
+    ranks = (
+        ev.join(F.broadcast(sk.select("event_type", "_approx_p50")), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(F.col("value") <= F.col("_approx_p50"), F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            ).alias("_le_cnt")
+        )
+    )
+    return (
+        sk.join(F.broadcast(ranks), "event_type")
+        .select(
+            "event_type",
+            "n",
+            "exact_users",
+            (
+                F.abs(F.col("_approx_users") - F.col("exact_users"))
+                <= F.greatest(F.col("exact_users") * 0.1, F.lit(5.0))
+            ).alias("users_within_bound"),
+            (
+                F.abs(F.col("_le_cnt") - F.col("n") / 2.0)
+                <= F.col("n") * 0.01 + 2.0
+            ).alias("p50_within_rank_bound"),
+        )
+    )
+
+
+def oracle_approx_stats() -> str:
+    return """
+SELECT event_type,
+       COUNT(*) AS n,
+       COUNT(DISTINCT user_id) AS exact_users,
+       TRUE AS users_within_bound,
+       TRUE AS p50_within_rank_bound
+FROM events
+GROUP BY event_type
+"""
+
+
+def q_salted_user_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact many-to-many join under a potentially hot key, routed
+    through the differentiated skew join (operators.skew.skewed_fact_join):
+    purchases x clicks per user — the heaviest users take the salted path
+    (key scattered over n_salts tasks), the rest the plain shuffle join.
+    The oracle is the PLAIN join, proving the skew rewrite is a pure
+    physical transformation (VERDICT r3 ask #7)."""
+    from ..operators.skew import skewed_fact_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("value").alias("purchase_value")
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("value").alias("click_value")
+    )
+    pairs = skewed_fact_join(purchases, clicks, on="user_id")
+    return pairs.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        dec_sum(F.col("purchase_value")).alias("sum_purchase_value"),
+        dec_sum(F.col("click_value")).alias("sum_click_value"),
+    )
+
+
+def oracle_salted_user_spend() -> str:
+    return f"""
+SELECT p.user_id, count(*) AS n_pairs,
+       {sql_dec_sum('p.value')} AS sum_purchase_value,
+       {sql_dec_sum('c.value')} AS sum_click_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT * FROM events WHERE event_type = 'click') c USING (user_id)
+GROUP BY p.user_id
+"""
 
 
 def q_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1956,14 +2048,18 @@ def q_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         G = (2*Σ(i*c_i) - (n+1)*Σc_i) / (n*Σc_i)
 
     with i = ascending (count, key) rank — every operand exact, one
-    double division at the end. The rank window runs over the COMPACT
-    per-key aggregate (O(#keys) rows), not events.
-    """
+    double division at the end. The rank runs over the per-key
+    aggregate, whose cardinality is UNBOUNDED for user-keyed facts
+    (billions of keys at 100x), so it uses the two-phase distributed
+    row_number (operators/ranks.py) instead of a single-partition
+    window — range shuffle + local rank + broadcast offset cumsum
+    (VERDICT r3 ask #2)."""
+    from ..operators.ranks import distributed_row_number
+
     ev = load_table(spark, sf_dir, "events")
     per_key = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
-    w = Window.orderBy(F.col("c").asc(), F.col("user_id").asc())
-    ranked = per_key.select(
-        "user_id", "c", F.row_number().over(w).cast("long").alias("i")
+    ranked = distributed_row_number(
+        per_key, [("c", False), ("user_id", False)], out_col="i"
     )
     top_tie = F.struct(F.col("c"), (-F.col("user_id")).alias("neg_k"))
     return ranked.agg(

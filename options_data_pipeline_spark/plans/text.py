@@ -2070,20 +2070,22 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECIMAL(18,9) — and every OLS sufficient statistic (Σx, Σy, Σxy,
     Σx²) is then an EXACT decimal sum; only the final slope/intercept
     expression touches floats, in pinned association order. Rank is a
-    total order (count desc, term asc). The window and the sums run
-    over the VOCABULARY table (compact by Heaps' law), not the corpus.
-    """
+    total order (count desc, term asc). Heaps' law keeps the vocabulary
+    sublinear in corpus size but still ~10^8+ terms at 100 TB, so the
+    rank is the two-phase distributed row_number (operators/ranks.py)
+    — range shuffle + per-partition rank + broadcast offset cumsum —
+    never a single-partition window (VERDICT r3 ask #2)."""
     from ..functions.rounding import round_half_away
+    from ..operators.ranks import distributed_row_number
 
     docs = parallelized(spark, load_table(spark, sf_dir, "documents"))
     toks = docs.select(F.explode(F.split("text", " ")).alias("term")).where(
         F.length("term") > 0
     )
     vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("freq"))
-    w = Window.orderBy(F.col("freq").desc(), F.col("term").asc())
-    ranked = vocab.select(
-        "freq", F.row_number().over(w).cast("long").alias("rank")
-    )
+    ranked = distributed_row_number(
+        vocab, [("freq", True), ("term", False)], out_col="rank"
+    ).select("freq", "rank")
     lx = round_half_away(F.log(F.col("rank").cast("double")), 9).cast(
         "decimal(18,9)"
     )

@@ -26,7 +26,7 @@ def test_every_registry_query_has_oracle_or_documented_exception():
     missing = sorted(
         name for name in registry.queries() if name not in oracles
     )
-    # deliberate exceptions: approx sketches have no exact oracle (error
-    # bound pinned by tests/test_sql_surface.py); eigendecomposition is
-    # not SQL-expressible (algebra pinned by tests/test_pca.py)
-    assert missing == ["approx_stats", "pca_project"]
+    # deliberate exception: eigendecomposition is not SQL-expressible
+    # (algebra pinned by tests/test_pca.py).  approx_stats gained an
+    # oracle in r4 — it now emits exact columns plus within-bound flags.
+    assert missing == ["pca_project"]

@@ -56,6 +56,12 @@ SAMPLE = [
     "user_value_trend",
     "bigram_pmi",
     "length_ks_drift",
+    # round-4: two-phase distributed rank (VERDICT r3 ask #2) and the
+    # differentiated fact-fact skew join (ask #7)
+    "key_skew_report",
+    "zipf_fit",
+    "salted_user_spend",
+    "approx_stats",
 ]
 
 

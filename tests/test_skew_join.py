@@ -1,0 +1,77 @@
+"""Differentiated fact-fact skew join (operators.skew.skewed_fact_join):
+result-equality vs the plain join under genuinely skewed keys, plus the
+hot/salted path actually engaging (VERDICT r3 ask #7)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from options_data_pipeline_spark.operators.skew import salted_join, skewed_fact_join
+
+
+def _skewed_frames(spark):
+    # key 0 is pathologically hot (~50% of rows), a long uniform tail
+    left = spark.range(0, 2000).select(
+        F.when(F.col("id") % 2 == 0, F.lit(0))
+        .otherwise(F.pmod(F.xxhash64("id"), F.lit(97)) + 1)
+        .cast("long")
+        .alias("k"),
+        (F.col("id") * 3).alias("lv"),
+    )
+    right = spark.range(0, 500).select(
+        F.when(F.col("id") % 3 == 0, F.lit(0))
+        .otherwise(F.pmod(F.xxhash64("id", F.lit(7)), F.lit(97)) + 1)
+        .cast("long")
+        .alias("k"),
+        (F.col("id") + 100).alias("rv"),
+    )
+    return left, right
+
+
+def _canon(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_skewed_fact_join_equals_plain_join(spark):
+    left, right = _skewed_frames(spark)
+    plain = left.join(right, "k", "inner")
+    salted = skewed_fact_join(left, right, on="k", n_salts=4, n_hot=3)
+    assert _canon(salted) == _canon(plain)
+
+
+def test_skewed_fact_join_salt_expansion_in_plan(spark):
+    left, right = _skewed_frames(spark)
+    out = skewed_fact_join(left, right, on="k", n_salts=4, n_hot=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the hot path replicates right-hot rows via explode(sequence(...))
+    assert "Generate" in plan, plan
+    # and both the hot and cold branches union back together
+    assert "Union" in plan, plan
+
+
+def test_skewed_fact_join_no_hot_keys_degenerates_to_plain(spark):
+    left = spark.range(0, 50).select(F.col("id").alias("k"), F.col("id").alias("lv"))
+    right = spark.range(0, 50).select(F.col("id").alias("k"), F.col("id").alias("rv"))
+    out = skewed_fact_join(left, right, on="k", n_salts=4, n_hot=5)
+    plain = left.join(right, "k", "inner")
+    assert _canon(out) == _canon(plain)
+
+
+def test_skewed_fact_join_null_keys_dropped_like_inner(spark):
+    left = spark.createDataFrame(
+        [(None, 1), (1, 2), (1, 3), (2, 4)], "k int, lv int"
+    )
+    right = spark.createDataFrame(
+        [(None, 10), (1, 20), (2, 30)], "k int, rv int"
+    )
+    out = skewed_fact_join(left, right, on="k", n_salts=2, n_hot=2)
+    plain = left.join(right, "k", "inner")
+    assert _canon(out) == _canon(plain)
+
+
+def test_salted_join_still_equals_plain(spark):
+    left, right = _skewed_frames(spark)
+    dim = right.dropDuplicates(["k"])
+    plain = left.join(dim, "k", "inner")
+    salted = salted_join(left, dim, on=["k"], n_salts=4)
+    assert _canon(salted) == _canon(plain)
