@@ -235,13 +235,17 @@ def clamped_running_sum_scan(
         [T.StructField("_pid", T.IntegerType())]
         + key_t
         + [
-            T.StructField("_l", T.DoubleType()),
-            T.StructField("_u", T.DoubleType()),
+            # LongType, not Double: all composed l/u values are integers
+            # clamped into [lo, hi], and the single-pass fold is exact
+            # Python int — float64 state would break bit-equality past
+            # 2^53 (ADVICE r3)
+            T.StructField("_l", T.LongType()),
+            T.StructField("_u", T.LongType()),
             T.StructField("_d", T.LongType()),
         ]
     )
 
-    lo_f, hi_f = float(lo), float(hi)
+    lo_i, hi_i = int(lo), int(hi)
 
     def phase_a(batches):
         # compose per (pid, key) in row order (input arrives sorted)
@@ -252,7 +256,7 @@ def clamped_running_sum_scan(
             deltas = pdf[delta_col].values
             for i, d in enumerate(deltas):
                 k = tuple(c[i] for c in cols)
-                step = (lo_f, hi_f, int(d))
+                step = (lo_i, hi_i, int(d))
                 if k in acc:
                     acc[k] = _compose(acc[k], step)
                 else:
@@ -271,15 +275,15 @@ def clamped_running_sum_scan(
 
     # entering state per (pid, key): fold prior segments of the key
     segs.sort(key=lambda r: r["_pid"])
-    entering: dict[tuple, float] = {}
-    running: dict[tuple, float] = {}
+    entering: dict[tuple, int] = {}
+    running: dict[tuple, int] = {}
     for r in segs:
         k = tuple(r[c] for c in keys)
         pk = (r["_pid"],) + k
-        state = running.get(k, 0.0)
+        state = running.get(k, 0)
         entering[pk] = state
-        # state after this segment = g(state)
-        running[k] = min(r["_u"], max(r["_l"], state + r["_d"]))
+        # state after this segment = g(state); exact Python ints
+        running[k] = min(int(r["_u"]), max(int(r["_l"]), state + int(r["_d"])))
     b_entering = spark.sparkContext.broadcast(entering)
 
     out_fields = [df.schema[c] for c in keys + order]
@@ -289,7 +293,7 @@ def clamped_running_sum_scan(
 
     def phase_b(batches):
         ent = b_entering.value
-        state: dict[tuple, float] = {}
+        state: dict[tuple, int] = {}
         for pdf in batches:
             cols = [pdf["_pid"].values] + [pdf[c].values for c in keys]
             deltas = pdf[delta_col].values
@@ -298,15 +302,19 @@ def clamped_running_sum_scan(
                 k = tuple(c[i] for c in cols)
                 bal = state.get(k)
                 if bal is None:
-                    bal = ent.get(k, 0.0)
-                bal = min(hi_f, max(lo_f, bal + int(d)))
+                    bal = int(ent.get(k, 0))
+                bal = min(hi_i, max(lo_i, bal + int(d)))
                 state[k] = bal
                 bals.append(bal / divisor)
             out = pdf[keys + order].copy()
             out[out_col] = bals
             yield out
 
-    # parted stays persisted for the lifetime of the result's lineage
-    # (range-partition bounds are sampled — recomputing could reassign
-    # rows between phases); Spark evicts LRU, tests clearCache().
-    return parted.mapInPandas(phase_b, schema=out_schema)
+    # Materialize phase B while parted is still pinned (range-partition
+    # bounds are sampled — an unpinned recompute could reassign rows
+    # between phases), then release the cache: no partitions leak for
+    # the session lifetime, and the result no longer depends on the
+    # cache surviving LRU eviction (ADVICE r3).
+    result = parted.mapInPandas(phase_b, schema=out_schema).localCheckpoint()
+    parted.unpersist()
+    return result

@@ -14,15 +14,37 @@ N_QUERIES = 20
 TOP_K = 5
 
 
+def _emb_frames(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """The (queries, corpus) frames every ANN query starts from,
+    materialized ONCE per session via the artifact store (VERDICT r3
+    ask #9): ``ann_recall`` runs both the brute-force and IVF sides, and
+    without the artifact each side re-derived its own scan + projection
+    of the same immutable embeddings snapshot."""
+    from ..operators.artifacts import session_artifact
+
+    queries = session_artifact(
+        spark,
+        f"ann_queries:{sf_dir}:n={N_QUERIES}",
+        lambda: load_table(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")),
+    )
+    corpus = session_artifact(
+        spark,
+        f"ann_corpus:{sf_dir}",
+        lambda: parallelized(
+            spark,
+            load_table(spark, sf_dir, "embeddings").select(
+                F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+            ),
+        ),
+    )
+    return queries, corpus
+
+
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
-    )
-    corpus = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
-    return cosine_topk(
-        queries, corpus, k=TOP_K, parallelism=spark.sparkContext.defaultParallelism
-    )
+    queries, corpus = _emb_frames(spark, sf_dir)
+    return cosine_topk(queries, corpus, k=TOP_K)
 
 
 def oracle_ann_cosine_topk() -> str:
@@ -138,11 +160,7 @@ WHERE {sim} >= {NEAR_DUP_THRESHOLD}
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import ivf_topk
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
-    )
-    corpus = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
+    queries, corpus = _emb_frames(spark, sf_dir)
     return ivf_topk(queries, corpus, k=TOP_K, nprobe=2)
 
 
@@ -737,25 +755,36 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact brute-force top-k, per query point — the measurement loop any
     ANN deployment runs before trusting an approximate index.
 
-    Both sides reuse the registry pipelines unchanged; the comparison
-    is one (qid, cid) equi-join of two k·|Q|-row frames (tiny), so the
-    cost is the two index runs themselves.
+    Both sides reuse the registry pipelines unchanged (fed from the
+    session-artifact embeddings frames — one scan, not four). The
+    comparison collapses each side to per-qid id-sets FIRST: the
+    ``collect_set`` aggregations reuse their side's rank-window hash
+    partitioning on qid (no new exchange), and the set-vs-set compare is
+    a broadcast join of two |Q|-row frames + ``array_intersect`` — the
+    (qid, cid) pairwise join it replaces cost two sort-merge exchanges
+    plus a re-aggregation shuffle (VERDICT r3 ask #9: 8 -> ≤5 shuffles).
     """
-    exact = q_ann_cosine_topk(spark, sf_dir).select("qid", "cid")
-    approx = q_ivf_topk(spark, sf_dir).select(
-        F.col("qid").alias("aqid"), F.col("cid").alias("acid"),
-        F.lit(1).alias("hit"),
+    exact_sets = (
+        q_ann_cosine_topk(spark, sf_dir)
+        .groupBy("qid")
+        .agg(F.collect_set("cid").alias("_exact"))
     )
-    joined = exact.join(
-        approx,
-        (exact["qid"] == approx["aqid"]) & (exact["cid"] == approx["acid"]),
-        "left",
+    approx_sets = (
+        q_ivf_topk(spark, sf_dir)
+        .groupBy("qid")
+        .agg(F.collect_set("cid").alias("_approx"))
     )
-    return joined.groupBy("qid").agg(
-        F.coalesce(F.sum("hit"), F.lit(0)).cast("long").alias("n_hits"),
-    ).select(
-        "qid", "n_hits",
-        (F.col("n_hits") / F.lit(float(TOP_K))).alias("recall_at_k"),
+    joined = exact_sets.join(F.broadcast(approx_sets), "qid", "left")
+    n_hits = F.size(
+        F.array_intersect(
+            F.col("_exact"),
+            F.coalesce(F.col("_approx"), F.array().cast("array<long>")),
+        )
+    ).cast("long")
+    return joined.select(
+        "qid",
+        n_hits.alias("n_hits"),
+        (n_hits / F.lit(float(TOP_K))).alias("recall_at_k"),
     )
 
 

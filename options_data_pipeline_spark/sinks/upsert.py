@@ -40,12 +40,27 @@ from pyspark.sql import functions as F
 
 
 def _read_target(spark: SparkSession, path: str) -> DataFrame | None:
+    """Read the current target table, or ``None`` for a genuine cold
+    start (path absent, or present but holding no parquet footers).
+
+    Real read errors PROPAGATE: swallowing a transient IO failure here
+    would turn the next sink apply into a cold start that atomically
+    replaces the table with just the current batch — silent loss of
+    every other row, destructive for sinks whose contract includes
+    retraction (apply_cdc). ADVICE r3."""
     if not os.path.exists(path):
         return None
     try:
         return spark.read.parquet(path)
-    except Exception:
-        return None
+    except Exception as exc:
+        msg = str(exc)
+        if (
+            "UNABLE_TO_INFER_SCHEMA" in msg
+            or "PATH_NOT_FOUND" in msg
+            or "Unable to infer schema" in msg
+        ):
+            return None  # empty/partial directory: legitimate cold start
+        raise
 
 
 def _atomic_replace(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
@@ -66,6 +81,31 @@ def _atomic_replace(df: DataFrame, path: str, partition_by: list[str] | None = N
     os.rename(staging, path)
     if os.path.exists(old):
         shutil.rmtree(old)
+
+
+def dedupe_last_wins(
+    updates: DataFrame,
+    keys: list[str],
+    order_by: list[str] | None = None,
+) -> DataFrame:
+    """In-batch last-wins dedup (reference: later statement wins).
+
+    ``order_by`` defines logical "later"; the fallback is physical order
+    via ``monotonically_increasing_id`` (deterministic only for
+    single-partition driver-built batches). Shared by the parquet
+    emulation and the Delta MERGE backend so both reconcile a batch
+    identically before touching the target."""
+    if order_by:
+        ordering = [F.col(c).desc() for c in order_by]
+        ordering.append(F.monotonically_increasing_id().desc())  # tie-break
+    else:
+        ordering = [F.monotonically_increasing_id().desc()]
+    w = Window.partitionBy(*keys).orderBy(*ordering)
+    return (
+        updates.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
 
 
 def merge_upsert(
@@ -94,18 +134,7 @@ def merge_upsert(
     """
     if audit_col:
         updates = updates.withColumn(audit_col, F.current_timestamp())
-    # last-wins within the batch itself (reference: later statement wins)
-    if order_by:
-        ordering = [F.col(c).desc() for c in order_by]
-        ordering.append(F.monotonically_increasing_id().desc())  # tie-break
-    else:
-        ordering = [F.monotonically_increasing_id().desc()]
-    w = Window.partitionBy(*keys).orderBy(*ordering)
-    updates = (
-        updates.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .drop("_rn")
-    )
+    updates = dedupe_last_wins(updates, keys, order_by)
     # One evaluation of the dedup across the count/join/write actions below
     # (monotonically_increasing_id could otherwise re-evaluate differently).
     updates = updates.localCheckpoint(eager=False)

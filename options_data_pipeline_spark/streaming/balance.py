@@ -72,7 +72,17 @@ def running_balance(
             bal, n = state.get
         else:
             bal, n = 0, 0
-        for pdf in pdf_iter:
+        # a key's micro-batch rows can span multiple Arrow chunks
+        # (default batch size 10k): concat ALL chunks, THEN sort — a
+        # per-chunk sort folds chunks in arrival order, which is wrong
+        # for a path-dependent clamped fold (ADVICE r3, medium)
+        chunks = [pdf for pdf in pdf_iter]
+        if chunks:
+            pdf = (
+                pd.concat(chunks, ignore_index=True)
+                if len(chunks) > 1
+                else chunks[0]
+            )
             pdf = pdf.sort_values(["ts", "event_id"])
             for d in pdf["delta"].astype("int64"):
                 bal = bal + int(d)

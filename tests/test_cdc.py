@@ -103,3 +103,41 @@ def test_cdc_streaming_foreachbatch(spark, tmp):
     ).write.mode("append").parquet(src)
     wave()
     assert _state(spark, path) == {1: "a2", 3: "c"}
+
+
+def test_corrupt_target_read_propagates_not_cold_start(spark, tmp):
+    """ADVICE r3: a target that EXISTS but fails to read must raise, not
+    silently become a cold start that replaces the table with only the
+    current change batch."""
+    import os
+
+    import pytest
+
+    target = f"{tmp}/tbl"
+    os.makedirs(target)
+    with open(f"{target}/part-00000.parquet", "wb") as fh:
+        fh.write(b"this is not a parquet file")
+    changes = spark.createDataFrame(
+        [(1, 1, "I", "a")], "k int, seq int, op string, v string"
+    )
+    with pytest.raises(Exception):
+        apply_cdc(spark, target, changes, keys=["k"], seq_col="seq")
+    # the corrupt target was not replaced
+    assert os.path.exists(f"{target}/part-00000.parquet")
+
+
+def test_empty_target_dir_is_cold_start(spark, tmp):
+    """An existing-but-empty directory (no parquet footers) is a
+    legitimate cold start — the one case _read_target may absorb."""
+    import os
+
+    target = f"{tmp}/tbl"
+    os.makedirs(target)
+    changes = spark.createDataFrame(
+        [(1, 1, "I", "a"), (2, 2, "D", None)],
+        "k int, seq int, op string, v string",
+    )
+    got = apply_cdc(spark, target, changes, keys=["k"], seq_col="seq")
+    assert got["inserted"] == 1
+    rows = spark.read.parquet(target).collect()
+    assert [(r.k, r.v) for r in rows] == [(1, "a")]

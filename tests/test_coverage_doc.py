@@ -30,3 +30,15 @@ def test_every_registry_query_has_oracle_or_documented_exception():
     # (algebra pinned by tests/test_pca.py).  approx_stats gained an
     # oracle in r4 — it now emits exact columns plus within-bound flags.
     assert missing == ["pca_project"]
+
+
+def test_priority_ordering_names_are_registry_keys():
+    """Every _PRIORITY name must exist (a typo would silently demote a
+    query out of the driver's sample window), and the promoted prefix
+    must lead the queries() iteration order."""
+    names = list(registry.queries())
+    valid = [n for n in registry._PRIORITY if n in registry._REGISTRY]
+    assert valid == registry._PRIORITY, (
+        sorted(set(registry._PRIORITY) - set(registry._REGISTRY))
+    )
+    assert names[: len(valid)] == valid

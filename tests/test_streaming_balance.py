@@ -99,3 +99,29 @@ def test_stream_equals_batch_across_waves(spark, tmp):
     # u1: clamp at 0 then +20.56 (half-away on .555)
     assert g2[1] == (20.56, 4)
     assert g2[3] == (7.0, 1)
+
+
+def test_multi_chunk_batch_folds_in_global_ts_order(spark, tmp):
+    """ADVICE r3 (medium): a key's rows spanning multiple Arrow chunks
+    must fold in global (ts, event_id) order, not per-chunk. Rows arrive
+    REVERSED with maxRecordsPerBatch=5, so a per-chunk sort would fold
+    the newest chunk first and land on $400.00 instead of $410.00."""
+    rows = [
+        (1, "2024-01-01 10:00:00", 9, "purchase", 600.0),  # clamp at 500
+        (2, "2024-01-01 10:01:00", 9, "error", 100.0),     # -> 400
+    ] + [
+        (i, f"2024-01-01 10:{i:02d}:00", 9, "view", 1.0)   # +1 x10 -> 410
+        for i in range(3, 13)
+    ]
+    src = f"{tmp}/src"
+    _df(spark, list(reversed(rows))).coalesce(1).write.parquet(src)
+    original = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "5")
+        got = _run_wave(spark, src, tmp)
+    finally:
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", original
+        )
+    assert got == _batch_final(spark, rows)
+    assert got[9] == (410.0, 12)

@@ -111,6 +111,65 @@ def test_distributed_scan_equals_grouped_fold(spark):
     spark.catalog.clearCache()
 
 
+def test_scan_releases_its_cache(spark):
+    """ADVICE r3: the scan must not leak persisted partitions — the
+    result is materialized and the intermediate cache released before
+    returning."""
+    from options_data_pipeline_spark.operators.statefold import (
+        clamped_running_sum_scan,
+    )
+
+    spark.catalog.clearCache()
+    df = spark.createDataFrame(
+        [("a", i, (-1) ** i * 3) for i in range(100)],
+        "k string, seq int, delta long",
+    )
+    out = clamped_running_sum_scan(
+        df, keys=["k"], order=["seq"], delta_col="delta",
+        lo=0, hi=10, divisor=1.0, out_col="bal", num_partitions=4,
+    )
+    assert out.count() == 100
+    # the only persistent RDDs allowed to remain are localCheckpoint
+    # results (bounded, output-sized, released with their DataFrame);
+    # the intermediate range-parted frame was a plain .persist() — if it
+    # leaked, it would show up here as a non-checkpointed cached RDD
+    jsc = spark.sparkContext._jsc.sc()
+    it = jsc.getPersistentRDDs().values().iterator()
+    while it.hasNext():
+        rdd = it.next()
+        assert rdd.isLocallyCheckpointed(), rdd.toString()
+
+
+def test_scan_exact_beyond_double_precision(spark):
+    """ADVICE r3: state carried as exact integers — deltas and bounds
+    past 2^53 (where float64 loses unit precision) still fold exactly
+    and bit-match the single-pass fold."""
+    from options_data_pipeline_spark.operators.statefold import (
+        clamped_running_sum_scan,
+    )
+
+    big = 2**53
+    rows = [
+        ("x", 0, big + 1),
+        ("x", 1, 1),
+        ("x", 2, -(big + 3)),   # would clamp at lo with exact math
+        ("x", 3, big - 1),
+        ("y", 0, -5),
+        ("y", 1, big + 7),
+    ]
+    df = spark.createDataFrame(rows, "k string, seq int, delta long")
+    kw = dict(keys=["k"], order=["seq"], delta_col="delta",
+              lo=0, hi=2 * big, divisor=1.0, out_col="bal")
+    expect = {
+        (r.k, r.seq): r.bal for r in clamped_running_sum(df, **kw).collect()
+    }
+    got = {
+        (r.k, r.seq): r.bal
+        for r in clamped_running_sum_scan(df, num_partitions=3, **kw).collect()
+    }
+    assert got == expect
+
+
 def test_compose_algebra():
     """g2∘g1 closed form: check against direct application on a grid."""
     from options_data_pipeline_spark.operators.statefold import _compose
