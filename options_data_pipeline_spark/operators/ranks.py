@@ -71,6 +71,8 @@ def distributed_row_number(
     tie-break column) — the same contract an unpartitioned row_number
     has, minus the single-task bottleneck.
     """
+    from .materialize import materialize
+
     order = [(n, bool(d)) for n, d in order]
     key_names = [n for n, _ in order]
     if num_buckets is None:
@@ -78,6 +80,12 @@ def distributed_row_number(
             df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
         )
 
+    # Materialize the input ONCE before any decision job: the count and
+    # the split-point sample would otherwise re-execute the full input
+    # lineage (for a vocabulary that means re-exploding the corpus) —
+    # one extra pass per decision at 100 TB. The checkpoint is the same
+    # compact frame the rank must shuffle anyway.
+    df = materialize(df)
     n_rows = df.count()
     splits: list[tuple] = []
     if n_rows > SMALL_INPUT_ROWS and num_buckets > 1:

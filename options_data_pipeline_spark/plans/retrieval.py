@@ -41,6 +41,9 @@ BM25_TOP_K = 20
 # the dominant cost (measured: pruning was 2.3x SLOWER at sf0.1's ~10k
 # docs). Tests monkeypatch this to pin the pruned path's exactness.
 PRUNE_MIN_DOCS = 100_000
+# corpus-size probe memo: one zero-column count per (session, snapshot)
+# — the snapshot is immutable, so the gate decision never changes
+_N_DOCS_MEMO: dict[tuple[str, str], int] = {}
 
 
 def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -99,7 +102,14 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # candidate-scoring job — at sf0.1 it regressed 2.3x. Below the
     # floor, run the plain single-pass scoring plan (bit-identical
     # output; both paths share the same rounded-decimal arithmetic).
-    n_docs_total = dl.count()
+    # count docs, not dl: counting dl would force the tokenization just
+    # to decide the path; a zero-column count over the documents scan is
+    # metadata-cheap, and memoized per (session, snapshot)
+    memo_key = (spark.sparkContext.applicationId, sf_dir)
+    n_docs_total = _N_DOCS_MEMO.get(memo_key)
+    if n_docs_total is None:
+        n_docs_total = docs.select("doc_id").count()
+        _N_DOCS_MEMO[memo_key] = n_docs_total
     if n_docs_total < PRUNE_MIN_DOCS:
         scored = (
             postings.join(F.broadcast(idf), "term")

@@ -85,3 +85,41 @@ def test_heavy_ties_stay_exact(spark, force_bucketed):
     expect = sorted(((r.k, r.v) for r in rows))
     got = {(r.k, r.v): r.r for r in rows}
     assert all(got[kv] == i + 1 for i, kv in enumerate(expect))
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_keyvals = st.lists(
+    st.tuples(st.integers(-50, 50), st.integers(-1000, 1000)),
+    min_size=1,
+    max_size=40,
+    unique=True,  # (k, v) pairs unique -> the composite order is total
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(_keyvals, st.booleans(), st.integers(2, 5))
+def test_distributed_rank_matches_python_model(spark, rows, desc, buckets):
+    """Property: against an independent Python sort model, under random
+    key distributions (ties on the first column included), both sort
+    directions, random bucket counts, and the bucketed path forced on."""
+    import options_data_pipeline_spark.operators.ranks as ranks_mod
+
+    old = ranks_mod.SMALL_INPUT_ROWS
+    ranks_mod.SMALL_INPUT_ROWS = 0
+    try:
+        df = spark.createDataFrame(rows, "k int, v int")
+        out = distributed_row_number(
+            df, [("k", desc), ("v", False)], out_col="r", num_buckets=buckets
+        ).collect()
+    finally:
+        ranks_mod.SMALL_INPUT_ROWS = old
+    expect = sorted(rows, key=lambda t: ((-t[0] if desc else t[0]), t[1]))
+    got = {(r.k, r.v): r.r for r in out}
+    assert len(got) == len(rows)
+    assert all(got[kv] == i + 1 for i, kv in enumerate(expect))
