@@ -382,6 +382,80 @@ def sample_frames(
     return media.mapInPandas(batches, schema=FRAME_SCHEMA)
 
 
+MP4_PROBE_SCHEMA = (
+    "media_id long, kind string, n_bytes long, is_mp4 boolean,"
+    " brand string, timescale long, duration long, n_boxes long"
+)
+
+
+def probe_mp4_headers(media: DataFrame) -> DataFrame:
+    """REAL video-container metadata with zero codec dependencies: walk
+    each payload's top-level ISO-BMFF (MP4) box list — [size:u32be,
+    type:4cc] headers — taking the major brand from ``ftyp`` and
+    timescale/duration from ``moov``/``mvhd``. Unlike the fixed-offset
+    PNG/WAV probes this is a genuine ITERATIVE parse: the walker chains
+    ``pos += size`` through the box list and recurses one level into
+    ``moov``, so a wrong size field anywhere derails every later field
+    (exactly how a real demuxer fails).
+
+    A payload is ``is_mp4`` only if it contains both ``ftyp`` and
+    ``moov`` and the walk consumes it EXACTLY (no trailing garbage).
+    Malformed boxes (size < 8, size past EOF — including any text blob,
+    whose first 4 ASCII bytes read as a >500 MB box size) terminate the
+    walk and triage the payload out with NULL metadata, never an error.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+
+        def kernel(p: bytes) -> dict:
+            out = {
+                "n_bytes": len(p),
+                "is_mp4": False,
+                "brand": None,
+                "timescale": None,
+                "duration": None,
+                "n_boxes": 0,
+            }
+            n, pos = len(p), 0
+            saw_ftyp = saw_moov = False
+            brand = ts = dur = None
+            while pos + 8 <= n:
+                (size,) = _struct.unpack_from(">I", p, pos)
+                typ = p[pos + 4 : pos + 8]
+                if size < 8 or pos + size > n:
+                    return out  # malformed: not a box list
+                out["n_boxes"] += 1
+                if typ == b"ftyp" and size >= 12:
+                    brand = p[pos + 8 : pos + 12].decode("ascii", "replace")
+                    saw_ftyp = True
+                elif typ == b"moov":
+                    c, end = pos + 8, pos + size
+                    while c + 8 <= end:
+                        (csize,) = _struct.unpack_from(">I", p, c)
+                        ctyp = p[c + 4 : c + 8]
+                        if csize < 8 or c + csize > end:
+                            return out
+                        if ctyp == b"mvhd" and csize >= 28:
+                            ts, dur = _struct.unpack_from(">II", p, c + 20)
+                        c += csize
+                    saw_moov = True
+                pos += size
+            if saw_ftyp and saw_moov and pos == n:
+                out.update(
+                    is_mp4=True, brand=brand, timescale=ts, duration=dur
+                )
+            return out
+
+        for pdf in it:
+            feats = pd.DataFrame([kernel(bytes(p)) for p in pdf["payload"]])
+            feats.insert(0, "kind", pdf["kind"].values)
+            feats.insert(0, "media_id", pdf["media_id"].values)
+            yield feats
+
+    return media.mapInPandas(batches, schema=MP4_PROBE_SCHEMA)
+
+
 WAV_PROBE_SCHEMA = (
     "media_id long, kind string, n_bytes long, is_wav boolean,"
     " n_channels long, sample_rate long, bits_per_sample long,"

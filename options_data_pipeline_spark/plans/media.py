@@ -196,6 +196,125 @@ FROM probed GROUP BY 1
 """
 
 
+def q_video_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-container triage closing the media triple (PNG, WAV, MP4),
+    same NON-circular oracle discipline: payloads are CONSTRUCTED as
+    ISO-BMFF box lists — ``ftyp`` (major brand 'isom') then
+    ``moov``/``mvhd`` carrying (timescale = n_chars, duration =
+    doc_id % 65536) as big-endian u32 — via native byte expressions.
+    The Spark side runs the REAL ``probe_mp4_headers`` box WALKER
+    (iterative size-chained parse, one level of recursion into moov —
+    it knows nothing of the construction), and the DuckDB oracle
+    independently inverts the fields with hex-substring arithmetic plus
+    the structural prefix checks. A wrong box size, offset, or
+    endianness on either side breaks the hash. Every third doc carries
+    raw text bytes — a text blob's first 4 ASCII bytes read as a
+    >500 MB box size, so the walker triages it out on the very first
+    header, which the oracle mirrors by checking the constructed
+    prefix.
+    """
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "n_chars"
+    )
+    be32 = lambda col: F.expr(  # noqa: E731 — big-endian 4-byte int
+        f"unhex(lpad(hex(cast({col} as int)), 8, '0'))"
+    )
+    mp4_header = F.concat(
+        be32("20"),                          # ftyp box size
+        F.encode(F.lit("ftyp"), "UTF-8"),
+        F.encode(F.lit("isom"), "UTF-8"),    # major brand
+        be32("512"),                         # minor version
+        F.encode(F.lit("mp41"), "UTF-8"),    # compatible brand
+        be32("36"),                          # moov box size (8 + mvhd 28)
+        F.encode(F.lit("moov"), "UTF-8"),
+        be32("28"),                          # mvhd box size
+        F.encode(F.lit("mvhd"), "UTF-8"),
+        be32("0"),                           # version + flags
+        be32("0"),                           # creation time
+        be32("0"),                           # modification time
+        be32("n_chars"),                     # timescale
+        be32("doc_id % 65536"),              # duration
+    )
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("blob"))
+        .otherwise(F.lit("video"))
+        .alias("kind"),
+        F.when(
+            F.col("doc_id") % 3 == 0, F.encode(F.col("text"), "UTF-8")
+        )
+        .otherwise(mp4_header)
+        .alias("payload"),
+    )
+    probed = MM.probe_mp4_headers(parallelized(spark, media))
+    return probed.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.sum(F.col("is_mp4").cast("long")).alias("n_mp4"),
+        F.max("brand").alias("brand"),
+        F.sum("timescale").alias("sum_timescale"),
+        F.sum("duration").alias("sum_duration"),
+        F.sum(
+            F.when(F.col("is_mp4"), F.col("n_boxes"))
+        ).cast("long").alias("n_boxes_mp4"),
+    )
+
+
+def oracle_video_probe() -> str:
+    return """
+WITH media AS (
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'blob' ELSE 'video' END AS kind,
+           CASE WHEN doc_id % 3 = 0 THEN encode(text)
+                ELSE from_hex('00000014') || encode('ftyp') || encode('isom')
+                     || from_hex('00000200') || encode('mp41')
+                     || from_hex('00000024') || encode('moov')
+                     || from_hex('0000001C') || encode('mvhd')
+                     || from_hex('000000000000000000000000')
+                     || from_hex(lpad(hex(CAST(n_chars AS INT)), 8, '0'))
+                     || from_hex(lpad(hex(CAST(doc_id % 65536 AS INT)), 8, '0'))
+           END AS payload
+    FROM documents
+),
+probed AS (
+    -- hex-space parse (2 hex chars per byte -> byte offset b is hex
+    -- offset 2b+1): structural prefix checks stand in for the walker's
+    -- size-chain (the construction is fixed-layout), field inversions
+    -- pin offsets/endianness
+    SELECT media_id, kind, hex(payload) AS h,
+           octet_length(payload) = 56
+           AND substr(hex(payload), 1, 8) = '00000014'
+           AND substr(hex(payload), 9, 8) = '66747970'
+           AND substr(hex(payload), 41, 8) = '00000024'
+           AND substr(hex(payload), 49, 8) = '6D6F6F76'
+           AND substr(hex(payload), 57, 8) = '0000001C'
+           AND substr(hex(payload), 65, 8) = '6D766864' AS is_mp4,
+           concat(
+               chr(CAST(concat('0x', substr(hex(payload), 17, 2)) AS INT)),
+               chr(CAST(concat('0x', substr(hex(payload), 19, 2)) AS INT)),
+               chr(CAST(concat('0x', substr(hex(payload), 21, 2)) AS INT)),
+               chr(CAST(concat('0x', substr(hex(payload), 23, 2)) AS INT))
+           ) AS brand_raw,
+           CAST(concat('0x', substr(hex(payload), 97, 8)) AS BIGINT)
+               AS timescale,
+           CAST(concat('0x', substr(hex(payload), 105, 8)) AS BIGINT)
+               AS duration
+    FROM media
+)
+SELECT kind,
+       count(*) AS n_media,
+       CAST(SUM(CASE WHEN is_mp4 THEN 1 ELSE 0 END) AS BIGINT) AS n_mp4,
+       MAX(CASE WHEN is_mp4 THEN brand_raw END) AS brand,
+       CAST(SUM(CASE WHEN is_mp4 THEN timescale END) AS BIGINT)
+           AS sum_timescale,
+       CAST(SUM(CASE WHEN is_mp4 THEN duration END) AS BIGINT)
+           AS sum_duration,
+       CAST(SUM(CASE WHEN is_mp4 THEN 2 END) AS BIGINT) AS n_boxes_mp4
+FROM probed GROUP BY 1
+"""
+
+
 def q_audio_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio triage with the same NON-circular oracle discipline as
     `media_probe`, for the WAV container: payloads are CONSTRUCTED as

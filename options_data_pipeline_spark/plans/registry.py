@@ -303,6 +303,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
     "media_dedup": (media.q_media_dedup, media.oracle_media_dedup),
     "media_probe": (media.q_media_probe, media.oracle_media_probe),
     "audio_probe": (media.q_audio_probe, media.oracle_audio_probe),
+    "video_probe": (media.q_video_probe, media.oracle_video_probe),
     "media_pcm_stats": (media.q_media_pcm_stats, media.oracle_media_pcm_stats),
 }
 
@@ -320,6 +321,7 @@ _PRIORITY: list[str] = [
     "media_pcm_stats",
     "audio_probe",
     "media_probe",
+    "video_probe",
     "media_frames",
     "media_dedup",
     # stateful fold / time-series (never sampled)

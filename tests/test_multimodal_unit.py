@@ -260,3 +260,58 @@ def test_pcm_oracle_is_not_circular(spark, ddb):
         assert sum(abs(s) for s in right) == sum(abs(s) for s in samples)
         if any(s < 0 for s in samples):
             assert sum(wrong) != sum(abs(s) for s in right)
+
+
+def _mp4(timescale=1000, duration=42, brand=b"isom"):
+    import struct
+
+    ftyp = struct.pack(">I", 20) + b"ftyp" + brand + struct.pack(">I", 512) + b"mp41"
+    mvhd = (
+        struct.pack(">I", 28) + b"mvhd" + b"\x00" * 12
+        + struct.pack(">II", timescale, duration)
+    )
+    moov = struct.pack(">I", 8 + len(mvhd)) + b"moov" + mvhd
+    return ftyp + moov
+
+
+def test_probe_mp4_walks_boxes(spark):
+    rows = [
+        (1, "video", _mp4(timescale=90000, duration=7)),
+        (2, "blob", b"plain text payload, not a box list"),
+        (3, "blob", b"tiny"),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary"
+    )
+    out = {r.media_id: r for r in MM.probe_mp4_headers(media).collect()}
+    assert out[1].is_mp4 and out[1].brand == "isom"
+    assert out[1].timescale == 90000 and out[1].duration == 7
+    assert out[1].n_boxes == 2
+    assert not out[2].is_mp4 and out[2].timescale is None
+    assert not out[3].is_mp4 and out[3].n_boxes == 0
+
+
+def test_probe_mp4_mutation_controls(spark):
+    """The walker must actually FOLLOW the size chain: corrupting any
+    size field, truncating, or appending trailing bytes derails it."""
+    import struct
+
+    good = _mp4()
+    corrupted_ftyp_size = struct.pack(">I", 21) + good[4:]   # chain derails
+    truncated = good[:-4]                                    # mvhd past EOF
+    trailing = good + b"x"                                   # not fully consumed
+    tiny_box = struct.pack(">I", 4) + good[4:]               # size < 8
+    rows = [
+        (1, "v", good),
+        (2, "v", corrupted_ftyp_size),
+        (3, "v", truncated),
+        (4, "v", trailing),
+        (5, "v", tiny_box),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary"
+    )
+    out = {r.media_id: r for r in MM.probe_mp4_headers(media).collect()}
+    assert out[1].is_mp4
+    for mid in (2, 3, 4, 5):
+        assert not out[mid].is_mp4, mid
