@@ -56,20 +56,24 @@ def write_range_sorted(
     )
 
 
-def _morton_interleave(a, b, bits: int = 16):
-    """Interleave the low ``bits`` of two non-negative ints (Z-order /
+def _morton_interleave_n(cols: list[Column], bits: int) -> Column:
+    """Interleave the low ``bits`` of N non-negative ints (Z-order /
     Morton code) as a pure column expression — unrolled shift/or chain,
-    whole-stage-codegen friendly, no UDF."""
+    whole-stage-codegen friendly, no UDF. ``N * bits`` must stay under
+    63 (long code space)."""
+    n = len(cols)
+    if n * bits > 62:
+        raise ValueError(f"{n} dims x {bits} bits overflow the long code")
     code = F.lit(0).cast("long")
     for i in range(bits):
-        bit_a = F.shiftrightunsigned(a.cast("long"), i).bitwiseAND(F.lit(1))
-        bit_b = F.shiftrightunsigned(b.cast("long"), i).bitwiseAND(F.lit(1))
-        code = (
-            code
-            .bitwiseOR(F.shiftleft(bit_a, 2 * i))
-            .bitwiseOR(F.shiftleft(bit_b, 2 * i + 1))
-        )
+        for j, c in enumerate(cols):
+            bit = F.shiftrightunsigned(c.cast("long"), i).bitwiseAND(F.lit(1))
+            code = code.bitwiseOR(F.shiftleft(bit, i * n + j))
     return code
+
+
+def _morton_interleave(a, b, bits: int = 16):
+    return _morton_interleave_n([a, b], bits)
 
 
 def _quantile_bucket(col: Column, breakpoints: list[float]) -> Column:
@@ -85,19 +89,18 @@ def _quantile_bucket(col: Column, breakpoints: list[float]) -> Column:
     ).cast("long")
 
 
-def write_zordered(
+def write_zordered_n(
     df: DataFrame,
     path: str,
-    col_a: str,
-    col_b: str,
+    cols: list[str],
     num_files: int,
     bits: int = 8,
 ) -> None:
-    """Two-dimensional clustered rewrite: files are Z-order (Morton)
-    clustered on (``col_a``, ``col_b``), so range predicates on EITHER
-    column prune files — the property a single-column sort cannot give
-    both dimensions (the vanilla-Spark equivalent of Delta OPTIMIZE
-    ZORDER BY (a, b)).
+    """N-dimensional clustered rewrite: files are Z-order (Morton)
+    clustered on ``cols``, so range predicates on ANY of the columns
+    prune files — the property a single-column sort cannot give more
+    than one dimension (the vanilla-Spark equivalent of Delta OPTIMIZE
+    ZORDER BY (a, b, ...)).
 
     Each column is first normalized to a ``bits``-bit rank (Z-order
     needs uniform key space; raw skewed values would waste code space)
@@ -114,16 +117,13 @@ def write_zordered(
     """
     n_buckets = 2**bits
     probs = [i / n_buckets for i in range(1, n_buckets)]
-    bp_a, bp_b = df.stat.approxQuantile(
-        [col_a, col_b], probs, 1.0 / (4 * n_buckets)
-    )
-    coded = (
-        df.withColumn("__ra", _quantile_bucket(F.col(col_a), bp_a))
-        .withColumn("__rb", _quantile_bucket(F.col(col_b), bp_b))
-        .withColumn(
-            "__z", _morton_interleave(F.col("__ra"), F.col("__rb"), bits)
-        )
-        .drop("__ra", "__rb")
+    bps = df.stat.approxQuantile(list(cols), probs, 1.0 / (4 * n_buckets))
+    coded = df.withColumn(
+        "__z",
+        _morton_interleave_n(
+            [_quantile_bucket(F.col(c), bp) for c, bp in zip(cols, bps)],
+            bits,
+        ),
     )
     (
         coded.repartitionByRange(num_files, F.col("__z"))
@@ -132,6 +132,18 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    num_files: int,
+    bits: int = 8,
+) -> None:
+    """Two-dimensional :func:`write_zordered_n`."""
+    write_zordered_n(df, path, [col_a, col_b], num_files, bits)
 
 
 def write_token_shards(

@@ -106,3 +106,34 @@ def test_clamped_fold_empty_and_scan_empty(spark):
     assert clamped_running_sum(empty, **kw).count() == 0
     assert clamped_running_sum_scan(empty, num_partitions=4, **kw).count() == 0
     spark.catalog.clearCache()
+
+
+def test_distributed_rank_empty_and_single(spark):
+    from options_data_pipeline_spark.operators.ranks import (
+        distributed_row_number,
+    )
+
+    empty = spark.createDataFrame([], "k int, v int")
+    assert distributed_row_number(empty, [("v", False)], "r").count() == 0
+    one = spark.createDataFrame([(5, 1)], "k int, v int")
+    rows = distributed_row_number(one, [("v", False)], "r").collect()
+    assert [(r.k, r.v, r.r) for r in rows] == [(5, 1, 1)]
+
+
+def test_skewed_fact_join_empty_sides(spark):
+    from options_data_pipeline_spark.operators.skew import skewed_fact_join
+
+    left = spark.createDataFrame([], "k int, lv int")
+    right = spark.createDataFrame([(1, 2)], "k int, rv int")
+    assert skewed_fact_join(left, right, on="k").count() == 0
+    assert skewed_fact_join(right, left, on="k").count() == 0
+
+
+def test_mp4_probe_empty_payload(spark):
+    from options_data_pipeline_spark.operators import multimodal as MM
+
+    media = spark.createDataFrame(
+        [(1, "v", b"")], "media_id long, kind string, payload binary"
+    )
+    out = MM.probe_mp4_headers(media).collect()
+    assert len(out) == 1 and not out[0].is_mp4 and out[0].n_bytes == 0

@@ -310,3 +310,37 @@ def test_upsert_file_pruned_requires_range_key_in_keys(spark, tmp):
         upsert_file_pruned(
             spark, f"{tmp}/x", spark.range(1), keys=["id"], range_key="other"
         )
+
+
+def test_write_zordered_three_dimensions(spark, tmp):
+    """N-dim z-order: with 3 interleaved columns every dimension keeps a
+    selective per-file range (the Delta ZORDER BY (a,b,c) shape)."""
+    from options_data_pipeline_spark.sinks.layout import write_zordered_n
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_id", "user_id", "value"
+    )
+    out = f"{tmp}/z3"
+    write_zordered_n(
+        ev, out, ["event_id", "user_id", "value"], num_files=16
+    )
+    assert spark.read.parquet(out).count() == ev.count()
+
+    def hit_fraction(col, probe):
+        rng = _file_ranges(spark, out, col)
+        return sum(1 for lo, hi in rng if lo <= probe <= hi) / len(rng)
+
+    for col in ("event_id", "user_id", "value"):
+        vals = sorted(r[0] for r in ev.select(col).collect())
+        mid = vals[len(vals) // 2]
+        assert hit_fraction(col, mid) <= 0.7, col
+
+
+def test_morton_interleave_n_overflow_guard(spark):
+    import pytest
+
+    from options_data_pipeline_spark.sinks.layout import _morton_interleave_n
+    from pyspark.sql import functions as F
+
+    with pytest.raises(ValueError, match="overflow"):
+        _morton_interleave_n([F.lit(1)] * 8, bits=8)
