@@ -1,0 +1,124 @@
+"""Heavy hitters (frequent keys) without a full-key-space shuffle.
+
+The naive ``GROUP BY key HAVING count(*) > share * n`` shuffles EVERY
+key — at 100 TB with billions of mostly-cold keys that is the single
+most expensive aggregation shape there is, run just to find a handful
+of hot keys. The classic two-pass alternative keeps the guarantee
+exact:
+
+1. **Summarize**: one ``mapInPandas`` pass runs Misra-Gries with
+   ``n_counters`` counters per partition, and rides the partition's row
+   count along in the same output (one sentinel row per partition), so
+   no separate counting scan is needed. MG's guarantee: any key whose
+   TRUE count in a partition exceeds partition_rows / n_counters
+   survives that partition's summary — so any key with global count >
+   n_rows / n_counters survives in at least one summary (pigeonhole
+   over the partition decomposition). Summaries are tiny: ≤ n_counters
+   + 1 rows per partition.
+2. **Verify**: collect the candidate keys (≤ partitions x n_counters —
+   bounded, broadcastable), semi-join the input down to candidate rows
+   only, and count THOSE exactly. Keys above the threshold are reported
+   with exact counts and shares.
+
+Completeness: ``min_share >= 1 / n_counters`` is required for the MG
+superset guarantee to cover the threshold (checked — a silent violation
+would drop true heavy hitters). Soundness: the verify pass counts
+exactly, so false candidates are filtered out. Net: the only shuffle
+carries candidate rows — for a skewed table that is the hot keys' rows,
+not the key space.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+DEFAULT_COUNTERS = 256
+
+
+def heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    min_share: float,
+    n_counters: int = DEFAULT_COUNTERS,
+) -> DataFrame:
+    """Keys whose row share exceeds ``min_share``, with EXACT counts.
+
+    Output: (key_col, n_rows, share), one row per qualifying key.
+    Null keys are ignored (no grouping semantics for null).
+    """
+    if min_share < 1.0 / n_counters:
+        raise ValueError(
+            f"min_share={min_share} below the MG guarantee 1/{n_counters}; "
+            "raise n_counters or the share threshold"
+        )
+    keyed = df.select(key_col).where(F.col(key_col).isNotNull())
+    key_type = keyed.schema[key_col].dataType
+    summary_schema = T.StructType(
+        [
+            T.StructField(key_col, key_type),  # null on the sentinel row
+            T.StructField("_prows", T.LongType()),
+        ]
+    )
+    k_counters = int(n_counters)
+    kname = key_col
+
+    def mg_summaries(batches):
+        import pandas as pd
+
+        counters: dict = {}
+        prows = 0
+        for pdf in batches:
+            for v in pdf.iloc[:, 0].values:
+                v = v.item() if hasattr(v, "item") else v
+                prows += 1
+                if v in counters:
+                    counters[v] += 1
+                elif len(counters) < k_counters:
+                    counters[v] = 1
+                else:
+                    dead = []
+                    for c in counters:  # decrement-all step
+                        counters[c] -= 1
+                        if counters[c] == 0:
+                            dead.append(c)
+                    for c in dead:
+                        del counters[c]
+        yield pd.DataFrame(
+            {
+                kname: list(counters.keys()) + [None],
+                "_prows": [0] * len(counters) + [prows],
+            }
+        )
+
+    summaries = keyed.mapInPandas(mg_summaries, schema=summary_schema)
+    # one tiny action materializes candidates + total row count together
+    agg = summaries.groupBy(kname).agg(F.sum("_prows").alias("_p")).collect()
+    n_total = sum(int(r["_p"]) for r in agg if r[kname] is None)
+    cand_keys = [r[kname] for r in agg if r[kname] is not None]
+    if n_total == 0 or not cand_keys:
+        return (
+            keyed.limit(0)
+            .groupBy(kname)
+            .agg(F.count(F.lit(1)).alias("n_rows"))
+            .select(kname, "n_rows", F.lit(0.0).alias("share"))
+        )
+    threshold = float(min_share) * n_total
+    # exact verification over candidate rows only: the broadcast semi
+    # join prunes the input BEFORE the counting shuffle (candidates are
+    # ≤ partitions x n_counters — bounded, never the key space)
+    cand_df = df.sparkSession.createDataFrame(
+        [(k,) for k in cand_keys], T.StructType([T.StructField(kname, key_type)])
+    )
+    hot_rows = keyed.join(F.broadcast(cand_df), kname, "left_semi")
+    return (
+        hot_rows.groupBy(kname)
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .where(F.col("n_rows") > threshold)
+        .select(
+            kname,
+            "n_rows",
+            (F.col("n_rows") / F.lit(float(n_total))).alias("share"),
+        )
+    )

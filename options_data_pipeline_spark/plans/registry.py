@@ -181,6 +181,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
     "stratified_sample": (text.q_stratified_sample, text.oracle_stratified_sample),
     "token_histogram": (text.q_token_histogram, text.oracle_token_histogram),
     "vocab_top_tokens": (text.q_vocab_top_tokens, text.oracle_vocab_top_tokens),
+    "token_heavy_hitters": (
+        text.q_token_heavy_hitters,
+        text.oracle_token_heavy_hitters,
+    ),
     "token_shards": (text.q_token_shards, text.oracle_token_shards),
     "doc_repetition": (text.q_doc_repetition, text.oracle_doc_repetition),
     "rare_tokens": (text.q_rare_tokens, text.oracle_rare_tokens),
@@ -362,6 +366,7 @@ _PRIORITY: list[str] = [
     "ngram_contamination",
     # text analytics (never sampled)
     "token_shards",
+    "token_heavy_hitters",
     "zipf_fit",
     "repeated_spans",
     "frequent_ngrams",

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.rounding import round_half_away
 from ..operators import dedup as D
 from ..operators import simhash as SH
 from ..operators import textstats as TS
@@ -746,6 +747,54 @@ WITH agg AS (
 SELECT token_bucket, n_docs, sum_tokens,
        n_docs / SUM(n_docs) OVER () AS doc_share
 FROM agg
+"""
+
+
+HH_MIN_SHARE = 0.01  # report tokens carrying > 1% of all token mass
+
+
+def q_token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide frequent tokens via two-pass Misra-Gries
+    (operators/heavyhitters.py): per-partition bounded summaries ->
+    broadcast candidate set -> exact verification of candidate rows
+    only. The Zipfian token distribution is the textbook input — a
+    handful of stopword-like tokens hold >1% shares while the tail is
+    millions of cold keys that NEVER shuffle (the naive GROUP BY
+    HAVING oracle shuffles every one of them). Exact by construction:
+    MG guarantees the candidate superset at min_share >= 1/n_counters,
+    the verify pass counts exactly."""
+    from ..operators.heavyhitters import heavy_hitters
+
+    docs = parallelized(spark, load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        F.explode(F.split("text", " ", -1)).alias("token")
+    ).where(F.length("token") > 0)
+    out = heavy_hitters(toks, "token", min_share=HH_MIN_SHARE)
+    return out.select(
+        "token",
+        "n_rows",
+        # round the derived share so the count/count division is
+        # engine-portable (house rule)
+        round_half_away(F.col("share"), 9).alias("share"),
+    )
+
+
+def oracle_token_heavy_hitters() -> str:
+    from ..functions.rounding import sql_round_half_away
+
+    share = sql_round_half_away(
+        "COUNT(*) / (SELECT CAST(COUNT(*) AS DOUBLE) FROM toks)", 9
+    )
+    return f"""
+WITH toks AS (
+    SELECT t AS token
+    FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+    WHERE length(t) > 0
+)
+SELECT token, COUNT(*) AS n_rows, {share} AS share
+FROM toks
+GROUP BY token
+HAVING COUNT(*) > {HH_MIN_SHARE} * (SELECT COUNT(*) FROM toks)
 """
 
 
