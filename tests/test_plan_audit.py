@@ -35,6 +35,15 @@ SENTINELS = [
     "triangle_count",
     "nation_trade_volume",
     "repeated_spans",
+    # round-4 shapes: folded recall eval (4 shuffles), differentiated
+    # skew join (salt explode + union), two-pass MG heavy hitters,
+    # two-phase distributed rank, MP4 box-walk mapInPandas
+    "ann_recall",
+    "salted_user_spend",
+    "token_heavy_hitters",
+    "key_skew_report",
+    "zipf_fit",
+    "video_probe",
 ]
 
 
