@@ -35,6 +35,18 @@ def main(argv: list[str] | None = None) -> int:
     runp.add_argument("--limit", type=int, default=0, help="0 = no limit")
     orap = sub.add_parser("oracle", help="print a query's DuckDB oracle SQL")
     orap.add_argument("query")
+    sqlp = sub.add_parser(
+        "sql",
+        help="run ad-hoc Spark SQL with the benchmark tables registered "
+        "as temp views (region nation customer supplier part orders "
+        "lineitem events documents embeddings)",
+    )
+    sqlp.add_argument("statement")
+    sqlp.add_argument(
+        "--sf-dir",
+        default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"),
+    )
+    sqlp.add_argument("--limit", type=int, default=0, help="0 = no limit")
     tbl = sub.add_parser(
         "table", help="versioned-table ops: history / read / vacuum / compact"
     )
@@ -57,6 +69,20 @@ def main(argv: list[str] | None = None) -> int:
             print(f"no oracle for {args.query!r}", file=sys.stderr)
             return 1
         print(sql.strip())
+        return 0
+
+    if args.cmd == "sql":
+        from .session import get_spark
+        from .sources.tables import register_views
+
+        spark = get_spark(app_name="cli-sql")
+        register_views(spark, args.sf_dir)
+        df = spark.sql(args.statement)
+        if args.limit:
+            df = df.limit(args.limit)
+        cols = df.columns
+        for row in df.toLocalIterator():
+            print(json.dumps({c: _jsonable(row[c]) for c in cols}, default=str))
         return 0
 
     if args.cmd == "table":

@@ -290,15 +290,18 @@ probed AS (
            AND substr(hex(payload), 49, 8) = '6D6F6F76'
            AND substr(hex(payload), 57, 8) = '0000001C'
            AND substr(hex(payload), 65, 8) = '6D766864' AS is_mp4,
+           -- TRY_CAST: a text blob shorter than the parsed offsets
+           -- yields empty substrings ('0x' alone); those rows are
+           -- excluded by is_mp4, but the projection must not error
            concat(
-               chr(CAST(concat('0x', substr(hex(payload), 17, 2)) AS INT)),
-               chr(CAST(concat('0x', substr(hex(payload), 19, 2)) AS INT)),
-               chr(CAST(concat('0x', substr(hex(payload), 21, 2)) AS INT)),
-               chr(CAST(concat('0x', substr(hex(payload), 23, 2)) AS INT))
+               chr(TRY_CAST(concat('0x', substr(hex(payload), 17, 2)) AS INT)),
+               chr(TRY_CAST(concat('0x', substr(hex(payload), 19, 2)) AS INT)),
+               chr(TRY_CAST(concat('0x', substr(hex(payload), 21, 2)) AS INT)),
+               chr(TRY_CAST(concat('0x', substr(hex(payload), 23, 2)) AS INT))
            ) AS brand_raw,
-           CAST(concat('0x', substr(hex(payload), 97, 8)) AS BIGINT)
+           TRY_CAST(concat('0x', substr(hex(payload), 97, 8)) AS BIGINT)
                AS timescale,
-           CAST(concat('0x', substr(hex(payload), 105, 8)) AS BIGINT)
+           TRY_CAST(concat('0x', substr(hex(payload), 105, 8)) AS BIGINT)
                AS duration
     FROM media
 )

@@ -47,3 +47,21 @@ def test_cli_table_history_and_read(spark, tmp_path, capsys):
     assert main(["table", "read", t]) == 0
     row = _json.loads(capsys.readouterr().out.strip())
     assert row == {"k": 1, "v": "a"}
+
+
+def test_cli_sql_adhoc(spark, capsys):
+    import json
+
+    from options_data_pipeline_spark.__main__ import main
+
+    rc = main(
+        [
+            "sql",
+            "SELECT r_name, count(*) AS n FROM region GROUP BY 1 ORDER BY 1",
+            "--sf-dir",
+            "/root/testdata/sf0.001",
+        ]
+    )
+    assert rc == 0
+    lines = [json.loads(ln) for ln in capsys.readouterr().out.splitlines()]
+    assert len(lines) == 5 and all(r["n"] == 1 for r in lines)

@@ -120,11 +120,11 @@ def main() -> int:
             row = report[name]
             if row.get("hash_match"):
                 n_ok += 1
-            elif row.get("err") == "no_oracle":
+                continue
+            if row.get("err") == "no_oracle":
                 n_weak += 1
-            else:
-                n_fail += 1
-            continue
+                continue
+            # failed rows re-run on resume (the fix being retested)
         row = {
             "rows_match": None,
             "schema_match": None,
