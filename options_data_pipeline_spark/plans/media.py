@@ -481,7 +481,11 @@ def q_media_pcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import functions as F
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    # parallelized: the per-row work (build + struct-decode a full PCM
+    # stream) dwarfs the repartition of two skinny columns
+    docs = parallelized(
+        spark, load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    )
 
     n = _PCM_N
     sample = f"((doc_id + i) % 251) - 125"

@@ -28,6 +28,10 @@ def _planted(cond: Column, *parts: Column) -> Column:
 
 
 def pii_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NOT parallelized: the scrub family's contract is a zero-shuffle
+    # narrow pipeline (scan -> project, CI-pinned) — at production scale
+    # the scan is well-partitioned and a repartition of full text rows
+    # is pure cost; the local under-partitioning only costs ~0.2 s here
     docs = load_table(spark, sf_dir, "documents")
     did = F.col("doc_id")
     s = did.cast("string")

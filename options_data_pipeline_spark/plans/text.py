@@ -23,14 +23,7 @@ _DOC_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
 
 
 def planted_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # parallelized: the documents scan yields ~3 partitions, and every
-    # consumer of this corpus (shingle explode + md5 hashing, simhash
-    # votes) inherits that parallelism — measured at sf0.1/local[32]:
-    # near-dup artifact build 4.5 -> 2.0 s, warm simhash 4.7 -> 1.9 s.
-    # (An older note here claimed the repartition cost more than the
-    # map-side win; that was measured before the shingle store became a
-    # shared artifact and is simply wrong at 32 cores.)
-    docs = parallelized(spark, load_table(spark, sf_dir, "documents"))
+    docs = load_table(spark, sf_dir, "documents")
     exact = (
         docs.where(F.col("doc_id") % 97 == 0)
         .withColumn("doc_id", F.col("doc_id") + 200000)
@@ -42,8 +35,20 @@ def planted_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("text", F.concat(F.col("text"), F.lit(" copied")))
         .withColumn("source", F.lit("scrape"))
     )
-    return docs.select(_DOC_COLS).unionByName(exact.select(_DOC_COLS)).unionByName(
-        near.select(_DOC_COLS)
+    # parallelized on the UNION (not the scan): every consumer of this
+    # corpus (shingle explode + md5 hashing, simhash votes) would
+    # otherwise inherit the scan's ~3 partitions — measured at
+    # sf0.1/local[32]: near-dup artifact build 4.5 -> 2.0 s, warm
+    # simhash 4.7 -> 1.9 s. Repartitioning after the union keeps the
+    # total at defaultParallelism instead of 3x it per branch. (An older
+    # note here claimed the repartition cost more than the map-side win;
+    # that predates the shared shingle artifact and is wrong at 32
+    # cores.)
+    return parallelized(
+        spark,
+        docs.select(_DOC_COLS)
+        .unionByName(exact.select(_DOC_COLS))
+        .unionByName(near.select(_DOC_COLS)),
     )
 
 
@@ -1345,9 +1350,9 @@ def q_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus, while the bucket id is a scan-level expression — the shape
     that survives 100 TB. Joins two per-doc derived tables on doc_id and
     reduces to at most 11 rows."""
-    quality = TS.quality_score(load_table(spark, sf_dir, "documents")).select(
-        "doc_id", "quality_score"
-    )
+    quality = TS.quality_score(
+        parallelized(spark, load_table(spark, sf_dir, "documents"))
+    ).select("doc_id", "quality_score")
     lm = q_unigram_logprob(spark, sf_dir).select("doc_id", "avg_logprob")
     from ..functions.rounding import round_half_away
 

@@ -99,9 +99,12 @@ NEAR_DUP_THRESHOLD = 0.9
 
 
 def planted_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # NB: measured — repartitioning this 2k-row table costs more than the
-    # map-side win from spreading the hyperplane dots
-    emb = load_table(spark, sf_dir, "embeddings")
+    # parallelized: the hyperplane sign banding downstream is 32 plane
+    # dots x 64 dims per row, and the embeddings scan yields ~1-3
+    # partitions — same under-partitioning fix as planted_corpus (the
+    # old note here claiming the repartition cost more was measured at
+    # sf0.01 before the banding grew; wrong at sf0.1/local[32])
+    emb = parallelized(spark, load_table(spark, sf_dir, "embeddings"))
     twins = emb.where(F.col("vec_id") % PLANT_MOD == 0).select(
         (F.col("vec_id") + 100000).alias("vec_id"),
         F.transform(
