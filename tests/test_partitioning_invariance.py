@@ -77,3 +77,31 @@ def test_result_is_partitioning_invariant(spark, name):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", original)
     assert low == high
+
+
+AQE_SENSITIVE = [
+    # the two-phase rank was originally built on spark_partition_id()
+    # over repartitionByRange and produced WRONG ranks precisely because
+    # AQE coalesces the two consumer branches of the shuffle
+    # independently; the value-based bucket fix must hold with AQE off
+    # and on (same hash either way)
+    "key_skew_report",
+    "zipf_fit",
+    "salted_user_spend",
+    "ann_recall",
+    "token_heavy_hitters",
+]
+
+
+@pytest.mark.parametrize("name", AQE_SENSITIVE)
+def test_result_is_aqe_invariant(spark, name):
+    q = registry.queries()[name]
+    original = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        off = canonical_rows(q(spark, SF_DIR).toPandas())
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        on = canonical_rows(q(spark, SF_DIR).toPandas())
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", original)
+    assert off == on
