@@ -209,3 +209,175 @@ SELECT hour_timestamp, instrument_name, expiry_date, strike, option_type,
          ELSE NULL END AS distance
 FROM agg
 """
+
+
+# ---------------------------------------------------------------------------
+# Derived chain analytics (round 4): the queries a user of the reference's
+# option OHLC tables asks next — put/call flow, the IV smile, max pain.
+# All run over the same deterministic synthetic chain as
+# ``q_option_chain_ohlc`` (reference src/pipeline/collectors/deribit.py is
+# the trade source these model).
+# ---------------------------------------------------------------------------
+
+from ..functions.rounding import dec_sum, round_half_away, sql_dec_sum, sql_round_half_away
+
+
+def _chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(expiry, strike, opt_type, amount, iv) rows of the synthetic chain
+    — the pre-name columns of :func:`synth_trades`, so no F1 round-trip
+    is needed for aggregate analytics."""
+    ev = parallelized(spark, load_table(spark, sf_dir, "events"))
+    expiry = F.date_add(
+        F.lit("2024-02-02").cast("date"), ((F.col("user_id") % 4) * 10).cast("int")
+    )
+    return ev.select(
+        expiry.cast("timestamp").alias("expiry"),
+        ((F.col("user_id") % 20 + 1) * 100).cast("int").alias("strike"),
+        F.when(F.col("event_id") % 2 == 0, "C").otherwise("P").alias("opt_type"),
+        ((F.col("event_id") % 10) + 1).cast("double").alias("amount"),
+        F.when(F.col("event_id") % 7 == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("value") * 0.5)
+        .alias("iv"),
+    )
+
+
+_CHAIN_SQL = """
+chain AS (
+    SELECT CAST(DATE '2024-02-02' + CAST((user_id % 4) * 10 AS INT)
+                AS TIMESTAMP) AS expiry,
+           CAST((user_id % 20 + 1) * 100 AS INT) AS strike,
+           CASE WHEN event_id % 2 = 0 THEN 'C' ELSE 'P' END AS opt_type,
+           CAST((event_id % 10) + 1 AS DOUBLE) AS amount,
+           CASE WHEN event_id % 7 = 0 THEN NULL ELSE value * 0.5 END AS iv
+    FROM events
+)
+"""
+
+
+def q_put_call_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Put/call volume ratio per expiry — the chain-level sentiment
+    probe. One map-side-combined groupBy over the compact (expiry) key;
+    exact decimal volume sums, one double division at the end."""
+    c = _chain(spark, sf_dir)
+    put_vol = dec_sum(F.when(F.col("opt_type") == "P", F.col("amount")))
+    call_vol = dec_sum(F.when(F.col("opt_type") == "C", F.col("amount")))
+    return c.groupBy("expiry").agg(
+        put_vol.alias("put_volume"),
+        call_vol.alias("call_volume"),
+        round_half_away(put_vol / F.nullif(call_vol, F.lit(0.0)), 6).alias(
+            "put_call_ratio"
+        ),
+        F.count(F.lit(1)).alias("n_trades"),
+    )
+
+
+def oracle_put_call_ratio() -> str:
+    pv = sql_dec_sum("CASE WHEN opt_type = 'P' THEN amount END")
+    cv = sql_dec_sum("CASE WHEN opt_type = 'C' THEN amount END")
+    ratio = sql_round_half_away(f"{pv} / nullif({cv}, 0.0)", 6)
+    return f"""
+WITH {_CHAIN_SQL}
+SELECT expiry, {pv} AS put_volume, {cv} AS call_volume,
+       {ratio} AS put_call_ratio, count(*) AS n_trades
+FROM chain GROUP BY expiry
+"""
+
+
+def q_iv_smile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IV smile: null-skipping average implied vol per (expiry, strike)
+    with quote counts and traded volume — the P5 null-skip over the
+    derived chain, decimal-exact mean (sum/count, one division)."""
+    c = _chain(spark, sf_dir)
+    iv_sum = F.sum(F.col("iv").cast("decimal(38,6)"))
+    n_iv = F.count(F.col("iv"))
+    return c.groupBy("expiry", "strike").agg(
+        round_half_away((iv_sum / n_iv).cast("double"), 6).alias("avg_iv"),
+        n_iv.alias("n_iv_quotes"),
+        dec_sum(F.col("amount")).alias("volume"),
+    )
+
+
+def oracle_iv_smile() -> str:
+    avg_iv = sql_round_half_away(
+        "CAST(SUM(CAST(iv AS DECIMAL(38,6))) / COUNT(iv) AS DOUBLE)", 6
+    )
+    return f"""
+WITH {_CHAIN_SQL}
+SELECT expiry, strike, {avg_iv} AS avg_iv,
+       COUNT(iv) AS n_iv_quotes,
+       {sql_dec_sum('amount')} AS volume
+FROM chain GROUP BY expiry, strike
+"""
+
+
+def q_max_pain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max pain per expiry: the candidate settlement strike minimizing
+    the chain's total intrinsic payoff, with traded volume as the
+    open-interest proxy.
+
+    Scale shape: open interest aggregates to the compact (expiry,
+    strike, type) key first — the only pass over the trade stream — and
+    the candidate x strike payoff matrix is |strikes|^2 per expiry
+    (hundreds of rows), joined and reduced entirely on aggregates.
+    Payoff arithmetic stays exact DECIMAL x INT; ties break to the
+    lowest strike via struct-ordered min_by."""
+    c = _chain(spark, sf_dir)
+    oi = c.groupBy("expiry", "strike", "opt_type").agg(
+        F.sum(F.col("amount").cast("decimal(38,6)")).alias("oi")
+    )
+    settles = oi.select("expiry", F.col("strike").alias("settle")).distinct()
+    pain = (
+        settles.join(oi, "expiry")
+        .select(
+            "expiry",
+            "settle",
+            F.when(
+                (F.col("opt_type") == "C") & (F.col("settle") > F.col("strike")),
+                F.col("oi") * (F.col("settle") - F.col("strike")),
+            )
+            .when(
+                (F.col("opt_type") == "P") & (F.col("strike") > F.col("settle")),
+                F.col("oi") * (F.col("strike") - F.col("settle")),
+            )
+            .otherwise(F.lit(0).cast("decimal(38,6)"))
+            .alias("payoff"),
+        )
+        .groupBy("expiry", "settle")
+        .agg(F.sum("payoff").alias("total_pain"))
+    )
+    best = F.struct(F.col("total_pain"), F.col("settle"))
+    return pain.groupBy("expiry").agg(
+        F.min_by(F.col("settle"), best).alias("max_pain_strike"),
+        F.min(best).getField("total_pain").cast("double").alias("total_pain"),
+    )
+
+
+def oracle_max_pain() -> str:
+    return f"""
+WITH {_CHAIN_SQL},
+oi AS (
+    SELECT expiry, strike, opt_type,
+           SUM(CAST(amount AS DECIMAL(38,6))) AS oi
+    FROM chain GROUP BY 1, 2, 3
+),
+settles AS (SELECT DISTINCT expiry, strike AS settle FROM oi),
+pain AS (
+    SELECT s.expiry, s.settle,
+           SUM(CASE WHEN o.opt_type = 'C' AND s.settle > o.strike
+                        THEN o.oi * (s.settle - o.strike)
+                    WHEN o.opt_type = 'P' AND o.strike > s.settle
+                        THEN o.oi * (o.strike - s.settle)
+                    ELSE CAST(0 AS DECIMAL(38,6)) END) AS total_pain
+    FROM settles s JOIN oi o ON s.expiry = o.expiry
+    GROUP BY 1, 2
+),
+ranked AS (
+    SELECT expiry, settle, total_pain,
+           row_number() OVER (PARTITION BY expiry
+                              ORDER BY total_pain ASC, settle ASC) AS rk
+    FROM pain
+)
+SELECT expiry, settle AS max_pain_strike,
+       CAST(total_pain AS DOUBLE) AS total_pain
+FROM ranked WHERE rk = 1
+"""

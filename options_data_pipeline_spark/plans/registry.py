@@ -31,8 +31,11 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
     "monthly_sessions": (sessions.q_monthly_sessions, sessions.oracle_monthly_sessions),
     "candle_returns": (sessions.q_candle_returns, sessions.oracle_candle_returns),
     "ewma_close": (sessions.q_ewma_close, sessions.oracle_ewma_close),
-    # --- option OHLC (A5, F1, F4-F6, P5, P8) ---
+    # --- option OHLC (A5, F1, F4-F6, P5, P8) + derived chain analytics ---
     "option_chain_ohlc": (options.q_option_chain_ohlc, options.oracle_option_chain_ohlc),
+    "put_call_ratio": (options.q_put_call_ratio, options.oracle_put_call_ratio),
+    "iv_smile": (options.q_iv_smile, options.oracle_iv_smile),
+    "max_pain": (options.q_max_pain, options.oracle_max_pain),
     # --- data quality / incremental semantics (W1, T6, S7/S8, A6, A7, K1/K2, A3/O4, P4) ---
     "gap_scan": (quality.q_gap_scan, quality.oracle_gap_scan),
     "gap_summary": (quality.q_gap_summary, quality.oracle_gap_summary),
@@ -379,6 +382,10 @@ _PRIORITY: list[str] = [
     # §2-core anchors (sampled before; keep in the window as controls)
     "daily_sessions",
     "option_chain_ohlc",
+    # derived chain analytics (new in r4)
+    "max_pain",
+    "put_call_ratio",
+    "iv_smile",
     # newly-adjudicable / new this round
     "approx_stats",
     "salted_user_spend",
