@@ -35,6 +35,14 @@ def main(argv: list[str] | None = None) -> int:
     runp.add_argument("--limit", type=int, default=0, help="0 = no limit")
     orap = sub.add_parser("oracle", help="print a query's DuckDB oracle SQL")
     orap.add_argument("query")
+    exp = sub.add_parser(
+        "explain", help="print a registry query's formatted physical plan"
+    )
+    exp.add_argument("query")
+    exp.add_argument(
+        "--sf-dir",
+        default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"),
+    )
     sqlp = sub.add_parser(
         "sql",
         help="run ad-hoc Spark SQL with the benchmark tables registered "
@@ -69,6 +77,21 @@ def main(argv: list[str] | None = None) -> int:
             print(f"no oracle for {args.query!r}", file=sys.stderr)
             return 1
         print(sql.strip())
+        return 0
+
+    if args.cmd == "explain":
+        fn = registry.queries().get(args.query)
+        if fn is None:
+            print(f"unknown query {args.query!r} (see `list`)", file=sys.stderr)
+            return 1
+        from .session import get_spark
+
+        spark = get_spark(app_name=f"cli-explain-{args.query}")
+        df = fn(spark, args.sf_dir)
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+        print(df._jdf.queryExecution().explainString(mode))
         return 0
 
     if args.cmd == "sql":

@@ -65,3 +65,14 @@ def test_cli_sql_adhoc(spark, capsys):
     assert rc == 0
     lines = [json.loads(ln) for ln in capsys.readouterr().out.splitlines()]
     assert len(lines) == 5 and all(r["n"] == 1 for r in lines)
+
+
+def test_cli_explain(spark, capsys):
+    from options_data_pipeline_spark.__main__ import main
+
+    rc = main(
+        ["explain", "pricing_summary", "--sf-dir", "/root/testdata/sf0.001"]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Physical Plan" in out and "Scan parquet" in out

@@ -77,3 +77,29 @@ def test_heavy_hitters_string_keys(spark):
     ).repartition(3)
     got = {r.k: (r.n_rows, r.share) for r in heavy_hitters(df, "k", 0.2).collect()}
     assert got == {"a": (6, 0.6), "b": (3, 0.3)}
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    st.lists(st.integers(0, 12), min_size=1, max_size=120),
+    st.sampled_from([0.1, 0.2, 0.34]),
+)
+def test_heavy_hitters_matches_counter_model(spark, keys, share):
+    from collections import Counter
+
+    df = spark.createDataFrame([(k,) for k in keys], "k long").repartition(3)
+    counts = Counter(keys)
+    expect = {k: c for k, c in counts.items() if c > share * len(keys)}
+    got = {
+        r.k: r.n_rows
+        for r in heavy_hitters(df, "k", share, n_counters=16).collect()
+    }
+    assert got == expect

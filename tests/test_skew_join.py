@@ -75,3 +75,31 @@ def test_salted_join_still_equals_plain(spark):
     plain = left.join(dim, "k", "inner")
     salted = salted_join(left, dim, on=["k"], n_salts=4)
     assert _canon(salted) == _canon(plain)
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 6), st.integers(0, 99)), min_size=1, max_size=60
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 6), st.integers(0, 99)), min_size=1, max_size=30
+    ),
+)
+def test_skewed_fact_join_matches_plain_join_model(spark, lrows, rrows):
+    # empty-side cases are covered by the degenerate-input tests
+    left = spark.createDataFrame(lrows, "k int, lv int")
+    right = spark.createDataFrame(rrows, "k int, rv int")
+    out = skewed_fact_join(left, right, on="k", n_salts=3, n_hot=2)
+    plain = left.join(right, "k", "inner")
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
