@@ -2108,3 +2108,89 @@ SELECT CAST(count(*) AS BIGINT) AS n_keys,
        / (CAST(count(*) AS DOUBLE) * CAST(SUM(c) AS DOUBLE)) AS gini
 FROM ranked
 """
+
+
+_EXPECT_SET = ("click", "error", "purchase", "signup", "view")
+
+
+def q_table_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative table contract over events (operators/expectations.py):
+    four narrow rules fold into ONE aggregate pass, uniqueness is one
+    map-side-combined key histogram, and the FK check is a broadcast
+    anti-join against the distinct customer keys — the Deequ-shaped
+    publish gate a production ingest runs per batch."""
+    from ..operators.expectations import (
+        check,
+        foreign_key,
+        in_range,
+        in_set,
+        not_null,
+        unique,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+    rules = [
+        not_null("value"),
+        in_range("value", 0.0, 10000.0),
+        in_set("event_type", _EXPECT_SET),
+        not_null("ts"),
+        # deliberately failing rules: the report must carry real
+        # violation counts, not a constant all-green row set
+        in_range("value", 0.0, 100.0),
+        unique("user_id"),
+        unique("event_id"),
+        foreign_key("user_id", cust, "c_custkey"),
+    ]
+    return check(ev, rules)
+
+
+def oracle_table_expectations() -> str:
+    inset = "|".join(_EXPECT_SET)
+    return f"""
+WITH n AS (SELECT count(*) AS total_rows FROM events),
+narrow AS (
+    SELECT 'not_null(value)' AS rule,
+           SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS violations
+    FROM events
+    UNION ALL
+    SELECT 'in_range(value,0.0,10000.0)',
+           SUM(CASE WHEN value IS NULL OR value < 0.0 OR value > 10000.0
+                    THEN 1 ELSE 0 END)
+    FROM events
+    UNION ALL
+    SELECT 'in_set(event_type,{inset})',
+           SUM(CASE WHEN event_type IS NULL
+                         OR event_type NOT IN
+                            ('click','error','purchase','signup','view')
+                    THEN 1 ELSE 0 END)
+    FROM events
+    UNION ALL
+    SELECT 'not_null(ts)',
+           SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END)
+    FROM events
+    UNION ALL
+    SELECT 'in_range(value,0.0,100.0)',
+           SUM(CASE WHEN value IS NULL OR value < 0.0 OR value > 100.0
+                    THEN 1 ELSE 0 END)
+    FROM events
+    UNION ALL
+    SELECT 'unique(user_id)',
+           (SELECT COALESCE(SUM(c), 0) FROM (
+                SELECT count(*) AS c FROM events GROUP BY user_id
+                HAVING count(*) > 1))
+    UNION ALL
+    SELECT 'unique(event_id)',
+           (SELECT COALESCE(SUM(c), 0) FROM (
+                SELECT count(*) AS c FROM events GROUP BY event_id
+                HAVING count(*) > 1))
+    UNION ALL
+    SELECT 'foreign_key(user_id)',
+           (SELECT count(*) FROM events e
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = e.user_id))
+)
+SELECT rule, n.total_rows, CAST(violations AS BIGINT) AS violations,
+       violations = 0 AS passed
+FROM narrow CROSS JOIN n
+"""

@@ -81,6 +81,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
     "lineorder_integrity": (quality.q_lineorder_integrity, quality.oracle_lineorder_integrity),
     "key_skew_report": (quality.q_key_skew_report, quality.oracle_key_skew_report),
     "salted_user_spend": (quality.q_salted_user_spend, quality.oracle_salted_user_spend),
+    "table_expectations": (
+        quality.q_table_expectations,
+        quality.oracle_table_expectations,
+    ),
     # --- generic relational (joins, topk, hash agg) ---
     "pricing_summary": (tpch.q_pricing_summary, tpch.oracle_pricing_summary),
     "top_orders": (tpch.q_top_orders, tpch.oracle_top_orders),
@@ -389,6 +393,7 @@ _PRIORITY: list[str] = [
     # newly-adjudicable / new this round
     "approx_stats",
     "salted_user_spend",
+    "table_expectations",
     # --- remaining never-sampled queries (next sampling window) ---
     "skyline_parts",
     "mad_outliers",

@@ -1,0 +1,74 @@
+"""Declarative expectations operator: rule semantics on synthetic frames
+(null handling, duplicates weighted by count, null FK = violation), and
+the single-aggregate plan shape for narrow rules."""
+
+from __future__ import annotations
+
+from options_data_pipeline_spark.operators.expectations import (
+    check,
+    foreign_key,
+    in_range,
+    in_set,
+    matches,
+    not_null,
+    unique,
+)
+
+
+def _result(df):
+    return {r.rule: (r.total_rows, r.violations, r.passed) for r in df.collect()}
+
+
+def test_narrow_rules_semantics(spark):
+    df = spark.createDataFrame(
+        [(1, 5.0, "a@x.io"), (2, None, "bad"), (3, 99.0, None), (4, -1.0, "c@y.z")],
+        "id int, v double, email string",
+    )
+    got = _result(
+        check(
+            df,
+            [
+                not_null("v"),
+                in_range("v", 0.0, 50.0),
+                matches("email", r"^[^@]+@[^@]+$"),
+                in_set("id", (1, 2, 3)),
+            ],
+        )
+    )
+    # nulls count as violations for every narrow rule
+    assert got["not_null(v)"] == (4, 1, False)
+    assert got["in_range(v,0.0,50.0)"] == (4, 3, False)  # None, 99.0, -1.0
+    assert got["matches(email,^[^@]+@[^@]+$)"] == (4, 2, False)  # 'bad', None
+    assert got["in_set(id,1|2|3)"] == (4, 1, False)
+
+
+def test_unique_counts_all_rows_of_duplicated_keys(spark):
+    df = spark.createDataFrame(
+        [(1,), (1,), (1,), (2,), (3,)], "k int"
+    )
+    got = _result(check(df, [unique("k")]))
+    assert got["unique(k)"] == (5, 3, False)  # the three k=1 rows
+
+
+def test_foreign_key_null_and_missing(spark):
+    df = spark.createDataFrame([(1,), (2,), (None,), (9,)], "k int")
+    ref = spark.createDataFrame([(1,), (2,), (3,)], "rk int")
+    got = _result(check(df, [foreign_key("k", ref, "rk")]))
+    # 9 (absent) and NULL (no referent) are both violations
+    assert got["foreign_key(k)"] == (4, 2, False)
+
+
+def test_all_green_contract(spark):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k int, s string")
+    got = _result(check(df, [not_null("k"), unique("k"), in_set("s", ("a", "b"))]))
+    assert all(v[2] for v in got.values())
+
+
+def test_narrow_rules_share_one_aggregate(spark):
+    df = spark.createDataFrame([(1, 2.0)], "k int, v double")
+    out = check(
+        df, [not_null("k"), in_range("v", 0.0, 9.0), in_set("k", (1, 2))]
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # three narrow rules, ONE scan of the input (no per-rule passes)
+    assert plan.count("Scan ExistingRDD") <= 1, plan
