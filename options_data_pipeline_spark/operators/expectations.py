@@ -58,6 +58,14 @@ def unique(*cols: str) -> Rule:
     return Rule(f"unique({','.join(cols)})", "unique", tuple(cols))
 
 
+def fresh(ts_col: str, as_of: str, max_age: str) -> Rule:
+    """The table's newest ``ts_col`` must be within ``max_age`` (an SQL
+    interval string, e.g. ``'2 hours'``) of ``as_of`` (an explicit
+    timestamp string — deterministic, never wall-clock). Violations is 0
+    or 1: staleness is a table property, not a row property."""
+    return Rule(f"fresh({ts_col},{as_of},{max_age})", "fresh", (ts_col,), (as_of, max_age))
+
+
 def foreign_key(col: str, ref: DataFrame, ref_col: str) -> Rule:
     # the ref frame rides in params (not hashable; dataclass eq unused here)
     return Rule(f"foreign_key({col})", "fk", (col,), (ref, ref_col))
@@ -106,7 +114,21 @@ def check(df: DataFrame, rules: list[Rule]) -> DataFrame:
         )
 
     for r in rules:
-        if r.kind == "unique":
+        if r.kind == "fresh":
+            as_of, max_age = r.params
+            bound = F.expr(
+                f"timestamp'{as_of}' - interval '{max_age}'"
+            )
+            results.append(
+                df.agg(
+                    F.count(F.lit(1)).cast("long").alias("total_rows"),
+                    F.when(F.max(F.col(r.cols[0])) >= bound, 0)
+                    .otherwise(1)
+                    .cast("long")
+                    .alias("violations"),
+                ).select(F.lit(r.name).alias("rule"), "total_rows", "violations")
+            )
+        elif r.kind == "unique":
             dup_rows = (
                 df.groupBy(*r.cols)
                 .agg(F.count(F.lit(1)).alias("_c"))

@@ -4,6 +4,8 @@ the single-aggregate plan shape for narrow rules."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from options_data_pipeline_spark.operators.expectations import (
     check,
     foreign_key,
@@ -72,3 +74,17 @@ def test_narrow_rules_share_one_aggregate(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     # three narrow rules, ONE scan of the input (no per-rule passes)
     assert plan.count("Scan ExistingRDD") <= 1, plan
+
+
+def test_freshness_rule(spark):
+    from options_data_pipeline_spark.operators.expectations import fresh
+
+    df = spark.createDataFrame(
+        [("2024-01-01 10:00:00",), ("2024-01-01 11:30:00",)], "ts string"
+    ).select(F.col("ts").cast("timestamp").alias("ts"))
+    # newest row 11:30; as_of 12:00 with 1h budget -> fresh
+    ok = _result(check(df, [fresh("ts", "2024-01-01 12:00:00", "1 hour")]))
+    assert ok["fresh(ts,2024-01-01 12:00:00,1 hour)"] == (2, 0, True)
+    # as_of 13:00 with 1h budget -> stale (single table-level violation)
+    stale = _result(check(df, [fresh("ts", "2024-01-01 13:00:00", "1 hour")]))
+    assert stale["fresh(ts,2024-01-01 13:00:00,1 hour)"] == (2, 1, False)
