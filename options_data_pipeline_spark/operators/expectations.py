@@ -91,7 +91,8 @@ def _violation(rule: Rule) -> Column:
 def check(df: DataFrame, rules: list[Rule]) -> DataFrame:
     """Evaluate ``rules`` against ``df``; one result row per rule with
     columns (rule, total_rows, violations, passed)."""
-    spark = df.sparkSession
+    if not rules:
+        raise ValueError("check() needs at least one rule")
     narrow = [r for r in rules if r.kind == "narrow"]
     results: list[DataFrame] = []
 
