@@ -85,7 +85,9 @@ def _violation(rule: Rule) -> Column:
         cond = c.isNull() | ~c.rlike(pattern)
     else:  # pragma: no cover - constructors above are the only makers
         raise ValueError(f"unknown narrow rule {rule.name}")
-    return F.sum(cond.cast("long")).alias(rule.name)
+    # coalesce: SUM over an empty frame is NULL — an empty batch must
+    # report violations=0 / passed=true, not a three-valued gate
+    return F.coalesce(F.sum(cond.cast("long")), F.lit(0)).cast("long")
 
 
 def check(df: DataFrame, rules: list[Rule]) -> DataFrame:
@@ -97,17 +99,24 @@ def check(df: DataFrame, rules: list[Rule]) -> DataFrame:
     results: list[DataFrame] = []
 
     if narrow:
+        # positional aliases + Column-API structs: rule names carry user
+        # text (regex patterns, set values) and must never be spliced
+        # into SQL strings or used as identifiers (review r4)
         agg = df.agg(
-            F.count(F.lit(1)).alias("_n"), *[_violation(r) for r in narrow]
+            F.count(F.lit(1)).alias("_n"),
+            *[_violation(r).alias(f"_v{i}") for i, r in enumerate(narrow)],
         )
-        cases = ", ".join(
-            f"named_struct('rule', '{r.name}', 'violations', `{r.name}`)"
-            for r in narrow
+        structs = F.array(
+            *[
+                F.struct(
+                    F.lit(r.name).alias("rule"),
+                    F.col(f"_v{i}").alias("violations"),
+                )
+                for i, r in enumerate(narrow)
+            ]
         )
         results.append(
-            agg.select(
-                F.explode(F.expr(f"array({cases})")).alias("_r"), "_n"
-            ).select(
+            agg.select(F.explode(structs).alias("_r"), "_n").select(
                 F.col("_r.rule").alias("rule"),
                 F.col("_n").cast("long").alias("total_rows"),
                 F.col("_r.violations").cast("long").alias("violations"),
@@ -134,10 +143,17 @@ def check(df: DataFrame, rules: list[Rule]) -> DataFrame:
                 df.groupBy(*r.cols)
                 .agg(F.count(F.lit(1)).alias("_c"))
                 .agg(
-                    F.sum(F.when(F.col("_c") > 1, F.col("_c")).otherwise(0))
+                    F.coalesce(
+                        F.sum(
+                            F.when(F.col("_c") > 1, F.col("_c")).otherwise(0)
+                        ),
+                        F.lit(0),
+                    )
                     .cast("long")
                     .alias("violations"),
-                    F.sum("_c").cast("long").alias("total_rows"),
+                    F.coalesce(F.sum("_c"), F.lit(0))
+                    .cast("long")
+                    .alias("total_rows"),
                 )
             )
             results.append(

@@ -85,9 +85,14 @@ def heavy_hitters(
                             dead.append(c)
                     for c in dead:
                         del counters[c]
+        # dtype=object: a None sentinel in an int64 column would coerce
+        # keys to float64 and silently corrupt values above 2^53 —
+        # object dtype hands Arrow exact Python ints (review r4)
         yield pd.DataFrame(
             {
-                kname: list(counters.keys()) + [None],
+                kname: pd.Series(
+                    list(counters.keys()) + [None], dtype=object
+                ),
                 "_prows": [0] * len(counters) + [prows],
             }
         )

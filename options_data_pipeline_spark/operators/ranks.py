@@ -116,6 +116,23 @@ def distributed_row_number(
         )
     else:
         bucket = F.lit(0)
+    # null sort keys would evaluate the split comparisons to NULL and be
+    # silently DROPPED by the bucket join below (while the small-input
+    # window path would rank them) — enforce the documented non-null
+    # contract loudly instead (review r4)
+    null_key = None
+    for n in key_names:
+        cond = F.col(n).isNull()
+        null_key = cond if null_key is None else (null_key | cond)
+    bucket = F.when(
+        null_key,
+        F.raise_error(
+            F.lit(
+                "distributed_row_number: null sort key — the order must "
+                "be a non-null total order (filter or coalesce first)"
+            )
+        ).cast("int"),
+    ).otherwise(bucket)
     bucketed = df.withColumn("_bkt", bucket)
     w_local = Window.partitionBy("_bkt").orderBy(*_order_exprs(order))
     local = bucketed.withColumn(

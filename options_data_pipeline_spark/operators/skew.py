@@ -59,8 +59,10 @@ def skewed_fact_join(
     wrong when both sides are facts.  The 100 TB pattern is to split by
     key temperature instead:
 
-    1. count keys on the left side and take the ``n_hot`` heaviest
-       (bounded driver collect — n_hot rows, never the key space);
+    1. count keys on EACH side and take the union of the ``n_hot``
+       heaviest per side (bounded driver collect — ≤ 2*n_hot rows,
+       never the key space; a right-hot key straggles the shuffle just
+       as hard as a left-hot one);
     2. HOT path: left-hot rows scatter over ``n_salts`` via xxhash64 (a
        deterministic salt — retries land on the same salt), right-hot
        rows replicate ``n_salts`` ways, join on (key, salt) so each hot
@@ -72,10 +74,20 @@ def skewed_fact_join(
     any query built on this is the plain join.  Inner-only: null keys
     never match, and the hot/cold split drops neither side's matchable
     rows.
+
+    Caveat: the salt hashes the full LEFT row value, so value-IDENTICAL
+    duplicate rows of a hot key share one salt — dedup-heavy facts keep
+    their straggler (results stay right; the spread degrades). A
+    row-position salt would fix that but breaks determinism under task
+    retries, which this engine never trades away.
     """
-    counts = left.groupBy(on).agg(F.count(F.lit(1)).alias("__cnt"))
-    hot_rows = counts.orderBy(F.desc("__cnt"), F.col(on)).limit(n_hot).collect()
-    hot_keys = [r[0] for r in hot_rows if r[0] is not None]
+
+    def _top_keys(side: DataFrame) -> list:
+        counts = side.groupBy(on).agg(F.count(F.lit(1)).alias("__cnt"))
+        rows = counts.orderBy(F.desc("__cnt"), F.col(on)).limit(n_hot).collect()
+        return [r[0] for r in rows if r[0] is not None]
+
+    hot_keys = sorted(set(_top_keys(left)) | set(_top_keys(right)))
     if not hot_keys:
         return left.join(right, on, "inner")
     l_hot = left.where(F.col(on).isin(hot_keys))

@@ -94,7 +94,11 @@ def merge_upsert_delta(
             f"ADD COLUMN {audit_col} TIMESTAMP"
         )
         target = DeltaTable.forPath(spark, target_path)
-    cond = " AND ".join(f"t.{k} <=> u.{k}" for k in keys)
+    # null-UNSAFE equality, deliberately: the parquet emulation's
+    # full-outer join never matches null keys (standard SQL MERGE
+    # semantics) — <=> here would merge null-key rows the emulation
+    # inserts, diverging contents AND metrics (review r4)
+    cond = " AND ".join(f"t.{k} = u.{k}" for k in keys)
     (
         target.alias("t")
         .merge(updates.alias("u"), cond)
@@ -136,7 +140,7 @@ def insert_if_absent_delta(
         return {"inserted": n, "skipped": total - n}
 
     target = DeltaTable.forPath(spark, target_path)
-    cond = " AND ".join(f"t.{k} <=> b.{k}" for k in keys)
+    cond = " AND ".join(f"t.{k} = b.{k}" for k in keys)  # null-unsafe, like the emulation's left_anti
     (
         target.alias("t")
         .merge(batch.alias("b"), cond)

@@ -117,14 +117,35 @@ def write_zordered_n(
     """
     n_buckets = 2**bits
     probs = [i / n_buckets for i in range(1, n_buckets)]
-    bps = df.stat.approxQuantile(list(cols), probs, 1.0 / (4 * n_buckets))
-    coded = df.withColumn(
+    # approxQuantile is numeric-only (unlike the percent_rank this
+    # replaced): temporal/boolean columns quantize through a numeric
+    # proxy; anything else fails loudly instead of mid-job (review r4)
+    proxied = df
+    proxy_cols = []
+    for i, c in enumerate(cols):
+        dt = df.schema[c].dataType.typeName()
+        if dt in ("timestamp", "timestamp_ntz", "date", "boolean"):
+            proxy = f"__q{i}"
+            proxied = proxied.withColumn(proxy, F.col(c).cast("double"))
+            proxy_cols.append(proxy)
+        elif dt in (
+            "byte", "short", "integer", "long", "float", "double", "decimal",
+        ) or dt.startswith("decimal"):
+            proxy_cols.append(c)
+        else:
+            raise ValueError(
+                f"write_zordered_n: column {c!r} has type {dt}, which has "
+                "no quantile ordering here — cast it to a numeric/temporal "
+                "proxy first"
+            )
+    bps = proxied.stat.approxQuantile(proxy_cols, probs, 1.0 / (4 * n_buckets))
+    coded = proxied.withColumn(
         "__z",
         _morton_interleave_n(
-            [_quantile_bucket(F.col(c), bp) for c, bp in zip(cols, bps)],
+            [_quantile_bucket(F.col(c), bp) for c, bp in zip(proxy_cols, bps)],
             bits,
         ),
-    )
+    ).drop(*[p for p in proxy_cols if p.startswith("__q")])
     (
         coded.repartitionByRange(num_files, F.col("__z"))
         .sortWithinPartitions("__z")

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import uuid
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -44,16 +45,21 @@ def expectations_stream(
         report = check(bdf, rules).withColumn(
             "batch_id", F.lit(int(batch_id)).cast("long")
         )
-        # idempotent re-process: drop any previous rows for this batch
+        # idempotent re-process: drop any previous rows for this batch.
+        # Swap discipline mirrors sinks/upsert._atomic_replace — staging
+        # renamed IN, old renamed ASIDE then deleted; a crash never
+        # leaves a window with no log directory (review r4)
         spark = bdf.sparkSession
         if os.path.exists(log_path):
             existing = spark.read.parquet(log_path)
             kept = existing.where(F.col("batch_id") != int(batch_id))
             if kept.count() != existing.count():
-                staging = f"{log_path}.staging"
+                staging = f"{log_path}.staging-{uuid.uuid4().hex[:8]}"
                 kept.write.mode("overwrite").parquet(staging)
-                shutil.rmtree(log_path)
+                old = f"{log_path}.old-{uuid.uuid4().hex[:8]}"
+                os.rename(log_path, old)
                 os.rename(staging, log_path)
+                shutil.rmtree(old)
         report.write.mode("append").parquet(log_path)
 
     writer = (

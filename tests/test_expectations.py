@@ -88,3 +88,19 @@ def test_freshness_rule(spark):
     # as_of 13:00 with 1h budget -> stale (single table-level violation)
     stale = _result(check(df, [fresh("ts", "2024-01-01 13:00:00", "1 hour")]))
     assert stale["fresh(ts,2024-01-01 13:00:00,1 hour)"] == (2, 1, False)
+
+
+def test_empty_frame_reports_zero_violations(spark):
+    df = spark.createDataFrame([], "k int, v double")
+    got = _result(check(df, [not_null("v"), unique("k")]))
+    assert got["not_null(v)"] == (0, 0, True)
+    assert got["unique(k)"] == (0, 0, True)
+
+
+def test_rule_params_with_quotes_do_not_break_sql(spark):
+    df = spark.createDataFrame([("O'Brien",), ("bad`name",)], "s string")
+    got = _result(
+        check(df, [matches("s", r"^O'"), in_set("s", ("O'Brien", "x`y"))])
+    )
+    assert got[r"matches(s,^O')"] == (2, 1, False)
+    assert got["in_set(s,O'Brien|x`y)"] == (2, 1, False)

@@ -103,3 +103,12 @@ def test_heavy_hitters_matches_counter_model(spark, keys, share):
         for r in heavy_hitters(df, "k", share, n_counters=16).collect()
     }
     assert got == expect
+
+
+def test_keys_beyond_double_precision_survive(spark):
+    big = 2**53
+    rows = [(big + 1,)] * 8 + [(big + 3,)] * 2
+    df = spark.createDataFrame(rows, "k long").repartition(2)
+    got = {r.k: r.n_rows for r in heavy_hitters(df, "k", 0.5).collect()}
+    # float64 coercion would collapse big+1 to big and lose the match
+    assert got == {big + 1: 8}

@@ -344,3 +344,26 @@ def test_morton_interleave_n_overflow_guard(spark):
 
     with pytest.raises(ValueError, match="overflow"):
         _morton_interleave_n([F.lit(1)] * 8, bits=8)
+
+
+def test_write_zordered_timestamp_column(spark, tmp):
+    """Temporal columns quantize through a numeric proxy (review r4 —
+    approxQuantile is numeric-only, the old percent_rank was not)."""
+    from options_data_pipeline_spark.sinks.layout import write_zordered
+
+    ev = load_table(spark, SF_DIR, "events").select("ts", "user_id")
+    out = f"{tmp}/zts"
+    write_zordered(ev, out, "ts", "user_id", num_files=8)
+    back = spark.read.parquet(out)
+    assert back.count() == ev.count()
+    assert set(back.columns) == {"ts", "user_id"}
+
+
+def test_write_zordered_rejects_string_column(spark, tmp):
+    import pytest
+
+    from options_data_pipeline_spark.sinks.layout import write_zordered
+
+    ev = load_table(spark, SF_DIR, "events").select("event_type", "user_id")
+    with pytest.raises(ValueError, match="quantile ordering"):
+        write_zordered(ev, f"{tmp}/zs", "event_type", "user_id", num_files=4)

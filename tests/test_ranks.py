@@ -123,3 +123,15 @@ def test_distributed_rank_matches_python_model(spark, rows, desc, buckets):
     got = {(r.k, r.v): r.r for r in out}
     assert len(got) == len(rows)
     assert all(got[kv] == i + 1 for i, kv in enumerate(expect))
+
+
+def test_null_sort_key_raises_loudly(spark, force_bucketed):
+    import pytest
+
+    df = spark.createDataFrame(
+        [(None, 1)] + [(i, i) for i in range(500)], "k int, v int"
+    )
+    out = distributed_row_number(df, [("k", False), ("v", False)], "r",
+                                 num_buckets=4)
+    with pytest.raises(Exception, match="null sort key"):
+        out.collect()
