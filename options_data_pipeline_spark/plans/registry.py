@@ -30,6 +30,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
     "weekly_sessions": (sessions.q_weekly_sessions, sessions.oracle_weekly_sessions),
     "monthly_sessions": (sessions.q_monthly_sessions, sessions.oracle_monthly_sessions),
     "candle_returns": (sessions.q_candle_returns, sessions.oracle_candle_returns),
+    "candle_resample": (sessions.q_candle_resample, sessions.oracle_candle_resample),
     "ewma_close": (sessions.q_ewma_close, sessions.oracle_ewma_close),
     # --- option OHLC (A5, F1, F4-F6, P5, P8) + derived chain analytics ---
     "option_chain_ohlc": (options.q_option_chain_ohlc, options.oracle_option_chain_ohlc),
@@ -390,6 +391,7 @@ _PRIORITY: list[str] = [
     "max_pain",
     "put_call_ratio",
     "iv_smile",
+    "candle_resample",
     # newly-adjudicable / new this round
     "approx_stats",
     "salted_user_spend",

@@ -376,3 +376,59 @@ SELECT instrument, CAST(count(*) AS BIGINT) AS n_hours, max(h) AS last_ts,
 FROM hourly GROUP BY instrument
 """
     )
+
+
+RESAMPLE_SECONDS = 4 * 3600  # hourly -> 4h bars
+
+
+def q_candle_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC re-granularization (hourly -> 4h bars): the hypertable
+    ``time_bucket`` rollup every candle store serves. Builds on the
+    hourly candles and aggregates order-free — open/close are
+    min_by/max_by on the (unique per instrument) hour timestamp, so the
+    rollup is one map-side-combinable groupBy stacked on the hourly
+    aggregate: 2 shuffles total, no windows over the coarser grain."""
+    hourly = hourly_candles(spark, sf_dir)
+    bar = F.timestamp_seconds(
+        F.floor(F.unix_timestamp("bucket_ts") / RESAMPLE_SECONDS)
+        * RESAMPLE_SECONDS
+    )
+    return (
+        hourly.withColumn("bar_ts", bar)
+        .groupBy("instrument", "bar_ts")
+        .agg(
+            F.min_by("open", F.col("bucket_ts")).alias("open"),
+            F.max("high").alias("high"),
+            F.min("low").alias("low"),
+            F.max_by("close", F.col("bucket_ts")).alias("close"),
+            F.sum("n_ticks").cast("long").alias("n_ticks"),
+            F.count(F.lit(1)).cast("long").alias("n_hours"),
+        )
+    )
+
+
+def oracle_candle_resample() -> str:
+    return f"""
+WITH {HOURLY_CTE},
+bars AS (
+    SELECT instrument,
+           to_timestamp(CAST(floor(epoch(h) / {RESAMPLE_SECONDS})
+                             * {RESAMPLE_SECONDS} AS BIGINT)) AS bar_ts,
+           h, open, high, low, close, n_ticks,
+           row_number() OVER (PARTITION BY instrument,
+                              floor(epoch(h) / {RESAMPLE_SECONDS})
+                              ORDER BY h ASC) AS ra,
+           row_number() OVER (PARTITION BY instrument,
+                              floor(epoch(h) / {RESAMPLE_SECONDS})
+                              ORDER BY h DESC) AS rd
+    FROM hourly
+)
+SELECT instrument, bar_ts,
+       max(CASE WHEN ra = 1 THEN open END) AS open,
+       max(high) AS high,
+       min(low) AS low,
+       max(CASE WHEN rd = 1 THEN close END) AS close,
+       CAST(SUM(n_ticks) AS BIGINT) AS n_ticks,
+       count(*) AS n_hours
+FROM bars GROUP BY 1, 2
+"""
