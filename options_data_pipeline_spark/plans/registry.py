@@ -336,6 +336,11 @@ _PRIORITY: list[str] = [
     "video_probe",
     "media_frames",
     "media_dedup",
+    # VERDICT r3 asks #6/#7: the newly-adjudicable sketch probe and the
+    # salted fact-fact join need DRIVER rows — pin them in the window
+    "approx_stats",
+    "salted_user_spend",
+    "table_expectations",
     # stateful fold / time-series (never sampled)
     "capped_running_scan",
     "capped_running_sum",
@@ -382,20 +387,17 @@ _PRIORITY: list[str] = [
     "weighted_sample",
     "bigram_pmi",
     "length_ks_drift",
-    "quantile_map_lengths",
-    "edit_distance_pairs",
     # §2-core anchors (sampled before; keep in the window as controls)
     "daily_sessions",
     "option_chain_ohlc",
-    # derived chain analytics (new in r4)
+    # just past the ~50 window: next round's sampling frontier
+    "quantile_map_lengths",
+    "edit_distance_pairs",
+    # derived chain analytics (new in r4) — next sampling window
     "max_pain",
     "put_call_ratio",
     "iv_smile",
     "candle_resample",
-    # newly-adjudicable / new this round
-    "approx_stats",
-    "salted_user_spend",
-    "table_expectations",
     # --- remaining never-sampled queries (next sampling window) ---
     "skyline_parts",
     "mad_outliers",
