@@ -386,11 +386,11 @@ _PRIORITY: list[str] = [
     "bpe_pair_counts",
     "weighted_sample",
     "bigram_pmi",
-    "length_ks_drift",
     # §2-core anchors (sampled before; keep in the window as controls)
     "daily_sessions",
     "option_chain_ohlc",
     # just past the ~50 window: next round's sampling frontier
+    "length_ks_drift",
     "quantile_map_lengths",
     "edit_distance_pairs",
     # derived chain analytics (new in r4) — next sampling window
