@@ -183,6 +183,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
     "minhash_near_dups": (text.q_minhash_near_dups, text.oracle_minhash_near_dups),
     "simhash_near_dups": (text.q_simhash_near_dups, text.oracle_simhash_near_dups),
     "ngram_jaccard_pairs": (text.q_ngram_jaccard_pairs, text.oracle_ngram_jaccard_pairs),
+    "containment_pairs": (text.q_containment_pairs, text.oracle_containment_pairs),
     "corpus_curation": (text.q_corpus_curation, text.oracle_corpus_curation),
     "dedup_clusters": (text.q_dedup_clusters, text.oracle_dedup_clusters),
     "cluster_survivors": (text.q_cluster_survivors, text.oracle_cluster_survivors),
@@ -393,6 +394,7 @@ _PRIORITY: list[str] = [
     "length_ks_drift",
     "quantile_map_lengths",
     "edit_distance_pairs",
+    "containment_pairs",
     # derived chain analytics (new in r4) — next sampling window
     "max_pain",
     "put_call_ratio",

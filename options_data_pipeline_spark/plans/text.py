@@ -2312,3 +2312,77 @@ SELECT CAST(t.v AS BIGINT) AS orig_len,
 FROM tgt t JOIN en_cum e ON e.ca >= t.r
 GROUP BY 1, 2, 3
 """
+
+
+CONTAINMENT_T = 0.9
+
+
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram CONTAINMENT near-dup: pairs where the smaller document's
+    shingle set is (almost) a subset of the larger's — containment =
+    n_common / min(|A|, |B|). Catches template-wrapped and
+    quote-with-commentary duplication that symmetric Jaccard dilutes
+    (a 100-line doc pasted into a 1000-line page scores Jaccard ~0.1
+    but containment ~1.0). Same inverted-index (lang, shingle) self-join
+    shape as ``ngram_jaccard_pairs`` — candidates only, never all
+    pairs; the direction column says which side is the contained one."""
+    corpus = planted_corpus(spark, sf_dir)
+    sets = planted_shingle_sets(spark, sf_dir)
+    langs = corpus.select("doc_id", "lang")
+    sh_l = sets.select("doc_id", F.explode("shingles").alias("shingle")).join(
+        langs, "doc_id"
+    )
+    sa = sh_l.select(F.col("doc_id").alias("doc_a"), "lang", "shingle")
+    sb = sh_l.select(F.col("doc_id").alias("doc_b"), "lang", "shingle")
+    pairs = (
+        sa.join(sb, ["lang", "shingle"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sizes = sets.select("doc_id", "n_sh")
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        pairs.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .withColumn(
+            "containment",
+            F.col("n_common") / F.least(F.col("n_a"), F.col("n_b")),
+        )
+        .where(F.col("containment") >= CONTAINMENT_T)
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            "containment",
+            F.when(F.col("n_a") <= F.col("n_b"), "a_in_b")
+            .otherwise("b_in_a")
+            .alias("direction"),
+        )
+    )
+
+
+def oracle_containment_pairs() -> str:
+    return f"""
+WITH {_PLANTED_SQL}, {_SHINGLES_SQL},
+sh_l AS (
+    SELECT s.doc_id, s.shingle, c.lang
+    FROM shingles s JOIN corpus c USING (doc_id)
+),
+pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+    FROM sh_l a JOIN sh_l b
+      ON a.shingle = b.shingle AND a.doc_id < b.doc_id AND a.lang = b.lang
+    GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY 1)
+SELECT doc_a, doc_b, n_common,
+       n_common / least(na.n_sh, nb.n_sh) AS containment,
+       CASE WHEN na.n_sh <= nb.n_sh THEN 'a_in_b' ELSE 'b_in_a' END
+           AS direction
+FROM pairs
+JOIN sizes na ON na.doc_id = doc_a
+JOIN sizes nb ON nb.doc_id = doc_b
+WHERE n_common / least(na.n_sh, nb.n_sh) >= {CONTAINMENT_T}
+"""
