@@ -227,6 +227,32 @@ def bucket_pairs(df: DataFrame, key_cols: list[str], id_col: str = "doc_id") -> 
     return pairs.select("p.doc_a", "p.doc_b").distinct()
 
 
+def df_capped(
+    exploded: DataFrame, key_cols: list[str], cap: int
+) -> DataFrame:
+    """Drop posting-list keys whose document frequency exceeds ``cap``.
+
+    ``exploded`` is an inverted-index frame (one row per (key, doc)); the
+    result keeps only rows whose key appears in at most ``cap`` documents.
+    This is the standard boilerplate guard in large-scale n-gram dedup:
+    a shingle shared by d documents emits d^2 candidate rows in the
+    posting-list self-join, and template/navigation/license shingles have
+    d in the millions at corpus scale while carrying zero dedup signal
+    (true near-dup pairs also share many RARE shingles, so recall is
+    unaffected). With the cap, total candidate rows are bounded by
+    cap * |postings| instead of sum(df^2).
+
+    Shape: one count aggregate keyed exactly like the downstream self-join
+    (partial aggregation makes the hot keys cheap) and an inner join back
+    against the surviving keys. Both reuse the same (key) exchange as the
+    self-join that follows, and each exploded row matches at most one key
+    row, so no skew is amplified.
+    """
+    counts = exploded.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("__df"))
+    keep = counts.where(F.col("__df") <= cap).select(*key_cols)
+    return exploded.join(keep, list(key_cols))
+
+
 def jaccard_verify(pairs: DataFrame, sets: DataFrame, threshold: float) -> DataFrame:
     """True bigram-set Jaccard for each candidate pair; keep >= threshold.
 

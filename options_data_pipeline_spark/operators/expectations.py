@@ -22,6 +22,7 @@ R rules: 1 + #unique + #foreign_key scans, independent of R otherwise.
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame
@@ -58,12 +59,47 @@ def unique(*cols: str) -> Rule:
     return Rule(f"unique({','.join(cols)})", "unique", tuple(cols))
 
 
+_AS_OF_RE = re.compile(
+    r"^\d{4}-\d{2}-\d{2}[ T]\d{2}:\d{2}:\d{2}(\.\d{1,6})?$"
+)
+_MAX_AGE_RE = re.compile(r"^(\d+)\s+(second|minute|hour|day|week)s?$")
+
+
 def fresh(ts_col: str, as_of: str, max_age: str) -> Rule:
-    """The table's newest ``ts_col`` must be within ``max_age`` (an SQL
+    """The table's newest ``ts_col`` must be within ``max_age`` (an
     interval string, e.g. ``'2 hours'``) of ``as_of`` (an explicit
     timestamp string — deterministic, never wall-clock). Violations is 0
-    or 1: staleness is a table property, not a row property."""
+    or 1: staleness is a table property, not a row property.
+
+    Both params are validated here against strict formats and the bound
+    is built with Column APIs (never spliced into ``F.expr`` — the same
+    discipline the row rules follow; ADVICE r4)."""
+    if not _AS_OF_RE.match(as_of):
+        raise ValueError(
+            f"fresh(): as_of must be 'YYYY-MM-DD HH:MM:SS[.ffffff]', "
+            f"got {as_of!r}"
+        )
+    if not _MAX_AGE_RE.match(max_age):
+        raise ValueError(
+            f"fresh(): max_age must be '<n> <second|minute|hour|day|week>[s]', "
+            f"got {max_age!r}"
+        )
     return Rule(f"fresh({ts_col},{as_of},{max_age})", "fresh", (ts_col,), (as_of, max_age))
+
+
+def _fresh_bound(as_of: str, max_age: str):
+    """Column-API freshness bound: as_of - max_age, no string splicing."""
+    n, unit = _MAX_AGE_RE.match(max_age).groups()
+    kw = {
+        "second": "secs",
+        "minute": "mins",
+        "hour": "hours",
+        "day": "days",
+        "week": "weeks",
+    }[unit]
+    return F.to_timestamp(F.lit(as_of)) - F.make_interval(
+        **{kw: F.lit(int(n))}
+    )
 
 
 def foreign_key(col: str, ref: DataFrame, ref_col: str) -> Rule:
@@ -126,9 +162,7 @@ def check(df: DataFrame, rules: list[Rule]) -> DataFrame:
     for r in rules:
         if r.kind == "fresh":
             as_of, max_age = r.params
-            bound = F.expr(
-                f"timestamp'{as_of}' - interval '{max_age}'"
-            )
+            bound = _fresh_bound(as_of, max_age)
             results.append(
                 df.agg(
                     F.count(F.lit(1)).cast("long").alias("total_rows"),

@@ -62,6 +62,32 @@ def _merge_metrics(table, wanted: dict[str, str]) -> dict[str, int]:
     return {out: int(m.get(src, 0) or 0) for out, src in wanted.items()}
 
 
+def _bq(name: str) -> str:
+    """Backtick-quote an identifier (escaping embedded backticks) so key
+    columns / audit columns with spaces, dots, or hyphens bind the same
+    way they do in the parquet emulation's Column-API joins (ADVICE r4)."""
+    return "`" + name.replace("`", "``") + "`"
+
+
+def _guard_cold_start(spark: SparkSession, target_path: str) -> None:
+    """Refuse to bootstrap a Delta table over an existing NON-Delta,
+    non-empty directory. ``DeltaTable.isDeltaTable`` is false both for an
+    absent path and for a parquet-emulation table sitting at the same
+    path; blindly writing mode('overwrite') in the second case silently
+    replaces the whole table with the current batch (ADVICE r4, medium).
+    """
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(target_path)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(path) and len(fs.listStatus(path)) > 0:
+        raise ValueError(
+            f"refusing Delta cold-start at {target_path!r}: the directory "
+            "exists and is non-empty but is not a Delta table (possibly a "
+            "parquet-emulation table). Migrate it explicitly (CONVERT TO "
+            "DELTA / rewrite) or point the Delta sink at an empty path."
+        )
+
+
 def merge_upsert_delta(
     spark: SparkSession,
     target_path: str,
@@ -82,23 +108,24 @@ def merge_upsert_delta(
     updates = dedupe_last_wins(updates, keys, order_by)
 
     if not DeltaTable.isDeltaTable(spark, target_path):
+        _guard_cold_start(spark, target_path)
         n = updates.count()
-        updates.write.format("delta").mode("overwrite").save(target_path)
+        updates.write.format("delta").mode("errorifexists").save(target_path)
         return {"inserted": n, "updated": 0}
 
     target = DeltaTable.forPath(spark, target_path)
     if audit_col and audit_col not in target.toDF().columns:
         # align schemas like the emulation does for a new audit column
         spark.sql(
-            f"ALTER TABLE delta.`{target_path}` "
-            f"ADD COLUMN {audit_col} TIMESTAMP"
+            f"ALTER TABLE delta.`{target_path.replace('`', '``')}` "
+            f"ADD COLUMN {_bq(audit_col)} TIMESTAMP"
         )
         target = DeltaTable.forPath(spark, target_path)
     # null-UNSAFE equality, deliberately: the parquet emulation's
     # full-outer join never matches null keys (standard SQL MERGE
     # semantics) — <=> here would merge null-key rows the emulation
     # inserts, diverging contents AND metrics (review r4)
-    cond = " AND ".join(f"t.{k} = u.{k}" for k in keys)
+    cond = " AND ".join(f"t.{_bq(k)} = u.{_bq(k)}" for k in keys)
     (
         target.alias("t")
         .merge(updates.alias("u"), cond)
@@ -135,12 +162,14 @@ def insert_if_absent_delta(
     )
 
     if not DeltaTable.isDeltaTable(spark, target_path):
+        _guard_cold_start(spark, target_path)
         n = batch.count()
-        batch.write.format("delta").mode("overwrite").save(target_path)
+        batch.write.format("delta").mode("errorifexists").save(target_path)
         return {"inserted": n, "skipped": total - n}
 
     target = DeltaTable.forPath(spark, target_path)
-    cond = " AND ".join(f"t.{k} = b.{k}" for k in keys)  # null-unsafe, like the emulation's left_anti
+    # null-unsafe, like the emulation's left_anti
+    cond = " AND ".join(f"t.{_bq(k)} = b.{_bq(k)}" for k in keys)
     (
         target.alias("t")
         .merge(batch.alias("b"), cond)

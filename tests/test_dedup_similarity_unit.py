@@ -275,3 +275,55 @@ def test_semantic_prune_cell_cap_bounds_pairs(spark):
         ).collect()
     }
     assert capped <= uncapped
+
+
+def test_df_cap_bounds_boilerplate_candidates(spark):
+    """VERDICT r4 ask #2: a boilerplate shingle shared by d documents must
+    NOT emit d^2 candidate rows. With df cap K < d the hot key is dropped
+    entirely, and total candidate rows are bounded by K * |postings|."""
+    from pyspark.sql import functions as F
+
+    from options_data_pipeline_spark.operators.dedup import df_capped
+    from options_data_pipeline_spark.plans.text import (
+        shingle_pair_counts,
+        with_doc_sizes,
+    )
+
+    d = 40  # boilerplate shingle document frequency
+    cap = 5
+    rows = []
+    # every doc carries the boilerplate shingle + one rare shingle shared
+    # with exactly one neighbour (so some capped pairs DO survive)
+    for i in range(d):
+        rows.append((i, "en", "terms of service"))
+        rows.append((i, "en", f"rare pair {i // 2}"))
+    sh_l = spark.createDataFrame(rows, "doc_id long, lang string, shingle string")
+
+    capped = df_capped(sh_l, ["lang", "shingle"], cap)
+    # the hot key is gone, every rare key (df=2) survives
+    kept = {r.shingle for r in capped.select("shingle").distinct().collect()}
+    assert "terms of service" not in kept
+    assert len(kept) == d // 2
+
+    pairs = shingle_pair_counts(
+        with_doc_sizes(df_capped(sh_l, ["lang", "shingle"], cap))
+    )
+    n_pairs = pairs.count()
+    # uncapped the hot key alone emits d*(d-1)/2 = 780 rows; capped, only
+    # the d/2 rare-neighbour pairs remain — bounded by cap * |postings|
+    assert n_pairs == d // 2
+    postings = capped.count()
+    assert n_pairs <= cap * postings
+    # sizes use the SAME capped universe: each doc keeps 1 shingle
+    assert pairs.agg(F.max("n_a"), F.max("n_b")).collect()[0] == (1, 1)
+
+
+def test_df_cap_noop_below_cap(spark):
+    """Cap above every df leaves postings untouched (the test-scale case —
+    max df at sf0.1 is 158 < SHINGLE_DF_CAP=256)."""
+    from options_data_pipeline_spark.operators.dedup import df_capped
+
+    rows = [(i, "en", f"s{i % 3}") for i in range(9)]
+    sh_l = spark.createDataFrame(rows, "doc_id long, lang string, shingle string")
+    out = df_capped(sh_l, ["lang", "shingle"], cap=3)
+    assert out.count() == 9

@@ -106,3 +106,30 @@ def test_merge_upsert_parity(delta_spark, tmp_path):
         map(tuple, delta_spark.read.format("delta").load(dl_path).collect())
     )
     assert pq_rows == dl_rows
+
+
+def test_bq_quotes_identifiers():
+    from options_data_pipeline_spark.sinks.delta_backend import _bq
+
+    assert _bq("plain") == "`plain`"
+    assert _bq("with space") == "`with space`"
+    assert _bq("tick`inside") == "`tick``inside`"
+
+
+def test_cold_start_guard_refuses_nondelta_dir(spark, tmp_path):
+    """ADVICE r4 (medium): cold start over an existing non-Delta,
+    non-empty directory must raise, never silently overwrite — e.g. the
+    parquet-emulation table that shares the sink interface."""
+    from options_data_pipeline_spark.sinks.delta_backend import (
+        _guard_cold_start,
+    )
+
+    target = tmp_path / "existing_table"
+    spark.range(5).write.parquet(str(target))
+    with pytest.raises(ValueError, match="refusing Delta cold-start"):
+        _guard_cold_start(spark, str(target))
+    # absent and empty paths pass
+    _guard_cold_start(spark, str(tmp_path / "not_there"))
+    empty = tmp_path / "empty_dir"
+    empty.mkdir()
+    _guard_cold_start(spark, str(empty))

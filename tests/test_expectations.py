@@ -104,3 +104,21 @@ def test_rule_params_with_quotes_do_not_break_sql(spark):
     )
     assert got[r"matches(s,^O')"] == (2, 1, False)
     assert got["in_set(s,O'Brien|x`y)"] == (2, 1, False)
+
+
+def test_fresh_validates_params():
+    """ADVICE r4: fresh() params are validated up front and the bound is
+    built with Column APIs — malformed/injection-shaped input fails at
+    the constructor, not deep inside evaluation."""
+    import pytest as _pt
+
+    from options_data_pipeline_spark.operators.expectations import fresh
+
+    fresh("ts", "2024-01-02 03:04:05", "2 hours")  # ok
+    fresh("ts", "2024-01-02T03:04:05.123", "1 day")  # ok
+    with _pt.raises(ValueError, match="as_of"):
+        fresh("ts", "2024-01-02 03:04:05' --", "2 hours")
+    with _pt.raises(ValueError, match="max_age"):
+        fresh("ts", "2024-01-02 03:04:05", "2 hours' OR '1'='1")
+    with _pt.raises(ValueError, match="max_age"):
+        fresh("ts", "2024-01-02 03:04:05", "eleventy hours")
