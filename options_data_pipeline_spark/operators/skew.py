@@ -46,12 +46,32 @@ def salted_join(
     return fact_s.join(dim_s, [*on, "__salt"], how).drop("__salt")
 
 
+def duplicate_spread_salt(on: str, n_salts: int):
+    """Salt column for value-duplicate-heavy facts: hash of (key,
+    source file, in-file row ordinal) via the ``_metadata`` hidden
+    columns. Value-identical rows of a hot key land on DIFFERENT salts
+    (they differ in row_index), yet the salt stays deterministic under
+    task retries — an immutable file's (path, row_index) never changes,
+    unlike ``rand()`` or partition-relative counters. Only resolvable on
+    frames that are direct file-source scans (parquet/orc/json/csv)."""
+    return F.pmod(
+        F.xxhash64(
+            F.col(on),
+            F.col("_metadata.file_path"),
+            F.col("_metadata.row_index"),
+        ),
+        F.lit(n_salts),
+    ).cast("int")
+
+
 def skewed_fact_join(
     left: DataFrame,
     right: DataFrame,
     on: str,
     n_salts: int = 8,
     n_hot: int = 8,
+    skew_factor: float = 8.0,
+    spread_duplicates: bool = False,
 ) -> DataFrame:
     """Differentiated skew join for two FACT tables (inner, single key).
 
@@ -75,28 +95,48 @@ def skewed_fact_join(
     never match, and the hot/cold split drops neither side's matchable
     rows.
 
-    Caveat: the salt hashes the full LEFT row value, so value-IDENTICAL
-    duplicate rows of a hot key share one salt — dedup-heavy facts keep
-    their straggler (results stay right; the spread degrades). A
-    row-position salt would fix that but breaks determinism under task
-    retries, which this engine never trades away.
+    A key only counts as hot when its row count exceeds ``skew_factor``
+    times the side's mean rows-per-key (ADVICE r4: the top-N of an
+    unskewed table is just its heaviest ordinary keys; splitting on them
+    buys nothing and costs two extra scans). With no key above
+    threshold, the plain join is returned untouched. ``skew_factor=0``
+    disables the gate (always salt the top-N) — for demos/regression
+    fixtures that must exercise the hot path deterministically.
+
+    By default the salt hashes the full LEFT row value, so
+    value-IDENTICAL duplicate rows of a hot key share one salt —
+    dedup-heavy facts keep their straggler (results stay right; the
+    spread degrades). ``spread_duplicates=True`` switches to
+    :func:`duplicate_spread_salt` — hash of (key, source file, in-file
+    row ordinal) — which spreads identical rows while staying
+    deterministic under task retries; it requires ``left`` to be a
+    direct file-source scan (the hidden ``_metadata`` column must
+    resolve).
     """
 
-    def _top_keys(side: DataFrame) -> list:
+    def _hot_keys(side: DataFrame) -> list:
         counts = side.groupBy(on).agg(F.count(F.lit(1)).alias("__cnt"))
-        rows = counts.orderBy(F.desc("__cnt"), F.col(on)).limit(n_hot).collect()
-        return [r[0] for r in rows if r[0] is not None]
+        top = counts.orderBy(F.desc("__cnt"), F.col(on)).limit(n_hot).collect()
+        top = [r for r in top if r[0] is not None]
+        if not top or skew_factor <= 0:
+            return [r[0] for r in top]
+        # second action on the same counts frame reuses its shuffle files
+        mean = counts.agg(F.avg("__cnt")).collect()[0][0] or 0.0
+        return [r[0] for r in top if r["__cnt"] >= skew_factor * mean]
 
-    hot_keys = sorted(set(_top_keys(left)) | set(_top_keys(right)))
+    hot_keys = sorted(set(_hot_keys(left)) | set(_hot_keys(right)))
     if not hot_keys:
         return left.join(right, on, "inner")
     l_hot = left.where(F.col(on).isin(hot_keys))
     l_cold = left.where(~F.col(on).isin(hot_keys))
     r_hot = right.where(F.col(on).isin(hot_keys))
     r_cold = right.where(~F.col(on).isin(hot_keys))
-    salt = F.pmod(
-        F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(n_salts)
-    ).cast("int")
+    if spread_duplicates:
+        salt = duplicate_spread_salt(on, n_salts)
+    else:
+        salt = F.pmod(
+            F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(n_salts)
+        ).cast("int")
     l_salted = l_hot.withColumn("__salt", salt)
     r_salted = r_hot.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))

@@ -377,7 +377,11 @@ def q_salted_user_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     clicks = ev.where(F.col("event_type") == "click").select(
         "user_id", F.col("value").alias("click_value")
     )
-    pairs = skewed_fact_join(purchases, clicks, on="user_id")
+    # skew_factor=0: this query EXISTS to demonstrate the salted path, so
+    # the hot/cold split must engage deterministically at every test
+    # scale (synthetic user activity is near-uniform, which the default
+    # skew gate would — correctly — wave through as unskewed)
+    pairs = skewed_fact_join(purchases, clicks, on="user_id", skew_factor=0)
     return pairs.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_pairs"),
         dec_sum(F.col("purchase_value")).alias("sum_purchase_value"),

@@ -13,16 +13,16 @@ Design notes:
   so alerts localize); cross-batch invariants (e.g. global key
   uniqueness) belong to the batch contract over the standing table, not
   the stream;
-- the report append is idempotent per batch id: re-processing a batch
-  after restart overwrites its own rows (delete-matching-batch-then-
-  append under a local FS; a Delta sink would MERGE on batch_id).
+- the report append is idempotent per batch id: the log is PARTITIONED
+  by batch_id and each batch dynamic-partition-overwrites only its own
+  partition. No read, count, or rewrite of the rest of the log ever
+  happens, so per-batch overhead stays O(|rules|) for the stream's whole
+  lifetime (ADVICE r4: the previous delete-then-append rewrote the
+  monotonically-growing log on every reprocess and ran two full counts
+  per batch). A Delta sink would MERGE on batch_id instead.
 """
 
 from __future__ import annotations
-
-import os
-import shutil
-import uuid
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -45,22 +45,16 @@ def expectations_stream(
         report = check(bdf, rules).withColumn(
             "batch_id", F.lit(int(batch_id)).cast("long")
         )
-        # idempotent re-process: drop any previous rows for this batch.
-        # Swap discipline mirrors sinks/upsert._atomic_replace — staging
-        # renamed IN, old renamed ASIDE then deleted; a crash never
-        # leaves a window with no log directory (review r4)
-        spark = bdf.sparkSession
-        if os.path.exists(log_path):
-            existing = spark.read.parquet(log_path)
-            kept = existing.where(F.col("batch_id") != int(batch_id))
-            if kept.count() != existing.count():
-                staging = f"{log_path}.staging-{uuid.uuid4().hex[:8]}"
-                kept.write.mode("overwrite").parquet(staging)
-                old = f"{log_path}.old-{uuid.uuid4().hex[:8]}"
-                os.rename(log_path, old)
-                os.rename(staging, log_path)
-                shutil.rmtree(old)
-        report.write.mode("append").parquet(log_path)
+        # idempotent re-process without touching the rest of the log:
+        # dynamic partition overwrite replaces ONLY the batch_id=N
+        # partition this report belongs to (first processing creates it,
+        # reprocessing after restart overwrites it in place)
+        (
+            report.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(log_path)
+        )
 
     writer = (
         stream.writeStream.foreachBatch(score_batch)

@@ -103,3 +103,71 @@ def test_skewed_fact_join_matches_plain_join_model(spark, lrows, rrows):
     assert sorted(map(tuple, out.collect())) == sorted(
         map(tuple, plain.collect())
     )
+
+
+def test_skew_gate_waves_through_unskewed_input(spark):
+    """ADVICE r4: with no key above skew_factor x mean, the plain join
+    comes back untouched — no isin filters, no salt expansion."""
+    left = spark.range(0, 300).select(
+        F.pmod(F.col("id"), F.lit(50)).alias("k"), F.col("id").alias("lv")
+    )
+    right = spark.range(0, 100).select(
+        F.pmod(F.col("id"), F.lit(50)).alias("k"), F.col("id").alias("rv")
+    )
+    out = skewed_fact_join(left, right, on="k", n_salts=4, n_hot=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Generate" not in plan  # no explode(sequence(...)) hot branch
+    assert _canon(out) == _canon(left.join(right, "k", "inner"))
+
+
+def test_skew_gate_still_engages_on_real_skew(spark):
+    left, right = _skewed_frames(spark)  # key 0 holds ~50% of rows
+    out = skewed_fact_join(left, right, on="k", n_salts=4, n_hot=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Generate" in plan
+    assert _canon(out) == _canon(left.join(right, "k", "inner"))
+
+
+def test_spread_duplicates_scatters_identical_rows(spark, tmp_path):
+    """VERDICT r4 ask #6: value-identical duplicate rows of a hot key
+    must spread across salts (via (key, file, row-ordinal) hashing)
+    while results stay exactly the plain join."""
+    from options_data_pipeline_spark.operators.skew import duplicate_spread_salt
+
+    n_salts = 4
+    # duplicate-heavy: 800 value-IDENTICAL rows of hot key 0 + a tail
+    rows = [(0, 7)] * 800 + [(k, k) for k in range(1, 40)]
+    lpath = str(tmp_path / "left")
+    spark.createDataFrame(rows, "k int, lv int").write.parquet(lpath)
+    left = spark.read.parquet(lpath)
+    right = spark.createDataFrame(
+        [(0, 10), (0, 11), (1, 20), (2, 30)], "k int, rv int"
+    )
+    out = skewed_fact_join(
+        left, right, on="k", n_salts=n_salts, n_hot=2,
+        spread_duplicates=True,
+    )
+    plain = left.join(right, "k", "inner")
+    assert _canon(out) == _canon(plain)
+
+    # the spread itself: the hot key's 800 identical rows must not pile
+    # on one salt — max per-salt share < 2/n_salts
+    shares = (
+        left.where(F.col("k") == 0)
+        .select(duplicate_spread_salt("k", n_salts).alias("s"))
+        .groupBy("s")
+        .count()
+        .collect()
+    )
+    assert len(shares) == n_salts
+    assert max(r["count"] for r in shares) / 800 < 2 / n_salts
+
+    # the old full-row-value salt puts all 800 on ONE salt — the
+    # straggler this flag exists to break up
+    value_salt = F.pmod(
+        F.xxhash64(F.col("k"), F.col("lv")), F.lit(n_salts)
+    )
+    assert (
+        left.where(F.col("k") == 0).select(value_salt.alias("s")).distinct().count()
+        == 1
+    )
