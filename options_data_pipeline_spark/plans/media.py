@@ -548,3 +548,151 @@ SELECT CAST((SELECT count(*) FROM per_doc) AS BIGINT) AS n_payloads,
        CAST(MAX(a) AS BIGINT) AS max_peak
 FROM vals
 """
+
+
+# --- image_probe: FULL stdlib PNG decode, adversarially constructed ---
+# Per-doc image parameters (image docs only; every 3rd doc carries raw
+# text bytes as the non-image to triage out):
+#   W = 2 + doc_id % 3, H = 2 + doc_id % 2, stride R = 3W, base = 7*doc_id
+#   raw pixel byte (y, j) = (base + y*R + j) % 256
+#   row y is stored with PNG filter type y % 3 (None / Sub / Up)
+# The arithmetic-progression pixels make the FILTERED bytes closed-form
+# (Sub rows become [raw0, raw1, raw2, 3, 3, ...]; Up rows become the
+# constant R % 256), so the whole payload — zlib stream with a STORED
+# deflate block, adler32 via an aggregate fold, chunk CRCs via crc32()
+# — is built from native expressions. The decode kernel
+# (operators/multimodal.py decode_png_pixels) walks chunks, verifies
+# CRCs, inflates with real zlib, and reconstructs the scanlines; the
+# oracle evaluates the raw-pixel formula directly and never touches
+# bytes. A defect in the chunk walk, CRC/adler math, stored-block
+# framing, or filter reconstruction on either side breaks the hash.
+_IMG_W = "(2 + doc_id % 3)"
+_IMG_H = "(2 + doc_id % 2)"
+_IMG_R = f"(3 * {_IMG_W})"
+_IMG_BASE = "(doc_id * 7)"
+
+
+def q_image_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    docs = parallelized(
+        spark, load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+
+    def be(col_expr: str, nbytes: int):
+        parts = ", ".join(
+            f"lpad(hex(CAST(({col_expr}) div {256 ** i} % 256 AS INT)), 2, '0')"
+            for i in range(nbytes - 1, -1, -1)
+        )
+        return F.expr(f"unhex(concat({parts}))")
+
+    # filtered scanlines as array<bigint>: one filter byte + R data bytes
+    # per row (see the construction note above)
+    data_arr = f"""
+    flatten(transform(sequence(0, {_IMG_H} - 1), y -> concat(
+      array(CAST(y % 3 AS BIGINT)),
+      transform(sequence(0, {_IMG_R} - 1), j -> CAST(
+        CASE
+          WHEN y % 3 = 0 THEN ({_IMG_BASE} + y * {_IMG_R} + j) % 256
+          WHEN y % 3 = 1 THEN IF(j < 3, ({_IMG_BASE} + y * {_IMG_R} + j) % 256, 3)
+          ELSE {_IMG_R} % 256
+        END AS BIGINT)))))
+    """
+    with_data = (
+        docs.withColumn("data", F.expr(data_arr))
+        .withColumn("dlen", F.size("data").cast("long"))
+        .withColumn(
+            "ad",
+            F.expr(
+                "aggregate(data, named_struct('s1', 1L, 's2', 0L), "
+                "(a, b) -> named_struct('s1', (a.s1 + b) % 65521, "
+                "'s2', (a.s2 + a.s1 + b) % 65521))"
+            ),
+        )
+        .withColumn(
+            "zarr",
+            F.expr(
+                # zlib header 78 01, stored-block header (final, LEN, NLEN),
+                # raw data, adler32 big-endian (s2_hi s2_lo s1_hi s1_lo)
+                "concat(array(120L, 1L, 1L, dlen % 256, dlen div 256, "
+                "(65535 - dlen) % 256, (65535 - dlen) div 256), data, "
+                "array(ad.s2 div 256, ad.s2 % 256, ad.s1 div 256, ad.s1 % 256))"
+            ),
+        )
+        .withColumn(
+            "zbin",
+            F.expr("unhex(concat_ws('', transform(zarr, b -> lpad(hex(b), 2, '0'))))"),
+        )
+        .withColumn("ihdr_body", F.concat(be(_IMG_W, 4), be(_IMG_H, 4), F.expr("x'0802000000'")))
+        .withColumn("ihdr_tagged", F.concat(F.encode(F.lit("IHDR"), "UTF-8"), F.col("ihdr_body")))
+        .withColumn("idat_tagged", F.concat(F.encode(F.lit("IDAT"), "UTF-8"), F.col("zbin")))
+    )
+    png = F.concat(
+        F.expr("x'89504E470D0A1A0A'"),
+        be("13", 4),
+        F.col("ihdr_tagged"),
+        be("crc32(ihdr_tagged)", 4),
+        be("octet_length(zbin)", 4),
+        F.col("idat_tagged"),
+        be("crc32(idat_tagged)", 4),
+        be("0", 4),
+        F.encode(F.lit("IEND"), "UTF-8"),
+        F.expr("x'AE426082'"),
+    )
+    media = with_data.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("blob"))
+        .otherwise(F.lit("image"))
+        .alias("kind"),
+        F.when(F.col("doc_id") % 3 == 0, F.encode(F.col("text"), "UTF-8"))
+        .otherwise(png)
+        .alias("payload"),
+    )
+    probed = MM.decode_png_pixels(media)
+    from pyspark.sql import functions as F2
+
+    return probed.groupBy("kind").agg(
+        F2.count(F2.lit(1)).alias("n_media"),
+        F2.sum(F2.col("is_png").cast("long")).alias("n_png"),
+        F2.sum("width").cast("long").alias("sum_width"),
+        F2.sum("height").cast("long").alias("sum_height"),
+        F2.sum("n_px").cast("long").alias("sum_pixels"),
+        F2.sum("sum_px").cast("long").alias("sum_pixel_bytes"),
+        F2.sum("sum_r").cast("long").alias("sum_red"),
+    )
+
+
+def oracle_image_probe() -> str:
+    # formula-only: the oracle never builds or parses a byte of PNG
+    return """
+WITH per_doc AS (
+    SELECT doc_id, (2 + doc_id % 3) AS w, (2 + doc_id % 2) AS h,
+           CASE WHEN doc_id % 3 = 0 THEN 'blob' ELSE 'image' END AS kind
+    FROM documents
+),
+ys AS (
+    SELECT doc_id, w, unnest(range(0, h)) AS y
+    FROM per_doc WHERE kind = 'image'
+),
+pix AS (
+    SELECT doc_id, w, y, unnest(range(0, 3 * w)) AS j FROM ys
+),
+vals AS (
+    SELECT doc_id, j, (doc_id * 7 + y * 3 * w + j) % 256 AS v FROM pix
+),
+doc_stats AS (
+    SELECT doc_id, SUM(v) AS sum_px,
+           SUM(CASE WHEN j % 3 = 0 THEN v END) AS sum_r
+    FROM vals GROUP BY doc_id
+)
+SELECT kind,
+       CAST(count(*) AS BIGINT) AS n_media,
+       CAST(SUM(CASE WHEN kind = 'image' THEN 1 ELSE 0 END) AS BIGINT) AS n_png,
+       CAST(SUM(CASE WHEN kind = 'image' THEN w END) AS BIGINT) AS sum_width,
+       CAST(SUM(CASE WHEN kind = 'image' THEN h END) AS BIGINT) AS sum_height,
+       CAST(SUM(CASE WHEN kind = 'image' THEN w * h END) AS BIGINT) AS sum_pixels,
+       CAST(SUM(s.sum_px) AS BIGINT) AS sum_pixel_bytes,
+       CAST(SUM(s.sum_r) AS BIGINT) AS sum_red
+FROM per_doc LEFT JOIN doc_stats s USING (doc_id)
+GROUP BY kind
+"""

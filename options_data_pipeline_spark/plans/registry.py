@@ -318,6 +318,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
     "audio_probe": (media.q_audio_probe, media.oracle_audio_probe),
     "video_probe": (media.q_video_probe, media.oracle_video_probe),
     "media_pcm_stats": (media.q_media_pcm_stats, media.oracle_media_pcm_stats),
+    "image_probe": (media.q_image_probe, media.oracle_image_probe),
 }
 
 

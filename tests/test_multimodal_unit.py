@@ -315,3 +315,144 @@ def test_probe_mp4_mutation_controls(spark):
     assert out[1].is_mp4
     for mid in (2, 3, 4, 5):
         assert not out[mid].is_mp4, mid
+
+
+def _png_with_filters(width, height, filters, pixel_fn, corrupt=None):
+    """Hand-rolled PNG (8-bit RGB, non-interlaced) with a CHOSEN filter
+    type per row — pixel (x,y,c) value from pixel_fn. Filters are
+    APPLIED here (the encoder side), so the kernel must invert them."""
+    import struct
+    import zlib
+
+    stride = 3 * width
+    raws = [
+        bytes(pixel_fn(x, y, c) & 0xFF for x in range(width) for c in range(3))
+        for y in range(height)
+    ]
+    out = []
+    prev = bytes(stride)
+    for y, raw in enumerate(raws):
+        f = filters[y]
+        row = bytearray(raw)
+        if f == 1:
+            for j in range(stride - 1, 2, -1):
+                row[j] = (row[j] - raw[j - 3]) & 0xFF
+        elif f == 2:
+            for j in range(stride):
+                row[j] = (row[j] - prev[j]) & 0xFF
+        elif f == 3:
+            for j in range(stride):
+                a = raw[j - 3] if j >= 3 else 0
+                row[j] = (row[j] - ((a + prev[j]) >> 1)) & 0xFF
+        elif f == 4:
+            for j in range(stride):
+                a = raw[j - 3] if j >= 3 else 0
+                b = prev[j]
+                c = prev[j - 3] if j >= 3 else 0
+                pp = a + b - c
+                pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[j] = (row[j] - pr) & 0xFF
+        out.append(bytes([f]) + bytes(row))
+        prev = raw
+
+    def chunk(tag, data):
+        return (
+            struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    idat = zlib.compress(b"".join(out))
+    png = MM.PNG_MAGIC + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+    if corrupt is not None:
+        png = bytearray(png)
+        png[corrupt] ^= 0xFF
+        png = bytes(png)
+    return png, raws
+
+
+def test_decode_png_pixels_all_filter_types(spark):
+    """The stdlib decoder must invert every filter type (None/Sub/Up/
+    Average/Paeth) — expected sums computed from the RAW pixels here,
+    which the encoder filtered away."""
+    w, h = 5, 5
+    png, raws = _png_with_filters(
+        w, h, [0, 1, 2, 3, 4], lambda x, y, c: x * 37 + y * 59 + c * 17
+    )
+    media = spark.createDataFrame(
+        [(1, "image", png)], "media_id long, kind string, payload binary"
+    )
+    row = MM.decode_png_pixels(media).collect()[0]
+    assert row.is_png and row.width == w and row.height == h
+    assert row.n_px == w * h
+    flat = b"".join(raws)
+    assert row.sum_px == sum(flat)
+    assert row.sum_r == sum(flat[0::3])
+
+
+def test_decode_png_pixels_mutation_controls(spark):
+    """Integrity is actually checked: flipping a byte of the IDAT
+    stream (breaks chunk CRC), the IHDR CRC, or appending trailing
+    bytes must all yield is_png=false; the pristine payload decodes."""
+    w, h = 4, 3
+    good, _ = _png_with_filters(w, h, [0, 1, 2], lambda x, y, c: x + y + c)
+    # locate IDAT data: magic(8) + IHDR chunk(25) + len(4)+tag(4) => 41
+    bad_idat, _ = _png_with_filters(w, h, [0, 1, 2], lambda x, y, c: x + y + c, corrupt=45)
+    bad_ihdr_crc, _ = _png_with_filters(w, h, [0, 1, 2], lambda x, y, c: x + y + c, corrupt=30)
+    trailing = good + b"\x00"
+    not_png = b"just some text bytes"
+    rows = [
+        (1, "image", good),
+        (2, "image", bad_idat),
+        (3, "image", bad_ihdr_crc),
+        (4, "image", trailing),
+        (5, "blob", not_png),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, kind string, payload binary")
+    out = {r.media_id: r for r in MM.decode_png_pixels(media).collect()}
+    assert out[1].is_png
+    for mid in (2, 3, 4, 5):
+        assert not out[mid].is_png, mid
+        assert out[mid].sum_px is None, mid
+
+
+def test_decode_png_pixels_rejects_unsupported_profiles(spark):
+    """Grayscale / 16-bit / interlaced payloads are triaged out (valid
+    PNGs, outside the supported 8-bit RGB non-interlaced profile)."""
+    import struct
+    import zlib
+
+    def chunk(tag, data):
+        return (
+            struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    def with_ihdr(bd, ct, inter):
+        ihdr = struct.pack(">IIBBBBB", 2, 2, bd, ct, 0, 0, inter)
+        idat = zlib.compress(b"\x00" + b"\x01" * 6)
+        return MM.PNG_MAGIC + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+
+    rows = [
+        (1, "image", with_ihdr(8, 0, 0)),   # grayscale
+        (2, "image", with_ihdr(16, 2, 0)),  # 16-bit
+        (3, "image", with_ihdr(8, 2, 1)),   # interlaced
+    ]
+    media = spark.createDataFrame(rows, "media_id long, kind string, payload binary")
+    for r in MM.decode_png_pixels(media).collect():
+        assert not r.is_png
+
+
+def test_decode_png_pixels_reads_png_payload_builder(spark):
+    """Cross-check against the OTHER PNG producer in this module:
+    png_payload's solid-color images decode to the exact closed-form
+    sums."""
+    png = MM.png_payload(6, 4, pixel=(10, 20, 30))
+    media = spark.createDataFrame(
+        [(1, "image", png)], "media_id long, kind string, payload binary"
+    )
+    row = MM.decode_png_pixels(media).collect()[0]
+    assert row.is_png and row.width == 6 and row.height == 4
+    assert row.sum_px == (10 + 20 + 30) * 6 * 4
+    assert row.sum_r == 10 * 6 * 4
