@@ -1046,6 +1046,102 @@ FROM per
 """
 
 
+def q_benford_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square goodness-of-fit against the Benford expectation, per
+    event type (VERDICT r4 ask #5 — completes the inferential surface
+    started by ab_conversion_ztest / length_ks_drift). Observed counts
+    are exact BIGINTs on a FULL digit spine (a digit with zero
+    observations still contributes (0-e)^2/e = e); expected counts are
+    total * log10(1 + 1/d) with compile-time constants; the statistic
+    is summed in DECIMAL so partitioning cannot perturb the result, and
+    the df=8 decision flag uses the fixed 95% critical value."""
+    import math
+
+    from ..functions.rounding import dec_sum
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    digit = F.regexp_extract(
+        F.format_string("%.6f", F.abs(F.col("value"))), "[1-9]", 0
+    )
+    obs = (
+        ev.select("event_type", digit.alias("d"))
+        .where(F.col("d") != "")
+        .select("event_type", F.col("d").cast("int").alias("digit"))
+        .groupBy("event_type", "digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    digits = spark.range(1, 10).select(F.col("id").cast("int").alias("digit"))
+    spine = obs.select("event_type").distinct().crossJoin(F.broadcast(digits))
+    full = (
+        spine.join(obs, ["event_type", "digit"], "left")
+        .fillna(0, subset=["n"])
+    )
+    from pyspark.sql import Window
+
+    # window partition = one event type AFTER aggregation: exactly 9 rows
+    total = F.sum("n").over(Window.partitionBy("event_type"))
+    e = total.cast("double") * F.element_at(
+        F.array(*[F.lit(math.log10(1 + 1 / d)) for d in range(1, 10)]),
+        F.col("digit"),
+    )
+    term = (F.col("n").cast("double") - e) * (F.col("n").cast("double") - e) / e
+    crit = 15.50731305586545  # chi2 df=8, alpha=0.05
+    return (
+        full.withColumn("total", total)
+        .withColumn("term", term)
+        .groupBy("event_type")
+        .agg(
+            F.first("total").cast("long").alias("n_obs"),
+            dec_sum(F.col("term")).alias("chisq"),
+            F.lit(8).cast("long").alias("df"),
+        )
+        .withColumn("reject_95", F.col("chisq") > F.lit(crit))
+    )
+
+
+def oracle_benford_chisq() -> str:
+    import math
+
+    exp_list = ", ".join(str(math.log10(1 + 1 / d)) for d in range(1, 10))
+    return f"""
+WITH obs AS (
+    SELECT event_type,
+           CAST(regexp_extract(printf('%.6f', abs(value)), '[1-9]') AS INT)
+               AS digit,
+           count(*) AS n
+    FROM events
+    WHERE value IS NOT NULL
+      AND regexp_extract(printf('%.6f', abs(value)), '[1-9]') <> ''
+    GROUP BY 1, 2
+),
+spine AS (
+    SELECT event_type, CAST(unnest([1,2,3,4,5,6,7,8,9]) AS INT) AS digit
+    FROM (SELECT DISTINCT event_type FROM obs)
+),
+filled AS (
+    SELECT s.event_type, s.digit, COALESCE(o.n, 0) AS n
+    FROM spine s LEFT JOIN obs o USING (event_type, digit)
+),
+tot AS (SELECT event_type, SUM(n) AS total FROM filled GROUP BY 1),
+terms AS (
+    SELECT f.event_type, t.total,
+           (CAST(f.n AS DOUBLE) - CAST(t.total AS DOUBLE) * ([{exp_list}])[f.digit])
+           * (CAST(f.n AS DOUBLE) - CAST(t.total AS DOUBLE) * ([{exp_list}])[f.digit])
+           / (CAST(t.total AS DOUBLE) * ([{exp_list}])[f.digit]) AS term
+    FROM filled f JOIN tot t USING (event_type)
+),
+agg AS (
+    SELECT event_type, CAST(MIN(total) AS BIGINT) AS n_obs,
+           CAST(SUM(CAST(term AS DECIMAL(38,6))) AS DOUBLE) AS chisq,
+           CAST(8 AS BIGINT) AS df
+    FROM terms GROUP BY 1
+)
+SELECT event_type, n_obs, chisq, df,
+       chisq > 15.50731305586545 AS reject_95
+FROM agg
+"""
+
+
 def q_lineorder_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence-integrity probe: l_linenumber per order must be exactly
     1..n with no gaps or dups — the invariant check an ingest pipeline

@@ -26,6 +26,10 @@ from . import (
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[], str] | None]] = {
     # --- session OHLC family (A1/A4, F7-F9, P7, W2/W3) ---
     "hourly_candles": (sessions.q_hourly_candles, sessions.oracle_hourly_candles),
+    "stream_candles_twin": (
+        sessions.q_stream_candles_twin,
+        sessions.oracle_stream_candles_twin,
+    ),
     "daily_sessions": (sessions.q_daily_sessions, sessions.oracle_daily_sessions),
     "weekly_sessions": (sessions.q_weekly_sessions, sessions.oracle_weekly_sessions),
     "monthly_sessions": (sessions.q_monthly_sessions, sessions.oracle_monthly_sessions),
@@ -79,6 +83,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
     "gap_event_overlap": (quality.q_gap_event_overlap, quality.oracle_gap_event_overlap),
     "funnel_stages": (quality.q_funnel_stages, quality.oracle_funnel_stages),
     "benford_deviation": (quality.q_benford_deviation, quality.oracle_benford_deviation),
+    "benford_chisq": (quality.q_benford_chisq, quality.oracle_benford_chisq),
     "lineorder_integrity": (quality.q_lineorder_integrity, quality.oracle_lineorder_integrity),
     "key_skew_report": (quality.q_key_skew_report, quality.oracle_key_skew_report),
     "salted_user_spend": (quality.q_salted_user_spend, quality.oracle_salted_user_spend),

@@ -122,6 +122,7 @@ def incremental_candles_stream(
     id_col: str = "event_id",
     available_now: bool = True,
     processing_time: str | None = None,
+    max_files_per_trigger: int | None = None,
 ) -> StreamingQuery:
     """Gold job: maintain the hourly-candle table incrementally.
 
@@ -137,9 +138,13 @@ def incremental_candles_stream(
       3. MERGE into the gold parquet table keyed on (instrument, hour).
 
     Deterministic and idempotent: replaying a micro-batch recomputes the
-    same buckets to the same values (T5).
+    same buckets to the same values (T5). ``max_files_per_trigger``
+    bounds each micro-batch to that many source files (multi-batch
+    drains under availableNow — the replay-schedule knob).
     """
-    events = read_event_stream(spark, source_dir)
+    events = read_event_stream(
+        spark, source_dir, max_files_per_trigger=max_files_per_trigger
+    )
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         # Distinct touched buckets stay a DataFrame — never collected to the
