@@ -57,6 +57,11 @@ TARGET_CELL_SIZE = 512
 # oversized cell are forgone) and bounds worst-case pair expansion.
 MAX_CELL_SIZE = 4096
 
+# re-split literal-map ceiling: above this many OVERSIZED cells the
+# n_sub literals stop being a plan constant and the count-window path
+# takes over (collect stays bounded by this gate)
+_RESPLIT_MAP_GATE = 4096
+
 
 def adaptive_k(
     n: int,
@@ -229,7 +234,7 @@ def semantic_prune(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     reliable: bool = False,
-    max_cell_size: int = MAX_CELL_SIZE,
+    max_cell_size: int | None = MAX_CELL_SIZE,
 ) -> DataFrame:
     """SemDeDup: semantic near-duplicate pruning via k-means bucketing.
 
@@ -286,25 +291,66 @@ def semantic_prune(
     # projection of the first checkpoint, so the extra job only re-writes
     # (id, cluster, vector) rows, not the assignment compute.
     assigned = materialize(assigned.select("vec_id", "cluster", "v"), reliable)
-    # Hard cap on cell population: re-split any oversized cell into
-    # ceil(size / max_cell_size) sub-cells keyed by vec_id % n_sub.
-    # The per-cluster size table is k rows — broadcast it back.
-    # own materialization: joining assigned with an aggregate OF assigned
-    # is a self-join, and DeduplicateRelations loses attribute rewrites
-    # nested in the normalize HOF lambdas (INTERNAL_ERROR_ATTRIBUTE_NOT_
-    # FOUND — same Catalyst bug as the b-side below); a distinct k-row
-    # leaf never triggers the rewrite and costs one trivial job
-    cell_sub = materialize(
-        assigned.groupBy("cluster").agg(
-            F.ceil(
-                F.count(F.lit(1)) / F.lit(float(max_cell_size))
-            ).cast("bigint").alias("n_sub")
-        ),
-        reliable,
-    )
-    assigned = assigned.join(F.broadcast(cell_sub), "cluster").withColumn(
-        "sub", F.pmod(F.col("vec_id").cast("bigint"), F.col("n_sub"))
-    )
+    if max_cell_size is None:
+        # no re-split: trust adaptive k to bound cells (skips the
+        # oversized-cell probe; keep the default cap whenever an
+        # adversarial cell-size distribution is possible)
+        assigned = assigned.withColumn("sub", F.lit(0).cast("bigint"))
+    else:
+        # Hard cap on cell population: re-split any oversized cell into
+        # ceil(size / max_cell_size) sub-cells keyed by vec_id % n_sub.
+        # Only cells ACTUALLY over the cap matter, and with adaptive k
+        # there are normally none — so probe for them with one aggregate
+        # and collect just that set (bounded by the overflow count, not
+        # k). Common case: empty -> sub = 0, no join, no window, no
+        # barrier. Small overflow -> n_sub rides in as a literal map
+        # (same plan-constant discipline as the centroid matrices).
+        # Pathological overflow (> _RESPLIT_MAP_GATE cells) -> count
+        # window over the cell, still collect-free. The r4 shape instead
+        # joined a materialized k-row aggregate back in; that extra
+        # job+checkpoint was ~1.4 s of the ~1.6 s
+        # semdedup_artifact_build regression (PERFORMANCE.md), and the
+        # unmaterialized join trips DeduplicateRelations'
+        # INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND on ANSI sessions. None of
+        # the paths below self-join, so the bug cannot fire.
+        oversized = (
+            assigned.groupBy("cluster")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .where(F.col("n") > max_cell_size)
+            .collect()
+        )
+        if not oversized:
+            assigned = assigned.withColumn("sub", F.lit(0).cast("bigint"))
+        elif len(oversized) <= _RESPLIT_MAP_GATE:
+            mapping = F.create_map(
+                *[
+                    x
+                    for r in oversized
+                    for x in (
+                        F.lit(r["cluster"]),
+                        F.lit(-(-r["n"] // max_cell_size)),
+                    )
+                ]
+            )
+            n_sub = F.coalesce(
+                F.try_element_at(mapping, F.col("cluster")), F.lit(1)
+            ).cast("bigint")
+            assigned = assigned.withColumn(
+                "sub", F.pmod(F.col("vec_id").cast("bigint"), n_sub)
+            )
+        else:
+            from pyspark.sql import Window
+
+            w = Window.partitionBy("cluster")
+            assigned = assigned.withColumn(
+                "sub",
+                F.pmod(
+                    F.col("vec_id").cast("bigint"),
+                    F.ceil(
+                        F.count(F.lit(1)).over(w) / F.lit(float(max_cell_size))
+                    ).cast("bigint"),
+                ),
+            )
     a = assigned.select(
         "cluster", "sub",
         F.col("vec_id").alias("id_a"), F.col("v").alias("va"),

@@ -327,3 +327,27 @@ def test_df_cap_noop_below_cap(spark):
     sh_l = spark.createDataFrame(rows, "doc_id long, lang string, shingle string")
     out = df_capped(sh_l, ["lang", "shingle"], cap=3)
     assert out.count() == 9
+
+
+def test_semantic_prune_resplit_window_fallback(spark, monkeypatch):
+    """Pathological overflow path: with the literal-map gate forced to 0,
+    n_sub comes from the count window — results must be IDENTICAL to the
+    map path (same n_sub formula, different physical shape)."""
+    from options_data_pipeline_spark.operators import clustering as C
+    from options_data_pipeline_spark.plans.vectors import planted_embeddings
+
+    emb = planted_embeddings(spark, "/root/testdata/sf0.001")
+    via_map = sorted(
+        (r.vec_id, r.cluster, r.max_sim)
+        for r in C.semantic_prune(
+            emb, k=8, iterations=2, threshold=0.9, max_cell_size=4
+        ).collect()
+    )
+    monkeypatch.setattr(C, "_RESPLIT_MAP_GATE", 0)
+    via_window = sorted(
+        (r.vec_id, r.cluster, r.max_sim)
+        for r in C.semantic_prune(
+            emb, k=8, iterations=2, threshold=0.9, max_cell_size=4
+        ).collect()
+    )
+    assert via_map == via_window
