@@ -336,77 +336,25 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
 # the remaining never-sampled queries follow immediately after so future
 # rounds keep widening driver coverage.
 _PRIORITY: list[str] = [
-    # multimodal (never sampled r1-r3)
-    "media_pcm_stats",
-    "audio_probe",
-    "media_probe",
-    "video_probe",
-    "media_frames",
-    "media_dedup",
-    # VERDICT r3 asks #6/#7: the newly-adjudicable sketch probe and the
-    # salted fact-fact join need DRIVER rows — pin them in the window
-    "approx_stats",
-    "salted_user_spend",
-    "table_expectations",
-    # stateful fold / time-series (never sampled)
-    "capped_running_scan",
-    "capped_running_sum",
-    "max_drawdown",
-    "twap",
-    "cumulative_uniques",
-    "top_event_paths",
-    "user_value_trend",
-    "session_pattern_match",
-    "rolling_beta",
-    "user_burstiness",
-    "retention_curve",
-    # vectors / clustering (never sampled)
-    "semantic_prune",
-    "kmeans_clusters",
-    "ann_recall",
-    "embedding_quantize",
-    "label_cohesion",
-    "rp_reduce",
-    "curation_decisions",
-    "embedding_covariance",
-    "hard_negatives",
-    "pca_project",
-    # graph analytics (never sampled)
-    "pagerank_parts",
-    "triangle_count",
-    "basket_pairs",
-    # retrieval (never sampled)
-    "bm25_search",
-    "mixture_resample",
-    "domain_mixture",
-    "logprob_trim",
-    "doc_keywords",
-    # pii (never sampled)
-    "pii_scrub",
-    "ngram_contamination",
-    # text analytics (never sampled)
-    "token_shards",
-    "token_heavy_hitters",
-    "zipf_fit",
-    "repeated_spans",
-    "frequent_ngrams",
-    "bpe_pair_counts",
-    "weighted_sample",
-    "bigram_pmi",
-    # §2-core anchors (sampled before; keep in the window as controls)
+    # §2-core anchors (sampled every round as controls)
     "daily_sessions",
     "option_chain_ohlc",
-    # just past the ~50 window: next round's sampling frontier
+    # round-5 additions: need their first driver rows
+    "image_probe",
+    "benford_chisq",
+    "stream_candles_twin",
+    # the 45 never-driver-sampled queries chosen for round 5's
+    # ~50-query sample window (VERDICT r4 ask #1): the r4-addition
+    # frontier + the TPC-H family. With these green, driver-union
+    # coverage reaches >= 165/180.
     "length_ks_drift",
     "quantile_map_lengths",
     "edit_distance_pairs",
     "containment_pairs",
-    # derived chain analytics (new in r4) — next sampling window
     "max_pain",
     "put_call_ratio",
     "iv_smile",
     "candle_resample",
-    # --- remaining never-sampled queries (next sampling window) ---
     "skyline_parts",
     "mad_outliers",
     "trailing_spend",
@@ -434,12 +382,6 @@ _PRIORITY: list[str] = [
     "customer_percentile",
     "supplier_blame",
     "order_priority_check",
-    "small_quantity_revenue",
-    "customer_order_counts",
-    "large_orders",
-    "sales_opportunity",
-    "promo_revenue",
-    "priority_shipping",
     "nation_trade_volume",
     "qty_price_corr",
     "yoy_revenue",
@@ -448,14 +390,72 @@ _PRIORITY: list[str] = [
     "shipping_sla",
     "min_cost_supplier",
     "market_share",
+    "top_supplier",
+    "excess_suppliers",
+    # sampling frontier for round 6: the last 12 never-sampled
+    # queries, immediately past the window
+    "small_quantity_revenue",
+    "customer_order_counts",
+    "large_orders",
+    "sales_opportunity",
+    "promo_revenue",
+    "priority_shipping",
     "product_profit",
     "returned_items",
     "important_parts",
-    "top_supplier",
     "supplier_part_counts",
     "disjunctive_revenue",
-    "excess_suppliers",
     "weighted_median_price",
+    # previously-sampled queries in their r4 order (driver rows
+    # already exist across CORRECTNESS_r01-r04)
+    "media_pcm_stats",
+    "audio_probe",
+    "media_probe",
+    "video_probe",
+    "media_frames",
+    "media_dedup",
+    "approx_stats",
+    "salted_user_spend",
+    "table_expectations",
+    "capped_running_scan",
+    "capped_running_sum",
+    "max_drawdown",
+    "twap",
+    "cumulative_uniques",
+    "top_event_paths",
+    "user_value_trend",
+    "session_pattern_match",
+    "rolling_beta",
+    "user_burstiness",
+    "retention_curve",
+    "semantic_prune",
+    "kmeans_clusters",
+    "ann_recall",
+    "embedding_quantize",
+    "label_cohesion",
+    "rp_reduce",
+    "curation_decisions",
+    "embedding_covariance",
+    "hard_negatives",
+    "pca_project",
+    "pagerank_parts",
+    "triangle_count",
+    "basket_pairs",
+    "bm25_search",
+    "mixture_resample",
+    "domain_mixture",
+    "logprob_trim",
+    "doc_keywords",
+    "pii_scrub",
+    "ngram_contamination",
+    "token_shards",
+    "token_heavy_hitters",
+    "zipf_fit",
+    "repeated_spans",
+    "frequent_ngrams",
+    "bpe_pair_counts",
+    "weighted_sample",
+    "bigram_pmi",
 ]
 
 
