@@ -215,6 +215,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
     "snapshot_diff": (text.q_snapshot_diff, text.oracle_snapshot_diff),
     "span_corruption": (text.q_span_corruption, text.oracle_span_corruption),
     "bm25_search": (retrieval.q_bm25_search, retrieval.oracle_bm25_search),
+    "retrieval_ndcg": (retrieval.q_retrieval_ndcg, retrieval.oracle_retrieval_ndcg),
     "domain_mixture": (retrieval.q_domain_mixture, retrieval.oracle_domain_mixture),
     "logprob_trim": (retrieval.q_logprob_trim, retrieval.oracle_logprob_trim),
     "mixture_resample": (retrieval.q_mixture_resample, retrieval.oracle_mixture_resample),
@@ -392,8 +393,10 @@ _PRIORITY: list[str] = [
     "market_share",
     "top_supplier",
     "excess_suppliers",
-    # sampling frontier for round 6: the last 12 never-sampled
-    # queries, immediately past the window
+    # sampling frontier for round 6: retrieval_ndcg (added after the
+    # window was sized) + the last 12 never-sampled queries,
+    # immediately past the window
+    "retrieval_ndcg",
     "small_quantity_revenue",
     "customer_order_counts",
     "large_orders",

@@ -514,3 +514,190 @@ SELECT doc_id, CAST(rank AS BIGINT) AS rank, term,
        {sql_round_half_away("CAST(w AS DOUBLE)", 6)} AS tfidf
 FROM rk WHERE rank <= 3
 """
+
+
+# --- retrieval quality metrics: NDCG@10 / MRR over BM25 rankings ------
+# Three fixed 2-term probes; binary relevance is INDEPENDENT of the
+# scorer (a doc is relevant iff it contains BOTH terms), so the metrics
+# judge the ranking rather than restating it. Gains 1/log2(rank+1) are
+# rounded to 9 dp DECIMAL before summation (associative, engine-
+# portable); ndcg/mrr round to 6 dp.
+EVAL_QUERIES = ((1, ("join", "merge")), (2, ("scan", "filter")), (3, ("sort", "order")))
+NDCG_K = 10
+
+
+def q_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-eval metrics per probe query: candidates are scored
+    with the SAME rounded-decimal BM25 arithmetic as ``bm25_search``
+    (per-term partials shared across the three probes in one plan);
+    the per-query ranking uses the two-phase distributed row_number
+    over (qid, score desc, doc_id) — no single-partition window — and
+    a 3-row broadcast rebases it to a per-query rank."""
+    from ..operators.ranks import distributed_row_number
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    words = F.split(F.lower(F.col("text")), " ")
+    dl = docs.select("doc_id", F.size(words).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    all_terms = sorted({t for _, ts in EVAL_QUERIES for t in ts})
+    qterms = spark.createDataFrame(
+        [(qid, t) for qid, ts in EVAL_QUERIES for t in ts], "qid int, term string"
+    )
+    postings = (
+        docs.select("doc_id", F.explode(words).alias("term"))
+        .where(F.col("term").isin(*all_terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = dfreq.crossJoin(F.broadcast(stats)).select(
+        "term",
+        round_half_away(
+            F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0),
+            9,
+        ).cast("decimal(28,9)").alias("idf"),
+        "avgdl",
+    )
+    s = round_half_away(
+        F.col("idf").cast("double")
+        * (F.col("tf") * (BM25_K1 + 1.0))
+        / (F.col("tf") + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))),
+        9,
+    ).cast("decimal(28,9)")
+    per_doc = (
+        postings.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(idf), "term")
+        .join(dl, "doc_id")
+        .select("qid", "doc_id", s.alias("s"))
+        .groupBy("qid", "doc_id")
+        .agg(
+            round_half_away(
+                F.sum(F.col("s").cast("decimal(38,9)")).cast("double"), 6
+            ).alias("bm25"),
+            F.count(F.lit(1)).alias("n_match"),
+        )
+    )
+    ranked = distributed_row_number(
+        per_doc,
+        [("qid", False), ("bm25", True), ("doc_id", False)],
+        out_col="grank",
+    )
+    base = ranked.groupBy("qid").agg(F.min("grank").alias("gmin"))
+    ranked = ranked.join(F.broadcast(base), "qid").withColumn(
+        "r", F.col("grank") - F.col("gmin") + 1
+    )
+    rel = F.col("n_match") == 2
+    gain = F.when(
+        rel & (F.col("r") <= NDCG_K),
+        round_half_away(
+            F.lit(1.0) / F.log2(F.col("r").cast("double") + 1.0), 9
+        ).cast("decimal(28,9)"),
+    ).otherwise(F.lit(0).cast("decimal(28,9)"))
+    agg = ranked.groupBy("qid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidates"),
+        F.sum(rel.cast("long")).alias("n_relevant"),
+        F.sum(gain.cast("decimal(38,9)")).alias("dcg"),
+        F.min(F.when(rel & (F.col("r") <= NDCG_K), F.col("r"))).alias("fr"),
+    )
+    idcg = F.aggregate(
+        F.sequence(
+            F.lit(1), F.least(F.lit(NDCG_K).cast("long"), F.col("n_relevant")).cast("int")
+        ),
+        F.lit(0).cast("decimal(38,9)"),
+        lambda acc, i: (
+            acc
+            + round_half_away(
+                F.lit(1.0) / F.log2(i.cast("double") + 1.0), 9
+            ).cast("decimal(28,9)")
+        ).cast("decimal(38,9)"),
+    )
+    return agg.select(
+        "qid",
+        "n_candidates",
+        F.col("n_relevant").cast("long").alias("n_relevant"),
+        F.when(
+            F.col("n_relevant") > 0,
+            round_half_away(
+                F.col("dcg").cast("double") / idcg.cast("double"), 6
+            ),
+        ).otherwise(F.lit(0.0)).alias("ndcg_10"),
+        F.when(
+            F.col("fr").isNotNull(),
+            round_half_away(F.lit(1.0) / F.col("fr").cast("double"), 6),
+        ).otherwise(F.lit(0.0)).alias("mrr_10"),
+    )
+
+
+def oracle_retrieval_ndcg() -> str:
+    vals = ", ".join(f"({qid}, '{t}')" for qid, ts in EVAL_QUERIES for t in ts)
+    all_terms = ", ".join(
+        f"'{t}'" for t in sorted({t for _, ts in EVAL_QUERIES for t in ts})
+    )
+    idf = sql_round_half_away("ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)", 9)
+    k1p1 = BM25_K1 + 1.0
+    score = sql_round_half_away(
+        f"CAST(idf AS DOUBLE) * (tf * {k1p1}) / "
+        f"(tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dl / avgdl))",
+        9,
+    )
+    bm25 = sql_round_half_away("CAST(sum(s) AS DOUBLE)", 6)
+    gain9 = sql_round_half_away("1.0 / log2(r + 1.0)", 9)
+    igain9 = sql_round_half_away("1.0 / log2(i + 1.0)", 9)
+    ndcg6 = sql_round_half_away("CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE)", 6)
+    mrr6 = sql_round_half_away("1.0 / fr", 6)
+    return f"""
+WITH dl AS (
+    SELECT doc_id, len(string_split(lower(text), ' ')) AS dl FROM documents
+),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+q(qid, term) AS (VALUES {vals}),
+postings AS (
+    SELECT doc_id, term, count(*) AS tf
+    FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+          FROM documents)
+    WHERE term IN ({all_terms})
+    GROUP BY 1, 2
+),
+dfreq AS (SELECT term, count(*) AS df FROM postings GROUP BY 1),
+idf AS (
+    SELECT term, CAST({idf} AS DECIMAL(28,9)) AS idf, avgdl
+    FROM dfreq, stats
+),
+scored AS (
+    SELECT q.qid, p.doc_id, CAST({score} AS DECIMAL(28,9)) AS s
+    FROM postings p
+    JOIN q USING (term)
+    JOIN idf USING (term)
+    JOIN dl USING (doc_id)
+),
+perdoc AS (
+    SELECT qid, doc_id, {bm25} AS bm25, count(*) AS n_match
+    FROM scored GROUP BY 1, 2
+),
+ranked AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY bm25 DESC, doc_id) AS r
+    FROM perdoc
+),
+agg AS (
+    SELECT qid,
+           CAST(count(*) AS BIGINT) AS n_candidates,
+           CAST(SUM(CASE WHEN n_match = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_relevant,
+           SUM(CASE WHEN n_match = 2 AND r <= {NDCG_K}
+                    THEN CAST({gain9} AS DECIMAL(28,9))
+                    ELSE CAST(0 AS DECIMAL(28,9)) END) AS dcg,
+           MIN(CASE WHEN n_match = 2 AND r <= {NDCG_K} THEN r END) AS fr
+    FROM ranked GROUP BY 1
+),
+idcg_t AS (
+    SELECT a.qid, SUM(CAST({igain9} AS DECIMAL(28,9))) AS idcg
+    FROM agg a, unnest(range(1, least({NDCG_K}, a.n_relevant) + 1)) AS t(i)
+    WHERE a.n_relevant > 0
+    GROUP BY 1
+)
+SELECT a.qid, a.n_candidates, a.n_relevant,
+       CASE WHEN a.n_relevant > 0 THEN {ndcg6} ELSE 0.0 END AS ndcg_10,
+       CASE WHEN fr IS NOT NULL THEN {mrr6} ELSE 0.0 END AS mrr_10
+FROM agg a LEFT JOIN idcg_t USING (qid)
+"""
