@@ -216,6 +216,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
     "span_corruption": (text.q_span_corruption, text.oracle_span_corruption),
     "bm25_search": (retrieval.q_bm25_search, retrieval.oracle_bm25_search),
     "retrieval_ndcg": (retrieval.q_retrieval_ndcg, retrieval.oracle_retrieval_ndcg),
+    "bpe_tokenize": (text.q_bpe_tokenize, text.oracle_bpe_tokenize),
     "domain_mixture": (retrieval.q_domain_mixture, retrieval.oracle_domain_mixture),
     "logprob_trim": (retrieval.q_logprob_trim, retrieval.oracle_logprob_trim),
     "mixture_resample": (retrieval.q_mixture_resample, retrieval.oracle_mixture_resample),
@@ -397,6 +398,7 @@ _PRIORITY: list[str] = [
     # window was sized) + the last 12 never-sampled queries,
     # immediately past the window
     "retrieval_ndcg",
+    "bpe_tokenize",
     "small_quantity_revenue",
     "customer_order_counts",
     "large_orders",

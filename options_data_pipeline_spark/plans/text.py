@@ -2435,3 +2435,134 @@ JOIN sizes na ON na.doc_id = doc_a
 JOIN sizes nb ON nb.doc_id = doc_b
 WHERE n_common / least(na.n_sh, nb.n_sh) >= {CONTAINMENT_T}
 """
+
+
+# ---------------------------------------------------------------------------
+# bpe_tokenize — the APPLY half of the tokenizer surface
+# ---------------------------------------------------------------------------
+
+_BPE_APPLY_MERGES = 6
+
+
+def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full BPE training loop, adjudicated end-to-end: run
+    ``_BPE_APPLY_MERGES`` merge rounds over the (word, freq) table and
+    report each learned merge with the corpus token count after it.
+    ``bpe_pair_counts`` pins ONE pair-count round; this query pins the
+    whole iterate — pair stats, deterministic argmax (count desc, then
+    lexicographic), and the left-to-right non-overlapping merge fold
+    (operators/bpe.py apply_merge) whose effect is visible through the
+    exact identity tokens_after = tokens_before - pair_count.
+
+    Scale shape: the corpus collapses to distinct (word, freq) once;
+    each round is one map-side-combined pair aggregate + a 1-row
+    collect, with the symbol frame checkpointed every other round so
+    lineage stays flat. The result itself is merge-count rows built
+    from those bounded collects. The oracle replays the identical six
+    rounds unrolled in SQL (list_reduce struct fold)."""
+    from ..operators.bpe import (
+        apply_merge,
+        best_pair,
+        with_symbols,
+        word_freq_table,
+    )
+    from ..operators.materialize import materialize
+
+    docs = parallelized(spark, load_table(spark, sf_dir, "documents"))
+    symbols = materialize(with_symbols(word_freq_table(docs)))
+    tokens = int(
+        symbols.agg(
+            F.sum(F.col("freq") * F.size("syms")).cast("long")
+        ).collect()[0][0]
+    )
+    rows: list[tuple] = []
+    for step in range(1, _BPE_APPLY_MERGES + 1):
+        top = best_pair(symbols)
+        if top is None or top[2] < 2:
+            break
+        left, right, cnt = top
+        tokens -= int(cnt)
+        rows.append((step, left, right, int(cnt), tokens))
+        symbols = apply_merge(symbols, left, right)
+        if step % 2 == 0 and step < _BPE_APPLY_MERGES:
+            symbols = materialize(symbols)
+    return spark.createDataFrame(
+        rows, "step int, left string, right string, pair_count long, tokens_after long"
+    )
+
+
+def oracle_bpe_tokenize() -> str:
+    # The merge fold mirrors operators/bpe.py apply_merge exactly.
+    # DuckDB's list_reduce corrupts nested-list accumulators (struct of
+    # VARCHAR[] loses earlier appends mid-fold, observed on 1.x), so the
+    # (out, pend) state rides in ONE VARCHAR: "<pend> <out joined>" —
+    # symbols come from space-split words, so a space can never occur
+    # inside a symbol and the encoding is unambiguous. The reduce's
+    # seed is the raw first symbol (no space = pend-only, out empty).
+    def pend(acc: str) -> str:
+        return f"string_split({acc}, ' ')[1]"
+
+    def rest(acc: str) -> str:
+        return (
+            f"CASE WHEN instr({acc}, ' ') = 0 THEN '' "
+            f"ELSE substr({acc}, length({pend(acc)}) + 2) END"
+        )
+
+    def app(r: str, item: str) -> str:
+        return f"CASE WHEN ({r}) = '' THEN {item} ELSE ({r}) || ' ' || ({item}) END"
+
+    stages = []
+    for i in range(1, _BPE_APPLY_MERGES + 1):
+        prev = f"syms{i - 1}"
+        l, r = f"b{i}.l", f"b{i}.r"
+        lam = f"""(acc, x) -> CASE
+            WHEN {pend('acc')} = {l} AND x = {r}
+              THEN ' ' || {app(rest('acc'), f'{l} || {r}')}
+            WHEN {pend('acc')} = '' THEN x || ' ' || {rest('acc')}
+            ELSE x || ' ' || {app(rest('acc'), pend('acc'))} END"""
+        finish = (
+            f"CASE WHEN {pend('red')} = '' THEN {rest('red')} "
+            f"ELSE {app(rest('red'), pend('red'))} END"
+        )
+        stages.append(f"""
+p{i} AS (
+    SELECT pr[1] AS l, pr[2] AS r, SUM(freq) AS c
+    FROM (SELECT freq,
+                 unnest(list_transform(range(1, greatest(len(syms) - 1, 0) + 1),
+                        j -> [syms[j], syms[j+1]])) AS pr
+          FROM {prev})
+    GROUP BY 1, 2
+),
+b{i} AS (SELECT l, r, c FROM p{i} ORDER BY c DESC, l ASC, r ASC LIMIT 1),
+syms{i} AS (
+    SELECT word, freq,
+      (SELECT string_split({finish}, ' ')
+       FROM (SELECT list_reduce(s.syms, {lam}) AS red)) AS syms
+    FROM {prev} s, b{i}
+)""")
+    unions = "\nUNION ALL ".join(
+        f"SELECT {i} AS step, l, r, c FROM b{i}"
+        for i in range(1, _BPE_APPLY_MERGES + 1)
+    )
+    return f"""
+WITH words AS (
+    SELECT word, COUNT(*) AS freq
+    FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+    WHERE length(word) > 0
+    GROUP BY 1
+),
+syms0 AS (
+    SELECT word, freq,
+           list_transform(range(1, length(word) + 1), i -> word[i]) AS syms
+    FROM words
+),
+tok0 AS (SELECT SUM(freq * len(syms)) AS t FROM syms0),
+{",".join(stages)},
+merges AS ({unions})
+SELECT CAST(step AS INT) AS step, l AS "left", r AS "right",
+       CAST(c AS BIGINT) AS pair_count,
+       CAST((SELECT t FROM tok0)
+            - SUM(c) OVER (ORDER BY step ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS tokens_after
+FROM merges
+"""
