@@ -385,3 +385,145 @@ SELECT expiry, settle AS max_pain_strike,
        CAST(total_pain AS DOUBLE) AS total_pain
 FROM ranked WHERE rk = 1
 """
+
+
+# ---------------------------------------------------------------------------
+# bs_greeks — Black-Scholes delta/gamma/vega over the synthetic chain
+# ---------------------------------------------------------------------------
+
+_BS_ASOF = "2024-01-15"   # valuation date (expiries are 2024-02-02 + k*10d)
+_BS_SIGMA = 0.8           # flat vol: the greeks probe the MATH, not a surface
+
+
+def q_bs_greeks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Black-Scholes greeks per (strike, type, expiry) over the
+    deterministic synthetic chain (r = 0, flat sigma): d1/d2, call/put
+    delta, gamma, vega. The normal CDF uses the Zelen-Severo
+    polynomial (A&S 26.2.17) written as the SAME expression tree in
+    both engines — ln/exp/sqrt on identical IEEE doubles — so the
+    comparison pins the whole pricing stack bit-for-bit after 6 dp
+    rounding. S_bar per group is a DECIMAL-summed average (exact,
+    partition-independent); time-to-expiry counts days from a fixed
+    valuation date. One map-side-combined groupBy; everything else is
+    scan-level arithmetic."""
+    import math
+
+    from ..functions.rounding import round_half_away
+
+    ev = load_table(spark, sf_dir, "events").where(
+        (F.col("event_id") % 11 != 0) & F.col("value").isNotNull()
+    )
+    expiry = F.date_add(
+        F.lit("2024-02-02").cast("date"), ((F.col("user_id") % 4) * 10).cast("int")
+    )
+    grouped = (
+        ev.select(
+            ((F.col("user_id") % 20 + 1) * 100).cast("int").alias("strike"),
+            F.when(F.col("event_id") % 2 == 0, "C").otherwise("P").alias("opt_type"),
+            expiry.alias("expiry_date"),
+            (F.lit(2000.0) + F.col("value")).alias("index_price"),
+        )
+        .groupBy("strike", "opt_type", "expiry_date")
+        .agg(
+            F.count(F.lit(1)).alias("n_trades"),
+            (
+                F.sum(F.col("index_price").cast("decimal(38,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("s_bar"),
+        )
+        .where(F.col("s_bar") > 0)
+    )
+    t = (
+        F.datediff(F.col("expiry_date"), F.lit(_BS_ASOF).cast("date")).cast("double")
+        / 365.0
+    )
+    sig_rt = _BS_SIGMA * F.sqrt(t)
+    d1 = (
+        F.log(F.col("s_bar") / F.col("strike")) + 0.5 * _BS_SIGMA * _BS_SIGMA * t
+    ) / sig_rt
+    d2 = d1 - sig_rt
+    inv_sqrt2pi = 1.0 / math.sqrt(2.0 * math.pi)
+    pdf = F.exp(-(d1 * d1) / 2.0) * inv_sqrt2pi
+
+    def ncdf(x):
+        # Zelen-Severo 26.2.17 for x >= 0, reflected for x < 0
+        ax = F.abs(x)
+        k = 1.0 / (1.0 + 0.2316419 * ax)
+        poly = k * (
+            0.319381530
+            + k * (-0.356563782 + k * (1.781477937 + k * (-1.821255978 + k * 1.330274429)))
+        )
+        phi_ax = F.exp(-(ax * ax) / 2.0) * inv_sqrt2pi
+        upper = 1.0 - phi_ax * poly
+        return F.when(x >= 0, upper).otherwise(1.0 - upper)
+
+    delta = F.when(
+        F.col("opt_type") == "C", ncdf(d1)
+    ).otherwise(ncdf(d1) - 1.0)
+    gamma = pdf / (F.col("s_bar") * sig_rt)
+    vega = F.col("s_bar") * pdf * F.sqrt(t)
+    return grouped.select(
+        "strike",
+        "opt_type",
+        # timestamp, not date: pandas renders a DuckDB DATE as midnight
+        # Timestamp while Spark DateType stays datetime.date — the
+        # driver's canonical hash would then never match
+        F.col("expiry_date").cast("timestamp").alias("expiry_date"),
+        F.col("n_trades").cast("long").alias("n_trades"),
+        round_half_away(F.col("s_bar"), 6).alias("s_bar"),
+        round_half_away(d1, 6).alias("d1"),
+        round_half_away(d2, 6).alias("d2"),
+        round_half_away(delta, 6).alias("delta"),
+        round_half_away(gamma, 6).alias("gamma"),
+        round_half_away(vega, 6).alias("vega"),
+    )
+
+
+def oracle_bs_greeks() -> str:
+    import math
+
+    from ..functions.rounding import sql_round_half_away
+
+    inv = 1.0 / math.sqrt(2.0 * math.pi)
+    t = f"(date_diff('day', DATE '{_BS_ASOF}', expiry_date) / 365.0)"
+    sig_rt = f"({_BS_SIGMA} * sqrt({t}))"
+    d1 = f"((ln(s_bar / strike) + 0.5 * {_BS_SIGMA} * {_BS_SIGMA} * {t}) / {sig_rt})"
+    d2 = f"({d1} - {sig_rt})"
+    pdf = f"(exp(-({d1} * {d1}) / 2.0) * {inv!r})"
+
+    def ncdf(x):
+        ax = f"abs({x})"
+        k = f"(1.0 / (1.0 + 0.2316419 * {ax}))"
+        poly = (
+            f"({k} * (0.319381530 + {k} * (-0.356563782 + {k} * "
+            f"(1.781477937 + {k} * (-1.821255978 + {k} * 1.330274429)))))"
+        )
+        phi_ax = f"(exp(-({ax} * {ax}) / 2.0) * {inv!r})"
+        upper = f"(1.0 - {phi_ax} * {poly})"
+        return f"(CASE WHEN {x} >= 0 THEN {upper} ELSE 1.0 - {upper} END)"
+
+    delta = f"(CASE WHEN opt_type = 'C' THEN {ncdf(d1)} ELSE {ncdf(d1)} - 1.0 END)"
+    gamma = f"({pdf} / (s_bar * {sig_rt}))"
+    vega = f"(s_bar * {pdf} * sqrt({t}))"
+    return f"""
+WITH grouped AS (
+    SELECT CAST((user_id % 20 + 1) * 100 AS INT) AS strike,
+           CASE WHEN event_id % 2 = 0 THEN 'C' ELSE 'P' END AS opt_type,
+           DATE '2024-02-02' + INTERVAL ((user_id % 4) * 10) DAY AS expiry_date,
+           CAST(count(*) AS BIGINT) AS n_trades,
+           CAST(SUM(CAST(2000.0 + value AS DECIMAL(38,6))) AS DOUBLE) / count(*)
+               AS s_bar
+    FROM events
+    WHERE event_id % 11 <> 0 AND value IS NOT NULL
+    GROUP BY 1, 2, 3
+)
+SELECT strike, opt_type, CAST(expiry_date AS TIMESTAMP) AS expiry_date, n_trades,
+       {sql_round_half_away('s_bar', 6)} AS s_bar,
+       {sql_round_half_away(d1, 6)} AS d1,
+       {sql_round_half_away(d2, 6)} AS d2,
+       {sql_round_half_away(delta, 6)} AS delta,
+       {sql_round_half_away(gamma, 6)} AS gamma,
+       {sql_round_half_away(vega, 6)} AS vega
+FROM grouped
+WHERE s_bar > 0
+"""

@@ -41,6 +41,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
     "put_call_ratio": (options.q_put_call_ratio, options.oracle_put_call_ratio),
     "iv_smile": (options.q_iv_smile, options.oracle_iv_smile),
     "max_pain": (options.q_max_pain, options.oracle_max_pain),
+    "bs_greeks": (options.q_bs_greeks, options.oracle_bs_greeks),
     # --- data quality / incremental semantics (W1, T6, S7/S8, A6, A7, K1/K2, A3/O4, P4) ---
     "gap_scan": (quality.q_gap_scan, quality.oracle_gap_scan),
     "gap_summary": (quality.q_gap_summary, quality.oracle_gap_summary),
@@ -399,6 +400,7 @@ _PRIORITY: list[str] = [
     # immediately past the window
     "retrieval_ndcg",
     "bpe_tokenize",
+    "bs_greeks",
     "small_quantity_revenue",
     "customer_order_counts",
     "large_orders",
