@@ -2298,3 +2298,54 @@ SELECT rule, n.total_rows, CAST(violations AS BIGINT) AS violations,
        violations = 0 AS passed
 FROM narrow CROSS JOIN n
 """
+
+
+def q_stream_dedup_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the bronze dedup STREAM: events plus a re-delivered
+    subset (same event_id, timestamp shifted +31 min — the at-least-once
+    fresh-timestamp re-delivery ``dropDuplicatesWithinWatermark``
+    exists for) are staged and replayed through the real streaming path
+    (``dedup_append_stream``, within_watermark=True, availableNow), and
+    the deduped bronze table is aggregated per event type. Which copy
+    of a re-delivered pair survives is schedule-dependent, so the
+    aggregate reads only ts-independent columns (count + DECIMAL value
+    sum) — deterministic, and equal to the clean source if and only if
+    the stream dropped exactly the re-deliveries. The oracle is the
+    plain aggregate over the ORIGINAL events."""
+    import shutil
+    import tempfile
+
+    from ..operators.materialize import materialize
+    from ..streaming.candles import dedup_append_stream
+
+    ev = load_table(spark, sf_dir, "events")
+    redelivered = ev.where(F.col("event_id") % 7 == 0).withColumn(
+        "ts", F.col("ts") + F.expr("INTERVAL 31 MINUTES")
+    )
+    base = tempfile.mkdtemp(prefix="stream_dedup_")
+    try:
+        src, bronze, ckpt = f"{base}/src", f"{base}/bronze", f"{base}/ckpt"
+        ev.unionByName(redelivered).repartition(4).write.parquet(src)
+        q = dedup_append_stream(
+            spark, src, bronze, ckpt, within_watermark=True
+        )
+        q.awaitTermination()
+        out = (
+            spark.read.parquet(bronze)
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                dec_sum(F.col("value")).alias("sum_value"),
+            )
+        )
+        return materialize(out)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def oracle_stream_dedup_twin() -> str:
+    return f"""
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       {sql_dec_sum('value')} AS sum_value
+FROM events GROUP BY 1
+"""
