@@ -2349,3 +2349,63 @@ SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
        {sql_dec_sum('value')} AS sum_value
 FROM events GROUP BY 1
 """
+
+
+def q_cdc_apply_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC sink end-to-end as a hash row: a Debezium-shaped change log
+    derived from events (op I/U/D by event_id residue, seq = event_id,
+    one change per key kept by max-seq) is split at the exact seq
+    median and applied through ``apply_cdc`` in TWO batches against a
+    staged target; the surviving table is returned. The oracle computes
+    final state directly (max-seq change per key, dropped when it is a
+    D) — equal exactly when the two-batch application converges to the
+    one-shot log reduction, retractions included. Payload nulls are
+    coalesced up front: DuckDB's arg_max skips NULL arguments while
+    Spark's max_by returns them, so a NULL payload would adjudicate the
+    engines' disagreement instead of the sink's correctness."""
+    import shutil
+    import tempfile
+
+    from ..operators.materialize import materialize
+    from ..sinks.upsert import apply_cdc
+
+    ev = load_table(spark, sf_dir, "events")
+    log = ev.select(
+        F.col("user_id").alias("k"),
+        F.col("event_id").alias("seq"),
+        F.when(F.col("event_id") % 10 == 0, "D")
+        .when(F.col("event_id") % 10 == 5, "I")
+        .otherwise("U")
+        .alias("op"),
+        F.coalesce(F.col("value"), F.lit(-1.0)).alias("v"),
+        F.col("event_type").alias("t"),
+    )
+    med = int(log.agg(F.expr("percentile(seq, 0.5)")).collect()[0][0])
+    base = tempfile.mkdtemp(prefix="cdc_twin_")
+    try:
+        target = f"{base}/target"
+        apply_cdc(spark, target, log.where(F.col("seq") <= med), ["k"], "seq")
+        apply_cdc(spark, target, log.where(F.col("seq") > med), ["k"], "seq")
+        return materialize(spark.read.parquet(target).select("k", "v", "t"))
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def oracle_cdc_apply_twin() -> str:
+    return """
+WITH log AS (
+    SELECT user_id AS k, event_id AS seq,
+           CASE WHEN event_id % 10 = 0 THEN 'D'
+                WHEN event_id % 10 = 5 THEN 'I'
+                ELSE 'U' END AS op,
+           COALESCE(value, -1.0) AS v,
+           event_type AS t
+    FROM events
+),
+latest AS (
+    SELECT k, arg_max(op, seq) AS op, arg_max(v, seq) AS v,
+           arg_max(t, seq) AS t
+    FROM log GROUP BY k
+)
+SELECT k, v, t FROM latest WHERE op <> 'D'
+"""
