@@ -2409,3 +2409,60 @@ latest AS (
 )
 SELECT k, v, t FROM latest WHERE op <> 'D'
 """
+
+
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 history from the same
+    Debezium-shaped change log as ``cdc_apply_twin``: every I/U change
+    becomes a version row with a [valid_from, valid_to) seq interval
+    (valid_to = the NEXT change's seq, NULL while current); a D
+    terminates the prior version and emits nothing. One key-partitioned
+    lead() window — bounded by the per-key change count, never the
+    table — and a scan-level projection."""
+    ev = load_table(spark, sf_dir, "events")
+    log = ev.select(
+        F.col("user_id").alias("k"),
+        F.col("event_id").alias("seq"),
+        F.when(F.col("event_id") % 10 == 0, "D")
+        .when(F.col("event_id") % 10 == 5, "I")
+        .otherwise("U")
+        .alias("op"),
+        F.coalesce(F.col("value"), F.lit(-1.0)).alias("v"),
+        F.col("event_type").alias("t"),
+    )
+    w = Window.partitionBy("k").orderBy("seq")
+    versions = (
+        log.withColumn("valid_to", F.lead("seq").over(w))
+        .where(F.col("op") != "D")
+        .select(
+            "k",
+            "v",
+            "t",
+            F.col("seq").alias("valid_from"),
+            "valid_to",
+            F.col("valid_to").isNull().alias("is_current"),
+        )
+    )
+    return versions
+
+
+def oracle_scd2_history() -> str:
+    return """
+WITH log AS (
+    SELECT user_id AS k, event_id AS seq,
+           CASE WHEN event_id % 10 = 0 THEN 'D'
+                WHEN event_id % 10 = 5 THEN 'I'
+                ELSE 'U' END AS op,
+           COALESCE(value, -1.0) AS v,
+           event_type AS t
+    FROM events
+),
+versions AS (
+    SELECT k, seq, op, v, t,
+           lead(seq) OVER (PARTITION BY k ORDER BY seq) AS valid_to
+    FROM log
+)
+SELECT k, v, t, seq AS valid_from, valid_to,
+       valid_to IS NULL AS is_current
+FROM versions WHERE op <> 'D'
+"""

@@ -49,6 +49,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
     "dedup_latest": (quality.q_dedup_latest, quality.oracle_dedup_latest),
     "stream_dedup_twin": (quality.q_stream_dedup_twin, quality.oracle_stream_dedup_twin),
     "cdc_apply_twin": (quality.q_cdc_apply_twin, quality.oracle_cdc_apply_twin),
+    "scd2_history": (quality.q_scd2_history, quality.oracle_scd2_history),
     "insert_if_absent": (quality.q_insert_if_absent, quality.oracle_insert_if_absent),
     "top2_extremes": (quality.q_top2_extremes, quality.oracle_top2_extremes),
     "recent_events": (quality.q_recent_events, quality.oracle_recent_events),
@@ -405,6 +406,7 @@ _PRIORITY: list[str] = [
     "bs_greeks",
     "stream_dedup_twin",
     "cdc_apply_twin",
+    "scd2_history",
     "small_quantity_revenue",
     "customer_order_counts",
     "large_orders",
