@@ -456,3 +456,33 @@ def test_decode_png_pixels_reads_png_payload_builder(spark):
     assert row.is_png and row.width == 6 and row.height == 4
     assert row.sum_px == (10 + 20 + 30) * 6 * 4
     assert row.sum_r == 10 * 6 * 4
+
+
+def test_decode_png_pixels_randomized_batch(spark):
+    """50 seeded-random images (sizes 1x1..7x5, random filter types per
+    row, random pixels) decoded in one batch — every sum must match the
+    raw pixels the encoder filtered away."""
+    import random
+
+    rnd = random.Random(42)
+    rows, expect = [], {}
+    for mid in range(50):
+        w, h = rnd.randint(1, 7), rnd.randint(1, 5)
+        filters = [0] + [rnd.randint(0, 4) for _ in range(h - 1)]
+        # row 0 may use any filter too: Up/Average/Paeth against the
+        # zero prior row are legal PNG
+        filters[0] = rnd.randint(0, 4)
+        seed = rnd.randint(0, 10**6)
+        png, raws = _png_with_filters(
+            w, h, filters, lambda x, y, c, s=seed: (s + x * 31 + y * 57 + c * 11) % 256
+        )
+        rows.append((mid, "image", png))
+        flat = b"".join(raws)
+        expect[mid] = (w, h, sum(flat), sum(flat[0::3]))
+    media = spark.createDataFrame(rows, "media_id long, kind string, payload binary")
+    out = {r.media_id: r for r in MM.decode_png_pixels(media).collect()}
+    assert len(out) == 50
+    for mid, (w, h, spx, sr) in expect.items():
+        r = out[mid]
+        assert r.is_png, mid
+        assert (r.width, r.height, r.sum_px, r.sum_r) == (w, h, spx, sr), mid
