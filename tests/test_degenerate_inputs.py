@@ -137,3 +137,41 @@ def test_mp4_probe_empty_payload(spark):
     )
     out = MM.probe_mp4_headers(media).collect()
     assert len(out) == 1 and not out[0].is_mp4 and out[0].n_bytes == 0
+
+
+def test_df_capped_empty_and_all_hot(spark):
+    from options_data_pipeline_spark.operators.dedup import df_capped
+
+    empty = spark.createDataFrame([], "doc_id long, lang string, shingle string")
+    assert df_capped(empty, ["lang", "shingle"], 5).count() == 0
+    # every key over the cap -> everything dropped, no error
+    hot = spark.createDataFrame(
+        [(i, "en", "same") for i in range(10)],
+        "doc_id long, lang string, shingle string",
+    )
+    assert df_capped(hot, ["lang", "shingle"], 3).count() == 0
+
+
+def test_decode_png_pixels_empty_and_garbage(spark):
+    from options_data_pipeline_spark.operators import multimodal as MM
+
+    empty = spark.createDataFrame([], "media_id long, kind string, payload binary")
+    assert MM.decode_png_pixels(empty).count() == 0
+    garbage = spark.createDataFrame(
+        [(1, "image", b""), (2, "image", b"\x89PNG\r\n\x1a\x0a"), (3, "image", b"\x00" * 100)],
+        "media_id long, kind string, payload binary",
+    )
+    rows = MM.decode_png_pixels(garbage).collect()
+    assert len(rows) == 3 and not any(r.is_png for r in rows)
+
+
+def test_apply_cdc_empty_log_on_existing_target(spark, tmp_path):
+    from options_data_pipeline_spark.sinks.upsert import apply_cdc
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame([(1, 10, "U", 1.0)], "k long, seq long, op string, v double")
+    apply_cdc(spark, path, base, ["k"], "seq")
+    empty = spark.createDataFrame([], "k long, seq long, op string, v double")
+    m = apply_cdc(spark, path, empty, ["k"], "seq")
+    assert m == {"inserted": 0, "updated": 0, "deleted": 0}
+    assert spark.read.parquet(path).count() == 1
