@@ -62,6 +62,18 @@ SAMPLE = [
     "zipf_fit",
     "salted_user_spend",
     "approx_stats",
+    # round-5 families: df-capped posting self-join, stdlib PNG decode,
+    # decimal chi-square, streaming twins, distributed retrieval rank,
+    # iterative BPE, BS pricing math, CDC reduction, SCD2 windows
+    "ngram_jaccard_pairs",
+    "image_probe",
+    "benford_chisq",
+    "stream_candles_twin",
+    "retrieval_ndcg",
+    "bpe_tokenize",
+    "bs_greeks",
+    "cdc_apply_twin",
+    "scd2_history",
 ]
 
 
