@@ -322,18 +322,16 @@ def semantic_prune(
         if not oversized:
             assigned = assigned.withColumn("sub", F.lit(0).cast("bigint"))
         elif len(oversized) <= _RESPLIT_MAP_GATE:
-            mapping = F.create_map(
-                *[
-                    x
-                    for r in oversized
-                    for x in (
-                        F.lit(r["cluster"]),
-                        F.lit(-(-r["n"] // max_cell_size)),
-                    )
-                ]
+            # one JVM-parsed expression, not per-element Columns: building
+            # a k-entry map Column-by-Column costs a py4j round trip per
+            # literal (the r4 plan-constant-matrix lesson); try_element_at
+            # keeps the lookup ANSI-safe for the non-oversized clusters
+            pairs = ", ".join(
+                f"{int(r['cluster'])}, {int(-(-r['n'] // max_cell_size))}L"
+                for r in sorted(oversized, key=lambda r: r["cluster"])
             )
-            n_sub = F.coalesce(
-                F.try_element_at(mapping, F.col("cluster")), F.lit(1)
+            n_sub = F.expr(
+                f"coalesce(try_element_at(map({pairs}), cluster), 1L)"
             ).cast("bigint")
             assigned = assigned.withColumn(
                 "sub", F.pmod(F.col("vec_id").cast("bigint"), n_sub)
