@@ -19,11 +19,14 @@ metrics:
   :func:`..sinks.upsert.insert_if_absent`
   (``{"inserted": n, "skipped": m}``).
 
-Metrics come from the committed snapshot's summary: a copy-on-write /
-merge-on-read MERGE records ``added-records`` and ``deleted-records``,
-and an updated row is one delete + one add, so
-``updated = deleted-records`` and ``inserted = added - deleted`` —
-the transactional equivalent of the emulation's Observation counters.
+Metrics are PRE-COUNTED against the current table state (one
+left-semi join per call) rather than read from the snapshot summary:
+under copy-on-write a MERGE's ``deleted-records``/``added-records``
+count every row of each REWRITTEN file — carried-over neighbors
+included — and under merge-on-read the deletes move to
+``added-position-deletes``, so no single summary mapping is correct
+across write modes. The pre-count is exact in both and matches the
+emulation's Observation counters.
 
 Parity with the emulation is pinned by tests/test_iceberg_backend.py
 (skipif-no-iceberg: runs green on any cluster with
@@ -92,19 +95,6 @@ def _qualify(table: str) -> str:
     return ".".join(_bq(seg) for seg in table.split("."))
 
 
-def _snapshot_metrics(
-    spark: SparkSession, table: str, wanted: dict[str, str]
-) -> dict[str, int]:
-    snap = (
-        spark.sql(
-            f"SELECT summary FROM {_qualify(table)}.snapshots "
-            "ORDER BY committed_at DESC LIMIT 1"
-        ).first()
-        or [{}]
-    )[0]
-    return {out: int(snap.get(src, 0) or 0) for out, src in wanted.items()}
-
-
 def _ensure_table(spark: SparkSession, table: str, like: DataFrame) -> bool:
     """Create the Iceberg table from the batch schema if absent.
     Returns True when the table already existed."""
@@ -141,6 +131,12 @@ def merge_upsert_iceberg(
                 f"ADD COLUMN {_bq(audit_col)} TIMESTAMP"
             )
 
+    n_updates = updates.count()
+    n_matched = (
+        updates.join(spark.table(table).select(*keys), keys, "left_semi").count()
+        if existed
+        else 0
+    )
     updates.createOrReplaceTempView("_iceberg_merge_updates")
     # null-UNSAFE equality, deliberately — matches the emulation's
     # full-outer join / standard SQL MERGE (see delta_backend note)
@@ -151,14 +147,7 @@ def merge_upsert_iceberg(
         "WHEN MATCHED THEN UPDATE SET * "
         "WHEN NOT MATCHED THEN INSERT *"
     )
-    got = _snapshot_metrics(
-        spark, table, {"added": "added-records", "deleted": "deleted-records"}
-    )
-    # copy-on-write update = delete + add; insert = add only
-    return {
-        "inserted": got["added"] - got["deleted"],
-        "updated": got["deleted"],
-    }
+    return {"inserted": n_updates - n_matched, "updated": n_matched}
 
 
 def insert_if_absent_iceberg(
@@ -182,7 +171,13 @@ def insert_if_absent_iceberg(
         .drop("_rn")
     )
 
-    _ensure_table(spark, table, batch)
+    existed = _ensure_table(spark, table, batch)
+    n_batch = batch.count()
+    n_matched = (
+        batch.join(spark.table(table).select(*keys), keys, "left_semi").count()
+        if existed
+        else 0
+    )
     batch.createOrReplaceTempView("_iceberg_insert_batch")
     cond = " AND ".join(f"t.{_bq(k)} = b.{_bq(k)}" for k in keys)
     spark.sql(
@@ -190,5 +185,5 @@ def insert_if_absent_iceberg(
         f"USING _iceberg_insert_batch b ON {cond} "
         "WHEN NOT MATCHED THEN INSERT *"
     )
-    got = _snapshot_metrics(spark, table, {"added": "added-records"})
-    return {"inserted": got["added"], "skipped": total - got["added"]}
+    inserted = n_batch - n_matched
+    return {"inserted": inserted, "skipped": total - inserted}
