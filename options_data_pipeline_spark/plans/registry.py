@@ -36,6 +36,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
     "candle_returns": (sessions.q_candle_returns, sessions.oracle_candle_returns),
     "candle_resample": (sessions.q_candle_resample, sessions.oracle_candle_resample),
     "ewma_close": (sessions.q_ewma_close, sessions.oracle_ewma_close),
+    "realized_vol": (sessions.q_realized_vol, sessions.oracle_realized_vol),
     # --- option OHLC (A5, F1, F4-F6, P5, P8) + derived chain analytics ---
     "option_chain_ohlc": (options.q_option_chain_ohlc, options.oracle_option_chain_ohlc),
     "put_call_ratio": (options.q_put_call_ratio, options.oracle_put_call_ratio),
@@ -407,6 +408,7 @@ _PRIORITY: list[str] = [
     "stream_dedup_twin",
     "cdc_apply_twin",
     "scd2_history",
+    "realized_vol",
     "small_quantity_revenue",
     "customer_order_counts",
     "large_orders",

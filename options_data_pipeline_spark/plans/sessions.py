@@ -15,7 +15,7 @@ deterministic bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import timeutil as T
@@ -479,4 +479,88 @@ SELECT instrument, bar_ts,
        CAST(SUM(n_ticks) AS BIGINT) AS n_ticks,
        count(*) AS n_hours
 FROM bars GROUP BY 1, 2
+"""
+
+
+def q_realized_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC volatility estimators per instrument over hourly candles:
+    close-close realized variance, Parkinson (high/low range), and
+    Garman-Klass. Per-candle terms are 9-dp DECIMAL before summation
+    (associative, partition-independent); the lag window is
+    instrument-partitioned (calendar-bounded, same class as
+    ewma_close); constants are shared compile-time Python floats so
+    both engines multiply identical doubles."""
+    import math
+
+    from ..functions.rounding import round_half_away
+
+    four_ln2 = 4.0 * math.log(2.0)
+    gk_c = 2.0 * math.log(2.0) - 1.0
+    hourly = hourly_candles(spark, sf_dir)
+    w = Window.partitionBy("instrument").orderBy("bucket_ts")
+    pc = F.lag("close").over(w)
+    r_cc = F.log(F.col("close") / pc)
+    r_hl = F.log(F.col("high") / F.col("low"))
+    r_co = F.log(F.col("close") / F.col("open"))
+    t_cc = F.when(pc.isNotNull(), round_half_away(r_cc * r_cc, 9)).cast(
+        "decimal(28,9)"
+    )
+    t_park = round_half_away(r_hl * r_hl, 9).cast("decimal(28,9)")
+    t_gk = round_half_away(0.5 * r_hl * r_hl - gk_c * r_co * r_co, 9).cast(
+        "decimal(28,9)"
+    )
+    terms = hourly.select(
+        "instrument",
+        t_cc.alias("t_cc"), t_park.alias("t_park"), t_gk.alias("t_gk"),
+    )
+    return terms.groupBy("instrument").agg(
+        F.count(F.lit(1)).cast("long").alias("n_candles"),
+        round_half_away(
+            F.sum(F.col("t_cc").cast("decimal(38,9)")).cast("double"), 6
+        ).alias("rv_cc"),
+        round_half_away(
+            F.sum(F.col("t_park").cast("decimal(38,9)")).cast("double")
+            / four_ln2,
+            6,
+        ).alias("rv_parkinson"),
+        round_half_away(
+            F.sum(F.col("t_gk").cast("decimal(38,9)")).cast("double"), 6
+        ).alias("rv_gk"),
+    )
+
+
+def oracle_realized_vol() -> str:
+    import math
+
+    from ..functions.rounding import sql_round_half_away
+
+    four_ln2 = 4.0 * math.log(2.0)
+    gk_c = 2.0 * math.log(2.0) - 1.0
+    t_cc = sql_round_half_away("ln(close / pc) * ln(close / pc)", 9)
+    t_park = sql_round_half_away("ln(high / low) * ln(high / low)", 9)
+    t_gk = sql_round_half_away(
+        f"0.5 * ln(high / low) * ln(high / low) "
+        f"- {gk_c!r} * ln(close / open) * ln(close / open)",
+        9,
+    )
+    return f"""
+WITH {HOURLY_CTE},
+prevs AS (
+    SELECT instrument, open, high, low, close,
+           lag(close) OVER (PARTITION BY instrument ORDER BY h) AS pc
+    FROM hourly
+),
+terms AS (
+    SELECT instrument,
+           CASE WHEN pc IS NOT NULL
+                THEN CAST({t_cc} AS DECIMAL(28,9)) END AS t_cc,
+           CAST({t_park} AS DECIMAL(28,9)) AS t_park,
+           CAST({t_gk} AS DECIMAL(28,9)) AS t_gk
+    FROM prevs
+)
+SELECT instrument, CAST(count(*) AS BIGINT) AS n_candles,
+       {sql_round_half_away("CAST(SUM(CAST(t_cc AS DECIMAL(38,9))) AS DOUBLE)", 6)} AS rv_cc,
+       {sql_round_half_away(f"CAST(SUM(CAST(t_park AS DECIMAL(38,9))) AS DOUBLE) / {four_ln2!r}", 6)} AS rv_parkinson,
+       {sql_round_half_away("CAST(SUM(CAST(t_gk AS DECIMAL(38,9))) AS DOUBLE)", 6)} AS rv_gk
+FROM terms GROUP BY 1
 """
