@@ -460,8 +460,9 @@ def oracle_candle_resample() -> str:
 WITH {HOURLY_CTE},
 bars AS (
     SELECT instrument,
-           to_timestamp(CAST(floor(epoch(h) / {RESAMPLE_SECONDS})
-                             * {RESAMPLE_SECONDS} AS BIGINT)) AS bar_ts,
+           make_timestamp(CAST(floor(epoch(h) / {RESAMPLE_SECONDS})
+                               * {RESAMPLE_SECONDS} AS BIGINT)
+                          * 1000000) AS bar_ts,
            h, open, high, low, close, n_ticks,
            row_number() OVER (PARTITION BY instrument,
                               floor(epoch(h) / {RESAMPLE_SECONDS})

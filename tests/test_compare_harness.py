@@ -45,10 +45,15 @@ def test_row_order_is_forgiven():
     )
 
 
-def test_tz_aware_and_naive_utc_timestamps_agree():
+def test_tz_aware_vs_naive_timestamps_MISMATCH():
+    # VERDICT r5 #2: the harness must be tz-SENSITIVE — a DuckDB
+    # TIMESTAMPTZ column (e.g. from to_timestamp()) must never match a
+    # naive Spark TIMESTAMP, even at the same UTC instant. The old
+    # leniency here masked the candle_resample driver-red.
     aware = pd.Timestamp("2024-01-01 12:00:00", tz="UTC")
     naive = pd.Timestamp("2024-01-01 12:00:00")
-    assert_frames_match(_df([[aware]], ["t"]), _df([[naive]], ["t"]), "t")
+    with pytest.raises(AssertionError):
+        assert_frames_match(_df([[aware]], ["t"]), _df([[naive]], ["t"]), "t")
 
 
 def test_none_and_nan_are_equivalent():

@@ -16,7 +16,7 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-from driver_sim import TABLES, canonical_hash  # noqa: E402
+from driver_sim import TABLES, canonical_hash, schemas_match  # noqa: E402
 
 
 def main() -> int:
@@ -62,7 +62,7 @@ def main() -> int:
             opdf = ddb.execute(oracles[name]).fetchdf()
             ok = (
                 len(spdf) == len(opdf)
-                and sorted(spdf.columns) == sorted(opdf.columns)
+                and schemas_match(spdf, opdf)
                 and canonical_hash(spdf) == canonical_hash(opdf)
             )
             dt = time.monotonic() - t0
