@@ -300,23 +300,27 @@ def semantic_prune(
         # Hard cap on cell population: re-split any oversized cell into
         # ceil(size / max_cell_size) sub-cells keyed by vec_id % n_sub.
         # Only cells ACTUALLY over the cap matter, and with adaptive k
-        # there are normally none — so probe for them with one aggregate
-        # and collect just that set (bounded by the overflow count, not
+        # there are normally none — so probe for them with one aggregate.
+        # The probe collect is LIMIT-bounded to _RESPLIT_MAP_GATE + 1
+        # rows: the driver never materializes more than the gate,
+        # regardless of how adversarial the cell-size distribution is
+        # (an all-oversized k-cluster corpus collects gate+1 rows, not
         # k). Common case: empty -> sub = 0, no join, no window, no
         # barrier. Small overflow -> n_sub rides in as a literal map
         # (same plan-constant discipline as the centroid matrices).
-        # Pathological overflow (> _RESPLIT_MAP_GATE cells) -> count
-        # window over the cell, still collect-free. The r4 shape instead
-        # joined a materialized k-row aggregate back in; that extra
-        # job+checkpoint was ~1.4 s of the ~1.6 s
-        # semdedup_artifact_build regression (PERFORMANCE.md), and the
-        # unmaterialized join trips DeduplicateRelations'
-        # INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND on ANSI sessions. None of
-        # the paths below self-join, so the bug cannot fire.
+        # Pathological overflow (limit hit) -> count window over the
+        # cell, collect-free. The r4 shape instead joined a materialized
+        # k-row aggregate back in; that extra job+checkpoint was ~1.4 s
+        # of the ~1.6 s semdedup_artifact_build regression
+        # (PERFORMANCE.md), and the unmaterialized join trips
+        # DeduplicateRelations' INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND on
+        # ANSI sessions. None of the paths below self-join, so the bug
+        # cannot fire.
         oversized = (
             assigned.groupBy("cluster")
             .agg(F.count(F.lit(1)).alias("n"))
             .where(F.col("n") > max_cell_size)
+            .limit(_RESPLIT_MAP_GATE + 1)
             .collect()
         )
         if not oversized:

@@ -335,25 +335,50 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
 
 
 # The driver adjudicates the first ~50 entries of ``queries()`` iteration
-# order against the DuckDB oracle.  Rounds 1-3 drew an identical prefix, so
-# the media / vector / graph / time-series / retrieval families never got a
-# driver CORRECTNESS row (VERDICT r3 ask #1).  ``_PRIORITY`` promotes those
-# families into the sample window; two §2-core representatives
-# (daily_sessions, option_chain_ohlc) stay in the window as anchors, and
-# the remaining never-sampled queries follow immediately after so future
-# rounds keep widening driver coverage.
+# order against the DuckDB oracle.  ``_PRIORITY`` fills that sample window
+# with whatever most needs a driver row this round (VERDICT r6 ask #1):
+# three section-2 anchors stay pinned as controls, the 19 queries the
+# driver has never sampled come next (their first driver adjudication
+# closes the union at 186/186 oracle-bearing queries), then the queries
+# whose code changed this round (the clustering bounded-probe fix, the
+# new collection-lifecycle twin, the approx_stats materialization) so
+# every behavior change lands inside the adjudicated window.  The tail
+# keeps prior rounds' ordering for stable cross-round bench comparison.
 _PRIORITY: list[str] = [
-    # §2-core anchors (sampled every round as controls)
+    # pinned anchors (sampled every round as controls)
     "daily_sessions",
     "option_chain_ohlc",
-    # round-5 additions: need their first driver rows
+    "candle_resample",
+    # the 19 never-driver-sampled queries (round-7 frontier)
+    "bpe_tokenize",
+    "bs_greeks",
+    "cdc_apply_twin",
+    "customer_order_counts",
+    "disjunctive_revenue",
+    "important_parts",
+    "large_orders",
+    "priority_shipping",
+    "product_profit",
+    "promo_revenue",
+    "realized_vol",
+    "retrieval_ndcg",
+    "returned_items",
+    "sales_opportunity",
+    "scd2_history",
+    "small_quantity_revenue",
+    "stream_dedup_twin",
+    "supplier_part_counts",
+    "weighted_median_price",
+    # round-7 code changes: re-adjudicate under the driver
+    "cluster_survivors",
+    "semantic_prune",
+    "kmeans_clusters",
+    "collection_lifecycle_twin",
+    "approx_stats",
+    # previously driver-green queries, prior rounds' order
     "image_probe",
     "benford_chisq",
     "stream_candles_twin",
-    # the 45 never-driver-sampled queries chosen for round 5's
-    # ~50-query sample window (VERDICT r4 ask #1): the r4-addition
-    # frontier + the TPC-H family. With these green, driver-union
-    # coverage reaches >= 165/180.
     "length_ks_drift",
     "quantile_map_lengths",
     "edit_distance_pairs",
@@ -361,14 +386,12 @@ _PRIORITY: list[str] = [
     "max_pain",
     "put_call_ratio",
     "iv_smile",
-    "candle_resample",
     "skyline_parts",
     "mad_outliers",
     "trailing_spend",
     "candle_interpolate",
     "interval_coverage",
     "event_transitions",
-    "cluster_survivors",
     "doc_repetition",
     "rare_tokens",
     "doc_chunks",
@@ -399,37 +422,12 @@ _PRIORITY: list[str] = [
     "market_share",
     "top_supplier",
     "excess_suppliers",
-    # sampling frontier for round 6: retrieval_ndcg (added after the
-    # window was sized) + the last 12 never-sampled queries,
-    # immediately past the window
-    "retrieval_ndcg",
-    "bpe_tokenize",
-    "bs_greeks",
-    "stream_dedup_twin",
-    "cdc_apply_twin",
-    "scd2_history",
-    "realized_vol",
-    "small_quantity_revenue",
-    "customer_order_counts",
-    "large_orders",
-    "sales_opportunity",
-    "promo_revenue",
-    "priority_shipping",
-    "product_profit",
-    "returned_items",
-    "important_parts",
-    "supplier_part_counts",
-    "disjunctive_revenue",
-    "weighted_median_price",
-    # previously-sampled queries in their r4 order (driver rows
-    # already exist across CORRECTNESS_r01-r04)
     "media_pcm_stats",
     "audio_probe",
     "media_probe",
     "video_probe",
     "media_frames",
     "media_dedup",
-    "approx_stats",
     "salted_user_spend",
     "table_expectations",
     "capped_running_scan",
@@ -443,8 +441,6 @@ _PRIORITY: list[str] = [
     "rolling_beta",
     "user_burstiness",
     "retention_curve",
-    "semantic_prune",
-    "kmeans_clusters",
     "ann_recall",
     "embedding_quantize",
     "label_cohesion",

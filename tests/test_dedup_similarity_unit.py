@@ -351,3 +351,51 @@ def test_semantic_prune_resplit_window_fallback(spark, monkeypatch):
         ).collect()
     )
     assert via_map == via_window
+
+
+def test_semantic_prune_probe_collect_bounded(spark, monkeypatch):
+    """Adversarial all-oversized distribution: EVERY cluster is over the
+    cap and their count exceeds _RESPLIT_MAP_GATE, yet the driver-side
+    probe collect must materialize at most gate + 1 rows (the LIMIT
+    bound, VERDICT r6 ask #2) — never one row per oversized cluster —
+    and the window fallback must produce the same drops as the map path.
+    """
+    # patch the concrete class (Spark 4 routes instances through
+    # pyspark.sql.classic.dataframe.DataFrame; the public base's methods
+    # are never hit at runtime)
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    from options_data_pipeline_spark.operators import clustering as C
+    from options_data_pipeline_spark.plans.vectors import planted_embeddings
+
+    emb = planted_embeddings(spark, "/root/testdata/sf0.001")
+    # max_cell_size=1 makes every non-singleton cell oversized; k=8
+    # guarantees more oversized cells than the shrunken gate below
+    expected = sorted(
+        (r.vec_id, r.cluster, r.max_sim)
+        for r in C.semantic_prune(
+            emb, k=8, iterations=2, threshold=0.9, max_cell_size=1
+        ).collect()
+    )
+
+    gate = 2
+    monkeypatch.setattr(C, "_RESPLIT_MAP_GATE", gate)
+    probe_sizes: list[int] = []
+    orig_collect = DataFrame.collect
+
+    def spying_collect(self):
+        rows = orig_collect(self)
+        if rows and set(rows[0].asDict().keys()) == {"cluster", "n"}:
+            probe_sizes.append(len(rows))
+        return rows
+
+    monkeypatch.setattr(DataFrame, "collect", spying_collect)
+    got = sorted(
+        (r.vec_id, r.cluster, r.max_sim)
+        for r in C.semantic_prune(
+            emb, k=8, iterations=2, threshold=0.9, max_cell_size=1
+        ).collect()
+    )
+    assert probe_sizes, "probe collect never ran"
+    assert max(probe_sizes) <= gate + 1
+    assert got == expected
