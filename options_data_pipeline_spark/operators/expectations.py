@@ -60,9 +60,11 @@ def unique(*cols: str) -> Rule:
 
 
 _AS_OF_RE = re.compile(
-    r"^\d{4}-\d{2}-\d{2}[ T]\d{2}:\d{2}:\d{2}(\.\d{1,6})?$"
+    r"^\d{4}-\d{2}-\d{2}([ T]\d{2}:\d{2}:\d{2}(\.\d{1,6})?)?$"
 )
-_MAX_AGE_RE = re.compile(r"^(\d+)\s+(second|minute|hour|day|week)s?$")
+_MAX_AGE_RE = re.compile(
+    r"^(\d+)\s+(second|minute|hour|day|week|month|year)s?$"
+)
 
 
 def fresh(ts_col: str, as_of: str, max_age: str) -> Rule:
@@ -76,12 +78,13 @@ def fresh(ts_col: str, as_of: str, max_age: str) -> Rule:
     discipline the row rules follow; ADVICE r4)."""
     if not _AS_OF_RE.match(as_of):
         raise ValueError(
-            f"fresh(): as_of must be 'YYYY-MM-DD HH:MM:SS[.ffffff]', "
+            f"fresh(): as_of must be 'YYYY-MM-DD[ HH:MM:SS[.ffffff]]', "
             f"got {as_of!r}"
         )
     if not _MAX_AGE_RE.match(max_age):
         raise ValueError(
-            f"fresh(): max_age must be '<n> <second|minute|hour|day|week>[s]', "
+            f"fresh(): max_age must be "
+            f"'<n> <second|minute|hour|day|week|month|year>[s]', "
             f"got {max_age!r}"
         )
     return Rule(f"fresh({ts_col},{as_of},{max_age})", "fresh", (ts_col,), (as_of, max_age))
@@ -90,12 +93,15 @@ def fresh(ts_col: str, as_of: str, max_age: str) -> Rule:
 def _fresh_bound(as_of: str, max_age: str):
     """Column-API freshness bound: as_of - max_age, no string splicing."""
     n, unit = _MAX_AGE_RE.match(max_age).groups()
+    # a date-only as_of parses as midnight, matching the pre-r5 grammar
     kw = {
         "second": "secs",
         "minute": "mins",
         "hour": "hours",
         "day": "days",
         "week": "weeks",
+        "month": "months",
+        "year": "years",
     }[unit]
     return F.to_timestamp(F.lit(as_of)) - F.make_interval(
         **{kw: F.lit(int(n))}

@@ -2533,7 +2533,8 @@ p{i} AS (
           FROM {prev})
     GROUP BY 1, 2
 ),
-b{i} AS (SELECT l, r, c FROM p{i} ORDER BY c DESC, l ASC, r ASC LIMIT 1),
+b{i} AS (SELECT l, r, c FROM p{i} WHERE c >= 2
+         ORDER BY c DESC, l ASC, r ASC LIMIT 1),
 syms{i} AS (
     SELECT word, freq,
       (SELECT string_split({finish}, ' ')

@@ -38,6 +38,7 @@ from __future__ import annotations
 
 import glob
 import os
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -137,16 +138,23 @@ def merge_upsert_iceberg(
         if existed
         else 0
     )
-    updates.createOrReplaceTempView("_iceberg_merge_updates")
-    # null-UNSAFE equality, deliberately — matches the emulation's
-    # full-outer join / standard SQL MERGE (see delta_backend note)
-    cond = " AND ".join(f"t.{_bq(k)} = u.{_bq(k)}" for k in keys)
-    spark.sql(
-        f"MERGE INTO {_qualify(table)} t "
-        f"USING _iceberg_merge_updates u ON {cond} "
-        "WHEN MATCHED THEN UPDATE SET * "
-        "WHEN NOT MATCHED THEN INSERT *"
-    )
+    # per-call unique view name: two concurrent merges in one session
+    # must not clobber each other's source between the
+    # createOrReplaceTempView and the MERGE (ADVICE r6)
+    view = f"_iceberg_merge_updates_{uuid.uuid4().hex}"
+    updates.createOrReplaceTempView(view)
+    try:
+        # null-UNSAFE equality, deliberately — matches the emulation's
+        # full-outer join / standard SQL MERGE (see delta_backend note)
+        cond = " AND ".join(f"t.{_bq(k)} = u.{_bq(k)}" for k in keys)
+        spark.sql(
+            f"MERGE INTO {_qualify(table)} t "
+            f"USING {view} u ON {cond} "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT *"
+        )
+    finally:
+        spark.catalog.dropTempView(view)
     return {"inserted": n_updates - n_matched, "updated": n_matched}
 
 
@@ -178,12 +186,16 @@ def insert_if_absent_iceberg(
         if existed
         else 0
     )
-    batch.createOrReplaceTempView("_iceberg_insert_batch")
-    cond = " AND ".join(f"t.{_bq(k)} = b.{_bq(k)}" for k in keys)
-    spark.sql(
-        f"MERGE INTO {_qualify(table)} t "
-        f"USING _iceberg_insert_batch b ON {cond} "
-        "WHEN NOT MATCHED THEN INSERT *"
-    )
+    view = f"_iceberg_insert_batch_{uuid.uuid4().hex}"
+    batch.createOrReplaceTempView(view)
+    try:
+        cond = " AND ".join(f"t.{_bq(k)} = b.{_bq(k)}" for k in keys)
+        spark.sql(
+            f"MERGE INTO {_qualify(table)} t "
+            f"USING {view} b ON {cond} "
+            "WHEN NOT MATCHED THEN INSERT *"
+        )
+    finally:
+        spark.catalog.dropTempView(view)
     inserted = n_batch - n_matched
     return {"inserted": inserted, "skipped": total - inserted}

@@ -24,10 +24,47 @@ Design notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import os
+
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.expectations import Rule, check
+
+
+def _reject_legacy_flat_log(log_path: str) -> None:
+    """Fail fast on a pre-r4 FLAT quality log (ADVICE r6): data files at
+    the log root (instead of ``batch_id=N/`` partition dirs) came from
+    the old delete-then-append writer. Mixing layouts would make the
+    dynamic partition overwrite silently duplicate those rows on every
+    read, so the stream refuses to attach until the legacy log is
+    migrated (read it, write it back ``partitionBy("batch_id")``) or
+    removed."""
+    if not os.path.isdir(log_path):
+        return
+    flat = [
+        n
+        for n in os.listdir(log_path)
+        if n.endswith(".parquet") and os.path.isfile(os.path.join(log_path, n))
+    ]
+    if flat:
+        raise ValueError(
+            f"quality log at {log_path!r} uses the legacy flat layout "
+            f"({len(flat)} root-level parquet file(s), e.g. {flat[0]!r}); "
+            "migrate it to the batch_id-partitioned layout (read, then "
+            "write back with partitionBy('batch_id')) or point the "
+            "stream at a fresh log_path"
+        )
+
+
+def read_quality_log(spark: SparkSession, log_path: str) -> DataFrame:
+    """Read the quality log with the write-side schema: partition-column
+    inference narrows ``batch_id`` to int on read-back; restore long so
+    readers and the ``score_batch`` writer agree."""
+    _reject_legacy_flat_log(log_path)
+    return spark.read.parquet(log_path).withColumn(
+        "batch_id", F.col("batch_id").cast("long")
+    )
 
 
 def expectations_stream(
@@ -40,6 +77,7 @@ def expectations_stream(
     """Attach the contract evaluator to ``stream``; returns the started
     StreamingQuery. The quality log at ``log_path`` gains one row per
     (batch_id, rule)."""
+    _reject_legacy_flat_log(log_path)
 
     def score_batch(bdf: DataFrame, batch_id: int) -> None:
         report = check(bdf, rules).withColumn(

@@ -33,10 +33,21 @@ def _canon_cell(v):
     if isinstance(v, float):
         # exact bit repr — our determinism contract is bitwise equality
         return v.hex()
-    if isinstance(v, (bool,)):
+    if isinstance(v, (bool, np.bool_)):
         return bool(v)
-    if isinstance(v, int):
+    if isinstance(v, (int, np.integer)):
+        # numpy scalars coerce to Python ints: under numpy>=2.0,
+        # repr(np.int64(5)) is 'np.int64(5)', which would hash-split
+        # engines that yield plain ints for the same value (ADVICE r6)
         return int(v)
+    if isinstance(v, np.floating):
+        return float(v).hex()
+    if isinstance(v, decimal.Decimal):
+        # scale-insensitive: Decimal('1.5') and Decimal('1.50') are equal
+        # values and must hash equal (ADVICE r6); normalize() canonicalizes
+        # the exponent, and the extra format guard pins 1E+1 -> '10'
+        d = v.normalize()
+        return format(d, "f")
     return v
 
 
@@ -54,11 +65,14 @@ def _col_kind(pdf: pd.DataFrame, c) -> str:
             "timestamptz" if getattr(dt, "tz", None) is not None
             else "timestamp"
         )
-    if s in ("bool", "boolean"):
+    # dtype-predicate checks, not substring matching: 'interval[int64]'
+    # or other composite dtype names containing 'int' must not label as
+    # int (ADVICE r6)
+    if pd.api.types.is_bool_dtype(dt):
         return "bool"
-    if "int" in s.lower():
+    if pd.api.types.is_integer_dtype(dt):
         return "int"
-    if s.startswith("float"):
+    if pd.api.types.is_float_dtype(dt):
         return "float"
     for v in pdf[c]:
         if v is None or (isinstance(v, float) and math.isnan(v)):
@@ -92,8 +106,14 @@ def schemas_match(spdf: pd.DataFrame, opdf: pd.DataFrame) -> bool:
     column ('empty' wildcards an all-null column)."""
     if sorted(spdf.columns) != sorted(opdf.columns):
         return False
-    for c in spdf.columns:
-        ks, ko = _col_kind(spdf, c), _col_kind(opdf, c)
+    # duplicate column names would make pdf.dtypes[c] return a Series and
+    # the kind compare misbehave (ADVICE r6); compare positionally in
+    # name-sorted order instead, which is also what the hash canon does
+    s_order = sorted(range(len(spdf.columns)), key=lambda i: spdf.columns[i])
+    o_order = sorted(range(len(opdf.columns)), key=lambda i: opdf.columns[i])
+    for si, oi in zip(s_order, o_order):
+        ks = _col_kind(spdf.iloc[:, [si]].set_axis(["_c"], axis=1), "_c")
+        ko = _col_kind(opdf.iloc[:, [oi]].set_axis(["_c"], axis=1), "_c")
         if ks != ko and "empty" not in (ks, ko):
             return False
     return True
@@ -104,9 +124,13 @@ def schema_kinds(pdf: pd.DataFrame) -> dict[str, str]:
 
 
 def canonical_rows(df: pd.DataFrame) -> list[tuple]:
-    cols = sorted(df.columns)
+    # positional access in name-sorted order: immune to duplicate column
+    # names (df.iloc[i][c] on a dup name returns a Series) and avoids a
+    # per-cell name lookup
+    order = sorted(range(len(df.columns)), key=lambda i: df.columns[i])
+    series = [df.iloc[:, i] for i in order]
     rows = [
-        tuple(_canon_cell(df.iloc[i][c]) for c in cols) for i in range(len(df))
+        tuple(_canon_cell(s.iloc[i]) for s in series) for i in range(len(df))
     ]
     return sorted(rows, key=lambda r: tuple(str(x) for x in r))
 

@@ -72,3 +72,52 @@ def test_word_freq_table_counts(spark):
     )
     rows = {r["word"]: r["freq"] for r in word_freq_table(docs).collect()}
     assert rows == {"the": 3, "cat": 1, "hat": 1, "end": 1}
+
+
+def _bpe_parity(spark, tmp_path, texts):
+    """Run q_bpe_tokenize and its oracle over a synthetic corpus and
+    assert the strict-canon match (ADVICE r6: the Spark side breaks the
+    merge loop at pair-count < 2; the oracle must stop at the same
+    round, not unroll all six)."""
+    import duckdb
+    import pandas as pd
+
+    from options_data_pipeline_spark.plans.text import (
+        oracle_bpe_tokenize,
+        q_bpe_tokenize,
+    )
+    from tests._compare import assert_frames_match
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["t"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    pdf.to_parquet(tmp_path / "documents.parquet")
+    spark_pdf = q_bpe_tokenize(spark, str(tmp_path)).toPandas()
+    ddb = duckdb.connect()
+    ddb.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    oracle_pdf = ddb.execute(oracle_bpe_tokenize()).fetchdf()
+    assert_frames_match(spark_pdf, oracle_pdf, "bpe_tokenize[degenerate]")
+    return spark_pdf
+
+
+def test_bpe_tokenize_oracle_parity_zero_merges(spark, tmp_path):
+    # every pair occurs once -> Spark breaks immediately; the oracle
+    # must yield zero rows too
+    out = _bpe_parity(spark, tmp_path, ["ab cd ef"])
+    assert len(out) == 0
+
+
+def test_bpe_tokenize_oracle_parity_early_stop(spark, tmp_path):
+    # (a,a) count 2 -> exactly one merge, then no pair reaches count 2:
+    # both sides must stop after step 1 of the 6 unrolled rounds
+    out = _bpe_parity(spark, tmp_path, ["aa", "aa"])
+    assert list(out["step"]) == [1]

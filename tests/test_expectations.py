@@ -122,3 +122,22 @@ def test_fresh_validates_params():
         fresh("ts", "2024-01-02 03:04:05", "2 hours' OR '1'='1")
     with _pt.raises(ValueError, match="max_age"):
         fresh("ts", "2024-01-02 03:04:05", "eleventy hours")
+
+
+def test_fresh_accepts_pre_r5_grammar(spark):
+    """ADVICE r6: the strict regexes introduced in r5 silently dropped
+    date-only as_of strings and month/year max-age units the pre-r5 API
+    accepted. Both are back in the grammar (date-only = midnight)."""
+    from options_data_pipeline_spark.operators.expectations import fresh
+
+    df = spark.createDataFrame(
+        [("2024-01-01 10:00:00",)], "ts string"
+    ).select(F.col("ts").cast("timestamp").alias("ts"))
+    # date-only as_of: 2024-01-02 == midnight; 1 day budget -> fresh
+    ok = _result(check(df, [fresh("ts", "2024-01-02", "1 day")]))
+    assert ok["fresh(ts,2024-01-02,1 day)"] == (1, 0, True)
+    # month/year units parse and evaluate
+    ok2 = _result(check(df, [fresh("ts", "2024-02-20", "2 months")]))
+    assert ok2["fresh(ts,2024-02-20,2 months)"] == (1, 0, True)
+    stale = _result(check(df, [fresh("ts", "2025-06-01", "1 year")]))
+    assert stale["fresh(ts,2025-06-01,1 year)"] == (1, 1, False)

@@ -113,3 +113,19 @@ def test_merge_upsert_parity(iceberg_spark, tmp_path):
     pq_rows = sorted(map(tuple, iceberg_spark.read.parquet(pq_path).collect()))
     ib_rows = sorted(map(tuple, iceberg_spark.table(tbl).collect()))
     assert pq_rows == ib_rows
+
+
+def test_merge_source_view_names_are_per_call():
+    """ADVICE r6: a fixed temp-view name lets two concurrent merges in
+    one session clobber each other's source between the
+    createOrReplaceTempView and the MERGE. The source is now named
+    per-call (uuid suffix) and dropped after — no fixed-name temp view
+    may appear in the backend source."""
+    import inspect
+
+    from options_data_pipeline_spark.sinks import iceberg_backend as IB
+
+    src = inspect.getsource(IB)
+    assert 'createOrReplaceTempView("_iceberg' not in src
+    assert "uuid.uuid4().hex" in src
+    assert "dropTempView" in src

@@ -87,3 +87,33 @@ def test_reprocessing_a_batch_is_idempotent(spark, tmp):
     _run(spark, src, tmp)
     log = spark.read.parquet(f"{tmp}/log")
     assert log.count() == 3  # one row per rule, once
+
+
+def test_legacy_flat_log_fails_fast(spark, tmp):
+    """ADVICE r6: a pre-r4 flat-layout log (data files at the root, no
+    batch_id= partition dirs) must be rejected at stream attach, not
+    silently mixed with partitioned writes."""
+    src = f"{tmp}/src"
+    spark.createDataFrame(WAVE1, SCHEMA).coalesce(1).write.mode("append").parquet(src)
+    # forge a legacy log: flat parquet with batch_id as a data column
+    spark.createDataFrame(
+        [("not_null(v)", 3, 1, False, 0)],
+        "rule string, total_rows long, violations long, passed boolean, batch_id long",
+    ).coalesce(1).write.parquet(f"{tmp}/log")
+    with pytest.raises(ValueError, match="legacy flat layout"):
+        _run(spark, src, tmp)
+
+
+def test_read_quality_log_restores_long_batch_id(spark, tmp):
+    """Partition-column inference narrows batch_id to int on read-back;
+    the reader helper restores the write-side long."""
+    from options_data_pipeline_spark.streaming.expectations import (
+        read_quality_log,
+    )
+
+    src = f"{tmp}/src"
+    spark.createDataFrame(WAVE1, SCHEMA).coalesce(1).write.mode("append").parquet(src)
+    _run(spark, src, tmp)
+    log = read_quality_log(spark, f"{tmp}/log")
+    assert dict(log.dtypes)["batch_id"] == "bigint"
+    assert log.count() == 3
