@@ -30,6 +30,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
         sessions.q_stream_candles_twin,
         sessions.oracle_stream_candles_twin,
     ),
+    "collection_lifecycle_twin": (
+        sessions.q_collection_lifecycle_twin,
+        sessions.oracle_collection_lifecycle_twin,
+    ),
     "daily_sessions": (sessions.q_daily_sessions, sessions.oracle_daily_sessions),
     "weekly_sessions": (sessions.q_weekly_sessions, sessions.oracle_weekly_sessions),
     "monthly_sessions": (sessions.q_monthly_sessions, sessions.oracle_monthly_sessions),

@@ -102,6 +102,166 @@ def oracle_stream_candles_twin() -> str:
     return oracle_hourly_candles()
 
 
+def q_collection_lifecycle_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-adjudicated twin of the SURVEY §3.1 collection lifecycle
+    (VERDICT r6 ask #5): run the REAL ``jobs.incremental.incremental_sync``
+    — watermark probe → lookback fetch → K1 keyed upsert → metrics
+    (mirroring reference src/pipeline/collectors/binance.py:128-180) —
+    over two waves against a staged parquet target.
+
+    Wave 1 ("first sync") runs with a wall clock frozen at the final
+    tick of the LAST (instrument, hour) candle cell holding >= 2 ticks,
+    so that trailing candle is PROVISIONAL — its last tick hasn't
+    happened yet and close/n_ticks genuinely mutate between waves (the
+    events table is too sparse at small SFs for a fixed mid-hour clock
+    to guarantee that, and a multi-event HOUR may still be all
+    single-tick cells). Wave 2 runs at end-of-data: the T1 watermark
+    resumes from MAX(bucket_ts), the T2 lookback re-fetches the trailing
+    2 h window (repairing the mutated open candle exactly as reference
+    binance.py:153 intends), and new hours insert. The result
+    is the CONVERGED candle table with both waves' collector metrics as
+    constant columns, so the driver hash adjudicates the lifecycle's
+    convergence AND its inserted/updated accounting in one row set. The
+    oracle replays the two waves declaratively: provisional candles from
+    the truncated event stream, final candles overlaid last-write-wins,
+    counts from the same key joins.
+
+    Scale shape: each wave is one candle aggregate + one keyed MERGE; the
+    only driver-side values are the two 1-row clock probes and the
+    metric dict (same bounded collects the reference collector logs)."""
+    import shutil
+    import tempfile
+    from datetime import timedelta
+
+    from ..jobs.incremental import incremental_sync
+    from ..operators.materialize import materialize
+
+    base = tempfile.mkdtemp(prefix="lifecycle_twin_")
+    try:
+        target = f"{base}/candles"
+        ev = load_table(spark, sf_dir, "events")
+        # wave-1 clock: the final tick of the last >=2-tick candle cell —
+        # a strict `ts < t_split` fetch then misses that tick, making the
+        # trailing candle provisional by construction (1-row collect)
+        t_split = (
+            ev.groupBy(
+                F.date_trunc("hour", F.col("ts")).alias("h"), "event_type"
+            )
+            .agg(F.count(F.lit(1)).alias("c"), F.max("ts").alias("mx"))
+            .where(F.col("c") >= 2)
+            .orderBy(F.col("h").desc(), F.col("event_type").desc())
+            .limit(1)
+            .first()["mx"]
+        )
+        t_end = ev.agg(
+            (F.max("ts") + F.expr("INTERVAL 1 SECOND")).alias("t")
+        ).first()["t"]
+
+        def fetch_range(start, now):
+            # the "exchange": candles visible at wall-clock `now` are
+            # built from only the events that have happened (ts < now) —
+            # the trailing candle genuinely mutates between waves
+            return ticks_to_ohlc(
+                ev.where(F.col("ts") < F.lit(now)).withColumnRenamed(
+                    "event_type", "instrument"
+                ),
+                bucket=F.date_trunc("hour", F.col("ts")),
+                keys=("instrument",),
+                time_col="ts",
+                price_col="value",
+                tiebreak_cols=("event_id",),
+            ).where(F.col("bucket_ts") >= F.lit(start))
+
+        kw = dict(
+            keys=["instrument", "bucket_ts"],
+            ts_col="bucket_ts",
+            lookback=timedelta(hours=2),
+            cold_start=timedelta(days=36500),
+        )
+        m1 = incremental_sync(spark, fetch_range, target, now=t_split, **kw)
+        m2 = incremental_sync(spark, fetch_range, target, now=t_end, **kw)
+        out = spark.read.parquet(target).select(
+            "instrument",
+            F.col("bucket_ts").alias("hour_ts"),
+            "open", "high", "low", "close", "n_ticks",
+            F.lit(m1["fetched"]).cast("long").alias("w1_fetched"),
+            F.lit(m1["inserted"]).cast("long").alias("w1_inserted"),
+            F.lit(m1["updated"]).cast("long").alias("w1_updated"),
+            F.lit(m2["fetched"]).cast("long").alias("w2_fetched"),
+            F.lit(m2["inserted"]).cast("long").alias("w2_inserted"),
+            F.lit(m2["updated"]).cast("long").alias("w2_updated"),
+        )
+        # pin the result in the session before the staging dir vanishes
+        return materialize(out)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def _hourly_cte_sql(prefix: str, where: str = "") -> str:
+    """The hourly-candle CTE pair under caller-chosen names, optionally
+    over a truncated event stream (the wave-1 'visible so far' view)."""
+    return f"""
+{prefix}ranked AS (
+    SELECT event_type AS instrument, date_trunc('hour', ts) AS h, value,
+           row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                              ORDER BY ts, event_id) AS ra,
+           row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                              ORDER BY ts DESC, event_id DESC) AS rd
+    FROM events {where}
+),
+{prefix}hourly AS (
+    SELECT instrument, h,
+           max(CASE WHEN ra = 1 THEN value END) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           max(CASE WHEN rd = 1 THEN value END) AS close,
+           count(*) AS n_ticks
+    FROM {prefix}ranked GROUP BY 1, 2
+)"""
+
+
+def oracle_collection_lifecycle_twin() -> str:
+    return f"""
+WITH clock AS (
+    SELECT mx AS t_split
+    FROM (
+        SELECT date_trunc('hour', ts) AS h, event_type, max(ts) AS mx
+        FROM events
+        GROUP BY 1, 2 HAVING count(*) >= 2
+        ORDER BY h DESC, event_type DESC LIMIT 1
+    )
+),
+{_hourly_cte_sql("w1", "WHERE ts < (SELECT t_split FROM clock)")},
+{_hourly_cte_sql("f")},
+wm AS (SELECT max(h) - INTERVAL 2 HOUR AS start FROM w1hourly),
+w2 AS (SELECT * FROM fhourly WHERE h >= (SELECT start FROM wm)),
+conv AS (
+    SELECT * FROM w2
+    UNION ALL
+    SELECT w1.* FROM w1hourly w1
+    WHERE NOT EXISTS (
+        SELECT 1 FROM w2
+        WHERE w2.instrument = w1.instrument AND w2.h = w1.h
+    )
+),
+m AS (
+    SELECT
+        (SELECT count(*) FROM w1hourly) AS w1_fetched,
+        (SELECT count(*) FROM w2) AS w2_fetched,
+        (SELECT count(*) FROM w2 JOIN w1hourly w1
+         ON w2.instrument = w1.instrument AND w2.h = w1.h) AS w2_updated
+)
+SELECT instrument, h AS hour_ts, open, high, low, close, n_ticks,
+       CAST(w1_fetched AS BIGINT) AS w1_fetched,
+       CAST(w1_fetched AS BIGINT) AS w1_inserted,
+       CAST(0 AS BIGINT) AS w1_updated,
+       CAST(w2_fetched AS BIGINT) AS w2_fetched,
+       CAST(w2_fetched - w2_updated AS BIGINT) AS w2_inserted,
+       CAST(w2_updated AS BIGINT) AS w2_updated
+FROM conv, m
+"""
+
+
 def _finalize(sessions: DataFrame) -> DataFrame:
     return sessions.select(
         *[

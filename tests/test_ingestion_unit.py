@@ -226,3 +226,65 @@ def test_trades_cursor_is_host_timezone_independent():
     # page 1 at 0, page 2 resumes at last trade ms + 1 — exactly once
     assert cursors == [0, 5001]
     assert len(rows) == 1
+
+
+def test_lifecycle_twin_exercises_t2_mutation(spark):
+    """The collection_lifecycle_twin must genuinely exercise the T2
+    lookback repair: the wave-1 provisional trailing candle (built from
+    a mid-hour wall clock) must DIFFER from the converged value for at
+    least one key, and wave 2 must report matched (updated) rows — else
+    the twin only adjudicates trivial convergence."""
+    from pyspark.sql import functions as F
+
+    from options_data_pipeline_spark.operators.session_ohlc import (
+        ticks_to_ohlc,
+    )
+    from options_data_pipeline_spark.plans.sessions import (
+        q_collection_lifecycle_twin,
+    )
+    from options_data_pipeline_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    out = q_collection_lifecycle_twin(spark, sf)
+    m = out.select(
+        "w1_fetched", "w2_fetched", "w2_inserted", "w2_updated"
+    ).first()
+    assert m["w2_updated"] >= 1, "lookback window matched no existing rows"
+    assert m["w2_inserted"] >= 1, "wave 2 fetched no new hours"
+
+    # recompute the wave-1 provisional candles and diff against the
+    # converged table: the trailing (partial) hour must have mutated
+    ev = load_table(spark, sf, "events")
+    # same clock the twin uses: final tick of the last >=2-tick cell
+    t_split = (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("h"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("c"), F.max("ts").alias("mx"))
+        .where(F.col("c") >= 2)
+        .orderBy(F.col("h").desc(), F.col("event_type").desc())
+        .limit(1)
+        .first()["mx"]
+    )
+    prov = ticks_to_ohlc(
+        ev.where(F.col("ts") < F.lit(t_split)).withColumnRenamed(
+            "event_type", "instrument"
+        ),
+        bucket=F.date_trunc("hour", F.col("ts")),
+        keys=("instrument",),
+        time_col="ts",
+        price_col="value",
+        tiebreak_cols=("event_id",),
+    ).select(
+        "instrument", F.col("bucket_ts").alias("hour_ts"),
+        F.col("close").alias("prov_close"), F.col("n_ticks").alias("prov_n"),
+    )
+    mutated = (
+        out.join(prov, ["instrument", "hour_ts"])
+        .where(
+            (F.col("n_ticks") != F.col("prov_n"))
+            | (F.col("close") != F.col("prov_close"))
+        )
+        .count()
+    )
+    assert mutated >= 1, "no provisional candle was repaired by wave 2"
