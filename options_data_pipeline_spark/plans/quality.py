@@ -311,9 +311,13 @@ def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact rank count — no second wide shuffle."""
     ev = load_table(spark, sf_dir, "events")
     # NOT materialized: sk feeds two branches (the rank probe and the
-    # final join), but the shared groupBy exchange reuses across them —
-    # measured: a localCheckpoint here was 1.09 -> 1.51 s at sf0.1 (the
-    # eager extra job costs more than the reuse saves)
+    # final join). Measured twice (r4: 1.09 -> 1.51 s; r7 A/B: 1.00 ->
+    # 1.47 s at sf0.1): a localCheckpoint here costs more than it saves.
+    # The r7 A/B also dumped the executed plan: ReusedExchange never
+    # fires for the two consumers (AQE re-plans them independently), so
+    # events IS scanned/aggregated twice — that double-pass is the
+    # priced-in cost of the exact-rank bound check and is still the
+    # fastest of the measured shapes (PERFORMANCE.md round 7).
     sk = ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", 0.02).alias("_approx_users"),
         F.expr("approx_percentile(value, 0.5, 1000)").alias("_approx_p50"),

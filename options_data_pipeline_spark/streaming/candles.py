@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from ..operators.session_ohlc import ticks_to_ohlc
-from ..sinks.upsert import merge_upsert
+from ..sinks.upsert import merge_upsert, upsert_partitioned
 
 
 def read_event_stream(
@@ -123,6 +123,7 @@ def incremental_candles_stream(
     available_now: bool = True,
     processing_time: str | None = None,
     max_files_per_trigger: int | None = None,
+    day_partitioned: bool = True,
 ) -> StreamingQuery:
     """Gold job: maintain the hourly-candle table incrementally.
 
@@ -141,6 +142,18 @@ def incremental_candles_stream(
     same buckets to the same values (T5). ``max_files_per_trigger``
     bounds each micro-batch to that many source files (multi-batch
     drains under availableNow — the replay-schedule knob).
+
+    ``day_partitioned=True`` (default) lays the gold table out as
+    ``bucket_date=YYYY-MM-DD/`` partitions and routes the MERGE through
+    the partition-pruned upsert: a micro-batch dynamically overwrites
+    ONLY the day partitions its touched buckets fall in — the T2
+    write-cost contract (reference aggregators/option_ohlc.py:36-41
+    rewrites only its trailing 3 h window). A plain ``merge_upsert``
+    would rewrite the whole gold table every trigger, which at 100 TB
+    turns a minutes-old update slice into a full-table write.
+    ``bucket_date`` derives from the key column ``bucket_ts``, so a key
+    can never move between partitions (the invariant
+    ``allow_cross_partition_keys`` vouches for).
     """
     events = read_event_stream(
         spark, source_dir, max_files_per_trigger=max_files_per_trigger
@@ -185,9 +198,19 @@ def incremental_candles_stream(
             price_col=price_col,
             tiebreak_cols=(id_col,),
         )
-        merge_upsert(
-            spark, gold_path, candles, keys=["instrument", "bucket_ts"]
-        )
+        if day_partitioned:
+            upsert_partitioned(
+                spark,
+                gold_path,
+                candles.withColumn("bucket_date", F.to_date("bucket_ts")),
+                keys=["instrument", "bucket_ts"],
+                partition_col="bucket_date",
+                allow_cross_partition_keys=True,
+            )
+        else:
+            merge_upsert(
+                spark, gold_path, candles, keys=["instrument", "bucket_ts"]
+            )
 
     writer = (
         events.writeStream.foreachBatch(process_batch)

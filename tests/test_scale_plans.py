@@ -491,3 +491,77 @@ def test_key_skew_report_reads_only_the_key(spark):
 
     qplan = fmt(spark, quality.q_key_skew_report(spark, SF_DIR))
     assert "ExistingRDD" in qplan
+
+
+def test_candles_stream_rewrites_only_trailing_partitions(spark, tmp_path_factory):
+    """T2 write-cost contract, CI-pinned (VERDICT r6 ask #7): the gold
+    candle table is day-partitioned and each foreachBatch MERGE
+    dynamically overwrites ONLY the day partitions its touched buckets
+    fall in — prior days' data files must survive byte-for-byte
+    (reference aggregators/option_ohlc.py:36-41 rewrites only its
+    trailing window; a whole-table rewrite per trigger is the 100 TB
+    failure mode)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from options_data_pipeline_spark.streaming.candles import (
+        incremental_candles_stream,
+    )
+
+    tmp = str(tmp_path_factory.mktemp("stream_parts"))
+    src, gold, ckpt = f"{tmp}/src", f"{tmp}/gold", f"{tmp}/ckpt"
+
+    def events(rows):
+        return spark.createDataFrame(
+            [(i, ts, "btc", v) for i, (ts, v) in enumerate(rows)],
+            "event_id long, ts_s string, event_type string, value double",
+        ).select(
+            "event_id",
+            F.col("ts_s").cast("timestamp").alias("ts"),
+            "event_type",
+            "value",
+        )
+
+    # day 1 + day 2
+    events(
+        [("2024-01-01 10:00:00", 1.0), ("2024-01-01 11:00:00", 2.0),
+         ("2024-01-02 09:00:00", 3.0)]
+    ).coalesce(1).write.mode("append").parquet(src)
+    q = incremental_candles_stream(spark, src, gold, ckpt)
+    q.awaitTermination(120)
+
+    def snapshot(path):
+        out = {}
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                p = os.path.join(root, f)
+                out[os.path.relpath(p, path)] = (
+                    os.path.getmtime(p), os.path.getsize(p)
+                )
+        return out
+
+    before = snapshot(gold)
+    day1 = {k: v for k, v in before.items() if "bucket_date=2024-01-01" in k}
+    assert day1, "gold table is not day-partitioned"
+
+    # a later batch touches only day 2 (late tick) and day 3 (new)
+    events(
+        [("2024-01-02 09:30:00", 4.0), ("2024-01-03 08:00:00", 5.0)]
+    ).coalesce(1).write.mode("append").parquet(src)
+    q2 = incremental_candles_stream(spark, src, gold, ckpt)
+    q2.awaitTermination(120)
+
+    after = snapshot(gold)
+    # day-1 partition: identical files, byte-for-byte untouched
+    day1_after = {
+        k: v for k, v in after.items() if "bucket_date=2024-01-01" in k
+    }
+    assert day1_after == day1, "untouched day partition was rewritten"
+    # day-2 was repaired (late tick) and day-3 inserted
+    assert any("bucket_date=2024-01-03" in k for k in after)
+    candles = spark.read.parquet(gold)
+    d2 = candles.where(
+        (F.col("bucket_ts") == "2024-01-02 09:00:00")
+    ).first()
+    assert d2["close"] == 4.0 and d2["n_ticks"] == 2
