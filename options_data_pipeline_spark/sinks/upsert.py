@@ -245,6 +245,12 @@ def upsert_partitioned(
         )
     if audit_col:
         updates = updates.withColumn(audit_col, F.current_timestamp())
+    # one evaluation across the four consumers below (distinct-partition
+    # collect, matched count, total count, merged write) — without this
+    # an expensive upstream frame (e.g. the streaming candle aggregate)
+    # recomputes per action, and current_timestamp would drift between
+    # them (same discipline as merge_upsert)
+    updates = updates.localCheckpoint(eager=False)
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     current = _read_target(spark, target_path)
     if current is None:
