@@ -33,8 +33,11 @@ hides it); this extends the §6 LLM-data surface.
 
 from __future__ import annotations
 
+from typing import Iterable
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def pack_token_shards(
@@ -92,6 +95,100 @@ def pack_token_shards(
         )
         .drop("__seg", "__local_before", "__offset")
     )
+
+
+def greedy_sequence_pack(
+    docs: DataFrame,
+    *,
+    keys: Iterable[str],
+    order: Iterable[str],
+    token_col: str,
+    budget: int,
+    pack_col: str = "pack_id",
+    offset_col: str = "pack_offset",
+) -> DataFrame:
+    """No-split greedy sequence packing: within each key, documents in
+    ``order`` fill fixed ``budget``-token training sequences; a document
+    NEVER spans two sequences — when it does not fit, the current
+    sequence is closed (padding in the trainer) and a new one starts.
+    This is the stateful sibling of :func:`pack_token_shards` (which
+    lets the running sum spill across shard boundaries and is therefore
+    a pure prefix sum): the reset-on-overflow makes the recurrence
+
+        fit   : offset = filled;  filled += t
+        !fit  : pack += 1; offset = 0; filled = t     (filled + t > budget)
+
+    non-decomposable by any window frame — same class as
+    :mod:`.statefold`'s clamped fold, and executed the same way: one
+    hash shuffle on the keys, partition-local sort, a single
+    ``mapInPandas`` pass with dict state carried across Arrow batches
+    (per-group ``applyInPandas`` loses by an order of magnitude on many
+    small keys — measured on the clamped fold, same shape). Exact
+    Python-int arithmetic, so the assignment is bit-deterministic under
+    any partitioning and matches a DuckDB recursive-CTE oracle exactly.
+
+    A document larger than ``budget`` still gets its own sequence
+    (offset 0, running over budget by that one document) — oversized
+    inputs are the chunker's job upstream (`doc_chunks`), exactly as
+    :func:`pack_token_shards`'s docstring divides the labor.
+
+    100 TB posture: parallelism = number of keys (shards), the natural
+    unit real exporters pack within. A single dominant shard can be
+    pre-split into ordered doc-id segments exactly like
+    ``pack_token_shards``'s segment trick — pack ids then restart per
+    segment, which is acceptable because sequences never reference
+    anything outside their segment's files; the per-key sequential form
+    here is the one whose output layout training jobs actually consume.
+
+    Output keeps ``keys + order + token_col`` and appends ``pack_col``
+    (0-based per key) and ``offset_col`` (token offset within the
+    sequence), both BIGINT.
+    """
+    keys = list(keys)
+    order = list(order)
+    budget_i = int(budget)
+
+    out_fields = [docs.schema[c] for c in keys + order + [token_col]]
+    schema = T.StructType(
+        out_fields
+        + [
+            T.StructField(pack_col, T.LongType()),
+            T.StructField(offset_col, T.LongType()),
+        ]
+    )
+    single_key = len(keys) == 1
+
+    def fold(batches):
+        state: dict = {}  # key -> (pack, filled)
+        for pdf in batches:
+            toks = pdf[token_col].to_numpy().tolist()
+            if single_key:
+                ks = pdf[keys[0]].to_numpy().tolist()
+            else:
+                ks = list(zip(*[pdf[c].to_numpy().tolist() for c in keys]))
+            packs, offsets = [], []
+            get = state.get
+            for k, t in zip(ks, toks):
+                pack, filled = get(k, (0, 0))
+                t = int(t)
+                if filled > 0 and filled + t > budget_i:
+                    pack += 1
+                    filled = 0
+                packs.append(pack)
+                offsets.append(filled)
+                state[k] = (pack, filled + t)
+            out = pdf[keys + order + [token_col]].copy()
+            out[pack_col] = packs
+            out[offset_col] = offsets
+            yield out
+
+    n_parts = docs.sparkSession.sparkContext.defaultParallelism
+    parted = (
+        docs.select(*keys, *order, token_col)
+        .repartition(n_parts, *keys)
+        .sortWithinPartitions(*keys, *order)
+    )
+    return parted.mapInPandas(fold, schema=schema)
 
 
 def shard_summary(packed: DataFrame, lang_col: str = "lang") -> DataFrame:

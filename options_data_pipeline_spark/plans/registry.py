@@ -209,6 +209,11 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
         text.oracle_token_heavy_hitters,
     ),
     "token_shards": (text.q_token_shards, text.oracle_token_shards),
+    "sequence_pack": (text.q_sequence_pack, text.oracle_sequence_pack),
+    "leakage_safe_split": (
+        text.q_leakage_safe_split,
+        text.oracle_leakage_safe_split,
+    ),
     "doc_repetition": (text.q_doc_repetition, text.oracle_doc_repetition),
     "rare_tokens": (text.q_rare_tokens, text.oracle_rare_tokens),
     "doc_chunks": (text.q_doc_chunks, text.oracle_doc_chunks),
@@ -379,6 +384,9 @@ _PRIORITY: list[str] = [
     "kmeans_clusters",
     "collection_lifecycle_twin",
     "approx_stats",
+    # round-7 new operators: first driver adjudication this round
+    "sequence_pack",
+    "leakage_safe_split",
     # previously driver-green queries, prior rounds' order
     "image_probe",
     "benford_chisq",

@@ -708,6 +708,143 @@ FROM cum GROUP BY 1, 2
 """
 
 
+SEQ_PACK_BUDGET = 256   # tokens per training sequence
+
+
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No-split greedy sequence packing (see
+    :func:`..operators.packing.greedy_sequence_pack`): per (lang,
+    source) shard, documents in doc-id order fill 256-token training
+    sequences, a document never spanning two. One row per document with
+    its sequence id and token offset — the layout a sequence-packing
+    exporter writes. The reset-on-overflow fold is not window-
+    expressible; the oracle replays it as a recursive CTE, so the hash
+    check adjudicates the stateful executor itself."""
+    from ..operators.packing import greedy_sequence_pack
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang",
+        "source",
+        "doc_id",
+        F.size(F.split("text", " ", -1)).cast("long").alias("n_tokens"),
+    )
+    return greedy_sequence_pack(
+        docs,
+        keys=["lang", "source"],
+        order=["doc_id"],
+        token_col="n_tokens",
+        budget=SEQ_PACK_BUDGET,
+    )
+
+
+def oracle_sequence_pack() -> str:
+    b = SEQ_PACK_BUDGET
+    return f"""
+WITH RECURSIVE toks AS (
+    SELECT lang, source, doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+    FROM documents
+),
+ordered AS (
+    SELECT *, row_number() OVER (PARTITION BY lang, source ORDER BY doc_id) AS rn
+    FROM toks
+),
+walk AS (
+    SELECT lang, source, doc_id, n_tokens, rn,
+           CAST(0 AS BIGINT) AS pack_id,
+           CAST(0 AS BIGINT) AS pack_offset,
+           n_tokens AS filled
+    FROM ordered WHERE rn = 1
+    UNION ALL
+    SELECT o.lang, o.source, o.doc_id, o.n_tokens, o.rn,
+           CASE WHEN w.filled > 0 AND w.filled + o.n_tokens > {b}
+                THEN w.pack_id + 1 ELSE w.pack_id END,
+           CASE WHEN w.filled > 0 AND w.filled + o.n_tokens > {b}
+                THEN CAST(0 AS BIGINT) ELSE w.filled END,
+           CASE WHEN w.filled > 0 AND w.filled + o.n_tokens > {b}
+                THEN o.n_tokens ELSE w.filled + o.n_tokens END
+    FROM walk w
+    JOIN ordered o ON o.lang = w.lang AND o.source = w.source
+                   AND o.rn = w.rn + 1
+)
+SELECT lang, source, doc_id, n_tokens, pack_id, pack_offset FROM walk
+"""
+
+
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test split at near-dup-CLUSTER granularity: every doc
+    hashes on its dedup-cluster representative (component min id from
+    `dedup_clusters`; unclustered docs represent themselves), so a
+    near-duplicate pair can never straddle train and test — the
+    leakage-safe refinement of `train_split`'s per-doc hash. Same
+    ~80/10/10 md5 thresholds; per (lang, split) doc / cluster / token
+    counts.
+
+    Shape: the component map (one row per *clustered* doc — a small
+    fraction of the corpus) broadcast-left-joins the corpus, the split
+    is a scan-level expression on the coalesced representative, then
+    one map-side-combinable aggregate. At 100 TB the broadcast holds as
+    long as the duplicate set fits an executor (tens of millions of
+    rows); past that, drop the hint and let AQE pick the shuffle join —
+    the plan is otherwise unchanged."""
+    clusters = q_dedup_clusters(spark, sf_dir)
+    docs = planted_corpus(spark, sf_dir).select(
+        "doc_id",
+        "lang",
+        F.size(F.split("text", " ", -1)).cast("long").alias("__tok"),
+    )
+    members = docs.join(
+        F.broadcast(clusters.withColumnRenamed("node", "doc_id")),
+        "doc_id",
+        "left",
+    )
+    rep = F.coalesce("component", "doc_id")
+    key = F.substring(
+        F.md5(F.concat(F.lit("split#"), rep.cast("string"))), 1, 4
+    )
+    split = (
+        F.when(key < "cccc", F.lit("train"))
+        .when(key < "e666", F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        members.select(
+            "lang", split.alias("split"), rep.alias("__rep"), "__tok"
+        )
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("__rep").cast("long").alias("n_clusters"),
+            F.sum("__tok").cast("long").alias("n_tokens"),
+        )
+    )
+
+
+def oracle_leakage_safe_split() -> str:
+    clusters_sql = oracle_dedup_clusters()
+    prefix = clusters_sql.rsplit("SELECT", 1)[0]
+    return f"""{prefix}
+, clusters AS (
+    SELECT a AS node, least(a, min(b)) AS component FROM reach GROUP BY a
+),
+labeled AS (
+    SELECT c.lang,
+           COALESCE(cl.component, c.doc_id) AS rep,
+           len(string_split(c.text, ' ')) AS t
+    FROM corpus c LEFT JOIN clusters cl ON cl.node = c.doc_id
+)
+SELECT lang,
+    CASE WHEN substr(md5('split#' || CAST(rep AS VARCHAR)), 1, 4) < 'cccc'
+         THEN 'train'
+         WHEN substr(md5('split#' || CAST(rep AS VARCHAR)), 1, 4) < 'e666'
+         THEN 'val' ELSE 'test' END AS split,
+    CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(count(DISTINCT rep) AS BIGINT) AS n_clusters,
+    CAST(sum(t) AS BIGINT) AS n_tokens
+FROM labeled GROUP BY 1, 2
+"""
+
+
 def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-doc repetition profile (duplicate-bigram fraction, top-token
     share) — the Gopher-style repetition filters."""

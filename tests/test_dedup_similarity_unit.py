@@ -399,3 +399,38 @@ def test_semantic_prune_probe_collect_bounded(spark, monkeypatch):
     assert probe_sizes, "probe collect never ran"
     assert max(probe_sizes) <= gate + 1
     assert got == expected
+
+
+def test_leakage_safe_split_no_dup_edge_straddles_splits(spark):
+    """The property the operator exists for: every duplicate edge
+    (exact mirror or planted near-dup) has both endpoints in the SAME
+    split, because membership hashes the cluster representative. Checked
+    end-to-end on the planted corpus via the per-doc assignment."""
+    from .conftest import SF_DIR
+    from options_data_pipeline_spark.plans import text as TX
+
+    clusters = TX.q_dedup_clusters(spark, SF_DIR)
+    corpus = TX.planted_corpus(spark, SF_DIR).select("doc_id")
+    members = corpus.join(
+        clusters.withColumnRenamed("node", "doc_id"), "doc_id", "left"
+    )
+    rep = F.coalesce("component", "doc_id")
+    key = F.substring(
+        F.md5(F.concat(F.lit("split#"), rep.cast("string"))), 1, 4
+    )
+    split = (
+        F.when(key < "cccc", F.lit("train"))
+        .when(key < "e666", F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    assign = {
+        r.doc_id: r.split
+        for r in members.select("doc_id", split.alias("split")).collect()
+    }
+    edges = TX.planted_near_dup_pairs(spark, SF_DIR).select("doc_a", "doc_b")
+    pairs = [(r.doc_a, r.doc_b) for r in edges.collect()]
+    # plus the planted exact mirrors (doc_id % 97 == 0 -> +200000)
+    pairs += [(d, d + 200000) for d in assign if d < 100000 and d % 97 == 0]
+    assert pairs, "planted corpus must produce duplicate edges"
+    for a, b in pairs:
+        assert assign[a] == assign[b], (a, b)

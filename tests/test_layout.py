@@ -158,6 +158,91 @@ def test_write_token_shards_layout_and_roundtrip(spark, tmp):
             assert len(files) == 1, shard_dir.path
 
 
+# --- no-split greedy sequence packing ---------------------------------------
+
+
+def _naive_sequence_pack(rows, budget):
+    """Reference fold: per key in order, reset-on-overflow greedy fill."""
+    out = {}
+    state = {}
+    for key, doc_id, t in sorted(rows):
+        pack, filled = state.get(key, (0, 0))
+        if filled > 0 and filled + t > budget:
+            pack += 1
+            filled = 0
+        out[(key, doc_id)] = (pack, filled)
+        state[key] = (pack, filled + t)
+    return out
+
+
+def test_greedy_sequence_pack_equals_naive_fold(spark):
+    """The mapInPandas fold must be bit-identical to the sequential
+    reference on the real corpus, for budgets spanning
+    one-doc-per-pack up to everything-in-one-pack."""
+    from options_data_pipeline_spark.operators.packing import greedy_sequence_pack
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "lang", "source", "doc_id",
+        F.size(F.split("text", " ", -1)).cast("long").alias("n_tokens"),
+    )
+    rows = [
+        ((r.lang, r.source), r.doc_id, r.n_tokens) for r in docs.collect()
+    ]
+    for budget in (1, 256, 10**9):
+        packed = greedy_sequence_pack(
+            docs, keys=["lang", "source"], order=["doc_id"],
+            token_col="n_tokens", budget=budget,
+        )
+        got = {
+            ((r.lang, r.source), r.doc_id): (r.pack_id, r.pack_offset)
+            for r in packed.collect()
+        }
+        assert got == _naive_sequence_pack(rows, budget), f"budget={budget}"
+
+
+def test_greedy_sequence_pack_partitioning_invariant(spark):
+    """Identical assignment regardless of the input's physical layout
+    (the hash-repartition + sort inside the operator owns the order)."""
+    from options_data_pipeline_spark.operators.packing import greedy_sequence_pack
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "lang", "source", "doc_id",
+        F.size(F.split("text", " ", -1)).cast("long").alias("n_tokens"),
+    )
+    base = greedy_sequence_pack(
+        docs, keys=["lang", "source"], order=["doc_id"],
+        token_col="n_tokens", budget=256,
+    ).collect()
+    shuffled = greedy_sequence_pack(
+        docs.repartition(13, "doc_id"),
+        keys=["lang", "source"], order=["doc_id"],
+        token_col="n_tokens", budget=256,
+    ).collect()
+    key = lambda r: (r.lang, r.source, r.doc_id)
+    assert sorted(map(tuple, base)) == sorted(map(tuple, shuffled))
+    assert len({key(r) for r in base}) == len(base)
+
+
+def test_greedy_sequence_pack_oversized_doc_own_pack(spark):
+    """A document over budget gets its own sequence at offset 0 and the
+    next document always opens a fresh one (chunking oversized docs is
+    `doc_chunks`' job upstream)."""
+    from options_data_pipeline_spark.operators.packing import greedy_sequence_pack
+
+    rows = [("k", 1, 3), ("k", 2, 50), ("k", 3, 4), ("k", 4, 5)]
+    df = spark.createDataFrame(rows, "key string, doc_id long, n_tokens long")
+    got = {
+        r.doc_id: (r.pack_id, r.pack_offset)
+        for r in greedy_sequence_pack(
+            df, keys=["key"], order=["doc_id"],
+            token_col="n_tokens", budget=10,
+        ).collect()
+    }
+    # doc1 fills 3; doc2 (50 > 10) overflows -> own pack; doc3 can't
+    # join the over-budget pack -> new pack; doc4 fits after doc3.
+    assert got == {1: (0, 0), 2: (1, 0), 3: (2, 0), 4: (2, 4)}
+
+
 # --- Z-order clustered rewrite ----------------------------------------------
 
 
