@@ -97,3 +97,63 @@ def test_compose_chain_associativity(gs, x0):
 
     assert apply(left, float(x0)) == direct
     assert apply(right, float(x0)) == direct
+
+
+# --- greedy sequence packing shares the fold contract ------------------------
+
+
+def _pack_reference(rows, budget):
+    """Plain-Python walk of the reset-on-overflow packing recurrence."""
+    out = {}
+    state: dict[str, tuple[int, int]] = {}
+    for k, seq, t in sorted(rows):
+        pack, filled = state.get(k, (0, 0))
+        if filled > 0 and filled + t > budget:
+            pack += 1
+            filled = 0
+        out[(k, seq)] = (pack, filled)
+        state[k] = (pack, filled + t)
+    return out
+
+
+@st.composite
+def pack_case(draw):
+    n_keys = draw(st.integers(1, 4))
+    budget = draw(st.integers(1, 40))
+    rows = []
+    for ki in range(n_keys):
+        n = draw(st.integers(1, 30))
+        toks = draw(st.lists(st.integers(1, 60), min_size=n, max_size=n))
+        rows += [(f"k{ki}", i, t) for i, t in enumerate(toks)]
+    return rows, budget
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(pack_case())
+def test_greedy_pack_matches_reference(spark, case):
+    from options_data_pipeline_spark.operators.packing import (
+        greedy_sequence_pack,
+    )
+
+    rows, budget = case
+    df = spark.createDataFrame(rows, "k string, seq int, t long")
+    got = {
+        (r.k, r.seq): (r.pack_id, r.pack_offset)
+        for r in greedy_sequence_pack(
+            df, keys=["k"], order=["seq"], token_col="t", budget=budget
+        ).collect()
+    }
+    assert got == _pack_reference(rows, budget)
+    # invariant: a pack never exceeds budget unless it is a single
+    # oversized document (offset 0)
+    fills: dict[tuple, int] = {}
+    toks = {(k, s): t for k, s, t in rows}
+    for (k, s), (p, off) in got.items():
+        fills[(k, p)] = max(fills.get((k, p), 0), off + toks[(k, s)])
+    for (k, p), total in fills.items():
+        members = [s for (kk, s), (pp, _) in got.items() if kk == k and pp == p]
+        assert total <= budget or len(members) == 1
