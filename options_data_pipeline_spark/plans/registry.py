@@ -210,6 +210,12 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
     ),
     "token_shards": (text.q_token_shards, text.oracle_token_shards),
     "sequence_pack": (text.q_sequence_pack, text.oracle_sequence_pack),
+    # distributed composition scan, adjudicated against the SAME oracle
+    # as the single-pass fold (the capped_running_scan pattern)
+    "sequence_pack_scan": (
+        text.q_sequence_pack_scan,
+        text.oracle_sequence_pack,
+    ),
     "leakage_safe_split": (
         text.q_leakage_safe_split,
         text.oracle_leakage_safe_split,
@@ -386,6 +392,7 @@ _PRIORITY: list[str] = [
     "approx_stats",
     # round-7 new operators: first driver adjudication this round
     "sequence_pack",
+    "sequence_pack_scan",
     "leakage_safe_split",
     # previously driver-green queries, prior rounds' order
     "image_probe",

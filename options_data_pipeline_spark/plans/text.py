@@ -771,6 +771,31 @@ SELECT lang, source, doc_id, n_tokens, pack_id, pack_offset FROM walk
 """
 
 
+def q_sequence_pack_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distributed two-phase form of `sequence_pack`
+    (:func:`..operators.packing.greedy_sequence_pack_scan`:
+    boundary-segment function tables via the first-reset lemma, driver
+    fold, partition-local replay) adjudicated against the SAME
+    recursive-CTE oracle as the grouped fold — the hash check proves
+    the parallel decomposition itself, exactly like
+    `capped_running_scan` does for the clamped fold."""
+    from ..operators.packing import greedy_sequence_pack_scan
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang",
+        "source",
+        "doc_id",
+        F.size(F.split("text", " ", -1)).cast("long").alias("n_tokens"),
+    )
+    return greedy_sequence_pack_scan(
+        docs,
+        keys=["lang", "source"],
+        order=["doc_id"],
+        token_col="n_tokens",
+        budget=SEQ_PACK_BUDGET,
+    )
+
+
 def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/val/test split at near-dup-CLUSTER granularity: every doc
     hashes on its dedup-cluster representative (component min id from

@@ -157,3 +157,63 @@ def test_greedy_pack_matches_reference(spark, case):
     for (k, p), total in fills.items():
         members = [s for (kk, s), (pp, _) in got.items() if kk == k and pp == p]
         assert total <= budget or len(members) == 1
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(pack_case())
+def test_greedy_pack_scan_matches_grouped_fold(spark, case):
+    """The two-phase boundary-segment scan must be bit-equal to the
+    grouped fold under partition counts that force keys to span
+    partitions (including every key in one partition and one key
+    spread over all of them)."""
+    from options_data_pipeline_spark.operators.packing import (
+        greedy_sequence_pack,
+        greedy_sequence_pack_scan,
+    )
+
+    rows, budget = case
+    df = spark.createDataFrame(rows, "k string, seq int, t long")
+    kw = dict(keys=["k"], order=["seq"], token_col="t", budget=budget)
+    expect = {
+        (r.k, r.seq): (r.pack_id, r.pack_offset)
+        for r in greedy_sequence_pack(df, **kw).collect()
+    }
+    for nparts in (1, 5):
+        got = {
+            (r.k, r.seq): (r.pack_id, r.pack_offset)
+            for r in greedy_sequence_pack_scan(
+                df, num_partitions=nparts, **kw
+            ).collect()
+        }
+        assert got == expect, f"num_partitions={nparts}"
+
+
+def test_greedy_pack_scan_single_key_spans_all_partitions(spark):
+    """Deterministic worst case for the first-reset lemma: one key, 400
+    docs, 16 partitions — every partition boundary carries entering
+    state, and oversized docs land on boundaries."""
+    from options_data_pipeline_spark.operators.packing import (
+        greedy_sequence_pack,
+        greedy_sequence_pack_scan,
+    )
+
+    toks = [((i * 7919) % 29) + 1 for i in range(400)]
+    toks[24] = toks[199] = toks[398] = 300  # oversized, near boundaries
+    rows = [("k", i, t) for i, t in enumerate(toks)]
+    df = spark.createDataFrame(rows, "k string, seq int, t long")
+    kw = dict(keys=["k"], order=["seq"], token_col="t", budget=64)
+    expect = {
+        r.seq: (r.pack_id, r.pack_offset)
+        for r in greedy_sequence_pack(df, **kw).collect()
+    }
+    got = {
+        r.seq: (r.pack_id, r.pack_offset)
+        for r in greedy_sequence_pack_scan(
+            df, num_partitions=16, **kw
+        ).collect()
+    }
+    assert got == expect
