@@ -228,6 +228,11 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
     "train_split": (text.q_train_split, text.oracle_train_split),
     "edit_distance_pairs": (text.q_edit_distance_pairs, text.oracle_edit_distance_pairs),
     "incremental_dedup": (text.q_incremental_dedup, text.oracle_incremental_dedup),
+    "bloom_prefilter_dedup": (
+        text.q_bloom_prefilter_dedup,
+        text.oracle_bloom_prefilter_dedup,
+    ),
+    "zorder_layout": (tpch2.q_zorder_layout, tpch2.oracle_zorder_layout),
     "text_normalize": (text.q_text_normalize, text.oracle_text_normalize),
     "quality_calibration": (text.q_quality_calibration, text.oracle_quality_calibration),
     "corpus_report": (text.q_corpus_report, text.oracle_corpus_report),
@@ -394,6 +399,8 @@ _PRIORITY: list[str] = [
     "sequence_pack",
     "sequence_pack_scan",
     "leakage_safe_split",
+    "bloom_prefilter_dedup",
+    "zorder_layout",
     # previously driver-green queries, prior rounds' order
     "image_probe",
     "benford_chisq",

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.rounding import round_half_away
+from ..operators import bloom as BF
 from ..operators import dedup as D
 from ..operators import simhash as SH
 from ..operators import textstats as TS
@@ -1527,6 +1528,99 @@ SELECT n.doc_id,
 FROM newb n
 LEFT OUTER JOIN base_hashes bh ON n.h = bh.h
 LEFT OUTER JOIN near nr ON nr.doc_id = n.doc_id
+"""
+
+
+def q_bloom_prefilter_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered incremental dedup: the 100 TB form of the
+    exact-probe half of ``incremental_dedup``.
+
+    An m-bit Bloom filter over the standing corpus's content digests is
+    built as a bit_or-aggregated ``(word, bits)`` bitmap (<= m/64 rows,
+    broadcastable regardless of corpus size), probed map-side by the
+    incoming batch, and only might-contain rows reach the exact hash
+    anti-join.  ``bloom_pass=false`` rows are emitted as new without
+    ever touching the shuffle join — at production scale that is ~99%
+    of a crawl drop, so the anti-join's shuffle shrinks from |batch| to
+    ~|dups|.  The answer stays exact (no false negatives); the oracle
+    recomputes both the membership verdict AND the k-bit probe from the
+    same md5-hex arithmetic, so a hash-construction drift on either
+    side fails the row hash, not just the summary.
+
+    Scale shape: one map-side-combined groupBy bounded at m/64 rows
+    (filter build), k broadcast joins (probe, zero probe-side
+    shuffles), one equi-join that only the bloom survivors enter.  The
+    static PLANS.md row over-counts exchanges: the k probe joins all
+    broadcast the SAME canonical bitmap plan, which AQE dedups at stage
+    materialization — the executed plan shows 1 BroadcastExchange + 9
+    ReusedExchange across both union branches (verified; static
+    explain can't show reuse under AQE).  Cite: reference dedup-on-write is
+    PostgreSQL ``ON CONFLICT DO NOTHING``
+    (`reference/src/pipeline/storage/writer.py`); this is the engine-
+    side equivalent that K2 ``insert_if_absent`` composes with.
+    """
+    corpus = planted_corpus(spark, sf_dir)
+    is_new = F.col("source").isin("mirror", "scrape")
+    incoming = corpus.where(is_new)
+    base = corpus.where(~is_new)
+
+    bitmap = BF.bloom_build(base, F.col("text"))
+    probed = BF.bloom_probe(
+        incoming.select("doc_id", "text"), bitmap, F.col("text")
+    ).select("doc_id", F.md5("text").alias("h"), "bloom_pass")
+
+    base_hashes = (
+        base.select(F.md5("text").alias("h"))
+        .distinct()
+        .withColumn("present", F.lit(True))
+    )
+    survivors = (
+        probed.where("bloom_pass")
+        .join(base_hashes, "h", "left")
+        .select("doc_id", "bloom_pass", F.col("present").isNull().alias("is_new"))
+    )
+    definite = probed.where(~F.col("bloom_pass")).select(
+        "doc_id", "bloom_pass", F.lit(True).alias("is_new")
+    )
+    return survivors.unionByName(definite)
+
+
+def oracle_bloom_prefilter_dedup() -> str:
+    m, k = BF.M_BITS, BF.K_HASHES
+    return f"""
+WITH {_PLANTED_SQL.strip().rstrip()},
+base AS (SELECT * FROM corpus WHERE source NOT IN ('mirror', 'scrape')),
+inc AS (SELECT doc_id, text FROM corpus WHERE source IN ('mirror', 'scrape')),
+base_bits AS (
+    SELECT DISTINCT (h1 + g.i * h2) % {m} AS pos
+    FROM (
+        SELECT ('0x' || substr(md5(text), 1, 15))::UBIGINT::BIGINT AS h1,
+               ('0x' || substr(md5(text), 16, 15))::UBIGINT::BIGINT AS h2
+        FROM base
+    )
+    CROSS JOIN generate_series(0, {k - 1}) AS g(i)
+),
+inc_pos AS (
+    SELECT doc_id, (h1 + g.i * h2) % {m} AS pos
+    FROM (
+        SELECT doc_id,
+               ('0x' || substr(md5(text), 1, 15))::UBIGINT::BIGINT AS h1,
+               ('0x' || substr(md5(text), 16, 15))::UBIGINT::BIGINT AS h2
+        FROM inc
+    )
+    CROSS JOIN generate_series(0, {k - 1}) AS g(i)
+),
+flags AS (
+    SELECT doc_id, bool_and(b.pos IS NOT NULL) AS bloom_pass
+    FROM inc_pos p LEFT OUTER JOIN base_bits b ON p.pos = b.pos
+    GROUP BY doc_id
+)
+SELECT i.doc_id, f.bloom_pass,
+       CASE WHEN NOT f.bloom_pass THEN TRUE ELSE bh.h IS NULL END AS is_new
+FROM inc i
+JOIN flags f ON f.doc_id = i.doc_id
+LEFT OUTER JOIN (SELECT DISTINCT md5(text) AS h FROM base) bh
+       ON md5(i.text) = bh.h
 """
 
 

@@ -434,3 +434,67 @@ def test_leakage_safe_split_no_dup_edge_straddles_splits(spark):
     assert pairs, "planted corpus must produce duplicate edges"
     for a, b in pairs:
         assert assign[a] == assign[b], (a, b)
+
+
+# --- bloom prefilter ---------------------------------------------------------
+
+
+def test_bloom_has_no_false_negatives(spark):
+    from options_data_pipeline_spark.operators import bloom as BF
+
+    keys = _docs(spark, [(i, f"document number {i}") for i in range(300)])
+    bitmap = BF.bloom_build(keys, F.col("text"))
+    flags = BF.bloom_probe(keys, bitmap, F.col("text"))
+    assert flags.where(~F.col("bloom_pass")).count() == 0
+
+
+def test_bloom_bitmap_is_bounded_and_broadcastable(spark):
+    from options_data_pipeline_spark.operators import bloom as BF
+
+    m = 1 << 12
+    keys = _docs(spark, [(i, f"k{i}") for i in range(500)])
+    bitmap = BF.bloom_build(keys, F.col("text"), m_bits=m)
+    # never more rows than 64-bit words in the filter, however many keys
+    assert bitmap.count() <= m // 64
+    assert dict(bitmap.dtypes)["bits"] == "bigint"
+
+
+def test_bloom_rejects_most_absent_keys(spark):
+    from options_data_pipeline_spark.operators import bloom as BF
+
+    present = _docs(spark, [(i, f"present {i}") for i in range(200)])
+    absent = _docs(spark, [(i, f"absent {i}") for i in range(200)])
+    bitmap = BF.bloom_build(present, F.col("text"))
+    flags = BF.bloom_probe(absent, bitmap, F.col("text"))
+    false_pos = flags.where("bloom_pass").count()
+    # 200 keys in a 2^20-bit filter: fpp is ~1e-10; a handful of hits
+    # would mean the position math is broken, not bad luck
+    assert false_pos == 0
+
+
+def test_bloom_hash_halves_match_duckdb(spark):
+    """The oracle contract: Spark's conv(md5-hex) == DuckDB's ::UBIGINT."""
+    import duckdb
+
+    from options_data_pipeline_spark.operators.bloom import _halves
+
+    texts = ["hello", "world", "", "the quick brown fox", "Iñtërnâtiônàlizætiøn"]
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    h1, h2 = _halves(F.col("t"))
+    got = {r.t: (r.h1, r.h2) for r in df.select("t", h1.alias("h1"), h2.alias("h2")).collect()}
+    for t in texts:
+        want = duckdb.sql(
+            "SELECT ('0x' || substr(md5(?),1,15))::UBIGINT::BIGINT,"
+            "       ('0x' || substr(md5(?),16,15))::UBIGINT::BIGINT",
+            params=[t, t],
+        ).fetchone()
+        assert got[t] == want, t
+
+
+def test_bloom_k_overflow_guard(spark):
+    import pytest
+
+    from options_data_pipeline_spark.operators import bloom as BF
+
+    with pytest.raises(ValueError):
+        BF.bloom_positions(F.lit("x"), k=8)

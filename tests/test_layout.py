@@ -452,3 +452,102 @@ def test_write_zordered_rejects_string_column(spark, tmp):
     ev = load_table(spark, SF_DIR, "events").select("event_type", "user_id")
     with pytest.raises(ValueError, match="quantile ordering"):
         write_zordered(ev, f"{tmp}/zs", "event_type", "user_id", num_files=4)
+
+
+# --- z-order -----------------------------------------------------------------
+
+
+def _py_interleave(x: int, y: int, bits: int = 10) -> int:
+    z = 0
+    for b in range(bits):
+        z |= ((x >> b) & 1) << (2 * b)
+        z |= ((y >> b) & 1) << (2 * b + 1)
+    return z
+
+
+def test_zorder_interleave_matches_python_reference(spark):
+    from pyspark.sql import functions as F
+
+    from options_data_pipeline_spark.operators import zorder as Z
+
+    pts = [(0, 0), (1023, 1023), (1, 0), (0, 1), (512, 256), (700, 33)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    got = {
+        (r.x, r.y): r.z
+        for r in df.select(
+            "x", "y", Z.interleave_bits(F.col("x"), F.col("y")).alias("z")
+        ).collect()
+    }
+    for x, y in pts:
+        assert got[(x, y)] == _py_interleave(x, y), (x, y)
+
+
+def test_zorder_interleave_sql_matches_spark(spark):
+    import random
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from options_data_pipeline_spark.operators import zorder as Z
+
+    rng = random.Random(7)
+    pts = [(rng.randrange(1024), rng.randrange(1024)) for _ in range(50)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    got = sorted(
+        r.z
+        for r in df.select(
+            Z.interleave_bits(F.col("x"), F.col("y")).alias("z")
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE pts (x BIGINT, y BIGINT)")
+    con.executemany("INSERT INTO pts VALUES (?, ?)", pts)
+    want = sorted(
+        r[0]
+        for r in con.sql(
+            f"SELECT {Z.interleave_sql('x', 'y')} FROM pts"
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_zorder_quantize_endpoints_and_monotone(spark):
+    from pyspark.sql import functions as F
+
+    from options_data_pipeline_spark.operators import zorder as Z
+
+    df = spark.range(0, 5000).select(F.col("id").alias("v"))
+    q = df.select(
+        "v",
+        Z.quantize(F.col("v"), F.lit(0), F.lit(4999)).alias("q"),
+    ).orderBy("v").collect()
+    assert q[0].q == 0 and q[-1].q == 1023
+    assert all(b.q >= a.q for a, b in zip(q, q[1:]))  # monotone
+    assert all(0 <= r.q <= 1023 for r in q)
+
+
+def test_zorder_buckets_are_tight_tiles_in_both_dims(spark):
+    """On a full uniform 1024x1024 grid the 256 z-buckets (top 8 bits)
+    are exactly 64x64 tiles — tight in BOTH dims, which is the whole
+    point vs a single-column sort (full-range boxes in dim 2)."""
+    from pyspark.sql import functions as F
+
+    from options_data_pipeline_spark.operators import zorder as Z
+
+    # a 64x64 subsample of the grid (step 16 in each dim) keeps the test
+    # fast while still touching every bucket
+    xs = spark.range(0, 1024, 16).select(F.col("id").alias("x"))
+    ys = spark.range(0, 1024, 16).select(F.col("id").alias("y"))
+    grid = xs.crossJoin(ys)
+    z = Z.interleave_bits(F.col("x"), F.col("y"))
+    boxes = (
+        grid.select(F.shiftright(z, 12).alias("bucket"), "x", "y")
+        .groupBy("bucket")
+        .agg(
+            (F.max("x") - F.min("x")).alias("wx"),
+            (F.max("y") - F.min("y")).alias("wy"),
+        )
+        .collect()
+    )
+    assert len(boxes) == 256
+    assert all(r.wx <= 63 and r.wy <= 63 for r in boxes)
