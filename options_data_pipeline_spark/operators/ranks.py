@@ -163,3 +163,44 @@ def _sort_keys(
         _, desc = order[i]
         out.sort(key=lambda t, i=i: t[i], reverse=desc)
     return out
+
+
+def grouped_topk(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order: Sequence[tuple[str, bool]],
+    k: int,
+    salt_col: str,
+    buckets: int = 32,
+) -> DataFrame:
+    """Exact top-k rows per group without a one-task-per-group window.
+
+    ``Window.partitionBy(group)`` puts each group's ENTIRE candidate set
+    in one task — for per-query ANN that is the whole corpus per query.
+    Phase A ranks within (group, salt) — ``buckets``-way parallel, and
+    any row ranked > k inside its salt bucket cannot be in the group's
+    global top-k (rank within a subset lower-bounds global rank), so
+    phase B re-ranks only the <= buckets*k survivors per group.  Same
+    contract as an unpartitioned per-group row_number: ``order`` (with
+    its tie-break) must be a deterministic total order; ``salt_col`` is
+    any integer column (hashed rows spread round-robin-ish via pmod).
+
+    Appends ``rank`` (1..k) and drops rows beyond k.
+    """
+    gcols = list(group_cols)
+    oexprs = [
+        (F.col(n).desc() if d else F.col(n).asc()) for n, d in order
+    ]
+    salted = Window.partitionBy(
+        *gcols, F.pmod(F.col(salt_col), F.lit(buckets))
+    ).orderBy(*oexprs)
+    survivors = (
+        df.withColumn("__srk", F.row_number().over(salted))
+        .where(F.col("__srk") <= k)
+        .drop("__srk")
+    )
+    final = Window.partitionBy(*gcols).orderBy(*oexprs)
+    return (
+        survivors.withColumn("rank", F.row_number().over(final).cast("long"))
+        .where(F.col("rank") <= k)
+    )

@@ -233,6 +233,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
         text.oracle_bloom_prefilter_dedup,
     ),
     "zorder_layout": (tpch2.q_zorder_layout, tpch2.oracle_zorder_layout),
+    "pq_ann_topk": (vectors.q_pq_ann_topk, vectors.oracle_pq_ann_topk),
     "text_normalize": (text.q_text_normalize, text.oracle_text_normalize),
     "quality_calibration": (text.q_quality_calibration, text.oracle_quality_calibration),
     "corpus_report": (text.q_corpus_report, text.oracle_corpus_report),
@@ -401,6 +402,7 @@ _PRIORITY: list[str] = [
     "leakage_safe_split",
     "bloom_prefilter_dedup",
     "zorder_layout",
+    "pq_ann_topk",
     # previously driver-green queries, prior rounds' order
     "image_probe",
     "benford_chisq",

@@ -904,3 +904,98 @@ SELECT qid, qlabel AS anchor_label, cid, clabel AS negative_label,
        cosine_sim, CAST(rank AS BIGINT) AS rank
 FROM rk WHERE rank <= {HN_K}
 """
+
+
+# --- product quantization ----------------------------------------------------
+
+
+def q_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ/ADC approximate top-5 neighbors for every 97th vector (see
+    :mod:`..operators.pq` for the scale design: bounded per-subspace
+    codebooks, one-scan encode, constant-table ADC fan-out, salted
+    two-phase rank).  ``adc`` is the asymmetric distance, rounded to
+    4 dp for the cross-engine hash; ranking uses the RAW double (bit-
+    identical both engines — every fold is fixed-order IEEE) with
+    vec_id tie-break."""
+    from ..functions.rounding import round_half_away
+    from ..operators import pq as PQ
+    from ..operators.clustering import _as_double_vectors
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = parallelized(spark, _as_double_vectors(emb, "vec_id", "embedding"))
+    books = PQ.train_codebooks(vecs)
+    queries = sorted(
+        (int(r["vec_id"]), list(r["v"]))
+        for r in vecs.where(F.col("vec_id") % 97 == 0).collect()
+    )
+    out = PQ.adc_topk(vecs, queries, books)
+    return out.select(
+        "qid", "rank", "vec_id", round_half_away(F.col("adc"), 4).alias("adc")
+    )
+
+
+def oracle_pq_ann_topk() -> str:
+    from ..operators.pq import CODES, SUBDIM, SUBSPACES, TOPK
+
+    def dist(a: str, b: str) -> str:
+        return (
+            f"list_reduce(list_transform(range(1, {SUBDIM + 1}), i ->"
+            f" ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), (acc, x) -> acc + x)"
+        )
+
+    return f"""
+WITH vecs AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+),
+sub AS (
+    SELECT vec_id, g.s,
+           list_slice(v, (g.s - 1) * {SUBDIM} + 1, g.s * {SUBDIM}) AS sv
+    FROM vecs CROSS JOIN generate_series(1, {SUBSPACES}) g(s)
+),
+seed AS (SELECT s, vec_id AS cid, sv AS cv FROM sub WHERE vec_id < {CODES}),
+a1 AS (
+    SELECT vec_id, s, sv, cid,
+           row_number() OVER (PARTITION BY vec_id, s
+                              ORDER BY dist, cid) AS rn
+    FROM (SELECT x.vec_id, x.s, x.sv, c.cid, {dist('x.sv', 'c.cv')} AS dist
+          FROM sub x JOIN seed c ON c.s = x.s)
+),
+cent AS (
+    SELECT s, cid, pos,
+           CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS c
+    FROM (SELECT s, cid, unnest(sv) AS x,
+                 unnest(range(0, len(sv))) AS pos
+          FROM a1 WHERE rn = 1)
+    GROUP BY 1, 2, 3
+),
+cb AS (SELECT s, cid, list(c ORDER BY pos) AS cv FROM cent GROUP BY 1, 2),
+enc AS (
+    SELECT vec_id, s, cid AS code FROM (
+        SELECT x.vec_id, x.s, c.cid,
+               row_number() OVER (PARTITION BY x.vec_id, x.s
+                                  ORDER BY {dist('x.sv', 'c.cv')}, c.cid) AS rn
+        FROM sub x JOIN cb c ON c.s = x.s)
+    WHERE rn = 1
+),
+q AS (SELECT vec_id AS qid, s, sv AS qv FROM sub WHERE vec_id % 97 = 0),
+dt AS (
+    SELECT qid, q.s, c.cid, {dist('q.qv', 'c.cv')} AS d
+    FROM q JOIN cb c ON c.s = q.s
+),
+scored AS (
+    SELECT t.qid, e.vec_id,
+           list_reduce(list(t.d ORDER BY t.s), (acc, x) -> acc + x) AS adc
+    FROM enc e JOIN dt t ON t.s = e.s AND t.cid = e.code
+    GROUP BY t.qid, e.vec_id
+),
+ranked AS (
+    SELECT qid, vec_id, adc,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY adc, vec_id) AS rank
+    FROM scored WHERE vec_id <> qid
+)
+SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id,
+       {sql_round_half_away('adc', 4)} AS adc
+FROM ranked WHERE rank <= {TOPK}
+"""

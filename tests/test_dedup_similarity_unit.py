@@ -498,3 +498,115 @@ def test_bloom_k_overflow_guard(spark):
 
     with pytest.raises(ValueError):
         BF.bloom_positions(F.lit("x"), k=8)
+
+
+# --- product quantization ----------------------------------------------------
+
+
+def _toy_vecs(spark, n=40, dim=64, seed=3):
+    import random
+
+    rng = random.Random(seed)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(n)]
+    return rows, spark.createDataFrame(rows, "vec_id long, v array<double>")
+
+
+def test_pq_encode_codes_are_valid_and_deterministic(spark):
+    from options_data_pipeline_spark.operators import pq as PQ
+
+    _, vecs = _toy_vecs(spark)
+    books = PQ.train_codebooks(vecs)
+    assert len(books) == PQ.SUBSPACES
+    valid = [set(cid for cid, _ in b) for b in books]
+    enc1 = {r.vec_id: tuple(r[f"code{s}"] for s in range(PQ.SUBSPACES))
+            for r in PQ.pq_encode(vecs, books).collect()}
+    enc2 = {r.vec_id: tuple(r[f"code{s}"] for s in range(PQ.SUBSPACES))
+            for r in PQ.pq_encode(vecs, books).collect()}
+    assert enc1 == enc2  # deterministic
+    for codes in enc1.values():
+        for s, c in enumerate(codes):
+            assert c in valid[s]
+
+
+def test_pq_adc_matches_python_reference(spark):
+    """End-to-end: Spark's ADC top-k equals a plain-Python PQ pipeline
+    run on the same codebooks (encode + table lookups + sort)."""
+    from options_data_pipeline_spark.operators import pq as PQ
+
+    rows, vecs = _toy_vecs(spark)
+    books = PQ.train_codebooks(vecs)
+    queries = [(i, v) for i, v in rows if i % 7 == 0]
+
+    def sub(v, s):
+        return v[s * PQ.SUBDIM:(s + 1) * PQ.SUBDIM]
+
+    def d2(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += (x - y) * (x - y)
+        return acc
+
+    def encode(v):
+        return tuple(
+            min(((d2(sub(v, s), cv), cid) for cid, cv in books[s]))[1]
+            for s in range(PQ.SUBSPACES)
+        )
+
+    codes = {i: encode(v) for i, v in rows}
+    want = {}
+    for qid, qv in queries:
+        dts = [
+            {cid: d2(sub(qv, s), cv) for cid, cv in books[s]}
+            for s in range(PQ.SUBSPACES)
+        ]
+        scored = sorted(
+            (sum(dts[s][codes[i][s]] for s in range(PQ.SUBSPACES)), i)
+            for i, _ in rows if i != qid
+        )
+        want[qid] = [i for _, i in scored[: PQ.TOPK]]
+
+    got = {}
+    for r in PQ.adc_topk(vecs, queries, books).orderBy("qid", "rank").collect():
+        got.setdefault(r.qid, []).append(r.vec_id)
+    assert got == want
+
+
+def test_pq_duplicate_vector_is_top1(spark):
+    """A vector's exact duplicate shares its codes, so ADC ranks it by
+    pure quantization error — it must come back as the top neighbor."""
+    from options_data_pipeline_spark.operators import pq as PQ
+
+    rows, _ = _toy_vecs(spark, n=39)
+    dup_of = 25
+    rows = rows + [(39, list(rows[dup_of][1]))]
+    vecs = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    books = PQ.train_codebooks(vecs)
+    out = PQ.adc_topk(vecs, [(dup_of, rows[dup_of][1])], books).collect()
+    top1 = [r for r in out if r.rank == 1]
+    assert top1 and top1[0].vec_id == 39
+
+
+def test_grouped_topk_matches_plain_window(spark):
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from options_data_pipeline_spark.operators.ranks import grouped_topk
+
+    rng = random.Random(11)
+    rows = [(i % 5, i, rng.uniform(0, 100)) for i in range(500)]
+    df = spark.createDataFrame(rows, "g long, id long, x double")
+    got = sorted(
+        (r.g, r.rank, r.id)
+        for r in grouped_topk(
+            df, ["g"], [("x", True), ("id", False)], 7, "id", buckets=8
+        ).collect()
+    )
+    w = Window.partitionBy("g").orderBy(F.col("x").desc(), F.col("id").asc())
+    want = sorted(
+        (r.g, r.rk, r.id)
+        for r in df.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where("rk <= 7").collect()
+    )
+    assert got == want
