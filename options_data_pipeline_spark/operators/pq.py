@@ -44,6 +44,7 @@ SUBSPACES = 4
 SUBDIM = 16
 CODES = 16
 TOPK = 5
+NPROBE = 2
 
 
 def _sub(v: Column, s: int) -> Column:
@@ -161,12 +162,119 @@ def adc_topk(
         *[f"code{s}" for s in range(SUBSPACES)],
         *[F.col("q")[f"dt{s}"].alias(f"dt{s}") for s in range(SUBSPACES)],
     )
+    return _rank_adc(fanned, k)
+
+
+def _rank_adc(cand: DataFrame, k: int) -> DataFrame:
+    """(qid, rank, vec_id, adc) from candidate rows carrying codes +
+    per-query tables: 4 ``element_at`` adds in fixed left order, self
+    pairs dropped, salted two-phase per-query rank."""
+    from .ranks import grouped_topk
+
     adc = F.element_at("dt0", F.col("code0").cast("int") + 1)
     for s in range(1, SUBSPACES):
         adc = adc + F.element_at(f"dt{s}", F.col(f"code{s}").cast("int") + 1)
-    scored = fanned.select(
+    scored = cand.select(
         "qid", "vec_id", adc.alias("adc")
     ).where(F.col("vec_id") != F.col("qid"))
     return grouped_topk(
         scored, ["qid"], [("adc", False), ("vec_id", False)], k, "vec_id"
     ).select("qid", "rank", "vec_id", "adc")
+
+
+# --- IVFADC: coarse quantizer + residual PQ ---------------------------------
+
+
+def coarse_residuals(
+    vecs: DataFrame, cells: list[list[float]]
+) -> DataFrame:
+    """(vec_id, cell, v): each vector's nearest coarse cell (same
+    deterministic dot-product rank as :func:`similarity.ivf_assign`,
+    ties to the lower cell id) and its residual v - centroid[cell].
+    One narrow scan + the per-vector rank; the residual lookup is
+    ``element_at`` into one constant matrix — no join."""
+    from ..functions.litconst import double_matrix_sql
+    from .similarity import ivf_assign
+
+    assigned = ivf_assign(vecs, "v", cells=cells, nprobe=1).select(
+        "vec_id", "v", "cell"
+    )
+    w = F.element_at(F.expr(double_matrix_sql(cells)), F.col("cell") + 1)
+    return assigned.select(
+        "vec_id", "cell", F.zip_with("v", w, lambda x, y: x - y).alias("v")
+    )
+
+
+def probe_tables(
+    queries: list[tuple[int, list[float]]],
+    cells: list[list[float]],
+    books: list[list[tuple[int, list[float]]]],
+    nprobe: int = NPROBE,
+) -> list[tuple]:
+    """Driver-side IVFADC probe rows: for each query, its ``nprobe``
+    best coarse cells (dot desc, cell asc — same order as
+    ``ivf_assign``) and, per probed cell, the S distance tables of the
+    query's residual in THAT cell.  Python floats are IEEE doubles and
+    every fold here is the same left fold the SQL expressions use —
+    bit-equal to the oracle.  |queries| * nprobe rows, broadcast-sized."""
+    rows = []
+    for qid, qv in queries:
+        sims = []
+        for cell, w in enumerate(cells):
+            acc = 0.0
+            for x, y in zip(qv, w):
+                acc += x * y
+            sims.append((cell, acc))
+        sims.sort(key=lambda t: (-t[1], t[0]))
+        for cell, _ in sims[:nprobe]:
+            rq = [x - y for x, y in zip(qv, cells[cell])]
+            tabs = []
+            for s, book in enumerate(books):
+                qs = rq[s * SUBDIM : (s + 1) * SUBDIM]
+                table = [1e30] * CODES
+                for cid, cv in book:
+                    acc = 0.0
+                    for x, y in zip(qs, cv):
+                        acc += (x - y) * (x - y)
+                    table[cid] = acc
+                tabs.append(table)
+            rows.append((qid, cell, *tabs))
+    return rows
+
+
+def ivfadc_topk(
+    vecs: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    cells: list[list[float]],
+    k: int = TOPK,
+    nprobe: int = NPROBE,
+) -> DataFrame:
+    """(qid, rank, vec_id, adc): the full IVFADC pipeline (Jégou et al.
+    2011 §V) — coarse-quantize, PQ-encode the RESIDUALS (one shared
+    codebook set, the paper's recommended variant), then per query scan
+    only its ``nprobe`` probed cells with residual distance tables.
+
+    Scale shape vs plain ADC: the probe-table frame keys candidates by
+    ``cell``, so the broadcast hash join prunes the scan to
+    ~nprobe/|cells| of the corpus BEFORE any distance math — compose of
+    IVF's read pruning and PQ's byte pruning.  At 10^9 vectors: codes
+    live partitioned by cell (partition pruning serves the probe join),
+    tables stay |queries|*nprobe rows (broadcast), and the only shuffle
+    is the salted top-k rank."""
+    resid = coarse_residuals(vecs, cells)
+    books = train_codebooks(resid.select("vec_id", "v"))
+    enc = resid.select(
+        "vec_id",
+        "cell",
+        *[
+            _argmin_code(F.col("v"), s, books[s]).alias(f"code{s}")
+            for s in range(SUBSPACES)
+        ],
+    )
+    schema = "qid long, cell int, " + ", ".join(
+        f"dt{s} array<double>" for s in range(SUBSPACES)
+    )
+    ptab = vecs.sparkSession.createDataFrame(
+        probe_tables(queries, cells, books, nprobe), schema
+    )
+    return _rank_adc(enc.join(F.broadcast(ptab), "cell"), k)

@@ -204,3 +204,41 @@ def grouped_topk(
         survivors.withColumn("rank", F.row_number().over(final).cast("long"))
         .where(F.col("rank") <= k)
     )
+
+
+def rrf_fuse(
+    ranked: Sequence[DataFrame],
+    id_col: str,
+    k: int = 60,
+    out: str = "rrf_raw",
+) -> DataFrame:
+    """Reciprocal-rank fusion of N ranked lists (Cormack, Clarke &
+    Buettcher, SIGIR 2009): score(d) = sum_i 1/(k + rank_i(d)), items
+    missing from a list contribute 0 for it.
+
+    Each input frame carries (``id_col``, ``rank``); the output joins
+    them full-outer on ``id_col`` with ``rank`` renamed ``rank_{i}``
+    (input order) and appends ``out``.  The fold is fixed left-to-right
+    over i, and each term is 1.0/(k + rank) in DOUBLE — the same
+    expression an oracle must spell as CAST(1 AS DOUBLE)/(k + r), so
+    fused scores are bit-comparable across engines.
+
+    Scale: the inputs are top-k lists — the heavy lifting (BM25 scan,
+    ANN index) happens upstream; fusion joins |lists| * k rows.  With
+    unbounded inputs the full-outer joins shuffle on ``id_col`` only.
+    """
+    from functools import reduce
+
+    renamed = [
+        df.select(id_col, F.col("rank").alias(f"rank_{i}"))
+        for i, df in enumerate(ranked)
+    ]
+    joined = reduce(lambda a, b: a.join(b, id_col, "full_outer"), renamed)
+    score = F.coalesce(
+        F.lit(1.0) / (F.lit(k) + F.col("rank_0")), F.lit(0.0)
+    )
+    for i in range(1, len(renamed)):
+        score = score + F.coalesce(
+            F.lit(1.0) / (F.lit(k) + F.col(f"rank_{i}")), F.lit(0.0)
+        )
+    return joined.withColumn(out, score)

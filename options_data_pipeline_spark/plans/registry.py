@@ -234,6 +234,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
     ),
     "zorder_layout": (tpch2.q_zorder_layout, tpch2.oracle_zorder_layout),
     "pq_ann_topk": (vectors.q_pq_ann_topk, vectors.oracle_pq_ann_topk),
+    "ivfadc_topk": (vectors.q_ivfadc_topk, vectors.oracle_ivfadc_topk),
     "text_normalize": (text.q_text_normalize, text.oracle_text_normalize),
     "quality_calibration": (text.q_quality_calibration, text.oracle_quality_calibration),
     "corpus_report": (text.q_corpus_report, text.oracle_corpus_report),
@@ -242,6 +243,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
     "span_corruption": (text.q_span_corruption, text.oracle_span_corruption),
     "bm25_search": (retrieval.q_bm25_search, retrieval.oracle_bm25_search),
     "retrieval_ndcg": (retrieval.q_retrieval_ndcg, retrieval.oracle_retrieval_ndcg),
+    "hybrid_rrf": (retrieval.q_hybrid_rrf, retrieval.oracle_hybrid_rrf),
     "bpe_tokenize": (text.q_bpe_tokenize, text.oracle_bpe_tokenize),
     "domain_mixture": (retrieval.q_domain_mixture, retrieval.oracle_domain_mixture),
     "logprob_trim": (retrieval.q_logprob_trim, retrieval.oracle_logprob_trim),
@@ -403,6 +405,8 @@ _PRIORITY: list[str] = [
     "bloom_prefilter_dedup",
     "zorder_layout",
     "pq_ann_topk",
+    "ivfadc_topk",
+    "hybrid_rrf",
     # previously driver-green queries, prior rounds' order
     "image_probe",
     "benford_chisq",

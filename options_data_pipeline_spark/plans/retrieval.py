@@ -701,3 +701,118 @@ SELECT a.qid, a.n_candidates, a.n_relevant,
        CASE WHEN fr IS NOT NULL THEN {mrr6} ELSE 0.0 END AS mrr_10
 FROM agg a LEFT JOIN idcg_t USING (qid)
 """
+
+
+# --- hybrid lexical + dense retrieval (RRF) ----------------------------------
+#
+# Production retrieval fuses a lexical arm (BM25) with a dense arm (ANN
+# over embeddings) — reciprocal-rank fusion is the standard score-free
+# combiner (Cormack, Clarke & Buettcher, SIGIR 2009: 1/(k + rank) sums).
+# The corpus-scale work happens inside each arm (BM25's filtered
+# postings, the ANN index); fusion itself only ever touches two top-k
+# lists, so it is bounded no matter the corpus size.
+
+RRF_K = 60
+HYBRID_TOP_K = 10
+
+
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 of RRF(BM25 arm over ``documents``, cosine arm over
+    ``embeddings`` for a fixed deterministic probe vector), fused on
+    doc_id == vec_id.  ``lex_rank``/``dense_rank`` are NULL where an arm
+    missed the doc; ``rrf`` rounds the raw fused double to 6 dp while
+    the ordering uses the raw value (vec-id tie-break)."""
+    from pyspark.sql import Window
+
+    from ..functions.litconst import lit_double_array
+    from ..operators.ranks import rrf_fuse
+    from ..operators.similarity import _pseudo_vec, cosine_topk
+    from ..sources.tables import parallelized
+
+    lex0 = q_bm25_search(spark, sf_dir)
+    # 20-row arm: the unpartitioned window is bounded by BM25_TOP_K
+    w_lex = Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+    lex = lex0.select(
+        "doc_id", F.row_number().over(w_lex).cast("long").alias("rank")
+    )
+
+    emb = parallelized(spark, load_table(spark, sf_dir, "embeddings"))
+    corpus = emb.select(
+        F.col("vec_id").alias("cid"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("cv"),
+    )
+    probe = spark.range(1).select(
+        F.lit(-1).cast("long").alias("qid"),
+        lit_double_array(_pseudo_vec("hybrid", 0)).alias("qv"),
+    )
+    dense = cosine_topk(probe, corpus, k=BM25_TOP_K).select(
+        F.col("cid").alias("doc_id"), "rank"
+    )
+
+    fused = rrf_fuse([lex, dense], "doc_id", k=RRF_K)
+    w_fin = Window.orderBy(F.col("rrf_raw").desc(), F.col("doc_id").asc())
+    return (
+        fused.withColumn(
+            "fused_rank", F.row_number().over(w_fin).cast("long")
+        )
+        .where(F.col("fused_rank") <= HYBRID_TOP_K)
+        .select(
+            "doc_id",
+            F.col("rank_0").alias("lex_rank"),
+            F.col("rank_1").alias("dense_rank"),
+            round_half_away(F.col("rrf_raw"), 6).alias("rrf"),
+            "fused_rank",
+        )
+    )
+
+
+def oracle_hybrid_rrf() -> str:
+    from ..operators.similarity import _pseudo_vec
+
+    qv = "[" + ", ".join(repr(x) for x in _pseudo_vec("hybrid", 0)) + "]"
+    dot = (
+        "list_reduce(list_transform(range(1, len(cv)+1),"
+        " i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)),"
+        " (acc, x) -> acc + x)"
+    )
+    norm = (
+        "list_reduce(list_transform(range(1, len({a})+1),"
+        " i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE)),"
+        " (acc, x) -> acc + x)"
+    )
+    sim = sql_round_half_away(
+        f"({dot} / sqrt({norm.format(a='qv')} * {norm.format(a='cv')}))", 4
+    )
+    term = "COALESCE(CAST(1 AS DOUBLE) / ({k} + {r}), CAST(0 AS DOUBLE))"
+    rrf_raw = (
+        term.format(k=RRF_K, r="l.rank") + " + " + term.format(k=RRF_K, r="d.rank")
+    )
+    return f"""
+WITH lex0 AS ({oracle_bm25_search()}),
+lex AS (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rank
+    FROM lex0
+),
+dense0 AS (
+    SELECT vec_id AS cid, {sim} AS cosine_sim
+    FROM (SELECT vec_id, embedding AS cv, {qv} AS qv FROM embeddings)
+),
+dense AS (
+    SELECT cid AS doc_id, rank FROM (
+        SELECT cid, row_number() OVER (ORDER BY cosine_sim DESC, cid ASC) AS rank
+        FROM dense0)
+    WHERE rank <= {BM25_TOP_K}
+),
+fused AS (
+    SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id,
+           l.rank AS lex_rank, d.rank AS dense_rank,
+           {rrf_raw} AS rrf_raw
+    FROM lex l FULL OUTER JOIN dense d ON l.doc_id = d.doc_id
+)
+SELECT doc_id, lex_rank, dense_rank,
+       {sql_round_half_away('rrf_raw', 6)} AS rrf,
+       row_number() OVER (ORDER BY rrf_raw DESC, doc_id ASC) AS fused_rank
+FROM fused
+QUALIFY fused_rank <= {HYBRID_TOP_K}
+"""

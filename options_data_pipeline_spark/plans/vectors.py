@@ -999,3 +999,132 @@ SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id,
        {sql_round_half_away('adc', 4)} AS adc
 FROM ranked WHERE rank <= {TOPK}
 """
+
+
+# --- IVFADC -----------------------------------------------------------------
+
+IVFADC_QMOD = 89
+
+
+def q_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC approximate top-5 for every 89th vector: coarse cells
+    (the deterministic :func:`similarity.centroids` set), residual PQ
+    codes, nprobe=2 probe join — see :func:`..operators.pq.ivfadc_topk`
+    for the composed pruning story."""
+    from ..functions.rounding import round_half_away
+    from ..operators import pq as PQ
+    from ..operators.clustering import _as_double_vectors
+    from ..operators.similarity import centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = parallelized(spark, _as_double_vectors(emb, "vec_id", "embedding"))
+    queries = sorted(
+        (int(r["vec_id"]), list(r["v"]))
+        for r in vecs.where(F.col("vec_id") % IVFADC_QMOD == 0).collect()
+    )
+    out = PQ.ivfadc_topk(vecs, queries, centroids())
+    return out.select(
+        "qid", "rank", "vec_id", round_half_away(F.col("adc"), 4).alias("adc")
+    )
+
+
+def oracle_ivfadc_topk() -> str:
+    from ..operators.pq import CODES, NPROBE, SUBDIM, SUBSPACES, TOPK
+    from ..operators.similarity import DIM, centroids
+
+    cells = ", ".join(
+        "({}, [{}])".format(c, ", ".join(repr(x) for x in vec))
+        for c, vec in enumerate(centroids())
+    )
+
+    def dist(a: str, b: str) -> str:
+        return (
+            f"list_reduce(list_transform(range(1, {SUBDIM + 1}), i ->"
+            f" ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), (acc, x) -> acc + x)"
+        )
+
+    return f"""
+WITH vecs AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+),
+cells(cell, w) AS (VALUES {cells}),
+crank AS (
+    SELECT e.vec_id, e.v, c.cell, c.w,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_sql_dot('e.v', 'c.w')} DESC,
+                                       c.cell ASC) AS rn
+    FROM vecs e CROSS JOIN cells c
+),
+resid AS (
+    SELECT vec_id, cell,
+           list_transform(range(1, {DIM + 1}), i -> v[i] - w[i]) AS v
+    FROM crank WHERE rn = 1
+),
+sub AS (
+    SELECT vec_id, cell, g.s,
+           list_slice(v, (g.s - 1) * {SUBDIM} + 1, g.s * {SUBDIM}) AS sv
+    FROM resid CROSS JOIN generate_series(1, {SUBSPACES}) g(s)
+),
+seed AS (SELECT s, vec_id AS cid, sv AS cv FROM sub WHERE vec_id < {CODES}),
+a1 AS (
+    SELECT vec_id, s, sv, cid,
+           row_number() OVER (PARTITION BY vec_id, s
+                              ORDER BY dist, cid) AS rn
+    FROM (SELECT x.vec_id, x.s, x.sv, c.cid, {dist('x.sv', 'c.cv')} AS dist
+          FROM sub x JOIN seed c ON c.s = x.s)
+),
+cent AS (
+    SELECT s, cid, pos,
+           CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS c
+    FROM (SELECT s, cid, unnest(sv) AS x,
+                 unnest(range(0, len(sv))) AS pos
+          FROM a1 WHERE rn = 1)
+    GROUP BY 1, 2, 3
+),
+cb AS (SELECT s, cid, list(c ORDER BY pos) AS cv FROM cent GROUP BY 1, 2),
+enc AS (
+    SELECT vec_id, cell, s, cid AS code FROM (
+        SELECT x.vec_id, x.cell, x.s, c.cid,
+               row_number() OVER (PARTITION BY x.vec_id, x.s
+                                  ORDER BY {dist('x.sv', 'c.cv')}, c.cid) AS rn
+        FROM sub x JOIN cb c ON c.s = x.s)
+    WHERE rn = 1
+),
+qprobe AS (
+    SELECT e.vec_id AS qid, c.cell,
+           list_transform(range(1, {DIM + 1}), i -> e.v[i] - c.w[i]) AS rq,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_sql_dot('e.v', 'c.w')} DESC,
+                                       c.cell ASC) AS pr
+    FROM vecs e CROSS JOIN cells c
+    WHERE e.vec_id % {IVFADC_QMOD} = 0
+),
+qsub AS (
+    SELECT qid, cell, g.s,
+           list_slice(rq, (g.s - 1) * {SUBDIM} + 1, g.s * {SUBDIM}) AS qv
+    FROM (SELECT * FROM qprobe WHERE pr <= {NPROBE})
+    CROSS JOIN generate_series(1, {SUBSPACES}) g(s)
+),
+dt AS (
+    SELECT q.qid, q.cell, q.s, c.cid, {dist('q.qv', 'c.cv')} AS d
+    FROM qsub q JOIN cb c ON c.s = q.s
+),
+scored AS (
+    SELECT t.qid, e.vec_id,
+           list_reduce(list(t.d ORDER BY t.s), (acc, x) -> acc + x) AS adc
+    FROM enc e JOIN dt t
+      ON t.cell = e.cell AND t.s = e.s AND t.cid = e.code
+    WHERE e.vec_id <> t.qid
+    GROUP BY t.qid, e.vec_id
+),
+ranked AS (
+    SELECT qid, vec_id, adc,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY adc, vec_id) AS rank
+    FROM scored
+)
+SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id,
+       {sql_round_half_away('adc', 4)} AS adc
+FROM ranked WHERE rank <= {TOPK}
+"""

@@ -586,6 +586,76 @@ def test_pq_duplicate_vector_is_top1(spark):
     assert top1 and top1[0].vec_id == 39
 
 
+def test_ivfadc_matches_python_reference(spark):
+    """Coarse assign + residual encode + probe-pruned ADC vs a plain
+    Python replay on the same codebooks: checks the cell pruning keeps
+    exactly the nprobe cells' candidates and the table math/rank agree."""
+    from options_data_pipeline_spark.operators import pq as PQ
+    from options_data_pipeline_spark.operators.similarity import centroids
+
+    rows, vecs = _toy_vecs(spark, n=60)
+    cells = centroids()
+
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    def d2(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += (x - y) * (x - y)
+        return acc
+
+    def coarse(v):
+        return min(range(len(cells)), key=lambda c: (-dot(v, cells[c]), c))
+
+    assign = {i: coarse(v) for i, v in rows}
+    resid = {i: [x - y for x, y in zip(v, cells[assign[i]])] for i, v in rows}
+
+    books = PQ.train_codebooks(
+        spark.createDataFrame(
+            sorted((i, r) for i, r in resid.items()),
+            "vec_id long, v array<double>",
+        )
+    )
+
+    def sub(v, s):
+        return v[s * PQ.SUBDIM:(s + 1) * PQ.SUBDIM]
+
+    codes = {
+        i: tuple(
+            min(((d2(sub(r, s), cv), cid) for cid, cv in books[s]))[1]
+            for s in range(PQ.SUBSPACES)
+        )
+        for i, r in resid.items()
+    }
+    queries = [(i, v) for i, v in rows if i % 13 == 0]
+    want = {}
+    for qid, qv in queries:
+        probed = sorted(range(len(cells)), key=lambda c: (-dot(qv, cells[c]), c))
+        cand = []
+        for cell in probed[: PQ.NPROBE]:
+            rq = [x - y for x, y in zip(qv, cells[cell])]
+            dts = [
+                {cid: d2(sub(rq, s), cv) for cid, cv in books[s]}
+                for s in range(PQ.SUBSPACES)
+            ]
+            for i, _ in rows:
+                if i != qid and assign[i] == cell:
+                    cand.append(
+                        (sum(dts[s][codes[i][s]] for s in range(PQ.SUBSPACES)), i)
+                    )
+        want[qid] = [i for _, i in sorted(cand)[: PQ.TOPK]]
+
+    out = PQ.ivfadc_topk(vecs, queries, cells)
+    got = {}
+    for r in out.orderBy("qid", "rank").collect():
+        got.setdefault(r.qid, []).append(r.vec_id)
+    assert got == want
+
+
 def test_grouped_topk_matches_plain_window(spark):
     import random
 

@@ -135,3 +135,35 @@ def test_null_sort_key_raises_loudly(spark, force_bucketed):
                                  num_buckets=4)
     with pytest.raises(Exception, match="null sort key"):
         out.collect()
+
+
+def test_rrf_fuse_matches_python(spark):
+    """Two ranked lists with partial overlap: fused score is
+    1/(60+r1) + 1/(60+r2) with a missing arm contributing 0, and the
+    rank_i columns surface each arm's rank (NULL where absent)."""
+    from options_data_pipeline_spark.operators.ranks import rrf_fuse
+
+    a = spark.createDataFrame([(10, 1), (20, 2), (30, 3)], "id long, rank long")
+    b = spark.createDataFrame([(20, 1), (40, 2)], "id long, rank long")
+    got = {
+        r.id: (r.rank_0, r.rank_1, r.rrf_raw)
+        for r in rrf_fuse([a, b], "id").collect()
+    }
+    want = {
+        10: (1, None, 1.0 / 61),
+        20: (2, 1, 1.0 / 62 + 1.0 / 61),
+        30: (3, None, 1.0 / 63),
+        40: (None, 2, 1.0 / 62),
+    }
+    assert got == want
+
+
+def test_rrf_fuse_three_lists(spark):
+    from options_data_pipeline_spark.operators.ranks import rrf_fuse
+
+    frames = [
+        spark.createDataFrame([(1, r)], "id long, rank long")
+        for r in (3, 5, 7)
+    ]
+    [row] = rrf_fuse(frames, "id", k=10).collect()
+    assert row.rrf_raw == (1.0 / 13 + 1.0 / 15) + 1.0 / 17
