@@ -2470,3 +2470,361 @@ SELECT k, v, t, seq AS valid_from, valid_to,
        valid_to IS NULL AS is_current
 FROM versions WHERE op <> 'D'
 """
+
+
+# --- mergeable HLL distinct sketches -----------------------------------------
+
+
+def q_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event type AND globally from ONE pass of
+    per-type HLL sketches: the global row is the per-type registers
+    merged with a max — never a second scan of the raw keys.  That is
+    the 100 TB contract (:mod:`..operators.hll`): sketch rows are
+    <= 256 per group, so rollups to any coarser grouping are free.
+    ``exact_distinct`` rides along to make the estimate auditable."""
+    from ..operators import hll
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    regs = hll.hll_registers(ev, "user_id", ["event_type"])
+    merged = hll.merge_registers(
+        regs.select(
+            F.lit("__all__").alias("event_type"), "bucket", "reg"
+        ),
+        ["event_type"],
+    )
+    est = hll.hll_estimate(regs, ["event_type"]).unionByName(
+        hll.hll_estimate(merged, ["event_type"])
+    )
+    exact = (
+        ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("exact_distinct"))
+        .unionByName(
+            ev.agg(
+                F.countDistinct("user_id").alias("exact_distinct")
+            ).select(
+                F.lit("__all__").alias("event_type"), "exact_distinct"
+            )
+        )
+    )
+    return est.join(exact, "event_type").select(
+        F.col("event_type").alias("scope"),
+        "buckets_seen",
+        round_half_away(F.col("hll_estimate"), 4).alias("hll_estimate"),
+        "exact_distinct",
+    )
+
+
+def oracle_hll_users() -> str:
+    from ..operators.hll import sql_hll_estimate, sql_hll_registers
+
+    regs = sql_hll_registers("user_id", "events", "event_type")
+    per = sql_hll_estimate("SELECT * FROM regs", "event_type")
+    mer = sql_hll_estimate("SELECT * FROM mregs", "event_type")
+    return f"""
+WITH regs AS ({regs}),
+mregs AS (
+    SELECT '__all__' AS event_type, bucket, MAX(reg) AS reg
+    FROM regs GROUP BY 1, 2
+),
+est AS (({per}) UNION ALL ({mer})),
+exact AS (
+    SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct
+    FROM events GROUP BY 1
+    UNION ALL
+    SELECT '__all__' AS event_type, COUNT(DISTINCT user_id) FROM events
+)
+SELECT est.event_type AS scope, est.buckets_seen,
+       {sql_round_half_away('est.hll_estimate', 4)} AS hll_estimate,
+       exact.exact_distinct
+FROM est JOIN exact USING (event_type)
+"""
+
+
+def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-expression cardinalities from KMV sketches: for every pair
+    of event types, the sketch-estimated distinct users of each side,
+    of the union (K smallest of the two sketches' union — a valid KMV
+    of A ∪ B), and the inclusion-exclusion intersection estimate,
+    audited against the exact overlap.  The raw keys are scanned ONCE
+    (per-type bottom-K); every pairwise question is answered from
+    <= 2K sketch rows per pair — the sketch contract that matters when
+    "users who did A and B" is asked across a year of partitions
+    (:mod:`..operators.kmv`)."""
+    from ..operators import kmv
+    from ..operators.materialize import materialize
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    # the sketch is <= K rows per type and feeds FOUR consumers (per-type
+    # estimate + both sides of the pair union) — checkpoint it once so
+    # the distinct+bottom-K lineage runs once, not per consumer
+    sk = materialize(
+        kmv.kmv_sketch(ev, "user_id", ["event_type"]).select(
+            "event_type", "h"
+        )
+    )
+    est = kmv.kmv_estimate(sk, ["event_type"]).select("event_type", "est")
+
+    pairs = (
+        est.select(F.col("event_type").alias("ta"), F.col("est").alias("est_a"))
+        .crossJoin(
+            est.select(
+                F.col("event_type").alias("tb"), F.col("est").alias("est_b")
+            )
+        )
+        .where(F.col("ta") < F.col("tb"))
+    )
+    u0 = (
+        pairs.select("ta", "tb")
+        .join(sk.select(F.col("event_type").alias("ta"), "h"), "ta")
+        .select("ta", "tb", "h")
+        .unionByName(
+            pairs.select("ta", "tb")
+            .join(sk.select(F.col("event_type").alias("tb"), "h"), "tb")
+            .select("ta", "tb", "h")
+        )
+        .distinct()
+    )
+    # <= 2K rows per pair: the unpartitioned-per-pair window is bounded
+    w = Window.partitionBy("ta", "tb").orderBy("h")
+    uk = u0.withColumn("r", F.row_number().over(w)).where(F.col("r") <= kmv.K)
+    uest = uk.groupBy("ta", "tb").agg(
+        F.count(F.lit(1)).alias("n_u"), F.max("h").alias("h_k")
+    ).select(
+        "ta",
+        "tb",
+        F.when(F.col("n_u") < kmv.K, F.col("n_u").cast("double"))
+        .otherwise(F.lit(kmv.EST_NUM) / F.col("h_k").cast("double"))
+        .alias("est_u"),
+    )
+
+    dist = ev.distinct()
+    exact = (
+        dist.select(F.col("event_type").alias("ta"), "user_id")
+        .join(
+            dist.select(F.col("event_type").alias("tb"), "user_id"), "user_id"
+        )
+        .where(F.col("ta") < F.col("tb"))
+        .groupBy("ta", "tb")
+        .agg(F.countDistinct("user_id").alias("exact_overlap"))
+    )
+
+    inter = F.greatest(
+        F.lit(0.0), (F.col("est_a") + F.col("est_b")) - F.col("est_u")
+    )
+    return (
+        pairs.join(uest, ["ta", "tb"])
+        .join(exact, ["ta", "tb"], "left")
+        .select(
+            F.col("ta").alias("type_a"),
+            F.col("tb").alias("type_b"),
+            round_half_away(F.col("est_a"), 4).alias("est_a"),
+            round_half_away(F.col("est_b"), 4).alias("est_b"),
+            round_half_away(F.col("est_u"), 4).alias("est_union"),
+            round_half_away(inter, 4).alias("est_intersect"),
+            F.coalesce(F.col("exact_overlap"), F.lit(0).cast("long")).alias(
+                "exact_overlap"
+            ),
+        )
+    )
+
+
+def oracle_kmv_overlap() -> str:
+    from ..operators.kmv import EST_NUM, K, sql_hash60, sql_kmv_estimate
+
+    est_u = (
+        f"CASE WHEN COUNT(*) < {K} THEN CAST(COUNT(*) AS DOUBLE)"
+        f" ELSE {EST_NUM!r} / CAST(MAX(h) AS DOUBLE) END"
+    )
+    inter = "greatest(CAST(0 AS DOUBLE), (ea.est + eb.est) - u.est_u)"
+    return f"""
+WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
+hashed AS (SELECT event_type, {sql_hash60('user_id')} AS h FROM d),
+sk AS (
+    SELECT event_type, h FROM (
+        SELECT event_type, h,
+               row_number() OVER (PARTITION BY event_type ORDER BY h) AS r
+        FROM hashed)
+    WHERE r <= {K}
+),
+est AS ({sql_kmv_estimate('SELECT event_type, h FROM sk', 'event_type')}),
+pairs AS (
+    SELECT a.event_type AS ta, b.event_type AS tb
+    FROM est a, est b WHERE a.event_type < b.event_type
+),
+u0 AS (
+    SELECT p.ta, p.tb, s.h FROM pairs p JOIN sk s ON s.event_type = p.ta
+    UNION
+    SELECT p.ta, p.tb, s.h FROM pairs p JOIN sk s ON s.event_type = p.tb
+),
+uk AS (
+    SELECT ta, tb, h FROM (
+        SELECT ta, tb, h,
+               row_number() OVER (PARTITION BY ta, tb ORDER BY h) AS r
+        FROM u0)
+    WHERE r <= {K}
+),
+uest AS (SELECT ta, tb, {est_u} AS est_u FROM uk GROUP BY 1, 2),
+exact AS (
+    SELECT x.event_type AS ta, y.event_type AS tb,
+           COUNT(DISTINCT x.user_id) AS exact_overlap
+    FROM d x JOIN d y ON x.user_id = y.user_id
+    WHERE x.event_type < y.event_type
+    GROUP BY 1, 2
+)
+SELECT p.ta AS type_a, p.tb AS type_b,
+       {sql_round_half_away('ea.est', 4)} AS est_a,
+       {sql_round_half_away('eb.est', 4)} AS est_b,
+       {sql_round_half_away('u.est_u', 4)} AS est_union,
+       {sql_round_half_away(inter, 4)} AS est_intersect,
+       COALESCE(e.exact_overlap, 0) AS exact_overlap
+FROM pairs p
+JOIN est ea ON ea.event_type = p.ta
+JOIN est eb ON eb.event_type = p.tb
+JOIN uest u ON u.ta = p.ta AND u.tb = p.tb
+LEFT JOIN exact e ON e.ta = p.ta AND e.tb = p.tb
+"""
+
+
+HLL_ROLL_DAYS = 7
+
+
+def q_hll_rolling_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct users per day from PER-DAY HLL sketches:
+    each window estimate max-merges the <= 256 register rows of its 7
+    days — the raw keys are hashed exactly once, however many windows
+    ask.  The exact rolling distinct (which must re-walk the keys per
+    window) rides along for audit.  This is the sketch-rollup shape
+    that matters at 100 TB: day sketches are tiny, windows are free."""
+    from ..operators import hll
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    regs = hll.hll_registers(ev, "user_id", ["day"])
+    offsets = F.explode(
+        F.sequence(F.lit(0), F.lit(HLL_ROLL_DAYS - 1))
+    ).alias("off")
+    # fan each day's registers out to the <= 7 windows they serve, then
+    # max-merge per (window_end, bucket): rows = days * 256 * 7, bounded
+    fanned = regs.select("day", "bucket", "reg", offsets).select(
+        F.date_add(F.col("day"), F.col("off")).alias("win_end"),
+        "bucket",
+        "reg",
+    )
+    win_days = ev.select("day").distinct().select(
+        F.col("day").alias("win_end")
+    )
+    merged = hll.merge_registers(
+        fanned.join(win_days, "win_end"), ["win_end"]
+    )
+    est = hll.hll_estimate(merged, ["win_end"])
+
+    exact = (
+        ev.select("day", "user_id")
+        .distinct()
+        .select("user_id", "day", offsets)
+        .select("user_id", F.date_add(F.col("day"), F.col("off")).alias("win_end"))
+        .join(win_days, "win_end")
+        .groupBy("win_end")
+        .agg(F.countDistinct("user_id").alias("exact_rolling"))
+    )
+    # DATE round-trips as pandas-object on the Spark side but
+    # datetime64 from DuckDB — emit a naive timestamp on both sides
+    return est.join(exact, "win_end").select(
+        F.col("win_end").cast("timestamp").alias("day"),
+        "buckets_seen",
+        round_half_away(F.col("hll_estimate"), 4).alias("hll_estimate"),
+        "exact_rolling",
+    )
+
+
+def oracle_hll_rolling_users() -> str:
+    from ..operators.hll import sql_hll_estimate, sql_hll_registers
+
+    regs = sql_hll_registers(
+        "user_id", "(SELECT CAST(ts AS DATE) AS day, user_id FROM events)",
+        "day",
+    )
+    est = sql_hll_estimate("SELECT win_end, bucket, reg FROM merged", "win_end")
+    return f"""
+WITH regs AS ({regs}),
+win_days AS (SELECT DISTINCT CAST(ts AS DATE) AS win_end FROM events),
+fanned AS (
+    SELECT regs.day + o.off AS win_end, bucket, reg
+    FROM regs CROSS JOIN (SELECT CAST(unnest(range(0, {HLL_ROLL_DAYS})) AS INTEGER) AS off) o
+),
+merged AS (
+    SELECT f.win_end, bucket, MAX(reg) AS reg
+    FROM fanned f JOIN win_days w ON w.win_end = f.win_end
+    GROUP BY 1, 2
+),
+est AS ({est}),
+exact AS (
+    SELECT d.day + o.off AS win_end, COUNT(DISTINCT user_id) AS exact_rolling
+    FROM (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events) d
+    CROSS JOIN (SELECT CAST(unnest(range(0, {HLL_ROLL_DAYS})) AS INTEGER) AS off) o
+    JOIN win_days w ON w.win_end = d.day + o.off
+    GROUP BY 1
+)
+SELECT CAST(est.win_end AS TIMESTAMP) AS day, est.buckets_seen,
+       {sql_round_half_away('est.hll_estimate', 4)} AS hll_estimate,
+       exact.exact_rolling
+FROM est JOIN exact ON exact.win_end = est.win_end
+"""
+
+
+def q_ams_f2_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-join-size / key-skew statistic per event type from an AMS
+    F2 sketch (:mod:`..operators.ams`): D=64 signed counters per type —
+    the raw user keys are NEVER grouped — vs the exact
+    sum-of-squared-counts, with the exact n so skew = F2/n is readable.
+    This is the one-pass statistic a 100 TB planner wants before
+    picking a shuffle strategy: F2 >> n means a hot key, salt it."""
+    from ..operators import ams
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    est = ams.ams_f2_estimate(
+        ams.ams_counters(ev, "user_id", ["event_type"]), ["event_type"]
+    )
+    exact = (
+        ev.groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.col("c") * F.col("c")).alias("f2_exact"),
+            F.sum("c").alias("n_rows"),
+        )
+    )
+    return est.join(exact, "event_type").select(
+        "event_type",
+        round_half_away(F.col("f2_est"), 4).alias("f2_est"),
+        "f2_exact",
+        "n_rows",
+    )
+
+
+def oracle_ams_f2_skew() -> str:
+    from ..operators.ams import D, sql_ams_f2, sql_ams_sign
+
+    signs = " UNION ALL ".join(
+        f"SELECT event_type, {r} AS r, {sql_ams_sign(r, 'user_id')} AS s"
+        " FROM events"
+        for r in range(D)
+    )
+    counters = (
+        f"SELECT event_type, r, SUM(s) AS x FROM ({signs}) GROUP BY 1, 2"
+    )
+    est = sql_ams_f2(counters, "event_type")
+    return f"""
+WITH est AS ({est}),
+exact AS (
+    SELECT event_type, CAST(SUM(c * c) AS BIGINT) AS f2_exact,
+           CAST(SUM(c) AS BIGINT) AS n_rows
+    FROM (SELECT event_type, user_id, COUNT(*) AS c FROM events
+          GROUP BY 1, 2)
+    GROUP BY 1
+)
+SELECT est.event_type, {sql_round_half_away('est.f2_est', 4)} AS f2_est,
+       exact.f2_exact, exact.n_rows
+FROM est JOIN exact USING (event_type)
+"""

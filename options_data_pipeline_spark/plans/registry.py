@@ -96,6 +96,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
     "lineorder_integrity": (quality.q_lineorder_integrity, quality.oracle_lineorder_integrity),
     "key_skew_report": (quality.q_key_skew_report, quality.oracle_key_skew_report),
     "salted_user_spend": (quality.q_salted_user_spend, quality.oracle_salted_user_spend),
+    "hll_users": (quality.q_hll_users, quality.oracle_hll_users),
+    "kmv_overlap": (quality.q_kmv_overlap, quality.oracle_kmv_overlap),
+    "hll_rolling_users": (quality.q_hll_rolling_users, quality.oracle_hll_rolling_users),
+    "ams_f2_skew": (quality.q_ams_f2_skew, quality.oracle_ams_f2_skew),
     "table_expectations": (
         quality.q_table_expectations,
         quality.oracle_table_expectations,
@@ -235,6 +239,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
     "zorder_layout": (tpch2.q_zorder_layout, tpch2.oracle_zorder_layout),
     "pq_ann_topk": (vectors.q_pq_ann_topk, vectors.oracle_pq_ann_topk),
     "ivfadc_topk": (vectors.q_ivfadc_topk, vectors.oracle_ivfadc_topk),
+    "cms_token_freq": (text.q_cms_token_freq, text.oracle_cms_token_freq),
     "text_normalize": (text.q_text_normalize, text.oracle_text_normalize),
     "quality_calibration": (text.q_quality_calibration, text.oracle_quality_calibration),
     "corpus_report": (text.q_corpus_report, text.oracle_corpus_report),
@@ -407,6 +412,11 @@ _PRIORITY: list[str] = [
     "pq_ann_topk",
     "ivfadc_topk",
     "hybrid_rrf",
+    "hll_users",
+    "kmv_overlap",
+    "cms_token_freq",
+    "hll_rolling_users",
+    "ams_f2_skew",
     # previously driver-green queries, prior rounds' order
     "image_probe",
     "benford_chisq",

@@ -2823,3 +2823,81 @@ SELECT CAST(step AS INT) AS step, l AS "left", r AS "right",
            AS tokens_after
 FROM merges
 """
+
+
+# --- count-min sketch point frequencies ---------------------------------------
+
+CMS_PROBES = (
+    "shuffle", "broadcast", "join", "scan", "window",
+    "stream", "the", "zz_never_in_corpus",
+)
+
+
+def q_cms_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-frequency estimates for fixed probe tokens from per-language
+    Count-Min grids summed into one global grid — the mergeable-sketch
+    path (:mod:`..operators.cms`): per-partition grids add, the probe
+    reads min over D cells, the exact count rides along to make the
+    one-sided overestimate auditable (the absent probe shows est >= 0
+    = exact).  The corpus is scanned once; the shuffle carries counter
+    cells, never tokens."""
+    from ..operators import cms
+
+    docs = load_table(spark, sf_dir, "documents").select("lang", "text")
+    tokens = docs.select(
+        "lang", F.explode(F.split(F.lower(F.col("text")), " ")).alias("token")
+    )
+    grid = cms.cms_merge(
+        cms.cms_build(tokens, "token", ["lang"]), []
+    )
+    probes = spark.createDataFrame(
+        [(t,) for t in CMS_PROBES], "token string"
+    )
+    est = cms.cms_query(grid, probes)
+    exact = (
+        tokens.where(F.col("token").isin(*CMS_PROBES))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("exact"))
+    )
+    return (
+        est.join(exact, "token", "left")
+        .select(
+            "token",
+            "est",
+            F.coalesce(F.col("exact"), F.lit(0).cast("long")).alias("exact"),
+        )
+    )
+
+
+def oracle_cms_token_freq() -> str:
+    from ..operators.cms import D, sql_cms_col
+
+    probes = ", ".join(f"('{t}')" for t in CMS_PROBES)
+    cell_exprs = " UNION ALL ".join(
+        f"SELECT token, {r} AS r, {sql_cms_col(r, 'token')} AS c FROM toks"
+        for r in range(D)
+    )
+    probe_cells = " UNION ALL ".join(
+        f"SELECT token, {r} AS r, {sql_cms_col(r, 'token')} AS c FROM probes"
+        for r in range(D)
+    )
+    return f"""
+WITH toks AS (
+    SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents
+),
+cells AS ({cell_exprs}),
+grid AS (SELECT r, c, COUNT(*) AS cnt FROM cells GROUP BY 1, 2),
+probes(token) AS (VALUES {probes}),
+pc AS ({probe_cells}),
+est AS (
+    SELECT pc.token, MIN(COALESCE(g.cnt, 0)) AS est
+    FROM pc LEFT JOIN grid g ON g.r = pc.r AND g.c = pc.c
+    GROUP BY 1
+),
+exact AS (
+    SELECT token, COUNT(*) AS exact FROM toks
+    WHERE token IN (SELECT token FROM probes) GROUP BY 1
+)
+SELECT e.token, e.est, COALESCE(x.exact, 0) AS exact
+FROM est e LEFT JOIN exact x USING (token)
+"""
