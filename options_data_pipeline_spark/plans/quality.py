@@ -2828,3 +2828,84 @@ SELECT est.event_type, {sql_round_half_away('est.f2_est', 4)} AS f2_est,
        exact.f2_exact, exact.n_rows
 FROM est JOIN exact USING (event_type)
 """
+
+
+def q_ams_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-OUTPUT-size estimate per event type WITHOUT running the
+    join: |events ⋈_user events[type]| = sum_u c_all(u) * c_type(u) is
+    the inner product of two frequency vectors, which AMS counters
+    estimate as mean_r(X_all_r * X_type_r) (Alon, Gibbons, Matias &
+    Szegedy, PODS 1999 extension of the F2 sketch).  The planner-shape
+    question at 100 TB: commit to a shuffle strategy using D counters
+    per side, not a dry-run join.  Exact size rides along."""
+    from ..operators import ams
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    big = ams.ams_counters(
+        ev.select(F.lit("all").alias("side"), "user_id"), "user_id", ["side"]
+    ).select("r", F.col("x").alias("x_all"))
+    per = ams.ams_counters(ev, "user_id", ["event_type"]).select(
+        "event_type", "r", F.col("x").alias("x_type")
+    )
+    est = (
+        per.join(F.broadcast(big), "r")
+        .groupBy("event_type")
+        .agg(
+            (
+                F.sum(F.col("x_type") * F.col("x_all")).cast("double")
+                / F.lit(ams.D_F)
+            ).alias("join_size_est")
+        )
+    )
+    cnt_all = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("c_all"))
+    exact = (
+        ev.groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("c_t"))
+        .join(cnt_all, "user_id")
+        .groupBy("event_type")
+        .agg(F.sum(F.col("c_t") * F.col("c_all")).alias("join_size_exact"))
+    )
+    return est.join(exact, "event_type").select(
+        "event_type",
+        round_half_away(F.col("join_size_est"), 4).alias("join_size_est"),
+        "join_size_exact",
+    )
+
+
+def oracle_ams_join_size() -> str:
+    from ..operators.ams import D, D_F, sql_ams_sign
+
+    signs_all = " UNION ALL ".join(
+        f"SELECT {r} AS r, {sql_ams_sign(r, 'user_id')} AS s FROM events"
+        for r in range(D)
+    )
+    signs_per = " UNION ALL ".join(
+        f"SELECT event_type, {r} AS r, {sql_ams_sign(r, 'user_id')} AS s"
+        " FROM events"
+        for r in range(D)
+    )
+    return f"""
+WITH big AS (
+    SELECT r, SUM(s) AS x_all FROM ({signs_all}) GROUP BY 1
+),
+per AS (
+    SELECT event_type, r, SUM(s) AS x_type FROM ({signs_per}) GROUP BY 1, 2
+),
+est AS (
+    SELECT event_type,
+           CAST(SUM(x_type * x_all) AS DOUBLE) / {D_F!r} AS join_size_est
+    FROM per JOIN big USING (r) GROUP BY 1
+),
+cnt_all AS (SELECT user_id, COUNT(*) AS c_all FROM events GROUP BY 1),
+exact AS (
+    SELECT event_type, CAST(SUM(c_t * c_all) AS BIGINT) AS join_size_exact
+    FROM (SELECT event_type, user_id, COUNT(*) AS c_t FROM events
+          GROUP BY 1, 2) t
+    JOIN cnt_all USING (user_id)
+    GROUP BY 1
+)
+SELECT est.event_type,
+       {sql_round_half_away('est.join_size_est', 4)} AS join_size_est,
+       exact.join_size_exact
+FROM est JOIN exact USING (event_type)
+"""

@@ -100,6 +100,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
     "kmv_overlap": (quality.q_kmv_overlap, quality.oracle_kmv_overlap),
     "hll_rolling_users": (quality.q_hll_rolling_users, quality.oracle_hll_rolling_users),
     "ams_f2_skew": (quality.q_ams_f2_skew, quality.oracle_ams_f2_skew),
+    "ams_join_size": (quality.q_ams_join_size, quality.oracle_ams_join_size),
     "table_expectations": (
         quality.q_table_expectations,
         quality.oracle_table_expectations,
@@ -417,6 +418,7 @@ _PRIORITY: list[str] = [
     "cms_token_freq",
     "hll_rolling_users",
     "ams_f2_skew",
+    "ams_join_size",
     # previously driver-green queries, prior rounds' order
     "image_probe",
     "benford_chisq",

@@ -267,3 +267,41 @@ def test_ams_counters_merge_by_addition(spark):
         ).collect()
     }
     assert summed == direct
+
+
+def test_ams_join_size_estimate_matches_python(spark):
+    """Inner-product estimator: mean_r(Xa_r * Xb_r) == python model,
+    and within 5*sqrt(2/D) relative error of the true join size."""
+    import math
+
+    from options_data_pipeline_spark.operators import ams
+
+    a_keys = [f"u{i % 13}" for i in range(400)]
+    b_keys = [f"u{i % 29}" for i in range(300)]
+    fa = spark.createDataFrame([(k,) for k in a_keys], "k string")
+    fb = spark.createDataFrame([(k,) for k in b_keys], "k string")
+    ca = ams.ams_counters(fa, "k", []).select("r", F.col("x").alias("xa"))
+    cb = ams.ams_counters(fb, "k", []).select("r", F.col("x").alias("xb"))
+    [row] = (
+        ca.join(cb, "r")
+        .agg(
+            (F.sum(F.col("xa") * F.col("xb")).cast("double") / ams.D_F)
+            .alias("est")
+        )
+        .collect()
+    )
+    xa, xb = {}, {}
+    for k in a_keys:
+        for r in range(ams.D):
+            xa[r] = xa.get(r, 0) + ((_py_hash(f"{r}:{k}") % 2) * 2 - 1)
+    for k in b_keys:
+        for r in range(ams.D):
+            xb[r] = xb.get(r, 0) + ((_py_hash(f"{r}:{k}") % 2) * 2 - 1)
+    want = sum(xa[r] * xb[r] for r in range(ams.D)) / ams.D_F
+    assert row.est == want
+
+    from collections import Counter
+
+    na, nb = Counter(a_keys), Counter(b_keys)
+    true = sum(na[k] * nb.get(k, 0) for k in na)
+    assert abs(row.est - true) / true < 5 * math.sqrt(2 / ams.D)

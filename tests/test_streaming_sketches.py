@@ -1,0 +1,96 @@
+"""Streaming HLL register-store maintenance: order-invariance and
+replay convergence (options_data_pipeline_spark/streaming/sketches.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from options_data_pipeline_spark.operators.hll import (
+    hll_estimate,
+    hll_registers,
+    merge_registers,
+)
+from options_data_pipeline_spark.streaming.sketches import (
+    hll_register_stream,
+)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        [(i, ts, u) for i, (ts, u) in enumerate(rows)],
+        "event_id long, ts string, user_id string",
+    ).select("event_id", F.col("ts").cast("timestamp").alias("ts"), "user_id")
+
+
+def _store(spark, path):
+    return {
+        (str(r.day), r.bucket, r.reg)
+        for r in spark.read.parquet(path)
+        .select("day", "bucket", "reg")
+        .collect()
+    }
+
+
+def _expected(spark, src):
+    full = spark.read.parquet(src).select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    return {
+        (str(r.day), r.bucket, r.reg)
+        for r in hll_registers(full, "user_id", ["day"]).collect()
+    }
+
+
+def test_stream_store_converges_with_late_data(spark, tmp_path):
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+
+    wave1 = [("2024-01-01 10:00:00", f"u{i}") for i in range(120)] + [
+        ("2024-01-02 09:00:00", f"u{i}") for i in range(60, 220)
+    ]
+    _events(spark, wave1).coalesce(1).write.mode("append").parquet(src)
+    hll_register_stream(spark, src, store, ckpt).awaitTermination(120)
+    assert _store(spark, store) == _expected(spark, src)
+
+    # late rows for day 1 + a brand-new day 3
+    wave2 = [("2024-01-01 23:00:00", f"u{i}") for i in range(100, 400)] + [
+        ("2024-01-03 08:00:00", f"w{i}") for i in range(50)
+    ]
+    _events(spark, wave2).coalesce(1).write.mode("append").parquet(src)
+    hll_register_stream(spark, src, store, ckpt).awaitTermination(120)
+    assert _store(spark, store) == _expected(spark, src)
+
+    # restart with nothing new: unchanged (T1/T5 replay story)
+    before = _store(spark, store)
+    hll_register_stream(spark, src, store, ckpt).awaitTermination(120)
+    assert _store(spark, store) == before
+
+    # the question the store exists for: global distinct without rescan
+    regs = spark.read.parquet(store).select(
+        F.lit(1).alias("g"), "bucket", "reg"
+    )
+    [got] = hll_estimate(merge_registers(regs, ["g"]), ["g"]).collect()
+    full = spark.read.parquet(src).select(F.lit(1).alias("g"), "user_id")
+    [want] = hll_estimate(
+        hll_registers(full, "user_id", ["g"]), ["g"]
+    ).collect()
+    assert got.hll_estimate == want.hll_estimate
+
+
+def test_stream_store_is_chop_invariant(spark, tmp_path):
+    """maxFilesPerTrigger=1 chops the same data into several
+    micro-batches — the store must equal the single-batch build."""
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    for wave in range(3):
+        rows = [
+            ("2024-01-01 10:00:00", f"u{i}")
+            for i in range(wave * 80, wave * 80 + 140)
+        ]
+        _events(spark, rows).coalesce(1).write.mode("append").parquet(src)
+    hll_register_stream(
+        spark, src, store, ckpt, max_files_per_trigger=1
+    ).awaitTermination(180)
+    assert _store(spark, store) == _expected(spark, src)
