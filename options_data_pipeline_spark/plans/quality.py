@@ -2804,16 +2804,9 @@ def q_ams_f2_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def oracle_ams_f2_skew() -> str:
-    from ..operators.ams import D, sql_ams_f2, sql_ams_sign
+    from ..operators.ams import sql_ams_counters, sql_ams_f2
 
-    signs = " UNION ALL ".join(
-        f"SELECT event_type, {r} AS r, {sql_ams_sign(r, 'user_id')} AS s"
-        " FROM events"
-        for r in range(D)
-    )
-    counters = (
-        f"SELECT event_type, r, SUM(s) AS x FROM ({signs}) GROUP BY 1, 2"
-    )
+    counters = sql_ams_counters("user_id", "events", "event_type")
     est = sql_ams_f2(counters, "event_type")
     return f"""
 WITH est AS ({est}),
@@ -2873,23 +2866,18 @@ def q_ams_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def oracle_ams_join_size() -> str:
-    from ..operators.ams import D, D_F, sql_ams_sign
+    from ..operators.ams import D_F, sql_ams_counters
 
-    signs_all = " UNION ALL ".join(
-        f"SELECT {r} AS r, {sql_ams_sign(r, 'user_id')} AS s FROM events"
-        for r in range(D)
+    big = sql_ams_counters(
+        "user_id", "(SELECT 'all' AS side, user_id FROM events)", "side"
     )
-    signs_per = " UNION ALL ".join(
-        f"SELECT event_type, {r} AS r, {sql_ams_sign(r, 'user_id')} AS s"
-        " FROM events"
-        for r in range(D)
-    )
+    per = sql_ams_counters("user_id", "events", "event_type")
     return f"""
 WITH big AS (
-    SELECT r, SUM(s) AS x_all FROM ({signs_all}) GROUP BY 1
+    SELECT r, x AS x_all FROM ({big})
 ),
 per AS (
-    SELECT event_type, r, SUM(s) AS x_type FROM ({signs_per}) GROUP BY 1, 2
+    SELECT event_type, r, x AS x_type FROM ({per})
 ),
 est AS (
     SELECT event_type,

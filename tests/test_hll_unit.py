@@ -204,6 +204,13 @@ def test_cms_query_overestimates_only_and_matches_python(spark):
 # --- AMS F2 ------------------------------------------------------------------
 
 
+def _py_ams_sign(r, key):
+    from options_data_pipeline_spark.operators import ams
+
+    h = _py_hash(f"{r // ams.SIGN_BITS}:{key}")
+    return ((h >> (r % ams.SIGN_BITS)) & 1) * 2 - 1
+
+
 def test_ams_counters_match_python(spark):
     from options_data_pipeline_spark.operators import ams
 
@@ -213,8 +220,7 @@ def test_ams_counters_match_python(spark):
     want = {}
     for k in keys:
         for r in range(ams.D):
-            s = (_py_hash(f"{r}:{k}") % 2) * 2 - 1
-            want[r] = want.get(r, 0) + s
+            want[r] = want.get(r, 0) + _py_ams_sign(r, k)
     assert got == set(want.items())
 
 
@@ -235,7 +241,7 @@ def test_ams_f2_unbiased_enough(spark):
     xs = {}
     for k in keys:
         for r in range(ams.D):
-            xs[r] = xs.get(r, 0) + ((_py_hash(f"{r}:{k}") % 2) * 2 - 1)
+            xs[r] = xs.get(r, 0) + _py_ams_sign(r, k)
     want = sum(x * x for x in xs.values()) / ams.D_F
     assert row.f2_est == want
     from collections import Counter
@@ -293,10 +299,10 @@ def test_ams_join_size_estimate_matches_python(spark):
     xa, xb = {}, {}
     for k in a_keys:
         for r in range(ams.D):
-            xa[r] = xa.get(r, 0) + ((_py_hash(f"{r}:{k}") % 2) * 2 - 1)
+            xa[r] = xa.get(r, 0) + _py_ams_sign(r, k)
     for k in b_keys:
         for r in range(ams.D):
-            xb[r] = xb.get(r, 0) + ((_py_hash(f"{r}:{k}") % 2) * 2 - 1)
+            xb[r] = xb.get(r, 0) + _py_ams_sign(r, k)
     want = sum(xa[r] * xb[r] for r in range(ams.D)) / ams.D_F
     assert row.est == want
 
