@@ -527,3 +527,219 @@ SELECT strike, opt_type, CAST(expiry_date AS TIMESTAMP) AS expiry_date, n_trades
 FROM grouped
 WHERE s_bar > 0
 """
+
+
+# --- implied volatility (fixed-iteration Newton) -----------------------------
+
+IV_ITERS = 6
+_IV_SIG0 = 0.5
+_IV_LO, _IV_HI = 0.05, 3.0
+
+
+def q_implied_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Implied vol recovered by a FIXED 6-step clamped Newton iteration
+    (reference domain: the one number an options pipeline quotes).  The
+    chain carries a known smile (sigma_true per strike), prices it with
+    the same Zelen-Severo BS stack ``bs_greeks`` pinned cross-engine,
+    then inverts: sig <- clamp(sig - (BS(sig) - P)/vega(sig)).  Fixed
+    iteration count + clamping keeps the whole computation ONE
+    deterministic expression pipeline — no data-dependent loop, no UDF —
+    so Spark, DuckDB and the 6-dp hash agree bit-for-bit, and
+    ``abs_err`` printing as 0.0 IS the convergence proof.  Strikes sit
+    at 0.83-1.17 moneyness where Newton from 0.5 is contraction-safe;
+    the clamp is the documented safety net, not a steady state.  Each
+    iteration materializes d1/pdf/price/vega as COLUMNS (projection
+    steps), keeping the Catalyst tree linear in the iteration count."""
+    import math
+
+    from ..functions.rounding import round_half_away
+
+    ev = load_table(spark, sf_dir, "events").where(
+        (F.col("event_id") % 11 != 0) & F.col("value").isNotNull()
+    )
+    expiry = F.date_add(
+        F.lit("2024-02-02").cast("date"),
+        ((F.col("user_id") % 4) * 10).cast("int"),
+    )
+    base = (
+        ev.select(
+            ((F.col("user_id") % 8 + 17) * 100).cast("int").alias("strike"),
+            F.when(F.col("event_id") % 2 == 0, "C").otherwise("P").alias(
+                "opt_type"
+            ),
+            expiry.alias("expiry_date"),
+            (F.lit(2000.0) + F.col("value")).alias("index_price"),
+        )
+        .groupBy("strike", "opt_type", "expiry_date")
+        .agg(
+            F.count(F.lit(1)).alias("n_trades"),
+            (
+                F.sum(F.col("index_price").cast("decimal(38,6)")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1))
+            ).alias("s_bar"),
+        )
+    )
+    t = (
+        F.datediff(F.col("expiry_date"), F.lit(_BS_ASOF).cast("date")).cast(
+            "double"
+        )
+        / 365.0
+    )
+    sigma_true = 0.3 + (F.col("strike") / 100 % 5).cast("double") * 0.1
+    inv_sqrt2pi = 1.0 / math.sqrt(2.0 * math.pi)
+
+    def ncdf(x):
+        ax = F.abs(x)
+        k = 1.0 / (1.0 + 0.2316419 * ax)
+        poly = k * (
+            0.319381530
+            + k
+            * (
+                -0.356563782
+                + k * (1.781477937 + k * (-1.821255978 + k * 1.330274429))
+            )
+        )
+        phi_ax = F.exp(-(ax * ax) / 2.0) * inv_sqrt2pi
+        upper = 1.0 - phi_ax * poly
+        return F.when(x >= 0, upper).otherwise(1.0 - upper)
+
+    def d_cols(sig):
+        srt = sig * F.sqrt(F.col("t_years"))
+        d1 = (
+            F.log(F.col("s_bar") / F.col("strike"))
+            + 0.5 * sig * sig * F.col("t_years")
+        ) / srt
+        return d1, d1 - srt
+
+    def price(d1, d2):
+        call = F.col("s_bar") * ncdf(d1) - F.col("strike") * ncdf(d2)
+        put = F.col("strike") * ncdf(-d2) - F.col("s_bar") * ncdf(-d1)
+        return F.when(F.col("opt_type") == "C", call).otherwise(put)
+
+    def vega(d1):
+        pdf = F.exp(-(d1 * d1) / 2.0) * inv_sqrt2pi
+        return F.col("s_bar") * pdf * F.sqrt(F.col("t_years"))
+
+    df = base.withColumn("t_years", t).withColumn("sigma_true", sigma_true)
+    td1, td2 = d_cols(F.col("sigma_true"))
+    df = (
+        df.withColumn("td1", td1)
+        .withColumn("td2", td2)
+        .withColumn("p_mkt", price(F.col("td1"), F.col("td2")))
+        .withColumn("sig", F.lit(_IV_SIG0))
+    )
+    for _ in range(IV_ITERS):
+        i1, i2 = d_cols(F.col("sig"))
+        df = df.withColumn("i1", i1).withColumn("i2", i2)
+        step = F.col("sig") - (
+            price(F.col("i1"), F.col("i2")) - F.col("p_mkt")
+        ) / vega(F.col("i1"))
+        df = df.withColumn(
+            "sig",
+            F.least(F.lit(_IV_HI), F.greatest(F.lit(_IV_LO), step)),
+        ).drop("i1", "i2")
+    return df.select(
+        "strike",
+        "opt_type",
+        F.col("expiry_date").cast("timestamp").alias("expiry_date"),
+        F.col("n_trades").cast("long").alias("n_trades"),
+        round_half_away(F.col("s_bar"), 6).alias("s_bar"),
+        round_half_away(F.col("sigma_true"), 6).alias("sigma_true"),
+        round_half_away(F.col("p_mkt"), 6).alias("p_mkt"),
+        round_half_away(F.col("sig"), 6).alias("iv"),
+        round_half_away(F.abs(F.col("sig") - F.col("sigma_true")), 6).alias(
+            "abs_err"
+        ),
+    )
+
+
+def oracle_implied_vol() -> str:
+    import math
+
+    from ..functions.rounding import sql_round_half_away
+
+    inv = 1.0 / math.sqrt(2.0 * math.pi)
+
+    def ncdf(x):
+        ax = f"abs({x})"
+        k = f"(1.0 / (1.0 + 0.2316419 * {ax}))"
+        poly = (
+            f"({k} * (0.319381530 + {k} * (-0.356563782 + {k} * "
+            f"(1.781477937 + {k} * (-1.821255978 + {k} * 1.330274429)))))"
+        )
+        phi_ax = f"(exp(-({ax} * {ax}) / 2.0) * {inv!r})"
+        upper = f"(1.0 - {phi_ax} * {poly})"
+        return f"(CASE WHEN {x} >= 0 THEN {upper} ELSE 1.0 - {upper} END)"
+
+    price = (
+        f"(CASE WHEN opt_type = 'C' THEN s_bar * {ncdf('d1x')}"
+        f" - strike * {ncdf('d2x')}"
+        f" ELSE strike * {ncdf('(-d2x)')} - s_bar * {ncdf('(-d1x)')} END)"
+    )
+    vega = f"(s_bar * (exp(-(d1x * d1x) / 2.0) * {inv!r}) * sqrt(t_years))"
+    d1 = (
+        "((ln(s_bar / strike) + 0.5 * {s} * {s} * t_years)"
+        " / ({s} * sqrt(t_years)))"
+    )
+    d2 = "({d1} - {s} * sqrt(t_years))"
+
+    # market price from sigma_true, via the same d1x/d2x column names
+    chain = [
+        f"""it0 AS (
+    SELECT *, {d1.format(s='sigma_true')} AS d1x FROM base
+), it0b AS (
+    SELECT *, (d1x - sigma_true * sqrt(t_years)) AS d2x FROM it0
+), it0c AS (
+    SELECT strike, opt_type, expiry_date, n_trades, s_bar, t_years,
+           sigma_true, {price} AS p_mkt, {_IV_SIG0!r} AS sig
+    FROM it0b
+)"""
+    ]
+    prev = "it0c"
+    for i in range(1, IV_ITERS + 1):
+        a, b, c = f"it{i}a", f"it{i}b", f"it{i}c"
+        chain.append(f"""{a} AS (
+    SELECT *, {d1.format(s='sig')} AS d1x FROM {prev}
+), {b} AS (
+    SELECT *, (d1x - sig * sqrt(t_years)) AS d2x FROM {a}
+), {c} AS (
+    SELECT strike, opt_type, expiry_date, n_trades, s_bar, t_years,
+           sigma_true, p_mkt,
+           least({_IV_HI!r}, greatest({_IV_LO!r},
+               sig - ({price} - p_mkt) / {vega})) AS sig
+    FROM {b}
+)""")
+        prev = c
+    ctes = ",\n".join(chain)
+    return f"""
+WITH grouped AS (
+    SELECT CAST((user_id % 8 + 17) * 100 AS INT) AS strike,
+           CASE WHEN event_id % 2 = 0 THEN 'C' ELSE 'P' END AS opt_type,
+           DATE '2024-02-02' + INTERVAL ((user_id % 4) * 10) DAY
+               AS expiry_date,
+           COUNT(*) AS n_trades,
+           CAST(SUM(CAST(2000.0 + value AS DECIMAL(38,6))) AS DOUBLE)
+               / COUNT(*) AS s_bar
+    FROM events
+    WHERE event_id % 11 != 0 AND value IS NOT NULL
+    GROUP BY 1, 2, 3
+),
+base AS (
+    SELECT strike, opt_type, expiry_date, n_trades, s_bar,
+           (date_diff('day', DATE '{_BS_ASOF}', expiry_date) / 365.0)
+               AS t_years,
+           0.3 + CAST((strike / 100) % 5 AS DOUBLE) * 0.1 AS sigma_true
+    FROM grouped
+),
+{ctes}
+SELECT strike, opt_type, CAST(expiry_date AS TIMESTAMP) AS expiry_date,
+       CAST(n_trades AS BIGINT) AS n_trades,
+       {sql_round_half_away('s_bar', 6)} AS s_bar,
+       {sql_round_half_away('sigma_true', 6)} AS sigma_true,
+       {sql_round_half_away('p_mkt', 6)} AS p_mkt,
+       {sql_round_half_away('sig', 6)} AS iv,
+       {sql_round_half_away('abs(sig - sigma_true)', 6)} AS abs_err
+FROM {prev}
+"""

@@ -47,6 +47,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
     "iv_smile": (options.q_iv_smile, options.oracle_iv_smile),
     "max_pain": (options.q_max_pain, options.oracle_max_pain),
     "bs_greeks": (options.q_bs_greeks, options.oracle_bs_greeks),
+    "implied_vol": (options.q_implied_vol, options.oracle_implied_vol),
     # --- data quality / incremental semantics (W1, T6, S7/S8, A6, A7, K1/K2, A3/O4, P4) ---
     "gap_scan": (quality.q_gap_scan, quality.oracle_gap_scan),
     "gap_summary": (quality.q_gap_summary, quality.oracle_gap_summary),
@@ -241,6 +242,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
     "pq_ann_topk": (vectors.q_pq_ann_topk, vectors.oracle_pq_ann_topk),
     "ivfadc_topk": (vectors.q_ivfadc_topk, vectors.oracle_ivfadc_topk),
     "cms_token_freq": (text.q_cms_token_freq, text.oracle_cms_token_freq),
+    "feature_hash": (text.q_feature_hash, text.oracle_feature_hash),
     "text_normalize": (text.q_text_normalize, text.oracle_text_normalize),
     "quality_calibration": (text.q_quality_calibration, text.oracle_quality_calibration),
     "corpus_report": (text.q_corpus_report, text.oracle_corpus_report),
@@ -419,6 +421,8 @@ _PRIORITY: list[str] = [
     "hll_rolling_users",
     "ams_f2_skew",
     "ams_join_size",
+    "implied_vol",
+    "feature_hash",
     # previously driver-green queries, prior rounds' order
     "image_probe",
     "benford_chisq",

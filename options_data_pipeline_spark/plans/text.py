@@ -2901,3 +2901,72 @@ exact AS (
 SELECT e.token, e.est, COALESCE(x.exact, 0) AS exact
 FROM est e LEFT JOIN exact x USING (token)
 """
+
+
+# --- feature hashing (the hashing trick) --------------------------------------
+
+FEAT_DIM = 256
+
+
+def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick bag-of-words (Weinberger et al., "Feature hashing
+    for large scale multitask learning", ICML 2009): token -> dimension
+    ``hash60(token) % 256``, counts summed per (doc, dim).  The fixed
+    output width is the point at 100 TB: no vocabulary pass, no fit
+    step, new tokens land deterministically — the vectorizer IS a
+    scan-level expression.  The result row carries nnz / l1 and an md5
+    over the canonical "dim:count" encoding, so the hash gate audits
+    every sparse vector exactly without shipping 256 columns."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("token"),
+    )
+    h = F.conv(
+        F.substring(F.md5(F.col("token")), 1, 15), 16, 10
+    ).cast("long")
+    cells = (
+        toks.select("doc_id", F.pmod(h, F.lit(FEAT_DIM)).alias("dim"))
+        .groupBy("doc_id", "dim")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    vec = F.sort_array(
+        F.collect_list(F.struct(F.col("dim"), F.col("cnt")))
+    )
+    enc = F.concat_ws(
+        ";",
+        F.transform(
+            vec,
+            lambda s: F.concat_ws(":", s["dim"].cast("string"),
+                                  s["cnt"].cast("string")),
+        ),
+    )
+    return (
+        cells.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("nnz"),
+            F.sum("cnt").alias("l1"),
+            F.md5(enc).alias("vec_md5"),
+        )
+        .where(F.col("doc_id") % 7 == 0)
+    )
+
+
+def oracle_feature_hash() -> str:
+    return f"""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+    FROM documents
+),
+cells AS (
+    SELECT doc_id,
+           (('0x' || substr(md5(token), 1, 15))::BIGINT % {FEAT_DIM}) AS dim,
+           COUNT(*) AS cnt
+    FROM toks GROUP BY 1, 2
+)
+SELECT doc_id, COUNT(*) AS nnz, CAST(SUM(cnt) AS BIGINT) AS l1,
+       md5(string_agg(dim || ':' || cnt, ';' ORDER BY dim)) AS vec_md5
+FROM cells
+WHERE doc_id % 7 = 0
+GROUP BY 1
+"""

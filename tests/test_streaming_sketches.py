@@ -53,6 +53,25 @@ def test_stream_store_converges_with_late_data(spark, tmp_path):
     hll_register_stream(spark, src, store, ckpt).awaitTermination(120)
     assert _store(spark, store) == _expected(spark, src)
 
+    # T2 write-cost contract: wave 2 touches day 1 (late) and day 3
+    # (new) — day 2's partition must survive byte-for-byte
+    import os
+
+    def _snapshot(root):
+        out = {}
+        for dirpath, _, names in os.walk(root):
+            for n in names:
+                p = os.path.join(dirpath, n)
+                out[os.path.relpath(p, root)] = (
+                    os.path.getmtime(p),
+                    os.path.getsize(p),
+                )
+        return out
+
+    before = _snapshot(store)
+    day2 = {k: v for k, v in before.items() if "day=2024-01-02" in k}
+    assert day2, "register store is not day-partitioned"
+
     # late rows for day 1 + a brand-new day 3
     wave2 = [("2024-01-01 23:00:00", f"u{i}") for i in range(100, 400)] + [
         ("2024-01-03 08:00:00", f"w{i}") for i in range(50)
@@ -60,6 +79,12 @@ def test_stream_store_converges_with_late_data(spark, tmp_path):
     _events(spark, wave2).coalesce(1).write.mode("append").parquet(src)
     hll_register_stream(spark, src, store, ckpt).awaitTermination(120)
     assert _store(spark, store) == _expected(spark, src)
+    day2_after = {
+        k: v
+        for k, v in _snapshot(store).items()
+        if "day=2024-01-02" in k
+    }
+    assert day2_after == day2, "untouched day partition was rewritten"
 
     # restart with nothing new: unchanged (T1/T5 replay story)
     before = _store(spark, store)
