@@ -37,7 +37,6 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.litconst import double_array_sql
-from .clustering import assign_to_centroids, update_centroids
 
 #: 64-dim embeddings -> 4 subspaces x 16 dims, 16 centroids each
 SUBSPACES = 4
@@ -58,16 +57,57 @@ def train_codebooks(
     """One codebook per subspace: seed with ``vec_id < CODES``, one
     Lloyd assignment + exact-decimal centroid update (iterations=2 in
     the ``kmeans_assign`` counting).  Returns S driver-side lists of
-    (cid, centroid) — S*CODES*SUBDIM doubles total, bounded."""
-    books = []
-    for s in range(SUBSPACES):
-        sub = vecs.select("vec_id", _sub(F.col("v"), s).alias("v"))
-        seeds = sorted(
-            (int(r["vec_id"]), list(r["v"]))
-            for r in sub.where(F.col("vec_id") < CODES).collect()
+    (cid, centroid) — S*CODES*SUBDIM doubles total, bounded.
+
+    All S subspaces train in TWO jobs, not 2*S: one bounded collect for
+    every subspace's seeds, then one corpus pass that assigns each row
+    in all S subspaces (the same constant-array (dist, cid) struct-min
+    fold as :func:`clustering.assign_to_centroids`) and feeds one
+    (s, cluster, pos) decimal-mean aggregate — numerically identical to
+    the per-subspace loop (measured: the loop's 8 corpus scans were the
+    dominant cost of both PQ bench queries)."""
+    from .clustering import CENTROID_DECIMAL
+
+    seed_full = sorted(
+        (int(r["vec_id"]), list(r["v"]))
+        for r in vecs.where(F.col("vec_id") < CODES).collect()
+    )
+    seed_books = [
+        [(cid, v[s * SUBDIM : (s + 1) * SUBDIM]) for cid, v in seed_full]
+        for s in range(SUBSPACES)
+    ]
+    structs = [
+        F.struct(
+            F.lit(s).alias("s"),
+            _argmin_code(F.col("v"), s, seed_books[s]).alias("cluster"),
+            _sub(F.col("v"), s).alias("sv"),
         )
-        books.append(update_centroids(assign_to_centroids(sub, seeds)))
-    return books
+        for s in range(SUBSPACES)
+    ]
+    rows = (
+        vecs.select(F.explode(F.array(*structs)).alias("a"))
+        .select("a.s", "a.cluster", F.posexplode("a.sv").alias("pos", "x"))
+        .groupBy("s", "cluster", "pos")
+        .agg(
+            (
+                F.sum(F.col("x").cast(CENTROID_DECIMAL)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("c")
+        )
+        .collect()
+    )
+    by_sub: dict[int, dict[int, dict[int, float]]] = {}
+    for r in rows:
+        by_sub.setdefault(r["s"], {}).setdefault(r["cluster"], {})[
+            r["pos"]
+        ] = r["c"]
+    return [
+        [
+            (cid, [dims[i] for i in range(len(dims))])
+            for cid, dims in sorted(by_sub.get(s, {}).items())
+        ]
+        for s in range(SUBSPACES)
+    ]
 
 
 def _argmin_code(v: Column, s: int, book: list[tuple[int, list[float]]]) -> Column:

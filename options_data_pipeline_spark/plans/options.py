@@ -743,3 +743,231 @@ SELECT strike, opt_type, CAST(expiry_date AS TIMESTAMP) AS expiry_date,
        {sql_round_half_away('abs(sig - sigma_true)', 6)} AS abs_err
 FROM {prev}
 """
+
+
+# --- PnL explain (Taylor attribution) ----------------------------------------
+
+_PNL_BUMP_S = 1.05       # spot: +5%
+_PNL_BUMP_SIG = 0.05     # vol: +5 points
+_PNL_DT_DAYS = 7         # one week of decay
+
+
+def q_pnl_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greeks-based PnL attribution over one revaluation step: reprice
+    the synthetic chain after a deterministic market move (S +5%,
+    sigma +5pts, 7 days of decay) and explain the actual PnL with the
+    t0 greeks — delta*dS + 1/2 gamma*dS^2 + vega*dsig + theta*dt,
+    residual = what the Taylor expansion misses.  The whole report is
+    scan-level arithmetic on the pinned BS stack (one groupBy for the
+    chain, zero further shuffles); the residual column doubles as a
+    cross-engine proof that BOTH pricings and ALL four greeks agree
+    bit-for-bit, because it is their 9-term combination."""
+    import math
+
+    from ..functions.rounding import round_half_away
+
+    ev = load_table(spark, sf_dir, "events").where(
+        (F.col("event_id") % 11 != 0) & F.col("value").isNotNull()
+    )
+    expiry = F.date_add(
+        F.lit("2024-02-02").cast("date"),
+        ((F.col("user_id") % 4) * 10).cast("int"),
+    )
+    base = (
+        ev.select(
+            ((F.col("user_id") % 8 + 17) * 100).cast("int").alias("strike"),
+            F.when(F.col("event_id") % 2 == 0, "C").otherwise("P").alias(
+                "opt_type"
+            ),
+            expiry.alias("expiry_date"),
+            (F.lit(2000.0) + F.col("value")).alias("index_price"),
+        )
+        .groupBy("strike", "opt_type", "expiry_date")
+        .agg(
+            (
+                F.sum(F.col("index_price").cast("decimal(38,6)")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1))
+            ).alias("s0"),
+        )
+    )
+    inv_sqrt2pi = 1.0 / math.sqrt(2.0 * math.pi)
+
+    def ncdf(x):
+        ax = F.abs(x)
+        k = 1.0 / (1.0 + 0.2316419 * ax)
+        poly = k * (
+            0.319381530
+            + k
+            * (
+                -0.356563782
+                + k * (1.781477937 + k * (-1.821255978 + k * 1.330274429))
+            )
+        )
+        phi_ax = F.exp(-(ax * ax) / 2.0) * inv_sqrt2pi
+        upper = 1.0 - phi_ax * poly
+        return F.when(x >= 0, upper).otherwise(1.0 - upper)
+
+    def greeks(s, sig, t):
+        srt = sig * F.sqrt(t)
+        d1 = (F.log(s / F.col("strike")) + 0.5 * sig * sig * t) / srt
+        d2 = d1 - srt
+        pdf = F.exp(-(d1 * d1) / 2.0) * inv_sqrt2pi
+        call = s * ncdf(d1) - F.col("strike") * ncdf(d2)
+        put = F.col("strike") * ncdf(-d2) - s * ncdf(-d1)
+        price = F.when(F.col("opt_type") == "C", call).otherwise(put)
+        delta = F.when(
+            F.col("opt_type") == "C", ncdf(d1)
+        ).otherwise(ncdf(d1) - 1.0)
+        gamma = pdf / (s * srt)
+        vega = s * pdf * F.sqrt(t)
+        theta = -(s * pdf * sig) / (2.0 * F.sqrt(t))
+        return price, delta, gamma, vega, theta
+
+    t0 = (
+        F.datediff(F.col("expiry_date"), F.lit(_BS_ASOF).cast("date")).cast(
+            "double"
+        )
+        / 365.0
+    )
+    sigma0 = 0.3 + (F.col("strike") / 100 % 5).cast("double") * 0.1
+    df = (
+        base.withColumn("t0", t0)
+        .withColumn("t1", t0 - _PNL_DT_DAYS / 365.0)
+        .withColumn("sig0", sigma0)
+        .withColumn("sig1", sigma0 + _PNL_BUMP_SIG)
+        .withColumn("s1", F.col("s0") * _PNL_BUMP_S)
+    )
+    p0, delta0, gamma0, vega0, theta0 = greeks(
+        F.col("s0"), F.col("sig0"), F.col("t0")
+    )
+    df = (
+        df.withColumn("p0", p0)
+        .withColumn("delta0", delta0)
+        .withColumn("gamma0", gamma0)
+        .withColumn("vega0", vega0)
+        .withColumn("theta0", theta0)
+    )
+    p1, _, _, _, _ = greeks(F.col("s1"), F.col("sig1"), F.col("t1"))
+    ds = F.col("s1") - F.col("s0")
+    df = (
+        df.withColumn("pnl", p1 - F.col("p0"))
+        .withColumn("delta_pnl", F.col("delta0") * ds)
+        .withColumn("gamma_pnl", 0.5 * F.col("gamma0") * ds * ds)
+        .withColumn("vega_pnl", F.col("vega0") * F.lit(_PNL_BUMP_SIG))
+        .withColumn(
+            "theta_pnl", F.col("theta0") * F.lit(_PNL_DT_DAYS / 365.0)
+        )
+    )
+    residual = (
+        F.col("pnl")
+        - F.col("delta_pnl")
+        - F.col("gamma_pnl")
+        - F.col("vega_pnl")
+        - F.col("theta_pnl")
+    )
+    return df.select(
+        "strike",
+        "opt_type",
+        F.col("expiry_date").cast("timestamp").alias("expiry_date"),
+        round_half_away(F.col("p0"), 6).alias("p0"),
+        round_half_away(F.col("pnl"), 6).alias("pnl"),
+        round_half_away(F.col("delta_pnl"), 6).alias("delta_pnl"),
+        round_half_away(F.col("gamma_pnl"), 6).alias("gamma_pnl"),
+        round_half_away(F.col("vega_pnl"), 6).alias("vega_pnl"),
+        round_half_away(F.col("theta_pnl"), 6).alias("theta_pnl"),
+        round_half_away(residual, 6).alias("residual"),
+    )
+
+
+def oracle_pnl_explain() -> str:
+    import math
+
+    from ..functions.rounding import sql_round_half_away
+
+    inv = 1.0 / math.sqrt(2.0 * math.pi)
+
+    def ncdf(x):
+        ax = f"abs({x})"
+        k = f"(1.0 / (1.0 + 0.2316419 * {ax}))"
+        poly = (
+            f"({k} * (0.319381530 + {k} * (-0.356563782 + {k} * "
+            f"(1.781477937 + {k} * (-1.821255978 + {k} * 1.330274429)))))"
+        )
+        phi_ax = f"(exp(-({ax} * {ax}) / 2.0) * {inv!r})"
+        upper = f"(1.0 - {phi_ax} * {poly})"
+        return f"(CASE WHEN {x} >= 0 THEN {upper} ELSE 1.0 - {upper} END)"
+
+    def greeks(s, sig, t, pfx):
+        srt = f"({sig} * sqrt({t}))"
+        d1 = f"((ln({s} / strike) + 0.5 * {sig} * {sig} * {t}) / {srt})"
+        d2 = f"({d1} - {srt})"
+        pdf = f"(exp(-({d1} * {d1}) / 2.0) * {inv!r})"
+        call = f"({s} * {ncdf(d1)} - strike * {ncdf(d2)})"
+        put = f"(strike * {ncdf(f'(-{d2})')} - {s} * {ncdf(f'(-{d1})')})"
+        price = f"(CASE WHEN opt_type = 'C' THEN {call} ELSE {put} END)"
+        delta = (
+            f"(CASE WHEN opt_type = 'C' THEN {ncdf(d1)}"
+            f" ELSE {ncdf(d1)} - 1.0 END)"
+        )
+        gamma = f"({pdf} / ({s} * {srt}))"
+        vega = f"({s} * {pdf} * sqrt({t}))"
+        theta = f"(-({s} * {pdf} * {sig}) / (2.0 * sqrt({t})))"
+        return (
+            f"{price} AS {pfx}price, {delta} AS {pfx}delta,"
+            f" {gamma} AS {pfx}gamma, {vega} AS {pfx}vega,"
+            f" {theta} AS {pfx}theta"
+        )
+
+    g0 = greeks("s0", "sig0", "t0", "g0_")
+    p1 = greeks("s1", "sig1", "t1", "g1_").split(" AS g1_price")[0]
+    return f"""
+WITH grouped AS (
+    SELECT CAST((user_id % 8 + 17) * 100 AS INT) AS strike,
+           CASE WHEN event_id % 2 = 0 THEN 'C' ELSE 'P' END AS opt_type,
+           DATE '2024-02-02' + INTERVAL ((user_id % 4) * 10) DAY
+               AS expiry_date,
+           CAST(SUM(CAST(2000.0 + value AS DECIMAL(38,6))) AS DOUBLE)
+               / COUNT(*) AS s0
+    FROM events
+    WHERE event_id % 11 != 0 AND value IS NOT NULL
+    GROUP BY 1, 2, 3
+),
+base AS (
+    SELECT strike, opt_type, expiry_date, s0,
+           s0 * {_PNL_BUMP_S!r} AS s1,
+           (date_diff('day', DATE '{_BS_ASOF}', expiry_date) / 365.0) AS t0,
+           (date_diff('day', DATE '{_BS_ASOF}', expiry_date) / 365.0)
+               - {_PNL_DT_DAYS} / 365.0 AS t1,
+           0.3 + CAST((strike / 100) % 5 AS DOUBLE) * 0.1 AS sig0,
+           0.3 + CAST((strike / 100) % 5 AS DOUBLE) * 0.1
+               + {_PNL_BUMP_SIG!r} AS sig1
+    FROM grouped
+),
+g AS (
+    SELECT strike, opt_type, expiry_date, s0, s1, t0, t1, sig0, sig1,
+           {g0},
+           {p1} AS p1
+    FROM base
+),
+terms AS (
+    SELECT strike, opt_type, expiry_date, g0_price AS p0,
+           (p1 - g0_price) AS pnl,
+           (g0_delta * (s1 - s0)) AS delta_pnl,
+           (0.5 * g0_gamma * (s1 - s0) * (s1 - s0)) AS gamma_pnl,
+           (g0_vega * {_PNL_BUMP_SIG!r}) AS vega_pnl,
+           (g0_theta * ({_PNL_DT_DAYS} / 365.0)) AS theta_pnl
+    FROM g
+)
+SELECT strike, opt_type, CAST(expiry_date AS TIMESTAMP) AS expiry_date,
+       {sql_round_half_away('p0', 6)} AS p0,
+       {sql_round_half_away('pnl', 6)} AS pnl,
+       {sql_round_half_away('delta_pnl', 6)} AS delta_pnl,
+       {sql_round_half_away('gamma_pnl', 6)} AS gamma_pnl,
+       {sql_round_half_away('vega_pnl', 6)} AS vega_pnl,
+       {sql_round_half_away('theta_pnl', 6)} AS theta_pnl,
+       {sql_round_half_away('pnl - delta_pnl - gamma_pnl - vega_pnl - theta_pnl', 6)}
+           AS residual
+FROM terms
+"""

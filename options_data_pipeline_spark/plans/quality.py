@@ -2897,3 +2897,84 @@ SELECT est.event_type,
        exact.join_size_exact
 FROM est JOIN exact USING (event_type)
 """
+
+
+def q_sketch_store_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-adjudicated twin of the streaming sketch-store path
+    (:mod:`..streaming.sketches`): stage the events as two interleaved
+    waves (event_id % 3 — every day gets late data in wave 2), run the
+    REAL ``hll_register_stream`` foreachBatch job twice against one
+    checkpoint, then read the converged store back as per-day distinct
+    estimates with exact counts alongside.  The oracle computes the
+    mathematical fixed point — per-day registers of the WHOLE table —
+    so the driver hash proves the streaming path's order-invariance
+    (max-merge law) end-to-end through checkpoint resume, not just in
+    pytest."""
+    import shutil
+    import tempfile
+
+    from ..operators import hll
+    from ..streaming.sketches import hll_register_stream
+
+    base = tempfile.mkdtemp(prefix="sketch_twin_")
+    try:
+        src, store, ckpt = f"{base}/src", f"{base}/store", f"{base}/ckpt"
+        ev = load_table(spark, sf_dir, "events").select("ts", "user_id")
+        ev_w = load_table(spark, sf_dir, "events").select(
+            "event_id", "ts", "user_id"
+        )
+        ev_w.where(F.col("event_id") % 3 != 0).drop("event_id").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+        hll_register_stream(spark, src, store, ckpt).awaitTermination(120)
+        ev_w.where(F.col("event_id") % 3 == 0).drop("event_id").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+        hll_register_stream(spark, src, store, ckpt).awaitTermination(120)
+
+        regs = spark.read.parquet(store).select("day", "bucket", "reg")
+        est = hll.hll_estimate(regs, ["day"])
+        exact = (
+            ev.select(F.to_date("ts").alias("day"), "user_id")
+            .groupBy("day")
+            .agg(F.countDistinct("user_id").alias("exact_distinct"))
+        )
+        from ..sources.tables import parallelized
+
+        out = est.join(exact, "day").select(
+            F.col("day").cast("timestamp").alias("day"),
+            "buckets_seen",
+            round_half_away(F.col("hll_estimate"), 4).alias("hll_estimate"),
+            "exact_distinct",
+        )
+        # the twin's frames die with the tempdir — materialize the tiny
+        # result (<= 31 rows) before cleanup
+        rows = out.collect()
+        return parallelized(
+            spark, spark.createDataFrame(rows, out.schema)
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def oracle_sketch_store_twin() -> str:
+    from ..operators.hll import sql_hll_estimate, sql_hll_registers
+
+    regs = sql_hll_registers(
+        "user_id", "(SELECT CAST(ts AS DATE) AS day, user_id FROM events)",
+        "day",
+    )
+    est = sql_hll_estimate("SELECT * FROM regs", "day")
+    return f"""
+WITH regs AS ({regs}),
+est AS ({est}),
+exact AS (
+    SELECT CAST(ts AS DATE) AS day,
+           COUNT(DISTINCT user_id) AS exact_distinct
+    FROM events GROUP BY 1
+)
+SELECT CAST(est.day AS TIMESTAMP) AS day, est.buckets_seen,
+       {sql_round_half_away('est.hll_estimate', 4)} AS hll_estimate,
+       exact.exact_distinct
+FROM est JOIN exact ON exact.day = est.day
+"""

@@ -48,6 +48,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
     "max_pain": (options.q_max_pain, options.oracle_max_pain),
     "bs_greeks": (options.q_bs_greeks, options.oracle_bs_greeks),
     "implied_vol": (options.q_implied_vol, options.oracle_implied_vol),
+    "pnl_explain": (options.q_pnl_explain, options.oracle_pnl_explain),
     # --- data quality / incremental semantics (W1, T6, S7/S8, A6, A7, K1/K2, A3/O4, P4) ---
     "gap_scan": (quality.q_gap_scan, quality.oracle_gap_scan),
     "gap_summary": (quality.q_gap_summary, quality.oracle_gap_summary),
@@ -102,6 +103,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
     "hll_rolling_users": (quality.q_hll_rolling_users, quality.oracle_hll_rolling_users),
     "ams_f2_skew": (quality.q_ams_f2_skew, quality.oracle_ams_f2_skew),
     "ams_join_size": (quality.q_ams_join_size, quality.oracle_ams_join_size),
+    "sketch_store_twin": (quality.q_sketch_store_twin, quality.oracle_sketch_store_twin),
     "table_expectations": (
         quality.q_table_expectations,
         quality.oracle_table_expectations,
@@ -423,6 +425,8 @@ _PRIORITY: list[str] = [
     "ams_join_size",
     "implied_vol",
     "feature_hash",
+    "pnl_explain",
+    "sketch_store_twin",
     # previously driver-green queries, prior rounds' order
     "image_probe",
     "benford_chisq",
