@@ -2978,3 +2978,141 @@ SELECT CAST(est.day AS TIMESTAMP) AS day, est.buckets_seen,
        exact.exact_distinct
 FROM est JOIN exact ON exact.day = est.day
 """
+
+
+HIST_BINS = 256
+HIST_LO, HIST_HI = 0.0, 500.0
+#: 500/256 — dyadic, exactly representable, repr-shared with the oracle
+HIST_W = (HIST_HI - HIST_LO) / HIST_BINS
+HIST_QS = (0.5, 0.9, 0.99)
+
+
+def q_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantiles from a MERGEABLE equi-width histogram:
+    per-day bin counts sum to per-type counts (the add-merge step), a
+    <= 256-row cumulative window inverts the CDF with in-bin linear
+    interpolation, and the exact ordered-set percentile rides along as
+    the audit.  The sketch contract: one pass builds 256 longs per
+    (type, day); any rollup or quantile re-ask touches only counters —
+    the raw values never shuffle again (contrast `value_percentiles`,
+    whose exact aggregate must re-see every value per question)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day"), "value"
+    ).where(F.col("value").isNotNull())
+    bin_ = F.least(
+        F.lit(HIST_BINS - 1),
+        F.greatest(
+            F.lit(0), F.floor((F.col("value") - HIST_LO) / HIST_W)
+        ),
+    ).cast("int")
+    per_day = (
+        ev.select("event_type", "day", bin_.alias("bin"))
+        .groupBy("event_type", "day", "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    hist = per_day.groupBy("event_type", "bin").agg(
+        F.sum("cnt").alias("cnt")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = hist.withColumn("cum", F.sum("cnt").over(w))
+    n = hist.groupBy("event_type").agg(F.sum("cnt").alias("n"))
+    qs = spark.createDataFrame([(q,) for q in HIST_QS], "q double")
+    cand = (
+        cum.join(n, "event_type")
+        .crossJoin(F.broadcast(qs))
+        .where(F.col("cum") >= F.col("q") * F.col("n"))
+    )
+    pick = cand.groupBy("event_type", "q").agg(
+        F.min_by(
+            F.struct("bin", "cnt", "cum", "n"), F.col("bin")
+        ).alias("s")
+    )
+    t = F.col("q") * F.col("s.n")
+    est = (
+        F.col("s.bin") * HIST_W
+        + ((t - (F.col("s.cum") - F.col("s.cnt"))) / F.col("s.cnt")) * HIST_W
+    )
+    exact = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.expr(
+                "percentile(value, array("
+                + ", ".join(repr(q) for q in HIST_QS)
+                + "))"
+            ).alias("p")
+        )
+        .select(
+            "event_type",
+            F.explode(
+                F.arrays_zip(
+                    F.array(*[F.lit(q) for q in HIST_QS]).alias("q"),
+                    F.col("p").alias("exact"),
+                )
+            ).alias("z"),
+        )
+        .select("event_type", F.col("z.q").alias("q"), F.col("z.exact").alias("exact"))
+    )
+    return pick.join(exact, ["event_type", "q"]).select(
+        "event_type",
+        "q",
+        F.col("s.n").alias("n"),
+        round_half_away(est, 4).alias("hist_est"),
+        round_half_away(F.col("exact"), 4).alias("exact"),
+    )
+
+
+def oracle_hist_quantiles() -> str:
+    qvals = ", ".join(f"({q!r})" for q in HIST_QS)
+    return f"""
+WITH ev AS (
+    SELECT event_type, CAST(ts AS DATE) AS day, value FROM events
+    WHERE value IS NOT NULL
+),
+per_day AS (
+    SELECT event_type, day,
+           CAST(least({HIST_BINS - 1}, greatest(0,
+                floor((value - {HIST_LO!r}) / {HIST_W!r}))) AS INT) AS bin,
+           COUNT(*) AS cnt
+    FROM ev GROUP BY 1, 2, 3
+),
+hist AS (
+    SELECT event_type, bin, CAST(SUM(cnt) AS BIGINT) AS cnt
+    FROM per_day GROUP BY 1, 2
+),
+cum AS (
+    SELECT event_type, bin, cnt,
+           SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin
+                          ROWS UNBOUNDED PRECEDING) AS cum
+    FROM hist
+),
+n AS (SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS n FROM hist GROUP BY 1),
+qs(q) AS (VALUES {qvals}),
+pick AS (
+    SELECT event_type, q, bin, cnt, cum, n,
+           row_number() OVER (PARTITION BY event_type, q ORDER BY bin) AS rn
+    FROM cum JOIN n USING (event_type) CROSS JOIN qs
+    WHERE cum >= q * n
+),
+est AS (
+    SELECT event_type, q, n,
+           bin * {HIST_W!r}
+           + (((q * n) - (cum - cnt)) / cnt) * {HIST_W!r} AS hist_est
+    FROM pick WHERE rn = 1
+),
+exact AS (
+    SELECT event_type, q,
+           CASE q {"".join(f"WHEN {q!r} THEN quantile_cont(value, {q!r}) " for q in HIST_QS)}END AS exact
+    FROM ev CROSS JOIN qs
+    GROUP BY 1, 2
+)
+SELECT est.event_type, est.q, est.n,
+       {sql_round_half_away('est.hist_est', 4)} AS hist_est,
+       {sql_round_half_away('exact.exact', 4)} AS exact
+FROM est JOIN exact ON exact.event_type = est.event_type AND exact.q = est.q
+"""

@@ -104,6 +104,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
     "ams_f2_skew": (quality.q_ams_f2_skew, quality.oracle_ams_f2_skew),
     "ams_join_size": (quality.q_ams_join_size, quality.oracle_ams_join_size),
     "sketch_store_twin": (quality.q_sketch_store_twin, quality.oracle_sketch_store_twin),
+    "hist_quantiles": (quality.q_hist_quantiles, quality.oracle_hist_quantiles),
     "table_expectations": (
         quality.q_table_expectations,
         quality.oracle_table_expectations,
@@ -427,6 +428,7 @@ _PRIORITY: list[str] = [
     "feature_hash",
     "pnl_explain",
     "sketch_store_twin",
+    "hist_quantiles",
     # previously driver-green queries, prior rounds' order
     "image_probe",
     "benford_chisq",
