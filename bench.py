@@ -25,6 +25,48 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
+def _prev_round_detail(detail_path: str) -> dict[str, float]:
+    """Per-query timings from the PREVIOUS ROUND's committed detail.
+
+    The noise-rerun threshold must anchor to the last ``round N:``
+    driver commit, not the last mid-round commit: anchoring to every
+    intermediate commit re-bases the >2x trigger and lets a steady
+    1.3-1.5x-per-commit drift compound to >2x round-over-round without
+    ever being flagged (exactly how stream_dedup_twin's r6->r7 2.04x
+    move escaped, VERDICT r7 ask #2). Falls back to the working-tree
+    file when git history is unavailable.
+    """
+    import subprocess
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    try:
+        out = subprocess.run(
+            ["git", "log", "--format=%H %s", "-200"],
+            cwd=repo, capture_output=True, text=True, timeout=30,
+        ).stdout
+        for line in out.splitlines():
+            sha, _, subject = line.partition(" ")
+            if re.match(r"^round \d+:", subject):
+                blob = subprocess.run(
+                    ["git", "show", f"{sha}:BENCH_DETAIL.json"],
+                    cwd=repo, capture_output=True, text=True, timeout=30,
+                )
+                if blob.returncode == 0:
+                    log(f"  noise anchor: BENCH_DETAIL.json @ {sha[:9]} "
+                        f"({subject[:60]})")
+                    return json.loads(blob.stdout).get("queries", {})
+                break  # round commit exists but file missing: fall back
+    except (OSError, ValueError, subprocess.SubprocessError):
+        pass
+    try:
+        with open(detail_path) as fh:
+            log("  noise anchor: working-tree BENCH_DETAIL.json (no round "
+                "commit found)")
+            return json.load(fh).get("queries", {})
+    except (OSError, ValueError):
+        return {}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -150,23 +192,22 @@ def main() -> None:
         timings[name] = round(min(runs), 3)
         log(f"  {name}: {min(runs):.2f}s (runs: {', '.join(f'{r:.2f}' for r in runs)})")
 
-    # Noise protocol (VERDICT r6 ask #4): on a shared host, single
-    # queries can swing 2-4x round-over-round for environmental reasons.
-    # Any entry that moved >2x either way vs the PREVIOUS committed
-    # detail file is re-run (two more executions) after the main loop —
+    # Noise protocol (VERDICT r6 ask #4, re-anchored per r7 ask #2): on
+    # a shared host, single queries can swing 2-4x round-over-round for
+    # environmental reasons. Any entry that moved >2x either way vs the
+    # PREVIOUS ROUND's committed detail (the BENCH_DETAIL.json at the
+    # last `round N:` driver commit — NOT the last mid-round commit,
+    # which would let a 1.4x-per-commit drift re-base itself under the
+    # threshold) is re-run (two more executions) after the main loop —
     # by then the session is maximally warm — and both numbers are
-    # recorded, with the final timing taking the min of all runs. That
-    # makes a real regression show up as "still slow on re-run" instead
-    # of burning a judge round on page-cache luck.
+    # recorded. A slow first pass keeps the min of all runs (real
+    # regressions stay slow on re-run); a suspiciously FAST first pass
+    # keeps max(first, rerun_min) so a non-reproducible fluke speedup
+    # can't become the committed timing (ADVICE r7).
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
-    prev: dict[str, float] = {}
-    try:
-        with open(detail_path) as fh:
-            prev = json.load(fh).get("queries", {})
-    except (OSError, ValueError):
-        pass
+    prev: dict[str, float] = _prev_round_detail(detail_path)
     noise_reruns: dict[str, dict[str, float]] = {}
     qmap = registry.queries()
     for name, t_new in list(timings.items()):
@@ -188,7 +229,13 @@ def main() -> None:
             "first_pass": t_new,
             "rerun_min": rerun_min,
         }
-        timings[name] = min(t_new, rerun_min)
+        if t_new > 2.0 * t_old:
+            # flagged slow: a fast rerun clears it (environmental)
+            timings[name] = min(t_new, rerun_min)
+        else:
+            # flagged suspiciously fast: the rerun must REPRODUCE the
+            # speedup to keep it — otherwise record the slower number
+            timings[name] = max(t_new, rerun_min)
         log(
             f"  noise-rerun {name}: prev={t_old:.2f}s first={t_new:.2f}s "
             f"rerun_min={rerun_min:.2f}s"

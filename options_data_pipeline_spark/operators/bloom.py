@@ -28,10 +28,11 @@ Positions use the Kirsch–Mitzenmacher double-hashing scheme
 md5(key), which preserves the standard fpp bound with just one
 digest per row.
 
-Reference parity: the reference dedups on write via ``ON CONFLICT``
-inside PostgreSQL (`reference/src/pipeline/storage/writer.py`); the
-engine-side equivalent at scale is exactly this prefiltered anti-join
-feeding K2 ``insert_if_absent``.
+Reference parity: the reference dedups on write via ``ON CONFLICT
+(trade_id) DO NOTHING`` inside PostgreSQL
+(`reference/src/pipeline/collectors/deribit.py:128`); the engine-side
+equivalent at scale is exactly this prefiltered anti-join feeding K2
+``insert_if_absent``.
 """
 
 from __future__ import annotations

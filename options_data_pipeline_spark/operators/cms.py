@@ -88,7 +88,19 @@ def cms_query(
 ) -> DataFrame:
     """(token, est): min over the D cells; absent cells read 0 (a row
     whose cell was never touched has no grid entry).  ``probes`` is a
-    tiny frame — it broadcasts onto the <= D*W-row grid."""
+    tiny frame — it broadcasts onto the <= D*W-row grid.
+
+    The grid must be GLOBAL — exactly ``(r, c, cnt)``.  A grid still
+    carrying group columns (the direct output of :func:`cms_build`)
+    would join every group's cells to every probe, duplicating rows and
+    taking the min ACROSS groups — a silent wrong answer.  Merge with
+    :func:`cms_merge` (``group_cols=[]``) first (ADVICE r7)."""
+    if set(grid.columns) != {"r", "c", "cnt"}:
+        raise ValueError(
+            "cms_query needs a global grid with columns exactly "
+            f"('r', 'c', 'cnt'); got {sorted(grid.columns)}. Merge group "
+            "columns away first: cms_merge(grid, group_cols=[])."
+        )
     cells = probes.select(
         token_col,
         F.explode(

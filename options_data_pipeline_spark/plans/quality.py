@@ -2926,11 +2926,21 @@ def q_sketch_store_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev_w.where(F.col("event_id") % 3 != 0).drop("event_id").coalesce(
             1
         ).write.mode("append").parquet(src)
-        hll_register_stream(spark, src, store, ckpt).awaitTermination(120)
+        # awaitTermination(timeout) returns False on a timeout with the
+        # stream still running — in that case the store read below would
+        # hash a PARTIAL register state as if it were the fixed point.
+        # Fail loudly instead (ADVICE r7).
+        if not hll_register_stream(spark, src, store, ckpt).awaitTermination(
+            120
+        ):
+            raise TimeoutError("sketch-store wave 1 did not drain in 120s")
         ev_w.where(F.col("event_id") % 3 == 0).drop("event_id").coalesce(
             1
         ).write.mode("append").parquet(src)
-        hll_register_stream(spark, src, store, ckpt).awaitTermination(120)
+        if not hll_register_stream(spark, src, store, ckpt).awaitTermination(
+            120
+        ):
+            raise TimeoutError("sketch-store wave 2 did not drain in 120s")
 
         regs = spark.read.parquet(store).select("day", "bucket", "reg")
         est = hll.hll_estimate(regs, ["day"])
@@ -3068,7 +3078,12 @@ def q_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def oracle_hist_quantiles() -> str:
-    qvals = ", ".join(f"({q!r})" for q in HIST_QS)
+    # CAST each q literal to DOUBLE: a bare `(0.5)` in VALUES is typed
+    # DECIMAL by DuckDB, making `cum >= q * n` and the interpolation
+    # numerator evaluate in exact decimal while Spark uses IEEE double —
+    # a latent cross-engine divergence (ADVICE r7). Both engines must
+    # run the same double arithmetic.
+    qvals = ", ".join(f"(CAST({q!r} AS DOUBLE))" for q in HIST_QS)
     return f"""
 WITH ev AS (
     SELECT event_type, CAST(ts AS DATE) AS day, value FROM events

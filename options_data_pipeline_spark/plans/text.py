@@ -1555,9 +1555,9 @@ def q_bloom_prefilter_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialization — the executed plan shows 1 BroadcastExchange + 9
     ReusedExchange across both union branches (verified; static
     explain can't show reuse under AQE).  Cite: reference dedup-on-write is
-    PostgreSQL ``ON CONFLICT DO NOTHING``
-    (`reference/src/pipeline/storage/writer.py`); this is the engine-
-    side equivalent that K2 ``insert_if_absent`` composes with.
+    PostgreSQL ``ON CONFLICT (trade_id) DO NOTHING``
+    (`reference/src/pipeline/collectors/deribit.py:128`); this is the
+    engine-side equivalent that K2 ``insert_if_absent`` composes with.
     """
     corpus = planted_corpus(spark, sf_dir)
     is_new = F.col("source").isin("mirror", "scrape")

@@ -201,6 +201,26 @@ def test_cms_query_overestimates_only_and_matches_python(spark):
     assert some_collision
 
 
+def test_cms_query_rejects_grouped_grid(spark):
+    """ADVICE r7: a grid still carrying group columns would join every
+    group's cells to every probe and min ACROSS groups — cms_query must
+    refuse it rather than return a silent wrong answer."""
+    import pytest
+
+    from options_data_pipeline_spark.operators import cms
+
+    rows = [(f"g{i % 3}", f"t{i % 11}") for i in range(100)]
+    df = spark.createDataFrame(rows, "g string, token string")
+    grouped = cms.cms_build(df, "token", ["g"])
+    probes = spark.createDataFrame([("t1",)], "token string")
+    with pytest.raises(ValueError, match="global grid"):
+        cms.cms_query(grouped, probes)
+    # merged away, the same grid is accepted
+    assert cms.cms_query(
+        cms.cms_merge(grouped, []), probes
+    ).collect()[0].est > 0
+
+
 # --- AMS F2 ------------------------------------------------------------------
 
 

@@ -72,10 +72,20 @@ def main() -> int:
     queries = E.queries()
     oracles = E.oracle_sql()
     report: dict[str, dict] = {}
+    # The per-query flush goes to a `.partial` sidecar; the final
+    # artifact lands at out_path via one atomic rename. Round 7's
+    # end-of-round snapshot committed a mid-run in-place write and
+    # clobbered the 206-entry sf0.01 artifact down to 1 entry (VERDICT
+    # r7 #1) — with the sidecar, a commit can only ever capture either
+    # the previous complete artifact or the new complete one.
+    partial_path = out_path + ".partial"
     resume = "--resume" in sys.argv
-    if resume and os.path.exists(out_path):
-        with open(out_path) as fh:
-            report = json.load(fh)
+    if resume:
+        for prior in (partial_path, out_path):
+            if os.path.exists(prior):
+                with open(prior) as fh:
+                    report = json.load(fh)
+                break
     n_ok = n_weak = n_fail = 0
     for name in sorted(queries):
         if resume and name in report:
@@ -121,8 +131,9 @@ def main() -> int:
             n_fail += 1
         report[name] = row
         # flush after every query so a timeout still leaves a usable
-        # artifact that --resume can extend
-        with open(out_path, "w") as fh:
+        # artifact that --resume can extend — but to the SIDECAR, never
+        # in place over the committed artifact
+        with open(partial_path, "w") as fh:
             json.dump(report, fh, indent=2)
         status = (
             "ok"
@@ -134,8 +145,9 @@ def main() -> int:
             file=sys.stderr,
         )
 
-    with open(out_path, "w") as fh:
+    with open(partial_path, "w") as fh:
         json.dump(report, fh, indent=2)
+    os.replace(partial_path, out_path)  # atomic: complete or absent
     print(
         json.dumps(
             {
