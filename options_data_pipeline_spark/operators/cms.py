@@ -84,24 +84,30 @@ def cms_merge(grid: DataFrame, group_cols: list[str]) -> DataFrame:
 
 
 def cms_query(
-    grid: DataFrame, probes: DataFrame, token_col: str = "token"
+    grid: DataFrame,
+    probes: DataFrame,
+    token_col: str = "token",
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
-    """(token, est): min over the D cells; absent cells read 0 (a row
-    whose cell was never touched has no grid entry).  ``probes`` is a
-    tiny frame — it broadcasts onto the <= D*W-row grid.
+    """(group..., token, est): min over the D cells; absent cells read 0
+    (a row whose cell was never touched has no grid entry).  ``probes``
+    is a tiny frame — it broadcasts onto the <= groups*D*W-row grid.
 
-    The grid must be GLOBAL — exactly ``(r, c, cnt)``.  A grid still
-    carrying group columns (the direct output of :func:`cms_build`)
-    would join every group's cells to every probe, duplicating rows and
-    taking the min ACROSS groups — a silent wrong answer.  Merge with
-    :func:`cms_merge` (``group_cols=[]``) first (ADVICE r7)."""
-    if set(grid.columns) != {"r", "c", "cnt"}:
+    The grid's columns must be exactly ``group_cols + (r, c, cnt)`` and
+    ``probes`` must carry the same group columns: probing a grouped grid
+    without naming its groups would join every group's cells to every
+    probe and min ACROSS groups — a silent wrong answer (ADVICE r7).
+    Merge unwanted group columns away first with :func:`cms_merge`."""
+    gcols = list(group_cols or [])
+    expected = set(gcols) | {"r", "c", "cnt"}
+    if set(grid.columns) != expected:
         raise ValueError(
-            "cms_query needs a global grid with columns exactly "
-            f"('r', 'c', 'cnt'); got {sorted(grid.columns)}. Merge group "
-            "columns away first: cms_merge(grid, group_cols=[])."
+            f"cms_query with group_cols={gcols} needs a grid with columns "
+            f"exactly {sorted(expected)}; got {sorted(grid.columns)}. Merge "
+            "group columns away first: cms_merge(grid, group_cols=[...])."
         )
     cells = probes.select(
+        *gcols,
         token_col,
         F.explode(
             F.array(
@@ -114,8 +120,10 @@ def cms_query(
                 ]
             )
         ).alias("rc"),
-    ).select(token_col, "rc.r", "rc.c")
-    joined = cells.join(F.broadcast(grid), ["r", "c"], "left").select(
-        token_col, F.coalesce(F.col("cnt"), F.lit(0).cast("long")).alias("cell")
+    ).select(*gcols, token_col, "rc.r", "rc.c")
+    joined = cells.join(F.broadcast(grid), [*gcols, "r", "c"], "left").select(
+        *gcols,
+        token_col,
+        F.coalesce(F.col("cnt"), F.lit(0).cast("long")).alias("cell"),
     )
-    return joined.groupBy(token_col).agg(F.min("cell").alias("est"))
+    return joined.groupBy(*gcols, token_col).agg(F.min("cell").alias("est"))

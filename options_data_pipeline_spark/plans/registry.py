@@ -15,6 +15,7 @@ from . import (
     quality,
     retrieval,
     sessions,
+    stores,
     text,
     timeseries,
     tpch,
@@ -105,6 +106,15 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
     "ams_join_size": (quality.q_ams_join_size, quality.oracle_ams_join_size),
     "sketch_store_twin": (quality.q_sketch_store_twin, quality.oracle_sketch_store_twin),
     "hist_quantiles": (quality.q_hist_quantiles, quality.oracle_hist_quantiles),
+    # --- sketch-store consumers: answers from stored registers only ---
+    "hll_week_from_store": (
+        stores.q_hll_week_from_store,
+        stores.oracle_hll_week_from_store,
+    ),
+    "cms_topk_from_store": (
+        stores.q_cms_topk_from_store,
+        stores.oracle_cms_topk_from_store,
+    ),
     "table_expectations": (
         quality.q_table_expectations,
         quality.oracle_table_expectations,

@@ -1,0 +1,259 @@
+"""Sketch-store CONSUMER queries — the payoff side of the store design.
+
+:mod:`..streaming.sketches` maintains per-day mergeable sketch stores
+(HLL registers max-merge, CMS counters add); these queries prove the
+store earns its keep: "distinct users this week" and "heavy users this
+week" are answered by reading ONLY the stored day-partition sketch rows
+— the raw events table is ABSENT from the consumer plan (asserted in
+``tests/test_scale_plans.py``, the same CI pin as the pruning tests).
+At 100 TB that is the entire point: the ingest pass hashes every raw
+key exactly once into <= M rows per day, and every later question —
+any week, any month, any rolling window — costs a merge over a few
+hundred stored rows instead of a rescan of the raw stream.
+
+Each query here runs its own ingest stage first (one raw scan building
+the day store — deterministic, so the DuckDB oracle reproduces the
+stored rows bit-for-bit from ``events`` via the shared md5 arithmetic)
+and then answers from the store alone.  The split into ``build_*`` /
+``*_consumer`` functions exists so the plan test can inspect the
+consumer's physical plan in isolation.
+
+Reference parity: the reference keeps no sketch stores (its stats probe
+re-scans, `reference/src/pipeline/flows/collection.py`); this family is
+part of the beyond-reference 100 TB surface the brief asks for.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.rounding import round_half_away, sql_round_half_away
+from ..operators import cms, hll
+from ..sources.tables import load_table, parallelized
+
+#: per-day heavy-user candidates kept alongside the CMS grid. A user
+#: heavy over the week appears in some day's top list in practice; the
+#: query's CONTRACT (and its oracle) is explicitly "top-k among stored
+#: candidates", so the answer is deterministic either way.
+CAND_PER_DAY = 20
+#: final top-k per week
+TOPK_PER_WEEK = 10
+
+
+# --- HLL: distinct users per week, from stored day registers only -----------
+
+
+def build_hll_day_store(
+    spark: SparkSession, sf_dir: str, store_path: str
+) -> None:
+    """Ingest stage: ONE scan of events -> per-day HLL registers
+    (<= 256 rows/day), written day-partitioned. In production this is
+    the streaming job (:func:`..streaming.sketches.hll_register_stream`);
+    batch-built here so the consumer query is deterministic."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    hll.hll_registers(ev, "user_id", ["day"]).write.mode(
+        "overwrite"
+    ).partitionBy("day").parquet(store_path)
+
+
+def hll_week_consumer(spark: SparkSession, store_path: str) -> DataFrame:
+    """(week, buckets_seen, hll_estimate) from the register store ONLY:
+    max-merge each ISO week's <= 7*256 stored rows, then estimate. No
+    events scan anywhere in this plan — CI-pinned."""
+    regs = spark.read.parquet(store_path).select(
+        F.date_trunc("week", F.col("day").cast("date")).alias("week"),
+        "bucket",
+        "reg",
+    )
+    merged = hll.merge_registers(regs, ["week"])
+    est = hll.hll_estimate(merged, ["week"])
+    return est.select(
+        "week",
+        "buckets_seen",
+        round_half_away(F.col("hll_estimate"), 4).alias("hll_estimate"),
+    )
+
+
+def q_hll_week_from_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="hll_store_")
+    try:
+        store = f"{base}/hll_days"
+        build_hll_day_store(spark, sf_dir, store)
+        out = hll_week_consumer(spark, store).orderBy("week")
+        # the store dies with the tempdir — materialize the <= weeks
+        # rows before cleanup (bounded: one row per week in the data)
+        rows = out.collect()
+        return parallelized(spark, spark.createDataFrame(rows, out.schema))
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def oracle_hll_week_from_store() -> str:
+    regs = hll.sql_hll_registers(
+        "user_id",
+        "(SELECT CAST(ts AS DATE) AS day, user_id FROM events)",
+        "day",
+    )
+    est = hll.sql_hll_estimate("SELECT * FROM wregs", "week")
+    return f"""
+WITH regs AS ({regs}),
+wregs AS (
+    SELECT CAST(date_trunc('week', day) AS TIMESTAMP) AS week,
+           bucket, MAX(reg) AS reg
+    FROM regs GROUP BY 1, 2
+),
+est AS ({est})
+SELECT week, buckets_seen,
+       {sql_round_half_away('hll_estimate', 4)} AS hll_estimate
+FROM est
+"""
+
+
+# --- CMS: heavy users per week, from stored grids + candidates only ---------
+
+
+def build_cms_day_store(
+    spark: SparkSession,
+    sf_dir: str,
+    grid_path: str,
+    cand_path: str,
+) -> None:
+    """Ingest stage: ONE scan of events -> per-day CMS grids
+    (<= D*W rows/day, counters) AND per-day top-``CAND_PER_DAY``
+    candidate users (exact within the day — computable in the same
+    ingest pass), both written day-partitioned.  The candidate list is
+    what makes a count sketch answer TOP-K: CMS alone estimates any
+    probe but enumerates nothing."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    cms.cms_build(ev, "user_id", ["day"]).write.mode(
+        "overwrite"
+    ).partitionBy("day").parquet(grid_path)
+    day_counts = ev.groupBy("day", "user_id").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("day").orderBy(
+        F.col("cnt").desc(), F.col("user_id").asc()
+    )
+    (
+        day_counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= CAND_PER_DAY)
+        .select("day", "user_id")
+        .write.mode("overwrite")
+        .partitionBy("day")
+        .parquet(cand_path)
+    )
+
+
+def cms_week_topk_consumer(
+    spark: SparkSession, grid_path: str, cand_path: str
+) -> DataFrame:
+    """(week, rank, user_id, est) — top heavy users per week answered
+    from the stores ONLY: week grid = sum of the 7 day grids (counters
+    ADD), week candidates = union of the days' candidate lists, probe
+    via :func:`..operators.cms.cms_query`, rank by (est desc, user_id).
+    No events scan anywhere in this plan — CI-pinned."""
+    week_of = lambda c: F.date_trunc("week", F.col(c).cast("date"))  # noqa: E731
+    grid = cms.cms_merge(
+        spark.read.parquet(grid_path).select(
+            week_of("day").alias("week"), "r", "c", "cnt"
+        ),
+        ["week"],
+    )
+    probes = (
+        spark.read.parquet(cand_path)
+        .select(week_of("day").alias("week"), "user_id")
+        .distinct()
+    )
+    est = cms.cms_query(grid, probes, token_col="user_id", group_cols=["week"])
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("week").orderBy(
+        F.col("est").desc(), F.col("user_id").asc()
+    )
+    return (
+        est.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= TOPK_PER_WEEK)
+        .select("week", "rank", "user_id", F.col("est").cast("long").alias("est"))
+    )
+
+
+def q_cms_topk_from_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="cms_store_")
+    try:
+        grid_path = f"{base}/cms_days"
+        cand_path = f"{base}/cands"
+        build_cms_day_store(spark, sf_dir, grid_path, cand_path)
+        out = cms_week_topk_consumer(spark, grid_path, cand_path).orderBy(
+            "week", "rank"
+        )
+        rows = out.collect()  # bounded: weeks * TOPK_PER_WEEK
+        return parallelized(spark, spark.createDataFrame(rows, out.schema))
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def oracle_cms_topk_from_store() -> str:
+    cell_exprs = " UNION ALL ".join(
+        f"SELECT day, {r} AS r, {cms.sql_cms_col(r, 'user_id')} AS c, "
+        f"COUNT(*) AS cnt FROM ev GROUP BY 1, 2, 3"
+        for r in range(cms.D)
+    )
+    probe_cells = " UNION ALL ".join(
+        f"SELECT week, user_id, {r} AS r, "
+        f"{cms.sql_cms_col(r, 'user_id')} AS c FROM cands"
+        for r in range(cms.D)
+    )
+    return f"""
+WITH ev AS (
+    SELECT CAST(ts AS DATE) AS day, user_id FROM events
+),
+day_cells AS ({cell_exprs}),
+grid AS (
+    SELECT CAST(date_trunc('week', day) AS TIMESTAMP) AS week, r, c,
+           CAST(SUM(cnt) AS BIGINT) AS cnt
+    FROM day_cells GROUP BY 1, 2, 3
+),
+day_counts AS (
+    SELECT day, user_id, COUNT(*) AS cnt FROM ev GROUP BY 1, 2
+),
+day_cands AS (
+    SELECT day, user_id FROM (
+        SELECT day, user_id,
+               row_number() OVER (PARTITION BY day
+                   ORDER BY cnt DESC, user_id ASC) AS rn
+        FROM day_counts
+    ) WHERE rn <= {CAND_PER_DAY}
+),
+cands AS (
+    SELECT DISTINCT CAST(date_trunc('week', day) AS TIMESTAMP) AS week,
+           user_id
+    FROM day_cands
+),
+pc AS ({probe_cells}),
+est AS (
+    SELECT pc.week, pc.user_id,
+           CAST(MIN(COALESCE(g.cnt, 0)) AS BIGINT) AS est
+    FROM pc LEFT JOIN grid g
+      ON g.week = pc.week AND g.r = pc.r AND g.c = pc.c
+    GROUP BY 1, 2
+)
+SELECT week, CAST(rank AS INT) AS rank, user_id, est FROM (
+    SELECT week, user_id, est,
+           row_number() OVER (PARTITION BY week
+               ORDER BY est DESC, user_id ASC) AS rank
+    FROM est
+) WHERE rank <= {TOPK_PER_WEEK}
+"""

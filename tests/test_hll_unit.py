@@ -213,12 +213,26 @@ def test_cms_query_rejects_grouped_grid(spark):
     df = spark.createDataFrame(rows, "g string, token string")
     grouped = cms.cms_build(df, "token", ["g"])
     probes = spark.createDataFrame([("t1",)], "token string")
-    with pytest.raises(ValueError, match="global grid"):
+    with pytest.raises(ValueError, match="grid with columns"):
         cms.cms_query(grouped, probes)
     # merged away, the same grid is accepted
     assert cms.cms_query(
         cms.cms_merge(grouped, []), probes
     ).collect()[0].est > 0
+    # and a grouped probe against the grouped grid is the supported path
+    gprobes = spark.createDataFrame(
+        [("g0", "t1"), ("g1", "t1")], "g string, token string"
+    )
+    per_group = {
+        (r.g, r.token): r.est
+        for r in cms.cms_query(grouped, gprobes, group_cols=["g"]).collect()
+    }
+    direct = {
+        (g, "t1"): sum(1 for gg, t in rows if gg == g and t == "t1")
+        for g in ("g0", "g1")
+    }
+    # W=512 >> 11 distinct tokens: no collisions, est == exact count
+    assert per_group == direct
 
 
 # --- AMS F2 ------------------------------------------------------------------
