@@ -115,6 +115,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
         stores.q_cms_topk_from_store,
         stores.oracle_cms_topk_from_store,
     ),
+    "ivf_index_upsert": (
+        vectors.q_ivf_index_upsert,
+        vectors.oracle_ivf_index_upsert,
+    ),
     "table_expectations": (
         quality.q_table_expectations,
         quality.oracle_table_expectations,

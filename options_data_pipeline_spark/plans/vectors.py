@@ -1128,3 +1128,150 @@ SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id,
        {sql_round_half_away('adc', 4)} AS adc
 FROM ranked WHERE rank <= {TOPK}
 """
+
+
+# --- IVF index maintenance under upserts --------------------------------------
+
+#: delta composition: vec_id % IDX_NEW_MOD == 0 arrives NEW (absent from
+#: the base index); vec_id % IDX_UPD_MOD == 1 is UPDATED in place with a
+#: deterministically mutated vector (element order reversed — both
+#: engines reverse identically).  The two classes are disjoint.
+IDX_NEW_MOD = 5
+IDX_UPD_MOD = 10
+
+
+def _maintained_ivf_index(
+    spark: SparkSession, sf_dir: str, index_path: str
+) -> dict[str, int]:
+    """Build the base IVF index, then maintain it with one delta batch
+    through :func:`..sinks.upsert.upsert_partitioned_moving`.
+
+    The 100 TB contract: the delta's assignment cost is ∝ |delta| (only
+    delta vectors are scored against the FROZEN coarse centroids — no
+    retrain, no corpus rescan), and the index rewrite touches only the
+    old ∪ new cells of the batch.  An updated vector that re-assigns to
+    a different cell is evicted from its old cell partition, so the
+    maintained index equals a full rebuild (pinned in
+    tests/test_scale_plans.py::test_ivf_index_maintenance_equals_rebuild).
+    """
+    from ..operators.similarity import ivf_assign
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    base = emb.where(F.col("cid") % IDX_NEW_MOD != 0)
+    idx0 = ivf_assign(base, "cv", nprobe=1).select("cid", "cv", "cell")
+    idx0.write.mode("overwrite").partitionBy("cell").parquet(index_path)
+
+    delta = emb.where(F.col("cid") % IDX_NEW_MOD == 0).unionByName(
+        base.where(F.col("cid") % IDX_UPD_MOD == 1).select(
+            "cid", F.reverse(F.col("cv")).alias("cv")
+        )
+    )
+    didx = ivf_assign(delta, "cv", nprobe=1).select("cid", "cv", "cell")
+    from ..sinks.upsert import upsert_partitioned_moving
+
+    return upsert_partitioned_moving(
+        spark, index_path, didx, keys=["cid"], partition_col="cell"
+    )
+
+
+def ivf_index_search(
+    spark: SparkSession, index_path: str, nprobe: int = 2, k: int = TOP_K
+) -> DataFrame:
+    """IVF top-k over the MAINTAINED index table: the corpus side's
+    cell assignment is read back from the store (never recomputed);
+    only the <= N_QUERIES probe vectors are scored against centroids."""
+    from ..functions.rounding import round_half_away
+    from ..operators.similarity import _dot, ivf_assign
+    from pyspark.sql import Window
+
+    index = spark.read.parquet(index_path).select("cid", "cv", "cell")
+    queries = index.where(F.col("cid") < N_QUERIES).select(
+        F.col("cid").alias("qid"), F.col("cv").alias("qv")
+    )
+    q_probes = ivf_assign(queries, "qv", nprobe=nprobe).select(
+        "qid", "qv", "cell"
+    )
+    pairs = index.join(F.broadcast(q_probes), "cell").where(
+        F.col("qid") != F.col("cid")
+    )
+    qq = _dot(F.col("qv"), F.col("qv"))
+    cc = _dot(F.col("cv"), F.col("cv"))
+    sim = round_half_away(_dot(F.col("qv"), F.col("cv")) / F.sqrt(qq * cc), 4)
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cosine_sim").desc(), F.col("cid").asc()
+    )
+    return (
+        pairs.withColumn("cosine_sim", sim)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("qid", "cid", "cosine_sim", "rank")
+    )
+
+
+def q_ivf_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index maintenance under upserts, end-to-end: base index →
+    delta batch (new + mutated vectors) maintained via the move-aware
+    partitioned MERGE → IVF search over the maintained store.  The
+    oracle searches a FULL REBUILD of the merged corpus, so the driver
+    hash proves maintenance ≡ rebuild — stale rows in a moved key's old
+    cell or a missed eviction fail the hash, not just a pytest."""
+    import shutil
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="ivf_idx_")
+    try:
+        index_path = f"{base}/index"
+        _maintained_ivf_index(spark, sf_dir, index_path)
+        out = ivf_index_search(spark, index_path).orderBy("qid", "rank")
+        rows = out.collect()  # bounded: N_QUERIES * TOP_K
+        return parallelized(spark, spark.createDataFrame(rows, out.schema))
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def oracle_ivf_index_upsert() -> str:
+    from ..operators.similarity import centroids
+
+    cells = ", ".join(
+        "({}, [{}])".format(c, ", ".join(repr(x) for x in vec))
+        for c, vec in enumerate(centroids())
+    )
+    cell_sim = _sql_dot("e.v", "w.w")
+    dot = _sql_dot("q.qv", "c.cv")
+    qq, cc = _sql_dot("q.qv", "q.qv"), _sql_dot("c.cv", "c.cv")
+    sim = sql_round_half_away(f"({dot} / sqrt({qq} * {cc}))", 4)
+    return f"""
+WITH cells(cell, w) AS (VALUES {cells}),
+emb AS (
+    SELECT vec_id,
+           CASE WHEN vec_id % {IDX_UPD_MOD} = 1
+                THEN list_reverse(embedding) ELSE embedding END AS v
+    FROM embeddings
+),
+scored AS (
+    SELECT e.vec_id, e.v, w.cell, {cell_sim} AS cell_sim
+    FROM emb e CROSS JOIN (SELECT cell, w FROM cells) w
+),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY cell_sim DESC, cell ASC) AS cell_rank
+    FROM scored
+),
+c AS (SELECT vec_id AS cid, v AS cv, cell FROM ranked WHERE cell_rank = 1),
+q AS (SELECT vec_id AS qid, v AS qv, cell FROM ranked
+      WHERE cell_rank <= 2 AND vec_id < {N_QUERIES}),
+pairs AS (
+    SELECT q.qid, c.cid, {sim} AS cosine_sim
+    FROM q JOIN c USING (cell)
+    WHERE q.qid != c.cid
+),
+rk AS (
+    SELECT *, row_number() OVER (PARTITION BY qid
+                                 ORDER BY cosine_sim DESC, cid ASC) AS rank
+    FROM pairs
+)
+SELECT qid, cid, cosine_sim, CAST(rank AS BIGINT) AS rank
+FROM rk WHERE rank <= {TOP_K}
+"""

@@ -279,6 +279,108 @@ def upsert_partitioned(
     return {"inserted": inserted, "updated": updated}
 
 
+def upsert_partitioned_moving(
+    spark: SparkSession,
+    target_path: str,
+    updates: DataFrame,
+    keys: list[str],
+    partition_col: str,
+) -> dict[str, int]:
+    """Partition-pruned MERGE for keys that MAY move between partitions.
+
+    :func:`upsert_partitioned` forbids cross-partition keys because its
+    reconciliation only reads the updates' own partitions — a moved key
+    would leave a stale row alive in its old partition.  Index
+    maintenance breaks that invariant by construction: an updated vector
+    re-assigns to a (possibly different) IVF cell, a re-bucketed record
+    changes shard.  This variant also reads the updated keys' OLD
+    partitions and evicts the stale rows there, so the maintained table
+    equals a full rebuild.
+
+    Cost shape at 100 TB: finding the old partitions is a KEY-ONLY probe
+    — a column-pruned scan of ``(keys, partition_col)`` semi-joined to
+    the (broadcastable) update key set; the payload columns of untouched
+    partitions are never read, and the rewrite still covers only
+    old ∪ new partitions of the batch.  Production systems with stricter
+    budgets keep that two-column projection as a maintained sidecar
+    (key→partition map) — the probe below is exactly the query that
+    sidecar would serve.
+
+    Returns ``{"inserted", "updated", "moved"}`` — *moved* counts
+    updated keys whose partition changed (stale rows evicted).
+    """
+    if partition_col in keys:
+        raise ValueError(
+            f"partition_col {partition_col!r} is in keys {keys}: keys "
+            "cannot move — use upsert_partitioned (cheaper: no old-"
+            "partition probe)."
+        )
+    updates = updates.localCheckpoint(eager=False)
+    current = _read_target(spark, target_path)
+    if current is None:
+        n = updates.count()
+        updates.write.mode("overwrite").partitionBy(partition_col).parquet(
+            target_path
+        )
+        return {"inserted": n, "updated": 0, "moved": 0}
+
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    ukeys = updates.select(*keys).distinct()
+    # key-only probe: column pruning reduces this scan to (keys, part)
+    old_locs = (
+        current.select(*keys, F.col(partition_col).alias("_old_part"))
+        .join(F.broadcast(ukeys), keys)
+        .localCheckpoint(eager=False)
+    )
+    new_parts = updates.select(partition_col).distinct()
+    parts = [
+        r[0]
+        for r in new_parts.unionByName(
+            old_locs.select(F.col("_old_part").alias(partition_col))
+        )
+        .distinct()
+        .collect()
+    ]
+    touched = current.where(F.col(partition_col).isin(parts))
+    updated = updates.join(old_locs.select(*keys).distinct(), keys, "left_semi").count()
+    inserted = updates.count() - updated
+    moved = (
+        old_locs.join(
+            updates.select(*keys, F.col(partition_col).alias("_new_part")),
+            keys,
+        )
+        .where(F.col("_old_part") != F.col("_new_part"))
+        .select(*keys)
+        .distinct()
+        .count()
+    )
+    # evict EVERY row of an updated key from the touched slice (old and
+    # new partition alike), then add the batch
+    survivors = touched.join(ukeys, keys, "left_anti")
+    merged = survivors.select(updates.columns).unionByName(updates)
+    staging = f"{target_path}.staging-{uuid.uuid4().hex[:8]}"
+    merged.write.mode("overwrite").parquet(staging)
+    staged = spark.read.parquet(staging)
+    staged.write.mode("overwrite").partitionBy(partition_col).parquet(
+        target_path
+    )
+    # dynamic overwrite only touches partitions PRESENT in the write: a
+    # partition fully drained by evictions (its only rows moved away)
+    # would silently keep its stale files — drop those directories
+    # explicitly (str(value) matches Spark's partition-dir encoding for
+    # the int/string/date partition values used here)
+    parts_after = {
+        r[0] for r in staged.select(partition_col).distinct().collect()
+    }
+    for gone in set(parts) - parts_after:
+        shutil.rmtree(
+            os.path.join(target_path, f"{partition_col}={gone}"),
+            ignore_errors=True,
+        )
+    shutil.rmtree(staging)
+    return {"inserted": inserted, "updated": updated, "moved": moved}
+
+
 def scd2_upsert(
     spark: SparkSession,
     target_path: str,

@@ -600,3 +600,46 @@ def test_sketch_store_consumers_never_scan_raw_events(spark, tmp_path_factory):
     # probe cells, never shuffle-join
     assert "BroadcastHashJoin" in cms_plan
     assert "SortMergeJoin" not in cms_plan
+
+
+def test_ivf_index_maintenance_equals_rebuild(spark, tmp_path_factory):
+    """ANN index maintenance contract (round-8 frontier): after the
+    delta upsert through the move-aware partitioned MERGE, the stored
+    index STATE (every row, including cell assignment) equals a full
+    rebuild over the merged corpus — no stale rows in moved keys' old
+    cells, no missing evictions. The registry query adjudicates the
+    search result; this pins the stronger state-level equality."""
+    from pyspark.sql import functions as F
+
+    from options_data_pipeline_spark.operators.similarity import ivf_assign
+    from options_data_pipeline_spark.plans.vectors import (
+        IDX_UPD_MOD,
+        _maintained_ivf_index,
+    )
+    from options_data_pipeline_spark.sources.tables import load_table
+
+    tmp = str(tmp_path_factory.mktemp("ivf_idx"))
+    metrics = _maintained_ivf_index(spark, SF_DIR, f"{tmp}/index")
+    assert metrics["inserted"] > 0 and metrics["updated"] > 0
+    assert metrics["moved"] > 0, (
+        "fixture too tame: no updated vector changed cell, the move path "
+        "is untested"
+    )
+
+    maintained = {
+        (r.cid, r.cell, tuple(r.cv))
+        for r in spark.read.parquet(f"{tmp}/index").collect()
+    }
+    merged = load_table(spark, SF_DIR, "embeddings").select(
+        F.col("vec_id").alias("cid"),
+        F.when(
+            F.col("vec_id") % IDX_UPD_MOD == 1, F.reverse("embedding")
+        ).otherwise(F.col("embedding")).alias("cv"),
+    )
+    rebuild = {
+        (r.cid, r.cell, tuple(r.cv))
+        for r in ivf_assign(merged, "cv", nprobe=1)
+        .select("cid", "cv", "cell")
+        .collect()
+    }
+    assert maintained == rebuild

@@ -101,6 +101,48 @@ def test_upsert_partitioned_key_includes_partition(spark, tmp):
     assert got == {(1, "A", "d1"), (2, "b", "d2")}
 
 
+def test_upsert_partitioned_moving_evicts_stale_rows(spark, tmp):
+    """Index-maintenance MERGE: a key whose partition value changes must
+    be evicted from its OLD partition, including the drained-partition
+    edge where the moved key was its old partition's only row (dynamic
+    overwrite alone would never touch that partition)."""
+    from options_data_pipeline_spark.sinks.upsert import (
+        upsert_partitioned_moving,
+    )
+
+    t = f"{tmp}/idx"
+    base = spark.createDataFrame(
+        [(1, "a", "c0"), (2, "b", "c0"), (3, "c", "c1")],
+        "k long, v string, cell string",
+    )
+    m1 = upsert_partitioned_moving(spark, t, base, ["k"], "cell")
+    assert m1 == {"inserted": 3, "updated": 0, "moved": 0}
+    # k=2 moves c0 -> c2; k=3 moves c1 -> c0 (draining c1 entirely);
+    # k=4 is new; k=1 updates in place
+    up = spark.createDataFrame(
+        [(2, "B", "c2"), (3, "C", "c0"), (4, "d", "c2"), (1, "A", "c0")],
+        "k long, v string, cell string",
+    )
+    m2 = upsert_partitioned_moving(spark, t, up, ["k"], "cell")
+    assert m2 == {"inserted": 1, "updated": 3, "moved": 2}
+    got = {(r.k, r.v, r.cell) for r in spark.read.parquet(t).collect()}
+    assert got == {(1, "A", "c0"), (2, "B", "c2"), (3, "C", "c0"), (4, "d", "c2")}
+    # re-running the same batch converges (T5 idempotence for the index)
+    m3 = upsert_partitioned_moving(spark, t, up, ["k"], "cell")
+    assert m3 == {"inserted": 0, "updated": 4, "moved": 0}
+    assert {(r.k, r.v, r.cell) for r in spark.read.parquet(t).collect()} == got
+
+
+def test_upsert_partitioned_moving_rejects_partition_in_keys(spark, tmp):
+    from options_data_pipeline_spark.sinks.upsert import (
+        upsert_partitioned_moving,
+    )
+
+    df = spark.createDataFrame([(1, "a", "c0")], "k long, v string, cell string")
+    with pytest.raises(ValueError, match="cannot move"):
+        upsert_partitioned_moving(spark, f"{tmp}/t", df, ["k", "cell"], "cell")
+
+
 def test_merge_upsert_explicit_order_by(spark, tmp):
     # a multi-partition, shuffled batch with an explicit logical order:
     # the row with the highest seq must win regardless of physical layout
