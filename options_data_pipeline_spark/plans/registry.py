@@ -119,6 +119,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
         vectors.q_ivf_index_upsert,
         vectors.oracle_ivf_index_upsert,
     ),
+    "minhash_index_upsert": (
+        text.q_minhash_index_upsert,
+        text.oracle_minhash_index_upsert,
+    ),
     "table_expectations": (
         quality.q_table_expectations,
         quality.oracle_table_expectations,

@@ -2970,3 +2970,157 @@ FROM cells
 WHERE doc_id % 7 = 0
 GROUP BY 1
 """
+
+
+# --- MinHash band-index maintenance under corpus upserts ----------------------
+
+#: delta composition for the band-index maintenance query: every
+#: ``doc_id % MH_UPD_MOD == 1`` document is REVISED in place (appended
+#: section changes its shingle set, so its band hashes — and usually
+#: their shard — change), while the planted mirror/scrape copies arrive
+#: as NEW documents. The mutation literal is shared with the oracle.
+MH_UPD_MOD = 8
+MH_UPD_SUFFIX = " revised edition appendix"
+
+
+def _mh_band_rows(docs: DataFrame) -> DataFrame:
+    """(doc_id, band, band_hash, shard) LSH band-index rows of ``docs``
+    — shard is the first hex nibble of the band hash, the partition key
+    of the stored index (an update's new band hash lands in an
+    arbitrary shard, exercising the move-aware MERGE)."""
+    rows = D.banded_signatures(
+        D.minhash_signatures(D.hashed_shingle_sets(docs))
+    )
+    return rows.withColumn("shard", F.substring("band_hash", 1, 1))
+
+
+def _maintained_band_index(
+    spark: SparkSession, sf_dir: str, index_path: str
+) -> dict[str, int]:
+    """Build the standing corpus's band index, then maintain it with one
+    delta batch through the move-aware partitioned MERGE.
+
+    The 100 TB contract: signatures are computed ONLY for the delta
+    documents (shingle+md5 cost ∝ |delta|, never a corpus re-signature),
+    and the index rewrite touches only the shards holding the delta's
+    old ∪ new band rows.  A revised document's stale band rows are
+    evicted from their old shards, so the maintained index equals a
+    full rebuild of the merged corpus — the oracle adjudicates exactly
+    that via the candidate-pair set."""
+    from ..sinks.upsert import upsert_partitioned_moving
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    _mh_band_rows(docs).write.mode("overwrite").partitionBy(
+        "shard"
+    ).parquet(index_path)
+
+    revised = docs.where(F.col("doc_id") % MH_UPD_MOD == 1).select(
+        "doc_id", F.concat(F.col("text"), F.lit(MH_UPD_SUFFIX)).alias("text")
+    )
+    mirrors = docs.where(F.col("doc_id") % 97 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text"
+    )
+    scrapes = docs.where(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" copied")).alias("text"),
+    )
+    delta = revised.unionByName(mirrors).unionByName(scrapes)
+    return upsert_partitioned_moving(
+        spark,
+        index_path,
+        _mh_band_rows(delta),
+        keys=["doc_id", "band"],
+        partition_col="shard",
+    )
+
+
+def band_index_candidates(spark: SparkSession, index_path: str) -> DataFrame:
+    """(doc_a, doc_b, bands_agree) near-dup candidate pairs read from
+    the MAINTAINED band index only — no document text, no re-hashing;
+    one groupBy on the bucket key, row-local pair expansion."""
+    idx = spark.read.parquet(index_path).select("doc_id", "band", "band_hash")
+    buckets = (
+        idx.groupBy("band", "band_hash")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .where(F.size("ids") > 1)
+    )
+    pairs = buckets.select(
+        "band",
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ids"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("ids"), i + F.lit(2), F.size(F.col("ids"))),
+                        lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+                    ),
+                )
+            )
+        ).alias("p"),
+    ).select("band", "p.doc_a", "p.doc_b")
+    return pairs.groupBy("doc_a", "doc_b").agg(
+        F.countDistinct("band").alias("bands_agree")
+    )
+
+
+def q_minhash_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup index maintenance under corpus upserts, end-to-end:
+    standing band index → delta batch (revised + newly-arrived docs)
+    re-signatured ONLY for the delta and merged via the move-aware
+    partitioned MERGE → candidate pairs enumerated from the maintained
+    index.  The oracle rebuilds the band table of the merged corpus
+    from scratch, so the driver hash proves maintenance ≡ rebuild: a
+    stale band row surviving a revision (phantom pair) or a missed
+    insert (lost pair) fails the hash."""
+    import shutil
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="mh_idx_")
+    try:
+        index_path = f"{base}/bands"
+        _maintained_band_index(spark, sf_dir, index_path)
+        out = band_index_candidates(spark, index_path).orderBy(
+            "doc_a", "doc_b"
+        )
+        rows = out.collect()  # bounded: LSH collisions ~= planted dups
+        return parallelized(spark, spark.createDataFrame(rows, out.schema))
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def oracle_minhash_index_upsert() -> str:
+    n_perms, n_bands = D.DEFAULT_PERMS, D.DEFAULT_BANDS
+    rows = n_perms // n_bands
+    return f"""
+WITH corpus AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % {MH_UPD_MOD} = 1
+                THEN text || '{MH_UPD_SUFFIX}' ELSE text END AS text
+    FROM documents
+    UNION ALL
+    SELECT doc_id + 200000, text FROM documents WHERE doc_id % 97 = 0
+    UNION ALL
+    SELECT doc_id + 100000, text || ' copied' FROM documents
+    WHERE doc_id % 50 = 0
+),
+{_HASHED_SHINGLES_SQL.strip().rstrip()},
+sigs AS (
+    SELECT doc_id, perm,
+           min(substr(md5(shingle || '#' || CAST(CAST(perm // 4 AS INT) AS VARCHAR)),
+                      CAST((perm % 4) * 8 + 1 AS INT), 8)) AS minhash
+    FROM shingles, (SELECT unnest(range(0, {n_perms})) AS perm)
+    GROUP BY 1, 2
+),
+banded AS (
+    SELECT doc_id, CAST(floor(perm / {rows}) AS INT) AS band,
+           md5(string_agg(minhash, '|' ORDER BY perm)) AS band_hash
+    FROM sigs GROUP BY 1, 2
+),
+cand AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.band
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(COUNT(DISTINCT band) AS BIGINT) AS bands_agree
+FROM cand GROUP BY 1, 2
+"""

@@ -643,3 +643,59 @@ def test_ivf_index_maintenance_equals_rebuild(spark, tmp_path_factory):
         .collect()
     }
     assert maintained == rebuild
+
+
+def test_band_index_maintenance_equals_rebuild(spark, tmp_path_factory):
+    """Near-dup index maintenance contract (round-8 frontier): after the
+    delta upsert, the stored MinHash band index equals a full rebuild
+    over the merged corpus — revised docs' stale band rows are evicted
+    from their old shards. The registry query adjudicates the candidate
+    pairs; this pins the state-level equality and that the fixture
+    really moves rows across shards."""
+    from pyspark.sql import functions as F
+
+    from options_data_pipeline_spark.plans.text import (
+        MH_UPD_MOD,
+        MH_UPD_SUFFIX,
+        _maintained_band_index,
+        _mh_band_rows,
+    )
+    from options_data_pipeline_spark.sources.tables import load_table
+
+    tmp = str(tmp_path_factory.mktemp("mh_idx"))
+    metrics = _maintained_band_index(spark, SF_DIR, f"{tmp}/bands")
+    assert metrics["inserted"] > 0 and metrics["updated"] > 0
+    assert metrics["moved"] > 0, (
+        "fixture too tame: no revised doc's band hash changed shard"
+    )
+
+    maintained = {
+        (r.doc_id, r.band, r.band_hash, r.shard)
+        for r in spark.read.parquet(f"{tmp}/bands").collect()
+    }
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    merged = (
+        docs.select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % MH_UPD_MOD == 1,
+                F.concat(F.col("text"), F.lit(MH_UPD_SUFFIX)),
+            ).otherwise(F.col("text")).alias("text"),
+        )
+        .unionByName(
+            docs.where(F.col("doc_id") % 97 == 0).select(
+                (F.col("doc_id") + 200000).alias("doc_id"), "text"
+            )
+        )
+        .unionByName(
+            docs.where(F.col("doc_id") % 50 == 0).select(
+                (F.col("doc_id") + 100000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" copied")).alias("text"),
+            )
+        )
+    )
+    rebuild = {
+        (r.doc_id, r.band, r.band_hash, r.shard)
+        for r in _mh_band_rows(merged).collect()
+    }
+    assert maintained == rebuild
