@@ -123,6 +123,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
         text.q_minhash_index_upsert,
         text.oracle_minhash_index_upsert,
     ),
+    "bpe_apply_expr": (text.q_bpe_apply_expr, text.oracle_bpe_apply_expr),
     "table_expectations": (
         quality.q_table_expectations,
         quality.oracle_table_expectations,

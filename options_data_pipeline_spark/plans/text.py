@@ -2747,14 +2747,20 @@ def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def oracle_bpe_tokenize() -> str:
-    # The merge fold mirrors operators/bpe.py apply_merge exactly.
-    # DuckDB's list_reduce corrupts nested-list accumulators (struct of
-    # VARCHAR[] loses earlier appends mid-fold, observed on 1.x), so the
-    # (out, pend) state rides in ONE VARCHAR: "<pend> <out joined>" —
-    # symbols come from space-split words, so a space can never occur
-    # inside a symbol and the encoding is unambiguous. The reduce's
-    # seed is the raw first symbol (no space = pend-only, out empty).
+def _bpe_training_stages_sql() -> str:
+    """The ``p{i}/b{i}/syms{i}`` training-round CTE chain shared by the
+    BPE oracles (``oracle_bpe_tokenize``, ``oracle_bpe_apply_expr``) —
+    expects ``words``/``syms0`` CTEs in scope, emits one (pair count,
+    argmax, merge fold) stage per round.
+
+    The merge fold mirrors operators/bpe.py apply_merge exactly.
+    DuckDB's list_reduce corrupts nested-list accumulators (struct of
+    VARCHAR[] loses earlier appends mid-fold, observed on 1.x), so the
+    (out, pend) state rides in ONE VARCHAR: "<pend> <out joined>" —
+    symbols come from space-split words, so a space can never occur
+    inside a symbol and the encoding is unambiguous. The reduce's
+    seed is the raw first symbol (no space = pend-only, out empty)."""
+
     def pend(acc: str) -> str:
         return f"string_split({acc}, ' ')[1]"
 
@@ -2797,6 +2803,10 @@ syms{i} AS (
        FROM (SELECT list_reduce(s.syms, {lam}) AS red)) AS syms
     FROM {prev} s, b{i}
 )""")
+    return ",".join(stages)
+
+
+def oracle_bpe_tokenize() -> str:
     unions = "\nUNION ALL ".join(
         f"SELECT {i} AS step, l, r, c FROM b{i}"
         for i in range(1, _BPE_APPLY_MERGES + 1)
@@ -2814,7 +2824,7 @@ syms0 AS (
     FROM words
 ),
 tok0 AS (SELECT SUM(freq * len(syms)) AS t FROM syms0),
-{",".join(stages)},
+{_bpe_training_stages_sql()},
 merges AS ({unions})
 SELECT CAST(step AS INT) AS step, l AS "left", r AS "right",
        CAST(c AS BIGINT) AS pair_count,
@@ -3123,4 +3133,118 @@ cand AS (
 )
 SELECT doc_a, doc_b, CAST(COUNT(DISTINCT band) AS BIGINT) AS bands_agree
 FROM cand GROUP BY 1, 2
+"""
+
+
+# --- BPE apply as pure column expressions (pandas-free tokenizer twin) --------
+
+
+def q_bpe_apply_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide BPE tokenization as PURE JVM column expressions — the
+    throughput path a 100 TB tokenize job needs: after the bounded
+    training loop derives the merge table (same iterate ``bpe_tokenize``
+    adjudicates), applying it to every document is a zero-shuffle,
+    zero-Python scan (plan-pinned in
+    tests/test_scale_plans.py::test_bpe_apply_plan_is_pure_scan).
+
+    The apply encoding: a word's symbol sequence rides in one string
+    with every symbol wrapped in single spaces (`` a  b  c ``), so merge
+    round (l, r) is a LITERAL left-to-right non-overlapping
+    ``replace(' l  r ' -> ' lr ')`` — exactly the ``apply_merge`` fold
+    semantics (symbols never contain spaces), but as one codegen-able
+    string op per round instead of a higher-order fold. Output per doc:
+    BPE token count and the md5 of the full token stream (word order
+    preserved), so the driver hash pins every token of every document.
+    """
+    from ..operators.bpe import (
+        apply_merge,
+        best_pair,
+        with_symbols,
+        word_freq_table,
+    )
+    from ..operators.materialize import materialize
+
+    docs = parallelized(spark, load_table(spark, sf_dir, "documents"))
+    symbols = materialize(with_symbols(word_freq_table(docs)))
+    merges: list[tuple[str, str]] = []
+    for step in range(1, _BPE_APPLY_MERGES + 1):
+        top = best_pair(symbols)
+        if top is None or top[2] < 2:
+            break
+        left, right, _ = top
+        merges.append((left, right))
+        symbols = apply_merge(symbols, left, right)
+        if step % 2 == 0 and step < _BPE_APPLY_MERGES:
+            symbols = materialize(symbols)
+
+    def seg(w):  # noqa: ANN001 — Column lambda
+        e = F.concat(F.lit(" "), F.array_join(F.split(w, ""), "  "), F.lit(" "))
+        for left, right in merges:
+            e = F.replace(
+                e, F.lit(f" {left}  {right} "), F.lit(f" {left}{right} ")
+            )
+        return F.trim(F.replace(e, F.lit("  "), F.lit(" ")))
+
+    words = F.filter(
+        F.split(F.col("text"), " ", -1), lambda w: F.length(w) > 0
+    )
+    tstrs = F.transform(words, seg)
+    return docs.select(
+        "doc_id",
+        F.aggregate(
+            tstrs,
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + F.size(F.split(t, " ", -1)),
+        ).alias("n_bpe_tokens"),
+        F.md5(F.array_join(tstrs, " ")).alias("stream_md5"),
+    )
+
+
+def oracle_bpe_apply_expr() -> str:
+    # the same wrap / replace / collapse encoding, with the merge table
+    # derived by the shared training stages and captured into one row
+    # (m) the per-doc lambda references
+    enc = (
+        "' ' || array_to_string(list_transform("
+        "range(1, length(w) + 1), i -> w[i]), '  ') || ' '"
+    )
+    chain = enc
+    for i in range(1, _BPE_APPLY_MERGES + 1):
+        chain = (
+            f"replace({chain}, ' ' || m.l{i} || '  ' || m.r{i} || ' ', "
+            f"' ' || m.l{i} || m.r{i} || ' ')"
+        )
+    m_cols = ", ".join(
+        f"(SELECT l FROM b{i}) AS l{i}, (SELECT r FROM b{i}) AS r{i}"
+        for i in range(1, _BPE_APPLY_MERGES + 1)
+    )
+    return f"""
+WITH words AS (
+    SELECT word, COUNT(*) AS freq
+    FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+    WHERE length(word) > 0
+    GROUP BY 1
+),
+syms0 AS (
+    SELECT word, freq,
+           list_transform(range(1, length(word) + 1), i -> word[i]) AS syms
+    FROM words
+),
+{_bpe_training_stages_sql()},
+m AS (SELECT {m_cols}),
+docs AS (
+    SELECT doc_id,
+           list_filter(string_split(text, ' '), w -> length(w) > 0) AS ws
+    FROM documents
+),
+tok AS (
+    SELECT doc_id,
+           list_transform(ws, w -> trim(replace({chain}, '  ', ' '))) AS tstrs
+    FROM docs, m
+)
+SELECT doc_id,
+       CAST(list_sum(list_transform(tstrs,
+            t -> len(string_split(t, ' ')))) AS BIGINT) AS n_bpe_tokens,
+       md5(array_to_string(tstrs, ' ')) AS stream_md5
+FROM tok
 """

@@ -699,3 +699,17 @@ def test_band_index_maintenance_equals_rebuild(spark, tmp_path_factory):
         for r in _mh_band_rows(merged).collect()
     }
     assert maintained == rebuild
+
+
+def test_bpe_apply_plan_is_pure_scan(spark):
+    """Tokenizer throughput contract (round-8 frontier): applying the
+    trained merge table corpus-wide is pure JVM expression work — no
+    Python evaluation, no explode fan-out, no aggregate shuffle; the
+    only permitted exchange is the scan-parallelizing repartition."""
+    from options_data_pipeline_spark.plans import text as T
+
+    plan = fmt(spark, T.q_bpe_apply_expr(spark, SF_DIR))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Generate" not in plan  # per-token explode would fan out rows
+    assert "HashAggregate" not in plan  # token count folds row-locally
+    assert len(shuffle_exchanges(plan)) <= 1  # parallelized() only
