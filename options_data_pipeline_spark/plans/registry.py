@@ -390,45 +390,32 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
 # The driver adjudicates the first ~50 entries of ``queries()`` iteration
 # order against the DuckDB oracle.  ``_PRIORITY`` fills that sample window
 # with whatever most needs a driver row this round (VERDICT r6 ask #1):
-# three section-2 anchors stay pinned as controls, the 19 queries the
-# driver has never sampled come next (their first driver adjudication
-# closes the union at 186/186 oracle-bearing queries), then the queries
-# whose code changed this round (the clustering bounded-probe fix, the
-# new collection-lifecycle twin, the approx_stats materialization) so
-# every behavior change lands inside the adjudicated window.  The tail
-# keeps prior rounds' ordering for stable cross-round bench comparison.
+# three section-2 anchors stay pinned as controls, then the round-8 new
+# operators (their first driver adjudication), then the queries whose
+# code changed this round (the hist_quantiles oracle DOUBLE cast, the
+# sketch_store_twin drain asserts, the cms_query group_cols extension,
+# the BPE oracle-stage refactor), then the round-7 additions so their
+# driver rows stay fresh.  The tail keeps prior rounds' ordering for
+# stable cross-round bench comparison.
 _PRIORITY: list[str] = [
     # pinned anchors (sampled every round as controls)
     "daily_sessions",
     "option_chain_ohlc",
     "candle_resample",
-    # the 19 never-driver-sampled queries (round-7 frontier)
+    # round-8 new operators: first driver adjudication this round
+    "hll_week_from_store",
+    "cms_topk_from_store",
+    "ivf_index_upsert",
+    "minhash_index_upsert",
+    "bpe_apply_expr",
+    # round-8 code changes: re-adjudicate under the driver
+    "hist_quantiles",
+    "sketch_store_twin",
+    "cms_token_freq",
     "bpe_tokenize",
-    "bs_greeks",
-    "cdc_apply_twin",
-    "customer_order_counts",
-    "disjunctive_revenue",
-    "important_parts",
-    "large_orders",
-    "priority_shipping",
-    "product_profit",
-    "promo_revenue",
-    "realized_vol",
-    "retrieval_ndcg",
-    "returned_items",
-    "sales_opportunity",
-    "scd2_history",
-    "small_quantity_revenue",
+    "stream_candles_twin",
     "stream_dedup_twin",
-    "supplier_part_counts",
-    "weighted_median_price",
-    # round-7 code changes: re-adjudicate under the driver
-    "cluster_survivors",
-    "semantic_prune",
-    "kmeans_clusters",
-    "collection_lifecycle_twin",
-    "approx_stats",
-    # round-7 new operators: first driver adjudication this round
+    # round-7 new operators: keep their driver rows fresh
     "sequence_pack",
     "sequence_pack_scan",
     "leakage_safe_split",
@@ -439,19 +426,15 @@ _PRIORITY: list[str] = [
     "hybrid_rrf",
     "hll_users",
     "kmv_overlap",
-    "cms_token_freq",
     "hll_rolling_users",
     "ams_f2_skew",
     "ams_join_size",
     "implied_vol",
     "feature_hash",
     "pnl_explain",
-    "sketch_store_twin",
-    "hist_quantiles",
     # previously driver-green queries, prior rounds' order
     "image_probe",
     "benford_chisq",
-    "stream_candles_twin",
     "length_ks_drift",
     "quantile_map_lengths",
     "edit_distance_pairs",
