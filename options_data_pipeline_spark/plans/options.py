@@ -971,3 +971,203 @@ SELECT strike, opt_type, CAST(expiry_date AS TIMESTAMP) AS expiry_date,
            AS residual
 FROM terms
 """
+
+
+# --- CRR binomial pricing (lattice model as a bounded expression fold) --------
+
+#: Cox-Ross-Rubinstein steps. The European lattice price collapses to a
+#: closed SUM over terminal nodes — sum_k C(N,k) p^k (1-p)^(N-k) *
+#: payoff(S u^k d^(N-k)) — so the "iterative" model is one sequential
+#: fold over N+1 terms, pure scan-level math, no recursion and no UDF.
+CRR_STEPS = 64
+
+#: ln C(N, k) for k = 0..N, precomputed exactly once in Python and
+#: shared as the SAME double literals with the oracle (repr round-trip)
+#: — neither engine has a builtin lgamma with guaranteed cross-engine
+#: bit parity, a literal table does.
+def _log_binoms(n: int) -> list[float]:
+    import math
+
+    out, acc = [0.0], 0.0
+    for k in range(1, n + 1):
+        acc += math.log((n - k + 1) / k)
+        out.append(acc)
+    return out
+
+
+def q_crr_binomial_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CRR binomial European option prices over the synthetic chain
+    (same deterministic (strike, type, expiry, S_bar) groups as
+    ``bs_greeks``, r = 0, flat sigma): N = 64 steps, priced as the
+    terminal-node sum with literal log-binomial coefficients — a strict
+    left fold over k = 0..N in BOTH engines, so even the float-add
+    order is shared. The Black-Scholes closed form rides along as the
+    convergence audit (CRR(64) ~ BS to a few tenths of a percent at
+    these vols). One map-side-combined groupBy; the lattice itself is
+    zero-shuffle expression work — the 100 TB shape for model pricing
+    over a book of millions of instruments."""
+    import math
+
+    from ..functions.litconst import lit_double_array
+    from ..functions.rounding import round_half_away
+
+    ev = load_table(spark, sf_dir, "events").where(
+        (F.col("event_id") % 11 != 0) & F.col("value").isNotNull()
+    )
+    expiry = F.date_add(
+        F.lit("2024-02-02").cast("date"), ((F.col("user_id") % 4) * 10).cast("int")
+    )
+    grouped = (
+        ev.select(
+            ((F.col("user_id") % 20 + 1) * 100).cast("int").alias("strike"),
+            F.when(F.col("event_id") % 2 == 0, "C").otherwise("P").alias("opt_type"),
+            expiry.alias("expiry_date"),
+            (F.lit(2000.0) + F.col("value")).alias("index_price"),
+        )
+        .groupBy("strike", "opt_type", "expiry_date")
+        .agg(
+            (
+                F.sum(F.col("index_price").cast("decimal(38,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("s_bar"),
+        )
+        .where(F.col("s_bar") > 0)
+    )
+    n = CRR_STEPS
+    t = (
+        F.datediff(F.col("expiry_date"), F.lit(_BS_ASOF).cast("date")).cast("double")
+        / 365.0
+    )
+    ln_u = _BS_SIGMA * F.sqrt(t / float(n))
+    # r = 0: p = (1 - d) / (u - d) with u = e^ln_u, d = e^-ln_u
+    p = (1.0 - F.exp(-ln_u)) / (F.exp(ln_u) - F.exp(-ln_u))
+    ln_p, ln_q = F.log(p), F.log(1.0 - p)
+    lc = lit_double_array(_log_binoms(n))
+    st = lambda k: F.col("s_bar") * F.exp((2.0 * k - float(n)) * ln_u)  # noqa: E731
+    payoff = lambda k: F.when(  # noqa: E731
+        F.col("opt_type") == "C",
+        F.greatest(st(k) - F.col("strike"), F.lit(0.0)),
+    ).otherwise(F.greatest(F.col("strike") - st(k), F.lit(0.0)))
+    term = lambda k: (  # noqa: E731
+        F.exp(F.element_at(lc, (k + 1).cast("int")) + k * ln_p + (float(n) - k) * ln_q)
+        * payoff(k)
+    )
+    crr = F.aggregate(
+        F.sequence(F.lit(0), F.lit(n)),
+        F.lit(0.0),
+        lambda acc, k: acc + term(k.cast("double")),
+    )
+
+    # Black-Scholes audit (same ncdf stack as bs_greeks)
+    inv_sqrt2pi = 1.0 / math.sqrt(2.0 * math.pi)
+    sig_rt = _BS_SIGMA * F.sqrt(t)
+    d1 = (
+        F.log(F.col("s_bar") / F.col("strike")) + 0.5 * _BS_SIGMA * _BS_SIGMA * t
+    ) / sig_rt
+    d2 = d1 - sig_rt
+
+    def ncdf(x):
+        ax = F.abs(x)
+        k = 1.0 / (1.0 + 0.2316419 * ax)
+        poly = k * (
+            0.319381530
+            + k * (-0.356563782 + k * (1.781477937 + k * (-1.821255978 + k * 1.330274429)))
+        )
+        phi_ax = F.exp(-(ax * ax) / 2.0) * inv_sqrt2pi
+        upper = 1.0 - phi_ax * poly
+        return F.when(x >= 0, upper).otherwise(1.0 - upper)
+
+    call_bs = F.col("s_bar") * ncdf(d1) - F.col("strike") * ncdf(d2)
+    bs = F.when(F.col("opt_type") == "C", call_bs).otherwise(
+        call_bs - F.col("s_bar") + F.col("strike")  # put-call parity, r = 0
+    )
+    # TWO selects, deliberately: emitting round(s_bar).alias("s_bar") in
+    # the SAME projection that evaluates crr/bs makes Spark resolve
+    # their F.col("s_bar") against the lateral alias — i.e. the ROUNDED
+    # spot — while the oracle prices off the raw spot. Deep-ITM prices
+    # are ~linear in spot, so the ≤5e-7 rounding error flipped the 6-dp
+    # hash on 6/40 rows before this split (found by check_queries r8).
+    priced = grouped.select(
+        "strike",
+        "opt_type",
+        F.col("expiry_date").cast("timestamp").alias("expiry_date"),
+        F.col("s_bar").alias("s_raw"),
+        crr.alias("crr_raw"),
+        bs.alias("bs_raw"),
+    )
+    return priced.select(
+        "strike",
+        "opt_type",
+        "expiry_date",
+        round_half_away(F.col("s_raw"), 6).alias("s_bar"),
+        round_half_away(F.col("crr_raw"), 6).alias("crr_price"),
+        round_half_away(F.col("bs_raw"), 6).alias("bs_price"),
+    )
+
+
+def oracle_crr_binomial_price() -> str:
+    import math
+
+    from ..functions.rounding import sql_round_half_away
+
+    n = CRR_STEPS
+    lc = "[" + ", ".join(f"{v!r}" for v in _log_binoms(n)) + "]"
+    t = f"(date_diff('day', DATE '{_BS_ASOF}', expiry_date) / 365.0)"
+    ln_u = f"({_BS_SIGMA} * sqrt({t} / {float(n)!r}))"
+    p = f"((1.0 - exp(-{ln_u})) / (exp({ln_u}) - exp(-{ln_u})))"
+    st = f"(s_bar * exp((2.0 * k - {float(n)!r}) * {ln_u}))"
+    payoff = (
+        f"(CASE WHEN opt_type = 'C' THEN greatest({st} - strike, 0.0) "
+        f"ELSE greatest(strike - {st}, 0.0) END)"
+    )
+    term = (
+        f"(exp(lc[CAST(k AS INT) + 1] + k * ln({p}) "
+        f"+ ({float(n)!r} - k) * ln(1.0 - {p})) * {payoff})"
+    )
+    # strict left fold over k = 0..N, same add order as the Spark
+    # aggregate; the lambda sees k DOUBLE like the Spark cast
+    crr = (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(range(0, {n + 1}), i -> CAST(i AS DOUBLE))), "
+        f"(acc, k) -> acc + {term})"
+    )
+
+    inv = 1.0 / math.sqrt(2.0 * math.pi)
+    sig_rt = f"({_BS_SIGMA} * sqrt({t}))"
+    d1 = f"((ln(s_bar / strike) + 0.5 * {_BS_SIGMA} * {_BS_SIGMA} * {t}) / {sig_rt})"
+    d2 = f"({d1} - {sig_rt})"
+
+    def ncdf(x):
+        ax = f"abs({x})"
+        k = f"(1.0 / (1.0 + 0.2316419 * {ax}))"
+        poly = (
+            f"({k} * (0.319381530 + {k} * (-0.356563782 + {k} * "
+            f"(1.781477937 + {k} * (-1.821255978 + {k} * 1.330274429)))))"
+        )
+        phi_ax = f"(exp(-({ax} * {ax}) / 2.0) * {inv!r})"
+        upper = f"(1.0 - {phi_ax} * {poly})"
+        return f"(CASE WHEN {x} >= 0 THEN {upper} ELSE 1.0 - {upper} END)"
+
+    call_bs = f"(s_bar * {ncdf(d1)} - strike * {ncdf(d2)})"
+    bs = (
+        f"(CASE WHEN opt_type = 'C' THEN {call_bs} "
+        f"ELSE {call_bs} - s_bar + strike END)"
+    )
+    return f"""
+WITH grouped AS (
+    SELECT CAST((user_id % 20 + 1) * 100 AS INT) AS strike,
+           CASE WHEN event_id % 2 = 0 THEN 'C' ELSE 'P' END AS opt_type,
+           DATE '2024-02-02' + INTERVAL ((user_id % 4) * 10) DAY AS expiry_date,
+           CAST(SUM(CAST(2000.0 + value AS DECIMAL(38,6))) AS DOUBLE) / count(*)
+               AS s_bar
+    FROM events
+    WHERE event_id % 11 <> 0 AND value IS NOT NULL
+    GROUP BY 1, 2, 3
+),
+withc AS (SELECT *, {lc} AS lc FROM grouped WHERE s_bar > 0)
+SELECT strike, opt_type, CAST(expiry_date AS TIMESTAMP) AS expiry_date,
+       {sql_round_half_away('s_bar', 6)} AS s_bar,
+       {sql_round_half_away(crr, 6)} AS crr_price,
+       {sql_round_half_away(bs, 6)} AS bs_price
+FROM withc
+"""

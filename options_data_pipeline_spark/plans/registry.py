@@ -50,6 +50,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
     "bs_greeks": (options.q_bs_greeks, options.oracle_bs_greeks),
     "implied_vol": (options.q_implied_vol, options.oracle_implied_vol),
     "pnl_explain": (options.q_pnl_explain, options.oracle_pnl_explain),
+    "crr_binomial_price": (
+        options.q_crr_binomial_price,
+        options.oracle_crr_binomial_price,
+    ),
     # --- data quality / incremental semantics (W1, T6, S7/S8, A6, A7, K1/K2, A3/O4, P4) ---
     "gap_scan": (quality.q_gap_scan, quality.oracle_gap_scan),
     "gap_summary": (quality.q_gap_summary, quality.oracle_gap_summary),
@@ -408,6 +412,7 @@ _PRIORITY: list[str] = [
     "ivf_index_upsert",
     "minhash_index_upsert",
     "bpe_apply_expr",
+    "crr_binomial_price",
     # round-8 code changes: re-adjudicate under the driver
     "hist_quantiles",
     "sketch_store_twin",

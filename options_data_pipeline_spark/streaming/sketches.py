@@ -101,3 +101,82 @@ def hll_register_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def _add_merge_batch_into_store(
+    spark: SparkSession,
+    store_path: str,
+    batch_grid: DataFrame,
+) -> None:
+    """ADD-merge a batch's (day, r, c, cnt) CMS cells with the stored
+    grid rows of the SAME days, then partition-pruned upsert.  Unlike
+    the HLL max (idempotent), counter addition is NOT replay-idempotent
+    by itself — exactly-once here rides on foreachBatch's batch-id
+    semantics over the checkpointed source offsets: a retried batch
+    re-reads the same slice and the upsert's atomic swap makes the
+    previous partial write invisible (the staged partition either
+    committed or it didn't)."""
+    from ..sinks.upsert import _read_target
+
+    target = _read_target(spark, store_path)
+    if target is None:
+        merged = batch_grid
+    else:
+        stored = target.select("day", "r", "c", "cnt").join(
+            batch_grid.select("day").distinct(), "day"
+        )
+        merged = (
+            batch_grid.unionByName(stored)
+            .groupBy("day", "r", "c")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+    upsert_partitioned(
+        spark,
+        store_path,
+        merged,
+        keys=["day", "r", "c"],
+        partition_col="day",
+    )
+
+
+def cms_register_stream(
+    spark: SparkSession,
+    source_dir: str,
+    store_path: str,
+    checkpoint_dir: str,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Maintain a per-day Count-Min grid store from an event stream.
+
+    The counter-addition merge law makes the converged store equal the
+    batch grid of everything seen, however the stream was chopped into
+    micro-batches and whenever late rows arrived (stream ≡ batch pinned
+    in tests/test_streaming_sketches.py).  Per-trigger write cost is the
+    touched days' <= D*W grid rows; the consumer side
+    (:func:`..plans.stores.cms_week_topk_consumer`) answers top-k
+    questions from the store alone."""
+    from ..operators.cms import cms_build
+
+    stream = read_event_stream(
+        spark, source_dir, max_files_per_trigger=max_files_per_trigger
+    )
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        ev = batch_df.select(
+            F.to_date(F.col(ts_col)).alias("day"),
+            F.col(key_col),
+        )
+        grid = cms_build(ev, key_col, ["day"])
+        _add_merge_batch_into_store(spark, store_path, grid)
+
+    writer = (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

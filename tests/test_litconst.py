@@ -57,3 +57,31 @@ def test_negative_zero_sign_preserved(spark):
         .collect()[0]
     )
     assert math.copysign(1.0, row.z) == -1.0
+
+
+def test_hof_lambda_lateral_alias_shadowing(spark):
+    """Spark 4 resolution hazard, pinned (found by crr_binomial_price in
+    round 8): inside a HIGHER-ORDER-FUNCTION lambda, F.col("x") resolves
+    laterally against an alias defined earlier in the SAME select list,
+    while a plain expression resolves against the input frame. A select
+    that emits round(x).alias("x") and also evaluates an F.aggregate
+    fold referencing F.col("x") therefore folds over the ROUNDED value —
+    queries must never shadow an input name an HOF lambda still needs
+    (split the select; see q_crr_binomial_price)."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(1).select(F.lit(1).alias("g"), F.lit(1.23456789).alias("v"))
+    g = df.groupBy("g").agg(F.sum("v").alias("x"))
+    fold = F.aggregate(
+        F.sequence(F.lit(1), F.lit(1)), F.lit(0.0), lambda acc, k: acc + F.col("x")
+    )
+    row = g.select(
+        F.round(F.col("x"), 2).alias("x"),
+        (F.col("x") * 1e8).alias("plain"),
+        fold.alias("in_lambda"),
+    ).collect()[0]
+    # plain expression: the INPUT column (unrounded; the float product
+    # of 1.23456789 * 1e8 lands one ulp under the integer)
+    assert row.plain == 1.23456789 * 1e8 and row.plain != 1.23 * 1e8
+    # lambda body: the LATERAL alias (rounded) — the hazard this test pins
+    assert row.in_lambda == 1.23

@@ -72,6 +72,8 @@ SENTINELS = [
     # repartition only; its no-explode/no-Python contract is ALSO
     # pinned in test_scale_plans.py::test_bpe_apply_plan_is_pure_scan)
     "bpe_apply_expr",
+    # round-8: 64-step CRR lattice as one fold — 1 shuffle, no windows
+    "crr_binomial_price",
 ]
 
 

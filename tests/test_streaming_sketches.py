@@ -119,3 +119,76 @@ def test_stream_store_is_chop_invariant(spark, tmp_path):
         spark, src, store, ckpt, max_files_per_trigger=1
     ).awaitTermination(180)
     assert _store(spark, store) == _expected(spark, src)
+
+
+def test_cms_stream_store_equals_batch_grid(spark, tmp_path):
+    """CMS counter store: ADD-merge across micro-batch waves converges
+    to the batch grid of everything seen (stream ≡ batch), late data
+    included, with untouched day partitions byte-identical (T2)."""
+    import os
+
+    from options_data_pipeline_spark.operators.cms import cms_build
+    from options_data_pipeline_spark.streaming.sketches import (
+        cms_register_stream,
+    )
+
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+
+    def grid_of(path):
+        full = spark.read.parquet(path).select(
+            F.to_date("ts").alias("day"), "user_id"
+        )
+        return {
+            (str(r.day), r.r, r.c, r.cnt)
+            for r in cms_build(full, "user_id", ["day"]).collect()
+        }
+
+    def stored():
+        return {
+            (str(r.day), r.r, r.c, r.cnt)
+            for r in spark.read.parquet(store)
+            .select("day", "r", "c", "cnt")
+            .collect()
+        }
+
+    wave1 = [("2024-01-01 10:00:00", f"u{i % 40}") for i in range(200)] + [
+        ("2024-01-02 09:00:00", f"u{i % 25}") for i in range(150)
+    ]
+    _events(spark, wave1).coalesce(1).write.mode("append").parquet(src)
+    assert cms_register_stream(spark, src, store, ckpt).awaitTermination(120)
+    assert stored() == grid_of(src)
+
+    def _snapshot(root):
+        out = {}
+        for dirpath, _, names in os.walk(root):
+            for n in names:
+                p = os.path.join(dirpath, n)
+                out[os.path.relpath(p, root)] = (
+                    os.path.getmtime(p), os.path.getsize(p),
+                )
+        return out
+
+    day2 = {
+        k: v for k, v in _snapshot(store).items() if "day=2024-01-02" in k
+    }
+    assert day2, "CMS store is not day-partitioned"
+
+    # late adds for day 1 + a new day 3: counters ADD, day 2 untouched
+    wave2 = [("2024-01-01 23:00:00", f"u{i % 40}") for i in range(80)] + [
+        ("2024-01-03 08:00:00", f"w{i}") for i in range(30)
+    ]
+    _events(spark, wave2).coalesce(1).write.mode("append").parquet(src)
+    assert cms_register_stream(spark, src, store, ckpt).awaitTermination(120)
+    assert stored() == grid_of(src)
+    day2_after = {
+        k: v for k, v in _snapshot(store).items() if "day=2024-01-02" in k
+    }
+    assert day2_after == day2, "untouched day partition was rewritten"
+
+    # restart with nothing new: counters must NOT double (the add-merge
+    # is driven by new offsets only)
+    before = stored()
+    assert cms_register_stream(spark, src, store, ckpt).awaitTermination(120)
+    assert stored() == before
