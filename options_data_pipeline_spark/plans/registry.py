@@ -123,11 +123,16 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
         vectors.q_ivf_index_upsert,
         vectors.oracle_ivf_index_upsert,
     ),
+    "mmr_rerank": (vectors.q_mmr_rerank, vectors.oracle_mmr_rerank),
     "minhash_index_upsert": (
         text.q_minhash_index_upsert,
         text.oracle_minhash_index_upsert,
     ),
     "bpe_apply_expr": (text.q_bpe_apply_expr, text.oracle_bpe_apply_expr),
+    "bigram_perplexity": (
+        text.q_bigram_perplexity,
+        text.oracle_bigram_perplexity,
+    ),
     "table_expectations": (
         quality.q_table_expectations,
         quality.oracle_table_expectations,
@@ -280,6 +285,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
     "hybrid_rrf": (retrieval.q_hybrid_rrf, retrieval.oracle_hybrid_rrf),
     "bpe_tokenize": (text.q_bpe_tokenize, text.oracle_bpe_tokenize),
     "domain_mixture": (retrieval.q_domain_mixture, retrieval.oracle_domain_mixture),
+    "temperature_mixture": (
+        retrieval.q_temperature_mixture,
+        retrieval.oracle_temperature_mixture,
+    ),
     "logprob_trim": (retrieval.q_logprob_trim, retrieval.oracle_logprob_trim),
     "mixture_resample": (retrieval.q_mixture_resample, retrieval.oracle_mixture_resample),
     "doc_keywords": (retrieval.q_doc_keywords, retrieval.oracle_doc_keywords),
@@ -413,6 +422,9 @@ _PRIORITY: list[str] = [
     "minhash_index_upsert",
     "bpe_apply_expr",
     "crr_binomial_price",
+    "bigram_perplexity",
+    "temperature_mixture",
+    "mmr_rerank",
     # round-8 code changes: re-adjudicate under the driver
     "hist_quantiles",
     "sketch_store_twin",

@@ -816,3 +816,83 @@ SELECT doc_id, lex_rank, dense_rank,
 FROM fused
 QUALIFY fused_rank <= {HYBRID_TOP_K}
 """
+
+
+# --- temperature sampling over domains -----------------------------------------
+
+#: temperatures the mixture schedule reports. alpha=1 is proportional
+#: (no rebalancing), alpha -> 0 approaches uniform; 0.3 / 0.7 are the
+#: standard multilingual-pretraining settings (mT5/XLM-R lineage).
+MIXTURE_ALPHAS = (0.3, 0.7, 1.0)
+
+
+def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture schedule per (source, lang) domain:
+    sampling probability p_i ∝ n_i^alpha for each alpha, plus the
+    effective epoch count each domain would see under a one-corpus-pass
+    token budget (epochs_i = p_i * total_tokens / n_i) — the standard
+    knob for rebalancing a multilingual / multi-source pretraining
+    mixture (low-resource domains get p_i above their natural share at
+    alpha < 1, and the epochs column shows the duplication price).
+
+    Scale shape: one map-side-combined groupBy to domain grain, then an
+    unpartitioned window over the FEW domain rows (same device as
+    ``domain_mixture`` — never a second corpus scan); everything after
+    the aggregate is arithmetic on a few hundred rows."""
+    from pyspark.sql import Window
+
+    from ..functions.rounding import round_half_away
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_dom = (
+        docs.select(
+            "source",
+            "lang",
+            F.size(F.split(F.col("text"), " ")).cast("long").alias("__tok"),
+        )
+        .groupBy("source", "lang")
+        .agg(F.sum("__tok").alias("n_tokens"))
+    )
+    w = Window.partitionBy()
+    total = F.sum("n_tokens").over(w).cast("double")
+    out_cols = [F.col("source"), F.col("lang"), F.col("n_tokens")]
+    for a in MIXTURE_ALPHAS:
+        tag = str(a).replace(".", "")
+        pow_a = F.pow(F.col("n_tokens").cast("double"), F.lit(float(a)))
+        z = F.sum(pow_a).over(w)
+        p = pow_a / z
+        out_cols.append(round_half_away(p, 6).alias(f"p_a{tag}"))
+        out_cols.append(
+            round_half_away(
+                p * total / F.col("n_tokens").cast("double"), 4
+            ).alias(f"epochs_a{tag}")
+        )
+    return per_dom.select(*out_cols)
+
+
+def oracle_temperature_mixture() -> str:
+    from ..functions.rounding import sql_round_half_away
+
+    cols = []
+    for a in MIXTURE_ALPHAS:
+        tag = str(a).replace(".", "")
+        pow_a = f"pow(CAST(n_tokens AS DOUBLE), {float(a)!r})"
+        p = f"({pow_a} / SUM({pow_a}) OVER ())"
+        cols.append(f"{sql_round_half_away(p, 6)} AS p_a{tag}")
+        cols.append(
+            sql_round_half_away(
+                f"({p} * CAST(SUM(n_tokens) OVER () AS DOUBLE)"
+                f" / CAST(n_tokens AS DOUBLE))",
+                4,
+            )
+            + f" AS epochs_a{tag}"
+        )
+    return f"""
+WITH per_dom AS (
+    SELECT source, lang,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+    FROM documents GROUP BY 1, 2
+)
+SELECT source, lang, n_tokens, {", ".join(cols)}
+FROM per_dom
+"""

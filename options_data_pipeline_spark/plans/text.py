@@ -3248,3 +3248,124 @@ SELECT doc_id,
        md5(array_to_string(tstrs, ' ')) AS stream_md5
 FROM tok
 """
+
+
+# --- bigram LM perplexity (CCNet-style quality filter) -------------------------
+
+
+def q_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram language-model score with add-one smoothing —
+    the perplexity-filter shape (CCNet / Wenzek 2020) pretraining
+    curation runs at corpus scale: P(w_i | w_{i-1}) = (c(w_{i-1} w_i)
+    + 1) / (c(w_{i-1}) + V), doc score = mean log-prob over its bigram
+    positions, ppl = exp(-avg).  High-ppl docs are the gibberish the
+    filter drops.
+
+    Cross-engine determinism follows the unigram query's recipe: each
+    MODEL row (distinct bigram, not every occurrence) rounds ln() to
+    9 dp and is carried as exact DECIMAL, so per-doc sums are
+    associative under any partitioning; ppl derives from the ROUNDED
+    average, keeping exp() inputs bit-identical.
+
+    Scale shape: bigrams come from a row-local zip_with (no posexplode
+    ordering shuffle); the model build is one map-side-combined groupBy;
+    the scoring join keys on (prev, cur) — at real scale a shuffle join
+    by design (a bigram table does not broadcast), here AQE picks the
+    broadcast."""
+    from ..functions.rounding import round_half_away
+
+    docs = parallelized(spark, load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "text"
+    )
+    w = F.filter(TS.words(F.col("text")), lambda x: F.length(x) > 0)
+    grams = F.zip_with(
+        F.slice(w, 1, F.size(w) - 1),
+        F.slice(w, 2, F.size(w) - 1),
+        lambda a, b: F.struct(a.alias("prev"), b.alias("cur")),
+    )
+    bi = docs.select("doc_id", F.explode(grams).alias("g")).select(
+        "doc_id", "g.prev", "g.cur"
+    )
+    toks = docs.select(F.explode(w).alias("token"))
+    uni = toks.groupBy("token").agg(F.count(F.lit(1)).alias("uc"))
+    vsize = uni.agg(F.count(F.lit(1)).cast("double").alias("v"))
+    bc = bi.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("bc"))
+    model = (
+        bc.join(uni.select(F.col("token").alias("prev"), "uc"), "prev")
+        .crossJoin(F.broadcast(vsize))
+        .select(
+            "prev",
+            "cur",
+            round_half_away(
+                F.log(
+                    (F.col("bc").cast("double") + 1.0)
+                    / (F.col("uc").cast("double") + F.col("v"))
+                ),
+                9,
+            )
+            .cast("decimal(28,9)")
+            .alias("logp"),
+        )
+    )
+    scored = (
+        bi.join(model, ["prev", "cur"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("logp").alias("__s"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            round_half_away(
+                F.col("__s").cast("double") / F.col("n_bigrams"), 6
+            ).alias("avg_logprob"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        "avg_logprob",
+        round_half_away(F.exp(-F.col("avg_logprob")), 4).alias("ppl"),
+    )
+
+
+def oracle_bigram_perplexity() -> str:
+    from ..functions.rounding import sql_round_half_away
+
+    logp = sql_round_half_away("ln((bc + 1.0) / (uc + v))", 9)
+    avg = sql_round_half_away("CAST(sum(logp) AS DOUBLE) / count(*)", 6)
+    ppl = sql_round_half_away("exp(-avg_logprob)", 4)
+    return f"""
+WITH ws AS (
+    SELECT doc_id,
+           list_filter(string_split(text, ' '), x -> length(x) > 0) AS w
+    FROM documents
+),
+bi AS (
+    SELECT doc_id, g[1] AS prev, g[2] AS cur
+    FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, greatest(len(w) - 1, 0) + 1),
+                      i -> [w[i], w[i + 1]])) AS g
+        FROM ws
+    )
+),
+uni AS (
+    SELECT token, count(*) AS uc
+    FROM (SELECT unnest(w) AS token FROM ws) GROUP BY 1
+),
+vs AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM uni),
+bc AS (SELECT prev, cur, count(*) AS bc FROM bi GROUP BY 1, 2),
+model AS (
+    SELECT prev, cur, CAST({logp} AS DECIMAL(28,9)) AS logp
+    FROM bc JOIN uni ON uni.token = bc.prev, vs
+),
+scored AS (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           {avg} AS avg_logprob
+    FROM bi JOIN model USING (prev, cur)
+    GROUP BY 1
+)
+SELECT doc_id, n_bigrams, avg_logprob, {ppl} AS ppl FROM scored
+"""

@@ -1275,3 +1275,192 @@ rk AS (
 SELECT qid, cid, cosine_sim, CAST(rank AS BIGINT) AS rank
 FROM rk WHERE rank <= {TOP_K}
 """
+
+
+# --- MMR diversification rerank ------------------------------------------------
+
+MMR_LAMBDA_SQL = "CAST(0.7 AS DECIMAL(2,1))"
+MMR_ONE_MINUS_SQL = "CAST(0.3 AS DECIMAL(2,1))"
+MMR_CAND = 12
+MMR_K = 5
+
+
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance rerank (Carbonell & Goldstein 1998):
+    per query, greedily select ``MMR_K`` of the top-``MMR_CAND``
+    candidates maximizing lambda*sim(q,d) - (1-lambda)*max sim(d,
+    selected) — the diversification pass retrieval stacks run after ANN.
+
+    Determinism across engines is the interesting part: a greedy argmax
+    chain amplifies any float divergence (one flipped pick rewrites
+    every later step), so candidate and pairwise cosines are rounded to
+    9 dp ONCE and carried as exact DECIMAL — every score, subtraction
+    and max after that is integer-exact arithmetic both engines agree
+    on bit-for-bit, and ties break on the lower cid.
+
+    Scale shape: candidates per query are bounded (the ANN stage's
+    top-k), so the pairwise table is <= CAND^2 rows per query and each
+    greedy step is one bounded groupBy — no per-query windows over the
+    corpus, no driver collect."""
+    from ..functions.rounding import round_half_away
+
+    queries, corpus = _emb_frames(spark, sf_dir)
+    from pyspark.sql import Window
+
+    from ..operators.similarity import _dot
+
+    qq = _dot(F.col("qv"), F.col("qv"))
+    cc = _dot(F.col("cv"), F.col("cv"))
+    sim = _dot(F.col("qv"), F.col("cv")) / F.sqrt(qq * cc)
+    scored = (
+        queries.crossJoin(corpus)
+        .where(F.col("qid") != F.col("cid"))
+        .select(
+            "qid",
+            "cid",
+            "cv",
+            round_half_away(sim, 9).cast("decimal(28,9)").alias("sq"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("sq").desc(), F.col("cid").asc())
+    cand = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= MMR_CAND)
+        .drop("rnk")
+    )
+    from ..operators.materialize import materialize
+
+    cand = materialize(cand)
+
+    a = cand.select("qid", F.col("cid").alias("a"), F.col("cv").alias("va"))
+    b = cand.select("qid", F.col("cid").alias("b"), F.col("cv").alias("vb"))
+    psim = (
+        _dot(F.col("va"), F.col("vb"))
+        / F.sqrt(_dot(F.col("va"), F.col("va")) * _dot(F.col("vb"), F.col("vb")))
+    )
+    pairs = materialize(
+        a.join(b, "qid")
+        .where(F.col("a") != F.col("b"))
+        .select(
+            "qid", "a", "b",
+            round_half_away(psim, 9).cast("decimal(28,9)").alias("sab"),
+        )
+    )
+
+    lam = F.expr(MMR_LAMBDA_SQL)
+    om = F.expr(MMR_ONE_MINUS_SQL)
+    state = cand.select(
+        "qid", "cid", "sq", F.lit(0).cast("decimal(28,9)").alias("m")
+    )
+    picks = []
+    for step in range(1, MMR_K + 1):
+        score = (lam * F.col("sq") - om * F.col("m")).alias("score")
+        ranked = state.select("qid", "cid", "sq", "m", score)
+        pick = (
+            ranked.groupBy("qid")
+            .agg(F.max(F.struct(F.col("score"), (-F.col("cid")).alias("nc"))).alias("t"))
+            .select(
+                "qid",
+                (-F.col("t.nc")).alias("p_cid"),
+                F.col("t.score").alias("p_score"),
+            )
+        )
+        picks.append(
+            pick.select(
+                "qid",
+                F.lit(step).alias("step"),
+                F.col("p_cid").alias("cid"),
+                F.col("p_score").alias("score"),
+            )
+        )
+        if step == MMR_K:
+            break
+        state = (
+            state.join(pick, "qid")
+            .where(F.col("cid") != F.col("p_cid"))
+            .join(
+                pairs.select(
+                    "qid", F.col("a").alias("p_cid"), F.col("b").alias("cid"), "sab"
+                ),
+                ["qid", "p_cid", "cid"],
+            )
+            .select(
+                "qid", "cid", "sq",
+                F.greatest(F.col("m"), F.col("sab")).alias("m"),
+            )
+        )
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "qid",
+        F.col("step").cast("int").alias("step"),
+        "cid",
+        round_half_away(F.col("score").cast("double"), 6).alias("mmr_score"),
+    )
+
+
+def oracle_mmr_rerank() -> str:
+    dot_q = _sql_dot("q.qv", "c.cv")
+    sim_q = (
+        f"({dot_q} / sqrt({_sql_dot('q.qv', 'q.qv')} * {_sql_dot('c.cv', 'c.cv')}))"
+    )
+    dot_p = _sql_dot("x.cv", "y.cv")
+    sim_p = (
+        f"({dot_p} / sqrt({_sql_dot('x.cv', 'x.cv')} * {_sql_dot('y.cv', 'y.cv')}))"
+    )
+    r9q = sql_round_half_away(sim_q, 9)
+    r9p = sql_round_half_away(sim_p, 9)
+    lam, om = MMR_LAMBDA_SQL, MMR_ONE_MINUS_SQL
+
+    stages = []
+    for i in range(1, MMR_K + 1):
+        prev = f"st{i - 1}"
+        stages.append(f"""
+p{i} AS (
+    SELECT qid, cid AS p_cid, score AS p_score FROM (
+        SELECT qid, cid, {lam} * sq - {om} * m AS score,
+               row_number() OVER (PARTITION BY qid
+                   ORDER BY {lam} * sq - {om} * m DESC, cid ASC) AS rn
+        FROM {prev}
+    ) WHERE rn = 1
+)""")
+        if i < MMR_K:
+            stages.append(f"""
+st{i} AS (
+    SELECT s.qid, s.cid, s.sq, greatest(s.m, pr.sab) AS m
+    FROM {prev} s
+    JOIN p{i} p ON p.qid = s.qid AND s.cid != p.p_cid
+    JOIN pairs pr ON pr.qid = s.qid AND pr.a = p.p_cid AND pr.b = s.cid
+)""")
+    unions = "\nUNION ALL ".join(
+        f"SELECT qid, {i} AS step, p_cid AS cid, p_score FROM p{i}"
+        for i in range(1, MMR_K + 1)
+    )
+    return f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+           WHERE vec_id < {N_QUERIES}),
+c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings),
+scored AS (
+    SELECT q.qid, c.cid, c.cv, CAST({r9q} AS DECIMAL(28,9)) AS sq
+    FROM q CROSS JOIN c WHERE q.qid != c.cid
+),
+cand AS (
+    SELECT qid, cid, cv, sq FROM (
+        SELECT *, row_number() OVER (PARTITION BY qid
+                   ORDER BY sq DESC, cid ASC) AS rnk
+        FROM scored
+    ) WHERE rnk <= {MMR_CAND}
+),
+pairs AS (
+    SELECT x.qid, x.cid AS a, y.cid AS b,
+           CAST({r9p} AS DECIMAL(28,9)) AS sab
+    FROM cand x JOIN cand y ON x.qid = y.qid AND x.cid != y.cid
+),
+st0 AS (SELECT qid, cid, sq, CAST(0 AS DECIMAL(28,9)) AS m FROM cand),
+{",".join(stages)},
+sel AS ({unions})
+SELECT qid, CAST(step AS INT) AS step, cid,
+       {sql_round_half_away("CAST(p_score AS DOUBLE)", 6)} AS mmr_score
+FROM sel
+"""
