@@ -259,3 +259,164 @@ SELECT node, rank FROM {prev}
 ORDER BY rank DESC, node ASC
 LIMIT 20
 """
+
+
+# --- Bradley-Terry rating fit (preference-data shape) ---------------------------
+
+BT_PLAYERS = 8
+BT_ITERS = 4
+BT_WIN_THRESHOLD = 50.0
+
+
+def q_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry strength ratings fit by ``BT_ITERS`` rounds of the
+    MM (minorization-maximization) update (Hunter 2004) — the model
+    behind pairwise-preference leaderboards (LLM arenas, RLHF reward
+    calibration): r_i <- w_i / sum_j n_ij / (r_i + r_j), renormalized to
+    sum to the player count each round.
+
+    Match fixture: every event is a deterministic pairing of two of
+    ``BT_PLAYERS`` synthetic players (event_id digits), the higher
+    `value` side wins — exact integer/boolean derivation both engines
+    repeat. The iterate is the interesting part at scale: each round is
+    one join of the (i, j, n_ij) pair table against the current ratings
+    + one grouped sum, never a per-player loop; millions of players
+    would shuffle on hash-uniform ids exactly like this 8-row toy.
+
+    Bit-determinism: each MM term n_ij/(r_i + r_j) rounds to 12 dp and
+    sums as exact DECIMAL (associative under any partitioning); the
+    per-round ratings re-quantize to 12 dp, so every round starts from
+    identical bits in both engines (the chain-amplification discipline
+    of ``mmr_rerank``)."""
+    from pyspark.sql import Window
+
+    from ..functions.rounding import round_half_away
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    m = ev.select(
+        (F.col("event_id") % BT_PLAYERS).alias("a"),
+        (F.expr(f"(event_id DIV {BT_PLAYERS}) % {BT_PLAYERS}")).alias("b"),
+        (F.col("value") >= BT_WIN_THRESHOLD).alias("a_wins"),
+    ).where(F.col("a") != F.col("b"))
+    wins = (
+        m.select(F.when(F.col("a_wins"), F.col("a")).otherwise(F.col("b")).alias("i"))
+        .groupBy("i")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    pairs = (
+        m.select("a", "b")
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # symmetrize to directed (i, j, n_ij): every match involves both sides
+    pairsd = (
+        pairs.select(F.col("a").alias("i"), F.col("b").alias("j"), "n")
+        .unionByName(
+            pairs.select(F.col("b").alias("i"), F.col("a").alias("j"), "n")
+        )
+        .groupBy("i", "j")
+        .agg(F.sum("n").alias("n"))
+    )
+    n_matches = pairsd.groupBy("i").agg(F.sum("n").alias("n_matches"))
+
+    from ..operators.materialize import materialize
+
+    pairsd = materialize(pairsd)
+    r = pairsd.select("i").distinct().select("i", F.lit(1.0).alias("r"))
+    w_all = Window.partitionBy()
+    for _ in range(BT_ITERS):
+        t = (
+            pairsd.join(r.select(F.col("i"), F.col("r").alias("ri")), "i")
+            .join(
+                r.select(F.col("i").alias("j"), F.col("r").alias("rj")), "j"
+            )
+            .select(
+                "i",
+                round_half_away(
+                    F.col("n").cast("double") / (F.col("ri") + F.col("rj")), 12
+                )
+                .cast("decimal(28,12)")
+                .alias("t"),
+            )
+        )
+        s = t.groupBy("i").agg(F.sum("t").alias("s"))
+        raw = wins.join(s, "i").select(
+            "i",
+            (F.col("w").cast("double") / F.col("s").cast("double")).alias("rr"),
+        )
+        z = F.sum(
+            round_half_away(F.col("rr"), 12).cast("decimal(28,12)")
+        ).over(w_all)
+        r = raw.select(
+            "i",
+            round_half_away(
+                F.col("rr") * float(BT_PLAYERS) / z.cast("double"), 12
+            ).alias("r"),
+        )
+    return (
+        r.join(wins, "i")
+        .join(n_matches, "i")
+        .select(
+            F.col("i").cast("int").alias("player"),
+            F.col("w").alias("wins"),
+            "n_matches",
+            round_half_away(F.col("r"), 6).alias("rating"),
+        )
+    )
+
+
+def oracle_bradley_terry() -> str:
+    from ..functions.rounding import sql_round_half_away
+
+    stages = []
+    for it in range(1, BT_ITERS + 1):
+        prev = f"r{it - 1}"
+        term = sql_round_half_away("n / (ri.r + rj.r)", 12)
+        stages.append(f"""
+t{it} AS (
+    SELECT p.i, CAST({term} AS DECIMAL(28,12)) AS t
+    FROM pairsd p
+    JOIN {prev} ri ON ri.i = p.i
+    JOIN {prev} rj ON rj.i = p.j
+),
+s{it} AS (SELECT i, SUM(t) AS s FROM t{it} GROUP BY 1),
+raw{it} AS (
+    SELECT wins.i, CAST(wins.w AS DOUBLE) / CAST(s AS DOUBLE) AS rr
+    FROM wins JOIN s{it} ON s{it}.i = wins.i
+),
+r{it} AS (
+    SELECT i, {sql_round_half_away(
+        f"rr * {float(BT_PLAYERS)!r} / CAST(SUM(CAST("
+        + sql_round_half_away("rr", 12)
+        + " AS DECIMAL(28,12))) OVER () AS DOUBLE)", 12)} AS r
+    FROM raw{it}
+)""")
+    return f"""
+WITH m AS (
+    SELECT event_id % {BT_PLAYERS} AS a,
+           (event_id // {BT_PLAYERS}) % {BT_PLAYERS} AS b,
+           value >= {BT_WIN_THRESHOLD!r} AS a_wins
+    FROM events WHERE value IS NOT NULL
+),
+m2 AS (SELECT * FROM m WHERE a != b),
+wins AS (
+    SELECT CASE WHEN a_wins THEN a ELSE b END AS i, count(*) AS w
+    FROM m2 GROUP BY 1
+),
+pairs AS (SELECT a, b, count(*) AS n FROM m2 GROUP BY 1, 2),
+pairsd AS (
+    SELECT i, j, CAST(SUM(n) AS BIGINT) AS n FROM (
+        SELECT a AS i, b AS j, n FROM pairs
+        UNION ALL SELECT b AS i, a AS j, n FROM pairs
+    ) GROUP BY 1, 2
+),
+nm AS (SELECT i, CAST(SUM(n) AS BIGINT) AS n_matches FROM pairsd GROUP BY 1),
+r0 AS (SELECT DISTINCT i, CAST(1.0 AS DOUBLE) AS r FROM pairsd),
+{",".join(stages)}
+SELECT CAST(r{BT_ITERS}.i AS INT) AS player,
+       CAST(wins.w AS BIGINT) AS wins, nm.n_matches,
+       {sql_round_half_away("r" + str(BT_ITERS) + ".r", 6)} AS rating
+FROM r{BT_ITERS}
+JOIN wins ON wins.i = r{BT_ITERS}.i
+JOIN nm ON nm.i = r{BT_ITERS}.i
+"""

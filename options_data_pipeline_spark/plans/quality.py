@@ -3131,3 +3131,75 @@ SELECT est.event_type, est.q, est.n,
        {sql_round_half_away('exact.exact', 4)} AS exact
 FROM est JOIN exact ON exact.event_type = est.event_type AND exact.q = est.q
 """
+
+
+# --- GRPO-style group advantage normalization ----------------------------------
+
+
+def q_group_advantage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-relative advantage normalization (the GRPO/RLOO shape RL
+    post-training pipelines run over sampled completions): within each
+    prompt group — ``user_id`` standing in for the prompt key, ``value``
+    for the reward — advantage_i = (r_i - mean(group)) / std(group),
+    zero for degenerate groups (n < 2 or zero variance).
+
+    Bit-determinism: rewards are quantized ONCE to DECIMAL(18,6) (the
+    double->decimal cast rounds half-up identically in both engines), so
+    the per-group moment sums are exact integers under any partitioning;
+    mean/std close over the exact moments in double with the same
+    expression grouping as the oracle. One map-side-combined groupBy +
+    one broadcastable group-stats join back to the rows."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    r = F.col("value").cast("decimal(18,6)")
+    rows = ev.select("event_id", "user_id", r.alias("r"))
+    stats = rows.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("r").alias("s1"),
+        F.sum(F.col("r") * F.col("r")).alias("s2"),
+    )
+    n = F.col("n").cast("double")
+    s1 = F.col("s1").cast("double")
+    s2 = F.col("s2").cast("double")
+    mean = s1 / n
+    # sample variance over the exact moments; guarded for n < 2
+    var = (s2 - s1 * s1 / n) / (n - 1.0)
+    joined = rows.join(stats, "user_id")
+    adv = F.when(
+        (F.col("n") >= 2) & (var > 0),
+        (F.col("r").cast("double") - mean) / F.sqrt(var),
+    ).otherwise(F.lit(0.0))
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("n").alias("group_n"),
+        round_half_away(adv, 6).alias("advantage"),
+    )
+
+
+def oracle_group_advantage() -> str:
+    var = "((s2 - s1 * s1 / n) / (n - 1.0))"
+    adv = (
+        f"CASE WHEN n >= 2.0 AND {var} > 0 "
+        f"THEN (r - s1 / n) / sqrt({var}) ELSE 0.0 END"
+    )
+    return f"""
+WITH rq AS (
+    SELECT event_id, user_id, CAST(value AS DECIMAL(18,6)) AS r
+    FROM events WHERE value IS NOT NULL
+),
+stats AS (
+    SELECT user_id, CAST(count(*) AS BIGINT) AS group_n,
+           CAST(SUM(r) AS DOUBLE) AS s1,
+           CAST(SUM(r * r) AS DOUBLE) AS s2
+    FROM rq GROUP BY 1
+),
+j AS (
+    SELECT event_id, rq.user_id, group_n,
+           CAST(rq.r AS DOUBLE) AS r,
+           CAST(group_n AS DOUBLE) AS n, s1, s2
+    FROM rq JOIN stats ON stats.user_id = rq.user_id
+)
+SELECT event_id, user_id, group_n,
+       {sql_round_half_away(adv, 6)} AS advantage
+FROM j
+"""

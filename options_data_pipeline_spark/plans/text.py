@@ -3369,3 +3369,106 @@ scored AS (
 )
 SELECT doc_id, n_bigrams, avg_logprob, {ppl} AS ppl FROM scored
 """
+
+
+# --- fill-in-the-middle transform ----------------------------------------------
+
+FIM_PRE, FIM_SUF, FIM_MID = "<PRE>", "<SUF>", "<MID>"
+
+
+def q_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle training transform (Bavarian et al. 2022, the
+    PSM format code models train on): each document's token stream is
+    split at two HASH-DERIVED points into (prefix, middle, suffix) and
+    re-emitted as ``<PRE> prefix <SUF> suffix <MID> middle`` — the
+    reordering that teaches infilling. Split points come from md5 of
+    the doc id (not an RNG), so the transform is reproducible under
+    re-runs, backfills and any partitioning — the same determinism
+    contract as ``train_split``. Documents under 3 tokens pass through
+    untransformed (fim_applied = false).
+
+    Everything is row-local array arithmetic (slice / array_join /
+    integer md5), zero shuffles after the scan; the md5 of the
+    transformed text pins every emitted token in the driver hash."""
+    docs = parallelized(spark, load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "text"
+    )
+    w = F.filter(TS.words(F.col("text")), lambda x: F.length(x) > 0)
+    n = F.size(w)
+    h1 = F.conv(
+        F.substring(F.md5(F.concat(F.lit("fim#a#"), F.col("doc_id").cast("string"))), 1, 15),
+        16, 10,
+    ).cast("long")
+    h2 = F.conv(
+        F.substring(F.md5(F.concat(F.lit("fim#b#"), F.col("doc_id").cast("string"))), 1, 15),
+        16, 10,
+    ).cast("long")
+    # 1 <= a < n ; a <= b < n  (prefix nonempty by construction, middle
+    # may be empty, suffix nonempty when b < n)
+    a = (F.pmod(h1, n - 1) + 1).cast("int")
+    b = (a + F.pmod(h2, n - a)).cast("int")
+    applied = n >= 3
+    prefix = F.array_join(F.slice(w, 1, a), " ")
+    middle = F.array_join(F.slice(w, a + 1, b - a), " ")
+    suffix = F.array_join(F.slice(w, b + 1, n - b), " ")
+    # explicit concat, not concat_ws: an EMPTY middle (b == a) must not
+    # leave a trailing separator after <MID>
+    psm = F.concat(
+        F.lit(FIM_PRE + " "), prefix,
+        F.lit(" " + FIM_SUF + " "), suffix,
+        F.lit(" " + FIM_MID),
+        F.when(b - a > 0, F.concat(F.lit(" "), middle)).otherwise(F.lit("")),
+    )
+    out_text = F.when(applied, psm).otherwise(F.array_join(w, " "))
+    return docs.select(
+        "doc_id",
+        applied.alias("fim_applied"),
+        F.when(applied, a).otherwise(F.lit(0)).cast("int").alias("n_prefix"),
+        F.when(applied, b - a).otherwise(F.lit(0)).cast("int").alias("n_middle"),
+        F.when(applied, n - b).otherwise(n).cast("int").alias("n_suffix"),
+        F.md5(out_text).alias("psm_md5"),
+    )
+
+
+def oracle_fim_transform() -> str:
+    h1 = "(('0x' || substr(md5('fim#a#' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT)"
+    h2 = "(('0x' || substr(md5('fim#b#' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT)"
+    return f"""
+WITH ws AS (
+    SELECT doc_id,
+           list_filter(string_split(text, ' '), x -> length(x) > 0) AS w
+    FROM documents
+),
+pts AS (
+    SELECT doc_id, w, len(w) AS n,
+           CAST({h1} % (len(w) - 1) + 1 AS INT) AS a
+    FROM ws
+),
+pts2 AS (
+    SELECT doc_id, w, n, a,
+           CAST(a + ({h2} % (n - a)) AS INT) AS b,
+           n >= 3 AS applied
+    FROM pts
+),
+built AS (
+    SELECT doc_id, applied,
+           CASE WHEN applied THEN a ELSE 0 END AS n_prefix,
+           CASE WHEN applied THEN b - a ELSE 0 END AS n_middle,
+           CASE WHEN applied THEN n - b ELSE n END AS n_suffix,
+           CASE WHEN applied THEN
+               '{FIM_PRE} ' || array_to_string(w[1:a], ' ')
+               || ' {FIM_SUF} ' || array_to_string(w[b+1:n], ' ')
+               || ' {FIM_MID}'
+               || CASE WHEN b - a > 0
+                       THEN ' ' || array_to_string(w[a+1:b], ' ')
+                       ELSE '' END
+           ELSE array_to_string(w, ' ') END AS out_text
+    FROM pts2
+)
+SELECT doc_id, applied AS fim_applied,
+       CAST(n_prefix AS INT) AS n_prefix,
+       CAST(n_middle AS INT) AS n_middle,
+       CAST(n_suffix AS INT) AS n_suffix,
+       md5(out_text) AS psm_md5
+FROM built
+"""
