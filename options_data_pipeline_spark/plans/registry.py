@@ -89,6 +89,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
         quality.q_ab_conversion_ztest,
         quality.oracle_ab_conversion_ztest,
     ),
+    "group_advantage": (
+        quality.q_group_advantage,
+        quality.oracle_group_advantage,
+    ),
     "decayed_engagement": (
         quality.q_decayed_engagement,
         quality.oracle_decayed_engagement,
@@ -133,6 +137,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
         text.q_bigram_perplexity,
         text.oracle_bigram_perplexity,
     ),
+    "fim_transform": (text.q_fim_transform, text.oracle_fim_transform),
     "table_expectations": (
         quality.q_table_expectations,
         quality.oracle_table_expectations,
@@ -342,6 +347,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
     ),
     # --- affinity / graph analytics (round 3) ---
     "basket_pairs": (affinity.q_basket_pairs, affinity.oracle_basket_pairs),
+    "bradley_terry": (affinity.q_bradley_terry, affinity.oracle_bradley_terry),
     "triangle_count": (affinity.q_triangle_count, affinity.oracle_triangle_count),
     "pagerank_parts": (affinity.q_pagerank_parts, affinity.oracle_pagerank_parts),
     "skyline_parts": (tpch.q_skyline_parts, tpch.oracle_skyline_parts),
@@ -425,6 +431,9 @@ _PRIORITY: list[str] = [
     "bigram_perplexity",
     "temperature_mixture",
     "mmr_rerank",
+    "group_advantage",
+    "fim_transform",
+    "bradley_terry",
     # round-8 code changes: re-adjudicate under the driver
     "hist_quantiles",
     "sketch_store_twin",
