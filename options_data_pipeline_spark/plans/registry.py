@@ -138,6 +138,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
         text.oracle_bigram_perplexity,
     ),
     "fim_transform": (text.q_fim_transform, text.oracle_fim_transform),
+    "token_kl_divergence": (
+        text.q_token_kl_divergence,
+        text.oracle_token_kl_divergence,
+    ),
     "table_expectations": (
         quality.q_table_expectations,
         quality.oracle_table_expectations,
@@ -355,6 +359,14 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
     "trailing_spend": (quality.q_trailing_spend, quality.oracle_trailing_spend),
     # --- time-series analytics (drawdown / TWAP / accumulation / clamped fold) ---
     "max_drawdown": (timeseries.q_max_drawdown, timeseries.oracle_max_drawdown),
+    "seasonal_decompose": (
+        timeseries.q_seasonal_decompose,
+        timeseries.oracle_seasonal_decompose,
+    ),
+    "cusum_changepoint": (
+        timeseries.q_cusum_changepoint,
+        timeseries.oracle_cusum_changepoint,
+    ),
     "twap": (timeseries.q_twap, timeseries.oracle_twap),
     "cumulative_uniques": (
         timeseries.q_cumulative_uniques,
@@ -434,6 +446,9 @@ _PRIORITY: list[str] = [
     "group_advantage",
     "fim_transform",
     "bradley_terry",
+    "seasonal_decompose",
+    "cusum_changepoint",
+    "token_kl_divergence",
     # round-8 code changes: re-adjudicate under the driver
     "hist_quantiles",
     "sketch_store_twin",

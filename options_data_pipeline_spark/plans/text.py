@@ -3472,3 +3472,95 @@ SELECT doc_id, applied AS fim_applied,
        md5(out_text) AS psm_md5
 FROM built
 """
+
+
+# --- per-doc KL divergence from the corpus token distribution -------------------
+
+
+def q_token_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KL(p_doc || p_corpus) over token unigrams per document — the
+    information-theoretic "how unlike the corpus is this document"
+    score (domain-shift / contamination triage; complements the LM
+    perplexity filter, which measures fluency, not typicality).
+
+    Every doc token has corpus support (the corpus includes the doc),
+    so the divergence is finite by construction. Per-(doc, token)
+    terms p*(ln p - ln q) round once to 9 dp DECIMAL, making the
+    per-doc sum associative under any partitioning (the unigram
+    recipe); the vocab join is the same broadcast-in-practice /
+    shuffle-at-scale shape as ``unigram_logprob``."""
+    from ..functions.rounding import round_half_away
+
+    docs = parallelized(spark, load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "text"
+    )
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(TS.words(F.col("text")), lambda x: F.length(x) > 0)
+        ).alias("token"),
+    )
+    dt = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("c"))
+    dn = dt.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cc"))
+    total = vocab.agg(F.sum("cc").cast("double").alias("tot"))
+    term = (
+        dt.join(dn, "doc_id")
+        .join(vocab, "token")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "n",
+            round_half_away(
+                (F.col("c").cast("double") / F.col("n").cast("double"))
+                * (
+                    F.log(F.col("c").cast("double") / F.col("n").cast("double"))
+                    - F.log(F.col("cc").cast("double") / F.col("tot"))
+                ),
+                9,
+            )
+            .cast("decimal(28,9)")
+            .alias("t"),
+        )
+    )
+    return (
+        term.groupBy("doc_id")
+        .agg(
+            F.max(F.col("n")).cast("long").alias("n_tokens"),
+            F.sum("t").alias("s"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            round_half_away(F.col("s").cast("double"), 6).alias("kl_bits_nat"),
+        )
+    )
+
+
+def oracle_token_kl_divergence() -> str:
+    from ..functions.rounding import sql_round_half_away
+
+    p = "(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))"
+    q = "(CAST(cc AS DOUBLE) / tot)"
+    term = sql_round_half_away(f"{p} * (ln{p} - ln({q}))", 9)
+    return f"""
+WITH toks AS (
+    SELECT doc_id, t AS token FROM (
+        SELECT doc_id,
+               unnest(list_filter(string_split(text, ' '),
+                      x -> length(x) > 0)) AS t
+        FROM documents
+    )
+),
+dt AS (SELECT doc_id, token, count(*) AS c FROM toks GROUP BY 1, 2),
+dn AS (SELECT doc_id, SUM(c) AS n FROM dt GROUP BY 1),
+vocab AS (SELECT token, count(*) AS cc FROM toks GROUP BY 1),
+tot AS (SELECT CAST(SUM(cc) AS DOUBLE) AS tot FROM vocab),
+term AS (
+    SELECT dt.doc_id, n, CAST({term} AS DECIMAL(28,9)) AS t
+    FROM dt JOIN dn USING (doc_id) JOIN vocab USING (token), tot
+)
+SELECT doc_id, CAST(MAX(n) AS BIGINT) AS n_tokens,
+       {sql_round_half_away("CAST(SUM(t) AS DOUBLE)", 6)} AS kl_bits_nat
+FROM term GROUP BY 1
+"""

@@ -809,3 +809,221 @@ def q_capped_running_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         divisor=100.0,
         out_col="balance",
     )
+
+
+# ---------------------------------------------------------------------------
+# seasonal_decompose
+# ---------------------------------------------------------------------------
+
+SEASONAL_HALF_WINDOW = 12  # centered 25-hour trend MA
+
+
+def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical seasonal decomposition (trend + hour-of-day seasonal +
+    residual) of each event type's hourly mean series — the STL-lite
+    pass monitoring pipelines run before alerting on residuals.
+
+    trend = centered 25-hour moving average; seasonal = mean of the
+    detrended series by hour-of-day; residual = y - trend - seasonal.
+
+    Bit-determinism: the hourly means, the MA, and the seasonal means
+    are all DECIMAL-sum / exact-count divisions over 9-dp-quantized
+    inputs, so every window and group sum is associative — the only
+    doubles are the final divisions, evaluated with oracle-identical
+    grouping. Windows run over the COMPACT hourly aggregate (O(#hours)
+    rows per type), never raw events."""
+    from ..functions.rounding import dec_sum, round_half_away
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    hourly = (
+        ev.select(
+            "event_type",
+            F.date_trunc("hour", F.col("ts")).alias("hour_ts"),
+            "value",
+        )
+        .groupBy("event_type", "hour_ts")
+        .agg(
+            (dec_sum(F.col("value"), scale=6) / F.count(F.lit(1))).alias("y")
+        )
+    )
+    yq = round_half_away(F.col("y"), 9).cast("decimal(28,9)")
+    hourly = hourly.select("event_type", "hour_ts", "y", yq.alias("yq"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_ts")
+        .rowsBetween(-SEASONAL_HALF_WINDOW, SEASONAL_HALF_WINDOW)
+    )
+    trend = (F.sum("yq").over(w).cast("double") / F.count(F.lit(1)).over(w))
+    detr = hourly.select(
+        "event_type",
+        "hour_ts",
+        "y",
+        trend.alias("trend"),
+        round_half_away(F.col("y") - trend, 9)
+        .cast("decimal(28,9)")
+        .alias("dq"),
+        F.hour("hour_ts").alias("hod"),
+    )
+    seas = detr.groupBy("event_type", "hod").agg(
+        (F.sum("dq").cast("double") / F.count(F.lit(1))).alias("seasonal")
+    )
+    out = detr.join(seas, ["event_type", "hod"])
+    return out.select(
+        "event_type",
+        "hour_ts",
+        round_half_away(F.col("y"), 6).alias("y"),
+        round_half_away(F.col("trend"), 6).alias("trend"),
+        round_half_away(F.col("seasonal"), 6).alias("seasonal"),
+        round_half_away(
+            F.col("y") - F.col("trend") - F.col("seasonal"), 6
+        ).alias("residual"),
+    )
+
+
+def oracle_seasonal_decompose() -> str:
+    from ..functions.rounding import sql_dec_sum, sql_round_half_away
+
+    hw = SEASONAL_HALF_WINDOW
+    yq = sql_round_half_away("y", 9)
+    trend = (
+        f"(CAST(SUM(yq) OVER (PARTITION BY event_type ORDER BY hour_ts "
+        f"ROWS BETWEEN {hw} PRECEDING AND {hw} FOLLOWING) AS DOUBLE) "
+        f"/ COUNT(*) OVER (PARTITION BY event_type ORDER BY hour_ts "
+        f"ROWS BETWEEN {hw} PRECEDING AND {hw} FOLLOWING))"
+    )
+    return f"""
+WITH hourly AS (
+    SELECT event_type, date_trunc('hour', ts) AS hour_ts,
+           {sql_dec_sum('value', scale=6)} / count(*) AS y
+    FROM events WHERE value IS NOT NULL
+    GROUP BY 1, 2
+),
+hq AS (
+    SELECT event_type, hour_ts, y, CAST({yq} AS DECIMAL(28,9)) AS yq
+    FROM hourly
+),
+detr AS (
+    SELECT event_type, hour_ts, y, {trend} AS trend,
+           CAST({sql_round_half_away(f"y - {trend}", 9)} AS DECIMAL(28,9)) AS dq,
+           CAST(extract('hour' FROM hour_ts) AS INT) AS hod
+    FROM hq
+),
+seas AS (
+    SELECT event_type, hod,
+           CAST(SUM(dq) AS DOUBLE) / count(*) AS seasonal
+    FROM detr GROUP BY 1, 2
+)
+SELECT detr.event_type, detr.hour_ts,
+       {sql_round_half_away('y', 6)} AS y,
+       {sql_round_half_away('trend', 6)} AS trend,
+       {sql_round_half_away('seasonal', 6)} AS seasonal,
+       {sql_round_half_away('y - trend - seasonal', 6)} AS residual
+FROM detr JOIN seas ON seas.event_type = detr.event_type
+                   AND seas.hod = detr.hod
+"""
+
+
+# ---------------------------------------------------------------------------
+# cusum_changepoint
+# ---------------------------------------------------------------------------
+
+
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection per event type: the cumulative sum
+    of (daily mean - global mean) peaks in magnitude at the most likely
+    level-shift day (Page 1954) — the drift detector a data-quality
+    monitor runs per segment per day.
+
+    The CUSUM path is an EXACT DECIMAL running sum of 9-dp-quantized
+    deviations (associative, partitioning-independent), so the argmax
+    day — ties break earliest — is bit-deterministic; windows run over
+    the compact daily aggregate only."""
+    from ..functions.rounding import dec_sum, round_half_away
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    daily = (
+        ev.select(
+            "event_type", F.to_date("ts").alias("day"), "value"
+        )
+        .groupBy("event_type", "day")
+        .agg((dec_sum(F.col("value"), scale=6) / F.count(F.lit(1))).alias("m"))
+        .select(
+            "event_type",
+            "day",
+            round_half_away(F.col("m"), 9).cast("decimal(28,9)").alias("mq"),
+        )
+    )
+    wall = Window.partitionBy("event_type")
+    mu = round_half_away(
+        F.sum("mq").over(wall).cast("double")
+        / F.count(F.lit(1)).over(wall),
+        9,
+    ).cast("decimal(28,9)")
+    wrun = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    withc = daily.select(
+        "event_type",
+        "day",
+        F.count(F.lit(1)).over(wall).alias("n_days"),
+        F.sum(F.col("mq") - mu).over(wrun).alias("cusum"),
+    )
+    best = withc.groupBy("event_type").agg(
+        F.max("n_days").alias("n_days"),
+        F.max(
+            F.struct(
+                F.abs(F.col("cusum")).alias("a"),
+                (-F.unix_date(F.col("day"))).alias("nd"),
+            )
+        ).alias("t"),
+    )
+    return best.select(
+        "event_type",
+        F.col("n_days").cast("long").alias("n_days"),
+        F.date_from_unix_date(-F.col("t.nd")).cast("timestamp").alias("cp_day"),
+        round_half_away(F.col("t.a").cast("double"), 6).alias("max_abs_cusum"),
+    )
+
+
+def oracle_cusum_changepoint() -> str:
+    from ..functions.rounding import sql_dec_sum, sql_round_half_away
+
+    mu = sql_round_half_away(
+        "CAST(SUM(mq) OVER (PARTITION BY event_type) AS DOUBLE)"
+        " / COUNT(*) OVER (PARTITION BY event_type)",
+        9,
+    )
+    return f"""
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           CAST({sql_round_half_away(
+               sql_dec_sum('value', scale=6) + ' / count(*)', 9)}
+               AS DECIMAL(28,9)) AS mq
+    FROM events WHERE value IS NOT NULL
+    GROUP BY 1, 2
+),
+withmu AS (
+    SELECT event_type, day, mq,
+           CAST({mu} AS DECIMAL(28,9)) AS mu,
+           COUNT(*) OVER (PARTITION BY event_type) AS n_days
+    FROM daily
+),
+cus AS (
+    SELECT event_type, day, n_days,
+           SUM(mq - mu) OVER (PARTITION BY event_type ORDER BY day
+               ROWS UNBOUNDED PRECEDING) AS cusum
+    FROM withmu
+),
+ranked AS (
+    SELECT event_type, day, n_days, abs(cusum) AS a,
+           row_number() OVER (PARTITION BY event_type
+               ORDER BY abs(cusum) DESC, day ASC) AS rn
+    FROM cus
+)
+SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+       CAST(day AS TIMESTAMP) AS cp_day,
+       {sql_round_half_away('CAST(a AS DOUBLE)', 6)} AS max_abs_cusum
+FROM ranked WHERE rn = 1
+"""

@@ -31,10 +31,16 @@ def _self_artifacts_by_round() -> dict[int, list[str]]:
 
 
 def test_no_partial_sidecar_committed():
-    leftovers = glob.glob(os.path.join(REPO, "CORRECTNESS_SELF*.partial"))
-    assert not leftovers, (
-        "in-flight driver_sim sidecar present at HEAD — finish or delete: "
-        f"{leftovers}"
+    # a sidecar in the WORKING TREE is fine (an in-flight driver_sim
+    # run); the invariant is that one can never be TRACKED/committed
+    import subprocess
+
+    tracked = subprocess.run(
+        ["git", "ls-files", "CORRECTNESS_SELF*.partial"],
+        cwd=REPO, capture_output=True, text=True, timeout=30,
+    ).stdout.strip()
+    assert not tracked, (
+        f"driver_sim sidecar committed to git — remove it: {tracked}"
     )
 
 
