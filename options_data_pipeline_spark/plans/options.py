@@ -1171,3 +1171,243 @@ SELECT strike, opt_type, CAST(expiry_date AS TIMESTAMP) AS expiry_date,
        {sql_round_half_away(bs, 6)} AS bs_price
 FROM withc
 """
+
+
+# --- American binomial pricing (backward induction, distributed layers) --------
+
+AM_STEPS = 16
+AM_RATE = 0.05  # r > 0 so the American put premium is genuinely positive
+
+
+def q_american_put_premium(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """American put early-exercise premium on a CRR lattice (r > 0):
+    backward induction V_j,k = max(exercise, e^{-r dt}(p V_up + q
+    V_down)) over ``AM_STEPS`` layers, against the European put from
+    the same lattice's terminal sum — premium = american - european.
+
+    The induction is the genuinely ITERATIVE lattice (unlike
+    ``crr_binomial_price``'s European closed sum): each layer is ONE
+    DataFrame step — a per-group shift join (lead over the node index)
+    + the exercise max — and layers shrink k = 0..j. Node values
+    re-quantize to 12 dp DECIMAL per layer, so the 16-deep recursion
+    chain is bit-identical cross-engine (the MM/MMR chain discipline);
+    the oracle unrolls the same 16 layers as CTE stages. At book scale
+    the groups (instruments) shard the lattice rows hash-uniformly —
+    no per-instrument loop, ever."""
+    import math
+
+    from pyspark.sql import Window
+
+    from ..functions.rounding import round_half_away
+
+    ev = load_table(spark, sf_dir, "events").where(
+        (F.col("event_id") % 11 != 0) & F.col("value").isNotNull()
+    )
+    expiry = F.date_add(
+        F.lit("2024-02-02").cast("date"), ((F.col("user_id") % 4) * 10).cast("int")
+    )
+    grouped = (
+        ev.select(
+            ((F.col("user_id") % 20 + 1) * 100).cast("int").alias("strike"),
+            expiry.alias("expiry_date"),
+            (F.lit(2000.0) + F.col("value")).alias("index_price"),
+        )
+        .groupBy("strike", "expiry_date")
+        .agg(
+            (
+                F.sum(F.col("index_price").cast("decimal(38,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("s_bar"),
+        )
+        .where(F.col("s_bar") > 0)
+    )
+    n = AM_STEPS
+    t = (
+        F.datediff(F.col("expiry_date"), F.lit(_BS_ASOF).cast("date")).cast("double")
+        / 365.0
+    )
+    dt = t / float(n)
+    ln_u = _BS_SIGMA * F.sqrt(dt)
+    disc = F.exp(-F.lit(AM_RATE) * dt)
+    p = (F.exp(F.lit(AM_RATE) * dt) - F.exp(-ln_u)) / (
+        F.exp(ln_u) - F.exp(-ln_u)
+    )
+    params = grouped.select(
+        "strike",
+        "expiry_date",
+        "s_bar",
+        ln_u.alias("ln_u"),
+        disc.alias("disc"),
+        p.alias("p"),
+    )
+    from ..operators.materialize import materialize
+
+    params = materialize(params)
+
+    def node_price(j, k):  # spot at layer j, node k (k up-moves)
+        return F.col("s_bar") * F.exp((2.0 * k - float(j)) * F.col("ln_u"))
+
+    def exercise(j, k):
+        return F.greatest(
+            F.col("strike").cast("double") - node_price(j, k), F.lit(0.0)
+        )
+
+    q12 = lambda c: round_half_away(c, 12).cast("decimal(28,12)")  # noqa: E731
+
+    layer = params.select(
+        "strike",
+        "expiry_date",
+        "s_bar",
+        "ln_u",
+        "disc",
+        "p",
+        F.explode(F.sequence(F.lit(0), F.lit(n))).alias("k"),
+    ).select(
+        "strike", "expiry_date", "s_bar", "ln_u", "disc", "p", "k",
+        q12(exercise(n, F.col("k").cast("double"))).alias("v"),
+    )
+    for j in range(n - 1, -1, -1):
+        w = Window.partitionBy("strike", "expiry_date").orderBy("k")
+        cont = F.col("disc") * (
+            F.col("p") * F.lead("v", 1).over(w).cast("double")
+            + (1.0 - F.col("p")) * F.col("v").cast("double")
+        )
+        layer = (
+            layer.select(
+                "strike", "expiry_date", "s_bar", "ln_u", "disc", "p", "k",
+                "v",
+                cont.alias("cont"),
+            )
+            .where(F.col("k") <= j)
+            .select(
+                "strike", "expiry_date", "s_bar", "ln_u", "disc", "p", "k",
+                q12(
+                    F.greatest(
+                        exercise(j, F.col("k").cast("double")), F.col("cont")
+                    )
+                ).alias("v"),
+            )
+        )
+        if j % 4 == 0 and j > 0:
+            layer = materialize(layer)
+    american = layer.select(
+        "strike", "expiry_date", F.col("v").cast("double").alias("am_put")
+    )
+
+    # European put from the same lattice: discounted terminal sum with
+    # literal log-binomial weights (the crr_binomial_price machinery)
+    from ..functions.litconst import lit_double_array
+
+    lc = lit_double_array(_log_binoms(n))
+    ln_p, ln_q = F.log(F.col("p")), F.log(1.0 - F.col("p"))
+    term = lambda k: (  # noqa: E731
+        F.exp(
+            F.element_at(lc, (k + 1).cast("int"))
+            + k * ln_p
+            + (float(n) - k) * ln_q
+        )
+        * F.greatest(
+            F.col("strike").cast("double")
+            - F.col("s_bar") * F.exp((2.0 * k - float(n)) * F.col("ln_u")),
+            F.lit(0.0),
+        )
+    )
+    eu = F.pow(F.col("disc"), float(n)) * F.aggregate(
+        F.sequence(F.lit(0), F.lit(n)),
+        F.lit(0.0),
+        lambda acc, k: acc + term(k.cast("double")),
+    )
+    european = params.select("strike", "expiry_date", eu.alias("eu_put"))
+    out = american.join(european, ["strike", "expiry_date"])
+    return out.select(
+        "strike",
+        F.col("expiry_date").cast("timestamp").alias("expiry_date"),
+        round_half_away(F.col("am_put"), 6).alias("am_put"),
+        round_half_away(F.col("eu_put"), 6).alias("eu_put"),
+        round_half_away(F.col("am_put") - F.col("eu_put"), 6).alias(
+            "early_exercise_premium"
+        ),
+    )
+
+
+def oracle_american_put_premium() -> str:
+    from ..functions.litconst import double_array_sql  # noqa: F401
+    from ..functions.rounding import sql_round_half_away
+
+    n = AM_STEPS
+    t = f"(date_diff('day', DATE '{_BS_ASOF}', expiry_date) / 365.0)"
+    dt = f"({t} / {float(n)!r})"
+    ln_u = f"({_BS_SIGMA} * sqrt({dt}))"
+    disc = f"exp(-{AM_RATE!r} * {dt})"
+    p = f"((exp({AM_RATE!r} * {dt}) - exp(-{ln_u})) / (exp({ln_u}) - exp(-{ln_u})))"
+
+    def node(j, k):
+        return f"(s_bar * exp((2.0 * {k} - {float(j)!r}) * ln_u))"
+
+    def exer(j, k):
+        return f"greatest(CAST(strike AS DOUBLE) - {node(j, k)}, 0.0)"
+
+    def q12(e):
+        return f"CAST({sql_round_half_away(e, 12)} AS DECIMAL(28,12))"
+
+    stages = []
+    for j in range(n - 1, -1, -1):
+        prev = f"l{j + 1}"
+        cont = (
+            "(a.disc * (a.p * CAST(b.v AS DOUBLE)"
+            " + (1.0 - a.p) * CAST(a.v AS DOUBLE)))"
+        )
+        stages.append(f"""
+l{j} AS MATERIALIZED (
+    SELECT a.strike, a.expiry_date, a.s_bar, a.ln_u, a.disc, a.p, a.k,
+           {q12(f"greatest(greatest(CAST(a.strike AS DOUBLE) - (a.s_bar * exp((2.0 * a.k - {float(j)!r}) * a.ln_u)), 0.0), {cont})")} AS v
+    FROM {prev} a
+    JOIN {prev} b ON b.strike = a.strike AND b.expiry_date = a.expiry_date
+                 AND b.k = a.k + 1
+    WHERE a.k <= {j}
+)""")
+    lc = "[" + ", ".join(f"{v!r}" for v in _log_binoms(n)) + "]"
+    eu_term = (
+        f"(exp(lc[CAST(k AS INT) + 1] + k * ln(p) + ({float(n)!r} - k) * ln(1.0 - p))"
+        f" * greatest(CAST(strike AS DOUBLE)"
+        f" - (s_bar * exp((2.0 * k - {float(n)!r}) * ln_u)), 0.0))"
+    )
+    eu = (
+        f"pow(disc, {float(n)!r}) * list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(range(0, {n + 1}), i -> CAST(i AS DOUBLE))), "
+        f"(acc, k) -> acc + {eu_term})"
+    )
+    return f"""
+WITH grouped AS (
+    SELECT CAST((user_id % 20 + 1) * 100 AS INT) AS strike,
+           DATE '2024-02-02' + INTERVAL ((user_id % 4) * 10) DAY AS expiry_date,
+           CAST(SUM(CAST(2000.0 + value AS DECIMAL(38,6))) AS DOUBLE) / count(*)
+               AS s_bar
+    FROM events
+    WHERE event_id % 11 <> 0 AND value IS NOT NULL
+    GROUP BY 1, 2
+),
+params AS (
+    SELECT strike, expiry_date, s_bar,
+           {ln_u} AS ln_u, {disc} AS disc, {p} AS p
+    FROM grouped WHERE s_bar > 0
+),
+l{n} AS MATERIALIZED (
+    SELECT strike, expiry_date, s_bar, ln_u, disc, p,
+           CAST(k AS DOUBLE) AS k,
+           {q12(f"greatest(CAST(strike AS DOUBLE) - (s_bar * exp((2.0 * CAST(k AS DOUBLE) - {float(n)!r}) * ln_u)), 0.0)")} AS v
+    FROM params, (SELECT unnest(range(0, {n + 1})) AS k)
+),
+{",".join(stages)},
+eur AS (
+    SELECT strike, expiry_date, {eu} AS eu_put
+    FROM (SELECT *, {lc}::DOUBLE[] AS lc FROM params)
+)
+SELECT l0.strike, CAST(l0.expiry_date AS TIMESTAMP) AS expiry_date,
+       {sql_round_half_away("CAST(l0.v AS DOUBLE)", 6)} AS am_put,
+       {sql_round_half_away("eur.eu_put", 6)} AS eu_put,
+       {sql_round_half_away("CAST(l0.v AS DOUBLE) - eur.eu_put", 6)}
+           AS early_exercise_premium
+FROM l0 JOIN eur ON eur.strike = l0.strike
+               AND eur.expiry_date = l0.expiry_date
+"""

@@ -54,6 +54,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
         options.q_crr_binomial_price,
         options.oracle_crr_binomial_price,
     ),
+    "american_put_premium": (
+        options.q_american_put_premium,
+        options.oracle_american_put_premium,
+    ),
     # --- data quality / incremental semantics (W1, T6, S7/S8, A6, A7, K1/K2, A3/O4, P4) ---
     "gap_scan": (quality.q_gap_scan, quality.oracle_gap_scan),
     "gap_summary": (quality.q_gap_summary, quality.oracle_gap_summary),
@@ -367,6 +371,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
         timeseries.q_cusum_changepoint,
         timeseries.oracle_cusum_changepoint,
     ),
+    "kaplan_meier": (
+        timeseries.q_kaplan_meier,
+        timeseries.oracle_kaplan_meier,
+    ),
     "twap": (timeseries.q_twap, timeseries.oracle_twap),
     "cumulative_uniques": (
         timeseries.q_cumulative_uniques,
@@ -449,6 +457,8 @@ _PRIORITY: list[str] = [
     "seasonal_decompose",
     "cusum_changepoint",
     "token_kl_divergence",
+    "kaplan_meier",
+    "american_put_premium",
     # round-8 code changes: re-adjudicate under the driver
     "hist_quantiles",
     "sketch_store_twin",

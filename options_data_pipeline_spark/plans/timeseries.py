@@ -1027,3 +1027,120 @@ SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
        {sql_round_half_away('CAST(a AS DOUBLE)', 6)} AS max_abs_cusum
 FROM ranked WHERE rn = 1
 """
+
+
+# ---------------------------------------------------------------------------
+# kaplan_meier
+# ---------------------------------------------------------------------------
+
+#: users whose last event falls in the final KM_CENSOR_DAYS of the
+#: observation window are right-censored (still "alive" at cutoff)
+KM_CENSOR_DAYS = 3
+
+
+def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve of user lifetime (days from first to
+    last event), right-censoring users still active near the window
+    edge — the churn-analysis estimator product teams run at cohort
+    scale: S(t) = prod_{t_i <= t} (1 - d_i / n_i) over distinct event
+    times, with n_i = at-risk count (lifetime >= t_i, censored or not)
+    and d_i = observed churns at t_i.
+
+    The survival product is computed as exp(sum ln(1 - d/n)) with each
+    factor's log rounded once to 9 dp DECIMAL — the running sum is then
+    exact and associative, so the curve is bit-deterministic however
+    the per-time rows partition (the engine's standard product-as-
+    decimal-log-sum recipe). Everything windows over the COMPACT
+    distinct-lifetime table (O(#days) rows), never raw events."""
+    from ..functions.rounding import round_half_away
+
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = ev.agg(F.max(F.to_date("ts")).alias("mx"))
+    # subject = (user, event_type) engagement spell: sparse enough that
+    # real churn exists in the fixture (per-user activity alone spans
+    # the whole window at every test scale)
+    users = (
+        ev.groupBy("user_id", "event_type")
+        .agg(
+            F.min(F.to_date("ts")).alias("first_day"),
+            F.max(F.to_date("ts")).alias("last_day"),
+        )
+        .crossJoin(F.broadcast(cutoff))
+        .select(
+            F.datediff(F.col("last_day"), F.col("first_day")).alias("t"),
+            (
+                F.datediff(F.col("mx"), F.col("last_day")) >= KM_CENSOR_DAYS
+            ).alias("churned"),
+        )
+    )
+    per_t = users.groupBy("t").agg(
+        F.count(F.lit(1)).alias("total_t"),
+        F.sum(F.col("churned").cast("long")).alias("d"),
+    )
+    w_ge = Window.orderBy(F.col("t").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_run = Window.orderBy(F.col("t").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    at_risk = per_t.select(
+        "t",
+        "d",
+        F.sum("total_t").over(w_ge).alias("n"),
+    ).where(F.col("d") > 0)
+    logf = round_half_away(
+        F.log(
+            1.0
+            - F.col("d").cast("double") / F.col("n").cast("double")
+        ),
+        9,
+    ).cast("decimal(28,9)")
+    curve = at_risk.select(
+        "t",
+        "n",
+        "d",
+        F.sum(logf).over(w_run).alias("ls"),
+    )
+    return curve.select(
+        F.col("t").cast("int").alias("t_days"),
+        F.col("n").alias("at_risk"),
+        F.col("d").alias("churned"),
+        round_half_away(F.exp(F.col("ls").cast("double")), 6).alias("survival"),
+    )
+
+
+def oracle_kaplan_meier() -> str:
+    from ..functions.rounding import sql_round_half_away
+
+    logf = sql_round_half_away(
+        "ln(1.0 - CAST(d AS DOUBLE) / CAST(n AS DOUBLE))", 9
+    )
+    return f"""
+WITH cutoff AS (SELECT MAX(CAST(ts AS DATE)) AS mx FROM events),
+users AS (
+    SELECT date_diff('day', MIN(CAST(ts AS DATE)), MAX(CAST(ts AS DATE))) AS t,
+           date_diff('day', MAX(CAST(ts AS DATE)), (SELECT mx FROM cutoff))
+               >= {KM_CENSOR_DAYS} AS churned
+    FROM events GROUP BY user_id, event_type
+),
+per_t AS (
+    SELECT t, count(*) AS total_t,
+           CAST(SUM(CASE WHEN churned THEN 1 ELSE 0 END) AS BIGINT) AS d
+    FROM users GROUP BY 1
+),
+at_risk AS (
+    SELECT t, d,
+           CAST(SUM(total_t) OVER (ORDER BY t DESC
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n
+    FROM per_t
+),
+curve AS (
+    SELECT t, n, d,
+           SUM(CAST({logf} AS DECIMAL(28,9))) OVER (ORDER BY t ASC
+               ROWS UNBOUNDED PRECEDING) AS ls
+    FROM at_risk WHERE d > 0
+)
+SELECT CAST(t AS INT) AS t_days, n AS at_risk, d AS churned,
+       {sql_round_half_away("exp(CAST(ls AS DOUBLE))", 6)} AS survival
+FROM curve
+"""
