@@ -3203,3 +3203,312 @@ SELECT event_id, user_id, group_n,
        {sql_round_half_away(adv, 6)} AS advantage
 FROM j
 """
+
+
+# --- split-conformal prediction intervals ---------------------------------------
+
+CONF_ALPHA = 0.1  # 90% target coverage
+
+
+def q_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction intervals (Vovk; Lei et al. 2018) —
+    the distribution-free uncertainty wrapper model-serving pipelines
+    bolt onto any point predictor: fit on a train split, take the
+    ceil((n+1)(1-alpha))-th smallest absolute residual on a
+    calibration split as q_hat, and report the guaranteed-coverage
+    interval width plus the EMPIRICAL coverage on a held-out test
+    split.
+
+    Splits are md5-hash assignments (reproducible, partition-free);
+    the predictor is the train split's (event_type, hour-of-day) mean
+    (DECIMAL-exact); q_hat is an EXACT order statistic (row_number over
+    the calibration residuals, ties on event_id) — no approximate
+    percentile, so both engines agree bit-for-bit. Per event type:
+    (n_cal, q_hat, test coverage)."""
+    from ..functions.rounding import dec_sum, round_half_away
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    key = F.substring(
+        F.md5(F.concat(F.lit("conf#"), F.col("event_id").cast("string"))), 1, 4
+    )
+    split = (
+        F.when(key < "8000", F.lit("train"))      # ~50%
+        .when(key < "c000", F.lit("cal"))          # ~25%
+        .otherwise(F.lit("test"))
+    )
+    base = ev.select(
+        "event_id",
+        "event_type",
+        F.hour("ts").alias("hod"),
+        "value",
+        split.alias("split"),
+    )
+    model = (
+        base.where(F.col("split") == "train")
+        .groupBy("event_type", "hod")
+        .agg((dec_sum(F.col("value"), scale=6) / F.count(F.lit(1))).alias("pred"))
+    )
+    cal = (
+        base.where(F.col("split") == "cal")
+        .join(model, ["event_type", "hod"])
+        .select(
+            "event_type",
+            "event_id",
+            F.abs(F.col("value") - F.col("pred")).alias("resid"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("resid").asc(), F.col("event_id").asc()
+    )
+    wn = Window.partitionBy("event_type")
+    ranked = cal.select(
+        "event_type",
+        "resid",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n_cal"),
+    )
+    qhat = ranked.where(
+        F.col("rn")
+        == F.ceil(
+            (F.col("n_cal") + 1).cast("double") * F.lit(1.0 - CONF_ALPHA)
+        ).cast("int")
+    ).select("event_type", "n_cal", F.col("resid").alias("q_hat"))
+    test = (
+        base.where(F.col("split") == "test")
+        .join(model, ["event_type", "hod"])
+        .join(qhat, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.sum(
+                (
+                    F.abs(F.col("value") - F.col("pred")) <= F.col("q_hat")
+                ).cast("long")
+            ).alias("covered"),
+        )
+    )
+    return qhat.join(test, "event_type").select(
+        "event_type",
+        F.col("n_cal").cast("long").alias("n_cal"),
+        round_half_away(F.col("q_hat"), 6).alias("q_hat"),
+        "n_test",
+        round_half_away(
+            F.col("covered").cast("double") / F.col("n_test").cast("double"), 6
+        ).alias("coverage"),
+    )
+
+
+def oracle_conformal_interval() -> str:
+    from ..functions.rounding import sql_dec_sum, sql_round_half_away
+
+    return f"""
+WITH base AS (
+    SELECT event_id, event_type,
+           CAST(extract('hour' FROM ts) AS INT) AS hod, value,
+           CASE WHEN substr(md5('conf#' || CAST(event_id AS VARCHAR)), 1, 4)
+                     < '8000' THEN 'train'
+                WHEN substr(md5('conf#' || CAST(event_id AS VARCHAR)), 1, 4)
+                     < 'c000' THEN 'cal'
+                ELSE 'test' END AS split
+    FROM events WHERE value IS NOT NULL
+),
+model AS (
+    SELECT event_type, hod,
+           {sql_dec_sum('value', scale=6)} / count(*) AS pred
+    FROM base WHERE split = 'train' GROUP BY 1, 2
+),
+cal AS (
+    SELECT b.event_type, b.event_id, abs(b.value - m.pred) AS resid
+    FROM base b JOIN model m USING (event_type, hod)
+    WHERE b.split = 'cal'
+),
+ranked AS (
+    SELECT event_type, resid,
+           row_number() OVER (PARTITION BY event_type
+               ORDER BY resid ASC, event_id ASC) AS rn,
+           COUNT(*) OVER (PARTITION BY event_type) AS n_cal
+    FROM cal
+),
+qhat AS (
+    SELECT event_type, n_cal, resid AS q_hat FROM ranked
+    WHERE rn = CAST(ceil((n_cal + 1) * {1.0 - CONF_ALPHA!r}) AS INT)
+),
+test AS (
+    SELECT b.event_type, CAST(count(*) AS BIGINT) AS n_test,
+           CAST(SUM(CASE WHEN abs(b.value - m.pred) <= q.q_hat
+                         THEN 1 ELSE 0 END) AS BIGINT) AS covered
+    FROM base b JOIN model m USING (event_type, hod)
+    JOIN qhat q ON q.event_type = b.event_type
+    WHERE b.split = 'test'
+    GROUP BY 1
+)
+SELECT qhat.event_type, CAST(n_cal AS BIGINT) AS n_cal,
+       {sql_round_half_away('q_hat', 6)} AS q_hat, n_test,
+       {sql_round_half_away(
+           'CAST(covered AS DOUBLE) / CAST(n_test AS DOUBLE)', 6)} AS coverage
+FROM qhat JOIN test ON test.event_type = qhat.event_type
+"""
+
+
+# --- Poisson bootstrap confidence intervals -------------------------------------
+
+BOOT_B = 64
+#: cumulative Poisson(1) CDF thresholds for the inverse-CDF draw,
+#: computed once in Python and repr-shared with the oracle; the >=5
+#: tail (p ~ 0.37%) merges into weight 5.
+import math as _math
+
+BOOT_CDF = tuple(
+    _math.exp(-1.0) * sum(1.0 / _math.factorial(i) for i in range(k + 1))
+    for k in range(5)
+)
+
+
+def q_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap confidence interval for the per-type mean via the
+    POISSON bootstrap (Chamandy et al. 2012) — the only bootstrap that
+    distributes: instead of resampling n rows globally (impossible at
+    100 TB), every row draws an independent Poisson(1) replication
+    weight per resample, computed from md5(b, row) — deterministic, no
+    RNG state, no shuffle beyond the per-(type, resample) aggregate.
+
+    Resample means are exact-DECIMAL weighted sums over 6-dp-quantized
+    values (integer weights), the CI bounds are EXACT order statistics
+    over the B resample means (ties on resample id) — bit-identical
+    cross-engine end to end."""
+    from ..functions.rounding import round_half_away
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    rows = ev.select(
+        "event_type",
+        "event_id",
+        F.col("value").cast("decimal(18,6)").alias("xq"),
+        F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("b"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("b").cast("string"),
+                        F.lit("#boot#"),
+                        F.col("event_id").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(1 << 60))
+    )
+    wgt = (
+        F.when(u < BOOT_CDF[0], 0)
+        .when(u < BOOT_CDF[1], 1)
+        .when(u < BOOT_CDF[2], 2)
+        .when(u < BOOT_CDF[3], 3)
+        .when(u < BOOT_CDF[4], 4)
+        .otherwise(5)
+        .cast("int")
+    )
+    means = (
+        rows.select("event_type", "b", "xq", wgt.alias("w"))
+        .groupBy("event_type", "b")
+        .agg(
+            F.sum(F.col("xq") * F.col("w")).alias("sw"),
+            F.sum("w").alias("n"),
+        )
+        .where(F.col("n") > 0)
+        .select(
+            "event_type",
+            "b",
+            (F.col("sw").cast("double") / F.col("n").cast("double")).alias("m"),
+        )
+    )
+    wr = Window.partitionBy("event_type").orderBy(
+        F.col("m").asc(), F.col("b").asc()
+    )
+    wn = Window.partitionBy("event_type")
+    ranked = means.select(
+        "event_type",
+        "m",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("nb"),
+    )
+    lo_rank = F.ceil(F.col("nb").cast("double") * 0.05).cast("int")
+    hi_rank = F.ceil(F.col("nb").cast("double") * 0.95).cast("int")
+    ci = ranked.groupBy("event_type").agg(
+        F.max(F.when(F.col("rn") == lo_rank, F.col("m"))).alias("ci_lo"),
+        F.max(F.when(F.col("rn") == hi_rank, F.col("m"))).alias("ci_hi"),
+        F.max("nb").cast("long").alias("n_resamples"),
+    )
+    point = ev.select(
+        "event_type", F.col("value").cast("decimal(18,6)").alias("xq")
+    ).groupBy("event_type").agg(
+        (F.sum("xq").cast("double") / F.count(F.lit(1))).alias("mean")
+    )
+    return point.join(ci, "event_type").select(
+        "event_type",
+        round_half_away(F.col("mean"), 6).alias("mean"),
+        round_half_away(F.col("ci_lo"), 6).alias("ci_lo"),
+        round_half_away(F.col("ci_hi"), 6).alias("ci_hi"),
+        "n_resamples",
+    )
+
+
+def oracle_poisson_bootstrap_ci() -> str:
+    from ..functions.rounding import sql_round_half_away
+
+    u = (
+        "(('0x' || substr(md5(CAST(b AS VARCHAR) || '#boot#' "
+        "|| CAST(event_id AS VARCHAR)), 1, 15))::BIGINT"
+        f" / {float(1 << 60)!r})"
+    )
+    wgt = (
+        f"CASE WHEN {u} < {BOOT_CDF[0]!r} THEN 0 "
+        f"WHEN {u} < {BOOT_CDF[1]!r} THEN 1 "
+        f"WHEN {u} < {BOOT_CDF[2]!r} THEN 2 "
+        f"WHEN {u} < {BOOT_CDF[3]!r} THEN 3 "
+        f"WHEN {u} < {BOOT_CDF[4]!r} THEN 4 ELSE 5 END"
+    )
+    return f"""
+WITH rows_b AS (
+    SELECT event_type, event_id,
+           CAST(value AS DECIMAL(18,6)) AS xq, b
+    FROM events, (SELECT unnest(range(0, {BOOT_B})) AS b)
+    WHERE value IS NOT NULL
+),
+weighted AS (
+    SELECT event_type, b, xq, CAST({wgt} AS INT) AS w FROM rows_b
+),
+means AS (
+    SELECT event_type, b,
+           CAST(SUM(xq * w) AS DOUBLE) / CAST(SUM(w) AS DOUBLE) AS m
+    FROM weighted GROUP BY 1, 2
+    HAVING SUM(w) > 0
+),
+ranked AS (
+    SELECT event_type, m,
+           row_number() OVER (PARTITION BY event_type
+               ORDER BY m ASC, b ASC) AS rn,
+           COUNT(*) OVER (PARTITION BY event_type) AS nb
+    FROM means
+),
+ci AS (
+    SELECT event_type,
+           MAX(CASE WHEN rn = CAST(ceil(nb * 0.05) AS INT) THEN m END) AS ci_lo,
+           MAX(CASE WHEN rn = CAST(ceil(nb * 0.95) AS INT) THEN m END) AS ci_hi,
+           CAST(MAX(nb) AS BIGINT) AS n_resamples
+    FROM ranked GROUP BY 1
+),
+pt AS (
+    SELECT event_type,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS mean
+    FROM events WHERE value IS NOT NULL GROUP BY 1
+)
+SELECT pt.event_type, {sql_round_half_away('mean', 6)} AS mean,
+       {sql_round_half_away('ci_lo', 6)} AS ci_lo,
+       {sql_round_half_away('ci_hi', 6)} AS ci_hi, n_resamples
+FROM pt JOIN ci ON ci.event_type = pt.event_type
+"""

@@ -97,6 +97,14 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
         quality.q_group_advantage,
         quality.oracle_group_advantage,
     ),
+    "conformal_interval": (
+        quality.q_conformal_interval,
+        quality.oracle_conformal_interval,
+    ),
+    "poisson_bootstrap_ci": (
+        quality.q_poisson_bootstrap_ci,
+        quality.oracle_poisson_bootstrap_ci,
+    ),
     "decayed_engagement": (
         quality.q_decayed_engagement,
         quality.oracle_decayed_engagement,
@@ -459,6 +467,8 @@ _PRIORITY: list[str] = [
     "token_kl_divergence",
     "kaplan_meier",
     "american_put_premium",
+    "conformal_interval",
+    "poisson_bootstrap_ci",
     # round-8 code changes: re-adjudicate under the driver
     "hist_quantiles",
     "sketch_store_twin",
