@@ -154,6 +154,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
         text.q_token_kl_divergence,
         text.oracle_token_kl_divergence,
     ),
+    "readability_score": (
+        text.q_readability_score,
+        text.oracle_readability_score,
+    ),
     "table_expectations": (
         quality.q_table_expectations,
         quality.oracle_table_expectations,
@@ -469,6 +473,7 @@ _PRIORITY: list[str] = [
     "american_put_premium",
     "conformal_interval",
     "poisson_bootstrap_ci",
+    "readability_score",
     # round-8 code changes: re-adjudicate under the driver
     "hist_quantiles",
     "sketch_store_twin",

@@ -3564,3 +3564,83 @@ SELECT doc_id, CAST(MAX(n) AS BIGINT) AS n_tokens,
        {sql_round_half_away("CAST(SUM(t) AS DOUBLE)", 6)} AS kl_bits_nat
 FROM term GROUP BY 1
 """
+
+
+# --- readability scoring ---------------------------------------------------------
+
+
+def q_readability_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-style readability per document — the classic text-quality
+    heuristic curation stacks keep next to the LM filters (too-low
+    scores flag run-on machine text, too-high flag fragment spam):
+    206.835 - 1.015*(words/sentences) - 84.6*(syllables/word), with
+    syllables approximated by vowel-group counts (the standard cheap
+    estimator). Sentence splits on [.!?]+, vowel groups on [aeiouy]+ —
+    the same RE2/Java-regex-compatible patterns in both engines; all
+    counts are exact integers, the score one shared double expression.
+    Pure scan work: zero shuffles, no UDFs."""
+    from ..functions.rounding import round_half_away
+
+    docs = parallelized(spark, load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "lang", "text"
+    )
+    n_words = F.size(
+        F.filter(TS.words(F.col("text")), lambda x: F.length(x) > 0)
+    ).cast("long")
+    n_sents = F.greatest(
+        F.size(
+            F.filter(
+                F.split(F.col("text"), "[.!?]+"),
+                lambda s: F.length(F.trim(s)) > 0,
+            )
+        ).cast("long"),
+        F.lit(1).cast("long"),
+    )
+    n_syll = F.greatest(
+        F.regexp_count(F.lower(F.col("text")), F.lit("[aeiouy]+")).cast("long"),
+        F.lit(1).cast("long"),
+    )
+    score = (
+        F.lit(206.835)
+        - F.lit(1.015) * (n_words.cast("double") / n_sents.cast("double"))
+        - F.lit(84.6) * (n_syll.cast("double") / n_words.cast("double"))
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        n_words.alias("n_words"),
+        n_sents.alias("n_sentences"),
+        n_syll.alias("n_syllables"),
+        round_half_away(score, 4).alias("flesch"),
+    )
+
+
+def oracle_readability_score() -> str:
+    from ..functions.rounding import sql_round_half_away
+
+    n_words = (
+        "CAST(len(list_filter(string_split(text, ' '),"
+        " x -> length(x) > 0)) AS BIGINT)"
+    )
+    n_sents = (
+        "greatest(CAST(len(list_filter(regexp_split_to_array(text,"
+        " '[.!?]+'), s -> length(trim(s)) > 0)) AS BIGINT), 1)"
+    )
+    n_syll = (
+        "greatest(CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))"
+        " AS BIGINT), 1)"
+    )
+    score = (
+        f"(206.835 - 1.015 * (CAST(nw AS DOUBLE) / CAST(ns AS DOUBLE))"
+        f" - 84.6 * (CAST(sy AS DOUBLE) / CAST(nw AS DOUBLE)))"
+    )
+    return f"""
+WITH counts AS (
+    SELECT doc_id, lang,
+           {n_words} AS nw, {n_sents} AS ns, {n_syll} AS sy
+    FROM documents
+)
+SELECT doc_id, lang, nw AS n_words, ns AS n_sentences, sy AS n_syllables,
+       {sql_round_half_away(score, 4)} AS flesch
+FROM counts
+"""
