@@ -3512,3 +3512,167 @@ SELECT pt.event_type, {sql_round_half_away('mean', 6)} AS mean,
        {sql_round_half_away('ci_hi', 6)} AS ci_hi, n_resamples
 FROM pt JOIN ci ON ci.event_type = pt.event_type
 """
+
+
+# --- Huber robust regression (IRLS) ----------------------------------------------
+
+HUBER_DELTA = 50.0
+HUBER_ITERS = 3
+
+
+def q_huber_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust linear fit value ~ hour-of-day per event type via
+    ``HUBER_ITERS`` rounds of IRLS with Huber weights w = min(1,
+    delta/|resid|) — the outlier-resistant trend fit monitoring uses
+    where OLS chases spikes (Huber 1964).
+
+    Distributed shape: each round is ONE map-side-combined moment
+    aggregate (sums of w, wx, wxx, wy, wxy) + a closed-form 2x2 solve —
+    never a per-group solver loop. Bit-determinism: x is an exact
+    integer, y and the per-round weights quantize to DECIMAL, so every
+    moment is an exact decimal sum; the 2x2 solve runs in double with
+    oracle-identical grouping and the fitted betas feed the next
+    round's weights only through 9-dp-rounded residuals (the iterate
+    chain discipline)."""
+    from ..functions.rounding import round_half_away
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    base = ev.select(
+        "event_type",
+        # x as a narrow DECIMAL so weighted products stay EXACT: Spark
+        # reduces precision (rounding!) when a decimal product would
+        # exceed 38 digits, and that reduction does not match DuckDB's —
+        # keep every factor narrow enough that no product overflows
+        F.hour("ts").cast("decimal(4,0)").alias("x"),
+        F.col("value").cast("decimal(12,6)").alias("y"),
+    )
+    from ..operators.materialize import materialize
+
+    base = materialize(base)
+
+    def solve(mom):
+        sw = F.col("sw").cast("double")
+        swx = F.col("swx").cast("double")
+        swxx = F.col("swxx").cast("double")
+        swy = F.col("swy").cast("double")
+        swxy = F.col("swxy").cast("double")
+        denom = sw * swxx - swx * swx
+        b = (sw * swxy - swx * swy) / denom
+        a = (swy - b * swx) / sw
+        return mom.select("event_type", a.alias("a"), b.alias("b"))
+
+    # round 0: OLS (w = 1)
+    mom = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("decimal(28,9)").alias("sw"),
+        F.sum(F.col("x")).cast("decimal(28,9)").alias("swx"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(28,9)").alias("swxx"),
+        F.sum(F.col("y")).alias("swy"),
+        F.sum(F.col("y") * F.col("x")).alias("swxy"),
+    )
+    beta = solve(mom)
+    for _ in range(HUBER_ITERS):
+        joined = base.join(beta, "event_type")
+        resid = F.col("y").cast("double") - F.col("a") - F.col("b") * F.col(
+            "x"
+        ).cast("double")
+        w = round_half_away(
+            F.least(F.lit(1.0), F.lit(HUBER_DELTA) / F.abs(resid)), 9
+        ).cast("decimal(12,9)")
+        wrows = joined.select("event_type", "x", "y", w.alias("w"))
+        mom = wrows.groupBy("event_type").agg(
+            F.sum("w").alias("sw"),
+            F.sum(F.col("w") * F.col("x")).alias("swx"),
+            F.sum(F.col("w") * F.col("x") * F.col("x")).alias("swxx"),
+            F.sum(F.col("w") * F.col("y")).alias("swy"),
+            F.sum(F.col("w") * F.col("y") * F.col("x")).alias("swxy"),
+        )
+        beta = solve(mom)
+    final = base.join(beta, "event_type")
+    resid = F.col("y").cast("double") - F.col("a") - F.col("b") * F.col(
+        "x"
+    ).cast("double")
+    out = final.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("a").alias("a"),
+        F.max("b").alias("b"),
+        F.sum(
+            round_half_away(F.abs(resid), 9).cast("decimal(28,9)")
+        ).alias("sar"),
+    )
+    return out.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        round_half_away(F.col("a"), 6).alias("intercept"),
+        round_half_away(F.col("b"), 6).alias("slope"),
+        round_half_away(
+            F.col("sar").cast("double") / F.col("n").cast("double"), 6
+        ).alias("mean_abs_resid"),
+    )
+
+
+def oracle_huber_regression() -> str:
+    solve_b = (
+        "((CAST(sw AS DOUBLE) * CAST(swxy AS DOUBLE)"
+        " - CAST(swx AS DOUBLE) * CAST(swy AS DOUBLE))"
+        " / (CAST(sw AS DOUBLE) * CAST(swxx AS DOUBLE)"
+        " - CAST(swx AS DOUBLE) * CAST(swx AS DOUBLE)))"
+    )
+    solve_a = "((CAST(swy AS DOUBLE) - b * CAST(swx AS DOUBLE)) / CAST(sw AS DOUBLE))"
+    stages = ["""
+mom0 AS (
+    SELECT event_type,
+           CAST(count(*) AS DECIMAL(28,9)) AS sw,
+           CAST(SUM(x) AS DECIMAL(28,9)) AS swx,
+           CAST(SUM(x * x) AS DECIMAL(28,9)) AS swxx,
+           SUM(y) AS swy, SUM(y * x) AS swxy
+    FROM base GROUP BY 1
+),
+beta0 AS (
+    SELECT event_type, {a} AS a, b FROM (
+        SELECT event_type, {b} AS b, sw, swx, swy FROM mom0
+    )
+)""".format(a=solve_a, b=solve_b)]
+    resid = "(CAST(y AS DOUBLE) - a - b * CAST(x AS DOUBLE))"
+    for it in range(1, HUBER_ITERS + 1):
+        prev = f"beta{it - 1}"
+        stages.append(f"""
+w{it} AS (
+    SELECT base.event_type, x, y,
+           CAST({sql_round_half_away(
+               f"least(1.0, {HUBER_DELTA!r} / abs({resid}))", 9)}
+               AS DECIMAL(12,9)) AS w
+    FROM base JOIN {prev} USING (event_type)
+),
+mom{it} AS (
+    -- CAST the w*y intermediate up: DuckDB types the product narrower
+    -- than the exact (25,15) and the *x multiply overflows its int64
+    -- path at group scale
+    SELECT event_type, SUM(w) AS sw, SUM(w * x) AS swx,
+           SUM(w * x * x) AS swxx, SUM(w * y) AS swy,
+           SUM(CAST(w * y AS DECIMAL(30,15)) * x) AS swxy
+    FROM w{it} GROUP BY 1
+),
+beta{it} AS (
+    SELECT event_type, {solve_a} AS a, b FROM (
+        SELECT event_type, {solve_b} AS b, sw, swx, swy FROM mom{it}
+    )
+)""")
+    last = f"beta{HUBER_ITERS}"
+    return f"""
+WITH base AS (
+    SELECT event_type,
+           CAST(extract('hour' FROM ts) AS DECIMAL(4,0)) AS x,
+           CAST(value AS DECIMAL(12,6)) AS y
+    FROM events WHERE value IS NOT NULL
+),
+{",".join(stages)}
+SELECT base.event_type, CAST(count(*) AS BIGINT) AS n,
+       {sql_round_half_away('MAX(a)', 6)} AS intercept,
+       {sql_round_half_away('MAX(b)', 6)} AS slope,
+       {sql_round_half_away(
+           "CAST(SUM(CAST(" + sql_round_half_away(f"abs{resid}", 9)
+           + " AS DECIMAL(28,9))) AS DOUBLE) / count(*)", 6)}
+           AS mean_abs_resid
+FROM base JOIN {last} USING (event_type)
+GROUP BY 1
+"""

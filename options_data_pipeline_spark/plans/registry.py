@@ -105,6 +105,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
         quality.q_poisson_bootstrap_ci,
         quality.oracle_poisson_bootstrap_ci,
     ),
+    "huber_regression": (
+        quality.q_huber_regression,
+        quality.oracle_huber_regression,
+    ),
     "decayed_engagement": (
         quality.q_decayed_engagement,
         quality.oracle_decayed_engagement,
@@ -231,6 +235,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
     ),
     "shipping_sla": (tpch.q_shipping_sla, tpch.oracle_shipping_sla),
     # --- round-4: remaining TPC-H archetypes (Q2/Q8/Q9/Q10/Q11/Q15/Q16/Q19/Q20) ---
+    "revenue_gini": (tpch2.q_revenue_gini, tpch2.oracle_revenue_gini),
     "min_cost_supplier": (tpch2.q_min_cost_supplier, tpch2.oracle_min_cost_supplier),
     "market_share": (tpch2.q_market_share, tpch2.oracle_market_share),
     "product_profit": (tpch2.q_product_profit, tpch2.oracle_product_profit),
@@ -474,6 +479,8 @@ _PRIORITY: list[str] = [
     "conformal_interval",
     "poisson_bootstrap_ci",
     "readability_score",
+    "revenue_gini",
+    "huber_regression",
     # round-8 code changes: re-adjudicate under the driver
     "hist_quantiles",
     "sketch_store_twin",

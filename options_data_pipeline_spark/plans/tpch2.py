@@ -667,3 +667,89 @@ SELECT z >> 12 AS bucket, count(*) AS n_rows,
        min(day) AS min_day, max(day) AS max_day
 FROM zz GROUP BY 1
 """
+
+
+# --- Gini concentration of customer spend ---------------------------------------
+
+
+def q_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer spend per market segment — the
+    inequality/concentration metric revenue-risk reviews track (a
+    segment whose revenue is one whale is a churn cliff):
+    G = 2*sum(i*x_(i)) / (n*sum(x)) - (n+1)/n over spend ranked
+    ascending (ties on custkey).
+
+    Exactness: spends are 2-dp DECIMAL sums; the rank-weighted sum
+    i*x_(i) is DECIMAL * exact rank summed as DECIMAL — the whole
+    estimator is integer-exact until one final double division per
+    segment, so the hash pins it bit-for-bit. Windows run over the
+    per-customer aggregate (O(#customers) rows), one shuffle each."""
+    from ..functions.rounding import round_half_away
+    from ..sources.tables import load_table
+    from pyspark.sql import Window
+
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    spend = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_mktsegment", "c_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("x")
+        )
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("x").asc(), F.col("c_custkey").asc()
+    )
+    ranked = spend.select(
+        "c_mktsegment",
+        "x",
+        F.row_number().over(w).cast("long").alias("i"),
+    )
+    agg = ranked.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("i")).alias("swx"),
+    )
+    n = F.col("n").cast("double")
+    gini = (
+        2.0 * F.col("swx").cast("double") / (n * F.col("sx").cast("double"))
+        - (n + 1.0) / n
+    )
+    return agg.select(
+        F.col("c_mktsegment").alias("segment"),
+        F.col("n").cast("long").alias("n_customers"),
+        round_half_away(F.col("sx").cast("double"), 2).alias("total_spend"),
+        round_half_away(gini, 6).alias("gini"),
+    )
+
+
+def oracle_revenue_gini() -> str:
+    from ..functions.rounding import sql_round_half_away
+
+    gini = (
+        "(2.0 * CAST(swx AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE))"
+        " - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE))"
+    )
+    return f"""
+WITH spend AS (
+    SELECT c_mktsegment, c_custkey,
+           SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS x
+    FROM orders JOIN customer ON c_custkey = o_custkey
+    GROUP BY 1, 2
+),
+ranked AS (
+    SELECT c_mktsegment, x,
+           CAST(row_number() OVER (PARTITION BY c_mktsegment
+               ORDER BY x ASC, c_custkey ASC) AS BIGINT) AS i
+    FROM spend
+),
+agg AS (
+    SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+           SUM(x) AS sx, SUM(x * i) AS swx
+    FROM ranked GROUP BY 1
+)
+SELECT c_mktsegment AS segment, n AS n_customers,
+       {sql_round_half_away('CAST(sx AS DOUBLE)', 2)} AS total_spend,
+       {sql_round_half_away(gini, 6)} AS gini
+FROM agg
+"""
