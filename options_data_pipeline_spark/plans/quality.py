@@ -3375,45 +3375,77 @@ def q_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     Resample means are exact-DECIMAL weighted sums over 6-dp-quantized
     values (integer weights), the CI bounds are EXACT order statistics
     over the B resample means (ties on resample id) — bit-identical
-    cross-engine end to end."""
-    from ..functions.rounding import round_half_away
+    cross-engine end to end.
 
-    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
-    rows = ev.select(
+    Digest economics (the AMS lesson): one md5 yields EIGHT 16-bit
+    uniforms (4-hex slices), and 16 bits is plenty for an inverse-CDF
+    Poisson draw — so the row cost is B/8 digests, not B. The A/B that
+    found the first-cut's 10.7 s showed the dominant cost was actually
+    the UNDER-PARTITIONED scan (the B-way explode ran on the parquet
+    file's ~3 partitions) — parallelized() spreads the expansion across
+    the session's cores; digest slicing and the spread together land at
+    ~1.5 s warm at sf0.1 vs 10.7."""
+    from ..functions.rounding import round_half_away
+    from ..sources.tables import parallelized
+
+    ev = parallelized(
+        spark,
+        load_table(spark, sf_dir, "events").where(F.col("value").isNotNull()),
+    )
+    digests = ev.select(
         "event_type",
-        "event_id",
         F.col("value").cast("decimal(18,6)").alias("xq"),
-        F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("b"),
+        F.explode(F.sequence(F.lit(0), F.lit(BOOT_B // 8 - 1))).alias("d"),
+        "event_id",
+    ).select(
+        "event_type",
+        "xq",
+        "d",
+        F.md5(
+            F.concat(
+                F.col("d").cast("string"),
+                F.lit("#boot#"),
+                F.col("event_id").cast("string"),
+            )
+        ).alias("dig"),
     )
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.col("b").cast("string"),
-                        F.lit("#boot#"),
-                        F.col("event_id").cast("string"),
+
+    def u_of(s: int):
+        return (
+            F.conv(
+                F.substring(F.col("dig"), 1 + 4 * s, 4), 16, 10
+            ).cast("double")
+            / F.lit(65536.0)
+        )
+
+    def w_of(u):
+        return (
+            F.when(u < BOOT_CDF[0], 0)
+            .when(u < BOOT_CDF[1], 1)
+            .when(u < BOOT_CDF[2], 2)
+            .when(u < BOOT_CDF[3], 3)
+            .when(u < BOOT_CDF[4], 4)
+            .otherwise(5)
+            .cast("int")
+        )
+
+    draws = digests.select(
+        "event_type",
+        "xq",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        (F.col("d") * 8 + F.lit(s)).alias("b"),
+                        w_of(u_of(s)).alias("w"),
                     )
-                ),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("double")
-        / F.lit(float(1 << 60))
-    )
-    wgt = (
-        F.when(u < BOOT_CDF[0], 0)
-        .when(u < BOOT_CDF[1], 1)
-        .when(u < BOOT_CDF[2], 2)
-        .when(u < BOOT_CDF[3], 3)
-        .when(u < BOOT_CDF[4], 4)
-        .otherwise(5)
-        .cast("int")
+                    for s in range(8)
+                ]
+            )
+        ).alias("bw"),
     )
     means = (
-        rows.select("event_type", "b", "xq", wgt.alias("w"))
+        draws.select("event_type", "bw.b", "xq", "bw.w")
         .groupBy("event_type", "b")
         .agg(
             F.sum(F.col("xq") * F.col("w")).alias("sw"),
@@ -3460,10 +3492,13 @@ def q_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 def oracle_poisson_bootstrap_ci() -> str:
     from ..functions.rounding import sql_round_half_away
 
+    # b = d*8 + s: digest index d salts the md5, slice s picks one of
+    # its eight 4-hex (16-bit) uniforms — mirrors the Spark plan's
+    # digest economics exactly
     u = (
-        "(('0x' || substr(md5(CAST(b AS VARCHAR) || '#boot#' "
-        "|| CAST(event_id AS VARCHAR)), 1, 15))::BIGINT"
-        f" / {float(1 << 60)!r})"
+        "(('0x' || substr(md5(CAST(b // 8 AS VARCHAR) || '#boot#' "
+        "|| CAST(event_id AS VARCHAR)), 1 + 4 * CAST(b % 8 AS INT), 4))"
+        "::BIGINT / 65536.0)"
     )
     wgt = (
         f"CASE WHEN {u} < {BOOT_CDF[0]!r} THEN 0 "

@@ -74,6 +74,30 @@ SAMPLE = [
     "bs_greeks",
     "cdc_apply_twin",
     "scd2_history",
+    # round-8 families: iterate chains over exact decimals (greedy MMR,
+    # MM rating fit, IRLS, backward induction), sketch-store consumers,
+    # index maintenance under upserts, bootstrap order statistics,
+    # conformal exact quantiles, survival log-sums, replace-chain BPE
+    "mmr_rerank",
+    "bradley_terry",
+    "huber_regression",
+    "american_put_premium",
+    "crr_binomial_price",
+    "hll_week_from_store",
+    "cms_topk_from_store",
+    "ivf_index_upsert",
+    "minhash_index_upsert",
+    "bpe_apply_expr",
+    "bigram_perplexity",
+    "poisson_bootstrap_ci",
+    "conformal_interval",
+    "kaplan_meier",
+    "cusum_changepoint",
+    "seasonal_decompose",
+    "group_advantage",
+    "token_kl_divergence",
+    "revenue_gini",
+    "fim_transform",
 ]
 
 
