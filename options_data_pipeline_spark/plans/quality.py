@@ -3711,3 +3711,88 @@ SELECT base.event_type, CAST(count(*) AS BIGINT) AS n,
 FROM base JOIN {last} USING (event_type)
 GROUP BY 1
 """
+
+
+# --- exact AUC-ROC ----------------------------------------------------------------
+
+
+def q_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact AUC-ROC of `value` as a classifier score for the purchase
+    event (the Mann-Whitney U formulation): AUC = (R_pos - n_pos(n_pos
+    + 1)/2) / (n_pos * n_neg), with R_pos the sum of MID-RANKS of the
+    positives — the tie-correct convention, and an entirely INTEGER
+    computation until one final division (no float accumulation to pin,
+    no approximate percentile): at any corpus size the score is
+    bit-exact by construction.
+
+    Scale shape: a plain ``rank() OVER (ORDER BY s)`` is a
+    single-partition window over every scored row — the two-phase
+    distributed rank (:func:`..operators.ranks.distributed_row_number`)
+    assigns exact global row numbers bucket-parallel instead, and the
+    per-score mid-rank reduces to min-row-number + tie count from ONE
+    hash aggregate: 2*midrank = 2*(min_rn - 1) + cnt + 1, integral
+    throughout."""
+    from ..functions.rounding import round_half_away
+    from ..operators.ranks import distributed_row_number
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    scored = ev.select(
+        "event_id",
+        (F.col("event_type") == "purchase").cast("int").alias("y"),
+        F.col("value").alias("s"),
+    )
+    rn = distributed_row_number(
+        scored, [("s", False), ("event_id", False)], out_col="rn"
+    )
+    per_s = rn.groupBy("s").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum("y").cast("long").alias("pos"),
+        (F.min("rn") - 1).cast("long").alias("below"),
+    )
+    agg = per_s.agg(
+        F.sum("pos").cast("long").alias("np"),
+        F.sum("cnt").cast("long").alias("n"),
+        # 2 * sum of positive mid-ranks, kept integral
+        F.sum(
+            F.col("pos") * (2 * F.col("below") + F.col("cnt") + 1)
+        ).cast("long").alias("r2"),
+    )
+    np_, nn = F.col("np").cast("double"), (F.col("n") - F.col("np")).cast("double")
+    auc = (F.col("r2").cast("double") / 2.0 - np_ * (np_ + 1.0) / 2.0) / (
+        np_ * nn
+    )
+    return agg.select(
+        F.col("np").alias("n_pos"),
+        (F.col("n") - F.col("np")).alias("n_neg"),
+        round_half_away(auc, 6).alias("auc"),
+    )
+
+
+def oracle_auc_roc() -> str:
+    from ..functions.rounding import sql_round_half_away
+
+    auc = (
+        "((CAST(r2 AS DOUBLE) / 2.0"
+        " - CAST(np AS DOUBLE) * (CAST(np AS DOUBLE) + 1.0) / 2.0)"
+        " / (CAST(np AS DOUBLE) * CAST(n - np AS DOUBLE)))"
+    )
+    return f"""
+WITH scored AS (
+    SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+           value AS s
+    FROM events WHERE value IS NOT NULL
+),
+ranked AS (
+    SELECT y,
+           CAST(rank() OVER (ORDER BY s) AS BIGINT) AS r,
+           CAST(COUNT(*) OVER (PARTITION BY s) AS BIGINT) AS ties
+    FROM scored
+),
+agg AS (
+    SELECT CAST(SUM(y) AS BIGINT) AS np, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN y = 1 THEN 2 * r + ties - 1 END) AS BIGINT) AS r2
+    FROM ranked
+)
+SELECT np AS n_pos, n - np AS n_neg, {sql_round_half_away(auc, 6)} AS auc
+FROM agg
+"""

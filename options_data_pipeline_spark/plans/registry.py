@@ -109,6 +109,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
         quality.q_huber_regression,
         quality.oracle_huber_regression,
     ),
+    "auc_roc": (quality.q_auc_roc, quality.oracle_auc_roc),
     "decayed_engagement": (
         quality.q_decayed_engagement,
         quality.oracle_decayed_engagement,
@@ -481,6 +482,7 @@ _PRIORITY: list[str] = [
     "readability_score",
     "revenue_gini",
     "huber_regression",
+    "auc_roc",
     # round-8 code changes: re-adjudicate under the driver
     "hist_quantiles",
     "sketch_store_twin",
