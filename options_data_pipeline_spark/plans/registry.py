@@ -393,6 +393,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
         timeseries.q_kaplan_meier,
         timeseries.oracle_kaplan_meier,
     ),
+    "returns_acf": (
+        timeseries.q_returns_acf,
+        timeseries.oracle_returns_acf,
+    ),
     "twap": (timeseries.q_twap, timeseries.oracle_twap),
     "cumulative_uniques": (
         timeseries.q_cumulative_uniques,
@@ -483,6 +487,7 @@ _PRIORITY: list[str] = [
     "revenue_gini",
     "huber_regression",
     "auc_roc",
+    "returns_acf",
     # round-8 code changes: re-adjudicate under the driver
     "hist_quantiles",
     "sketch_store_twin",

@@ -1144,3 +1144,135 @@ SELECT CAST(t AS INT) AS t_days, n AS at_risk, d AS churned,
        {sql_round_half_away("exp(CAST(ls AS DOUBLE))", 6)} AS survival
 FROM curve
 """
+
+
+# ---------------------------------------------------------------------------
+# returns_acf
+# ---------------------------------------------------------------------------
+
+ACF_LAGS = (1, 2, 3)
+
+
+def q_returns_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of hourly mean-value changes per event type at
+    lags 1-3 — the momentum/mean-reversion diagnostic quant monitoring
+    keeps on every series (ACF(1) < 0 = mean-reverting microstructure).
+
+    Determinism: hourly means and their diffs quantize to 9 dp DECIMAL,
+    every moment (sum r, sum r^2, sum r_t * r_{t-k}) is an exact
+    DECIMAL sum, and the ACF closes over the exact moments in double
+    with oracle-identical grouping. Lagged products come from a window
+    lag over the COMPACT hourly series — O(#hours) rows per type."""
+    from ..functions.rounding import dec_sum, round_half_away
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    hourly = (
+        ev.select(
+            "event_type", F.date_trunc("hour", "ts").alias("h"), "value"
+        )
+        .groupBy("event_type", "h")
+        .agg((dec_sum(F.col("value"), scale=6) / F.count(F.lit(1))).alias("m"))
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    # DECIMAL(18,9), deliberately narrow: r*r and r*r_lag must stay
+    # under 38 digits of ideal precision or Spark silently ROUNDS the
+    # product (the huber lesson) — (18,9)^2 -> (37,18), exact
+    r = round_half_away(
+        F.col("m") - F.lag("m", 1).over(w), 9
+    ).cast("decimal(18,9)")
+    rets = hourly.select("event_type", "h", r.alias("r")).where(
+        F.col("r").isNotNull()
+    )
+    lag_cols = [
+        F.lag("r", k).over(w).alias(f"rl{k}") for k in ACF_LAGS
+    ]
+    lagged = rets.select("event_type", "h", "r", *lag_cols)
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum("r").alias("s"),
+        F.sum(F.col("r") * F.col("r")).alias("ss"),
+    ]
+    for k in ACF_LAGS:
+        aggs.append(
+            F.sum(F.col("r") * F.col(f"rl{k}")).alias(f"sp{k}")
+        )
+        aggs.append(
+            F.count(F.col(f"rl{k}")).cast("long").alias(f"np{k}")
+        )
+    agg = lagged.groupBy("event_type").agg(*aggs)
+    n = F.col("n").cast("double")
+    mean = F.col("s").cast("double") / n
+    var = F.col("ss").cast("double") / n - mean * mean
+    out_cols = [
+        F.col("event_type"),
+        F.col("n").cast("long").alias("n_returns"),
+        round_half_away(var, 9).alias("variance"),
+    ]
+    for k in ACF_LAGS:
+        # standard sample ACF: covariance at lag k over variance, both
+        # normalized by n (Box-Jenkins convention)
+        cov_k = (
+            F.col(f"sp{k}").cast("double") / n
+            - mean * mean * (F.col(f"np{k}").cast("double") / n)
+        )
+        out_cols.append(
+            round_half_away(cov_k / var, 6).alias(f"acf{k}")
+        )
+    return agg.select(*out_cols)
+
+
+def oracle_returns_acf() -> str:
+    from ..functions.rounding import sql_dec_sum, sql_round_half_away
+
+    lag_sel = ", ".join(
+        f"lag(r, {k}) OVER (PARTITION BY event_type ORDER BY h) AS rl{k}"
+        for k in ACF_LAGS
+    )
+    mom = ", ".join(
+        f"SUM(r * rl{k}) AS sp{k}, CAST(COUNT(rl{k}) AS BIGINT) AS np{k}"
+        for k in ACF_LAGS
+    )
+    acfs = []
+    for k in ACF_LAGS:
+        cov = (
+            f"(CAST(sp{k} AS DOUBLE) / nd - mean * mean"
+            f" * (CAST(np{k} AS DOUBLE) / nd))"
+        )
+        acfs.append(f"{sql_round_half_away(f'{cov} / var', 6)} AS acf{k}")
+    return f"""
+WITH hourly AS (
+    SELECT event_type, date_trunc('hour', ts) AS h,
+           {sql_dec_sum('value', scale=6)} / count(*) AS m
+    FROM events WHERE value IS NOT NULL
+    GROUP BY 1, 2
+),
+rets AS (
+    SELECT event_type, h, r FROM (
+        SELECT event_type, h,
+               CAST({sql_round_half_away(
+                   "m - lag(m, 1) OVER (PARTITION BY event_type ORDER BY h)",
+                   9)} AS DECIMAL(18,9)) AS r
+        FROM hourly
+    ) WHERE r IS NOT NULL
+),
+lagged AS (
+    SELECT event_type, r, {lag_sel} FROM rets
+),
+agg AS (
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           SUM(r) AS s, SUM(r * r) AS ss, {mom}
+    FROM lagged GROUP BY 1
+),
+closed AS (
+    SELECT *, CAST(n AS DOUBLE) AS nd,
+           CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean
+    FROM agg
+),
+closed2 AS (
+    SELECT *, CAST(ss AS DOUBLE) / nd - mean * mean AS var FROM closed
+)
+SELECT event_type, n AS n_returns,
+       {sql_round_half_away('var', 9)} AS variance,
+       {", ".join(acfs)}
+FROM closed2
+"""
