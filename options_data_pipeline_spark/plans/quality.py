@@ -3796,3 +3796,93 @@ agg AS (
 SELECT np AS n_pos, n - np AS n_neg, {sql_round_half_away(auc, 6)} AS auc
 FROM agg
 """
+
+
+# --- Markov transition entropy ----------------------------------------------------
+
+
+def q_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional next-event entropy per current event type —
+    H(next | cur) = -sum_t p_t ln p_t over each user's consecutive
+    event pairs — the sequence-predictability diagnostic behind
+    session-model features and bot detection (near-zero entropy = a
+    scripted loop). Perplexity = exp(H) reads as the effective
+    branching factor.
+
+    Transitions come from one per-user lag window ordered by (ts,
+    event_id); counts are exact integers, each p ln p term rounds once
+    to 9 dp DECIMAL so per-type sums are associative, and exp() runs on
+    the ROUNDED sum — the engine's standard chain discipline."""
+    from ..functions.rounding import round_half_away
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.col("event_type").alias("cur"),
+            F.lead("event_type", 1).over(w).alias("nxt"),
+        )
+        .where(F.col("nxt").isNotNull())
+        .groupBy("cur", "nxt")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wn = Window.partitionBy("cur")
+    terms = pairs.select(
+        "cur",
+        F.sum("c").over(wn).alias("n"),
+        round_half_away(
+            -(F.col("c").cast("double") / F.sum("c").over(wn).cast("double"))
+            * F.log(
+                F.col("c").cast("double") / F.sum("c").over(wn).cast("double")
+            ),
+            9,
+        )
+        .cast("decimal(28,9)")
+        .alias("t"),
+    )
+    agg = terms.groupBy("cur").agg(
+        F.max("n").cast("long").alias("n_transitions"),
+        F.sum("t").alias("h"),
+    )
+    return agg.select(
+        F.col("cur").alias("event_type"),
+        "n_transitions",
+        round_half_away(F.col("h").cast("double"), 6).alias("entropy_nats"),
+        round_half_away(F.exp(F.col("h").cast("double")), 4).alias(
+            "perplexity"
+        ),
+    )
+
+
+def oracle_transition_entropy() -> str:
+    from ..functions.rounding import sql_round_half_away
+
+    p = "(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))"
+    term = sql_round_half_away(f"-{p} * ln{p}", 9)
+    return f"""
+WITH seq AS (
+    SELECT event_type AS cur,
+           lead(event_type, 1) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS nxt
+    FROM events
+),
+pairs AS (
+    SELECT cur, nxt, count(*) AS c FROM seq
+    WHERE nxt IS NOT NULL GROUP BY 1, 2
+),
+withn AS (
+    SELECT cur, c, SUM(c) OVER (PARTITION BY cur) AS n FROM pairs
+),
+agg AS (
+    SELECT cur, CAST(MAX(n) AS BIGINT) AS n_transitions,
+           SUM(CAST({term} AS DECIMAL(28,9))) AS h
+    FROM withn GROUP BY 1
+)
+SELECT cur AS event_type, n_transitions,
+       {sql_round_half_away('CAST(h AS DOUBLE)', 6)} AS entropy_nats,
+       {sql_round_half_away('exp(CAST(h AS DOUBLE))', 4)} AS perplexity
+FROM agg
+"""

@@ -110,6 +110,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
         quality.oracle_huber_regression,
     ),
     "auc_roc": (quality.q_auc_roc, quality.oracle_auc_roc),
+    "transition_entropy": (
+        quality.q_transition_entropy,
+        quality.oracle_transition_entropy,
+    ),
     "decayed_engagement": (
         quality.q_decayed_engagement,
         quality.oracle_decayed_engagement,
@@ -488,6 +492,7 @@ _PRIORITY: list[str] = [
     "huber_regression",
     "auc_roc",
     "returns_acf",
+    "transition_entropy",
     # round-8 code changes: re-adjudicate under the driver
     "hist_quantiles",
     "sketch_store_twin",
