@@ -98,6 +98,11 @@ SAMPLE = [
     "token_kl_divergence",
     "revenue_gini",
     "fim_transform",
+    "readability_score",
+    "huber_regression",
+    "auc_roc",
+    "returns_acf",
+    "transition_entropy",
 ]
 
 
