@@ -401,6 +401,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
         timeseries.q_returns_acf,
         timeseries.oracle_returns_acf,
     ),
+    "amihud_illiq": (
+        timeseries.q_amihud_illiq,
+        timeseries.oracle_amihud_illiq,
+    ),
     "twap": (timeseries.q_twap, timeseries.oracle_twap),
     "cumulative_uniques": (
         timeseries.q_cumulative_uniques,
@@ -493,6 +497,7 @@ _PRIORITY: list[str] = [
     "auc_roc",
     "returns_acf",
     "transition_entropy",
+    "amihud_illiq",
     # round-8 code changes: re-adjudicate under the driver
     "hist_quantiles",
     "sketch_store_twin",

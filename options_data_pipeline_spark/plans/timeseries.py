@@ -1276,3 +1276,91 @@ SELECT event_type, n AS n_returns,
        {", ".join(acfs)}
 FROM closed2
 """
+
+
+# ---------------------------------------------------------------------------
+# amihud_illiq
+# ---------------------------------------------------------------------------
+
+
+def q_amihud_illiq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Amihud (2002) illiquidity per instrument: the mean over days of
+    |daily return| / daily volume (tick count as the volume proxy),
+    scaled by 1e6 — the standard price-impact-per-unit-flow measure
+    liquidity monitoring ranks books by.
+
+    Daily closes come from a struct-ordered max_by over the hourly
+    candles (no sort), returns are one lag window over the compact
+    per-day series, and each day's |ret|/vol term rounds once to 9 dp
+    DECIMAL so the across-days mean is an exact sum — the standard
+    chain discipline."""
+    from ..functions.rounding import round_half_away
+
+    hourly = hourly_candles(spark, sf_dir)
+    daily = (
+        hourly.withColumn("day", F.date_trunc("day", "bucket_ts"))
+        .groupBy("instrument", "day")
+        .agg(
+            F.max_by(F.col("close"), F.col("bucket_ts")).alias("close"),
+            F.sum("n_ticks").cast("long").alias("vol"),
+        )
+    )
+    w = Window.partitionBy("instrument").orderBy("day")
+    ret = F.col("close") / F.lag("close", 1).over(w) - 1.0
+    terms = daily.select(
+        "instrument",
+        "day",
+        "vol",
+        round_half_away(
+            F.abs(ret) / F.col("vol").cast("double") * 1e6, 9
+        )
+        .cast("decimal(28,9)")
+        .alias("t"),
+    ).where(F.col("t").isNotNull())
+    return (
+        terms.groupBy("instrument")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.sum("vol").cast("long").alias("total_ticks"),
+            (F.sum("t").cast("double") / F.count(F.lit(1))).alias("illiq"),
+        )
+        .select(
+            "instrument",
+            "n_days",
+            "total_ticks",
+            round_half_away(F.col("illiq"), 6).alias("amihud_illiq_x1e6"),
+        )
+    )
+
+
+def oracle_amihud_illiq() -> str:
+    from ..functions.rounding import sql_round_half_away
+
+    term = sql_round_half_away(
+        "abs(close / lag_close - 1.0) / CAST(vol AS DOUBLE) * 1000000.0", 9
+    )
+    return f"""
+WITH {HOURLY_CTE},
+daily AS (
+    SELECT instrument, date_trunc('day', h) AS day,
+           max_by(close, h) AS close,
+           CAST(SUM(n_ticks) AS BIGINT) AS vol
+    FROM hourly GROUP BY 1, 2
+),
+lagged AS (
+    SELECT instrument, day, vol, close,
+           lag(close, 1) OVER (PARTITION BY instrument ORDER BY day)
+               AS lag_close
+    FROM daily
+),
+terms AS (
+    SELECT instrument, day, vol,
+           CAST({term} AS DECIMAL(28,9)) AS t
+    FROM lagged WHERE lag_close IS NOT NULL
+)
+SELECT instrument, CAST(count(*) AS BIGINT) AS n_days,
+       CAST(SUM(vol) AS BIGINT) AS total_ticks,
+       {sql_round_half_away(
+           'CAST(SUM(t) AS DOUBLE) / count(*)', 6)} AS amihud_illiq_x1e6
+FROM terms GROUP BY 1
+"""
