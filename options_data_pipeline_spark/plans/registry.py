@@ -405,6 +405,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
         timeseries.q_amihud_illiq,
         timeseries.oracle_amihud_illiq,
     ),
+    "hurst_exponent": (
+        timeseries.q_hurst_exponent,
+        timeseries.oracle_hurst_exponent,
+    ),
     "twap": (timeseries.q_twap, timeseries.oracle_twap),
     "cumulative_uniques": (
         timeseries.q_cumulative_uniques,
@@ -498,6 +502,7 @@ _PRIORITY: list[str] = [
     "returns_acf",
     "transition_entropy",
     "amihud_illiq",
+    "hurst_exponent",
     # round-8 code changes: re-adjudicate under the driver
     "hist_quantiles",
     "sketch_store_twin",

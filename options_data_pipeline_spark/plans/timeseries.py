@@ -1364,3 +1364,210 @@ SELECT instrument, CAST(count(*) AS BIGINT) AS n_days,
            'CAST(SUM(t) AS DOUBLE) / count(*)', 6)} AS amihud_illiq_x1e6
 FROM terms GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# hurst_exponent
+# ---------------------------------------------------------------------------
+
+HURST_WINDOWS = (8, 16, 32)
+
+
+def q_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent per event type via classical rescaled-range (R/S)
+    analysis (Hurst 1951; Mandelbrot & Wallis 1969): chop the hourly
+    return series into non-overlapping blocks of m ∈ {8, 16, 32},
+    compute each block's range of cumulative mean-deviations over its
+    std, average R/S per m, and fit H as the log-log slope — H < 0.5
+    mean-reverting, > 0.5 trending.
+
+    The exactness trick: within a block, deviations are carried SCALED
+    BY m — d_i = m·r_i − Σr — so the mean subtraction never divides
+    (m·(r_i − μ) = d_i exactly); the cumulative Z, its range R' = m·R,
+    and the squared-deviation sum S'² = m²·Σ(r−μ)² are all exact
+    DECIMALs, and R/S = R'·√m / √(S'²) costs one sqrt + one division
+    in double per block. Deviations re-quantize to DECIMAL(15,9) so
+    squares stay inside Spark's 38-digit product cap (the returns_acf
+    lesson). Per-block windows span ≤ 32 rows of the compact hourly
+    series; the final 3-point log-log OLS is closed-form."""
+    import math
+
+    from ..functions.rounding import dec_sum, round_half_away
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    hourly = (
+        ev.select("event_type", F.date_trunc("hour", "ts").alias("h"), "value")
+        .groupBy("event_type", "h")
+        .agg((dec_sum(F.col("value"), scale=6) / F.count(F.lit(1))).alias("m"))
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    rets = (
+        hourly.select(
+            "event_type",
+            "h",
+            round_half_away(F.col("m") - F.lag("m", 1).over(w), 9)
+            .cast("decimal(18,9)")
+            .alias("r"),
+        )
+        .where(F.col("r").isNotNull())
+        .select(
+            "event_type",
+            "r",
+            (F.row_number().over(w) - 1).alias("idx"),
+        )
+    )
+    from ..operators.materialize import materialize
+
+    rets = materialize(rets)
+
+    per_m = []
+    for m in HURST_WINDOWS:
+        blocks = rets.select(
+            "event_type",
+            "r",
+            "idx",
+            (F.col("idx") / m).cast("long").alias("blk"),
+        )
+        # drop incomplete trailing blocks
+        sizes = blocks.groupBy("event_type", "blk").agg(
+            F.count(F.lit(1)).alias("bn"),
+            F.sum("r").alias("bs"),
+        )
+        full = blocks.join(
+            sizes.where(F.col("bn") == m), ["event_type", "blk"]
+        )
+        d = (F.lit(m) * F.col("r") - F.col("bs")).cast("decimal(15,9)")
+        wb = (
+            Window.partitionBy("event_type", "blk")
+            .orderBy("idx")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        zs = full.select(
+            "event_type",
+            "blk",
+            F.sum(d).over(wb).alias("z"),
+            (d * d).alias("d2"),
+        )
+        br = zs.groupBy("event_type", "blk").agg(
+            (F.max("z") - F.min("z")).alias("rng"),
+            F.sum("d2").alias("s2"),
+        )
+        rs = round_half_away(
+            F.col("rng").cast("double")
+            * math.sqrt(float(m))
+            / F.sqrt(F.col("s2").cast("double")),
+            9,
+        ).cast("decimal(28,9)")
+        per_m.append(
+            br.where(F.col("s2") > 0)
+            .select("event_type", rs.alias("rs"))
+            .groupBy("event_type")
+            .agg(
+                (F.sum("rs").cast("double") / F.count(F.lit(1))).alias(
+                    f"rs{m}"
+                )
+            )
+        )
+    joined = per_m[0]
+    for p in per_m[1:]:
+        joined = joined.join(p, "event_type")
+    # 3-point OLS of ln(rs) on ln(m): slope = (n*Sxy - Sx*Sy)/(n*Sxx - Sx^2)
+    xs = [math.log(float(m)) for m in HURST_WINDOWS]
+    n = float(len(xs))
+    sx = sum(xs)
+    sxx = sum(x * x for x in xs)
+    ys = [F.log(F.col(f"rs{m}")) for m in HURST_WINDOWS]
+    sy = ys[0] + ys[1] + ys[2]
+    sxy = sum((F.lit(x) * y for x, y in zip(xs, ys)), F.lit(0.0))
+    hurst = (F.lit(n) * sxy - F.lit(sx) * sy) / F.lit(n * sxx - sx * sx)
+    return joined.select(
+        "event_type",
+        *[
+            round_half_away(F.col(f"rs{m}"), 6).alias(f"rs{m}")
+            for m in HURST_WINDOWS
+        ],
+        round_half_away(hurst, 6).alias("hurst"),
+    )
+
+
+def oracle_hurst_exponent() -> str:
+    import math
+
+    from ..functions.rounding import sql_dec_sum, sql_round_half_away
+
+    m_ctes = []
+    for m in HURST_WINDOWS:
+        rs = sql_round_half_away(
+            f"CAST(rng AS DOUBLE) * {math.sqrt(float(m))!r}"
+            f" / sqrt(CAST(s2 AS DOUBLE))",
+            9,
+        )
+        m_ctes.append(f"""
+blk{m} AS (
+    SELECT event_type, r, idx, CAST(idx // {m} AS BIGINT) AS blk
+    FROM rets
+),
+sz{m} AS (
+    SELECT event_type, blk, count(*) AS bn, SUM(r) AS bs
+    FROM blk{m} GROUP BY 1, 2
+),
+z{m} AS (
+    SELECT b.event_type, b.blk,
+           SUM(CAST({m} * b.r - s.bs AS DECIMAL(15,9)))
+               OVER (PARTITION BY b.event_type, b.blk ORDER BY b.idx
+                     ROWS UNBOUNDED PRECEDING) AS z,
+           CAST({m} * b.r - s.bs AS DECIMAL(15,9))
+               * CAST({m} * b.r - s.bs AS DECIMAL(15,9)) AS d2
+    FROM blk{m} b JOIN sz{m} s
+      ON s.event_type = b.event_type AND s.blk = b.blk AND s.bn = {m}
+),
+br{m} AS (
+    SELECT event_type, blk, MAX(z) - MIN(z) AS rng, SUM(d2) AS s2
+    FROM z{m} GROUP BY 1, 2
+),
+rs{m} AS (
+    SELECT event_type,
+           CAST(SUM(CAST({rs} AS DECIMAL(28,9))) AS DOUBLE) / count(*)
+               AS rs{m}
+    FROM br{m} WHERE s2 > 0 GROUP BY 1
+)""")
+    xs = [math.log(float(m)) for m in HURST_WINDOWS]
+    n = float(len(xs))
+    sx, sxx = sum(xs), sum(x * x for x in xs)
+    sy = " + ".join(f"ln(rs{m})" for m in HURST_WINDOWS)
+    sxy = " + ".join(
+        f"{x!r} * ln(rs{m})" for x, m in zip(xs, HURST_WINDOWS)
+    )
+    hurst = (
+        f"(({n!r} * (0.0 + {sxy}) - {sx!r} * ({sy}))"
+        f" / {n * sxx - sx * sx!r})"
+    )
+    rs_cols = ", ".join(
+        f"{sql_round_half_away(f'rs{m}', 6)} AS rs{m}" for m in HURST_WINDOWS
+    )
+    joins = " ".join(
+        f"JOIN rs{m} USING (event_type)" for m in HURST_WINDOWS[1:]
+    )
+    return f"""
+WITH hourly AS (
+    SELECT event_type, date_trunc('hour', ts) AS h,
+           {sql_dec_sum('value', scale=6)} / count(*) AS m
+    FROM events WHERE value IS NOT NULL
+    GROUP BY 1, 2
+),
+rets AS (
+    SELECT event_type, r,
+           row_number() OVER (PARTITION BY event_type ORDER BY h) - 1 AS idx
+    FROM (
+        SELECT event_type, h,
+               CAST({sql_round_half_away(
+                   "m - lag(m, 1) OVER (PARTITION BY event_type ORDER BY h)",
+                   9)} AS DECIMAL(18,9)) AS r
+        FROM hourly
+    ) WHERE r IS NOT NULL
+),
+{",".join(m_ctes)}
+SELECT event_type, {rs_cols},
+       {sql_round_half_away(hurst, 6)} AS hurst
+FROM rs{HURST_WINDOWS[0]} {joins}
+"""
