@@ -103,6 +103,8 @@ SAMPLE = [
     "auc_roc",
     "returns_acf",
     "transition_entropy",
+    "amihud_illiq",
+    "hurst_exponent",
 ]
 
 
