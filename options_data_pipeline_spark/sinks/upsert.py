@@ -325,35 +325,34 @@ def upsert_partitioned_moving(
         return {"inserted": n, "updated": 0, "moved": 0}
 
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    ukeys = updates.select(*keys).distinct()
-    # key-only probe: column pruning reduces this scan to (keys, part)
-    old_locs = (
-        current.select(*keys, F.col(partition_col).alias("_old_part"))
-        .join(F.broadcast(ukeys), keys)
-        .localCheckpoint(eager=False)
-    )
-    new_parts = updates.select(partition_col).distinct()
-    parts = [
-        r[0]
-        for r in new_parts.unionByName(
-            old_locs.select(F.col("_old_part").alias(partition_col))
-        )
-        .distinct()
-        .collect()
-    ]
+    # (keys, new partition) of the batch, deduped once — feeds the probe
+    # join AND the metrics aggregate
+    ukp = updates.select(
+        *keys, F.col(partition_col).alias("_new_part")
+    ).distinct().localCheckpoint(eager=False)
+    ukeys = ukp.select(*keys)
+    # key-only probe: column pruning reduces this scan to (keys, part).
+    # ONE aggregate over the probe yields updated count, moved count,
+    # and the set of old partitions — three jobs folded into one (the
+    # per-job overhead dominated this sink's latency on small batches;
+    # current's keys are unique by the upsert invariant, so plain
+    # counts ARE key counts)
+    old_locs = current.select(
+        *keys, F.col(partition_col).alias("_old_part")
+    ).join(F.broadcast(ukp), keys)
+    probe = old_locs.agg(
+        F.count(F.lit(1)).alias("updated"),
+        F.sum(
+            (F.col("_old_part") != F.col("_new_part")).cast("long")
+        ).alias("moved"),
+        F.collect_set("_old_part").alias("old_parts"),
+    ).collect()[0]
+    updated = int(probe["updated"] or 0)
+    moved = int(probe["moved"] or 0)
+    new_parts = [r[0] for r in ukp.select("_new_part").distinct().collect()]
+    parts = list(set(new_parts) | set(probe["old_parts"] or []))
+    inserted = ukp.count() - updated
     touched = current.where(F.col(partition_col).isin(parts))
-    updated = updates.join(old_locs.select(*keys).distinct(), keys, "left_semi").count()
-    inserted = updates.count() - updated
-    moved = (
-        old_locs.join(
-            updates.select(*keys, F.col(partition_col).alias("_new_part")),
-            keys,
-        )
-        .where(F.col("_old_part") != F.col("_new_part"))
-        .select(*keys)
-        .distinct()
-        .count()
-    )
     # evict EVERY row of an updated key from the touched slice (old and
     # new partition alike), then add the batch
     survivors = touched.join(ukeys, keys, "left_anti")
