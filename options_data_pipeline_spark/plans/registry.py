@@ -144,6 +144,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
         stores.q_cms_topk_from_store,
         stores.oracle_cms_topk_from_store,
     ),
+    "cms_store_twin": (
+        stores.q_cms_store_twin,
+        stores.oracle_cms_store_twin,
+    ),
     "ivf_index_upsert": (
         vectors.q_ivf_index_upsert,
         vectors.oracle_ivf_index_upsert,
@@ -503,6 +507,7 @@ _PRIORITY: list[str] = [
     "transition_entropy",
     "amihud_illiq",
     "hurst_exponent",
+    "cms_store_twin",
     # round-8 code changes: re-adjudicate under the driver
     "hist_quantiles",
     "sketch_store_twin",

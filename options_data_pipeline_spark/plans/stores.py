@@ -257,3 +257,96 @@ SELECT week, CAST(rank AS INT) AS rank, user_id, est FROM (
     FROM est
 ) WHERE rank <= {TOPK_PER_WEEK}
 """
+
+
+# --- streaming CMS store twin (driver-adjudicated) ---------------------------
+
+
+def q_cms_store_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-adjudicated twin of the STREAMING Count-Min store
+    (:func:`..streaming.sketches.cms_register_stream`), the CMS
+    counterpart of ``sketch_store_twin``: stage events as two
+    interleaved waves (every day gets late adds in wave 2), run the
+    real foreachBatch job twice against one checkpoint, read the
+    converged grid store back and probe it per day for fixed user ids.
+    The oracle computes the batch fixed point — per-day grids of the
+    WHOLE table — so the driver hash proves the ADD-merge law's
+    order-invariance end-to-end through checkpoint resume (the pytest
+    twin pins the same identity; this puts it under the driver)."""
+    import shutil
+    import tempfile
+
+    from ..streaming.sketches import cms_register_stream
+
+    base = tempfile.mkdtemp(prefix="cms_twin_")
+    try:
+        src, store, ckpt = f"{base}/src", f"{base}/store", f"{base}/ckpt"
+        ev_w = load_table(spark, sf_dir, "events").select(
+            "event_id", "ts", "user_id"
+        )
+        ev_w.where(F.col("event_id") % 3 != 0).drop("event_id").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+        if not cms_register_stream(spark, src, store, ckpt).awaitTermination(
+            120
+        ):
+            raise TimeoutError("cms store wave 1 did not drain in 120s")
+        ev_w.where(F.col("event_id") % 3 == 0).drop("event_id").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+        if not cms_register_stream(spark, src, store, ckpt).awaitTermination(
+            120
+        ):
+            raise TimeoutError("cms store wave 2 did not drain in 120s")
+
+        grid = spark.read.parquet(store).select("day", "r", "c", "cnt")
+        probes = spark.createDataFrame(
+            [(int(u),) for u in range(0, 150, 10)], "user_id bigint"
+        ).crossJoin(grid.select("day").distinct())
+        est = cms.cms_query(
+            grid, probes, token_col="user_id", group_cols=["day"]
+        )
+        out = est.select(
+            F.col("day").cast("timestamp").alias("day"),
+            "user_id",
+            F.col("est").cast("long").alias("est"),
+        )
+        rows = out.collect()  # bounded: days x 15 probes
+        return parallelized(spark, spark.createDataFrame(rows, out.schema))
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def oracle_cms_store_twin() -> str:
+    probes = ", ".join(f"({u})" for u in range(0, 150, 10))
+    cell_exprs = " UNION ALL ".join(
+        f"SELECT day, {r} AS r, {cms.sql_cms_col(r, 'user_id')} AS c, "
+        f"COUNT(*) AS cnt FROM ev GROUP BY 1, 2, 3"
+        for r in range(cms.D)
+    )
+    probe_cells = " UNION ALL ".join(
+        f"SELECT day, user_id, {r} AS r, "
+        f"{cms.sql_cms_col(r, 'user_id')} AS c FROM probes"
+        for r in range(cms.D)
+    )
+    return f"""
+WITH ev AS (
+    SELECT CAST(ts AS DATE) AS day, user_id FROM events
+),
+grid AS ({cell_exprs}),
+pset(user_id) AS (VALUES {probes}),
+probes AS (
+    SELECT d.day, p.user_id
+    FROM (SELECT DISTINCT day FROM ev) d CROSS JOIN pset p
+),
+pc AS ({probe_cells}),
+est AS (
+    SELECT pc.day, pc.user_id,
+           CAST(MIN(COALESCE(g.cnt, 0)) AS BIGINT) AS est
+    FROM pc LEFT JOIN grid g
+      ON g.day = pc.day AND g.r = pc.r AND g.c = pc.c
+    GROUP BY 1, 2
+)
+SELECT CAST(day AS TIMESTAMP) AS day, CAST(user_id AS BIGINT) AS user_id, est
+FROM est
+"""
