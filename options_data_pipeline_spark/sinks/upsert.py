@@ -39,6 +39,63 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
+# Characters Spark escapes in partition directory names (Hive
+# FileUtils.escapePathName / Spark ExternalCatalogUtils.escapePathName —
+# public Spark source). Space and non-ASCII are NOT escaped; control
+# chars and this set become %XX uppercase hex.
+_PATH_ESCAPE_CHARS = set('"#%\'*/:=?\\\x7f{[]^')
+
+_PENDING_DROPS = "_pending_drops.json"
+
+
+def _escape_partition_value(spark: SparkSession, value) -> str:
+    """Render a partition VALUE exactly as Spark encodes it in the
+    directory name, so filesystem-level partition maintenance (drained-
+    partition drops) hits the directory Spark actually wrote.  ADVICE r8:
+    raw ``str(value)`` silently misses any value Spark escapes (':', '=',
+    '/', quotes, control chars) — stale rows then survive eviction.
+
+    Uses Spark's own JVM ``ExternalCatalogUtils.escapePathName`` when
+    reachable (bit-identical by construction), else a Python mirror of
+    the same public escape table."""
+    if value is None:
+        return "__HIVE_DEFAULT_PARTITION__"
+    if isinstance(value, bool):  # Spark renders booleans lowercase
+        s = "true" if value else "false"
+    else:
+        s = str(value)
+    try:
+        jvm = spark._jvm  # noqa: SLF001 — same-process JVM helper
+        return jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(  # noqa: E501
+            s
+        )
+    except Exception:  # pragma: no cover — JVM gateway unavailable
+        return "".join(
+            f"%{ord(ch):02X}" if (ch in _PATH_ESCAPE_CHARS or ch < " ") else ch
+            for ch in s
+        )
+
+
+def _complete_pending_drops(path: str) -> None:
+    """Finish partition drops a previous writer committed but did not
+    complete.  The sidecar is written AFTER the dynamic-overwrite commit
+    (so replaying it can never delete the only copy of a row) and removed
+    once the listed directories are gone; a crash in between leaves the
+    intent on disk and the next reader converges the table here."""
+    sidecar = os.path.join(path, _PENDING_DROPS)
+    if not os.path.exists(sidecar):
+        return
+    import json
+
+    with open(sidecar) as fh:
+        for dirname in json.load(fh):
+            # dir names are stored fully escaped; refuse to traverse
+            if os.sep in dirname or dirname in (".", ".."):
+                continue
+            shutil.rmtree(os.path.join(path, dirname), ignore_errors=True)
+    os.remove(sidecar)
+
+
 def _read_target(spark: SparkSession, path: str) -> DataFrame | None:
     """Read the current target table, or ``None`` for a genuine cold
     start (path absent, or present but holding no parquet footers).
@@ -50,6 +107,7 @@ def _read_target(spark: SparkSession, path: str) -> DataFrame | None:
     retraction (apply_cdc). ADVICE r3."""
     if not os.path.exists(path):
         return None
+    _complete_pending_drops(path)
     try:
         return spark.read.parquet(path)
     except Exception as exc:
@@ -261,8 +319,13 @@ def upsert_partitioned(
 
     parts = [r[0] for r in updates.select(partition_col).distinct().collect()]
     touched = current.where(F.col(partition_col).isin(parts))
-    if audit_col and audit_col not in current.columns:
-        touched = touched.withColumn(audit_col, F.lit(None).cast("timestamp"))
+    # additive schema evolution: a column the batch carries but the
+    # stored table predates (audit stamps, the sketch store's per-day
+    # _bid replay marker) surfaces as NULL on surviving rows rather than
+    # failing the merge — the same contract Delta's mergeSchema gives
+    for col_name, dtype in updates.dtypes:
+        if col_name not in touched.columns:
+            touched = touched.withColumn(col_name, F.lit(None).cast(dtype))
     updated = updates.join(touched.select(*keys).distinct(), keys, "left_semi").count()
     inserted = updates.count() - updated
     survivors = touched.join(updates.select(*keys), keys, "left_anti")
@@ -366,16 +429,27 @@ def upsert_partitioned_moving(
     # dynamic overwrite only touches partitions PRESENT in the write: a
     # partition fully drained by evictions (its only rows moved away)
     # would silently keep its stale files — drop those directories
-    # explicitly (str(value) matches Spark's partition-dir encoding for
-    # the int/string/date partition values used here)
+    # explicitly, encoding the value exactly as Spark escaped it in the
+    # dir name (ADVICE r8: raw str() misses ':', '=', '/', quotes…).
+    # The drop intent is journaled to a sidecar FIRST (post-commit, so
+    # replaying it is always safe — the moved rows are already in their
+    # new partitions) and cleared once done; a crash mid-drop leaves the
+    # sidecar and _read_target completes the drops before the next read,
+    # so stale drained rows cannot silently survive.
     parts_after = {
         r[0] for r in staged.select(partition_col).distinct().collect()
     }
-    for gone in set(parts) - parts_after:
-        shutil.rmtree(
-            os.path.join(target_path, f"{partition_col}={gone}"),
-            ignore_errors=True,
-        )
+    drained = [
+        f"{partition_col}={_escape_partition_value(spark, gone)}"
+        for gone in set(parts) - parts_after
+    ]
+    if drained:
+        import json
+
+        sidecar = os.path.join(target_path, _PENDING_DROPS)
+        with open(sidecar, "w") as fh:
+            json.dump(sorted(drained), fh)
+        _complete_pending_drops(target_path)
     shutil.rmtree(staging)
     return {"inserted": inserted, "updated": updated, "moved": moved}
 

@@ -107,28 +107,50 @@ def _add_merge_batch_into_store(
     spark: SparkSession,
     store_path: str,
     batch_grid: DataFrame,
+    batch_id: int,
 ) -> None:
     """ADD-merge a batch's (day, r, c, cnt) CMS cells with the stored
     grid rows of the SAME days, then partition-pruned upsert.  Unlike
     the HLL max (idempotent), counter addition is NOT replay-idempotent
-    by itself — exactly-once here rides on foreachBatch's batch-id
-    semantics over the checkpointed source offsets: a retried batch
-    re-reads the same slice and the upsert's atomic swap makes the
-    previous partial write invisible (the staged partition either
-    committed or it didn't)."""
+    by itself, and foreachBatch only guarantees AT-LEAST-ONCE delivery:
+    a micro-batch that commits its partition swaps but dies before the
+    checkpoint commit is re-executed on restart with the SAME batch_id
+    and the same slice (ADVICE r8 medium).  Exactly-once is therefore
+    carried by the store itself: every grid row carries ``_bid``, the
+    id of the last batch folded into its day, stamped in the SAME
+    atomic partition swap as the counters.  On apply, days whose stored
+    ``_bid`` already reached this batch's id are skipped wholesale —
+    their partitions are not even rewritten — so a committed-then-
+    replayed batch converges instead of double-counting.  The granule
+    is the day partition (the swap unit), so a crash between two days'
+    swaps replays only the day that did not commit."""
     from ..sinks.upsert import _read_target
 
     target = _read_target(spark, store_path)
     if target is None:
-        merged = batch_grid
+        merged = batch_grid.withColumn("_bid", F.lit(batch_id))
     else:
-        stored = target.select("day", "r", "c", "cnt").join(
-            batch_grid.select("day").distinct(), "day"
-        )
+        batch_days = batch_grid.select("day").distinct()
+        if "_bid" in target.columns:
+            done_days = (
+                target.join(batch_days, "day")
+                .groupBy("day")
+                .agg(F.max("_bid").alias("_mx"))
+                .where(F.col("_mx") >= batch_id)
+                .select("day")
+            )
+            batch_grid = batch_grid.join(done_days, "day", "left_anti")
+            batch_days = batch_grid.select("day").distinct()
+            # bounded probe: one row per touched day
+            if not batch_days.limit(1).collect():
+                return  # every day already applied this batch
+        stored = target.select("day", "r", "c", "cnt").join(batch_days, "day")
         merged = (
-            batch_grid.unionByName(stored)
+            batch_grid.select("day", "r", "c", "cnt")
+            .unionByName(stored)
             .groupBy("day", "r", "c")
             .agg(F.sum("cnt").alias("cnt"))
+            .withColumn("_bid", F.lit(batch_id))
         )
     upsert_partitioned(
         spark,
@@ -137,6 +159,34 @@ def _add_merge_batch_into_store(
         keys=["day", "r", "c"],
         partition_col="day",
     )
+
+
+def cms_apply_batch(
+    spark: SparkSession,
+    store_path: str,
+    batch_events: DataFrame,
+    batch_id: int,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> None:
+    """Fold one micro-batch slice into the CMS day store, exactly once.
+
+    This is the unit :func:`cms_register_stream` hands to foreachBatch,
+    exposed so the replay contract is directly drivable: calling it
+    twice with the same ``batch_id`` (the at-least-once retry) or with a
+    stale smaller id is a no-op for every day already stamped — pinned
+    end-to-end by the ``cms_store_replay_twin`` registry query and
+    tests/test_streaming_sketches.py.  Store and checkpoint lifecycles
+    are coupled (standard foreachBatch idempotent-sink recipe): restart
+    the stream on a fresh checkpoint only against a fresh store."""
+    from ..operators.cms import cms_build
+
+    ev = batch_events.select(
+        F.to_date(F.col(ts_col)).alias("day"),
+        F.col(key_col),
+    )
+    grid = cms_build(ev, key_col, ["day"])
+    _add_merge_batch_into_store(spark, store_path, grid, batch_id)
 
 
 def cms_register_stream(
@@ -154,23 +204,22 @@ def cms_register_stream(
     The counter-addition merge law makes the converged store equal the
     batch grid of everything seen, however the stream was chopped into
     micro-batches and whenever late rows arrived (stream ≡ batch pinned
-    in tests/test_streaming_sketches.py).  Per-trigger write cost is the
-    touched days' <= D*W grid rows; the consumer side
+    in tests/test_streaming_sketches.py).  Replay safety: counter ADD is
+    not idempotent, so each day partition carries the last-applied
+    ``_bid`` and a re-delivered batch skips its already-stamped days
+    (see :func:`cms_apply_batch` — the foreachBatch idempotent-sink
+    recipe).  Per-trigger write cost is the touched days' <= D*W grid
+    rows; the consumer side
     (:func:`..plans.stores.cms_week_topk_consumer`) answers top-k
     questions from the store alone."""
-    from ..operators.cms import cms_build
-
     stream = read_event_stream(
         spark, source_dir, max_files_per_trigger=max_files_per_trigger
     )
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        ev = batch_df.select(
-            F.to_date(F.col(ts_col)).alias("day"),
-            F.col(key_col),
+        cms_apply_batch(
+            spark, store_path, batch_df, batch_id, key_col=key_col, ts_col=ts_col
         )
-        grid = cms_build(ev, key_col, ["day"])
-        _add_merge_batch_into_store(spark, store_path, grid)
 
     writer = (
         stream.writeStream.foreachBatch(_apply)

@@ -99,7 +99,7 @@ SAMPLE = [
     "revenue_gini",
     "fim_transform",
     "readability_score",
-    "huber_regression",
+    "temperature_mixture",
     "auc_roc",
     "returns_acf",
     "transition_entropy",

@@ -588,3 +588,79 @@ def test_streaming_incremental_dedup_matches_batch(spark, tmp):
     got = {tuple(r) for r in spark.read.parquet(out).collect()}
     want = {tuple(r) for r in q_incremental_dedup(spark, SF_DIR).collect()}
     assert got == want and len(got) > 0
+
+
+def test_upsert_partitioned_moving_escaped_partition_values(spark, tmp):
+    """ADVICE r8: drained-partition eviction must address the directory
+    Spark ACTUALLY wrote. Partition values containing ':', '=', '/' are
+    percent-escaped in dir names; a raw str() rmtree misses them and the
+    stale rows silently survive."""
+    from options_data_pipeline_spark.sinks.upsert import (
+        upsert_partitioned_moving,
+    )
+
+    t = f"{tmp}/idx"
+    base = spark.createDataFrame(
+        [(1, "a", "c:0"), (2, "b", "c=1")],
+        "k long, v string, cell string",
+    )
+    upsert_partitioned_moving(spark, t, base, ["k"], "cell")
+    # k=1 moves c:0 -> c=1, draining the escaped-name partition c:0
+    up = spark.createDataFrame(
+        [(1, "A", "c=1")], "k long, v string, cell string"
+    )
+    m = upsert_partitioned_moving(spark, t, up, ["k"], "cell")
+    assert m == {"inserted": 0, "updated": 1, "moved": 1}
+    got = {(r.k, r.v, r.cell) for r in spark.read.parquet(t).collect()}
+    assert got == {(1, "A", "c=1"), (2, "b", "c=1")}  # no stale c:0 row
+    import os
+
+    assert "cell=c%3A0" not in os.listdir(t)
+
+
+def test_pending_drops_sidecar_heals_on_next_read(spark, tmp):
+    """A crash between the dynamic-overwrite commit and the drained-dir
+    drops leaves the journaled intent on disk; the next _read_target
+    completes the drops before reading, so stale drained rows cannot
+    survive a crash window."""
+    import json
+    import os
+
+    from options_data_pipeline_spark.sinks.upsert import (
+        _PENDING_DROPS,
+        _read_target,
+    )
+
+    t = f"{tmp}/t"
+    df = spark.createDataFrame(
+        [(1, "live", "d1"), (2, "stale", "d0")], "k long, v string, d string"
+    )
+    df.write.partitionBy("d").parquet(t)
+    # simulate the post-commit crash: the drop intent exists, the dir too
+    with open(os.path.join(t, _PENDING_DROPS), "w") as fh:
+        json.dump(["d=d0"], fh)
+    healed = _read_target(spark, t)
+    assert {(r.k, r.v) for r in healed.collect()} == {(1, "live")}
+    assert not os.path.exists(os.path.join(t, _PENDING_DROPS))
+    assert "d=d0" not in os.listdir(t)
+
+
+def test_upsert_partitioned_additive_schema_evolution(spark, tmp):
+    """A column the batch carries but the stored table predates surfaces
+    as NULL on surviving rows (the Delta mergeSchema contract) — the
+    sketch store's _bid replay marker rides on this."""
+    t = f"{tmp}/t"
+    v1 = spark.createDataFrame(
+        [(1, "a", "d1"), (2, "b", "d2")], "k long, v string, d string"
+    )
+    upsert_partitioned(spark, t, v1, ["k", "d"], "d")
+    v2 = spark.createDataFrame(
+        [(3, "c", "d1", 7)], "k long, v string, d string, extra long"
+    )
+    m = upsert_partitioned(spark, t, v2, ["k", "d"], "d")
+    assert m == {"inserted": 1, "updated": 0}
+    got = {
+        (r.k, r.v, r.extra)
+        for r in spark.read.parquet(f"{t}/d=d1").collect()
+    }
+    assert got == {(1, "a", None), (3, "c", 7)}

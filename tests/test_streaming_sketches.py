@@ -192,3 +192,54 @@ def test_cms_stream_store_equals_batch_grid(spark, tmp_path):
     before = stored()
     assert cms_register_stream(spark, src, store, ckpt).awaitTermination(120)
     assert stored() == before
+
+
+def test_cms_apply_batch_replay_is_exactly_once(spark, tmp_path):
+    """ADVICE r8 medium: foreachBatch is at-least-once — a committed-
+    then-replayed batch must NOT double its counters. The per-day _bid
+    marker (stamped in the same partition swap as the counters) makes a
+    same-id retry and a stale smaller-id replay both no-ops."""
+    from options_data_pipeline_spark.operators.cms import cms_build
+    from options_data_pipeline_spark.streaming.sketches import cms_apply_batch
+
+    store = str(tmp_path / "store")
+    slices = [
+        _events(
+            spark,
+            [("2024-01-0%d 10:00:00" % (1 + i % 2), f"u{i + 37 * b}")
+             for i in range(60)],
+        )
+        for b in range(3)
+    ]
+    for bid, sl in enumerate(slices):
+        cms_apply_batch(spark, store, sl, bid)
+
+    def stored():
+        return {
+            (str(r.day), r.r, r.c, r.cnt)
+            for r in spark.read.parquet(store)
+            .select("day", "r", "c", "cnt")
+            .collect()
+        }
+
+    once = stored()
+    # exactly-once reference: one grid over the union of all slices
+    full = slices[0].unionByName(slices[1]).unionByName(slices[2]).select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    expected = {
+        (str(r.day), r.r, r.c, r.cnt)
+        for r in cms_build(full, "user_id", ["day"]).collect()
+    }
+    assert once == expected
+    # at-least-once retry of the LAST batch (same id, same slice)
+    cms_apply_batch(spark, store, slices[2], 2)
+    assert stored() == expected
+    # stale out-of-order replay of an EARLIER batch
+    cms_apply_batch(spark, store, slices[1], 1)
+    assert stored() == expected
+    # a genuinely NEW batch still folds in
+    cms_apply_batch(spark, store, slices[0].withColumn(
+        "user_id", F.concat(F.lit("x"), "user_id")
+    ), 3)
+    assert stored() != expected

@@ -81,11 +81,17 @@ def main() -> int:
     partial_path = out_path + ".partial"
     resume = "--resume" in sys.argv
     if resume:
-        for prior in (partial_path, out_path):
-            if os.path.exists(prior):
-                with open(prior) as fh:
-                    report = json.load(fh)
-                break
+        # newest-wins between sidecar and committed artifact (ADVICE r8:
+        # a crashed fresh run leaves a small stale sidecar that must not
+        # shadow a newer, more complete committed artifact), and entries
+        # for queries since removed from the registry are dropped so a
+        # resumed run can never carry ghosts into the final artifact
+        priors = [p for p in (partial_path, out_path) if os.path.exists(p)]
+        if priors:
+            newest = max(priors, key=os.path.getmtime)
+            with open(newest) as fh:
+                report = json.load(fh)
+            report = {k: v for k, v in report.items() if k in queries}
     n_ok = n_weak = n_fail = 0
     for name in sorted(queries):
         if resume and name in report:
