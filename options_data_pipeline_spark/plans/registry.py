@@ -148,6 +148,11 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
         stores.q_cms_store_twin,
         stores.oracle_cms_store_twin,
     ),
+    "cms_store_replay_twin": (
+        stores.q_cms_store_replay_twin,
+        stores.oracle_cms_store_replay_twin,
+    ),
+    "hll_cube": (stores.q_hll_cube, stores.oracle_hll_cube),
     "ivf_index_upsert": (
         vectors.q_ivf_index_upsert,
         vectors.oracle_ivf_index_upsert,

@@ -350,3 +350,195 @@ est AS (
 SELECT CAST(day AS TIMESTAMP) AS day, CAST(user_id AS BIGINT) AS user_id, est
 FROM est
 """
+
+
+# --- streaming CMS store REPLAY twin (ADVICE r8 medium, driver-adjudicated) --
+
+
+def q_cms_store_replay_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-adjudicated replay contract of the CMS day store: counter
+    ADD is not idempotent, and foreachBatch is AT-LEAST-ONCE — a batch
+    that commits its partition swaps but dies before the checkpoint
+    commit is re-delivered with the same batch id (ADVICE r8 medium).
+    This twin folds three deterministic slices of ``events`` into the
+    store via the exact unit the stream hands to foreachBatch
+    (:func:`..streaming.sketches.cms_apply_batch`), then RE-DELIVERS the
+    committed last batch (same id) and a stale earlier batch — the
+    per-day ``_bid`` marker, stamped in the same atomic partition swap
+    as the counters, must make both no-ops.  The oracle computes the
+    exactly-once grid of the whole table, so the driver hash fails if a
+    single counter was ever double-added.
+
+    Reference parity: the reference's PG sinks get this for free from
+    ``ON CONFLICT`` + transactional batches
+    (reference/src/pipeline/collectors/deribit.py:83-137); this is the
+    lakehouse-shaped equivalent of that exactly-once contract."""
+    import shutil
+    import tempfile
+
+    from ..streaming.sketches import cms_apply_batch
+
+    base = tempfile.mkdtemp(prefix="cms_replay_")
+    try:
+        store = f"{base}/store"
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "ts", "user_id"
+        )
+        slices = [
+            ev.where(F.col("event_id") % 2 == m).drop("event_id")
+            for m in range(2)
+        ]
+        for bid, sl in enumerate(slices):
+            cms_apply_batch(spark, store, sl, bid)
+        # at-least-once retry of the COMMITTED last batch (same id) ...
+        cms_apply_batch(spark, store, slices[1], 1)
+        # ... and a stale out-of-order replay of the first batch
+        cms_apply_batch(spark, store, slices[0], 0)
+
+        grid = spark.read.parquet(store).select("day", "r", "c", "cnt")
+        probes = spark.createDataFrame(
+            [(int(u),) for u in range(3, 153, 10)], "user_id bigint"
+        ).crossJoin(grid.select("day").distinct())
+        est = cms.cms_query(
+            grid, probes, token_col="user_id", group_cols=["day"]
+        )
+        out = est.select(
+            F.col("day").cast("timestamp").alias("day"),
+            "user_id",
+            F.col("est").cast("long").alias("est"),
+        )
+        rows = out.collect()  # bounded: days x 15 probes
+        return parallelized(spark, spark.createDataFrame(rows, out.schema))
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def oracle_cms_store_replay_twin() -> str:
+    probes = ", ".join(f"({u})" for u in range(3, 153, 10))
+    cell_exprs = " UNION ALL ".join(
+        f"SELECT day, {r} AS r, {cms.sql_cms_col(r, 'user_id')} AS c, "
+        f"COUNT(*) AS cnt FROM ev GROUP BY 1, 2, 3"
+        for r in range(cms.D)
+    )
+    probe_cells = " UNION ALL ".join(
+        f"SELECT day, user_id, {r} AS r, "
+        f"{cms.sql_cms_col(r, 'user_id')} AS c FROM probes"
+        for r in range(cms.D)
+    )
+    return f"""
+WITH ev AS (
+    SELECT CAST(ts AS DATE) AS day, user_id FROM events
+),
+grid AS ({cell_exprs}),
+pset(user_id) AS (VALUES {probes}),
+probes AS (
+    SELECT d.day, p.user_id
+    FROM (SELECT DISTINCT day FROM ev) d CROSS JOIN pset p
+),
+pc AS ({probe_cells}),
+est AS (
+    SELECT pc.day, pc.user_id,
+           CAST(MIN(COALESCE(g.cnt, 0)) AS BIGINT) AS est
+    FROM pc LEFT JOIN grid g
+      ON g.day = pc.day AND g.r = pc.r AND g.c = pc.c
+    GROUP BY 1, 2
+)
+SELECT CAST(day AS TIMESTAMP) AS day, CAST(user_id AS BIGINT) AS user_id, est
+FROM est
+"""
+
+
+# --- HLL cube: distinct-user estimates across GROUPING SETS -----------------
+
+
+def build_hll_grain_store(
+    spark: SparkSession, sf_dir: str, store_path: str
+) -> None:
+    """Ingest stage: ONE scan of events -> HLL registers at the FINEST
+    grain (day, event_type). Every coarser grouping-set estimate is a
+    register max-merge over these rows — the raw stream is never
+    rescanned, whatever slice the analyst asks for next."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "event_type", "user_id"
+    )
+    hll.hll_registers(ev, "user_id", ["day", "event_type"]).write.mode(
+        "overwrite"
+    ).partitionBy("day").parquet(store_path)
+
+
+def hll_cube_consumer(spark: SparkSession, store_path: str) -> DataFrame:
+    """Distinct-user estimates for the four grouping sets (day,
+    event_type), (day), (event_type), () — all from the stored
+    finest-grain registers ONLY.  ``cube()`` is the declarative form;
+    the register max is associative and commutative, so every cube cell
+    is exact over its slice's registers regardless of partitioning.
+    Grouping-set membership is disambiguated with explicit grouping
+    flags (a NULL day in the (event_type) row is a rollup marker, not a
+    data value)."""
+    regs = spark.read.parquet(store_path).select(
+        F.col("day").cast("date").alias("day"), "event_type", "bucket", "reg"
+    )
+    merged = (
+        regs.cube("day", "event_type", "bucket")
+        .agg(F.max("reg").alias("reg"))
+        .where(F.col("bucket").isNotNull())  # bucket is never rolled up
+    )
+    est = hll.hll_estimate(merged, ["day", "event_type"])
+    return est.select(
+        F.col("day").cast("timestamp").alias("day"),
+        "event_type",
+        (F.col("day").isNull()).cast("int").alias("day_rolled"),
+        (F.col("event_type").isNull()).cast("int").alias("type_rolled"),
+        "buckets_seen",
+        round_half_away(F.col("hll_estimate"), 4).alias("hll_estimate"),
+    )
+
+
+def q_hll_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch composability across GROUPING SETS: one finest-grain
+    register store answers (day, event_type), (day), (event_type) and
+    the grand total, max-merged — the cube consumer never touches the
+    raw events table (plan-asserted in tests/test_scale_plans.py).
+
+    At 100 TB this is the difference between materializing O(2^d)
+    distinct-count cubes (each a raw rescan) and ONE register table of
+    <= M rows per finest cell that serves every slice."""
+    import shutil
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="hll_cube_")
+    try:
+        store = f"{base}/hll_grain"
+        build_hll_grain_store(spark, sf_dir, store)
+        out = hll_cube_consumer(spark, store).orderBy(
+            "day_rolled", "type_rolled", "day", "event_type"
+        )
+        rows = out.collect()  # bounded: (days+1) x (types+1) cube cells
+        return parallelized(spark, spark.createDataFrame(rows, out.schema))
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def oracle_hll_cube() -> str:
+    regs = hll.sql_hll_registers(
+        "user_id",
+        "(SELECT CAST(ts AS DATE) AS day, event_type, user_id FROM events)",
+        "day, event_type",
+    )
+    est = hll.sql_hll_estimate("SELECT * FROM merged", "day, event_type")
+    return f"""
+WITH regs AS ({regs}),
+merged AS (
+    SELECT day, event_type, bucket, MAX(reg) AS reg
+    FROM regs
+    GROUP BY GROUPING SETS ((day, event_type, bucket), (day, bucket),
+                            (event_type, bucket), (bucket))
+),
+est AS ({est})
+SELECT CAST(day AS TIMESTAMP) AS day, event_type,
+       CAST(day IS NULL AS INT) AS day_rolled,
+       CAST(event_type IS NULL AS INT) AS type_rolled,
+       buckets_seen,
+       {sql_round_half_away('hll_estimate', 4)} AS hll_estimate
+FROM est
+"""
