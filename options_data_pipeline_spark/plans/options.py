@@ -1411,3 +1411,162 @@ SELECT l0.strike, CAST(l0.expiry_date AS TIMESTAMP) AS expiry_date,
 FROM l0 JOIN eur ON eur.strike = l0.strike
                AND eur.expiry_date = l0.expiry_date
 """
+
+
+def q_vol_surface_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-expiry quadratic smile fit: avg_iv ~ a + b*x + c*x^2 over
+    log-moneyness x = ln(strike/1000), weighted by quote count — the
+    parametric surface every options desk keeps over the raw smile
+    (:func:`q_iv_smile`), fit as a CLOSED-FORM weighted least squares:
+    no iteration, no driver math, no collect.
+
+    Scale shape: ONE pass over the trade stream builds the per-(expiry,
+    strike) quote aggregates (map-side combined); the smile points
+    (<= |strikes| rows per expiry) then reduce to eight moment sums
+    (sum w*x^k, sum w*x^k*y), each quantized to 9 dp per point and
+    accumulated in exact DECIMAL — associative under any partitioning —
+    and the 3x3 normal equations close via Cramer's rule in pinned-order
+    double arithmetic.  At 100 TB the surface costs the trade scan plus
+    a |points|-row reduction; nothing grows with volume.
+
+    Determinism: x and y quantize to 9 dp half-away (IEEE-primitive
+    formula, identical in DuckDB); every moment term is a pinned-order
+    double product rounded to 9 dp before the exact decimal sum; the
+    Cramer determinants expand in the same textual order both engines.
+    Reference parity: the reference stops at raw per-strike aggregates
+    (reference/src/pipeline/aggregators/options.py); the fit is part of
+    the beyond-reference analytics surface."""
+    c = _chain(spark, sf_dir)
+    pts = (
+        c.groupBy("expiry", "strike")
+        .agg(
+            F.sum(F.col("iv").cast("decimal(38,6)")).alias("iv_sum"),
+            F.count(F.col("iv")).alias("w"),
+        )
+        .where(F.col("w") > 0)
+    )
+    x = round_half_away(
+        F.log(F.col("strike").cast("double") / F.lit(1000.0)), 9
+    )
+    # divide in DOUBLE, not decimal: Spark and DuckDB round decimal
+    # quotients at different result scales (~5e-8 apart) — invisible at
+    # the smile's 6 dp but fatal to 9 dp moment quantization
+    y = round_half_away(
+        F.col("iv_sum").cast("double") / F.col("w").cast("double"), 9
+    )
+    wd = F.col("w").cast("double")
+    pts = pts.select("expiry", wd.alias("wd"), x.alias("x"), y.alias("y"))
+
+    def mom(expr, name):
+        return F.sum(
+            round_half_away(expr, 9).cast("decimal(25,9)")
+        ).alias(name)
+
+    xd, yd, w_ = F.col("x"), F.col("y"), F.col("wd")
+    agg = pts.groupBy("expiry").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        mom(w_, "s0"),
+        mom(w_ * xd, "s1"),
+        mom((w_ * xd) * xd, "s2"),
+        mom(((w_ * xd) * xd) * xd, "s3"),
+        mom((((w_ * xd) * xd) * xd) * xd, "s4"),
+        mom(w_ * yd, "t0"),
+        mom((w_ * xd) * yd, "t1"),
+        mom(((w_ * xd) * xd) * yd, "t2"),
+    )
+    s = {k: F.col(k).cast("double") for k in
+         ("s0", "s1", "s2", "s3", "s4", "t0", "t1", "t2")}
+
+    def det3(m11, m12, m13, m21, m22, m23, m31, m32, m33):
+        # pinned expansion order — the oracle spells the same text
+        return (
+            m11 * (m22 * m33 - m23 * m32)
+            - m12 * (m21 * m33 - m23 * m31)
+            + m13 * (m21 * m32 - m22 * m31)
+        )
+
+    d = det3(s["s0"], s["s1"], s["s2"],
+             s["s1"], s["s2"], s["s3"],
+             s["s2"], s["s3"], s["s4"])
+    da = det3(s["t0"], s["s1"], s["s2"],
+              s["t1"], s["s2"], s["s3"],
+              s["t2"], s["s3"], s["s4"])
+    db = det3(s["s0"], s["t0"], s["s2"],
+              s["s1"], s["t1"], s["s3"],
+              s["s2"], s["t2"], s["s4"])
+    dc = det3(s["s0"], s["s1"], s["t0"],
+              s["s1"], s["s2"], s["t1"],
+              s["s2"], s["s3"], s["t2"])
+    dz = F.nullif(d, F.lit(0.0))
+    return agg.select(
+        "expiry",
+        F.col("n_points").cast("long").alias("n_points"),
+        s["s0"].alias("sum_w"),
+        round_half_away(da / dz, 6).alias("base_iv"),
+        round_half_away(db / dz, 6).alias("skew"),
+        round_half_away(dc / dz, 6).alias("curvature"),
+    )
+
+
+def oracle_vol_surface_fit() -> str:
+    def sqlmom(expr, name):
+        return (
+            f"SUM(CAST({sql_round_half_away(expr, 9)} AS DECIMAL(25,9)))"
+            f" AS {name}"
+        )
+
+    moms = ", ".join([
+        sqlmom("wd", "s0"),
+        sqlmom("wd * x", "s1"),
+        sqlmom("(wd * x) * x", "s2"),
+        sqlmom("((wd * x) * x) * x", "s3"),
+        sqlmom("(((wd * x) * x) * x) * x", "s4"),
+        sqlmom("wd * y", "t0"),
+        sqlmom("(wd * x) * y", "t1"),
+        sqlmom("((wd * x) * x) * y", "t2"),
+    ])
+
+    def det3(m11, m12, m13, m21, m22, m23, m31, m32, m33):
+        return (
+            f"({m11} * ({m22} * {m33} - {m23} * {m32})"
+            f" - {m12} * ({m21} * {m33} - {m23} * {m31})"
+            f" + {m13} * ({m21} * {m32} - {m22} * {m31}))"
+        )
+
+    sd = {k: f"CAST({k} AS DOUBLE)" for k in
+          ("s0", "s1", "s2", "s3", "s4", "t0", "t1", "t2")}
+    d = det3(sd["s0"], sd["s1"], sd["s2"],
+             sd["s1"], sd["s2"], sd["s3"],
+             sd["s2"], sd["s3"], sd["s4"])
+    da = det3(sd["t0"], sd["s1"], sd["s2"],
+              sd["t1"], sd["s2"], sd["s3"],
+              sd["t2"], sd["s3"], sd["s4"])
+    db = det3(sd["s0"], sd["t0"], sd["s2"],
+              sd["s1"], sd["t1"], sd["s3"],
+              sd["s2"], sd["t2"], sd["s4"])
+    dc = det3(sd["s0"], sd["s1"], sd["t0"],
+              sd["s1"], sd["s2"], sd["t1"],
+              sd["s2"], sd["s3"], sd["t2"])
+    x = sql_round_half_away("ln(CAST(strike AS DOUBLE) / 1000.0)", 9)
+    y = sql_round_half_away("CAST(iv_sum AS DOUBLE) / CAST(w AS DOUBLE)", 9)
+    return f"""
+WITH {_CHAIN_SQL},
+pts0 AS (
+    SELECT expiry, strike,
+           SUM(CAST(iv AS DECIMAL(38,6))) AS iv_sum, COUNT(iv) AS w
+    FROM chain GROUP BY 1, 2
+),
+pts AS (
+    SELECT expiry, CAST(w AS DOUBLE) AS wd, {x} AS x, {y} AS y
+    FROM pts0 WHERE w > 0
+),
+agg AS (
+    SELECT expiry, CAST(COUNT(*) AS BIGINT) AS n_points, {moms}
+    FROM pts GROUP BY 1
+)
+SELECT expiry, n_points, CAST(s0 AS DOUBLE) AS sum_w,
+       {sql_round_half_away(f"{da} / nullif({d}, 0.0)", 6)} AS base_iv,
+       {sql_round_half_away(f"{db} / nullif({d}, 0.0)", 6)} AS skew,
+       {sql_round_half_away(f"{dc} / nullif({d}, 0.0)", 6)} AS curvature
+FROM agg
+"""

@@ -58,6 +58,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
         options.q_american_put_premium,
         options.oracle_american_put_premium,
     ),
+    "vol_surface_fit": (
+        options.q_vol_surface_fit,
+        options.oracle_vol_surface_fit,
+    ),
     # --- data quality / incremental semantics (W1, T6, S7/S8, A6, A7, K1/K2, A3/O4, P4) ---
     "gap_scan": (quality.q_gap_scan, quality.oracle_gap_scan),
     "gap_summary": (quality.q_gap_summary, quality.oracle_gap_summary),
