@@ -418,6 +418,14 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
         timeseries.q_amihud_illiq,
         timeseries.oracle_amihud_illiq,
     ),
+    "ou_half_life": (
+        timeseries.q_ou_half_life,
+        timeseries.oracle_ou_half_life,
+    ),
+    "lead_lag_xcorr": (
+        timeseries.q_lead_lag_xcorr,
+        timeseries.oracle_lead_lag_xcorr,
+    ),
     "hurst_exponent": (
         timeseries.q_hurst_exponent,
         timeseries.oracle_hurst_exponent,

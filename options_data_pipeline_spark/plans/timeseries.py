@@ -1571,3 +1571,320 @@ SELECT event_type, {rs_cols},
        {sql_round_half_away(hurst, 6)} AS hurst
 FROM rs{HURST_WINDOWS[0]} {joins}
 """
+
+
+# ---------------------------------------------------------------------------
+# ou_half_life
+# ---------------------------------------------------------------------------
+
+
+def q_ou_half_life(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-reversion speed per event type: AR(1) fit of the hourly
+    level series m_t = phi * m_{t-1} + c + eps, with the
+    Ornstein-Uhlenbeck half-life -ln 2 / ln phi and the equilibrium
+    level c / (1 - phi) — the "how fast does it come back" diagnostic
+    quant desks keep next to the ACF (:func:`q_returns_acf` asks "is it
+    mean-reverting"; this asks "with what time constant").
+
+    Scale shape: the regression never sees raw events — one map-side-
+    combined groupBy compacts the stream to O(#hours) rows per type,
+    lag pairs come from one window over that compact frame, and the
+    five OLS moments are exact DECIMAL sums (9 dp-quantized levels,
+    (18,9)x(18,9) products stay under Spark's 38-digit clamp), closed
+    in pinned-order double.  half_life/eq_mean gate to the stationary
+    region 0 < phi < 1 (NULL outside: a non-reverting series has no
+    half-life)."""
+    from ..functions.rounding import dec_sum, round_half_away
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    hourly = (
+        ev.select(
+            "event_type", F.date_trunc("hour", "ts").alias("h"), "value"
+        )
+        .groupBy("event_type", "h")
+        .agg((dec_sum(F.col("value"), scale=6) / F.count(F.lit(1))).alias("m"))
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    m9 = round_half_away(F.col("m"), 9).cast("decimal(18,9)")
+    lagged = hourly.select(
+        "event_type",
+        m9.alias("y"),
+        F.lag(m9, 1).over(w).alias("x"),
+    ).where(F.col("x").isNotNull())
+    agg = lagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sxy = F.col("sxy").cast("double")
+    phi = (nd * sxy - sx * sy) / F.nullif(nd * sxx - sx * sx, F.lit(0.0))
+    stationary = (phi > 0) & (phi < 1)
+    half_life = F.when(
+        stationary, -F.log(F.lit(2.0)) / F.log(phi)
+    )
+    eq_mean = F.when(
+        stationary, ((sy - phi * sx) / nd) / (F.lit(1.0) - phi)
+    )
+    from ..functions.rounding import round_half_away as r6
+
+    return agg.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_pairs"),
+        r6(phi, 6).alias("phi"),
+        r6(half_life, 6).alias("half_life_hours"),
+        r6(eq_mean, 6).alias("eq_mean"),
+    )
+
+
+def oracle_ou_half_life() -> str:
+    from ..functions.rounding import sql_dec_sum, sql_round_half_away
+
+    m9 = (
+        f"CAST({sql_round_half_away('m', 9)} AS DECIMAL(18,9))"
+    )
+    phi = (
+        "((nd * sxy - sx * sy) / nullif(nd * sxx - sx * sx, 0.0))"
+    )
+    return f"""
+WITH hourly AS (
+    SELECT event_type, date_trunc('hour', ts) AS h,
+           {sql_dec_sum('value', scale=6)} / count(*) AS m
+    FROM events WHERE value IS NOT NULL
+    GROUP BY 1, 2
+),
+lagged AS (
+    SELECT event_type, y, x FROM (
+        SELECT event_type, {m9} AS y,
+               lag({m9}, 1) OVER (
+                   PARTITION BY event_type ORDER BY h) AS x
+        FROM hourly
+    ) WHERE x IS NOT NULL
+),
+agg AS (
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           SUM(x) AS sx, SUM(y) AS sy,
+           SUM(x * x) AS sxx, SUM(x * y) AS sxy
+    FROM lagged GROUP BY 1
+),
+closed AS (
+    SELECT event_type, n, CAST(n AS DOUBLE) AS nd,
+           CAST(sx AS DOUBLE) AS sx, CAST(sy AS DOUBLE) AS sy,
+           CAST(sxx AS DOUBLE) AS sxx, CAST(sxy AS DOUBLE) AS sxy
+    FROM agg
+),
+fit AS (
+    SELECT event_type, n, {phi} AS phi,
+           nd, sx, sy
+    FROM closed
+)
+SELECT event_type, n AS n_pairs,
+       {sql_round_half_away('phi', 6)} AS phi,
+       {sql_round_half_away(
+           "CASE WHEN phi > 0 AND phi < 1 THEN -ln(2.0) / ln(phi) END", 6)}
+           AS half_life_hours,
+       {sql_round_half_away(
+           "CASE WHEN phi > 0 AND phi < 1 THEN"
+           " ((sy - phi * sx) / nd) / (1.0 - phi) END", 6)}
+           AS eq_mean
+FROM fit
+"""
+
+
+# ---------------------------------------------------------------------------
+# lead_lag_xcorr
+# ---------------------------------------------------------------------------
+
+XCORR_LAGS = (1, 2, 3)
+
+
+def q_lead_lag_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHICH series moves first: cross-correlation of hourly levels for
+    every event-type pair at step-lags -3..3 on their common clock —
+    lag +k correlates a_t with b_{t+k} (a leads), negative lags the
+    mirror — the lead-lag screen run before building any pairs signal.
+
+    Scale shape: raw events compact to O(#hours) rows per type ONCE;
+    the pair frame is the inner self-join of compact series on the hour
+    (|pairs| x |common hours| rows, never raw x raw); ONE window pass
+    adds lead columns for both legs, and all 7 lags' correlation moments
+    reduce in a single conditional aggregate (5 exact-DECIMAL sums +
+    count per lag), closed in pinned-order double with the textbook
+    (n*sxy - sx*sy) / sqrt(...) form.  No per-lag rescans, no explode.
+
+    Determinism: levels quantize to 9 dp DECIMAL(18,9) before any
+    product (products stay under the 38-digit clamp); the lag subsets
+    are count()-consistent because every moment masks on the SAME
+    lead-null predicate."""
+    from ..functions.rounding import dec_sum, round_half_away
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    m9 = round_half_away(
+        (dec_sum(F.col("value"), scale=6) / F.count(F.lit(1))), 9
+    ).cast("decimal(18,9)")
+    hourly = (
+        ev.select(
+            "event_type", F.date_trunc("hour", "ts").alias("h"), "value"
+        )
+        .groupBy("event_type", "h")
+        .agg(m9.alias("m"))
+    )
+    a = hourly.select(
+        F.col("event_type").alias("ta"), "h", F.col("m").alias("ma")
+    )
+    b = hourly.select(
+        F.col("event_type").alias("tb"), "h", F.col("m").alias("mb")
+    )
+    pairs = a.join(b, "h").where(F.col("ta") < F.col("tb"))
+    w = Window.partitionBy("ta", "tb").orderBy("h")
+    lead_cols = []
+    for k in XCORR_LAGS:
+        lead_cols.append(F.lead("ma", k).over(w).alias(f"la{k}"))
+        lead_cols.append(F.lead("mb", k).over(w).alias(f"lb{k}"))
+    frame = pairs.select("ta", "tb", "h", "ma", "mb", *lead_cols)
+
+    # per (pair, lag) moments: lag 0 once, +k = (ma, lb_k), -k = (mb, la_k)
+    def moments(xc, yc, tag):
+        ok = yc.isNotNull()
+        return [
+            F.count(F.when(ok, F.lit(1))).alias(f"n_{tag}"),
+            F.sum(F.when(ok, xc)).alias(f"sx_{tag}"),
+            F.sum(F.when(ok, yc)).alias(f"sy_{tag}"),
+            F.sum(F.when(ok, xc * xc)).alias(f"sxx_{tag}"),
+            F.sum(F.when(ok, yc * yc)).alias(f"syy_{tag}"),
+            F.sum(F.when(ok, xc * yc)).alias(f"sxy_{tag}"),
+        ]
+
+    aggs = moments(F.col("ma"), F.col("mb"), "p0")
+    for k in XCORR_LAGS:
+        aggs += moments(F.col("ma"), F.col(f"lb{k}"), f"p{k}")
+        aggs += moments(F.col("mb"), F.col(f"la{k}"), f"m{k}")
+    agg = frame.groupBy("ta", "tb").agg(*aggs)
+
+    def corr(tag):
+        nd = F.col(f"n_{tag}").cast("double")
+        sx = F.col(f"sx_{tag}").cast("double")
+        sy = F.col(f"sy_{tag}").cast("double")
+        sxx = F.col(f"sxx_{tag}").cast("double")
+        syy = F.col(f"syy_{tag}").cast("double")
+        sxy = F.col(f"sxy_{tag}").cast("double")
+        den = F.sqrt(nd * sxx - sx * sx) * F.sqrt(nd * syy - sy * sy)
+        return (nd * sxy - sx * sy) / F.nullif(den, F.lit(0.0))
+
+    lag_structs = [
+        F.struct(
+            F.lit(0).alias("lag"),
+            F.col("n_p0").cast("long").alias("n_obs"),
+            round_half_away(corr("p0"), 6).alias("xcorr"),
+        )
+    ]
+    for k in XCORR_LAGS:
+        lag_structs.append(
+            F.struct(
+                F.lit(k).alias("lag"),
+                F.col(f"n_p{k}").cast("long").alias("n_obs"),
+                round_half_away(corr(f"p{k}"), 6).alias("xcorr"),
+            )
+        )
+        lag_structs.append(
+            F.struct(
+                F.lit(-k).alias("lag"),
+                F.col(f"n_m{k}").cast("long").alias("n_obs"),
+                round_half_away(corr(f"m{k}"), 6).alias("xcorr"),
+            )
+        )
+    return agg.select(
+        "ta", "tb", F.explode(F.array(*lag_structs)).alias("s")
+    ).select(
+        F.col("ta").alias("type_a"),
+        F.col("tb").alias("type_b"),
+        F.col("s.lag").cast("int").alias("lag"),
+        F.col("s.n_obs").alias("n_obs"),
+        F.col("s.xcorr").alias("xcorr"),
+    )
+
+
+def oracle_lead_lag_xcorr() -> str:
+    from ..functions.rounding import sql_dec_sum, sql_round_half_away
+
+    m_expr = sql_dec_sum("value", scale=6) + " / count(*)"
+    m9 = f"CAST({sql_round_half_away(m_expr, 9)} AS DECIMAL(18,9))"
+    lead_sel = []
+    for k in XCORR_LAGS:
+        lead_sel.append(
+            f"lead(ma, {k}) OVER (PARTITION BY ta, tb ORDER BY h) AS la{k}"
+        )
+        lead_sel.append(
+            f"lead(mb, {k}) OVER (PARTITION BY ta, tb ORDER BY h) AS lb{k}"
+        )
+
+    def moments(x, y, tag):
+        ok = f"{y} IS NOT NULL"
+        return (
+            f"CAST(count(*) FILTER (WHERE {ok}) AS BIGINT) AS n_{tag}, "
+            f"SUM({x}) FILTER (WHERE {ok}) AS sx_{tag}, "
+            f"SUM({y}) FILTER (WHERE {ok}) AS sy_{tag}, "
+            f"SUM({x} * {x}) FILTER (WHERE {ok}) AS sxx_{tag}, "
+            f"SUM({y} * {y}) FILTER (WHERE {ok}) AS syy_{tag}, "
+            f"SUM({x} * {y}) FILTER (WHERE {ok}) AS sxy_{tag}"
+        )
+
+    mom_sql = [moments("ma", "mb", "p0")]
+    for k in XCORR_LAGS:
+        mom_sql.append(moments("ma", f"lb{k}", f"p{k}"))
+        mom_sql.append(moments("mb", f"la{k}", f"m{k}"))
+
+    def corr(tag):
+        nd = f"CAST(n_{tag} AS DOUBLE)"
+        sx = f"CAST(sx_{tag} AS DOUBLE)"
+        sy = f"CAST(sy_{tag} AS DOUBLE)"
+        sxx = f"CAST(sxx_{tag} AS DOUBLE)"
+        syy = f"CAST(syy_{tag} AS DOUBLE)"
+        sxy = f"CAST(sxy_{tag} AS DOUBLE)"
+        den = (
+            f"(sqrt({nd} * {sxx} - {sx} * {sx})"
+            f" * sqrt({nd} * {syy} - {sy} * {sy}))"
+        )
+        return f"(({nd} * {sxy} - {sx} * {sy}) / nullif({den}, 0.0))"
+
+    rows = [
+        f"SELECT ta, tb, 0 AS lag, n_p0 AS n_obs, "
+        f"{sql_round_half_away(corr('p0'), 6)} AS xcorr FROM agg"
+    ]
+    for k in XCORR_LAGS:
+        rows.append(
+            f"SELECT ta, tb, {k} AS lag, n_p{k} AS n_obs, "
+            f"{sql_round_half_away(corr(f'p{k}'), 6)} AS xcorr FROM agg"
+        )
+        rows.append(
+            f"SELECT ta, tb, -{k} AS lag, n_m{k} AS n_obs, "
+            f"{sql_round_half_away(corr(f'm{k}'), 6)} AS xcorr FROM agg"
+        )
+    union = " UNION ALL ".join(rows)
+    return f"""
+WITH hourly AS (
+    SELECT event_type, date_trunc('hour', ts) AS h, {m9} AS m
+    FROM events WHERE value IS NOT NULL
+    GROUP BY 1, 2
+),
+pairs AS (
+    SELECT a.event_type AS ta, b.event_type AS tb, a.h,
+           a.m AS ma, b.m AS mb
+    FROM hourly a JOIN hourly b ON a.h = b.h
+    WHERE a.event_type < b.event_type
+),
+frame AS (
+    SELECT ta, tb, h, ma, mb, {", ".join(lead_sel)} FROM pairs
+),
+agg AS (
+    SELECT ta, tb, {", ".join(mom_sql)}
+    FROM frame GROUP BY 1, 2
+)
+SELECT ta AS type_a, tb AS type_b, CAST(lag AS INT) AS lag, n_obs, xcorr
+FROM ({union})
+"""
