@@ -368,6 +368,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
     "frequent_ngrams": (text.q_frequent_ngrams, text.oracle_frequent_ngrams),
     "bpe_pair_counts": (text.q_bpe_pair_counts, text.oracle_bpe_pair_counts),
     "weighted_sample": (text.q_weighted_sample, text.oracle_weighted_sample),
+    "kn_bigram_lm": (text.q_kn_bigram_lm, text.oracle_kn_bigram_lm),
+    "dpo_pair_build": (text.q_dpo_pair_build, text.oracle_dpo_pair_build),
     "bigram_pmi": (text.q_bigram_pmi, text.oracle_bigram_pmi),
     "length_ks_drift": (text.q_length_ks_drift, text.oracle_length_ks_drift),
     "zipf_fit": (text.q_zipf_fit, text.oracle_zipf_fit),

@@ -3644,3 +3644,229 @@ SELECT doc_id, lang, nw AS n_words, ns AS n_sentences, sy AS n_syllables,
        {sql_round_half_away(score, 4)} AS flesch
 FROM counts
 """
+
+
+# ---------------------------------------------------------------------------
+# kn_bigram_lm
+# ---------------------------------------------------------------------------
+
+KN_DISCOUNT = 0.75
+KN_TOPK = 40
+
+
+def q_kn_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram probabilities — the smoothing every
+    production n-gram LM uses — for the corpus's top bigrams:
+
+        P_kn(b|a) = max(c_ab - d, 0) / c_a
+                    + (d * N1+(a,.) / c_a) * (N1+(.,b) / B)
+
+    with d = 0.75, N1+(a,.) = distinct continuations of a, N1+(.,b) =
+    distinct left contexts of b (the "how many contexts has b completed"
+    novelty count that makes KN beat plain backoff), B = distinct bigram
+    types.  Discount mass conserves by construction: what max(c-d,0)
+    removes is exactly what the continuation term redistributes.
+
+    Scale shape: ONE bigram fan-out + hash aggregate compacts the corpus
+    to distinct (a, b) rows; context totals c_a / N1+(a,.) and the
+    continuation counts N1+(.,b) are vocabulary-sized aggregates OVER
+    that compact table (not corpus rescans — n1p_a is just count(*),
+    the rows are already distinct pairs); scoring joins the top-k probe
+    rows against two dimension tables (AQE broadcasts them) and a 1-row
+    scalar.  Arithmetic is pinned-order double over exact integer counts
+    (:func:`..plans.text.q_bigram_pmi` is the exact-rational cousin;
+    KN's discount makes a division chain unavoidable).
+
+    Reference parity: beyond-reference LLM-data surface (the reference
+    has no text ops); the selection ladder (c_ab desc, a, b) keeps the
+    probe set deterministic at any parallelism."""
+    from ..operators.materialize import materialize
+
+    docs = parallelized(spark, load_table(spark, sf_dir, "documents")).select(
+        "text"
+    )
+    bigram_expr = (
+        "CASE WHEN size(split(text, ' ')) >= 2 THEN "
+        "transform(sequence(1, size(split(text, ' ')) - 1), "
+        "i -> struct(split(text, ' ')[i-1] AS term_a, split(text, ' ')[i] AS term_b)) "
+        "ELSE array() END"
+    )
+    bi = materialize(
+        docs.select(F.explode(F.expr(bigram_expr)).alias("bg"))
+        .select("bg.term_a", "bg.term_b")
+        .where((F.length("term_a") > 0) & (F.length("term_b") > 0))
+        .groupBy("term_a", "term_b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+    )
+    ctx = bi.groupBy("term_a").agg(
+        F.sum("c_ab").cast("long").alias("c_a"),
+        F.count(F.lit(1)).cast("long").alias("n1p_a"),
+    )
+    cont = bi.groupBy("term_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n1p_b")
+    )
+    btot = bi.agg(F.count(F.lit(1)).cast("long").alias("b_types"))
+    top = bi.orderBy(
+        F.col("c_ab").desc(), F.col("term_a"), F.col("term_b")
+    ).limit(KN_TOPK)
+    scored = (
+        top.join(ctx, "term_a")
+        .join(cont, "term_b")
+        .crossJoin(F.broadcast(btot))
+    )
+    d = F.lit(KN_DISCOUNT)
+    c_ab = F.col("c_ab").cast("double")
+    c_a = F.col("c_a").cast("double")
+    n1a = F.col("n1p_a").cast("double")
+    n1b = F.col("n1p_b").cast("double")
+    bt = F.col("b_types").cast("double")
+    p_kn = (
+        F.greatest(c_ab - d, F.lit(0.0)) / c_a
+        + ((d * n1a) / c_a) * (n1b / bt)
+    )
+    return scored.select(
+        "term_a",
+        "term_b",
+        F.col("c_ab").cast("long").alias("c_ab"),
+        "c_a",
+        "n1p_a",
+        "n1p_b",
+        round_half_away(p_kn, 9).alias("p_kn"),
+    )
+
+
+def oracle_kn_bigram_lm() -> str:
+    from ..functions.rounding import sql_round_half_away
+
+    p_kn = (
+        "(greatest(CAST(c_ab AS DOUBLE) - 0.75, 0.0) / CAST(c_a AS DOUBLE)"
+        " + ((0.75 * CAST(n1p_a AS DOUBLE)) / CAST(c_a AS DOUBLE))"
+        " * (CAST(n1p_b AS DOUBLE) / CAST(b_types AS DOUBLE)))"
+    )
+    return f"""
+WITH toks AS (
+    SELECT string_split(text, ' ') AS w FROM documents
+),
+bi AS (
+    SELECT term_a, term_b, CAST(count(*) AS BIGINT) AS c_ab FROM (
+        SELECT w[i] AS term_a, w[i + 1] AS term_b FROM (
+            SELECT w, unnest(generate_series(1, len(w) - 1)) AS i
+            FROM toks WHERE len(w) >= 2
+        )
+    )
+    WHERE length(term_a) > 0 AND length(term_b) > 0
+    GROUP BY 1, 2
+),
+ctx AS (
+    SELECT term_a, CAST(SUM(c_ab) AS BIGINT) AS c_a,
+           CAST(count(*) AS BIGINT) AS n1p_a
+    FROM bi GROUP BY 1
+),
+cont AS (
+    SELECT term_b, CAST(count(*) AS BIGINT) AS n1p_b FROM bi GROUP BY 1
+),
+btot AS (SELECT CAST(count(*) AS BIGINT) AS b_types FROM bi),
+top AS (
+    SELECT * FROM bi
+    ORDER BY c_ab DESC, term_a, term_b LIMIT {KN_TOPK}
+)
+SELECT term_a, term_b, c_ab, c_a, n1p_a, n1p_b,
+       {sql_round_half_away(p_kn, 9)} AS p_kn
+FROM top JOIN ctx USING (term_a) JOIN cont USING (term_b), btot
+"""
+
+
+# ---------------------------------------------------------------------------
+# dpo_pair_build
+# ---------------------------------------------------------------------------
+
+
+def q_dpo_pair_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair construction for DPO-style training: per
+    (lang, source) prompt group, *chosen* = the quality-score argmax and
+    *rejected* = the argmin (doc_id tie ladder, lower id wins), with the
+    preference margin attached — the deterministic pair-mining step that
+    turns a scored corpus into a preference dataset.
+
+    Scale shape: the score is a pure row expression
+    (:func:`..operators.textstats.quality_score`, the hash-green
+    text_quality scorer), and the extremal selection is ONE map-side-
+    combined groupBy over struct-ordered min/max — no windows, no
+    self-joins, no shuffles beyond the single group aggregate.  Groups
+    with a single doc produce a degenerate pair (chosen == rejected,
+    margin 0) and are filtered: a preference pair needs two documents."""
+    docs = parallelized(spark, load_table(spark, sf_dir, "documents"))
+    scored = TS.quality_score(docs).select(
+        "lang",
+        "source",
+        "doc_id",
+        round_half_away(F.col("quality_score"), 9).alias("q"),
+    )
+    # struct order: higher score first, then LOWER doc_id (negate id)
+    best = F.max(
+        F.struct(F.col("q"), (-F.col("doc_id")).alias("nid"))
+    ).alias("best")
+    worst = F.min(
+        F.struct(F.col("q"), F.col("doc_id").alias("pid"))
+    ).alias("worst")
+    agg = scored.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"), best, worst
+    )
+    return (
+        agg.where(F.col("n_docs") >= 2)
+        .select(
+            "lang",
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            (-F.col("best.nid")).cast("long").alias("chosen_doc"),
+            F.col("worst.pid").cast("long").alias("rejected_doc"),
+            F.col("best.q").alias("chosen_score"),
+            F.col("worst.q").alias("rejected_score"),
+            round_half_away(F.col("best.q") - F.col("worst.q"), 9).alias(
+                "margin"
+            ),
+        )
+    )
+
+
+def oracle_dpo_pair_build() -> str:
+    from ..functions.rounding import sql_round_half_away
+
+    stop = "['the','a','of','and','to','in','is','on','for','it']"
+    score = (
+        "least(1.0, n_tokens / 64.0) * 0.5"
+        " + least(1.0, (n_stop / n_tokens) * 4.0) * 0.3"
+        " + (1.0 - least(1.0, (n_symbols / n_chars) * 10.0)) * 0.2"
+    )
+    return f"""
+WITH base AS (
+    SELECT lang, source, doc_id,
+        CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tokens,
+        CAST(len(list_filter(string_split(text, ' '),
+                             w -> list_contains({stop}, w))) AS DOUBLE) AS n_stop,
+        CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS DOUBLE) AS n_symbols,
+        CAST(length(text) AS DOUBLE) AS n_chars
+    FROM documents
+),
+scored AS (
+    SELECT lang, source, doc_id,
+           {sql_round_half_away(score, 9)} AS q
+    FROM base
+),
+ranked AS (
+    SELECT lang, source, doc_id, q,
+        row_number() OVER (PARTITION BY lang, source
+                           ORDER BY q DESC, doc_id ASC) AS rb,
+        row_number() OVER (PARTITION BY lang, source
+                           ORDER BY q ASC, doc_id ASC) AS rw,
+        count(*) OVER (PARTITION BY lang, source) AS n_docs
+    FROM scored
+)
+SELECT b.lang, b.source, CAST(b.n_docs AS BIGINT) AS n_docs,
+       b.doc_id AS chosen_doc, w.doc_id AS rejected_doc,
+       b.q AS chosen_score, w.q AS rejected_score,
+       {sql_round_half_away('b.q - w.q', 9)} AS margin
+FROM ranked b
+JOIN ranked w ON b.lang = w.lang AND b.source = w.source
+WHERE b.rb = 1 AND w.rw = 1 AND b.n_docs >= 2
+"""
