@@ -498,11 +498,22 @@ _PRIORITY: list[str] = [
     "daily_sessions",
     "option_chain_ohlc",
     "candle_resample",
-    # round-8 new operators: first driver adjudication this round
-    "hll_week_from_store",
-    "cms_topk_from_store",
+    # round-9 new operators: first driver adjudication this round
+    "cms_store_replay_twin",
+    "hll_cube",
+    "vol_surface_fit",
+    "ou_half_life",
+    "lead_lag_xcorr",
+    "kn_bigram_lm",
+    "dpo_pair_build",
+    # round-9 code changes (replay-idempotent CMS store, moving-upsert
+    # drained-drop journal): re-adjudicate the affected twins
+    "cms_store_twin",
     "ivf_index_upsert",
     "minhash_index_upsert",
+    # round-8 new operators: second driver pass
+    "hll_week_from_store",
+    "cms_topk_from_store",
     "bpe_apply_expr",
     "crr_binomial_price",
     "bigram_perplexity",
@@ -526,7 +537,6 @@ _PRIORITY: list[str] = [
     "transition_entropy",
     "amihud_illiq",
     "hurst_exponent",
-    "cms_store_twin",
     # round-8 code changes: re-adjudicate under the driver
     "hist_quantiles",
     "sketch_store_twin",

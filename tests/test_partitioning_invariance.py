@@ -105,6 +105,15 @@ SAMPLE = [
     "transition_entropy",
     "amihud_illiq",
     "hurst_exponent",
+    # round-9 families: grouping-set register merges, closed-form WLS
+    # over 9dp moments, AR(1)/xcorr moment closures, KN count joins,
+    # struct-ordered preference extremals
+    "hll_cube",
+    "vol_surface_fit",
+    "ou_half_life",
+    "lead_lag_xcorr",
+    "kn_bigram_lm",
+    "dpo_pair_build",
 ]
 
 

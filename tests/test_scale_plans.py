@@ -579,17 +579,26 @@ def test_sketch_store_consumers_never_scan_raw_events(spark, tmp_path_factory):
     tmp = str(tmp_path_factory.mktemp("sketch_stores"))
     hll_path = f"{tmp}/hll_days"
     grid_path, cand_path = f"{tmp}/cms_days", f"{tmp}/cands"
+    grain_path = f"{tmp}/hll_grain"
     stores.build_hll_day_store(spark, SF_DIR, hll_path)
     stores.build_cms_day_store(spark, SF_DIR, grid_path, cand_path)
+    stores.build_hll_grain_store(spark, SF_DIR, grain_path)
 
     hll_plan = fmt(spark, stores.hll_week_consumer(spark, hll_path))
     cms_plan = fmt(
         spark, stores.cms_week_topk_consumer(spark, grid_path, cand_path)
     )
-    for name, plan in (("hll", hll_plan), ("cms", cms_plan)):
+    cube_plan = fmt(spark, stores.hll_cube_consumer(spark, grain_path))
+    for name, plan in (
+        ("hll", hll_plan), ("cms", cms_plan), ("cube", cube_plan)
+    ):
         assert "events.parquet" not in plan, (
             f"{name} consumer plan scans raw events — store defeated"
         )
+    # cube consumer: scan -> Expand (grouping sets) -> max-merge ->
+    # estimate; the register store is the only input
+    assert "hll_grain" in cube_plan
+    assert len(shuffle_exchanges(cube_plan)) <= 2
     # and they really read the stores
     assert "hll_days" in hll_plan
     assert "cms_days" in cms_plan and "cands" in cms_plan
