@@ -1433,9 +1433,9 @@ def q_vol_surface_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     formula, identical in DuckDB); every moment term is a pinned-order
     double product rounded to 9 dp before the exact decimal sum; the
     Cramer determinants expand in the same textual order both engines.
-    Reference parity: the reference stops at raw per-strike aggregates
-    (reference/src/pipeline/aggregators/options.py); the fit is part of
-    the beyond-reference analytics surface."""
+    Reference parity: the reference stops at raw per-contract hourly
+    aggregates (reference/src/pipeline/aggregators/option_ohlc.py); the
+    fit is part of the beyond-reference analytics surface."""
     c = _chain(spark, sf_dir)
     pts = (
         c.groupBy("expiry", "strike")
