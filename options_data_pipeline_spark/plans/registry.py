@@ -368,6 +368,18 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
     "frequent_ngrams": (text.q_frequent_ngrams, text.oracle_frequent_ngrams),
     "bpe_pair_counts": (text.q_bpe_pair_counts, text.oracle_bpe_pair_counts),
     "weighted_sample": (text.q_weighted_sample, text.oracle_weighted_sample),
+    "tokenizer_fertility": (
+        text.q_tokenizer_fertility,
+        text.oracle_tokenizer_fertility,
+    ),
+    "ngram_novelty_decay": (
+        text.q_ngram_novelty_decay,
+        text.oracle_ngram_novelty_decay,
+    ),
+    "minhash_lsh_tuning": (
+        text.q_minhash_lsh_tuning,
+        text.oracle_minhash_lsh_tuning,
+    ),
     "kn_bigram_lm": (text.q_kn_bigram_lm, text.oracle_kn_bigram_lm),
     "dpo_pair_build": (text.q_dpo_pair_build, text.oracle_dpo_pair_build),
     "bigram_pmi": (text.q_bigram_pmi, text.oracle_bigram_pmi),
@@ -419,6 +431,15 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
     "amihud_illiq": (
         timeseries.q_amihud_illiq,
         timeseries.oracle_amihud_illiq,
+    ),
+    "garch_vol": (timeseries.q_garch_vol, timeseries.oracle_garch_vol),
+    "var_es_historical": (
+        timeseries.q_var_es_historical,
+        timeseries.oracle_var_es_historical,
+    ),
+    "tail_dependence": (
+        timeseries.q_tail_dependence,
+        timeseries.oracle_tail_dependence,
     ),
     "ou_half_life": (
         timeseries.q_ou_half_life,
@@ -506,6 +527,12 @@ _PRIORITY: list[str] = [
     "lead_lag_xcorr",
     "kn_bigram_lm",
     "dpo_pair_build",
+    "garch_vol",
+    "var_es_historical",
+    "tail_dependence",
+    "tokenizer_fertility",
+    "ngram_novelty_decay",
+    "minhash_lsh_tuning",
     # round-9 code changes (replay-idempotent CMS store, moving-upsert
     # drained-drop journal): re-adjudicate the affected twins
     "cms_store_twin",

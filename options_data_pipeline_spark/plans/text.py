@@ -3870,3 +3870,382 @@ FROM ranked b
 JOIN ranked w ON b.lang = w.lang AND b.source = w.source
 WHERE b.rb = 1 AND w.rw = 1 AND b.n_docs >= 2
 """
+
+
+# ---------------------------------------------------------------------------
+# tokenizer_fertility
+# ---------------------------------------------------------------------------
+
+
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-efficiency report per (lang, source): fertility
+    (BPE-ish tokens per whitespace word) and bytes per token — THE
+    table a team reads before committing a vocabulary, because a
+    fertility regression on one language silently doubles its training
+    cost.  Tokens use the engine's BPE-ish pre-tokenizer convention
+    (letter runs | digit runs | single symbols, the doc_stats regex).
+
+    Scale shape: both counts are pure row expressions; ONE map-side-
+    combined groupBy over the (lang, source) dimension key reduces the
+    corpus — exact integer sums, two double divisions at the end."""
+    docs = parallelized(spark, load_table(spark, sf_dir, "documents"))
+    words = F.size(
+        F.filter(F.split("text", " "), lambda t: F.length(t) > 0)
+    ).cast("long")
+    toks = F.regexp_count(
+        F.col("text"), F.lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]")
+    ).cast("long")
+    rows = docs.select(
+        "lang",
+        "source",
+        words.alias("n_words"),
+        toks.alias("n_tokens"),
+        F.length("text").cast("long").alias("n_bytes"),
+    )
+    agg = rows.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").alias("words"),
+        F.sum("n_tokens").alias("tokens"),
+        F.sum("n_bytes").alias("bytes"),
+    )
+    fert = F.col("tokens").cast("double") / F.col("words").cast("double")
+    bpt = F.col("bytes").cast("double") / F.col("tokens").cast("double")
+    return agg.select(
+        "lang",
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("words").cast("long").alias("words"),
+        F.col("tokens").cast("long").alias("tokens"),
+        F.col("bytes").cast("long").alias("bytes"),
+        round_half_away(fert, 6).alias("fertility"),
+        round_half_away(bpt, 6).alias("bytes_per_token"),
+    )
+
+
+def oracle_tokenizer_fertility() -> str:
+    from ..functions.rounding import sql_round_half_away
+
+    return f"""
+WITH rows_t AS (
+    SELECT lang, source,
+        CAST(len(list_filter(string_split(text, ' '),
+                             t -> length(t) > 0)) AS BIGINT) AS n_words,
+        CAST(len(regexp_extract_all(text,
+                 '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS BIGINT) AS n_tokens,
+        CAST(length(text) AS BIGINT) AS n_bytes
+    FROM documents
+),
+agg AS (
+    SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS words,
+           CAST(SUM(n_tokens) AS BIGINT) AS tokens,
+           CAST(SUM(n_bytes) AS BIGINT) AS bytes
+    FROM rows_t GROUP BY 1, 2
+)
+SELECT lang, source, n_docs, words, tokens, bytes,
+       {sql_round_half_away(
+           'CAST(tokens AS DOUBLE) / CAST(words AS DOUBLE)', 6)} AS fertility,
+       {sql_round_half_away(
+           'CAST(bytes AS DOUBLE) / CAST(tokens AS DOUBLE)', 6)}
+           AS bytes_per_token
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# ngram_novelty_decay
+# ---------------------------------------------------------------------------
+
+NOVELTY_N = 3  # word n-gram order
+NOVELTY_DECILES = 10
+
+
+def q_ngram_novelty_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus novelty curve: per doc-id decile, how many of the decile's
+    distinct word 3-grams are seen for the FIRST time there — the "is
+    more crawl still adding information" curve that decides when to stop
+    scaling a source (novelty_rate decaying toward 0 = the source is
+    exhausted).
+
+    Scale shape: the corpus explodes to (gram, doc) ONCE and immediately
+    collapses to distinct pairs (map-side combine); first occurrence is
+    min(doc_id) per gram over that COMPACT table; decile bucketing is a
+    pure expression against the 1-row max-id scalar (broadcast); both
+    counts reduce dimension-sized frames.  Nothing downstream of the
+    first collapse scales with corpus size — only with vocabulary."""
+    from ..operators.materialize import materialize
+
+    docs = parallelized(spark, load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "text"
+    )
+    gram_expr = (
+        f"CASE WHEN size(split(text, ' ')) >= {NOVELTY_N} THEN "
+        f"transform(sequence(1, size(split(text, ' ')) - {NOVELTY_N - 1}), "
+        f"i -> concat_ws(' ', slice(split(text, ' '), i, {NOVELTY_N}))) "
+        "ELSE array() END"
+    )
+    gd = materialize(
+        docs.select(
+            "doc_id", F.explode(F.expr(gram_expr)).alias("gram")
+        ).distinct()
+    )
+    firsts = gd.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    maxid = docs.agg((F.max("doc_id") + 1).alias("mx"))
+    dec = F.least(
+        F.lit(NOVELTY_DECILES - 1),
+        F.floor(
+            F.col("doc_id").cast("double") * NOVELTY_DECILES
+            / F.col("mx").cast("double")
+        ).cast("int"),
+    )
+    seen = (
+        gd.crossJoin(F.broadcast(maxid))
+        .select(dec.alias("decile"), "gram")
+        .distinct()
+        .groupBy("decile")
+        .agg(F.count(F.lit(1)).alias("distinct_grams"))
+    )
+    fdec = F.least(
+        F.lit(NOVELTY_DECILES - 1),
+        F.floor(
+            F.col("first_doc").cast("double") * NOVELTY_DECILES
+            / F.col("mx").cast("double")
+        ).cast("int"),
+    )
+    novel = (
+        firsts.crossJoin(F.broadcast(maxid))
+        .select(fdec.alias("decile"))
+        .groupBy("decile")
+        .agg(F.count(F.lit(1)).alias("novel_grams"))
+    )
+    out = seen.join(novel, "decile", "left")
+    rate = (
+        F.coalesce(F.col("novel_grams"), F.lit(0)).cast("double")
+        / F.col("distinct_grams").cast("double")
+    )
+    return out.select(
+        F.col("decile").cast("int").alias("decile"),
+        F.col("distinct_grams").cast("long").alias("distinct_grams"),
+        F.coalesce(F.col("novel_grams"), F.lit(0))
+        .cast("long")
+        .alias("novel_grams"),
+        round_half_away(rate, 6).alias("novelty_rate"),
+    )
+
+
+def oracle_ngram_novelty_decay() -> str:
+    from ..functions.rounding import sql_round_half_away
+
+    n = NOVELTY_N
+    d = NOVELTY_DECILES
+    return f"""
+WITH gd AS (
+    SELECT DISTINCT doc_id, gram FROM (
+        SELECT doc_id,
+               array_to_string(w[i:i + {n - 1}], ' ') AS gram
+        FROM (
+            SELECT doc_id, w,
+                   unnest(generate_series(1, len(w) - {n - 1})) AS i
+            FROM (SELECT doc_id, string_split(text, ' ') AS w
+                  FROM documents)
+            WHERE len(w) >= {n}
+        )
+    )
+),
+mx AS (SELECT MAX(doc_id) + 1 AS mx FROM documents),
+firsts AS (
+    SELECT gram, MIN(doc_id) AS first_doc FROM gd GROUP BY 1
+),
+seen AS (
+    SELECT decile, CAST(count(*) AS BIGINT) AS distinct_grams FROM (
+        SELECT DISTINCT
+            least({d - 1}, CAST(floor(CAST(doc_id AS DOUBLE) * {d}
+                / CAST(mx AS DOUBLE)) AS INT)) AS decile,
+            gram
+        FROM gd, mx
+    ) GROUP BY 1
+),
+novel AS (
+    SELECT least({d - 1}, CAST(floor(CAST(first_doc AS DOUBLE) * {d}
+               / CAST(mx AS DOUBLE)) AS INT)) AS decile,
+           CAST(count(*) AS BIGINT) AS novel_grams
+    FROM firsts, mx GROUP BY 1
+)
+SELECT s.decile, s.distinct_grams,
+       CAST(COALESCE(n.novel_grams, 0) AS BIGINT) AS novel_grams,
+       {sql_round_half_away(
+           "CAST(COALESCE(n.novel_grams, 0) AS DOUBLE)"
+           " / CAST(s.distinct_grams AS DOUBLE)", 6)} AS novelty_rate
+FROM seen s LEFT JOIN novel n ON s.decile = n.decile
+"""
+
+
+# ---------------------------------------------------------------------------
+# minhash_lsh_tuning
+# ---------------------------------------------------------------------------
+
+#: (bands, rows_per_band) configs on a 128-perm production signature
+#: budget — powers of two so the S-curve closes by exact squaring
+LSH_CONFIGS = ((64, 2), (32, 4), (16, 8), (8, 16), (4, 32))
+LSH_SIM_BINS = 20
+LSH_TAU = 0.5  # the near-dup bar the banding must protect
+
+
+def _pow2_chain(x: str, e: int) -> str:
+    """SQL text for x**e with e a power of two, by exact repeated
+    squaring — both engines evaluate the identical multiplication tree,
+    so no libm pow() variance can split the hash."""
+    assert e & (e - 1) == 0 and e >= 1
+    t = x
+    while e > 1:
+        t = f"({t} * {t})"
+        e //= 2
+    return t
+
+
+def q_minhash_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding design query: for each (bands, rows) split of a
+    128-perm signature budget, the EXPECTED candidate volume, recall on
+    true near-dups (jaccard >= 0.5), and false-candidate rate below the
+    bar — evaluated against the CORPUS'S OWN pair-similarity histogram,
+    not a textbook curve.  This is the table that picks the banding
+    BEFORE an expensive re-shingle at 100 TB: the S-curve
+    p(s) = 1 - (1 - s^r)^b is analytic, so the whole sweep costs one
+    20-bin histogram, no re-hashing per config.
+
+    Scale shape: the similarity distribution comes from the df-capped
+    inverted-index pair counts (:func:`shingle_pair_counts` — bounded by
+    cap x |postings|, never all-pairs), collapsed to a 20-bin histogram;
+    each config's expectation is a 20-row weighted sum with the S-curve
+    closed by EXACT repeated squaring (b, r are powers of two — no
+    libm pow anywhere).  The implied threshold (1/b)^(1/r) is a Python
+    literal per config, repr-shared with the oracle."""
+    from ..operators.materialize import materialize
+
+    pairs = shingle_pair_counts(capped_shingle_postings(spark, sf_dir))
+    jac = F.col("n_common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_common")
+    ).cast("double")
+    hist = materialize(
+        pairs.select(
+            F.least(
+                F.lit(LSH_SIM_BINS - 1),
+                F.floor(jac * LSH_SIM_BINS).cast("int"),
+            ).alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    mid = "((CAST(bin AS DOUBLE) + 0.5) / 20.0)"
+    per_config = []
+    for b, r in LSH_CONFIGS:
+        sr = _pow2_chain(mid, r)
+        p = f"(1.0 - {_pow2_chain(f'(1.0 - {sr})', b)})"
+        cfg = hist.select(
+            F.lit(b).alias("bands"),
+            F.lit(r).alias("rows_per_band"),
+            F.col("cnt"),
+            F.expr(p).alias("p"),
+            (F.col("bin") >= int(LSH_TAU * LSH_SIM_BINS)).alias("hi"),
+        ).groupBy("bands", "rows_per_band").agg(
+            F.sum(
+                round_half_away(F.col("cnt") * F.col("p"), 6).cast(
+                    "decimal(25,6)"
+                )
+            ).alias("exp_cand"),
+            F.sum(
+                F.when(
+                    F.col("hi"),
+                    round_half_away(F.col("cnt") * F.col("p"), 6).cast(
+                        "decimal(25,6)"
+                    ),
+                )
+            ).alias("exp_hi"),
+            F.sum(F.when(F.col("hi"), F.col("cnt"))).alias("n_hi"),
+            F.sum(F.when(~F.col("hi"), F.col("cnt"))).alias("n_lo"),
+            F.sum(
+                F.when(
+                    ~F.col("hi"),
+                    round_half_away(F.col("cnt") * F.col("p"), 6).cast(
+                        "decimal(25,6)"
+                    ),
+                )
+            ).alias("exp_lo"),
+        ).select(
+            "bands",
+            "rows_per_band",
+            F.lit(round((1.0 / b) ** (1.0 / r), 9)).alias("threshold"),
+            round_half_away(F.col("exp_cand").cast("double"), 6).alias(
+                "expected_candidates"
+            ),
+            round_half_away(
+                F.col("exp_hi").cast("double")
+                / F.col("n_hi").cast("double"),
+                6,
+            ).alias("recall_above_tau"),
+            round_half_away(
+                F.col("exp_lo").cast("double")
+                / F.col("n_lo").cast("double"),
+                6,
+            ).alias("fp_rate_below_tau"),
+        )
+        per_config.append(cfg)
+    out = per_config[0]
+    for cfg in per_config[1:]:
+        out = out.unionByName(cfg)
+    return out.select(
+        F.col("bands").cast("int").alias("bands"),
+        F.col("rows_per_band").cast("int").alias("rows_per_band"),
+        "threshold",
+        "expected_candidates",
+        "recall_above_tau",
+        "fp_rate_below_tau",
+    )
+
+
+def oracle_minhash_lsh_tuning() -> str:
+    from ..functions.rounding import sql_round_half_away
+
+    mid = "((CAST(bin AS DOUBLE) + 0.5) / 20.0)"
+    selects = []
+    for b, r in LSH_CONFIGS:
+        sr = _pow2_chain(mid, r)
+        p = f"(1.0 - {_pow2_chain(f'(1.0 - {sr})', b)})"
+        term = f"CAST({sql_round_half_away(f'cnt * {p}', 6)} AS DECIMAL(25,6))"
+        hi = f"bin >= {int(LSH_TAU * LSH_SIM_BINS)}"
+        selects.append(f"""
+SELECT CAST({b} AS INT) AS bands, CAST({r} AS INT) AS rows_per_band,
+       {round((1.0 / b) ** (1.0 / r), 9)!r} AS threshold,
+       {sql_round_half_away(f'CAST(SUM({term}) AS DOUBLE)', 6)}
+           AS expected_candidates,
+       {sql_round_half_away(
+           f"CAST(SUM({term}) FILTER (WHERE {hi}) AS DOUBLE)"
+           f" / CAST(SUM(cnt) FILTER (WHERE {hi}) AS DOUBLE)", 6)}
+           AS recall_above_tau,
+       {sql_round_half_away(
+           f"CAST(SUM({term}) FILTER (WHERE NOT ({hi})) AS DOUBLE)"
+           f" / CAST(SUM(cnt) FILTER (WHERE NOT ({hi})) AS DOUBLE)", 6)}
+           AS fp_rate_below_tau
+FROM hist""")
+    union = " UNION ALL ".join(selects)
+    return f"""
+WITH {_PLANTED_SQL}, {_SHINGLES_SQL},
+sh_l AS (
+    SELECT s.doc_id, s.shingle, c.lang
+    FROM shingles s JOIN corpus c USING (doc_id)
+),
+{_DF_CAP_SQL},
+jacs AS (
+    SELECT n_common / (na.n_sh + nb.n_sh - n_common) AS jaccard
+    FROM pairs
+    JOIN sizes na ON na.doc_id = doc_a
+    JOIN sizes nb ON nb.doc_id = doc_b
+),
+hist AS (
+    SELECT least({LSH_SIM_BINS - 1},
+                 CAST(floor(jaccard * {LSH_SIM_BINS}) AS INT)) AS bin,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM jacs GROUP BY 1
+)
+{union}
+"""

@@ -1888,3 +1888,346 @@ agg AS (
 SELECT ta AS type_a, tb AS type_b, CAST(lag AS INT) AS lag, n_obs, xcorr
 FROM ({union})
 """
+
+
+# ---------------------------------------------------------------------------
+# garch_vol
+# ---------------------------------------------------------------------------
+
+GARCH_OMEGA = 2e-6
+GARCH_ALPHA = 0.10
+GARCH_BETA = 0.85
+GARCH_K = 20  # truncation depth: beta^20 ~ 0.039, tail bound documented
+
+
+def q_garch_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GARCH(1,1) conditional variance per event type with pinned
+    params — the volatility filter risk engines run on every series —
+    computed NOT as the sequential recursion but as its truncated
+    closed form:
+
+        sigma2_t = omega * (1 - b^K) / (1 - b)
+                   + alpha * sum_{k=0..K-1} b^k * r2_{t-1-k}
+
+    (unrolling sigma2_t = omega + alpha*r2_{t-1} + beta*sigma2_{t-1}
+    K times; the dropped tail is beta^K * sigma2_{t-K} <= 3.9% of a
+    bounded quantity at K=20 — and the TRUNCATED filter is itself the
+    deterministic contract here, oracle-reproduced term for term).
+
+    Scale shape: the recursion LOOKS sequential (each t needs t-1) but
+    the geometric decay makes it a fixed-depth weighted lag sum — K lag
+    columns from ONE window pass over the compact hourly frame, folded
+    in pinned left-to-right order with exact literal b^k weights.  No
+    statefold kernel, no iteration, distributes like any window query.
+
+    Determinism: squared returns quantize to DECIMAL(18,9); the b^k
+    literals are Python-computed doubles repr-shared with the oracle;
+    the fold order is pinned textually in both engines."""
+    from ..functions.rounding import dec_sum, round_half_away
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    hourly = (
+        ev.select(
+            "event_type", F.date_trunc("hour", "ts").alias("h"), "value"
+        )
+        .groupBy("event_type", "h")
+        .agg((dec_sum(F.col("value"), scale=6) / F.count(F.lit(1))).alias("m"))
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    r = round_half_away(
+        (F.col("m") - F.lag("m", 1).over(w))
+        / F.nullif(F.lag("m", 1).over(w), F.lit(0.0)),
+        9,
+    ).cast("decimal(18,9)")
+    rets = hourly.select("event_type", "h", r.alias("r")).where(
+        F.col("r").isNotNull()
+    )
+    r2 = round_half_away(
+        (F.col("r") * F.col("r")).cast("double"), 12
+    )
+    sq = rets.select("event_type", "h", r2.alias("r2"))
+    lag_cols = [
+        F.lag("r2", k + 1).over(w).alias(f"l{k}") for k in range(GARCH_K)
+    ]
+    lagged = sq.select("event_type", "h", "r2", *lag_cols)
+    base = GARCH_OMEGA * (1.0 - GARCH_BETA**GARCH_K) / (1.0 - GARCH_BETA)
+    acc = F.lit(base)
+    for k in range(GARCH_K):
+        acc = acc + F.lit(GARCH_ALPHA * GARCH_BETA**k) * F.col(f"l{k}")
+    complete = lagged.where(F.col(f"l{GARCH_K - 1}").isNotNull())
+    return complete.select(
+        "event_type",
+        "h",
+        # 8 dp: sigma2 is O(1e3) here, so a 1e-12 quantum sits inside
+        # double ulp noise (a 1-ulp cross-engine difference in the
+        # 21-term chain flips the rounding); 1e-8 is 4 decades above it
+        round_half_away(acc, 8).alias("sigma2"),
+        round_half_away(F.sqrt(acc), 9).alias("garch_vol"),
+    )
+
+
+def oracle_garch_vol() -> str:
+    from ..functions.rounding import sql_dec_sum, sql_round_half_away
+
+    lag_sel = ", ".join(
+        f"lag(r2, {k + 1}) OVER (PARTITION BY event_type ORDER BY h) AS l{k}"
+        for k in range(GARCH_K)
+    )
+    base = GARCH_OMEGA * (1.0 - GARCH_BETA**GARCH_K) / (1.0 - GARCH_BETA)
+    acc = f"{base!r}"
+    for k in range(GARCH_K):
+        acc = f"{acc} + {GARCH_ALPHA * GARCH_BETA**k!r} * l{k}"
+    r = sql_round_half_away(
+        "(m - lag(m, 1) OVER (PARTITION BY event_type ORDER BY h))"
+        " / nullif(lag(m, 1) OVER (PARTITION BY event_type ORDER BY h), 0.0)",
+        9,
+    )
+    r2 = sql_round_half_away("CAST(r * r AS DOUBLE)", 12)
+    return f"""
+WITH hourly AS (
+    SELECT event_type, date_trunc('hour', ts) AS h,
+           {sql_dec_sum('value', scale=6)} / count(*) AS m
+    FROM events WHERE value IS NOT NULL
+    GROUP BY 1, 2
+),
+rets AS (
+    SELECT event_type, h, r FROM (
+        SELECT event_type, h, CAST({r} AS DECIMAL(18,9)) AS r FROM hourly
+    ) WHERE r IS NOT NULL
+),
+sq AS (
+    SELECT event_type, h, {r2} AS r2 FROM rets
+),
+lagged AS (
+    SELECT event_type, h, r2, {lag_sel} FROM sq
+)
+SELECT event_type, h,
+       {sql_round_half_away(f'({acc})', 8)} AS sigma2,
+       {sql_round_half_away(f'sqrt({acc})', 9)} AS garch_vol
+FROM lagged WHERE l{GARCH_K - 1} IS NOT NULL
+"""
+
+
+# ---------------------------------------------------------------------------
+# var_es_historical
+# ---------------------------------------------------------------------------
+
+VAR_ALPHA = 0.05
+
+
+def q_var_es_historical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Historical VaR and expected shortfall per event type: the exact
+    empirical 5% quantile of hourly returns (order statistic, worst-k
+    convention: k = ceil(alpha*n)) and the mean of the worst k — the
+    risk pair every desk publishes nightly.
+
+    Scale shape: returns live on the COMPACT hourly frame (O(#hours)
+    rows per type); the rank window partitions BY TYPE (parallel across
+    groups, never a single-partition global sort), and the tail mean is
+    an exact decimal sum over k rows.  Ties in the return value are
+    harmless: the k-th smallest VALUE is tie-invariant, and the tail
+    mean averages k EQUAL-or-smaller rows whichever tied row the ladder
+    picks (h breaks ties deterministically)."""
+    from ..functions.rounding import round_half_away
+
+    rets = _hourly_returns(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy(F.col("r").asc(), F.col("h").asc())
+    ranked = rets.select(
+        "event_type",
+        "r",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n"),
+    )
+    k = F.ceil(F.lit(VAR_ALPHA) * F.col("n").cast("double")).cast("long")
+    tail = ranked.where(F.col("rn") <= F.greatest(k, F.lit(1)))
+    agg = tail.groupBy("event_type").agg(
+        F.max("n").alias("n_obs"),
+        F.count(F.lit(1)).alias("k_tail"),
+        F.max("r").alias("var95"),  # the k-th smallest = max of worst k
+        F.sum("r").alias("tail_sum"),
+    )
+    es = F.col("tail_sum").cast("double") / F.col("k_tail").cast("double")
+    return agg.select(
+        "event_type",
+        F.col("n_obs").cast("long").alias("n_obs"),
+        F.col("k_tail").cast("long").alias("k_tail"),
+        F.col("var95").cast("double").alias("var95"),
+        round_half_away(es, 9).alias("es95"),
+    )
+
+
+def _hourly_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared compact hourly-return frame: 9 dp DECIMAL(18,9) simple
+    returns of the hourly mean level per event type (the returns_acf
+    construction, extracted for the risk family)."""
+    from ..functions.rounding import dec_sum, round_half_away
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    hourly = (
+        ev.select(
+            "event_type", F.date_trunc("hour", "ts").alias("h"), "value"
+        )
+        .groupBy("event_type", "h")
+        .agg((dec_sum(F.col("value"), scale=6) / F.count(F.lit(1))).alias("m"))
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    r = round_half_away(
+        (F.col("m") - F.lag("m", 1).over(w))
+        / F.nullif(F.lag("m", 1).over(w), F.lit(0.0)),
+        9,
+    ).cast("decimal(18,9)")
+    return hourly.select("event_type", "h", r.alias("r")).where(
+        F.col("r").isNotNull()
+    )
+
+
+_HOURLY_RETURNS_SQL = """
+hourly AS (
+    SELECT event_type, date_trunc('hour', ts) AS h,
+           {msum} / count(*) AS m
+    FROM events WHERE value IS NOT NULL
+    GROUP BY 1, 2
+),
+rets AS (
+    SELECT event_type, h, r FROM (
+        SELECT event_type, h, CAST({r9} AS DECIMAL(18,9)) AS r FROM hourly
+    ) WHERE r IS NOT NULL
+)
+"""
+
+
+def _hourly_returns_sql() -> str:
+    from ..functions.rounding import sql_dec_sum, sql_round_half_away
+
+    r9 = sql_round_half_away(
+        "(m - lag(m, 1) OVER (PARTITION BY event_type ORDER BY h))"
+        " / nullif(lag(m, 1) OVER (PARTITION BY event_type ORDER BY h), 0.0)",
+        9,
+    )
+    return _HOURLY_RETURNS_SQL.format(
+        msum=sql_dec_sum("value", scale=6), r9=r9
+    )
+
+
+def oracle_var_es_historical() -> str:
+    from ..functions.rounding import sql_round_half_away
+
+    return f"""
+WITH {_hourly_returns_sql()},
+ranked AS (
+    SELECT event_type, r,
+        row_number() OVER (PARTITION BY event_type ORDER BY r ASC, h ASC) AS rn,
+        count(*) OVER (PARTITION BY event_type) AS n
+    FROM rets
+),
+tail AS (
+    SELECT * FROM ranked
+    WHERE rn <= greatest(CAST(ceil({VAR_ALPHA!r} * CAST(n AS DOUBLE)) AS BIGINT), 1)
+)
+SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_obs,
+       CAST(count(*) AS BIGINT) AS k_tail,
+       CAST(MAX(r) AS DOUBLE) AS var95,
+       {sql_round_half_away(
+           'CAST(SUM(r) AS DOUBLE) / CAST(count(*) AS DOUBLE)', 9)} AS es95
+FROM tail GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# tail_dependence
+# ---------------------------------------------------------------------------
+
+TAIL_Q = 0.10
+
+
+def q_tail_dependence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lower-tail co-crash dependence per event-type pair: on the
+    common hourly clock, P(both series in their own worst decile)
+    divided by the independence baseline 0.10 — the copula diagnostic
+    that catches "correlations go to one in a crash" before a
+    covariance model misses it (lambda ~ 1 means crashes coincide;
+    ~ 0.1-baseline-normalized 1.0 means independent).
+
+    Scale shape: per-series decile thresholds are order statistics on
+    the COMPACT per-type return frame (rank window partitioned by
+    type); crash flags join back by type (broadcast — one row per
+    type), and pair counting is the aligned inner self-join on the hour
+    (|pairs| x |common hours| rows).  Everything downstream of the
+    hourly compaction is dimension-sized."""
+    from ..functions.rounding import round_half_away
+
+    rets = _hourly_returns(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy(F.col("r").asc(), F.col("h").asc())
+    ranked = rets.select(
+        "event_type",
+        "h",
+        "r",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n"),
+    )
+    k = F.greatest(
+        F.ceil(F.lit(TAIL_Q) * F.col("n").cast("double")).cast("long"),
+        F.lit(1),
+    )
+    flagged = ranked.select(
+        "event_type", "h", (F.col("rn") <= k).alias("crash")
+    )
+    a = flagged.select(
+        F.col("event_type").alias("ta"), "h", F.col("crash").alias("ca")
+    )
+    b = flagged.select(
+        F.col("event_type").alias("tb"), "h", F.col("crash").alias("cb")
+    )
+    pairs = a.join(b, "h").where(F.col("ta") < F.col("tb"))
+    agg = pairs.groupBy("ta", "tb").agg(
+        F.count(F.lit(1)).alias("n_common"),
+        F.sum((F.col("ca") & F.col("cb")).cast("long")).alias("n_both"),
+    )
+    lam = (
+        F.col("n_both").cast("double") / F.col("n_common").cast("double")
+    ) / F.lit(TAIL_Q)
+    return agg.select(
+        F.col("ta").alias("type_a"),
+        F.col("tb").alias("type_b"),
+        F.col("n_common").cast("long").alias("n_common"),
+        F.col("n_both").cast("long").alias("n_both"),
+        round_half_away(lam, 6).alias("tail_dep"),
+    )
+
+
+def oracle_tail_dependence() -> str:
+    from ..functions.rounding import sql_round_half_away
+
+    lam = (
+        "(CAST(n_both AS DOUBLE) / CAST(n_common AS DOUBLE))"
+        f" / {TAIL_Q!r}"
+    )
+    return f"""
+WITH {_hourly_returns_sql()},
+ranked AS (
+    SELECT event_type, h, r,
+        row_number() OVER (PARTITION BY event_type ORDER BY r ASC, h ASC) AS rn,
+        count(*) OVER (PARTITION BY event_type) AS n
+    FROM rets
+),
+flagged AS (
+    SELECT event_type, h,
+        rn <= greatest(CAST(ceil({TAIL_Q!r} * CAST(n AS DOUBLE)) AS BIGINT), 1)
+            AS crash
+    FROM ranked
+),
+pairs AS (
+    SELECT a.event_type AS ta, b.event_type AS tb,
+           a.crash AS ca, b.crash AS cb
+    FROM flagged a JOIN flagged b ON a.h = b.h
+    WHERE a.event_type < b.event_type
+),
+agg AS (
+    SELECT ta, tb, CAST(count(*) AS BIGINT) AS n_common,
+           CAST(SUM(CAST(ca AND cb AS BIGINT)) AS BIGINT) AS n_both
+    FROM pairs GROUP BY 1, 2
+)
+SELECT ta AS type_a, tb AS type_b, n_common, n_both,
+       {sql_round_half_away(lam, 6)} AS tail_dep
+FROM agg
+"""
