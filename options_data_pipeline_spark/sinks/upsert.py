@@ -281,10 +281,16 @@ def upsert_partitioned(
     partition_col: str,
     audit_col: str | None = None,
     allow_cross_partition_keys: bool = False,
+    collect_metrics: bool = True,
 ) -> dict[str, int]:
     """Partition-pruned MERGE: only partitions present in ``updates`` are
     read, merged, and dynamically overwritten — the 100 TB shape (the
     write cost follows the incremental slice, not the table).
+
+    ``collect_metrics=False`` skips the inserted/updated count jobs
+    (two extra actions over the reconciliation join): per-trigger
+    foreachBatch sinks that never read the counts — the sketch stores —
+    shave two jobs per micro-batch, which dominates at toy batch sizes.
 
     Reconciliation only sees the touched partitions, so a key that moves
     to a new ``partition_col`` value would leave its stale row alive in
@@ -312,7 +318,7 @@ def upsert_partitioned(
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     current = _read_target(spark, target_path)
     if current is None:
-        n = updates.count()
+        n = updates.count() if collect_metrics else -1
         w = updates.write.mode("overwrite").partitionBy(partition_col)
         w.parquet(target_path)
         return {"inserted": n, "updated": 0}
@@ -326,18 +332,28 @@ def upsert_partitioned(
     for col_name, dtype in updates.dtypes:
         if col_name not in touched.columns:
             touched = touched.withColumn(col_name, F.lit(None).cast(dtype))
-    updated = updates.join(touched.select(*keys).distinct(), keys, "left_semi").count()
-    inserted = updates.count() - updated
+    if collect_metrics:
+        updated = updates.join(
+            touched.select(*keys).distinct(), keys, "left_semi"
+        ).count()
+        inserted = updates.count() - updated
+    else:
+        updated = inserted = -1
     survivors = touched.join(updates.select(*keys), keys, "left_anti")
     merged = survivors.select(updates.columns).unionByName(updates)
     # Spark (correctly) refuses to overwrite a path present in the read
     # plan, so materialize the merged slice to a staging dir and re-read
     # it; the dynamic overwrite then replaces only the touched partitions.
+    # The final write repartitions by the partition column: without it
+    # every staging task fans out one file into EVERY touched day dir
+    # (tasks x partitions small files — ~1000 for a 30-day sketch batch);
+    # with it each day lands as one file and the per-trigger write cost
+    # is IO-bound on rows, not on file-open overhead.
     staging = f"{target_path}.staging-{uuid.uuid4().hex[:8]}"
     merged.write.mode("overwrite").parquet(staging)
-    spark.read.parquet(staging).write.mode("overwrite").partitionBy(
-        partition_col
-    ).parquet(target_path)
+    spark.read.parquet(staging).repartition(F.col(partition_col)).write.mode(
+        "overwrite"
+    ).partitionBy(partition_col).parquet(target_path)
     shutil.rmtree(staging)
     return {"inserted": inserted, "updated": updated}
 

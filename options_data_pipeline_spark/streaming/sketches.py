@@ -61,6 +61,7 @@ def _merge_batch_into_store(
         merged,
         keys=["day", "bucket"],
         partition_col="day",
+        collect_metrics=False,
     )
 
 
@@ -108,6 +109,8 @@ def _add_merge_batch_into_store(
     store_path: str,
     batch_grid: DataFrame,
     batch_id: int,
+    target: DataFrame | None = None,
+    target_read: bool = False,
 ) -> None:
     """ADD-merge a batch's (day, r, c, cnt) CMS cells with the stored
     grid rows of the SAME days, then partition-pruned upsert.  Unlike
@@ -123,27 +126,17 @@ def _add_merge_batch_into_store(
     their partitions are not even rewritten — so a committed-then-
     replayed batch converges instead of double-counting.  The granule
     is the day partition (the swap unit), so a crash between two days'
-    swaps replays only the day that did not commit."""
+    swaps replays only the day that did not commit.  ``target_read``
+    lets the caller pass its already-loaded store frame so one apply
+    reads the store once (the done-day probe and the merge share it)."""
     from ..sinks.upsert import _read_target
 
-    target = _read_target(spark, store_path)
+    if not target_read:
+        target = _read_target(spark, store_path)
     if target is None:
         merged = batch_grid.withColumn("_bid", F.lit(batch_id))
     else:
         batch_days = batch_grid.select("day").distinct()
-        if "_bid" in target.columns:
-            done_days = (
-                target.join(batch_days, "day")
-                .groupBy("day")
-                .agg(F.max("_bid").alias("_mx"))
-                .where(F.col("_mx") >= batch_id)
-                .select("day")
-            )
-            batch_grid = batch_grid.join(done_days, "day", "left_anti")
-            batch_days = batch_grid.select("day").distinct()
-            # bounded probe: one row per touched day
-            if not batch_days.limit(1).collect():
-                return  # every day already applied this batch
         stored = target.select("day", "r", "c", "cnt").join(batch_days, "day")
         merged = (
             batch_grid.select("day", "r", "c", "cnt")
@@ -158,6 +151,7 @@ def _add_merge_batch_into_store(
         merged,
         keys=["day", "r", "c"],
         partition_col="day",
+        collect_metrics=False,
     )
 
 
@@ -178,15 +172,37 @@ def cms_apply_batch(
     end-to-end by the ``cms_store_replay_twin`` registry query and
     tests/test_streaming_sketches.py.  Store and checkpoint lifecycles
     are coupled (standard foreachBatch idempotent-sink recipe): restart
-    the stream on a fresh checkpoint only against a fresh store."""
+    the stream on a fresh checkpoint only against a fresh store.
+
+    The stamped-day skip happens BEFORE the grid is built: a replayed
+    batch's raw slice anti-joins the (broadcast, <= touched days) done
+    set, so the md5 cell aggregation, staging write, and partition swap
+    are never paid for days already committed — a full same-id replay
+    costs one early-exit probe of the slice and nothing else."""
     from ..operators.cms import cms_build
+    from ..sinks.upsert import _read_target
 
     ev = batch_events.select(
         F.to_date(F.col(ts_col)).alias("day"),
         F.col(key_col),
     )
+    target = _read_target(spark, store_path)
+    if target is not None and "_bid" in target.columns:
+        done_days = (
+            target.groupBy("day")
+            .agg(F.max("_bid").alias("_mx"))
+            .where(F.col("_mx") >= batch_id)
+            .select("day")
+        )
+        ev = ev.join(F.broadcast(done_days), "day", "left_anti")
+        # bounded early-exit probe: LocalLimit(1) stops at the first
+        # surviving row; a fully-replayed batch scans to prove emptiness
+        if not ev.limit(1).collect():
+            return  # every day already applied this batch id
     grid = cms_build(ev, key_col, ["day"])
-    _add_merge_batch_into_store(spark, store_path, grid, batch_id)
+    _add_merge_batch_into_store(
+        spark, store_path, grid, batch_id, target=target, target_read=True
+    )
 
 
 def cms_register_stream(
