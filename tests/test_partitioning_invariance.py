@@ -114,6 +114,14 @@ SAMPLE = [
     "lead_lag_xcorr",
     "kn_bigram_lm",
     "dpo_pair_build",
+    # wave 2: truncated-recursion window fold, order-statistic risk
+    # pair, rank-threshold pair probe, corpus-histogram S-curve sweep
+    "garch_vol",
+    "var_es_historical",
+    "tail_dependence",
+    "tokenizer_fertility",
+    "ngram_novelty_decay",
+    "minhash_lsh_tuning",
 ]
 
 
