@@ -420,3 +420,117 @@ FROM r{BT_ITERS}
 JOIN wins ON wins.i = r{BT_ITERS}.i
 JOIN nm ON nm.i = r{BT_ITERS}.i
 """
+
+
+# ---------------------------------------------------------------------------
+# label_propagation
+# ---------------------------------------------------------------------------
+
+LP_ROUNDS = 3
+LP_SEED_MOD = 7  # parts with p_partkey % 7 == 0 are seeded with p_brand
+
+
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised label spread on the co-purchase graph: a seeded
+    minority of parts (p_partkey % 7 == 0) carry their brand as a fixed
+    label; ``LP_ROUNDS`` pinned rounds of weighted-majority adoption
+    (edge support as the weight, ties to the lexicographically smallest
+    label) infer labels for the rest — the community/label-inference
+    shape (LPA) that iterates WITHOUT a driver loop: each round is one
+    join + one aggregate, unrolled as ``LP_ROUNDS`` deterministic stages
+    exactly like the PageRank fixed point (:func:`q_pagerank_parts`).
+
+    Determinism: standard LPA is order-sensitive (async updates); this
+    is the SYNCHRONOUS variant with an exact integer weight sum and a
+    total tie order (weight desc, label asc), so every round is a pure
+    function of the previous frame — partition-invariant and
+    oracle-reproducible.  Seeds are clamped (never overwritten), the
+    update is monotone in coverage: unlabeled nodes gain labels, labeled
+    non-seeds may switch only by majority.
+
+    Scale: edges come from the materialized support artifact; each
+    round shuffles the (node, label) frontier — O(V+E) per round, the
+    canonical distributed LPA cost."""
+    parts = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    edges = support_edge_artifact(spark, sf_dir)
+    sym = edges.select(
+        F.col("part_a").alias("src"),
+        F.col("part_b").alias("dst"),
+        "support",
+    ).unionByName(
+        edges.select(
+            F.col("part_b").alias("src"),
+            F.col("part_a").alias("dst"),
+            "support",
+        )
+    )
+    seeds = parts.where(
+        F.col("p_partkey") % LP_SEED_MOD == 0
+    ).select(F.col("p_partkey").alias("node"), F.col("p_brand").alias("label"))
+    labels = seeds
+    for _ in range(LP_ROUNDS):
+        votes = (
+            sym.join(labels, sym.src == labels.node)
+            .select(F.col("dst").alias("node"), "label", "support")
+            .groupBy("node", "label")
+            .agg(F.sum("support").cast("long").alias("w"))
+        )
+        adopted = votes.groupBy("node").agg(
+            F.min(
+                F.struct((-F.col("w")).alias("nw"), F.col("label"))
+            ).alias("s")
+        ).select("node", F.col("s.label").alias("label"))
+        labels = seeds.unionByName(
+            adopted.join(seeds.select("node"), "node", "left_anti")
+        )
+    is_seed = (F.col("node") % LP_SEED_MOD == 0).cast("int")
+    return labels.select(
+        F.col("node").cast("long").alias("part"),
+        "label",
+        is_seed.alias("is_seed"),
+    )
+
+
+def oracle_label_propagation() -> str:
+    rounds = []
+    prev = "l0"
+    for i in range(1, LP_ROUNDS + 1):
+        rounds.append(f"""votes{i} AS (
+        SELECT e.dst AS node, {prev}.label,
+               CAST(SUM(e.support) AS BIGINT) AS w
+        FROM sym e JOIN {prev} ON {prev}.node = e.src
+        GROUP BY 1, 2
+    ),
+    adopted{i} AS (
+        SELECT node, label FROM (
+            SELECT node, label,
+                row_number() OVER (PARTITION BY node
+                                   ORDER BY w DESC, label ASC) AS rn
+            FROM votes{i}
+        ) WHERE rn = 1
+    ),
+    l{i} AS (
+        SELECT node, label FROM seeds
+        UNION ALL
+        SELECT a.node, a.label FROM adopted{i} a
+        WHERE a.node NOT IN (SELECT node FROM seeds)
+    )""")
+        prev = f"l{i}"
+    chain = ",\n    ".join(rounds)
+    return f"""
+{_PAIR_SQL},
+    sym AS (
+        SELECT part_a AS src, part_b AS dst, support FROM edge
+        UNION ALL
+        SELECT part_b AS src, part_a AS dst, support FROM edge
+    ),
+    seeds AS (
+        SELECT p_partkey AS node, p_brand AS label FROM part
+        WHERE p_partkey % {LP_SEED_MOD} = 0
+    ),
+    l0 AS (SELECT * FROM seeds),
+    {chain}
+SELECT CAST(node AS BIGINT) AS part, label,
+       CAST(node % {LP_SEED_MOD} = 0 AS INT) AS is_seed
+FROM {prev}
+"""

@@ -157,6 +157,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
         stores.oracle_cms_store_replay_twin,
     ),
     "hll_cube": (stores.q_hll_cube, stores.oracle_hll_cube),
+    "hist_quantile_store": (
+        stores.q_hist_quantile_store,
+        stores.oracle_hist_quantile_store,
+    ),
     "ivf_index_upsert": (
         vectors.q_ivf_index_upsert,
         vectors.oracle_ivf_index_upsert,
@@ -406,6 +410,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
     "basket_pairs": (affinity.q_basket_pairs, affinity.oracle_basket_pairs),
     "bradley_terry": (affinity.q_bradley_terry, affinity.oracle_bradley_terry),
     "triangle_count": (affinity.q_triangle_count, affinity.oracle_triangle_count),
+    "label_propagation": (
+        affinity.q_label_propagation,
+        affinity.oracle_label_propagation,
+    ),
     "pagerank_parts": (affinity.q_pagerank_parts, affinity.oracle_pagerank_parts),
     "skyline_parts": (tpch.q_skyline_parts, tpch.oracle_skyline_parts),
     "mad_outliers": (quality.q_mad_outliers, quality.oracle_mad_outliers),
@@ -431,6 +439,14 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
     "amihud_illiq": (
         timeseries.q_amihud_illiq,
         timeseries.oracle_amihud_illiq,
+    ),
+    "min_var_portfolio": (
+        timeseries.q_min_var_portfolio,
+        timeseries.oracle_min_var_portfolio,
+    ),
+    "drawdown_duration": (
+        timeseries.q_drawdown_duration,
+        timeseries.oracle_drawdown_duration,
     ),
     "garch_vol": (timeseries.q_garch_vol, timeseries.oracle_garch_vol),
     "var_es_historical": (
@@ -533,6 +549,10 @@ _PRIORITY: list[str] = [
     "tokenizer_fertility",
     "ngram_novelty_decay",
     "minhash_lsh_tuning",
+    "min_var_portfolio",
+    "drawdown_duration",
+    "hist_quantile_store",
+    "label_propagation",
     # round-9 code changes (replay-idempotent CMS store, moving-upsert
     # drained-drop journal): re-adjudicate the affected twins
     "cms_store_twin",

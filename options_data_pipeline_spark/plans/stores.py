@@ -542,3 +542,158 @@ SELECT CAST(day AS TIMESTAMP) AS day, event_type,
        {sql_round_half_away('hll_estimate', 4)} AS hll_estimate
 FROM est
 """
+
+
+# --- histogram-quantile store: weekly percentiles from stored bins only -----
+
+
+def build_hist_day_store(
+    spark: SparkSession, sf_dir: str, store_path: str
+) -> None:
+    """Ingest stage: ONE scan of events -> per-(type, day) 256-bin
+    equi-width histogram counts, written day-partitioned.  Bin counts
+    ADD across days (the CMS merge law), so any later window's quantiles
+    cost a <= 256-row merge per (type, window) — the raw values never
+    shuffle again."""
+    from .quality import HIST_BINS, HIST_LO, HIST_W
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day"), "value"
+    ).where(F.col("value").isNotNull())
+    bin_ = F.least(
+        F.lit(HIST_BINS - 1),
+        F.greatest(F.lit(0), F.floor((F.col("value") - HIST_LO) / HIST_W)),
+    ).cast("int")
+    (
+        ev.select("event_type", "day", bin_.alias("bin"))
+        .groupBy("event_type", "day", "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .write.mode("overwrite")
+        .partitionBy("day")
+        .parquet(store_path)
+    )
+
+
+def hist_week_quantile_consumer(
+    spark: SparkSession, store_path: str
+) -> DataFrame:
+    """(week, event_type, q, n, hist_est) from the stored day bins ONLY:
+    add-merge each week's <= 7*types*256 rows, cumulative-sum the CDF,
+    invert with in-bin linear interpolation (the q_hist_quantiles
+    arithmetic, applied to stored counters instead of a raw rescan)."""
+    from .quality import HIST_QS, HIST_W
+
+    bins = spark.read.parquet(store_path).select(
+        F.date_trunc("week", F.col("day").cast("date")).alias("week"),
+        "event_type",
+        "bin",
+        "cnt",
+    )
+    hist = bins.groupBy("week", "event_type", "bin").agg(
+        F.sum("cnt").cast("long").alias("cnt")
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("week", "event_type")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = hist.withColumn("cum", F.sum("cnt").over(w))
+    n = hist.groupBy("week", "event_type").agg(
+        F.sum("cnt").cast("long").alias("n")
+    )
+    qs = spark.createDataFrame([(q,) for q in HIST_QS], "q double")
+    cand = (
+        cum.join(n, ["week", "event_type"])
+        .crossJoin(F.broadcast(qs))
+        .where(F.col("cum") >= F.col("q") * F.col("n"))
+    )
+    pick = cand.groupBy("week", "event_type", "q").agg(
+        F.min_by(F.struct("bin", "cnt", "cum", "n"), F.col("bin")).alias("s")
+    )
+    t = F.col("q") * F.col("s.n")
+    est = (
+        F.col("s.bin") * HIST_W
+        + ((t - (F.col("s.cum") - F.col("s.cnt"))) / F.col("s.cnt")) * HIST_W
+    )
+    return pick.select(
+        "week",
+        "event_type",
+        "q",
+        F.col("s.n").alias("n"),
+        round_half_away(est, 6).alias("hist_est"),
+    )
+
+
+def q_hist_quantile_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quantile sketch joins the store family (round-9 wave 3):
+    weekly p50/p90/p99 per event type answered from the stored per-day
+    bin counters ONLY — the raw events table is absent from the
+    consumer plan (CI-pinned in tests/test_scale_plans.py with the
+    HLL/CMS consumers).  At 100 TB: the ingest pass bins every value
+    once; every later (window, quantile) question costs a few hundred
+    stored longs, where ``value_percentiles`` would re-shuffle raw
+    values per ask."""
+    import shutil
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="hist_store_")
+    try:
+        store = f"{base}/hist_days"
+        build_hist_day_store(spark, sf_dir, store)
+        out = hist_week_quantile_consumer(spark, store).orderBy(
+            "week", "event_type", "q"
+        )
+        rows = out.collect()  # bounded: weeks x types x |HIST_QS|
+        return parallelized(spark, spark.createDataFrame(rows, out.schema))
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def oracle_hist_quantile_store() -> str:
+    from .quality import HIST_BINS, HIST_LO, HIST_QS, HIST_W
+
+    qvals = ", ".join(f"(CAST({q!r} AS DOUBLE))" for q in HIST_QS)
+    return f"""
+WITH ev AS (
+    SELECT event_type, CAST(ts AS DATE) AS day, value FROM events
+    WHERE value IS NOT NULL
+),
+per_day AS (
+    SELECT event_type, day,
+           CAST(least({HIST_BINS - 1}, greatest(0,
+                floor((value - {HIST_LO!r}) / {HIST_W!r}))) AS INT) AS bin,
+           COUNT(*) AS cnt
+    FROM ev GROUP BY 1, 2, 3
+),
+hist AS (
+    SELECT CAST(date_trunc('week', day) AS TIMESTAMP) AS week,
+           event_type, bin, CAST(SUM(cnt) AS BIGINT) AS cnt
+    FROM per_day GROUP BY 1, 2, 3
+),
+cum AS (
+    SELECT week, event_type, bin, cnt,
+           SUM(cnt) OVER (PARTITION BY week, event_type ORDER BY bin
+                          ROWS UNBOUNDED PRECEDING) AS cum
+    FROM hist
+),
+n AS (
+    SELECT week, event_type, CAST(SUM(cnt) AS BIGINT) AS n
+    FROM hist GROUP BY 1, 2
+),
+qs(q) AS (VALUES {qvals}),
+pick AS (
+    SELECT week, event_type, q, bin, cnt, cum, n,
+           row_number() OVER (PARTITION BY week, event_type, q
+                              ORDER BY bin) AS rn
+    FROM cum JOIN n USING (week, event_type) CROSS JOIN qs
+    WHERE cum >= q * n
+)
+SELECT week, event_type, q, n,
+       {sql_round_half_away(
+           f"bin * {HIST_W!r}"
+           f" + (((q * n) - (cum - cnt)) / cnt) * {HIST_W!r}", 6)}
+           AS hist_est
+FROM pick WHERE rn = 1
+"""

@@ -2231,3 +2231,316 @@ SELECT ta AS type_a, tb AS type_b, n_common, n_both,
        {sql_round_half_away(lam, 6)} AS tail_dep
 FROM agg
 """
+
+
+# ---------------------------------------------------------------------------
+# min_var_portfolio
+# ---------------------------------------------------------------------------
+
+PORT_ASSETS = 3
+
+
+def q_min_var_portfolio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form minimum-variance portfolio over the three
+    alphabetically-first event-type return series: the covariance matrix
+    from exact-decimal common-clock moments, inverted by the 3x3
+    ADJUGATE in pinned-order double, w = S^-1 1 / (1' S^-1 1) — Markowitz
+    construction as ONE aggregate plus scalar algebra.  No solver, no
+    collect, no iteration: at any scale the cost is the hourly
+    compaction plus a 9-sum reduction.
+
+    Determinism: role assignment (a1 < a2 < a3 lexicographically) is a
+    rank over the distinct type dimension; the common clock keeps hours
+    where ALL THREE series have a return; products of DECIMAL(18,9)
+    returns stay exact under the 38-digit clamp; the adjugate and the
+    weight normalization expand in the same textual order in both
+    engines."""
+    from ..functions.rounding import round_half_away
+
+    rets = _hourly_returns(spark, sf_dir)
+    roles = (
+        rets.select("event_type")
+        .distinct()
+        .withColumn(
+            "role",
+            F.row_number().over(Window.orderBy("event_type")),
+        )
+        .where(F.col("role") <= PORT_ASSETS)
+    )
+    tagged = rets.join(F.broadcast(roles), "event_type")
+    wide = (
+        tagged.groupBy("h")
+        .agg(
+            F.max(F.when(F.col("role") == 1, F.col("r"))).alias("r1"),
+            F.max(F.when(F.col("role") == 2, F.col("r"))).alias("r2"),
+            F.max(F.when(F.col("role") == 3, F.col("r"))).alias("r3"),
+        )
+        .where(
+            F.col("r1").isNotNull()
+            & F.col("r2").isNotNull()
+            & F.col("r3").isNotNull()
+        )
+    )
+    sums = [F.count(F.lit(1)).alias("n")]
+    for i in (1, 2, 3):
+        sums.append(F.sum(f"r{i}").alias(f"s{i}"))
+    for i, j in ((1, 1), (1, 2), (1, 3), (2, 2), (2, 3), (3, 3)):
+        sums.append(
+            F.sum(F.col(f"r{i}") * F.col(f"r{j}")).alias(f"s{i}{j}")
+        )
+    agg = wide.agg(*sums)
+    nd = F.col("n").cast("double")
+    mean = {i: F.col(f"s{i}").cast("double") / nd for i in (1, 2, 3)}
+    cov = {}
+    for i, j in ((1, 1), (1, 2), (1, 3), (2, 2), (2, 3), (3, 3)):
+        cov[(i, j)] = (
+            F.col(f"s{i}{j}").cast("double") / nd - mean[i] * mean[j]
+        )
+        cov[(j, i)] = cov[(i, j)]
+    c = cov
+    # adjugate rows of the symmetric covariance (pinned expansion)
+    a11 = c[(2, 2)] * c[(3, 3)] - c[(2, 3)] * c[(2, 3)]
+    a12 = c[(1, 3)] * c[(2, 3)] - c[(1, 2)] * c[(3, 3)]
+    a13 = c[(1, 2)] * c[(2, 3)] - c[(1, 3)] * c[(2, 2)]
+    a22 = c[(1, 1)] * c[(3, 3)] - c[(1, 3)] * c[(1, 3)]
+    a23 = c[(1, 2)] * c[(1, 3)] - c[(1, 1)] * c[(2, 3)]
+    a33 = c[(1, 1)] * c[(2, 2)] - c[(1, 2)] * c[(1, 2)]
+    det = (
+        c[(1, 1)] * a11 + c[(1, 2)] * a12 + c[(1, 3)] * a13
+    )
+    # S^-1 1 rows (adjugate row sums / det); det cancels in the weights
+    g1 = a11 + a12 + a13
+    g2 = a12 + a22 + a23
+    g3 = a13 + a23 + a33
+    gsum = F.nullif(g1 + g2 + g3, F.lit(0.0))
+    port_var = F.col("det") / F.col("gs")
+    closed = agg.select(
+        F.col("n").cast("long").alias("n_obs"),
+        (g1 / gsum).alias("w1"),
+        (g2 / gsum).alias("w2"),
+        (g3 / gsum).alias("w3"),
+        det.alias("det"),
+        gsum.alias("gs"),
+    )
+    names = roles.groupBy().pivot("role", [1, 2, 3]).agg(
+        F.first("event_type")
+    )
+    out = closed.crossJoin(F.broadcast(names))
+    return out.select(
+        F.col("1").alias("asset_1"),
+        F.col("2").alias("asset_2"),
+        F.col("3").alias("asset_3"),
+        "n_obs",
+        round_half_away(F.col("w1"), 9).alias("w_1"),
+        round_half_away(F.col("w2"), 9).alias("w_2"),
+        round_half_away(F.col("w3"), 9).alias("w_3"),
+        round_half_away(port_var, 12).alias("port_var"),
+    )
+
+
+def oracle_min_var_portfolio() -> str:
+    from ..functions.rounding import sql_round_half_away
+
+    mean = {i: f"(CAST(s{i} AS DOUBLE) / nd)" for i in (1, 2, 3)}
+    c = {}
+    for i, j in ((1, 1), (1, 2), (1, 3), (2, 2), (2, 3), (3, 3)):
+        c[(i, j)] = (
+            f"(CAST(s{i}{j} AS DOUBLE) / nd - {mean[i]} * {mean[j]})"
+        )
+        c[(j, i)] = c[(i, j)]
+    a11 = f"({c[(2,2)]} * {c[(3,3)]} - {c[(2,3)]} * {c[(2,3)]})"
+    a12 = f"({c[(1,3)]} * {c[(2,3)]} - {c[(1,2)]} * {c[(3,3)]})"
+    a13 = f"({c[(1,2)]} * {c[(2,3)]} - {c[(1,3)]} * {c[(2,2)]})"
+    a22 = f"({c[(1,1)]} * {c[(3,3)]} - {c[(1,3)]} * {c[(1,3)]})"
+    a23 = f"({c[(1,2)]} * {c[(1,3)]} - {c[(1,1)]} * {c[(2,3)]})"
+    a33 = f"({c[(1,1)]} * {c[(2,2)]} - {c[(1,2)]} * {c[(1,2)]})"
+    det = f"({c[(1,1)]} * {a11} + {c[(1,2)]} * {a12} + {c[(1,3)]} * {a13})"
+    g1 = f"({a11} + {a12} + {a13})"
+    g2 = f"({a12} + {a22} + {a23})"
+    g3 = f"({a13} + {a23} + {a33})"
+    gsum = f"nullif({g1} + {g2} + {g3}, 0.0)"
+    prods = ", ".join(
+        f"SUM(r{i} * r{j}) AS s{i}{j}"
+        for i, j in ((1, 1), (1, 2), (1, 3), (2, 2), (2, 3), (3, 3))
+    )
+    return f"""
+WITH {_hourly_returns_sql()},
+roles AS (
+    SELECT event_type,
+           row_number() OVER (ORDER BY event_type) AS role
+    FROM (SELECT DISTINCT event_type FROM rets)
+    QUALIFY role <= {PORT_ASSETS}
+),
+wide AS (
+    SELECT h,
+           MAX(CASE WHEN role = 1 THEN r END) AS r1,
+           MAX(CASE WHEN role = 2 THEN r END) AS r2,
+           MAX(CASE WHEN role = 3 THEN r END) AS r3
+    FROM rets JOIN roles USING (event_type)
+    GROUP BY h
+    HAVING r1 IS NOT NULL AND r2 IS NOT NULL AND r3 IS NOT NULL
+),
+agg AS (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           SUM(r1) AS s1, SUM(r2) AS s2, SUM(r3) AS s3, {prods}
+    FROM wide
+),
+closed AS (
+    SELECT n, CAST(n AS DOUBLE) AS nd,
+           s1, s2, s3, s11, s12, s13, s22, s23, s33
+    FROM agg
+),
+names AS (
+    SELECT
+        MAX(CASE WHEN role = 1 THEN event_type END) AS asset_1,
+        MAX(CASE WHEN role = 2 THEN event_type END) AS asset_2,
+        MAX(CASE WHEN role = 3 THEN event_type END) AS asset_3
+    FROM roles
+)
+SELECT asset_1, asset_2, asset_3, n AS n_obs,
+       {sql_round_half_away(f"{g1} / {gsum}", 9)} AS w_1,
+       {sql_round_half_away(f"{g2} / {gsum}", 9)} AS w_2,
+       {sql_round_half_away(f"{g3} / {gsum}", 9)} AS w_3,
+       {sql_round_half_away(f"{det} / {gsum}", 12)} AS port_var
+FROM closed, names
+"""
+
+
+# ---------------------------------------------------------------------------
+# drawdown_duration
+# ---------------------------------------------------------------------------
+
+
+def q_drawdown_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The drawdown pair completed: per event type, the LONGEST
+    underwater spell (consecutive hours below the running peak of the
+    hourly level) with its own worst depth, plus the global max
+    drawdown — "how deep" (:func:`q_max_drawdown` asks it of candle
+    closes) and now "how long", the statistic that separates a crash
+    from a bleed.
+
+    Scale shape: gaps-and-islands composed with a running extremum, all
+    of it window work over the COMPACT hourly frame (O(#hours) rows per
+    type, partition-parallel windows).  The island id is the classic
+    row_number difference — no self-joins, no iteration.  Tie ladder:
+    the longest spell breaks ties to the EARLIEST island (min start
+    hour), pinned via struct-ordered max."""
+    from ..functions.rounding import dec_sum, round_half_away
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    hourly = (
+        ev.select(
+            "event_type", F.date_trunc("hour", "ts").alias("h"), "value"
+        )
+        .groupBy("event_type", "h")
+        .agg(
+            round_half_away(
+                dec_sum(F.col("value"), scale=6) / F.count(F.lit(1)), 9
+            ).cast("decimal(18,9)").alias("m")
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    peaked = hourly.select(
+        "event_type",
+        "h",
+        "m",
+        F.max("m").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("peak"),
+    )
+    flagged = peaked.withColumn("uw", F.col("m") < F.col("peak"))
+    grp = flagged.withColumn(
+        "grp",
+        F.row_number().over(w)
+        - F.row_number().over(
+            Window.partitionBy("event_type", "uw").orderBy("h")
+        ),
+    )
+    dd = (F.col("m").cast("double") / F.col("peak").cast("double")) - 1.0
+    spells = (
+        grp.where(F.col("uw"))
+        .withColumn("dd", dd)
+        .groupBy("event_type", "grp")
+        .agg(
+            F.count(F.lit(1)).alias("len"),
+            F.min("h").alias("start_h"),
+            F.min("dd").alias("spell_depth"),
+        )
+    )
+    # longest spell; ties -> earliest start (max over (len, -epoch))
+    pick = spells.groupBy("event_type").agg(
+        F.max(
+            F.struct(
+                F.col("len").alias("len"),
+                (-F.unix_timestamp("start_h")).alias("neg_start"),
+                F.col("start_h").alias("start_h"),
+                F.col("spell_depth").alias("spell_depth"),
+            )
+        ).alias("s"),
+        F.count(F.lit(1)).alias("n_spells"),
+    )
+    worst = flagged.select(
+        "event_type", dd.alias("dd")
+    ).groupBy("event_type").agg(F.min("dd").alias("max_dd"))
+    out = pick.join(worst, "event_type")
+    return out.select(
+        "event_type",
+        F.col("n_spells").cast("long").alias("n_spells"),
+        F.col("s.len").cast("long").alias("longest_spell_hours"),
+        F.col("s.start_h").alias("spell_start"),
+        round_half_away(F.col("s.spell_depth"), 9).alias("spell_depth"),
+        round_half_away(F.col("max_dd"), 9).alias("max_drawdown"),
+    )
+
+
+def oracle_drawdown_duration() -> str:
+    from ..functions.rounding import sql_dec_sum, sql_round_half_away
+
+    m9 = sql_round_half_away(
+        sql_dec_sum("value", scale=6) + " / count(*)", 9
+    )
+    dd = "(CAST(m AS DOUBLE) / CAST(peak AS DOUBLE)) - 1.0"
+    return f"""
+WITH hourly AS (
+    SELECT event_type, date_trunc('hour', ts) AS h,
+           CAST({m9} AS DECIMAL(18,9)) AS m
+    FROM events WHERE value IS NOT NULL
+    GROUP BY 1, 2
+),
+peaked AS (
+    SELECT event_type, h, m,
+           MAX(m) OVER (PARTITION BY event_type ORDER BY h
+                        ROWS UNBOUNDED PRECEDING) AS peak
+    FROM hourly
+),
+flagged AS (
+    SELECT *, m < peak AS uw FROM peaked
+),
+grp AS (
+    SELECT *,
+        row_number() OVER (PARTITION BY event_type ORDER BY h)
+        - row_number() OVER (PARTITION BY event_type, uw ORDER BY h) AS grp
+    FROM flagged
+),
+spells AS (
+    SELECT event_type, grp, CAST(count(*) AS BIGINT) AS len,
+           MIN(h) AS start_h, MIN({dd}) AS spell_depth
+    FROM grp WHERE uw GROUP BY 1, 2
+),
+pick AS (
+    SELECT event_type, len, start_h, spell_depth,
+        row_number() OVER (PARTITION BY event_type
+                           ORDER BY len DESC, start_h ASC) AS rn,
+        count(*) OVER (PARTITION BY event_type) AS n_spells
+    FROM spells
+),
+worst AS (
+    SELECT event_type, MIN({dd}) AS max_dd FROM flagged GROUP BY 1
+)
+SELECT p.event_type, CAST(p.n_spells AS BIGINT) AS n_spells,
+       p.len AS longest_spell_hours, p.start_h AS spell_start,
+       {sql_round_half_away('p.spell_depth', 9)} AS spell_depth,
+       {sql_round_half_away('w.max_dd', 9)} AS max_drawdown
+FROM pick p JOIN worst w ON p.event_type = w.event_type
+WHERE p.rn = 1
+"""
