@@ -122,6 +122,12 @@ SAMPLE = [
     "tokenizer_fertility",
     "ngram_novelty_decay",
     "minhash_lsh_tuning",
+    # wave 3: adjugate portfolio closure, islands-over-running-peak,
+    # stored-bin CDF inversion, unrolled synchronous LPA rounds
+    "min_var_portfolio",
+    "drawdown_duration",
+    "hist_quantile_store",
+    "label_propagation",
 ]
 
 

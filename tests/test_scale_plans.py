@@ -589,8 +589,14 @@ def test_sketch_store_consumers_never_scan_raw_events(spark, tmp_path_factory):
         spark, stores.cms_week_topk_consumer(spark, grid_path, cand_path)
     )
     cube_plan = fmt(spark, stores.hll_cube_consumer(spark, grain_path))
+    hist_path = f"{tmp}/hist_days"
+    stores.build_hist_day_store(spark, SF_DIR, hist_path)
+    hist_plan = fmt(
+        spark, stores.hist_week_quantile_consumer(spark, hist_path)
+    )
     for name, plan in (
-        ("hll", hll_plan), ("cms", cms_plan), ("cube", cube_plan)
+        ("hll", hll_plan), ("cms", cms_plan), ("cube", cube_plan),
+        ("hist", hist_plan),
     ):
         assert "events.parquet" not in plan, (
             f"{name} consumer plan scans raw events — store defeated"
