@@ -1497,14 +1497,18 @@ def q_vol_surface_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     dc = det3(s["s0"], s["s1"], s["t0"],
               s["s1"], s["s2"], s["t1"],
               s["s2"], s["s3"], s["t2"])
+    # rank gate: a quadratic needs >= 3 distinct points; below that the
+    # determinant is floating-point residue (~1e-15, NOT exactly 0), so
+    # nullif alone would emit garbage coefficients on a singular system
+    ok = F.col("n_points") >= 3
     dz = F.nullif(d, F.lit(0.0))
     return agg.select(
         "expiry",
         F.col("n_points").cast("long").alias("n_points"),
         s["s0"].alias("sum_w"),
-        round_half_away(da / dz, 6).alias("base_iv"),
-        round_half_away(db / dz, 6).alias("skew"),
-        round_half_away(dc / dz, 6).alias("curvature"),
+        round_half_away(F.when(ok, da / dz), 6).alias("base_iv"),
+        round_half_away(F.when(ok, db / dz), 6).alias("skew"),
+        round_half_away(F.when(ok, dc / dz), 6).alias("curvature"),
     )
 
 
@@ -1565,8 +1569,8 @@ agg AS (
     FROM pts GROUP BY 1
 )
 SELECT expiry, n_points, CAST(s0 AS DOUBLE) AS sum_w,
-       {sql_round_half_away(f"{da} / nullif({d}, 0.0)", 6)} AS base_iv,
-       {sql_round_half_away(f"{db} / nullif({d}, 0.0)", 6)} AS skew,
-       {sql_round_half_away(f"{dc} / nullif({d}, 0.0)", 6)} AS curvature
+       {sql_round_half_away(f"CASE WHEN n_points >= 3 THEN {da} / nullif({d}, 0.0) END", 6)} AS base_iv,
+       {sql_round_half_away(f"CASE WHEN n_points >= 3 THEN {db} / nullif({d}, 0.0) END", 6)} AS skew,
+       {sql_round_half_away(f"CASE WHEN n_points >= 3 THEN {dc} / nullif({d}, 0.0) END", 6)} AS curvature
 FROM agg
 """
