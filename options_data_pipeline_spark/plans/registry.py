@@ -161,6 +161,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
         stores.q_hist_quantile_store,
         stores.oracle_hist_quantile_store,
     ),
+    "hist_store_stream_twin": (
+        stores.q_hist_store_stream_twin,
+        stores.oracle_hist_store_stream_twin,
+    ),
     "ivf_index_upsert": (
         vectors.q_ivf_index_upsert,
         vectors.oracle_ivf_index_upsert,
@@ -384,6 +388,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
         text.q_minhash_lsh_tuning,
         text.oracle_minhash_lsh_tuning,
     ),
+    "logistic_irls": (text.q_logistic_irls, text.oracle_logistic_irls),
     "kn_bigram_lm": (text.q_kn_bigram_lm, text.oracle_kn_bigram_lm),
     "dpo_pair_build": (text.q_dpo_pair_build, text.oracle_dpo_pair_build),
     "bigram_pmi": (text.q_bigram_pmi, text.oracle_bigram_pmi),
@@ -553,6 +558,8 @@ _PRIORITY: list[str] = [
     "drawdown_duration",
     "hist_quantile_store",
     "label_propagation",
+    "logistic_irls",
+    "hist_store_stream_twin",
     # round-9 code changes (replay-idempotent CMS store, moving-upsert
     # drained-drop journal): re-adjudicate the affected twins
     "cms_store_twin",

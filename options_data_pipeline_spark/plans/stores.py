@@ -697,3 +697,53 @@ SELECT week, event_type, q, n,
            AS hist_est
 FROM pick WHERE rn = 1
 """
+
+
+def q_hist_store_stream_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming parity for the THIRD store type (round-9 wave 4): the
+    histogram-bin store maintained by the real foreachBatch job
+    (:func:`..streaming.sketches.hist_register_stream`) over two
+    interleaved waves through one checkpoint — every day gets late adds
+    in wave 2 — then weekly quantiles from the converged store.  The
+    oracle computes the batch fixed point (whole-table day bins), so
+    the driver hash proves the ADD-merge law AND the shared `_bid`
+    replay protection end-to-end through checkpoint resume, exactly the
+    `cms_store_twin` contract on a different counter geometry."""
+    import shutil
+    import tempfile
+
+    from ..streaming.sketches import hist_register_stream
+
+    base = tempfile.mkdtemp(prefix="hist_twin_")
+    try:
+        src, store, ckpt = f"{base}/src", f"{base}/store", f"{base}/ckpt"
+        ev_w = load_table(spark, sf_dir, "events").select(
+            "event_id", "ts", "event_type", "value"
+        )
+        ev_w.where(F.col("event_id") % 3 != 0).drop("event_id").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+        if not hist_register_stream(spark, src, store, ckpt).awaitTermination(
+            120
+        ):
+            raise TimeoutError("hist store wave 1 did not drain in 120s")
+        ev_w.where(F.col("event_id") % 3 == 0).drop("event_id").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+        if not hist_register_stream(spark, src, store, ckpt).awaitTermination(
+            120
+        ):
+            raise TimeoutError("hist store wave 2 did not drain in 120s")
+
+        out = hist_week_quantile_consumer(spark, store).orderBy(
+            "week", "event_type", "q"
+        )
+        rows = out.collect()  # bounded: weeks x types x |HIST_QS|
+        return parallelized(spark, spark.createDataFrame(rows, out.schema))
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def oracle_hist_store_stream_twin() -> str:
+    # the stream's fixed point IS the batch store: same bins, same CDF
+    return oracle_hist_quantile_store()

@@ -4249,3 +4249,209 @@ hist AS (
 )
 {union}
 """
+
+
+# ---------------------------------------------------------------------------
+# logistic_irls
+# ---------------------------------------------------------------------------
+
+IRLS_ROUNDS = 3
+#: ridge term added to the normal-equation diagonal: keeps the 3x3
+#: solve well-conditioned when a feature is near-constant in a slice
+IRLS_RIDGE = 1e-3
+
+
+def _elliott(eta):
+    """Rational sigmoid p = 0.5 * (1 + eta / (1 + |eta|)) — the Elliott
+    activation.  Chosen over exp() deliberately: the link is pure
+    IEEE add/mul/div/abs, so Spark and DuckDB produce bit-identical
+    probabilities (libm exp() is NOT guaranteed identical across
+    engines, and IRLS feeds each round's output into the next — a
+    1-ulp exp() divergence would compound across rounds)."""
+    return 0.5 * (1.0 + eta / (1.0 + F.abs(eta)))
+
+
+def q_logistic_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-classifier TRAINING inside the engine: predict
+    ``lang = 'en'`` from two document features (log length, stopword
+    ratio) with a quasi-logistic model fit by 3 rounds of IRLS — each
+    round ONE weighted-moments aggregate over the corpus plus a pinned
+    3x3 ridge-regularized Cramer solve, rounds chained by broadcast
+    1-row coefficient frames.  Iterative ML training with zero
+    collects, zero UDFs, zero libm (see :func:`_elliott`).
+
+    At 100 TB each round is a map-side-combined aggregate (9 decimal
+    moment sums) — the training cost is ROUNDS corpus passes, the
+    textbook distributed-IRLS shape; the solve is driver-free scalar
+    algebra on a 1-row frame.
+
+    Determinism: features quantize to 9 dp; eta, p, and the working
+    response close over pinned-order double; every moment term
+    re-quantizes to 9 dp before its exact decimal sum; the Cramer text
+    is identical in both engines."""
+    from ..functions.rounding import round_half_away
+
+    docs = parallelized(spark, load_table(spark, sf_dir, "documents"))
+    scored = TS.quality_score(docs)
+    x1 = round_half_away(
+        F.log(F.lit(1.0) + F.col("n_chars").cast("double")), 9
+    )
+    x2 = round_half_away(F.col("stopword_ratio"), 9)
+    feats = scored.select(
+        x1.alias("x1"),
+        x2.alias("x2"),
+        (F.col("lang") == "en").cast("double").alias("y"),
+    ).where(F.col("x2").isNotNull())
+
+    def mom(expr, name):
+        return F.sum(
+            round_half_away(expr, 9).cast("decimal(25,9)")
+        ).alias(name)
+
+    beta = None  # (b0, b1, b2) 1-row frame; None = zero start
+    for _ in range(IRLS_ROUNDS):
+        if beta is None:
+            frame = feats.select(
+                "x1", "x2", "y",
+                F.lit(0.0).alias("b0"),
+                F.lit(0.0).alias("b1"),
+                F.lit(0.0).alias("b2"),
+            )
+        else:
+            frame = feats.crossJoin(F.broadcast(beta))
+        eta = (
+            F.col("b0")
+            + F.col("b1") * F.col("x1")
+            + F.col("b2") * F.col("x2")
+        )
+        p = _elliott(eta)
+        w_ = p * (1.0 - p) + F.lit(1e-6)  # floor keeps weights positive
+        z = eta + (F.col("y") - p) / w_
+        r = frame.select(
+            "x1", "x2", w_.alias("w"), z.alias("z")
+        )
+        agg = r.agg(
+            mom(F.col("w"), "s00"),
+            mom(F.col("w") * F.col("x1"), "s01"),
+            mom(F.col("w") * F.col("x2"), "s02"),
+            mom((F.col("w") * F.col("x1")) * F.col("x1"), "s11"),
+            mom((F.col("w") * F.col("x1")) * F.col("x2"), "s12"),
+            mom((F.col("w") * F.col("x2")) * F.col("x2"), "s22"),
+            mom(F.col("w") * F.col("z"), "t0"),
+            mom((F.col("w") * F.col("x1")) * F.col("z"), "t1"),
+            mom((F.col("w") * F.col("x2")) * F.col("z"), "t2"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        c = {k: F.col(k).cast("double") for k in
+             ("s00", "s01", "s02", "s11", "s12", "s22", "t0", "t1", "t2")}
+        m11 = c["s00"] + F.lit(IRLS_RIDGE)
+        m22 = c["s11"] + F.lit(IRLS_RIDGE)
+        m33 = c["s22"] + F.lit(IRLS_RIDGE)
+        m12, m13, m23 = c["s01"], c["s02"], c["s12"]
+        a11 = m22 * m33 - m23 * m23
+        a12 = m13 * m23 - m12 * m33
+        a13 = m12 * m23 - m13 * m22
+        a22 = m11 * m33 - m13 * m13
+        a23 = m12 * m13 - m11 * m23
+        a33 = m11 * m22 - m12 * m12
+        det = m11 * a11 + m12 * a12 + m13 * a13
+        dz = F.nullif(det, F.lit(0.0))
+        nb0 = (a11 * c["t0"] + a12 * c["t1"] + a13 * c["t2"]) / dz
+        nb1 = (a12 * c["t0"] + a22 * c["t1"] + a23 * c["t2"]) / dz
+        nb2 = (a13 * c["t0"] + a23 * c["t1"] + a33 * c["t2"]) / dz
+        # re-quantize the coefficients between rounds: the fixed point
+        # both engines iterate must pass through representable values
+        beta = agg.select(
+            round_half_away(nb0, 9).alias("b0"),
+            round_half_away(nb1, 9).alias("b1"),
+            round_half_away(nb2, 9).alias("b2"),
+            F.col("n").cast("long").alias("n_docs"),
+        )
+    return beta.select(
+        "n_docs",
+        F.col("b0").alias("beta_0"),
+        F.col("b1").alias("beta_len"),
+        F.col("b2").alias("beta_stop"),
+    )
+
+
+def oracle_logistic_irls() -> str:
+    from ..functions.rounding import sql_round_half_away
+
+    stop = "['the','a','of','and','to','in','is','on','for','it']"
+
+    def mom(expr, name):
+        return (
+            f"SUM(CAST({sql_round_half_away(expr, 9)} AS DECIMAL(25,9)))"
+            f" AS {name}"
+        )
+
+    def solve_sql(i):
+        c = {k: f"CAST(a{i}.{k} AS DOUBLE)" for k in
+             ("s00", "s01", "s02", "s11", "s12", "s22", "t0", "t1", "t2")}
+        m11 = f"({c['s00']} + {IRLS_RIDGE!r})"
+        m22 = f"({c['s11']} + {IRLS_RIDGE!r})"
+        m33 = f"({c['s22']} + {IRLS_RIDGE!r})"
+        m12, m13, m23 = c["s01"], c["s02"], c["s12"]
+        a11 = f"({m22} * {m33} - {m23} * {m23})"
+        a12 = f"({m13} * {m23} - {m12} * {m33})"
+        a13 = f"({m12} * {m23} - {m13} * {m22})"
+        a22 = f"({m11} * {m33} - {m13} * {m13})"
+        a23 = f"({m12} * {m13} - {m11} * {m23})"
+        a33 = f"({m11} * {m22} - {m12} * {m12})"
+        det = f"({m11} * {a11} + {m12} * {a12} + {m13} * {a13})"
+        dz = f"nullif({det}, 0.0)"
+        nb0 = f"(({a11} * {c['t0']} + {a12} * {c['t1']} + {a13} * {c['t2']}) / {dz})"
+        nb1 = f"(({a12} * {c['t0']} + {a22} * {c['t1']} + {a23} * {c['t2']}) / {dz})"
+        nb2 = f"(({a13} * {c['t0']} + {a23} * {c['t1']} + {a33} * {c['t2']}) / {dz})"
+        return (
+            f"SELECT {sql_round_half_away(nb0, 9)} AS b0, "
+            f"{sql_round_half_away(nb1, 9)} AS b1, "
+            f"{sql_round_half_away(nb2, 9)} AS b2, "
+            f"a{i}.n AS n FROM agg{i} a{i}"
+        )
+
+    rounds = []
+    for i in range(IRLS_ROUNDS):
+        if i == 0:
+            src = "SELECT x1, x2, y, 0.0 AS b0, 0.0 AS b1, 0.0 AS b2 FROM feats"
+        else:
+            src = f"SELECT f.x1, f.x2, f.y, b.b0, b.b1, b.b2 FROM feats f, beta{i - 1} b"
+        eta = "(b0 + b1 * x1 + b2 * x2)"
+        p = f"(0.5 * (1.0 + {eta} / (1.0 + abs({eta}))))"
+        w = f"({p} * (1.0 - {p}) + 1e-06)"
+        z = f"({eta} + (y - {p}) / {w})"
+        rounds.append(f"""r{i} AS (
+    SELECT x1, x2, {w} AS w, {z} AS z FROM ({src})
+),
+agg{i} AS (
+    SELECT {mom('w', 's00')}, {mom('w * x1', 's01')}, {mom('w * x2', 's02')},
+           {mom('(w * x1) * x1', 's11')}, {mom('(w * x1) * x2', 's12')},
+           {mom('(w * x2) * x2', 's22')},
+           {mom('w * z', 't0')}, {mom('(w * x1) * z', 't1')},
+           {mom('(w * x2) * z', 't2')},
+           CAST(count(*) AS BIGINT) AS n
+    FROM r{i}
+),
+beta{i} AS ({solve_sql(i)})""")
+    chain = ",\n".join(rounds)
+    x1 = sql_round_half_away("ln(1.0 + CAST(n_chars AS DOUBLE))", 9)
+    x2 = sql_round_half_away("n_stop / n_tokens", 9)
+    return f"""
+WITH base AS (
+    SELECT lang, n_chars,
+        CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tokens,
+        CAST(len(list_filter(string_split(text, ' '),
+                             w -> list_contains({stop}, w))) AS DOUBLE) AS n_stop
+    FROM documents
+),
+feats AS (
+    SELECT {x1} AS x1, {x2} AS x2,
+           CAST(lang = 'en' AS DOUBLE) AS y
+    FROM base
+    WHERE ({x2}) IS NOT NULL
+),
+{chain}
+SELECT n AS n_docs, b0 AS beta_0, b1 AS beta_len, b2 AS beta_stop
+FROM beta{IRLS_ROUNDS - 1}
+"""

@@ -111,8 +111,9 @@ def _add_merge_batch_into_store(
     batch_id: int,
     target: DataFrame | None = None,
     target_read: bool = False,
+    cell_cols: tuple[str, ...] = ("r", "c"),
 ) -> None:
-    """ADD-merge a batch's (day, r, c, cnt) CMS cells with the stored
+    """ADD-merge a batch's (day, *cell_cols, cnt) counter cells with the stored
     grid rows of the SAME days, then partition-pruned upsert.  Unlike
     the HLL max (idempotent), counter addition is NOT replay-idempotent
     by itself, and foreachBatch only guarantees AT-LEAST-ONCE delivery:
@@ -128,20 +129,25 @@ def _add_merge_batch_into_store(
     is the day partition (the swap unit), so a crash between two days'
     swaps replays only the day that did not commit.  ``target_read``
     lets the caller pass its already-loaded store frame so one apply
-    reads the store once (the done-day probe and the merge share it)."""
+    reads the store once (the done-day probe and the merge share it).
+    ``cell_cols`` names the counter key within a day — ("r", "c") for
+    the CMS grid, ("event_type", "bin") for the histogram store — the
+    add-merge law and the replay protection are IDENTICAL for every
+    additive store, so the machinery is shared, not duplicated."""
     from ..sinks.upsert import _read_target
 
+    cols = ["day", *cell_cols, "cnt"]
     if not target_read:
         target = _read_target(spark, store_path)
     if target is None:
         merged = batch_grid.withColumn("_bid", F.lit(batch_id))
     else:
         batch_days = batch_grid.select("day").distinct()
-        stored = target.select("day", "r", "c", "cnt").join(batch_days, "day")
+        stored = target.select(*cols).join(batch_days, "day")
         merged = (
-            batch_grid.select("day", "r", "c", "cnt")
+            batch_grid.select(*cols)
             .unionByName(stored)
-            .groupBy("day", "r", "c")
+            .groupBy("day", *cell_cols)
             .agg(F.sum("cnt").alias("cnt"))
             .withColumn("_bid", F.lit(batch_id))
         )
@@ -149,9 +155,49 @@ def _add_merge_batch_into_store(
         spark,
         store_path,
         merged,
-        keys=["day", "r", "c"],
+        keys=["day", *cell_cols],
         partition_col="day",
         collect_metrics=False,
+    )
+
+
+def _additive_apply_batch(
+    spark: SparkSession,
+    store_path: str,
+    ev: DataFrame,
+    build_grid,
+    batch_id: int,
+    cell_cols: tuple[str, ...],
+) -> None:
+    """Shared exactly-once apply for ADDITIVE day stores: skip stamped
+    days BEFORE building the grid (anti-join the raw slice against the
+    broadcast done-day set, early-exit probe), then add-merge + stamp in
+    one partition swap.  ``ev`` must carry a ``day`` column;
+    ``build_grid(ev)`` returns (day, *cell_cols, cnt) rows."""
+    from ..sinks.upsert import _read_target
+
+    target = _read_target(spark, store_path)
+    if target is not None and "_bid" in target.columns:
+        done_days = (
+            target.groupBy("day")
+            .agg(F.max("_bid").alias("_mx"))
+            .where(F.col("_mx") >= batch_id)
+            .select("day")
+        )
+        ev = ev.join(F.broadcast(done_days), "day", "left_anti")
+        # bounded early-exit probe: LocalLimit(1) stops at the first
+        # surviving row; a fully-replayed batch scans to prove emptiness
+        if not ev.limit(1).collect():
+            return  # every day already applied this batch id
+    grid = build_grid(ev)
+    _add_merge_batch_into_store(
+        spark,
+        store_path,
+        grid,
+        batch_id,
+        target=target,
+        target_read=True,
+        cell_cols=cell_cols,
     )
 
 
@@ -180,28 +226,18 @@ def cms_apply_batch(
     are never paid for days already committed — a full same-id replay
     costs one early-exit probe of the slice and nothing else."""
     from ..operators.cms import cms_build
-    from ..sinks.upsert import _read_target
 
     ev = batch_events.select(
         F.to_date(F.col(ts_col)).alias("day"),
         F.col(key_col),
     )
-    target = _read_target(spark, store_path)
-    if target is not None and "_bid" in target.columns:
-        done_days = (
-            target.groupBy("day")
-            .agg(F.max("_bid").alias("_mx"))
-            .where(F.col("_mx") >= batch_id)
-            .select("day")
-        )
-        ev = ev.join(F.broadcast(done_days), "day", "left_anti")
-        # bounded early-exit probe: LocalLimit(1) stops at the first
-        # surviving row; a fully-replayed batch scans to prove emptiness
-        if not ev.limit(1).collect():
-            return  # every day already applied this batch id
-    grid = cms_build(ev, key_col, ["day"])
-    _add_merge_batch_into_store(
-        spark, store_path, grid, batch_id, target=target, target_read=True
+    _additive_apply_batch(
+        spark,
+        store_path,
+        ev,
+        lambda e: cms_build(e, key_col, ["day"]),
+        batch_id,
+        cell_cols=("r", "c"),
     )
 
 
@@ -236,6 +272,84 @@ def cms_register_stream(
         cms_apply_batch(
             spark, store_path, batch_df, batch_id, key_col=key_col, ts_col=ts_col
         )
+
+    writer = (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def hist_apply_batch(
+    spark: SparkSession,
+    store_path: str,
+    batch_events: DataFrame,
+    batch_id: int,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+) -> None:
+    """Fold one micro-batch slice into the histogram-bin day store,
+    exactly once — the third store type (HLL max / CMS add / HIST add)
+    under the SAME shared additive machinery and per-day ``_bid`` replay
+    protection (:func:`_additive_apply_batch`).  Bin arithmetic is the
+    plans' shared 256-bin equi-width convention, so the converged store
+    equals the batch build bit-for-bit."""
+    from ..plans.quality import HIST_BINS, HIST_LO, HIST_W
+
+    ev = batch_events.where(F.col(value_col).isNotNull()).select(
+        F.to_date(F.col(ts_col)).alias("day"),
+        F.col(type_col).alias("event_type"),
+        F.col(value_col).alias("value"),
+    )
+
+    def build(e: DataFrame) -> DataFrame:
+        bin_ = F.least(
+            F.lit(HIST_BINS - 1),
+            F.greatest(
+                F.lit(0), F.floor((F.col("value") - HIST_LO) / HIST_W)
+            ),
+        ).cast("int")
+        return (
+            e.select("day", "event_type", bin_.alias("bin"))
+            .groupBy("day", "event_type", "bin")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+
+    _additive_apply_batch(
+        spark,
+        store_path,
+        ev,
+        build,
+        batch_id,
+        cell_cols=("event_type", "bin"),
+    )
+
+
+def hist_register_stream(
+    spark: SparkSession,
+    source_dir: str,
+    store_path: str,
+    checkpoint_dir: str,
+    ts_col: str = "ts",
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Maintain the per-(type, day) histogram-bin store from an event
+    stream: every later quantile question (any window, any percentile)
+    reads ONLY stored counters (:func:`..plans.stores.
+    hist_week_quantile_consumer`).  Same replay story as the CMS store —
+    the shared per-day ``_bid`` stamp makes the at-least-once
+    foreachBatch delivery exactly-once per day partition."""
+    stream = read_event_stream(
+        spark, source_dir, max_files_per_trigger=max_files_per_trigger
+    )
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        hist_apply_batch(spark, store_path, batch_df, batch_id, ts_col=ts_col)
 
     writer = (
         stream.writeStream.foreachBatch(_apply)

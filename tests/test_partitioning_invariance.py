@@ -128,6 +128,8 @@ SAMPLE = [
     "drawdown_duration",
     "hist_quantile_store",
     "label_propagation",
+    # wave 4: chained-broadcast IRLS fixed point (rational link)
+    "logistic_irls",
 ]
 
 

@@ -243,3 +243,32 @@ def test_cms_apply_batch_replay_is_exactly_once(spark, tmp_path):
         "user_id", F.concat(F.lit("x"), "user_id")
     ), 3)
     assert stored() != expected
+
+
+def test_hist_apply_batch_shares_replay_protection(spark, tmp_path):
+    """The histogram store rides the SAME additive machinery as CMS:
+    per-day _bid stamps make a same-id retry a no-op."""
+    from options_data_pipeline_spark.streaming.sketches import hist_apply_batch
+
+    store = str(tmp_path / "store")
+    rows = [
+        ("2024-01-01 10:00:00", "a", float(v)) for v in range(40)
+    ] + [("2024-01-02 10:00:00", "b", float(v)) for v in range(30)]
+    ev = spark.createDataFrame(
+        rows, "ts string, event_type string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    hist_apply_batch(spark, store, ev, 0)
+
+    def stored():
+        return {
+            (str(r.day), r.event_type, r.bin, r.cnt)
+            for r in spark.read.parquet(store)
+            .select("day", "event_type", "bin", "cnt")
+            .collect()
+        }
+
+    once = stored()
+    hist_apply_batch(spark, store, ev, 0)  # same-id retry
+    assert stored() == once
+    hist_apply_batch(spark, store, ev, 1)  # genuinely new batch adds
+    assert stored() != once
