@@ -388,6 +388,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
         text.q_minhash_lsh_tuning,
         text.oracle_minhash_lsh_tuning,
     ),
+    "k_anonymity": (text.q_k_anonymity, text.oracle_k_anonymity),
     "logistic_irls": (text.q_logistic_irls, text.oracle_logistic_irls),
     "kn_bigram_lm": (text.q_kn_bigram_lm, text.oracle_kn_bigram_lm),
     "dpo_pair_build": (text.q_dpo_pair_build, text.oracle_dpo_pair_build),
@@ -462,6 +463,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
         timeseries.q_tail_dependence,
         timeseries.oracle_tail_dependence,
     ),
+    "jump_test": (timeseries.q_jump_test, timeseries.oracle_jump_test),
     "ou_half_life": (
         timeseries.q_ou_half_life,
         timeseries.oracle_ou_half_life,
@@ -560,6 +562,8 @@ _PRIORITY: list[str] = [
     "label_propagation",
     "logistic_irls",
     "hist_store_stream_twin",
+    "jump_test",
+    "k_anonymity",
     # round-9 code changes (replay-idempotent CMS store, moving-upsert
     # drained-drop journal): re-adjudicate the affected twins
     "cms_store_twin",

@@ -4455,3 +4455,150 @@ feats AS (
 SELECT n AS n_docs, b0 AS beta_0, b1 AS beta_len, b2 AS beta_stop
 FROM beta{IRLS_ROUNDS - 1}
 """
+
+
+# ---------------------------------------------------------------------------
+# k_anonymity
+# ---------------------------------------------------------------------------
+
+KANON_K = 5
+KANON_DECILES = 10
+
+
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy audit before a corpus ships: group documents by the
+    quasi-identifier tuple (lang, source, length decile) and report,
+    per anonymity band, how many groups and documents sit there — with
+    the headline "fraction of documents re-identifiable at k < 5".
+    This is the k-anonymity screen run on metadata BEFORE any release:
+    a document alone in its quasi-identifier cell is linkable even with
+    the text scrubbed (:func:`q_pii_scrub` handles content; this
+    handles SHAPE).
+
+    Scale shape: deciles come from exact global length ranks (two-pass:
+    a 10-row boundary table via the percent threshold on sorted counts
+    — here via ntile on the compact distinct-length frame would skew,
+    so the bucket is value-based: floor(10 * rank / (n+1)) over a rank
+    window partitioned by nothing BUT computed on the compact
+    (n_chars -> count) frame, O(distinct lengths) rows); the group
+    sizes are one corpus aggregate; the band report reduces a
+    group-sized frame."""
+    from ..functions.rounding import round_half_away
+    from ..operators.materialize import materialize
+
+    docs = parallelized(spark, load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    # value-based decile boundaries from the COMPACT length histogram:
+    # cum/total over O(distinct lengths) rows, ties share a bucket.
+    # materialize(): the histogram feeds TWO branches (boundaries and
+    # the total) and the group frame feeds THREE (bands, total, risk) —
+    # without a materialization point Catalyst re-derives the corpus
+    # aggregate per branch (18 shuffles; with: 6)
+    lh = materialize(docs.groupBy("n_chars").agg(F.count(F.lit(1)).alias("c")))
+    w = Window.orderBy("n_chars").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = lh.withColumn("cum", F.sum("c").over(w)).crossJoin(
+        F.broadcast(lh.agg(F.sum("c").cast("long").alias("tot")))
+    )
+    dec = F.least(
+        F.lit(KANON_DECILES - 1),
+        F.floor(
+            (F.col("cum") - F.col("c")).cast("double")
+            * KANON_DECILES
+            / F.col("tot").cast("double")
+        ).cast("int"),
+    )
+    buckets = cum.select("n_chars", dec.alias("len_decile"))
+    tagged = docs.join(F.broadcast(buckets), "n_chars")
+    groups = materialize(
+        tagged.groupBy("lang", "source", "len_decile").agg(
+            F.count(F.lit(1)).alias("g_size")
+        )
+    )
+    band = (
+        F.when(F.col("g_size") >= F.lit(KANON_K * 4), F.lit("k20+"))
+        .when(F.col("g_size") >= F.lit(KANON_K), F.lit("k5-19"))
+        .when(F.col("g_size") >= 2, F.lit("k2-4"))
+        .otherwise(F.lit("k1"))
+    )
+    per_band = groups.select(band.alias("band"), "g_size").groupBy(
+        "band"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum("g_size").cast("long").alias("n_docs"),
+    )
+    tot = groups.agg(
+        F.sum("g_size").cast("long").alias("total_docs"),
+        F.sum(
+            F.when(F.col("g_size") < KANON_K, F.col("g_size")).otherwise(
+                F.lit(0)
+            )
+        ).cast("long").alias("at_risk"),
+    )
+    out = per_band.crossJoin(F.broadcast(tot))
+    frac = F.col("at_risk").cast("double") / F.col("total_docs").cast("double")
+    return out.select(
+        "band",
+        "n_groups",
+        "n_docs",
+        F.col("at_risk").alias("docs_below_k"),
+        round_half_away(frac, 6).alias("frac_below_k"),
+    )
+
+
+def oracle_k_anonymity() -> str:
+    from ..functions.rounding import sql_round_half_away
+
+    k = KANON_K
+    d = KANON_DECILES
+    return f"""
+WITH docs AS (
+    SELECT doc_id, lang, source, n_chars FROM documents
+),
+lh AS (
+    SELECT n_chars, CAST(count(*) AS BIGINT) AS c FROM docs GROUP BY 1
+),
+cum AS (
+    SELECT n_chars, c,
+           SUM(c) OVER (ORDER BY n_chars ROWS UNBOUNDED PRECEDING) AS cum,
+           (SELECT SUM(c) FROM lh) AS tot
+    FROM lh
+),
+buckets AS (
+    SELECT n_chars,
+           least({d - 1}, CAST(floor(CAST(cum - c AS DOUBLE) * {d}
+                / CAST(tot AS DOUBLE)) AS INT)) AS len_decile
+    FROM cum
+),
+groups AS (
+    SELECT lang, source, len_decile, CAST(count(*) AS BIGINT) AS g_size
+    FROM docs JOIN buckets USING (n_chars)
+    GROUP BY 1, 2, 3
+),
+banded AS (
+    SELECT CASE WHEN g_size >= {k * 4} THEN 'k20+'
+                WHEN g_size >= {k} THEN 'k5-19'
+                WHEN g_size >= 2 THEN 'k2-4'
+                ELSE 'k1' END AS band,
+           g_size
+    FROM groups
+),
+per_band AS (
+    SELECT band, CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(SUM(g_size) AS BIGINT) AS n_docs
+    FROM banded GROUP BY 1
+),
+tot AS (
+    SELECT CAST(SUM(g_size) AS BIGINT) AS total_docs,
+           CAST(SUM(CASE WHEN g_size < {k} THEN g_size ELSE 0 END)
+                AS BIGINT) AS at_risk
+    FROM groups
+)
+SELECT band, n_groups, n_docs, at_risk AS docs_below_k,
+       {sql_round_half_away(
+           'CAST(at_risk AS DOUBLE) / CAST(total_docs AS DOUBLE)', 6)}
+           AS frac_below_k
+FROM per_band, tot
+"""

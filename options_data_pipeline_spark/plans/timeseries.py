@@ -2544,3 +2544,76 @@ SELECT p.event_type, CAST(p.n_spells AS BIGINT) AS n_spells,
 FROM pick p JOIN worst w ON p.event_type = w.event_type
 WHERE p.rn = 1
 """
+
+
+# ---------------------------------------------------------------------------
+# jump_test
+# ---------------------------------------------------------------------------
+
+
+def q_jump_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jump detection per event type: realized variance (sum r^2)
+    against bipower variation ((pi/2) * sum |r_t| |r_{t-1}|,
+    Barndorff-Nielsen & Shephard) — BV is robust to jumps while RV is
+    not, so max(0, RV/BV - 1) isolates the JUMP share of volatility,
+    the statistic that separates "vol is high" from "something gapped".
+
+    Scale shape: one lag window over the compact hourly return frame,
+    then exact decimal moment sums (|r| products of DECIMAL(18,9) stay
+    under the 38-digit clamp); the ratio closes in pinned double."""
+    from ..functions.rounding import round_half_away
+
+    rets = _hourly_returns(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("h")
+    lagged = rets.select(
+        "event_type",
+        "r",
+        F.lag("r", 1).over(w).alias("rl"),
+    )
+    agg = lagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("r") * F.col("r")).alias("rv"),
+        F.sum(F.abs(F.col("r")) * F.abs(F.col("rl"))).alias("bv_raw"),
+        F.count(F.col("rl")).cast("long").alias("n_pairs"),
+    )
+    half_pi = 1.5707963267948966  # pi/2, repr-shared with the oracle
+    rv = F.col("rv").cast("double")
+    bv = F.lit(half_pi) * F.col("bv_raw").cast("double")
+    jump = F.greatest(F.lit(0.0), rv / F.nullif(bv, F.lit(0.0)) - F.lit(1.0))
+    return agg.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_returns"),
+        F.col("n_pairs").alias("n_pairs"),
+        round_half_away(rv, 9).alias("realized_var"),
+        round_half_away(bv, 9).alias("bipower_var"),
+        round_half_away(jump, 6).alias("jump_share"),
+    )
+
+
+def oracle_jump_test() -> str:
+    from ..functions.rounding import sql_round_half_away
+
+    half_pi = 1.5707963267948966
+    bv = f"({half_pi!r} * CAST(bv_raw AS DOUBLE))"
+    rv = "CAST(rv AS DOUBLE)"
+    jump = f"greatest(0.0, {rv} / nullif({bv}, 0.0) - 1.0)"
+    return f"""
+WITH {_hourly_returns_sql()},
+lagged AS (
+    SELECT event_type, r,
+           lag(r, 1) OVER (PARTITION BY event_type ORDER BY h) AS rl
+    FROM rets
+),
+agg AS (
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           SUM(r * r) AS rv,
+           SUM(abs(r) * abs(rl)) AS bv_raw,
+           CAST(COUNT(rl) AS BIGINT) AS n_pairs
+    FROM lagged GROUP BY 1
+)
+SELECT event_type, n AS n_returns, n_pairs,
+       {sql_round_half_away(rv, 9)} AS realized_var,
+       {sql_round_half_away(bv, 9)} AS bipower_var,
+       {sql_round_half_away(jump, 6)} AS jump_share
+FROM agg
+"""

@@ -130,6 +130,9 @@ SAMPLE = [
     "label_propagation",
     # wave 4: chained-broadcast IRLS fixed point (rational link)
     "logistic_irls",
+    # wave 5: jump-robust moment ratio, compact-histogram deciles
+    "jump_test",
+    "k_anonymity",
 ]
 
 
