@@ -388,6 +388,14 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
         text.q_minhash_lsh_tuning,
         text.oracle_minhash_lsh_tuning,
     ),
+    "calibration_curve": (
+        text.q_calibration_curve,
+        text.oracle_calibration_curve,
+    ),
+    "importance_ess": (
+        text.q_importance_ess,
+        text.oracle_importance_ess,
+    ),
     "k_anonymity": (text.q_k_anonymity, text.oracle_k_anonymity),
     "logistic_irls": (text.q_logistic_irls, text.oracle_logistic_irls),
     "kn_bigram_lm": (text.q_kn_bigram_lm, text.oracle_kn_bigram_lm),
@@ -564,6 +572,8 @@ _PRIORITY: list[str] = [
     "hist_store_stream_twin",
     "jump_test",
     "k_anonymity",
+    "calibration_curve",
+    "importance_ess",
     # round-9 code changes (replay-idempotent CMS store, moving-upsert
     # drained-drop journal): re-adjudicate the affected twins
     "cms_store_twin",

@@ -4271,6 +4271,15 @@ def _elliott(eta):
     return 0.5 * (1.0 + eta / (1.0 + F.abs(eta)))
 
 
+def _irls_fit(spark: SparkSession, sf_dir: str):
+    """Shared Elliott-IRLS fit: returns (feats, beta) where ``feats``
+    is the quantized (x1, x2, y) frame and ``beta`` the trained 1-row
+    coefficient frame — consumed by :func:`q_logistic_irls` (the
+    training query) and :func:`q_calibration_curve` (the reliability
+    audit of the SAME coefficients, chained rather than retrained)."""
+    return _irls_fit_impl(spark, sf_dir)
+
+
 def q_logistic_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-classifier TRAINING inside the engine: predict
     ``lang = 'en'`` from two document features (log length, stopword
@@ -4289,6 +4298,16 @@ def q_logistic_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
     response close over pinned-order double; every moment term
     re-quantizes to 9 dp before its exact decimal sum; the Cramer text
     is identical in both engines."""
+    feats, beta = _irls_fit(spark, sf_dir)
+    return beta.select(
+        "n_docs",
+        F.col("b0").alias("beta_0"),
+        F.col("b1").alias("beta_len"),
+        F.col("b2").alias("beta_stop"),
+    )
+
+
+def _irls_fit_impl(spark: SparkSession, sf_dir: str):
     from ..functions.rounding import round_half_away
 
     docs = parallelized(spark, load_table(spark, sf_dir, "documents"))
@@ -4367,15 +4386,21 @@ def q_logistic_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
             round_half_away(nb2, 9).alias("b2"),
             F.col("n").cast("long").alias("n_docs"),
         )
-    return beta.select(
-        "n_docs",
-        F.col("b0").alias("beta_0"),
-        F.col("b1").alias("beta_len"),
-        F.col("b2").alias("beta_stop"),
-    )
+    return feats, beta
 
 
 def oracle_logistic_irls() -> str:
+    return f"""
+WITH {_irls_chain_sql()}
+SELECT n AS n_docs, b0 AS beta_0, b1 AS beta_len, b2 AS beta_stop
+FROM beta{IRLS_ROUNDS - 1}
+"""
+
+
+def _irls_chain_sql() -> str:
+    """The shared WITH-body text: feats + the unrolled IRLS rounds,
+    ending at ``beta{IRLS_ROUNDS-1}`` — the oracle twin of
+    :func:`_irls_fit`."""
     from ..functions.rounding import sql_round_half_away
 
     stop = "['the','a','of','and','to','in','is','on','for','it']"
@@ -4437,8 +4462,7 @@ beta{i} AS ({solve_sql(i)})""")
     chain = ",\n".join(rounds)
     x1 = sql_round_half_away("ln(1.0 + CAST(n_chars AS DOUBLE))", 9)
     x2 = sql_round_half_away("n_stop / n_tokens", 9)
-    return f"""
-WITH base AS (
+    return f"""base AS (
     SELECT lang, n_chars,
         CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tokens,
         CAST(len(list_filter(string_split(text, ' '),
@@ -4451,10 +4475,7 @@ feats AS (
     FROM base
     WHERE ({x2}) IS NOT NULL
 ),
-{chain}
-SELECT n AS n_docs, b0 AS beta_0, b1 AS beta_len, b2 AS beta_stop
-FROM beta{IRLS_ROUNDS - 1}
-"""
+{chain}"""
 
 
 # ---------------------------------------------------------------------------
@@ -4601,4 +4622,250 @@ SELECT band, n_groups, n_docs, at_risk AS docs_below_k,
            'CAST(at_risk AS DOUBLE) / CAST(total_docs AS DOUBLE)', 6)}
            AS frac_below_k
 FROM per_band, tot
+"""
+
+
+# ---------------------------------------------------------------------------
+# calibration_curve
+# ---------------------------------------------------------------------------
+
+CALIB_BINS = 10
+
+
+def q_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram of the trained classifier: score the corpus
+    with the :func:`q_logistic_irls` coefficients (CHAINED from the
+    same fit, not retrained), bucket predicted probability into 10
+    bins, and report observed vs predicted rate per bin with the
+    expected calibration error — the audit that decides whether a
+    quality filter's threshold means what it says before it gates
+    100 TB of data.
+
+    Scale shape: scoring is a broadcast 1-row coefficient join + pure
+    row expressions; the diagram is one map-side-combined aggregate
+    over bin ids; ECE is a <= 10-row reduction broadcast back onto the
+    bins.  Everything after the (already-aggregate) training rounds is
+    one corpus pass."""
+    from ..functions.rounding import round_half_away
+    from ..operators.materialize import materialize
+
+    feats, beta = _irls_fit(spark, sf_dir)
+    # materialize the 1-row coefficient frame: without it the entire
+    # 3-round training chain re-derives for every consumer branch
+    beta = materialize(beta)
+    scored = feats.crossJoin(F.broadcast(beta))
+    eta = (
+        F.col("b0")
+        + F.col("b1") * F.col("x1")
+        + F.col("b2") * F.col("x2")
+    )
+    p = round_half_away(_elliott(eta), 9)
+    binned = scored.select(
+        F.least(
+            F.lit(CALIB_BINS - 1), F.floor(p * CALIB_BINS).cast("int")
+        ).alias("bin"),
+        p.alias("p"),
+        "y",
+    )
+    agg = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("p").cast("decimal(25,9)")).alias("sp"),
+        F.sum(F.col("y").cast("decimal(25,9)")).alias("sy"),
+    )
+    mean_p = F.col("sp").cast("double") / F.col("n").cast("double")
+    obs = F.col("sy").cast("double") / F.col("n").cast("double")
+    gap = F.abs(obs - mean_p)
+    rows = agg.select(
+        "bin",
+        F.col("n").cast("long").alias("n_docs"),
+        round_half_away(mean_p, 9).alias("mean_pred"),
+        round_half_away(obs, 9).alias("obs_rate"),
+        round_half_away(gap, 9).alias("abs_gap"),
+        (F.col("n").cast("double") * gap).alias("_w_gap"),
+    )
+    rows = materialize(rows)  # <= CALIB_BINS rows, feeds ece AND output
+    ece = rows.agg(
+        (
+            F.sum(round_half_away(F.col("_w_gap"), 9).cast("decimal(25,9)"))
+            .cast("double")
+            / F.sum(F.col("n_docs")).cast("double")
+        ).alias("_ece")
+    )
+    return rows.crossJoin(F.broadcast(ece)).select(
+        "bin",
+        "n_docs",
+        "mean_pred",
+        "obs_rate",
+        "abs_gap",
+        round_half_away(F.col("_ece"), 9).alias("ece"),
+    )
+
+
+def oracle_calibration_curve() -> str:
+    from ..functions.rounding import sql_round_half_away
+
+    eta = "(b0 + b1 * x1 + b2 * x2)"
+    p_raw = f"(0.5 * (1.0 + {eta} / (1.0 + abs({eta}))))"
+    p = sql_round_half_away(p_raw, 9)
+    mean_p = "CAST(sp AS DOUBLE) / CAST(n AS DOUBLE)"
+    obs = "CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)"
+    gap = f"abs(({obs}) - ({mean_p}))"
+    w_gap = sql_round_half_away(f"CAST(n AS DOUBLE) * ({gap})", 9)
+    return f"""
+WITH {_irls_chain_sql()},
+binned AS (
+    SELECT least({CALIB_BINS - 1},
+                 CAST(floor(({p}) * {CALIB_BINS}) AS INT)) AS bin,
+           {p} AS p, y
+    FROM feats, beta{IRLS_ROUNDS - 1}
+),
+agg AS (
+    SELECT bin, CAST(count(*) AS BIGINT) AS n,
+           SUM(CAST(p AS DECIMAL(25,9))) AS sp,
+           SUM(CAST(y AS DECIMAL(25,9))) AS sy
+    FROM binned GROUP BY 1
+),
+rows_t AS (
+    SELECT bin, n AS n_docs,
+           {sql_round_half_away(mean_p, 9)} AS mean_pred,
+           {sql_round_half_away(obs, 9)} AS obs_rate,
+           {sql_round_half_away(gap, 9)} AS abs_gap,
+           CAST({w_gap} AS DECIMAL(25,9)) AS w_gap
+    FROM agg
+),
+ece AS (
+    SELECT CAST(SUM(w_gap) AS DOUBLE) / CAST(SUM(n_docs) AS DOUBLE) AS e
+    FROM rows_t
+)
+SELECT bin, n_docs, mean_pred, obs_rate, abs_gap,
+       {sql_round_half_away('e', 9)} AS ece
+FROM rows_t, ece
+"""
+
+
+# ---------------------------------------------------------------------------
+# importance_ess
+# ---------------------------------------------------------------------------
+
+
+def q_importance_ess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective sample size of importance-weighted domain mixtures:
+    for a target domain distribution, per-doc weight w = target_share /
+    empirical_share and ESS = (sum w)^2 / sum w^2 — the one number that
+    says whether a reweighted mixture actually HAS the data it claims
+    (ESS collapse means the mixture is a few documents reweighted into
+    a trench coat).  Two standard targets: uniform over sources, and
+    sqrt-temperature flattening (share ∝ sqrt(empirical), the
+    multilingual-sampling convention).
+
+    Scale shape: weights are constant within a source, so every moment
+    reduces on the DIMENSION-sized (source, count) frame — sum w =
+    sum_src n_src * w_src — one corpus aggregate then O(#sources)
+    arithmetic; nothing per-doc ever shuffles."""
+    from ..functions.rounding import round_half_away
+
+    from ..operators.materialize import materialize
+
+    docs = parallelized(spark, load_table(spark, sf_dir, "documents"))
+    # the (source, count) dimension frame feeds the totals AND both
+    # schemes' moment aggregates — materialize or the corpus aggregate
+    # re-derives per branch
+    src = materialize(
+        docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = src.agg(
+        F.sum("n").cast("long").alias("nn"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum(F.sqrt(F.col("n").cast("double"))).alias("sq_tot_raw"),
+    )
+    j = src.crossJoin(F.broadcast(tot))
+    emp = F.col("n").cast("double") / F.col("nn").cast("double")
+    schemes = {
+        "uniform": (F.lit(1.0) / F.col("k").cast("double")) / emp,
+        "sqrt_temp": (
+            F.sqrt(F.col("n").cast("double")) / F.col("sq_tot_raw")
+        )
+        / emp,
+    }
+    outs = []
+    for name, w_src in schemes.items():
+        w9 = round_half_away(w_src, 9)
+        agg = j.select(
+            F.col("n"),
+            w9.alias("w"),
+        ).agg(
+            F.sum(F.col("n")).cast("long").alias("n_docs"),
+            F.sum(
+                round_half_away(F.col("n").cast("double") * F.col("w"), 9)
+                .cast("decimal(25,9)")
+            ).alias("sw"),
+            F.sum(
+                round_half_away(
+                    F.col("n").cast("double") * (F.col("w") * F.col("w")), 9
+                ).cast("decimal(25,9)")
+            ).alias("sw2"),
+        )
+        sw = F.col("sw").cast("double")
+        sw2 = F.col("sw2").cast("double")
+        ess = (sw * sw) / sw2
+        outs.append(
+            agg.select(
+                F.lit(name).alias("scheme"),
+                "n_docs",
+                round_half_away(sw, 6).alias("sum_w"),
+                round_half_away(ess, 6).alias("ess"),
+                round_half_away(
+                    ess / F.col("n_docs").cast("double"), 6
+                ).alias("ess_frac"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def oracle_importance_ess() -> str:
+    from ..functions.rounding import sql_round_half_away
+
+    emp = "(CAST(n AS DOUBLE) / CAST(nn AS DOUBLE))"
+    selects = []
+    for name, w_src in (
+        ("uniform", f"((1.0 / CAST(k AS DOUBLE)) / {emp})"),
+        ("sqrt_temp", f"((sqrt(CAST(n AS DOUBLE)) / sq_tot_raw) / {emp})"),
+    ):
+        w9 = sql_round_half_away(w_src, 9)
+        sw_term = sql_round_half_away(f"CAST(n AS DOUBLE) * ({w9})", 9)
+        sw2_term = sql_round_half_away(
+            f"CAST(n AS DOUBLE) * (({w9}) * ({w9}))", 9
+        )
+        selects.append(f"""
+SELECT '{name}' AS scheme,
+       CAST(SUM(n) AS BIGINT) AS n_docs,
+       {sql_round_half_away(
+           'CAST(SUM(CAST(' + sw_term + ' AS DECIMAL(25,9))) AS DOUBLE)', 6)}
+           AS sum_w,
+       {sql_round_half_away(
+           '(CAST(SUM(CAST(' + sw_term + ' AS DECIMAL(25,9))) AS DOUBLE)'
+           ' * CAST(SUM(CAST(' + sw_term + ' AS DECIMAL(25,9))) AS DOUBLE))'
+           ' / CAST(SUM(CAST(' + sw2_term + ' AS DECIMAL(25,9))) AS DOUBLE)',
+           6)} AS ess,
+       {sql_round_half_away(
+           '((CAST(SUM(CAST(' + sw_term + ' AS DECIMAL(25,9))) AS DOUBLE)'
+           ' * CAST(SUM(CAST(' + sw_term + ' AS DECIMAL(25,9))) AS DOUBLE))'
+           ' / CAST(SUM(CAST(' + sw2_term + ' AS DECIMAL(25,9))) AS DOUBLE))'
+           ' / CAST(SUM(n) AS DOUBLE)', 6)} AS ess_frac
+FROM j""")
+    union = " UNION ALL ".join(selects)
+    return f"""
+WITH src AS (
+    SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1
+),
+tot AS (
+    SELECT CAST(SUM(n) AS BIGINT) AS nn, CAST(count(*) AS BIGINT) AS k,
+           SUM(sqrt(CAST(n AS DOUBLE))) AS sq_tot_raw
+    FROM src
+),
+j AS (SELECT * FROM src, tot)
+{union}
 """

@@ -133,6 +133,9 @@ SAMPLE = [
     # wave 5: jump-robust moment ratio, compact-histogram deciles
     "jump_test",
     "k_anonymity",
+    # wave 6: chained-coefficient scoring, dimension-frame ESS moments
+    "calibration_curve",
+    "importance_ess",
 ]
 
 
