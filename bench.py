@@ -214,7 +214,15 @@ def main() -> None:
         t_old = prev.get(name)
         if name not in qmap or not t_old or t_old <= 0:
             continue
-        if not (t_new > 2.0 * t_old or t_new < 0.5 * t_old):
+        ratio = t_new / t_old
+        # Hard flag: >2x either way.  Soft flag (VERDICT r9 ask #2): >=1.5x
+        # either way AND >=0.5s absolute delta — catches core-anchor drift
+        # that sits just under the hard gate (option_chain_ohlc's r9 1.78x)
+        # so it gets a same-session adjudication record instead of silently
+        # re-basing next round's anchor.
+        hard = ratio > 2.0 or ratio < 0.5
+        soft = (ratio >= 1.5 or ratio <= 1 / 1.5) and abs(t_new - t_old) >= 0.5
+        if not (hard or soft):
             continue
         runs = []
         for _ in range(2):
@@ -229,7 +237,7 @@ def main() -> None:
             "first_pass": t_new,
             "rerun_min": rerun_min,
         }
-        if t_new > 2.0 * t_old:
+        if t_new > t_old:
             # flagged slow: a fast rerun clears it (environmental)
             timings[name] = min(t_new, rerun_min)
         else:

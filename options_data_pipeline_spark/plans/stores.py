@@ -472,23 +472,34 @@ def hll_cube_consumer(spark: SparkSession, store_path: str) -> DataFrame:
     finest-grain registers ONLY.  ``cube()`` is the declarative form;
     the register max is associative and commutative, so every cube cell
     is exact over its slice's registers regardless of partitioning.
-    Grouping-set membership is disambiguated with explicit grouping
-    flags (a NULL day in the (event_type) row is a rollup marker, not a
-    data value)."""
+    Grouping-set membership is disambiguated with GROUPING() flags from
+    the cube itself (ADVICE r9): deriving the flags from IS NULL after
+    the fact conflates a genuine NULL dimension value (null ts / null
+    event_type in the data) with the rollup marker row, mislabeling the
+    grouping sets.  The flags ride the estimate's group-by so data-NULL
+    and rollup cells stay distinct end-to-end."""
     regs = spark.read.parquet(store_path).select(
         F.col("day").cast("date").alias("day"), "event_type", "bucket", "reg"
     )
     merged = (
         regs.cube("day", "event_type", "bucket")
-        .agg(F.max("reg").alias("reg"))
-        .where(F.col("bucket").isNotNull())  # bucket is never rolled up
+        .agg(
+            F.max("reg").alias("reg"),
+            F.grouping("day").cast("int").alias("day_rolled"),
+            F.grouping("event_type").cast("int").alias("type_rolled"),
+            F.grouping("bucket").cast("int").alias("_bucket_rolled"),
+        )
+        .where(F.col("_bucket_rolled") == 0)  # bucket is never rolled up
+        .drop("_bucket_rolled")
     )
-    est = hll.hll_estimate(merged, ["day", "event_type"])
+    est = hll.hll_estimate(
+        merged, ["day", "event_type", "day_rolled", "type_rolled"]
+    )
     return est.select(
         F.col("day").cast("timestamp").alias("day"),
         "event_type",
-        (F.col("day").isNull()).cast("int").alias("day_rolled"),
-        (F.col("event_type").isNull()).cast("int").alias("type_rolled"),
+        "day_rolled",
+        "type_rolled",
         "buckets_seen",
         round_half_away(F.col("hll_estimate"), 4).alias("hll_estimate"),
     )
@@ -525,19 +536,22 @@ def oracle_hll_cube() -> str:
         "(SELECT CAST(ts AS DATE) AS day, event_type, user_id FROM events)",
         "day, event_type",
     )
-    est = hll.sql_hll_estimate("SELECT * FROM merged", "day, event_type")
+    est = hll.sql_hll_estimate(
+        "SELECT * FROM merged", "day, event_type, day_rolled, type_rolled"
+    )
     return f"""
 WITH regs AS ({regs}),
 merged AS (
-    SELECT day, event_type, bucket, MAX(reg) AS reg
+    SELECT day, event_type, bucket, MAX(reg) AS reg,
+           CAST(GROUPING(day) AS INT) AS day_rolled,
+           CAST(GROUPING(event_type) AS INT) AS type_rolled
     FROM regs
     GROUP BY GROUPING SETS ((day, event_type, bucket), (day, bucket),
                             (event_type, bucket), (bucket))
 ),
 est AS ({est})
 SELECT CAST(day AS TIMESTAMP) AS day, event_type,
-       CAST(day IS NULL AS INT) AS day_rolled,
-       CAST(event_type IS NULL AS INT) AS type_rolled,
+       day_rolled, type_rolled,
        buckets_seen,
        {sql_round_half_away('hll_estimate', 4)} AS hll_estimate
 FROM est

@@ -4773,17 +4773,26 @@ def q_importance_ess(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = materialize(
         docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
     )
+    # sqrt(n) terms quantize to 9 dp and accumulate through exact DECIMAL
+    # (ADVICE r9): a raw double SUM is partition-order-dependent, and a
+    # last-ulp difference in sq_tot can flip the 9-dp quantization of w
+    # near a rounding boundary.  Same dec_sum pattern as every other
+    # moment sum in this module.
     tot = src.agg(
         F.sum("n").cast("long").alias("nn"),
         F.count(F.lit(1)).cast("long").alias("k"),
-        F.sum(F.sqrt(F.col("n").cast("double"))).alias("sq_tot_raw"),
+        F.sum(
+            round_half_away(F.sqrt(F.col("n").cast("double")), 9)
+            .cast("decimal(25,9)")
+        ).alias("sq_tot_dec"),
     )
     j = src.crossJoin(F.broadcast(tot))
     emp = F.col("n").cast("double") / F.col("nn").cast("double")
     schemes = {
         "uniform": (F.lit(1.0) / F.col("k").cast("double")) / emp,
         "sqrt_temp": (
-            F.sqrt(F.col("n").cast("double")) / F.col("sq_tot_raw")
+            round_half_away(F.sqrt(F.col("n").cast("double")), 9)
+            / F.col("sq_tot_dec").cast("double")
         )
         / emp,
     }
@@ -4832,7 +4841,9 @@ def oracle_importance_ess() -> str:
     selects = []
     for name, w_src in (
         ("uniform", f"((1.0 / CAST(k AS DOUBLE)) / {emp})"),
-        ("sqrt_temp", f"((sqrt(CAST(n AS DOUBLE)) / sq_tot_raw) / {emp})"),
+        ("sqrt_temp",
+         f"(({sql_round_half_away('sqrt(CAST(n AS DOUBLE))', 9)}"
+         f" / CAST(sq_tot_dec AS DOUBLE)) / {emp})"),
     ):
         w9 = sql_round_half_away(w_src, 9)
         sw_term = sql_round_half_away(f"CAST(n AS DOUBLE) * ({w9})", 9)
@@ -4863,7 +4874,8 @@ WITH src AS (
 ),
 tot AS (
     SELECT CAST(SUM(n) AS BIGINT) AS nn, CAST(count(*) AS BIGINT) AS k,
-           SUM(sqrt(CAST(n AS DOUBLE))) AS sq_tot_raw
+           SUM(CAST({sql_round_half_away('sqrt(CAST(n AS DOUBLE))', 9)}
+               AS DECIMAL(25,9))) AS sq_tot_dec
     FROM src
 ),
 j AS (SELECT * FROM src, tot)

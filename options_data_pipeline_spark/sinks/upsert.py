@@ -88,11 +88,21 @@ def _complete_pending_drops(path: str) -> None:
     import json
 
     with open(sidecar) as fh:
-        for dirname in json.load(fh):
-            # dir names are stored fully escaped; refuse to traverse
-            if os.sep in dirname or dirname in (".", ".."):
-                continue
-            shutil.rmtree(os.path.join(path, dirname), ignore_errors=True)
+        try:
+            drops = json.load(fh)
+        except ValueError as exc:
+            raise RuntimeError(
+                f"corrupt pending-drops sidecar {sidecar!r}: {exc}. The "
+                "writer journals this file atomically (temp + os.replace), "
+                "so a corrupt sidecar means external tampering or partial "
+                "copy; inspect the listed directories manually, then delete "
+                "the sidecar to unblock reads."
+            ) from exc
+    for dirname in drops:
+        # dir names are stored fully escaped; refuse to traverse
+        if os.sep in dirname or dirname in (".", ".."):
+            continue
+        shutil.rmtree(os.path.join(path, dirname), ignore_errors=True)
     os.remove(sidecar)
 
 
@@ -104,12 +114,22 @@ def _read_target(spark: SparkSession, path: str) -> DataFrame | None:
     would turn the next sink apply into a cold start that atomically
     replaces the table with just the current batch — silent loss of
     every other row, destructive for sinks whose contract includes
-    retraction (apply_cdc). ADVICE r3."""
+    retraction (apply_cdc). ADVICE r3.
+
+    Reads with ``mergeSchema=true`` (ADVICE r9): additive schema
+    evolution rewrites only TOUCHED partitions with the new column, so
+    default sampled-footer inference can miss it on a later whole-table
+    read — which would make the ``'_bid' in target.columns`` replay
+    probe silently disable replay protection for stores migrated from
+    pre-``_bid`` layouts.  Merging unions every footer's schema instead.
+    Cost is per-footer metadata only (these stores keep O(days) small
+    files); on a real cluster the table format (Delta/Iceberg) owns the
+    schema and this option is moot."""
     if not os.path.exists(path):
         return None
     _complete_pending_drops(path)
     try:
-        return spark.read.parquet(path)
+        return spark.read.option("mergeSchema", "true").parquet(path)
     except Exception as exc:
         msg = str(exc)
         if (
@@ -462,9 +482,14 @@ def upsert_partitioned_moving(
     if drained:
         import json
 
+        # written to a temp name and os.replace()d so a crash mid-write
+        # can never leave a truncated sidecar that poisons every later
+        # _read_target (ADVICE r9)
         sidecar = os.path.join(target_path, _PENDING_DROPS)
-        with open(sidecar, "w") as fh:
+        tmp = f"{sidecar}.tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
             json.dump(sorted(drained), fh)
+        os.replace(tmp, sidecar)
         _complete_pending_drops(target_path)
     shutil.rmtree(staging)
     return {"inserted": inserted, "updated": updated, "moved": moved}
