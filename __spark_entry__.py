@@ -45,3 +45,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return _registry.oracle_sql()
+
+
+def golden_hashes() -> dict[str, dict[str, str]]:
+    """Pinned canonical hashes for queries with no SQL oracle (see
+    options_data_pipeline_spark/plans/goldens.py).  Not part of the
+    external driver's contract — consumed by tools/driver_sim.py so the
+    self-adjudication can value-pin entries the DuckDB oracle cannot."""
+    from options_data_pipeline_spark.plans.goldens import GOLDEN_HASHES
+
+    return GOLDEN_HASHES

@@ -57,7 +57,21 @@ def main() -> int:
         try:
             spdf = queries[name](spark, sf_dir).toPandas()
             if name not in oracles:
-                print(f"{name}: weak/no_oracle rows={len(spdf)}")
+                from options_data_pipeline_spark.plans.goldens import (
+                    golden_for,
+                )
+
+                golden = golden_for(name, sf_dir)
+                if golden is None:
+                    print(f"{name}: weak/no_oracle rows={len(spdf)}")
+                elif canonical_hash(spdf) == golden:
+                    print(
+                        f"{name}: ok (golden_hash) rows={len(spdf)} "
+                        f"({time.monotonic() - t0:.1f}s)"
+                    )
+                else:
+                    fail += 1
+                    print(f"{name}: FAIL golden_hash rows={len(spdf)}")
                 continue
             opdf = ddb.execute(oracles[name]).fetchdf()
             ok = (
