@@ -102,6 +102,7 @@ def main() -> None:
     from options_data_pipeline_spark.operators import artifacts
     from options_data_pipeline_spark.plans.affinity import support_edge_artifact
     from options_data_pipeline_spark.plans.text import (
+        minhash_band_artifact,
         planted_near_dup_pairs,
         q_unigram_logprob,
     )
@@ -118,6 +119,12 @@ def main() -> None:
         # q_semantic_prune serves its dropped set from the artifact store
         # (also consumed by curation_decisions) — this times the build
         "semdedup_artifact_build": lambda: q_semantic_prune(spark, sf_dir),
+        # the standing band index consumed by minhash_index_maintain —
+        # the one-time full-corpus signature pass, split out of the
+        # maintenance row (VERDICT r9 ask #5)
+        "minhash_band_artifact_build": lambda: minhash_band_artifact(
+            spark, sf_dir
+        ),
     }
     for bname, builder in artifact_builds.items():
         build_runs = []
@@ -136,6 +143,7 @@ def main() -> None:
     q_unigram_logprob(spark, sf_dir)
     support_edge_artifact(spark, sf_dir)
     q_semantic_prune(spark, sf_dir)
+    minhash_band_artifact(spark, sf_dir)
 
     # file-pruned MERGE micro-bench (VERDICT r3 ask #8): a range-sorted
     # copy of events, then a single-key-range update batch — the merge

@@ -174,6 +174,12 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
         text.q_minhash_index_upsert,
         text.oracle_minhash_index_upsert,
     ),
+    # maintenance-only split against the pre-staged artifact; same
+    # oracle — maintenance must equal rebuild regardless of staging
+    "minhash_index_maintain": (
+        text.q_minhash_index_maintain,
+        text.oracle_minhash_index_upsert,
+    ),
     "bpe_apply_expr": (text.q_bpe_apply_expr, text.oracle_bpe_apply_expr),
     "bigram_perplexity": (
         text.q_bigram_perplexity,
@@ -538,21 +544,34 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
 # The driver adjudicates the first ~50 entries of ``queries()`` iteration
 # order against the DuckDB oracle.  ``_PRIORITY`` fills that sample window
 # with whatever most needs a driver row this round (VERDICT r6 ask #1):
-# three section-2 anchors stay pinned as controls, then the round-8 new
+# three section-2 anchors stay pinned as controls, then the round-10 new
 # operators (their first driver adjudication), then the queries whose
-# code changed this round (the hist_quantiles oracle DOUBLE cast, the
-# sketch_store_twin drain asserts, the cms_query group_cols extension,
-# the BPE oracle-stage refactor), then the round-7 additions so their
-# driver rows stay fresh.  The tail keeps prior rounds' ordering for
-# stable cross-round bench comparison.
+# code changed this round (importance_ess decimal sqrt-sum, hll_cube
+# GROUPING() flags, pca_project golden adjudication, and the merge-sink
+# twins affected by _read_target's mergeSchema change), then the round-9
+# additions so their driver rows stay fresh.  The tail keeps prior
+# rounds' ordering for stable cross-round bench comparison.
 _PRIORITY: list[str] = [
     # pinned anchors (sampled every round as controls)
     "daily_sessions",
     "option_chain_ohlc",
     "candle_resample",
-    # round-9 new operators: first driver adjudication this round
-    "cms_store_replay_twin",
+    # round-10 new operators: first driver adjudication this round
+    "minhash_index_maintain",
+    # round-10 code changes: re-adjudicate under the driver
+    "importance_ess",
     "hll_cube",
+    "pca_project",
+    "cms_store_replay_twin",
+    "hist_store_stream_twin",
+    "cms_store_twin",
+    "sketch_store_twin",
+    "stream_candles_twin",
+    "stream_dedup_twin",
+    "collection_lifecycle_twin",
+    "ivf_index_upsert",
+    "minhash_index_upsert",
+    # round-9 new operators: second driver pass
     "vol_surface_fit",
     "ou_half_life",
     "lead_lag_xcorr",
@@ -569,16 +588,11 @@ _PRIORITY: list[str] = [
     "hist_quantile_store",
     "label_propagation",
     "logistic_irls",
-    "hist_store_stream_twin",
     "jump_test",
     "k_anonymity",
     "calibration_curve",
-    "importance_ess",
     # round-9 code changes (replay-idempotent CMS store, moving-upsert
     # drained-drop journal): re-adjudicate the affected twins
-    "cms_store_twin",
-    "ivf_index_upsert",
-    "minhash_index_upsert",
     # round-8 new operators: second driver pass
     "hll_week_from_store",
     "cms_topk_from_store",
@@ -607,11 +621,8 @@ _PRIORITY: list[str] = [
     "hurst_exponent",
     # round-8 code changes: re-adjudicate under the driver
     "hist_quantiles",
-    "sketch_store_twin",
     "cms_token_freq",
     "bpe_tokenize",
-    "stream_candles_twin",
-    "stream_dedup_twin",
     # round-7 new operators: keep their driver rows fresh
     "sequence_pack",
     "sequence_pack_scan",
@@ -701,7 +712,6 @@ _PRIORITY: list[str] = [
     "curation_decisions",
     "embedding_covariance",
     "hard_negatives",
-    "pca_project",
     "pagerank_parts",
     "triangle_count",
     "basket_pairs",

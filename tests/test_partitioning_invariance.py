@@ -87,6 +87,8 @@ SAMPLE = [
     "cms_topk_from_store",
     "ivf_index_upsert",
     "minhash_index_upsert",
+    # round-10: maintenance-only split against the pre-staged artifact
+    "minhash_index_maintain",
     "bpe_apply_expr",
     "bigram_perplexity",
     "poisson_bootstrap_ci",
