@@ -31,6 +31,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
         sessions.q_stream_candles_twin,
         sessions.oracle_stream_candles_twin,
     ),
+    "stream_candles_replay_twin": (
+        sessions.q_stream_candles_replay_twin,
+        sessions.oracle_stream_candles_replay_twin,
+    ),
     "collection_lifecycle_twin": (
         sessions.q_collection_lifecycle_twin,
         sessions.oracle_collection_lifecycle_twin,
@@ -558,6 +562,7 @@ _PRIORITY: list[str] = [
     "candle_resample",
     # round-10 new operators: first driver adjudication this round
     "minhash_index_maintain",
+    "stream_candles_replay_twin",
     # round-10 code changes: re-adjudicate under the driver
     "importance_ess",
     "hll_cube",

@@ -102,6 +102,70 @@ def oracle_stream_candles_twin() -> str:
     return oracle_hourly_candles()
 
 
+def q_stream_candles_replay_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-least-once REPLAY through the candles MERGE sink (VERDICT r9
+    ask #6): drain the real three-micro-batch stream to convergence,
+    then RE-deliver two batches through the exact foreachBatch unit
+    (:func:`..streaming.candles.candles_apply_batch`) — the trailing
+    time slice (the "committed final batch whose checkpoint write died"
+    retry) and a STALE early slice delivered after later data landed.
+    The gold table must still hash-equal the one-shot batch aggregate.
+
+    Unlike the additive sketch stores (`cms_store_replay_twin`, whose
+    counter ADD needs the per-day ``_bid`` marker), this sink is
+    idempotent BY CONSTRUCTION: every touched bucket recomputes from
+    source truth and MERGEs by key.  The twin is what turns that
+    argument into a driver-adjudicated fact: an append-shaped sink would
+    duplicate keys on the retry, and a batch-local (non-source-truth)
+    recompute would corrupt the stale slice's trailing buckets — either
+    fails the hash.  The replay slices are exact thirds of the event
+    time span (two 1-row bound probes, no data-dependent sampling)."""
+    import shutil
+    import tempfile
+
+    from ..operators.materialize import materialize
+    from ..streaming.candles import (
+        candles_apply_batch,
+        incremental_candles_stream,
+    )
+
+    base = tempfile.mkdtemp(prefix="stream_replay_")
+    try:
+        src, gold, ckpt = f"{base}/events", f"{base}/gold", f"{base}/ckpt"
+        ev = load_table(spark, sf_dir, "events")
+        ev.repartitionByRange(3, "ts").write.parquet(src)
+        q = incremental_candles_stream(
+            spark, src, gold, ckpt, max_files_per_trigger=1
+        )
+        q.awaitTermination()
+
+        staged = spark.read.parquet(src)
+        b = staged.agg(
+            F.min("ts").alias("lo"), F.max("ts").alias("hi")
+        ).first()
+        span = b["hi"] - b["lo"]
+        t1 = b["lo"] + span / 3
+        t2 = b["lo"] + 2 * span / 3
+        # retry of the trailing batch (same data, post-commit redelivery)
+        candles_apply_batch(spark, src, gold, staged.where(F.col("ts") >= t2))
+        # stale out-of-order replay of an early batch after later data
+        candles_apply_batch(spark, src, gold, staged.where(F.col("ts") < t1))
+
+        out = spark.read.parquet(gold).select(
+            "instrument", F.col("bucket_ts").alias("hour_ts"),
+            "open", "high", "low", "close", "n_ticks",
+        )
+        return materialize(out)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def oracle_stream_candles_replay_twin() -> str:
+    # the replayed store must equal exactly-once convergence, which is
+    # the one-shot batch aggregate
+    return oracle_hourly_candles()
+
+
 def q_collection_lifecycle_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hash-adjudicated twin of the SURVEY §3.1 collection lifecycle
     (VERDICT r6 ask #5): run the REAL ``jobs.incremental.incremental_sync``

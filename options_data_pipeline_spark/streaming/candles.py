@@ -111,6 +111,82 @@ def dedup_append_stream(
     return writer.start()
 
 
+def candles_apply_batch(
+    spark: SparkSession,
+    source_dir: str,
+    gold_path: str,
+    batch_df: DataFrame,
+    instrument_col: str = "event_type",
+    ts_col: str = "ts",
+    price_col: str = "value",
+    id_col: str = "event_id",
+    day_partitioned: bool = True,
+) -> None:
+    """The exact unit :func:`incremental_candles_stream` hands to
+    foreachBatch, callable directly so replay twins can re-deliver a
+    batch through the REAL maintenance path (the
+    ``stream_candles_replay_twin`` driver query).
+
+    Idempotent under at-least-once delivery BY CONSTRUCTION — unlike the
+    additive sketch stores (which need the per-day ``_bid`` marker), the
+    candle MERGE recomputes every touched bucket from SOURCE truth and
+    upserts by key, so re-delivering any batch — even a stale one after
+    later batches landed — recomputes current truth for its buckets and
+    the keyed MERGE converges to the same table.
+
+    Distinct touched buckets stay a DataFrame — never collected to the
+    driver, so a batch touching millions of buckets costs no driver
+    memory. Only the 2-scalar (lo, hi) bound comes back, to build a
+    literal range predicate that reaches the parquet scan (row-group /
+    partition pruning on a date-partitioned source); exact bucket
+    membership is a broadcast semi-join against the touched set."""
+    touched = (
+        batch_df.select(
+            F.col(instrument_col).alias("instrument"),
+            F.date_trunc("hour", F.col(ts_col)).alias("bucket_ts"),
+        )
+        .distinct()
+        .localCheckpoint()  # reused for bounds + the semi-join
+    )
+    bounds = touched.agg(
+        F.min("bucket_ts").alias("lo"), F.max("bucket_ts").alias("hi")
+    ).first()
+    if bounds["lo"] is None:
+        return
+    source = spark.read.parquet(source_dir).withColumnRenamed(
+        instrument_col, "instrument"
+    )
+    in_scope = (
+        source.where(
+            (F.col(ts_col) >= F.lit(bounds["lo"]))
+            & (F.col(ts_col) < F.lit(bounds["hi"]) + F.expr("INTERVAL 1 HOUR"))
+        )
+        .withColumn("bucket_ts", F.date_trunc("hour", F.col(ts_col)))
+        .join(F.broadcast(touched), ["instrument", "bucket_ts"], "left_semi")
+    )
+    candles = ticks_to_ohlc(
+        in_scope,
+        bucket=F.col("bucket_ts"),
+        keys=("instrument",),
+        time_col=ts_col,
+        price_col=price_col,
+        tiebreak_cols=(id_col,),
+    )
+    if day_partitioned:
+        upsert_partitioned(
+            spark,
+            gold_path,
+            candles.withColumn("bucket_date", F.to_date("bucket_ts")),
+            keys=["instrument", "bucket_ts"],
+            partition_col="bucket_date",
+            allow_cross_partition_keys=True,
+        )
+    else:
+        merge_upsert(
+            spark, gold_path, candles, keys=["instrument", "bucket_ts"]
+        )
+
+
 def incremental_candles_stream(
     spark: SparkSession,
     source_dir: str,
@@ -160,57 +236,17 @@ def incremental_candles_stream(
     )
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        # Distinct touched buckets stay a DataFrame — never collected to the
-        # driver, so a batch touching millions of buckets costs no driver
-        # memory. Only the 2-scalar (lo, hi) bound comes back, to build a
-        # literal range predicate that reaches the parquet scan (row-group /
-        # partition pruning on a date-partitioned source); exact bucket
-        # membership is a broadcast semi-join against the touched set.
-        touched = (
-            batch_df.select(
-                F.col(instrument_col).alias("instrument"),
-                F.date_trunc("hour", F.col(ts_col)).alias("bucket_ts"),
-            )
-            .distinct()
-            .localCheckpoint()  # reused for bounds + the semi-join
-        )
-        bounds = touched.agg(
-            F.min("bucket_ts").alias("lo"), F.max("bucket_ts").alias("hi")
-        ).first()
-        if bounds["lo"] is None:
-            return
-        source = spark.read.parquet(source_dir).withColumnRenamed(
-            instrument_col, "instrument"
-        )
-        in_scope = (
-            source.where(
-                (F.col(ts_col) >= F.lit(bounds["lo"]))
-                & (F.col(ts_col) < F.lit(bounds["hi"]) + F.expr("INTERVAL 1 HOUR"))
-            )
-            .withColumn("bucket_ts", F.date_trunc("hour", F.col(ts_col)))
-            .join(F.broadcast(touched), ["instrument", "bucket_ts"], "left_semi")
-        )
-        candles = ticks_to_ohlc(
-            in_scope,
-            bucket=F.col("bucket_ts"),
-            keys=("instrument",),
-            time_col=ts_col,
+        candles_apply_batch(
+            spark,
+            source_dir,
+            gold_path,
+            batch_df,
+            instrument_col=instrument_col,
+            ts_col=ts_col,
             price_col=price_col,
-            tiebreak_cols=(id_col,),
+            id_col=id_col,
+            day_partitioned=day_partitioned,
         )
-        if day_partitioned:
-            upsert_partitioned(
-                spark,
-                gold_path,
-                candles.withColumn("bucket_date", F.to_date("bucket_ts")),
-                keys=["instrument", "bucket_ts"],
-                partition_col="bucket_date",
-                allow_cross_partition_keys=True,
-            )
-        else:
-            merge_upsert(
-                spark, gold_path, candles, keys=["instrument", "bucket_ts"]
-            )
 
     writer = (
         events.writeStream.foreachBatch(process_batch)

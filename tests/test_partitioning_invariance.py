@@ -69,6 +69,8 @@ SAMPLE = [
     "image_probe",
     "benford_chisq",
     "stream_candles_twin",
+    # round-10: at-least-once replay through the candles MERGE sink
+    "stream_candles_replay_twin",
     "retrieval_ndcg",
     "bpe_tokenize",
     "bs_greeks",
