@@ -161,6 +161,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
         stores.oracle_cms_store_replay_twin,
     ),
     "hll_cube": (stores.q_hll_cube, stores.oracle_hll_cube),
+    "dds_quantile_store": (
+        stores.q_dds_quantile_store,
+        stores.oracle_dds_quantile_store,
+    ),
     "hist_quantile_store": (
         stores.q_hist_quantile_store,
         stores.oracle_hist_quantile_store,
@@ -563,6 +567,7 @@ _PRIORITY: list[str] = [
     # round-10 new operators: first driver adjudication this round
     "minhash_index_maintain",
     "stream_candles_replay_twin",
+    "dds_quantile_store",
     # round-10 code changes: re-adjudicate under the driver
     "importance_ess",
     "hll_cube",

@@ -761,3 +761,156 @@ def q_hist_store_stream_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
 def oracle_hist_store_stream_twin() -> str:
     # the stream's fixed point IS the batch store: same bins, same CDF
     return oracle_hist_quantile_store()
+
+
+# --- DDS relative-error quantile store: tail percentiles from buckets only --
+
+
+def build_dds_day_store(
+    spark: SparkSession, sf_dir: str, store_path: str
+) -> None:
+    """Ingest stage: ONE scan of events -> per-(type, day) relative-
+    error bucket counts (operators/dds.py decimal-log buckets), written
+    day-partitioned.  Counts ADD across days — the same additive-store
+    merge law as the CMS/histogram stores — so any later window's tail
+    quantiles cost a per-(type, window) merge of O(occupied buckets)
+    rows; the raw values never shuffle again."""
+    from ..operators.dds import sql_dds_bucket
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day"), "value"
+    ).where(F.col("value").isNotNull())
+    (
+        ev.select(
+            "event_type", "day",
+            F.expr(sql_dds_bucket("value")).alias("bucket"),
+        )
+        .groupBy("event_type", "day", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .write.mode("overwrite")
+        .partitionBy("day")
+        .parquet(store_path)
+    )
+
+
+def dds_week_quantile_consumer(
+    spark: SparkSession, store_path: str
+) -> DataFrame:
+    """(week, event_type, q, n, dds_est) from the stored day buckets
+    ONLY: add-merge each week's buckets, cumulative-sum the CDF in
+    bucket-id order (the signed lower-bound id IS value order), pick the
+    first bucket whose cumulative count reaches ceil-rank q*n, answer
+    its midpoint — <= 0.5% relative error at EVERY magnitude, which is
+    the whole point vs the equi-width store's fixed absolute bin."""
+    from pyspark.sql import Window
+
+    from ..operators.dds import DDS_QS, sql_dds_mid
+
+    buckets = spark.read.parquet(store_path).select(
+        F.date_trunc("week", F.col("day").cast("date")).alias("week"),
+        "event_type",
+        "bucket",
+        "cnt",
+    )
+    merged = buckets.groupBy("week", "event_type", "bucket").agg(
+        F.sum("cnt").cast("long").alias("cnt")
+    )
+    w = (
+        Window.partitionBy("week", "event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = merged.withColumn("cum", F.sum("cnt").over(w))
+    n = merged.groupBy("week", "event_type").agg(
+        F.sum("cnt").cast("long").alias("n")
+    )
+    qs = spark.createDataFrame([(q,) for q in DDS_QS], "q double")
+    cand = (
+        cum.join(n, ["week", "event_type"])
+        .crossJoin(F.broadcast(qs))
+        .where(F.col("cum") >= F.col("q") * F.col("n"))
+    )
+    pick = cand.groupBy("week", "event_type", "q").agg(
+        F.min_by(F.struct("bucket", "n"), F.col("bucket")).alias("s")
+    )
+    return pick.select(
+        "week",
+        "event_type",
+        "q",
+        F.col("s.n").alias("n"),
+        round_half_away(
+            F.expr(sql_dds_mid("s.bucket")), 6
+        ).alias("dds_est"),
+    )
+
+
+def q_dds_quantile_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RELATIVE-error quantile store (round-10 wave 1, VERDICT r9 ask
+    #4a): weekly p50/p90/p99/p999 per event type answered from stored
+    per-day bucket counters ONLY — raw events absent from the consumer
+    plan (CI-pinned with the other store consumers).
+
+    Why a second quantile store: `hist_quantile_store`'s 256 equi-width
+    bins are fixed-ABSOLUTE-error, so the p999 of a heavy-tailed value
+    lands in one bin spanning a huge value range; the DDSketch-style
+    decimal-log buckets keep <= 0.5% error at every magnitude for the
+    same ADD-mergeable counter shape.  The canonical log-gamma index is
+    re-expressed as exact integer/string arithmetic (operators/dds.py)
+    because libm ln() flips bucket boundaries across engines."""
+    import shutil
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="dds_store_")
+    try:
+        store = f"{base}/dds_days"
+        build_dds_day_store(spark, sf_dir, store)
+        out = dds_week_quantile_consumer(spark, store).orderBy(
+            "week", "event_type", "q"
+        )
+        rows = out.collect()  # bounded: weeks x types x |DDS_QS|
+        return parallelized(spark, spark.createDataFrame(rows, out.schema))
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def oracle_dds_quantile_store() -> str:
+    from ..operators.dds import DDS_QS, sql_dds_bucket, sql_dds_mid
+
+    qvals = ", ".join(f"(CAST({q!r} AS DOUBLE))" for q in DDS_QS)
+    return f"""
+WITH ev AS (
+    SELECT event_type, CAST(ts AS DATE) AS day, value FROM events
+    WHERE value IS NOT NULL
+),
+per_day AS (
+    SELECT event_type, day, {sql_dds_bucket('value')} AS bucket,
+           COUNT(*) AS cnt
+    FROM ev GROUP BY 1, 2, 3
+),
+merged AS (
+    SELECT CAST(date_trunc('week', day) AS TIMESTAMP) AS week,
+           event_type, bucket, CAST(SUM(cnt) AS BIGINT) AS cnt
+    FROM per_day GROUP BY 1, 2, 3
+),
+cum AS (
+    SELECT week, event_type, bucket, cnt,
+           SUM(cnt) OVER (PARTITION BY week, event_type ORDER BY bucket
+                          ROWS UNBOUNDED PRECEDING) AS cum
+    FROM merged
+),
+n AS (
+    SELECT week, event_type, CAST(SUM(cnt) AS BIGINT) AS n
+    FROM merged GROUP BY 1, 2
+),
+qs(q) AS (VALUES {qvals}),
+pick AS (
+    SELECT week, event_type, q, bucket, n,
+           row_number() OVER (PARTITION BY week, event_type, q
+                              ORDER BY bucket) AS rn
+    FROM cum JOIN n USING (week, event_type) CROSS JOIN qs
+    WHERE cum >= q * n
+)
+SELECT week, event_type, q, n,
+       {sql_round_half_away(sql_dds_mid('bucket'), 6)} AS dds_est
+FROM pick WHERE rn = 1
+"""

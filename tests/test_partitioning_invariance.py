@@ -91,6 +91,8 @@ SAMPLE = [
     "minhash_index_upsert",
     # round-10: maintenance-only split against the pre-staged artifact
     "minhash_index_maintain",
+    # round-10: relative-error quantile store (decimal-log buckets)
+    "dds_quantile_store",
     "bpe_apply_expr",
     "bigram_perplexity",
     "poisson_bootstrap_ci",

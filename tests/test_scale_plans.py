@@ -594,9 +594,14 @@ def test_sketch_store_consumers_never_scan_raw_events(spark, tmp_path_factory):
     hist_plan = fmt(
         spark, stores.hist_week_quantile_consumer(spark, hist_path)
     )
+    dds_path = f"{tmp}/dds_days"
+    stores.build_dds_day_store(spark, SF_DIR, dds_path)
+    dds_plan = fmt(
+        spark, stores.dds_week_quantile_consumer(spark, dds_path)
+    )
     for name, plan in (
         ("hll", hll_plan), ("cms", cms_plan), ("cube", cube_plan),
-        ("hist", hist_plan),
+        ("hist", hist_plan), ("dds", dds_plan),
     ):
         assert "events.parquet" not in plan, (
             f"{name} consumer plan scans raw events — store defeated"
