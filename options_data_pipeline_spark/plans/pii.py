@@ -153,3 +153,163 @@ SELECT doc_id,
     md5({redacted}) AS redacted_md5
 FROM corpus
 """
+
+
+# --- exact-substring contamination: verified shared token spans --------------
+
+#: word n-gram length for the exact screen; a match means >= this many
+#: consecutive tokens shared verbatim
+EXSUB_N = 8
+
+#: eval-slice selector: doc_id % EXSUB_MOD == EXSUB_RES is the held-out
+#: "benchmark" set; everything else is training corpus
+EXSUB_MOD, EXSUB_RES = 10, 7
+
+
+def _positional_grams(docs: DataFrame) -> DataFrame:
+    """(doc_id, pos, gram): 1-based positional word ``EXSUB_N``-grams as
+    the literal space-joined token text — EXACT semantics, no hashing
+    (a hash join would admit false-positive contamination).  Row-local
+    array expression: each doc fans out to its (len - N + 1) grams with
+    no shuffle; the only exchange in the whole screen is the gram join."""
+    toks = F.split(F.col("text"), " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (EXSUB_N - 1)),
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.concat_ws(
+                " ", F.slice(toks, i, EXSUB_N)
+            ).alias("gram"),
+        ),
+    )
+    return (
+        docs.where(F.size(toks) >= EXSUB_N)
+        .select("doc_id", F.explode(grams).alias("g"))
+        .select("doc_id", "g.pos", "g.gram")
+    )
+
+
+def q_exact_substring_contamination(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXACT shared-token-span contamination screen (round-10 wave 2):
+    for every (train doc, eval doc) pair sharing at least one verbatim
+    ``EXSUB_N``-token window, report the hit count and the LONGEST run
+    of consecutive matching windows — i.e. the longest exact shared
+    substring in tokens, the Lee-et-al. suffix-array decontamination
+    semantics re-expressed as a sorted n-gram join + gaps-and-islands.
+
+    Why this beats the shingle-overlap screen (`ngram_contamination`):
+    hit counts can be inflated by common phrases scattered through a
+    document; a 90-token consecutive span is a COPY.  The diagonal
+    trick makes runs cheap: a shared span of length L appears as L-N+1
+    matches with constant (train_pos - eval_pos), so grouping matches
+    by that diagonal and counting consecutive train positions recovers
+    the span length without ever comparing strings beyond the join.
+
+    Scale shape: docs fan out to positional grams row-locally (no
+    shuffle); the eval side is a benchmark set — tiny vs a 100 TB
+    corpus — so its gram frame BROADCASTS and the train-side gram frame
+    never shuffles at all; islands run on match rows only (output-
+    proportional, like every screen in this family).  No suffix array,
+    no driver-side text."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return exact_substring_spans(docs)
+
+
+def exact_substring_spans(docs: DataFrame) -> DataFrame:
+    """The screen's core over any (doc_id, text) frame — split out so
+    unit tests can pin the span semantics on planted corpora
+    (tests/test_exact_substring.py)."""
+    grams = _positional_grams(docs)
+    ev = (
+        grams.where(F.col("doc_id") % EXSUB_MOD == EXSUB_RES)
+        .select(
+            F.col("doc_id").alias("eval_doc"),
+            F.col("pos").alias("epos"),
+            "gram",
+        )
+    )
+    tr = (
+        grams.where(F.col("doc_id") % EXSUB_MOD != EXSUB_RES)
+        .select(
+            F.col("doc_id").alias("train_doc"),
+            F.col("pos").alias("tpos"),
+            "gram",
+        )
+    )
+    m = (
+        tr.join(F.broadcast(ev), "gram")
+        .select(
+            "train_doc",
+            "eval_doc",
+            (F.col("tpos") - F.col("epos")).alias("diag"),
+            "tpos",
+        )
+        .distinct()
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("train_doc", "eval_doc", "diag").orderBy("tpos")
+    runs = m.withColumn("grp", F.col("tpos") - F.row_number().over(w))
+    spans = runs.groupBy("train_doc", "eval_doc", "diag", "grp").agg(
+        (F.count(F.lit(1)) + (EXSUB_N - 1)).alias("span_tokens")
+    )
+    hits = m.groupBy("train_doc", "eval_doc").agg(
+        F.countDistinct("tpos").alias("n_hits")
+    )
+    worst = spans.groupBy("train_doc", "eval_doc").agg(
+        F.max("span_tokens").cast("long").alias("max_span_tokens")
+    )
+    return hits.join(worst, ["train_doc", "eval_doc"]).select(
+        "train_doc", "eval_doc", "n_hits", "max_span_tokens"
+    )
+
+
+def oracle_exact_substring_contamination() -> str:
+    n = EXSUB_N
+    return f"""
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+grams AS (
+    SELECT doc_id, i AS pos,
+           array_to_string(list_slice(t, i, i + {n - 1}), ' ') AS gram
+    FROM toks, unnest(generate_series(1, len(t) - {n - 1})) AS u(i)
+    WHERE len(t) >= {n}
+),
+ev AS (
+    SELECT doc_id AS eval_doc, pos AS epos, gram FROM grams
+    WHERE doc_id % {EXSUB_MOD} = {EXSUB_RES}
+),
+tr AS (
+    SELECT doc_id AS train_doc, pos AS tpos, gram FROM grams
+    WHERE doc_id % {EXSUB_MOD} <> {EXSUB_RES}
+),
+m AS (
+    SELECT DISTINCT train_doc, eval_doc, tpos - epos AS diag, tpos
+    FROM tr JOIN ev USING (gram)
+),
+runs AS (
+    SELECT train_doc, eval_doc, diag, tpos,
+           tpos - row_number() OVER (PARTITION BY train_doc, eval_doc, diag
+                                     ORDER BY tpos) AS grp
+    FROM m
+),
+spans AS (
+    SELECT train_doc, eval_doc, diag, grp,
+           count(*) + {n - 1} AS span_tokens
+    FROM runs GROUP BY 1, 2, 3, 4
+)
+SELECT h.train_doc, h.eval_doc, h.n_hits, w.max_span_tokens
+FROM (
+    SELECT train_doc, eval_doc,
+           CAST(count(DISTINCT tpos) AS BIGINT) AS n_hits
+    FROM m GROUP BY 1, 2
+) h
+JOIN (
+    SELECT train_doc, eval_doc,
+           CAST(max(span_tokens) AS BIGINT) AS max_span_tokens
+    FROM spans GROUP BY 1, 2
+) w USING (train_doc, eval_doc)
+"""

@@ -364,6 +364,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
     "doc_keywords": (retrieval.q_doc_keywords, retrieval.oracle_doc_keywords),
     "pii_scrub": (pii.q_pii_scrub, pii.oracle_pii_scrub),
     "ngram_contamination": (pii.q_ngram_contamination, pii.oracle_ngram_contamination),
+    "exact_substring_contamination": (
+        pii.q_exact_substring_contamination,
+        pii.oracle_exact_substring_contamination,
+    ),
     # --- training-data ops: vectors ---
     "ann_cosine_topk": (vectors.q_ann_cosine_topk, vectors.oracle_ann_cosine_topk),
     "embedding_near_dups": (vectors.q_embedding_near_dups, vectors.oracle_embedding_near_dups),
@@ -568,6 +572,7 @@ _PRIORITY: list[str] = [
     "minhash_index_maintain",
     "stream_candles_replay_twin",
     "dds_quantile_store",
+    "exact_substring_contamination",
     # round-10 code changes: re-adjudicate under the driver
     "importance_ess",
     "hll_cube",

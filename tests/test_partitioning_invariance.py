@@ -93,6 +93,8 @@ SAMPLE = [
     "minhash_index_maintain",
     # round-10: relative-error quantile store (decimal-log buckets)
     "dds_quantile_store",
+    # round-10: exact shared-token-span screen (diagonal islands)
+    "exact_substring_contamination",
     "bpe_apply_expr",
     "bigram_perplexity",
     "poisson_bootstrap_ci",
