@@ -177,6 +177,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
         vectors.q_ivf_index_upsert,
         vectors.oracle_ivf_index_upsert,
     ),
+    "ivf_index_recluster": (
+        vectors.q_ivf_index_recluster,
+        vectors.oracle_ivf_index_recluster,
+    ),
     "mmr_rerank": (vectors.q_mmr_rerank, vectors.oracle_mmr_rerank),
     "minhash_index_upsert": (
         text.q_minhash_index_upsert,
@@ -573,6 +577,7 @@ _PRIORITY: list[str] = [
     "stream_candles_replay_twin",
     "dds_quantile_store",
     "exact_substring_contamination",
+    "ivf_index_recluster",
     # round-10 code changes: re-adjudicate under the driver
     "importance_ess",
     "hll_cube",

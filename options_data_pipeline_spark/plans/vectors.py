@@ -6,7 +6,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.litconst import lit_double_array
-from ..functions.rounding import sql_round_half_away
+from ..functions.rounding import round_half_away, sql_round_half_away
 from ..operators.similarity import cosine_topk
 from ..sources.tables import load_table, parallelized
 
@@ -1274,6 +1274,185 @@ rk AS (
 )
 SELECT qid, cid, cosine_sim, CAST(rank AS BIGINT) AS rank
 FROM rk WHERE rank <= {TOP_K}
+"""
+
+
+# --- IVF index re-cluster compaction under drift -------------------------------
+
+
+def _index_cell_means(spark: SparkSession, index_path: str) -> DataFrame:
+    """(cell, i, mu): exact-decimal per-cell component means of the
+    MAINTAINED index rows only — the Lloyd-round centroid update reads
+    the index, never the raw corpus.  Components quantize at 1e-6 as
+    scaled LONGs (the operators/pca.py formula), sum as exact DECIMAL
+    (order-free), and close in one double division rounded to 9 dp —
+    bit-identical in any engine evaluating the same text."""
+    idx = spark.read.parquet(index_path).select("cell", "cv")
+    vd = F.col("vf").cast("double")
+    w = F.floor(F.abs(vd) * F.lit(1000000.0) + F.lit(0.5)) * F.when(
+        vd < 0, F.lit(-1)
+    ).otherwise(F.lit(1))
+    flat = idx.select(
+        "cell", F.posexplode("cv").alias("pos", "vf")
+    ).select("cell", (F.col("pos") + 1).alias("i"), w.cast("long").alias("w"))
+    return flat.groupBy("cell", "i").agg(
+        round_half_away(
+            F.sum(F.col("w").cast("decimal(38,0)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+            / F.lit(1000000.0),
+            9,
+        ).alias("mu")
+    )
+
+
+def q_ivf_index_recluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index COMPACTION under drift (round-10 wave 2, VERDICT r9
+    ask #4c): after upserts shift the vector distribution
+    (`_maintained_ivf_index`'s new + mutated delta), one deterministic
+    Lloyd round recomputes each cell's centroid as the exact-decimal
+    mean of its CURRENT members — read from the index, no raw rescan —
+    then reassigns only the vectors whose argmax cell changed, moved
+    through the move-aware partitioned MERGE (rewrite touches old ∪ new
+    cells only).  Output is the full (cid, cell, moved) assignment read
+    back from the re-clustered STORE, so the driver hash adjudicates
+    the physical index state: a stale row surviving in a moved key's
+    old cell partition, a missed eviction, or a drifted centroid all
+    fail the hash.
+
+    The oracle rebuilds from scratch: merged corpus → frozen-centroid
+    assignment → the same decimal means → the same fold-text
+    reassignment, so re-clustered-in-place ≡ rebuilt-at-new-centroids.
+
+    Scale shape: the centroid update is ONE map-side-combined aggregate
+    over the index (N_CELLS·DIM output rows, 512 here — the only
+    collect); reassignment scores each index row against broadcast
+    literal centroids row-locally; the MERGE's write cost follows the
+    DRIFT (moved rows' cells), not the index size."""
+    import shutil
+    import tempfile
+
+    from ..operators.similarity import DIM, N_CELLS, centroids, ivf_assign
+    from ..sinks.upsert import upsert_partitioned_moving
+
+    base = tempfile.mkdtemp(prefix="ivf_recl_")
+    try:
+        index_path = f"{base}/index"
+        _maintained_ivf_index(spark, sf_dir, index_path)
+        # pin the pre-recluster state: the store mutates below, and a
+        # lazy re-read would silently re-derive cell_before from the
+        # POST-merge files
+        pre = spark.read.parquet(index_path).select(
+            "cid", "cv", F.col("cell").cast("int").alias("cell_before")
+        ).localCheckpoint()
+
+        got = {
+            (r["cell"], r["i"]): r["mu"]
+            for r in _index_cell_means(spark, index_path).collect()
+        }
+        new_cells = []
+        for cell in range(N_CELLS):
+            if (cell, 1) in got:
+                new_cells.append([got[(cell, i)] for i in range(1, DIM + 1)])
+            else:  # drained cell: keep its frozen centroid
+                new_cells.append(centroids()[cell])
+
+        re_assigned = ivf_assign(
+            pre.select("cid", "cv"), "cv", cells=new_cells, nprobe=1
+        ).select("cid", "cv", "cell")
+        moved_delta = (
+            re_assigned.join(pre.select("cid", "cell_before"), "cid")
+            .where(F.col("cell") != F.col("cell_before"))
+            .select("cid", "cv", "cell")
+            .localCheckpoint()
+        )
+        upsert_partitioned_moving(
+            spark, index_path, moved_delta, keys=["cid"],
+            partition_col="cell",
+        )
+        after = spark.read.parquet(index_path).select(
+            "cid", F.col("cell").cast("long").alias("cell")
+        )
+        out = after.join(pre.select("cid", "cell_before"), "cid").select(
+            "cid",
+            "cell",
+            (F.col("cell") != F.col("cell_before")).cast("int").alias(
+                "moved"
+            ),
+        )
+        rows = out.collect()  # bounded: one row per indexed vector
+        return parallelized(spark, spark.createDataFrame(rows, out.schema))
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def oracle_ivf_index_recluster() -> str:
+    from ..operators.similarity import DIM, N_CELLS, centroids
+
+    cells = ", ".join(
+        "({}, [{}])".format(c, ", ".join(repr(x) for x in vec))
+        for c, vec in enumerate(centroids())
+    )
+    sim0 = _sql_dot("e.v", "w.w")
+    sim1 = _sql_dot("e.v", "n.w")
+    mu = sql_round_half_away(
+        "CAST(SUM(CAST(w AS DECIMAL(38,0))) AS DOUBLE)"
+        " / CAST(COUNT(*) AS DOUBLE) / 1000000.0",
+        9,
+    )
+    return f"""
+WITH cells(cell, w) AS (VALUES {cells}),
+emb AS (
+    SELECT vec_id,
+           CASE WHEN vec_id % {IDX_UPD_MOD} = 1
+                THEN list_reverse(embedding) ELSE embedding END AS v
+    FROM embeddings
+),
+scored0 AS (
+    SELECT e.vec_id, e.v, w.cell, {sim0} AS cell_sim
+    FROM emb e CROSS JOIN cells w
+),
+a0 AS (
+    SELECT vec_id, v, cell AS cell_before FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY cell_sim DESC, cell ASC) AS rk
+        FROM scored0
+    ) WHERE rk = 1
+),
+flat AS (
+    SELECT cell_before AS cell, i,
+           CAST(floor(abs(CAST(v[i] AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+             * (CASE WHEN CAST(v[i] AS DOUBLE) < 0 THEN -1 ELSE 1 END) AS w
+    FROM a0, unnest(generate_series(1, len(v))) AS u(i)
+),
+means AS (
+    SELECT cell, i, {mu} AS mu FROM flat GROUP BY 1, 2
+),
+grid AS (
+    SELECT c.cell, gi.i
+    FROM (SELECT unnest(range(0, {N_CELLS})) AS cell) c
+    CROSS JOIN (SELECT unnest(generate_series(1, {DIM})) AS i) gi
+),
+comps AS (
+    SELECT g.cell, g.i, COALESCE(m.mu, fc.w[g.i]) AS mu
+    FROM grid g
+    LEFT JOIN means m ON m.cell = g.cell AND m.i = g.i
+    JOIN cells fc ON fc.cell = g.cell
+),
+newc AS (SELECT cell, list(mu ORDER BY i) AS w FROM comps GROUP BY cell),
+scored1 AS (
+    SELECT e.vec_id, e.cell_before, n.cell, {sim1} AS cell_sim
+    FROM a0 e CROSS JOIN newc n
+),
+a1 AS (
+    SELECT vec_id, cell_before, cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY cell_sim DESC, cell ASC) AS rk
+        FROM scored1
+    ) WHERE rk = 1
+)
+SELECT vec_id AS cid, CAST(cell AS BIGINT) AS cell,
+       CAST(cell <> cell_before AS INT) AS moved
+FROM a1
 """
 
 

@@ -95,6 +95,8 @@ SAMPLE = [
     "dds_quantile_store",
     # round-10: exact shared-token-span screen (diagonal islands)
     "exact_substring_contamination",
+    # round-10: Lloyd-round index compaction through the moving MERGE
+    "ivf_index_recluster",
     "bpe_apply_expr",
     "bigram_perplexity",
     "poisson_bootstrap_ci",
