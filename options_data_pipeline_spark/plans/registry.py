@@ -165,6 +165,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
         stores.q_dds_quantile_store,
         stores.oracle_dds_quantile_store,
     ),
+    "dds_store_stream_twin": (
+        stores.q_dds_store_stream_twin,
+        stores.oracle_dds_store_stream_twin,
+    ),
     "hist_quantile_store": (
         stores.q_hist_quantile_store,
         stores.oracle_hist_quantile_store,
@@ -578,6 +582,7 @@ _PRIORITY: list[str] = [
     "dds_quantile_store",
     "exact_substring_contamination",
     "ivf_index_recluster",
+    "dds_store_stream_twin",
     # round-10 code changes: re-adjudicate under the driver
     "importance_ess",
     "hll_cube",

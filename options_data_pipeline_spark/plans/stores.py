@@ -914,3 +914,54 @@ SELECT week, event_type, q, n,
        {sql_round_half_away(sql_dds_mid('bucket'), 6)} AS dds_est
 FROM pick WHERE rn = 1
 """
+
+
+def q_dds_store_stream_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming parity for the FOURTH store type (round-10 wave 3):
+    the DDS relative-error bucket store maintained by the real
+    foreachBatch job (:func:`..streaming.sketches.dds_register_stream`)
+    over two interleaved waves through one checkpoint — every day gets
+    late adds in wave 2 — then weekly tail quantiles from the converged
+    store.  The oracle computes the batch fixed point (whole-table day
+    buckets), so the driver hash proves the ADD-merge law AND the
+    shared `_bid` replay protection end-to-end through checkpoint
+    resume: the same contract the CMS/histogram twins pin, on the new
+    counter geometry."""
+    import shutil
+    import tempfile
+
+    from ..streaming.sketches import dds_register_stream
+
+    base = tempfile.mkdtemp(prefix="dds_twin_")
+    try:
+        src, store, ckpt = f"{base}/src", f"{base}/store", f"{base}/ckpt"
+        ev_w = load_table(spark, sf_dir, "events").select(
+            "event_id", "ts", "event_type", "value"
+        )
+        ev_w.where(F.col("event_id") % 3 != 0).drop("event_id").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+        if not dds_register_stream(spark, src, store, ckpt).awaitTermination(
+            120
+        ):
+            raise TimeoutError("dds store wave 1 did not drain in 120s")
+        ev_w.where(F.col("event_id") % 3 == 0).drop("event_id").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+        if not dds_register_stream(spark, src, store, ckpt).awaitTermination(
+            120
+        ):
+            raise TimeoutError("dds store wave 2 did not drain in 120s")
+
+        out = dds_week_quantile_consumer(spark, store).orderBy(
+            "week", "event_type", "q"
+        )
+        rows = out.collect()  # bounded: weeks x types x |DDS_QS|
+        return parallelized(spark, spark.createDataFrame(rows, out.schema))
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def oracle_dds_store_stream_twin() -> str:
+    # the stream's fixed point IS the batch store: same buckets, same CDF
+    return oracle_dds_quantile_store()

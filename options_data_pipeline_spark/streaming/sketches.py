@@ -359,3 +359,78 @@ def hist_register_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def dds_apply_batch(
+    spark: SparkSession,
+    store_path: str,
+    batch_events: DataFrame,
+    batch_id: int,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+) -> None:
+    """Fold one micro-batch slice into the DDS relative-error bucket
+    day store, exactly once — the FOURTH store type (HLL max / CMS add /
+    HIST add / DDS add) under the same shared additive machinery and
+    per-day ``_bid`` replay protection (:func:`_additive_apply_batch`).
+    Bucket arithmetic is operators/dds.py's shared decimal-log text, so
+    the converged store equals the batch build bit-for-bit."""
+    from ..operators.dds import sql_dds_bucket
+
+    ev = batch_events.where(F.col(value_col).isNotNull()).select(
+        F.to_date(F.col(ts_col)).alias("day"),
+        F.col(type_col).alias("event_type"),
+        F.col(value_col).alias("value"),
+    )
+
+    def build(e: DataFrame) -> DataFrame:
+        return (
+            e.select(
+                "day", "event_type",
+                F.expr(sql_dds_bucket("value")).alias("bucket"),
+            )
+            .groupBy("day", "event_type", "bucket")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+
+    _additive_apply_batch(
+        spark,
+        store_path,
+        ev,
+        build,
+        batch_id,
+        cell_cols=("event_type", "bucket"),
+    )
+
+
+def dds_register_stream(
+    spark: SparkSession,
+    source_dir: str,
+    store_path: str,
+    checkpoint_dir: str,
+    ts_col: str = "ts",
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Maintain the per-(type, day) DDS bucket store from an event
+    stream: every later tail-quantile question reads ONLY stored
+    counters (:func:`..plans.stores.dds_week_quantile_consumer`).  Same
+    replay story as the CMS/histogram stores — the shared per-day
+    ``_bid`` stamp makes at-least-once foreachBatch delivery
+    exactly-once per day partition."""
+    stream = read_event_stream(
+        spark, source_dir, max_files_per_trigger=max_files_per_trigger
+    )
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        dds_apply_batch(spark, store_path, batch_df, batch_id, ts_col=ts_col)
+
+    writer = (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

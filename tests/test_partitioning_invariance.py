@@ -97,6 +97,8 @@ SAMPLE = [
     "exact_substring_contamination",
     # round-10: Lloyd-round index compaction through the moving MERGE
     "ivf_index_recluster",
+    # round-10: fourth store type through the shared additive stream
+    "dds_store_stream_twin",
     "bpe_apply_expr",
     "bigram_perplexity",
     "poisson_bootstrap_ci",

@@ -272,3 +272,32 @@ def test_hist_apply_batch_shares_replay_protection(spark, tmp_path):
     assert stored() == once
     hist_apply_batch(spark, store, ev, 1)  # genuinely new batch adds
     assert stored() != once
+
+
+def test_dds_apply_batch_shares_replay_protection(spark, tmp_path):
+    """The DDS bucket store is the FOURTH rider on the additive
+    machinery: per-day _bid stamps make a same-id retry a no-op."""
+    from options_data_pipeline_spark.streaming.sketches import dds_apply_batch
+
+    store = str(tmp_path / "store")
+    rows = [
+        ("2024-01-01 10:00:00", "a", float(v) + 0.25) for v in range(40)
+    ] + [("2024-01-02 10:00:00", "b", float(v) * 13.7) for v in range(30)]
+    ev = spark.createDataFrame(
+        rows, "ts string, event_type string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    dds_apply_batch(spark, store, ev, 0)
+
+    def stored():
+        return {
+            (str(r.day), r.event_type, r.bucket, r.cnt)
+            for r in spark.read.parquet(store)
+            .select("day", "event_type", "bucket", "cnt")
+            .collect()
+        }
+
+    once = stored()
+    dds_apply_batch(spark, store, ev, 0)  # same-id retry
+    assert stored() == once
+    dds_apply_batch(spark, store, ev, 1)  # genuinely new batch adds
+    assert stored() != once
