@@ -484,6 +484,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
         timeseries.q_min_var_portfolio,
         timeseries.oracle_min_var_portfolio,
     ),
+    "ledoit_wolf_shrinkage": (
+        timeseries.q_ledoit_wolf_shrinkage,
+        timeseries.oracle_ledoit_wolf_shrinkage,
+    ),
     "drawdown_duration": (
         timeseries.q_drawdown_duration,
         timeseries.oracle_drawdown_duration,
@@ -583,6 +587,7 @@ _PRIORITY: list[str] = [
     "exact_substring_contamination",
     "ivf_index_recluster",
     "dds_store_stream_twin",
+    "ledoit_wolf_shrinkage",
     # round-10 code changes: re-adjudicate under the driver
     "importance_ess",
     "hll_cube",

@@ -2617,3 +2617,256 @@ SELECT event_type, n AS n_returns, n_pairs,
        {sql_round_half_away(jump, 6)} AS jump_share
 FROM agg
 """
+
+
+# ---------------------------------------------------------------------------
+# ledoit_wolf_shrinkage
+# ---------------------------------------------------------------------------
+
+_LW_PAIRS = ((1, 1), (1, 2), (1, 3), (2, 2), (2, 3), (3, 3))
+
+
+def q_ledoit_wolf_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ledoit-Wolf shrinkage of the 3-series common-clock covariance
+    toward the scaled identity (round-10 wave 3): the closed-form
+    optimal intensity delta* = min(1, b-bar^2/d^2) from Ledoit & Wolf
+    2004 ("A well-conditioned estimator..."), where m = tr(S)/p,
+    d^2 = ||S - mI||^2 and b-bar^2 = (1/n^2) sum_t ||x_t x_t' - S||^2
+    (normalized Frobenius) — the covariance estimate a desk actually
+    feeds an optimizer when n is small relative to noise, and the
+    natural audit next to `min_var_portfolio`'s raw-S weights.
+
+    Distributed shape: TWO chained compact aggregates (means, then
+    demeaned 2nd/4th-order moments with the 1-row means frame
+    broadcast — the IRLS chaining pattern), then scalar algebra; no
+    solver, no collect.  The fourth-order term reduces to
+    sum_t p_ij^2 - n S_ij^2 because sum_t p_ij = n S_ij on demeaned
+    data, so everything rides the same quantized products.
+
+    Determinism: per-row demeaned products quantize to 9 dp ONCE
+    (p9 = round9((r_i - mu_i)(r_j - mu_j)), O(1)-magnitude so the
+    quantum sits ~7 decades above double ulp) and BOTH the second-order
+    sums and their squares accumulate as exact DECIMAL of that same
+    p9 — engine-order-free; the closed form expands in pinned textual
+    order in both engines."""
+    from ..functions.rounding import round_half_away
+
+    rets = _hourly_returns(spark, sf_dir)
+    roles = (
+        rets.select("event_type")
+        .distinct()
+        .withColumn(
+            "role", F.row_number().over(Window.orderBy("event_type"))
+        )
+        .where(F.col("role") <= PORT_ASSETS)
+    )
+    tagged = rets.join(F.broadcast(roles), "event_type")
+    wide = (
+        tagged.groupBy("h")
+        .agg(
+            F.max(F.when(F.col("role") == 1, F.col("r"))).alias("r1"),
+            F.max(F.when(F.col("role") == 2, F.col("r"))).alias("r2"),
+            F.max(F.when(F.col("role") == 3, F.col("r"))).alias("r3"),
+        )
+        .where(
+            F.col("r1").isNotNull()
+            & F.col("r2").isNotNull()
+            & F.col("r3").isNotNull()
+        )
+    )
+    mom1 = wide.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(f"r{i}").alias(f"s{i}") for i in (1, 2, 3)],
+    ).select(
+        "n",
+        *[
+            round_half_away(
+                F.col(f"s{i}").cast("double")
+                / F.col("n").cast("double"),
+                9,
+            ).alias(f"mu{i}")
+            for i in (1, 2, 3)
+        ],
+    )
+    j = wide.crossJoin(F.broadcast(mom1))
+    x = {
+        i: round_half_away(
+            F.col(f"r{i}").cast("double") - F.col(f"mu{i}"), 9
+        )
+        for i in (1, 2, 3)
+    }
+    p9 = {
+        (i, k): round_half_away(x[i] * x[k], 9).cast("decimal(18,9)")
+        for i, k in _LW_PAIRS
+    }
+    agg = j.groupBy("n").agg(
+        *[F.sum(p9[(i, k)]).alias(f"sp{i}{k}") for i, k in _LW_PAIRS],
+        *[
+            F.sum(p9[(i, k)] * p9[(i, k)]).alias(f"sq{i}{k}")
+            for i, k in _LW_PAIRS
+        ],
+    )
+    nd = F.col("n").cast("double")
+    S = {
+        (i, k): F.col(f"sp{i}{k}").cast("double") / nd
+        for i, k in _LW_PAIRS
+    }
+    q = {(i, k): F.col(f"sq{i}{k}").cast("double") for i, k in _LW_PAIRS}
+    m = (S[(1, 1)] + S[(2, 2)] + S[(3, 3)]) / F.lit(3.0)
+    d2 = (
+        (S[(1, 1)] - m) * (S[(1, 1)] - m)
+        + (S[(2, 2)] - m) * (S[(2, 2)] - m)
+        + (S[(3, 3)] - m) * (S[(3, 3)] - m)
+        + F.lit(2.0)
+        * (
+            S[(1, 2)] * S[(1, 2)]
+            + S[(1, 3)] * S[(1, 3)]
+            + S[(2, 3)] * S[(2, 3)]
+        )
+    ) / F.lit(3.0)
+    bsum = (
+        (q[(1, 1)] - nd * S[(1, 1)] * S[(1, 1)])
+        + (q[(2, 2)] - nd * S[(2, 2)] * S[(2, 2)])
+        + (q[(3, 3)] - nd * S[(3, 3)] * S[(3, 3)])
+        + F.lit(2.0)
+        * (
+            (q[(1, 2)] - nd * S[(1, 2)] * S[(1, 2)])
+            + (q[(1, 3)] - nd * S[(1, 3)] * S[(1, 3)])
+            + (q[(2, 3)] - nd * S[(2, 3)] * S[(2, 3)])
+        )
+    )
+    bbar2 = bsum / (nd * nd * F.lit(3.0))
+    b2 = F.least(bbar2, d2)
+    delta = b2 / F.nullif(d2, F.lit(0.0))
+    shrunk = {
+        (i, k): delta * m * F.lit(1.0 if i == k else 0.0)
+        + (F.lit(1.0) - delta) * S[(i, k)]
+        for i, k in _LW_PAIRS
+    }
+    names = roles.groupBy().pivot("role", [1, 2, 3]).agg(
+        F.first("event_type")
+    )
+    out = agg.crossJoin(F.broadcast(names))
+    return out.select(
+        F.col("1").alias("asset_1"),
+        F.col("2").alias("asset_2"),
+        F.col("3").alias("asset_3"),
+        F.col("n").cast("long").alias("n_obs"),
+        round_half_away(m, 9).alias("mu_trace"),
+        round_half_away(d2, 9).alias("d2"),
+        round_half_away(b2, 9).alias("b2"),
+        round_half_away(delta, 9).alias("delta"),
+        *[
+            round_half_away(shrunk[(i, k)], 9).alias(f"c{i}{k}")
+            for i, k in _LW_PAIRS
+        ],
+    )
+
+
+def oracle_ledoit_wolf_shrinkage() -> str:
+    from ..functions.rounding import sql_round_half_away
+
+    mu = {
+        i: sql_round_half_away(
+            f"CAST(s{i} AS DOUBLE) / CAST(n AS DOUBLE)", 9
+        )
+        for i in (1, 2, 3)
+    }
+    x = {
+        i: sql_round_half_away(f"CAST(r{i} AS DOUBLE) - mu{i}", 9)
+        for i in (1, 2, 3)
+    }
+    p9 = {
+        (i, k): (
+            "CAST("
+            + sql_round_half_away(f"({x[i]}) * ({x[k]})", 9)
+            + " AS DECIMAL(18,9))"
+        )
+        for i, k in _LW_PAIRS
+    }
+    sp = ", ".join(
+        f"SUM({p9[(i, k)]}) AS sp{i}{k}" for i, k in _LW_PAIRS
+    )
+    sq = ", ".join(
+        f"SUM({p9[(i, k)]} * {p9[(i, k)]}) AS sq{i}{k}"
+        for i, k in _LW_PAIRS
+    )
+    S = {
+        (i, k): f"(CAST(sp{i}{k} AS DOUBLE) / nd)" for i, k in _LW_PAIRS
+    }
+    q = {(i, k): f"CAST(sq{i}{k} AS DOUBLE)" for i, k in _LW_PAIRS}
+    m = f"(({S[(1,1)]} + {S[(2,2)]} + {S[(3,3)]}) / 3.0)"
+    d2 = (
+        f"((({S[(1,1)]} - {m}) * ({S[(1,1)]} - {m})"
+        f" + ({S[(2,2)]} - {m}) * ({S[(2,2)]} - {m})"
+        f" + ({S[(3,3)]} - {m}) * ({S[(3,3)]} - {m})"
+        f" + 2.0 * ({S[(1,2)]} * {S[(1,2)]}"
+        f" + {S[(1,3)]} * {S[(1,3)]}"
+        f" + {S[(2,3)]} * {S[(2,3)]})) / 3.0)"
+    )
+    bsum = (
+        f"(({q[(1,1)]} - nd * {S[(1,1)]} * {S[(1,1)]})"
+        f" + ({q[(2,2)]} - nd * {S[(2,2)]} * {S[(2,2)]})"
+        f" + ({q[(3,3)]} - nd * {S[(3,3)]} * {S[(3,3)]})"
+        f" + 2.0 * (({q[(1,2)]} - nd * {S[(1,2)]} * {S[(1,2)]})"
+        f" + ({q[(1,3)]} - nd * {S[(1,3)]} * {S[(1,3)]})"
+        f" + ({q[(2,3)]} - nd * {S[(2,3)]} * {S[(2,3)]})))"
+    )
+    bbar2 = f"({bsum} / (nd * nd * 3.0))"
+    b2 = f"least({bbar2}, {d2})"
+    delta = f"({b2} / nullif({d2}, 0.0))"
+    shrunk_cols = ", ".join(
+        sql_round_half_away(
+            f"{delta} * {m} * {1.0 if i == k else 0.0!r}"
+            f" + (1.0 - {delta}) * {S[(i, k)]}",
+            9,
+        )
+        + f" AS c{i}{k}"
+        for i, k in _LW_PAIRS
+    )
+    return f"""
+WITH {_hourly_returns_sql()},
+roles AS (
+    SELECT event_type,
+           row_number() OVER (ORDER BY event_type) AS role
+    FROM (SELECT DISTINCT event_type FROM rets)
+    QUALIFY role <= {PORT_ASSETS}
+),
+wide AS (
+    SELECT h,
+           MAX(CASE WHEN role = 1 THEN r END) AS r1,
+           MAX(CASE WHEN role = 2 THEN r END) AS r2,
+           MAX(CASE WHEN role = 3 THEN r END) AS r3
+    FROM rets JOIN roles USING (event_type)
+    GROUP BY h
+    HAVING r1 IS NOT NULL AND r2 IS NOT NULL AND r3 IS NOT NULL
+),
+mom1 AS (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           SUM(r1) AS s1, SUM(r2) AS s2, SUM(r3) AS s3
+    FROM wide
+),
+mus AS (
+    SELECT n, {mu[1]} AS mu1, {mu[2]} AS mu2, {mu[3]} AS mu3 FROM mom1
+),
+agg AS (
+    SELECT n, {sp}, {sq}
+    FROM wide, mus
+    GROUP BY n
+),
+closed AS (SELECT *, CAST(n AS DOUBLE) AS nd FROM agg),
+names AS (
+    SELECT
+        MAX(CASE WHEN role = 1 THEN event_type END) AS asset_1,
+        MAX(CASE WHEN role = 2 THEN event_type END) AS asset_2,
+        MAX(CASE WHEN role = 3 THEN event_type END) AS asset_3
+    FROM roles
+)
+SELECT asset_1, asset_2, asset_3, n AS n_obs,
+       {sql_round_half_away(m, 9)} AS mu_trace,
+       {sql_round_half_away(d2, 9)} AS d2,
+       {sql_round_half_away(b2, 9)} AS b2,
+       {sql_round_half_away(delta, 9)} AS delta,
+       {shrunk_cols}
+FROM closed, names
+"""

@@ -99,6 +99,8 @@ SAMPLE = [
     "ivf_index_recluster",
     # round-10: fourth store type through the shared additive stream
     "dds_store_stream_twin",
+    # round-10: two-pass chained moments (LW shrinkage closed form)
+    "ledoit_wolf_shrinkage",
     "bpe_apply_expr",
     "bigram_perplexity",
     "poisson_bootstrap_ci",

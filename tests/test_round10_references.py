@@ -1,0 +1,67 @@
+"""Independent-reference cross-validation for the round-10 analytics
+(the second correctness axis beyond the DuckDB oracles, following
+tests/test_round9_references.py): naive numpy/python reimplementations
+must agree with the engine's distributed closed forms."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from .conftest import SF_DIR
+
+
+def test_ledoit_wolf_against_numpy(spark):
+    """The distributed two-pass LW estimator must match a direct numpy
+    implementation of Ledoit & Wolf 2004 computed on the same
+    common-clock return matrix (tolerance-grade: numpy skips the 9 dp
+    product quantization, which perturbs the moments at ~1e-9)."""
+    from options_data_pipeline_spark.plans.timeseries import (
+        PORT_ASSETS,
+        _hourly_returns,
+        q_ledoit_wolf_shrinkage,
+    )
+
+    got = q_ledoit_wolf_shrinkage(spark, SF_DIR).first()
+
+    rets = _hourly_returns(spark, SF_DIR)
+    types = sorted(
+        r["event_type"] for r in rets.select("event_type").distinct().collect()
+    )[:PORT_ASSETS]
+    rows = (
+        rets.where(F.col("event_type").isin(types))
+        .groupBy("h")
+        .pivot("event_type", types)
+        .agg(F.first("r"))
+        .dropna()
+        .orderBy("h")
+        .collect()
+    )
+    X = np.array(
+        [[float(r[t]) for t in types] for r in rows], dtype=np.float64
+    )
+    n, p = X.shape
+    assert got["n_obs"] == n and p == 3
+    Xc = X - X.mean(axis=0)
+    S = Xc.T @ Xc / n
+    m = np.trace(S) / p
+    d2 = np.sum((S - m * np.eye(p)) ** 2) / p
+    bbar2 = sum(
+        np.sum((np.outer(x, x) - S) ** 2) / p for x in Xc
+    ) / n**2
+    b2 = min(bbar2, d2)
+    delta = b2 / d2
+    shrunk = delta * m * np.eye(p) + (1 - delta) * S
+
+    assert abs(got["mu_trace"] - m) < 1e-6
+    assert abs(got["d2"] - d2) < 1e-6
+    assert abs(got["b2"] - b2) < 1e-6
+    assert abs(got["delta"] - delta) < 1e-4
+    for idx, (i, k) in enumerate(
+        ((0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2))
+    ):
+        col = f"c{i + 1}{k + 1}"
+        assert abs(got[col] - shrunk[i, k]) < 1e-6, col
+    # and the estimator does what it exists for: genuine shrinkage,
+    # never past the target
+    assert 0.0 < got["delta"] <= 1.0
