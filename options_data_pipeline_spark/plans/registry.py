@@ -185,6 +185,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
         vectors.q_ivf_index_recluster,
         vectors.oracle_ivf_index_recluster,
     ),
+    "mwu_domain_reweight": (
+        text.q_mwu_domain_reweight,
+        text.oracle_mwu_domain_reweight,
+    ),
     "mmr_rerank": (vectors.q_mmr_rerank, vectors.oracle_mmr_rerank),
     "minhash_index_upsert": (
         text.q_minhash_index_upsert,
@@ -588,6 +592,7 @@ _PRIORITY: list[str] = [
     "ivf_index_recluster",
     "dds_store_stream_twin",
     "ledoit_wolf_shrinkage",
+    "mwu_domain_reweight",
     # round-10 code changes: re-adjudicate under the driver
     "importance_ess",
     "hll_cube",

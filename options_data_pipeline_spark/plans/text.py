@@ -4951,3 +4951,172 @@ tot AS (
 j AS (SELECT * FROM src, tot)
 {union}
 """
+
+
+# ---------------------------------------------------------------------------
+# mwu_domain_reweight
+# ---------------------------------------------------------------------------
+
+#: multiplicative-weights step size and round count — pinned literals
+#: shared with the oracle.  eta is small enough that the update factor
+#: (1 + eta * excess) stays positive for this corpus's loss spread; the
+#: greatest(., 0) clamp documents the boundary rather than relying on it.
+MWU_ETA = 0.1
+MWU_ROUNDS = 3
+
+
+def q_mwu_domain_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-shaped domain mixture reweighting WITHOUT libm (round-10
+    wave 3): K pinned rounds of the multiplicative-weights update
+    w ← w·(1 + eta·(L_m − Σ w L)) / Z over per-domain mean LM losses —
+    the domain-upweighting loop a training-mixture pass runs, with the
+    exponentiated-gradient ``exp()`` replaced by its first-order
+    rational update so the fixed point is bit-portable across engines
+    (the same libm argument as the IRLS Elliott link).
+
+    Losses come from the unigram-logprob artifact (L_m = mean of
+    −avg_logprob over the domain's documents, exact-decimal sum): the
+    corpus is scanned once; every round after that is arithmetic over
+    the DOMAIN-sized frame chained by broadcast 1-row reductions —
+    zero collects, zero UDFs, per-round cost O(#domains) regardless of
+    corpus size.  Weights quantize to 9 dp per round, so the Σ wL and
+    Z reductions are order-free exact-decimal sums."""
+    from ..functions.rounding import round_half_away
+
+    from ..operators.materialize import materialize
+
+    scores = q_unigram_logprob(spark, sf_dir)
+    langs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    dom = materialize(
+        scores.join(langs, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                (-F.col("avg_logprob")).cast("decimal(18,6)")
+            ).alias("sl"),
+        )
+        .select(
+            "lang",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            round_half_away(
+                F.col("sl").cast("double") / F.col("n_docs").cast("double"),
+                9,
+            ).alias("loss"),
+        )
+    )
+    m = dom.agg(F.count(F.lit(1)).cast("double").alias("m"))
+    w = dom.crossJoin(F.broadcast(m)).select(
+        "lang",
+        "n_docs",
+        "loss",
+        round_half_away(F.lit(1.0) / F.col("m"), 9).alias("w"),
+    )
+    carried: list[str] = []
+    for k in range(1, MWU_ROUNDS + 1):
+        lbar = w.agg(
+            F.sum(
+                round_half_away(F.col("w") * F.col("loss"), 9).cast(
+                    "decimal(25,9)"
+                )
+            )
+            .cast("double")
+            .alias("lbar")
+        )
+        wu = w.crossJoin(F.broadcast(lbar)).withColumn(
+            "wu",
+            round_half_away(
+                F.greatest(
+                    F.col("w")
+                    * (
+                        F.lit(1.0)
+                        + F.lit(MWU_ETA)
+                        * (F.col("loss") - F.col("lbar"))
+                    ),
+                    F.lit(0.0),
+                ),
+                9,
+            ),
+        )
+        z = wu.agg(
+            F.sum(F.col("wu").cast("decimal(25,9)"))
+            .cast("double")
+            .alias("z")
+        )
+        w = wu.crossJoin(F.broadcast(z)).select(
+            "lang",
+            "n_docs",
+            "loss",
+            *carried,
+            round_half_away(F.col("wu") / F.col("z"), 9).alias("w"),
+        ).withColumn(f"w_r{k}", F.col("w"))
+        carried.append(f"w_r{k}")
+    return w.select("lang", "n_docs", "loss", *carried)
+
+
+def oracle_mwu_domain_reweight() -> str:
+    from ..functions.rounding import sql_round_half_away
+
+    logp = sql_round_half_away("ln(corpus_count / total)", 9)
+    avg = sql_round_half_away("CAST(sum(logp) AS DOUBLE) / count(*)", 6)
+    loss = sql_round_half_away(
+        "CAST(SUM(CAST(-avg_logprob AS DECIMAL(18,6))) AS DOUBLE)"
+        " / CAST(count(*) AS DOUBLE)",
+        9,
+    )
+    w0 = sql_round_half_away("1.0 / m", 9)
+    rounds = []
+    prev = "w0"
+    for k in range(1, MWU_ROUNDS + 1):
+        wl = sql_round_half_away(f"{prev}.w * {prev}.loss", 9)
+        wu = sql_round_half_away(
+            f"greatest({prev}.w * (1.0 + {MWU_ETA!r}"
+            f" * ({prev}.loss - lbar{k})), 0.0)",
+            9,
+        )
+        wnext = sql_round_half_away(f"wu{k} / z{k}", 9)
+        cols = ["lang", "n_docs", "loss", f"{wnext} AS w"]
+        cols += [f"w_r{i}" for i in range(1, k)]
+        cols.append(f"{wnext} AS w_r{k}")
+        rounds.append(f"""
+lb{k} AS (
+    SELECT CAST(SUM(CAST({wl} AS DECIMAL(25,9))) AS DOUBLE) AS lbar{k}
+    FROM {prev}
+),
+u{k} AS (
+    SELECT {prev}.*, {wu} AS wu{k} FROM {prev}, lb{k}
+),
+zz{k} AS (
+    SELECT CAST(SUM(CAST(wu{k} AS DECIMAL(25,9))) AS DOUBLE) AS z{k}
+    FROM u{k}
+),
+w{k} AS (
+    SELECT {", ".join(cols)}
+    FROM u{k}, zz{k}
+)""")
+        prev = f"w{k}"
+    rounds_sql = ",".join(rounds)
+    return f"""
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+vocab AS (SELECT token, count(*) AS corpus_count FROM tok GROUP BY 1),
+tot AS (SELECT CAST(sum(corpus_count) AS DOUBLE) AS total FROM vocab),
+v AS (SELECT token, CAST({logp} AS DECIMAL(28,9)) AS logp FROM vocab, tot),
+scores AS (
+    SELECT doc_id, {avg} AS avg_logprob
+    FROM tok JOIN v USING (token)
+    GROUP BY doc_id
+),
+dom AS (
+    SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs, {loss} AS loss
+    FROM scores s JOIN documents d USING (doc_id)
+    GROUP BY d.lang
+),
+mm AS (SELECT CAST(count(*) AS DOUBLE) AS m FROM dom),
+w0 AS (SELECT lang, n_docs, loss, {w0} AS w FROM dom, mm),
+{rounds_sql}
+SELECT lang, n_docs, loss,
+       {", ".join(f"w_r{i}" for i in range(1, MWU_ROUNDS + 1))}
+FROM w{MWU_ROUNDS}
+"""

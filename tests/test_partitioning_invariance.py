@@ -101,6 +101,8 @@ SAMPLE = [
     "dds_store_stream_twin",
     # round-10: two-pass chained moments (LW shrinkage closed form)
     "ledoit_wolf_shrinkage",
+    # round-10: K-round multiplicative-weights chain over broadcast folds
+    "mwu_domain_reweight",
     "bpe_apply_expr",
     "bigram_perplexity",
     "poisson_bootstrap_ci",

@@ -65,3 +65,33 @@ def test_ledoit_wolf_against_numpy(spark):
     # and the estimator does what it exists for: genuine shrinkage,
     # never past the target
     assert 0.0 < got["delta"] <= 1.0
+
+
+def test_mwu_reweight_against_naive_python(spark):
+    """The K-round multiplicative-weights chain must match a naive
+    dict-based reimplementation driven by the same per-domain losses
+    (tolerance-grade: the naive loop skips the per-round 9 dp weight
+    quantization)."""
+    from options_data_pipeline_spark.plans.text import (
+        MWU_ETA,
+        MWU_ROUNDS,
+        q_mwu_domain_reweight,
+    )
+
+    rows = {r["lang"]: r for r in q_mwu_domain_reweight(spark, SF_DIR).collect()}
+    losses = {lang: r["loss"] for lang, r in rows.items()}
+    w = {lang: 1.0 / len(losses) for lang in losses}
+    trajectory = []
+    for _ in range(MWU_ROUNDS):
+        lbar = sum(w[d] * losses[d] for d in w)
+        wu = {d: max(w[d] * (1.0 + MWU_ETA * (losses[d] - lbar)), 0.0) for d in w}
+        z = sum(wu.values())
+        w = {d: wu[d] / z for d in w}
+        trajectory.append(dict(w))
+    for k in range(1, MWU_ROUNDS + 1):
+        for lang in losses:
+            assert abs(rows[lang][f"w_r{k}"] - trajectory[k - 1][lang]) < 1e-6
+    # weights renormalize each round and upweight the lossiest domain
+    assert abs(sum(r[f"w_r{MWU_ROUNDS}"] for r in rows.values()) - 1.0) < 1e-6
+    worst = max(losses, key=lambda d: losses[d])
+    assert rows[worst][f"w_r{MWU_ROUNDS}"] > 1.0 / len(losses)
