@@ -238,7 +238,12 @@ def exact_substring_spans(docs: DataFrame) -> DataFrame:
             "gram",
         )
     )
-    m = (
+    from ..operators.materialize import materialize
+
+    # match rows feed BOTH the island windows and the hit counts —
+    # materialize (output-proportional frame) or the gram join
+    # re-derives per branch
+    m = materialize(
         tr.join(F.broadcast(ev), "gram")
         .select(
             "train_doc",
@@ -261,7 +266,8 @@ def exact_substring_spans(docs: DataFrame) -> DataFrame:
     worst = spans.groupBy("train_doc", "eval_doc").agg(
         F.max("span_tokens").cast("long").alias("max_span_tokens")
     )
-    return hits.join(worst, ["train_doc", "eval_doc"]).select(
+    # both sides are contamination-proportional: broadcast the span side
+    return hits.join(F.broadcast(worst), ["train_doc", "eval_doc"]).select(
         "train_doc", "eval_doc", "n_hits", "max_span_tokens"
     )
 

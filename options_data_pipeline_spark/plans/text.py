@@ -5006,11 +5006,18 @@ def q_mwu_domain_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     m = dom.agg(F.count(F.lit(1)).cast("double").alias("m"))
-    w = dom.crossJoin(F.broadcast(m)).select(
-        "lang",
-        "n_docs",
-        "loss",
-        round_half_away(F.lit(1.0) / F.col("m"), 9).alias("w"),
+    # each round consumes the weight frame in TWO branches (the Σ wL /
+    # Z reductions and the next round's select) — without a materialize
+    # per round Catalyst re-derives the whole chain per branch and the
+    # plan compounds ~2^K (first audit: 127 shuffles; with it: one
+    # domain-frame checkpoint per round)
+    w = materialize(
+        dom.crossJoin(F.broadcast(m)).select(
+            "lang",
+            "n_docs",
+            "loss",
+            round_half_away(F.lit(1.0) / F.col("m"), 9).alias("w"),
+        )
     )
     carried: list[str] = []
     for k in range(1, MWU_ROUNDS + 1):
@@ -5043,13 +5050,17 @@ def q_mwu_domain_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("z")
         )
-        w = wu.crossJoin(F.broadcast(z)).select(
-            "lang",
-            "n_docs",
-            "loss",
-            *carried,
-            round_half_away(F.col("wu") / F.col("z"), 9).alias("w"),
-        ).withColumn(f"w_r{k}", F.col("w"))
+        w = materialize(
+            wu.crossJoin(F.broadcast(z))
+            .select(
+                "lang",
+                "n_docs",
+                "loss",
+                *carried,
+                round_half_away(F.col("wu") / F.col("z"), 9).alias("w"),
+            )
+            .withColumn(f"w_r{k}", F.col("w"))
+        )
         carried.append(f"w_r{k}")
     return w.select("lang", "n_docs", "loss", *carried)
 

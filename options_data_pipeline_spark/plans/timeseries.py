@@ -2650,6 +2650,7 @@ def q_ledoit_wolf_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     p9 — engine-order-free; the closed form expands in pinned textual
     order in both engines."""
     from ..functions.rounding import round_half_away
+    from ..operators.materialize import materialize
 
     rets = _hourly_returns(spark, sf_dir)
     roles = (
@@ -2661,7 +2662,10 @@ def q_ledoit_wolf_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("role") <= PORT_ASSETS)
     )
     tagged = rets.join(F.broadcast(roles), "event_type")
-    wide = (
+    # the common-clock frame feeds BOTH moment passes (means, then the
+    # demeaned products) — materialize or the hourly window chain
+    # re-derives per branch (first audit: 14 shuffles / 8 windows)
+    wide = materialize(
         tagged.groupBy("h")
         .agg(
             F.max(F.when(F.col("role") == 1, F.col("r"))).alias("r1"),

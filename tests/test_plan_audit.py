@@ -74,6 +74,15 @@ SENTINELS = [
     "bpe_apply_expr",
     # round-8: 64-step CRR lattice as one fold — 1 shuffle, no windows
     "crr_binomial_price",
+    # round-10: the statically-shaped additions (the store/index/replay
+    # twins resolve to ExistingRDD after bounded collects, pinned by
+    # their dedicated tests instead). First audits caught real bloat
+    # here — 127 shuffles on the unmaterialized MWU chain, 14/8 on the
+    # twice-derived LW common-clock frame — so the compacted shapes are
+    # exactly what must not regress.
+    "exact_substring_contamination",
+    "ledoit_wolf_shrinkage",
+    "mwu_domain_reweight",
 ]
 
 
