@@ -319,3 +319,123 @@ JOIN (
     FROM spans GROUP BY 1, 2
 ) w USING (train_doc, eval_doc)
 """
+
+
+def q_self_dup_span_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup PAYOFF estimator (round-10 wave 4): per lang, the
+    fraction of corpus tokens covered by at least one exact
+    ``EXSUB_N``-token span shared with ANOTHER document — the number
+    that says what exact-substring deduplication would actually delete,
+    measured BEFORE paying for the dedup itself.  The intra-corpus
+    sibling of `exact_substring_contamination` (train↔eval) and the
+    exactness upgrade over the MinHash estimate (signature similarity
+    ≠ deletable token mass).
+
+    Scale shape: one corpus-wide gram groupBy finds grams appearing in
+    ≥2 distinct documents — the single honest shuffle; everything after
+    is proportional to DUPLICATION MASS, not corpus size: only shared
+    grams fan out to their N token positions, and the distinct
+    (doc, position) collapse + per-lang reduction run on that
+    output-proportional frame.  Exact integer counts end to end."""
+    from ..functions.rounding import round_half_away
+
+    from ..operators.materialize import materialize
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    grams = _positional_grams(docs)
+    # grams living in >= 2 distinct docs; the gram text itself is the
+    # join key (exact semantics, no hash false positives)
+    shared_keys = (
+        grams.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("gram")
+    )
+    shared = grams.join(shared_keys, "gram", "left_semi")
+    covered = materialize(
+        shared.select(
+            "doc_id",
+            F.explode(
+                F.sequence(
+                    F.col("pos"), F.col("pos") + F.lit(EXSUB_N - 1)
+                )
+            ).alias("tok_pos"),
+        ).distinct()
+    )
+    per_doc = covered.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("dup_tokens")
+    )
+    totals = docs.select(
+        "doc_id", "lang", F.size(F.split(F.col("text"), " ")).alias("n_toks")
+    )
+    joined = totals.join(per_doc, "doc_id", "left").na.fill(
+        {"dup_tokens": 0}
+    )
+    return (
+        joined.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("total_tokens"),
+            F.sum("dup_tokens").cast("long").alias("dup_tokens"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "total_tokens",
+            "dup_tokens",
+            round_half_away(
+                F.col("dup_tokens").cast("double")
+                / F.col("total_tokens").cast("double"),
+                6,
+            ).alias("dup_frac"),
+        )
+    )
+
+
+def oracle_self_dup_span_mass() -> str:
+    from ..functions.rounding import sql_round_half_away
+
+    n = EXSUB_N
+    frac = sql_round_half_away(
+        "CAST(dup_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE)", 6
+    )
+    return f"""
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+grams AS (
+    SELECT doc_id, i AS pos,
+           array_to_string(list_slice(t, i, i + {n - 1}), ' ') AS gram
+    FROM toks, unnest(generate_series(1, len(t) - {n - 1})) AS u(i)
+    WHERE len(t) >= {n}
+),
+shared_keys AS (
+    SELECT gram FROM grams GROUP BY gram
+    HAVING count(DISTINCT doc_id) >= 2
+),
+covered AS (
+    SELECT DISTINCT g.doc_id, g.pos + o.k AS tok_pos
+    FROM grams g
+    JOIN shared_keys USING (gram),
+    unnest(generate_series(0, {n - 1})) AS o(k)
+),
+per_doc AS (
+    SELECT doc_id, count(*) AS dup_tokens FROM covered GROUP BY 1
+),
+totals AS (
+    SELECT doc_id, lang, len(string_split(text, ' ')) AS n_toks
+    FROM documents
+),
+agg AS (
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+           CAST(SUM(COALESCE(p.dup_tokens, 0)) AS BIGINT) AS dup_tokens
+    FROM totals t LEFT JOIN per_doc p USING (doc_id)
+    GROUP BY lang
+)
+SELECT lang, n_docs, total_tokens, dup_tokens, {frac} AS dup_frac
+FROM agg
+"""

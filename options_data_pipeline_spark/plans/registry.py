@@ -189,6 +189,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
         text.q_mwu_domain_reweight,
         text.oracle_mwu_domain_reweight,
     ),
+    "tokenizer_coverage_drift": (
+        text.q_tokenizer_coverage_drift,
+        text.oracle_tokenizer_coverage_drift,
+    ),
     "mmr_rerank": (vectors.q_mmr_rerank, vectors.oracle_mmr_rerank),
     "minhash_index_upsert": (
         text.q_minhash_index_upsert,
@@ -380,6 +384,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
         pii.q_exact_substring_contamination,
         pii.oracle_exact_substring_contamination,
     ),
+    "self_dup_span_mass": (
+        pii.q_self_dup_span_mass,
+        pii.oracle_self_dup_span_mass,
+    ),
     # --- training-data ops: vectors ---
     "ann_cosine_topk": (vectors.q_ann_cosine_topk, vectors.oracle_ann_cosine_topk),
     "embedding_near_dups": (vectors.q_embedding_near_dups, vectors.oracle_embedding_near_dups),
@@ -492,6 +500,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
         timeseries.q_ledoit_wolf_shrinkage,
         timeseries.oracle_ledoit_wolf_shrinkage,
     ),
+    "kalman_local_level": (
+        timeseries.q_kalman_local_level,
+        timeseries.oracle_kalman_local_level,
+    ),
     "drawdown_duration": (
         timeseries.q_drawdown_duration,
         timeseries.oracle_drawdown_duration,
@@ -593,6 +605,9 @@ _PRIORITY: list[str] = [
     "dds_store_stream_twin",
     "ledoit_wolf_shrinkage",
     "mwu_domain_reweight",
+    "kalman_local_level",
+    "tokenizer_coverage_drift",
+    "self_dup_span_mass",
     # round-10 code changes: re-adjudicate under the driver
     "importance_ess",
     "hll_cube",

@@ -5131,3 +5131,114 @@ SELECT lang, n_docs, loss,
        {", ".join(f"w_r{i}" for i in range(1, MWU_ROUNDS + 1))}
 FROM w{MWU_ROUNDS}
 """
+
+
+# ---------------------------------------------------------------------------
+# tokenizer_coverage_drift
+# ---------------------------------------------------------------------------
+
+#: vocabulary freeze window: doc-id deciles 0..TOKCOV_FREEZE-1 define
+#: the frozen vocab; later deciles are the "new crawl" being scored
+TOKCOV_FREEZE = 3
+
+
+def q_tokenizer_coverage_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frozen-vocab coverage drift (round-10 wave 4): freeze the token
+    vocabulary on the first ``TOKCOV_FREEZE`` doc-id deciles, then
+    report per decile the OOV token rate and distinct-OOV type count —
+    the "is our tokenizer going stale against new data" report run
+    before committing a vocab to a full-corpus tokenize job.  The
+    complement of `ngram_novelty_decay`: that curve asks whether new
+    data still adds N-GRAMS; this asks whether a FROZEN tokenizer
+    still covers new data.
+
+    Scale shape: one corpus token pass; the frozen vocab is a
+    vocabulary-sized frame that BROADCASTS into a left join; per-decile
+    reductions are map-side combined.  Decile boundaries are exact
+    integer arithmetic over the dense doc-id space (floor(id*10/(max+1))
+    of <2^53 integers in double — identical in both engines)."""
+    from ..functions.rounding import round_half_away
+
+    docs = parallelized(spark, load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "text"
+    )
+    maxid = docs.agg(F.max("doc_id").alias("mx"))
+    deciled = docs.crossJoin(F.broadcast(maxid)).select(
+        F.floor(
+            F.col("doc_id").cast("double")
+            * F.lit(10.0)
+            / (F.col("mx").cast("double") + F.lit(1.0))
+        ).cast("int").alias("decile"),
+        "text",
+    )
+    # the vocab pass explodes ONLY the freeze slice (filter before the
+    # token fan-out — at 100 TB that's a 70% scan-and-explode saving on
+    # the vocabulary job, and it decouples the two passes' lineage)
+    vocab = (
+        deciled.where(F.col("decile") < TOKCOV_FREEZE)
+        .select(F.explode(TS.words(F.col("text"))).alias("token"))
+        .distinct()
+        .withColumn("_known", F.lit(1))
+    )
+    toks = deciled.select(
+        "decile", F.explode(TS.words(F.col("text"))).alias("token")
+    )
+    joined = toks.join(F.broadcast(vocab), "token", "left")
+    return (
+        joined.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(
+                F.when(F.col("_known").isNull(), 1).otherwise(0)
+            ).cast("long").alias("oov_tokens"),
+            F.countDistinct(
+                F.when(F.col("_known").isNull(), F.col("token"))
+            ).alias("oov_types"),
+        )
+        .select(
+            "decile",
+            "n_tokens",
+            "oov_tokens",
+            "oov_types",
+            round_half_away(
+                F.col("oov_tokens").cast("double")
+                / F.col("n_tokens").cast("double"),
+                6,
+            ).alias("oov_rate"),
+        )
+    )
+
+
+def oracle_tokenizer_coverage_drift() -> str:
+    from ..functions.rounding import sql_round_half_away
+
+    rate = sql_round_half_away(
+        "CAST(oov_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE)", 6
+    )
+    return f"""
+WITH mx AS (SELECT MAX(doc_id) AS mx FROM documents),
+toks AS (
+    SELECT CAST(floor(CAST(doc_id AS DOUBLE) * 10.0
+                      / (CAST(mx AS DOUBLE) + 1.0)) AS INT) AS decile,
+           unnest(string_split(text, ' ')) AS token
+    FROM documents, mx
+),
+vocab AS (
+    SELECT DISTINCT token FROM toks WHERE decile < {TOKCOV_FREEZE}
+),
+joined AS (
+    SELECT t.decile, t.token, v.token AS known
+    FROM toks t LEFT JOIN vocab v USING (token)
+),
+agg AS (
+    SELECT decile,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN known IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS oov_tokens,
+           CAST(count(DISTINCT CASE WHEN known IS NULL THEN token END)
+                AS BIGINT) AS oov_types
+    FROM joined GROUP BY decile
+)
+SELECT decile, n_tokens, oov_tokens, oov_types, {rate} AS oov_rate
+FROM agg
+"""

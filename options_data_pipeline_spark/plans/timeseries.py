@@ -2874,3 +2874,122 @@ SELECT asset_1, asset_2, asset_3, n AS n_obs,
        {shrunk_cols}
 FROM closed, names
 """
+
+
+# ---------------------------------------------------------------------------
+# kalman_local_level
+# ---------------------------------------------------------------------------
+
+#: pinned local-level noise variances (process Q, observation R): the
+#: steady-state gain below derives from these in PYTHON (engine-
+#: independent code), so both plans inline the same repr literals.
+KAL_Q = 1.0
+KAL_R = 9.0
+KAL_K = 20  # truncation depth: (1-gain)^20 ~ 1.3e-3, tail documented
+
+
+def _kalman_gain() -> tuple[float, float]:
+    """(P, K): the local-level Riccati fixed point and steady-state
+    gain.  P solves P^2 + P*Q - Q*R = 0 -> P = (-Q + sqrt(Q^2+4QR))/2;
+    K = (P+Q)/(P+Q+R).  sqrt is IEEE-754 correctly rounded (unlike
+    exp/ln/pow), and this runs in Python anyway — the plans only ever
+    see the repr-shared literal weights."""
+    import math
+
+    p = (-KAL_Q + math.sqrt(KAL_Q * KAL_Q + 4.0 * KAL_Q * KAL_R)) / 2.0
+    k = (p + KAL_Q) / (p + KAL_Q + KAL_R)
+    return p, k
+
+
+def q_kalman_local_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Steady-state Kalman filtering of the hourly level per event type
+    (round-10 wave 4): the local-level model y_t = mu_t + eps(R),
+    mu_t = mu_{t-1} + eta(Q) converges to a CONSTANT optimal gain K
+    (Riccati fixed point, :func:`_kalman_gain`), making the filter an
+    exponentially-weighted average — which unrolls, GARCH-style, as a
+    truncated geometric lag sum with literal weights K(1-K)^k:
+
+        level_t = sum_{k=0..K-1} K (1-K)^k y_{t-k}
+
+    (dropped tail = (1-K)^K of a bounded level, ~0.13% at K=20 — and
+    the truncated filter IS the deterministic contract, reproduced
+    term-for-term by the oracle).  The point next to `ewma_close`: the
+    smoothing constant is not a knob, it is DERIVED from the pinned
+    noise ratio — the optimal-filter discipline.
+
+    Scale shape: K lag columns from ONE window pass over the compact
+    hourly frame, folded in pinned left-to-right order.  Determinism:
+    the hourly level closes as exact-decimal sum DIVIDED IN DOUBLE
+    then 6-dp-quantized (decimal/decimal division scale differs across
+    engines); the gain weights are Python-computed repr literals."""
+    from ..functions.rounding import dec_sum, round_half_away
+
+    _, gain = _kalman_gain()
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    hourly = (
+        ev.select(
+            "event_type", F.date_trunc("hour", "ts").alias("h"), "value"
+        )
+        .groupBy("event_type", "h")
+        .agg(
+            dec_sum(F.col("value"), scale=6).alias("sv"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .select(
+            "event_type",
+            "h",
+            round_half_away(
+                F.col("sv").cast("double") / F.col("cnt").cast("double"), 6
+            ).alias("y"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    lag_cols = [
+        F.lag("y", k).over(w).alias(f"l{k}") for k in range(KAL_K)
+    ]
+    lagged = hourly.select("event_type", "h", "y", *lag_cols)
+    acc = F.lit(0.0)
+    for k in range(KAL_K):
+        acc = acc + F.lit(gain * (1.0 - gain) ** k) * F.col(f"l{k}")
+    complete = lagged.where(F.col(f"l{KAL_K - 1}").isNotNull())
+    return complete.select(
+        "event_type",
+        "h",
+        "y",
+        # 6 dp on an O(1e2) level: quantum 5+ decades above double ulp
+        round_half_away(acc, 6).alias("kalman_level"),
+    )
+
+
+def oracle_kalman_local_level() -> str:
+    from ..functions.rounding import sql_dec_sum, sql_round_half_away
+
+    _, gain = _kalman_gain()
+    y = sql_round_half_away(
+        "CAST(sv AS DOUBLE) / CAST(cnt AS DOUBLE)", 6
+    )
+    lag_sel = ", ".join(
+        f"lag(y, {k}) OVER (PARTITION BY event_type ORDER BY h) AS l{k}"
+        for k in range(KAL_K)
+    )
+    acc = "0.0"
+    for k in range(KAL_K):
+        acc = f"{acc} + {gain * (1.0 - gain) ** k!r} * l{k}"
+    return f"""
+WITH hourly0 AS (
+    SELECT event_type, date_trunc('hour', ts) AS h,
+           {sql_dec_sum('value', scale=6)} AS sv,
+           count(*) AS cnt
+    FROM events WHERE value IS NOT NULL
+    GROUP BY 1, 2
+),
+hourly AS (
+    SELECT event_type, h, {y} AS y FROM hourly0
+),
+lagged AS (
+    SELECT event_type, h, y, {lag_sel} FROM hourly
+)
+SELECT event_type, h, y,
+       {sql_round_half_away(f'({acc})', 6)} AS kalman_level
+FROM lagged WHERE l{KAL_K - 1} IS NOT NULL
+"""

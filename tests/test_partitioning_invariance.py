@@ -103,6 +103,11 @@ SAMPLE = [
     "ledoit_wolf_shrinkage",
     # round-10: K-round multiplicative-weights chain over broadcast folds
     "mwu_domain_reweight",
+    # round-10 wave 4: truncated steady-state Kalman, frozen-vocab
+    # drift, duplicated-span token mass
+    "kalman_local_level",
+    "tokenizer_coverage_drift",
+    "self_dup_span_mass",
     "bpe_apply_expr",
     "bigram_perplexity",
     "poisson_bootstrap_ci",

@@ -95,3 +95,64 @@ def test_mwu_reweight_against_naive_python(spark):
     assert abs(sum(r[f"w_r{MWU_ROUNDS}"] for r in rows.values()) - 1.0) < 1e-6
     worst = max(losses, key=lambda d: losses[d])
     assert rows[worst][f"w_r{MWU_ROUNDS}"] > 1.0 / len(losses)
+
+
+def test_kalman_against_sequential_recursion(spark):
+    """The truncated geometric lag sum must approximate the SEQUENTIAL
+    steady-state Kalman recursion m_t = m_{t-1} + K(y_t - m_{t-1}) it
+    unrolls, within the documented (1-K)^KAL_K tail bound (the GARCH
+    cross-validation pattern on a different filter)."""
+    from options_data_pipeline_spark.plans.timeseries import (
+        KAL_K,
+        _kalman_gain,
+        q_kalman_local_level,
+    )
+
+    from options_data_pipeline_spark.sources.tables import load_table
+
+    _, gain = _kalman_gain()
+    got = {
+        (r["event_type"], r["h"]): r["kalman_level"]
+        for r in q_kalman_local_level(spark, SF_DIR).collect()
+    }
+    assert got
+    # independent hourly series straight from raw events (pandas), then
+    # the exact sequential recursion m_t = m_{t-1} + K(y_t - m_{t-1})
+    ev = (
+        load_table(spark, SF_DIR, "events")
+        .where(F.col("value").isNotNull())
+        .select(F.date_trunc("hour", "ts").alias("h"), "event_type", "value")
+        .toPandas()
+    )
+    tail = (1.0 - gain) ** KAL_K
+    checked = 0
+    for etype, grp in ev.groupby("event_type"):
+        hourly = grp.groupby("h")["value"].mean().sort_index()
+        ys = list(hourly.values)
+        hs = list(hourly.index)
+        m = ys[0]
+        ymax = abs(ys[0])
+        for i in range(1, len(ys)):
+            m = m + gain * (ys[i] - m)
+            ymax = max(ymax, abs(ys[i]))
+            key = (etype, hs[i].to_pydatetime())
+            if key in got:
+                # the truncated filter drops the >=KAL_K-lag mass the
+                # recursion carries: bounded by (1-K)^K of the running
+                # level scale, plus quantization slack
+                assert abs(got[key] - m) <= tail * ymax + 1e-3, key
+                checked += 1
+    assert checked > 100
+
+
+def test_self_dup_span_mass_bounds(spark):
+    """Coverage fractions are well-formed and the corpus's planted
+    duplication is actually visible (nonzero dup mass somewhere)."""
+    from options_data_pipeline_spark.plans.pii import q_self_dup_span_mass
+
+    rows = q_self_dup_span_mass(spark, SF_DIR).collect()
+    assert rows
+    assert any(r["dup_tokens"] > 0 for r in rows)
+    for r in rows:
+        assert 0 <= r["dup_tokens"] <= r["total_tokens"]
+        assert 0.0 <= r["dup_frac"] <= 1.0
