@@ -3886,3 +3886,333 @@ SELECT cur AS event_type, n_transitions,
        {sql_round_half_away('exp(CAST(h AS DOUBLE))', 4)} AS perplexity
 FROM agg
 """
+
+
+# ---------------------------------------------------------------------------
+# small_file_compaction
+# ---------------------------------------------------------------------------
+
+#: size-targeted compaction: rows per output file (pinned literal shared
+#: with the oracle's ceil arithmetic)
+COMPACT_ROWS_PER_FILE = 200
+
+
+def q_small_file_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE-style table maintenance (round-10 wave 5): a
+    day-partitioned store fragmented by micro-batch writes is compacted
+    per partition to ``ceil(rows / COMPACT_ROWS_PER_FILE)`` files, and
+    the driver hash adjudicates BOTH halves of the contract — content
+    identity (per-day row counts + exact-decimal value sums of the
+    compacted store equal the source) and the physical layout
+    (``n_files`` counted from the filesystem must equal the oracle's
+    ceil arithmetic; round-robin repartition guarantees every output
+    slot lands a file).  At 100 TB this is the nightly job that keeps
+    scan cost from rotting as per-trigger writes accumulate: compaction
+    reads each partition ONCE and touches nothing else.
+
+    Scale shape: per-partition rewrite jobs only (no global shuffle);
+    the fragment staging (6 writer tasks per day) stands in for a day
+    of micro-batches."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..sinks.layout import compact_partitions
+    from ..sources.tables import parallelized
+
+    base = tempfile.mkdtemp(prefix="compact_")
+    try:
+        store = f"{base}/events_by_day"
+        ev = load_table(spark, sf_dir, "events").select(
+            F.to_date("ts").alias("day"), "event_type", "value"
+        )
+        # fragment: 64 round-robin writer tasks, each writing a sliver
+        # per day partition = the accumulated-micro-batch state a real
+        # store wakes up with.  64 exceeds every day's ceil(rows/200)
+        # target at the test scales (max ~3.3k rows/day at sf0.1), so
+        # every partition genuinely compacts and the post-state file
+        # count is the deterministic ceil the oracle predicts.
+        ev.repartition(64).write.partitionBy("day").parquet(store)
+        compact_partitions(
+            spark, store, "day", rows_per_file=COMPACT_ROWS_PER_FILE
+        )
+        n_files = {
+            e.split("=", 1)[1]: len(
+                [
+                    f
+                    for f in os.listdir(os.path.join(store, e))
+                    if f.endswith(".parquet")
+                ]
+            )
+            for e in os.listdir(store)
+            if e.startswith("day=")
+        }
+        files_df = spark.createDataFrame(
+            [(d, n) for d, n in sorted(n_files.items())],
+            "day_str string, n_files long",
+        )
+        content = (
+            spark.read.parquet(store)
+            .groupBy("day")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                round_half_away(dec_sum(F.col("value")), 6).alias(
+                    "sum_value"
+                ),
+            )
+        )
+        out = (
+            content.join(
+                F.broadcast(files_df),
+                F.col("day").cast("string") == F.col("day_str"),
+            )
+            .select(
+                F.col("day").cast("timestamp").alias("day"),
+                "n_rows",
+                "sum_value",
+                "n_files",
+            )
+            .orderBy("day")
+        )
+        rows = out.collect()  # bounded: one row per day partition
+        return parallelized(
+            spark, spark.createDataFrame(rows, out.schema)
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def oracle_small_file_compaction() -> str:
+    return f"""
+WITH content AS (
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           {sql_round_half_away(sql_dec_sum('value'), 6)} AS sum_value
+    FROM events
+    GROUP BY 1
+)
+SELECT CAST(day AS TIMESTAMP) AS day, n_rows, sum_value,
+       CAST(ceil(CAST(n_rows AS DOUBLE)
+                 / {COMPACT_ROWS_PER_FILE}.0) AS BIGINT) AS n_files
+FROM content
+"""
+
+
+# ---------------------------------------------------------------------------
+# agg_ivm_twin
+# ---------------------------------------------------------------------------
+
+
+def q_agg_ivm_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance (round-10 wave 5): a per-(type, day)
+    count/sum materialized aggregate maintained through TWO CDC delta
+    batches — inserts add the new row's contribution, updates add
+    (new − old), deletes retract the old — merged into the view by
+    group key, with drained groups (count hitting 0) evicted.  The view
+    is NEVER recomputed from the fact table; the driver hash proves the
+    maintained view equals the aggregate of the final survivor state,
+    which is the whole economics: refreshing the dashboard costs a
+    delta-sized join, not a 100 TB rescan.
+
+    The retraction lookup (the update/delete rows' OLD values) is a
+    key-join of the delta against the CURRENT fact table — the honest
+    IVM shape — and the fact table itself advances through the same
+    CDC log via :func:`..sinks.upsert.apply_cdc` between batches.
+
+    Determinism: value contributions accumulate as exact DECIMAL at
+    both the view grain and the oracle's survivor aggregate; batch
+    composition is id-arithmetic shared with the oracle."""
+    import shutil
+    import tempfile
+
+    from ..operators.materialize import materialize
+    from ..sinks.upsert import _atomic_replace, apply_cdc
+    from ..sources.tables import parallelized
+
+    base = tempfile.mkdtemp(prefix="ivm_")
+    try:
+        fact_path, view_path = f"{base}/fact", f"{base}/view"
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id",
+            F.to_date("ts").alias("day"),
+            "event_type",
+            "value",
+        )
+        fact0 = ev.where(F.col("event_id") % 3 != 0)
+        fact0.write.parquet(fact_path)
+        view = fact0.groupBy("event_type", "day").agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.sum(F.col("value").cast("decimal(25,6)")).alias("sval"),
+        )
+        _atomic_replace(view, view_path)
+
+        def cdc_batch(which: int) -> DataFrame:
+            if which == 1:
+                ins = ev.where(
+                    (F.col("event_id") % 3 == 0)
+                    & (F.col("event_id") % 2 == 0)
+                ).select("*", F.lit("I").alias("op"))
+                upd = ev.where(
+                    (F.col("event_id") % 3 != 0)
+                    & (F.col("event_id") % 5 == 1)
+                ).select(
+                    "event_id", "day", "event_type",
+                    (F.col("value") * 2).alias("value"),
+                    F.lit("U").alias("op"),
+                )
+                dele = ev.where(
+                    (F.col("event_id") % 3 != 0)
+                    & (F.col("event_id") % 5 != 1)
+                    & (F.col("event_id") % 7 == 2)
+                ).select("*", F.lit("D").alias("op"))
+            else:
+                ins = ev.where(
+                    (F.col("event_id") % 3 == 0)
+                    & (F.col("event_id") % 2 == 1)
+                ).select("*", F.lit("I").alias("op"))
+                # second-wave updates touch batch-1 inserts too
+                upd = ev.where(
+                    (F.col("event_id") % 3 == 0)
+                    & (F.col("event_id") % 2 == 0)
+                    & (F.col("event_id") % 5 == 4)
+                ).select(
+                    "event_id", "day", "event_type",
+                    (F.col("value") + 10).alias("value"),
+                    F.lit("U").alias("op"),
+                )
+                dele = ev.where(
+                    (F.col("event_id") % 3 != 0)
+                    & (F.col("event_id") % 5 != 1)
+                    & (F.col("event_id") % 7 == 3)
+                ).select("*", F.lit("D").alias("op"))
+            return ins.unionByName(upd).unionByName(dele).withColumn(
+                "seq", F.col("event_id")
+            )
+
+        for which in (1, 2):
+            batch = materialize(cdc_batch(which))
+            fact = spark.read.parquet(fact_path)
+            old = fact.select(
+                "event_id",
+                F.col("day").alias("_oday"),
+                F.col("event_type").alias("_otype"),
+                F.col("value").alias("_oval"),
+            )
+            delta = batch.join(old, "event_id", "left")
+            minus = delta.where(F.col("op").isin("U", "D")).select(
+                F.col("_otype").alias("event_type"),
+                F.col("_oday").alias("day"),
+                F.lit(-1).cast("long").alias("d_cnt"),
+                (-F.col("_oval")).cast("decimal(25,6)").alias("d_sval"),
+            )
+            plus = delta.where(F.col("op").isin("I", "U")).select(
+                "event_type",
+                "day",
+                F.lit(1).cast("long").alias("d_cnt"),
+                F.col("value").cast("decimal(25,6)").alias("d_sval"),
+            )
+            adj = (
+                minus.unionByName(plus)
+                .groupBy("event_type", "day")
+                .agg(
+                    F.sum("d_cnt").cast("long").alias("d_cnt"),
+                    F.sum("d_sval").alias("d_sval"),
+                )
+            )
+            # updates retract their count and re-add it: net 0 — the
+            # count delta is inserts minus deletes
+            cur = spark.read.parquet(view_path)
+            merged = (
+                cur.join(adj, ["event_type", "day"], "full")
+                .select(
+                    "event_type",
+                    "day",
+                    (
+                        F.coalesce(F.col("cnt"), F.lit(0))
+                        + F.coalesce(F.col("d_cnt"), F.lit(0))
+                    ).cast("long").alias("cnt"),
+                    (
+                        F.coalesce(
+                            F.col("sval"), F.lit(0).cast("decimal(25,6)")
+                        )
+                        + F.coalesce(
+                            F.col("d_sval"), F.lit(0).cast("decimal(25,6)")
+                        )
+                    ).cast("decimal(25,6)").alias("sval"),
+                )
+                .where(F.col("cnt") > 0)
+                .localCheckpoint()
+            )
+            _atomic_replace(merged, view_path)
+            apply_cdc(spark, fact_path, batch, keys=["event_id"], seq_col="seq")
+
+        out = spark.read.parquet(view_path).select(
+            "event_type",
+            F.col("day").cast("timestamp").alias("day"),
+            "cnt",
+            round_half_away(F.col("sval").cast("double"), 6).alias(
+                "sum_value"
+            ),
+        )
+        rows = out.collect()  # bounded: one row per (type, day) group
+        return parallelized(
+            spark, spark.createDataFrame(rows, out.schema)
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def oracle_agg_ivm_twin() -> str:
+    return f"""
+WITH ev AS (
+    SELECT event_id, CAST(ts AS DATE) AS day, event_type, value
+    FROM events
+),
+log AS (
+    -- batch 1
+    SELECT event_id, day, event_type, value, 'I' AS op, 1 AS wave
+    FROM ev WHERE event_id % 3 = 0 AND event_id % 2 = 0
+    UNION ALL
+    SELECT event_id, day, event_type, value * 2, 'U', 1
+    FROM ev WHERE event_id % 3 <> 0 AND event_id % 5 = 1
+    UNION ALL
+    SELECT event_id, day, event_type, value, 'D', 1
+    FROM ev WHERE event_id % 3 <> 0 AND event_id % 5 <> 1
+                  AND event_id % 7 = 2
+    UNION ALL
+    -- batch 2
+    SELECT event_id, day, event_type, value, 'I', 2
+    FROM ev WHERE event_id % 3 = 0 AND event_id % 2 = 1
+    UNION ALL
+    SELECT event_id, day, event_type, value + 10, 'U', 2
+    FROM ev WHERE event_id % 3 = 0 AND event_id % 2 = 0
+                  AND event_id % 5 = 4
+    UNION ALL
+    SELECT event_id, day, event_type, value, 'D', 2
+    FROM ev WHERE event_id % 3 <> 0 AND event_id % 5 <> 1
+                  AND event_id % 7 = 3
+),
+latest AS (
+    SELECT event_id, day, event_type, value, op FROM (
+        SELECT *, row_number() OVER (PARTITION BY event_id
+                                     ORDER BY wave DESC) AS rn
+        FROM log
+    ) WHERE rn = 1
+),
+base AS (SELECT * FROM ev WHERE event_id % 3 <> 0),
+survivors AS (
+    SELECT b.event_id, b.day, b.event_type, b.value
+    FROM base b LEFT JOIN latest l USING (event_id)
+    WHERE l.event_id IS NULL
+    UNION ALL
+    SELECT event_id, day, event_type, value
+    FROM latest WHERE op IN ('I', 'U')
+)
+SELECT event_type, CAST(day AS TIMESTAMP) AS day,
+       CAST(count(*) AS BIGINT) AS cnt,
+       {sql_round_half_away(
+           "CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE)", 6)}
+           AS sum_value
+FROM survivors
+GROUP BY event_type, day
+"""

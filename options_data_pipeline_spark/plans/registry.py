@@ -142,6 +142,11 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
     "ams_f2_skew": (quality.q_ams_f2_skew, quality.oracle_ams_f2_skew),
     "ams_join_size": (quality.q_ams_join_size, quality.oracle_ams_join_size),
     "sketch_store_twin": (quality.q_sketch_store_twin, quality.oracle_sketch_store_twin),
+    "small_file_compaction": (
+        quality.q_small_file_compaction,
+        quality.oracle_small_file_compaction,
+    ),
+    "agg_ivm_twin": (quality.q_agg_ivm_twin, quality.oracle_agg_ivm_twin),
     "hist_quantiles": (quality.q_hist_quantiles, quality.oracle_hist_quantiles),
     # --- sketch-store consumers: answers from stored registers only ---
     "hll_week_from_store": (
@@ -608,6 +613,8 @@ _PRIORITY: list[str] = [
     "kalman_local_level",
     "tokenizer_coverage_drift",
     "self_dup_span_mass",
+    "small_file_compaction",
+    "agg_ivm_twin",
     # round-10 code changes: re-adjudicate under the driver
     "importance_ess",
     "hll_cube",

@@ -202,9 +202,14 @@ def compact_partitions(
     partition_col: str,
     partitions: list[str] | None = None,
     files_per_partition: int = 1,
+    rows_per_file: int | None = None,
 ) -> dict[str, int]:
     """Compact a ``partitionBy(partition_col)`` parquet table down to
-    ``files_per_partition`` files per partition.
+    ``files_per_partition`` files per partition — or, with
+    ``rows_per_file`` set, to ``ceil(partition_rows / rows_per_file)``
+    files (the OPTIMIZE-style size-targeted mode: the output file count
+    is a deterministic function of the partition's row count, so a
+    correctness oracle can predict the physical layout).
 
     ``partitions=None`` compacts every partition; otherwise only the
     named partition values are rewritten (the incremental case: compact
@@ -219,16 +224,36 @@ def compact_partitions(
         if partitions is None or value in partitions:
             targets.append((value, os.path.join(path, entry)))
 
+    # size-targeted mode: ONE job computes every partition's row count
+    # (metadata-grade aggregate), not a count() job per partition
+    part_rows: dict[str, int] = {}
+    if rows_per_file is not None and targets:
+        counts = (
+            spark.read.parquet(path)
+            .groupBy(partition_col)
+            .count()
+            .collect()
+        )
+        part_rows = {str(r[0]): r["count"] for r in counts}
+
     files_before = files_after = 0
     for value, part_dir in targets:
         files = [f for f in os.listdir(part_dir) if f.endswith(".parquet")]
         files_before += len(files)
-        if len(files) <= files_per_partition:
+        part_df = spark.read.parquet(part_dir)
+        if rows_per_file is not None:
+            n_rows = part_rows.get(value, 0)
+            n_target = max(1, -(-n_rows // rows_per_file))
+        else:
+            n_target = files_per_partition
+        if len(files) <= n_target:
             files_after += len(files)
             continue
-        part_df = spark.read.parquet(part_dir)
         staging = f"{part_dir}.staging-{uuid.uuid4().hex[:8]}"
-        part_df.coalesce(files_per_partition).write.mode("overwrite").parquet(staging)
+        # repartition (round-robin) rather than coalesce: with n_rows >=
+        # n_target every output partition is non-empty, so exactly
+        # n_target files land — the deterministic-layout contract
+        part_df.repartition(n_target).write.mode("overwrite").parquet(staging)
         old = f"{part_dir}.old-{uuid.uuid4().hex[:8]}"
         os.rename(part_dir, old)
         os.rename(staging, part_dir)

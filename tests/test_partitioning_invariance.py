@@ -108,6 +108,9 @@ SAMPLE = [
     "kalman_local_level",
     "tokenizer_coverage_drift",
     "self_dup_span_mass",
+    # round-10 wave 5: table maintenance (OPTIMIZE compaction, IVM)
+    "small_file_compaction",
+    "agg_ivm_twin",
     "bpe_apply_expr",
     "bigram_perplexity",
     "poisson_bootstrap_ci",

@@ -156,3 +156,47 @@ def test_self_dup_span_mass_bounds(spark):
     for r in rows:
         assert 0 <= r["dup_tokens"] <= r["total_tokens"]
         assert 0.0 <= r["dup_frac"] <= 1.0
+
+
+def test_compaction_reduces_files_and_preserves_content(spark, tmp_path):
+    """compact_partitions(rows_per_file=...): fewer files, exact ceil
+    layout, identical content, untouched partitions left alone."""
+    from pyspark.sql import functions as F2
+
+    from options_data_pipeline_spark.sinks.layout import compact_partitions
+
+    store = str(tmp_path / "t")
+    df = spark.range(500).select(
+        (F2.col("id") % 2).cast("string").alias("p"), F2.col("id").alias("v")
+    )
+    df.repartition(16).write.partitionBy("p").parquet(store)
+    import os
+
+    def nfiles(p):
+        return len(
+            [f for f in os.listdir(f"{store}/p={p}") if f.endswith(".parquet")]
+        )
+
+    before = {p: nfiles(p) for p in ("0", "1")}
+    assert min(before.values()) > 2
+    stats = compact_partitions(
+        spark, store, "p", partitions=["0"], rows_per_file=100
+    )
+    assert stats["partitions_compacted"] == 1
+    assert nfiles("0") == -(-250 // 100)  # ceil
+    assert nfiles("1") == before["1"]  # untouched partition left alone
+    back = spark.read.parquet(store)
+    assert back.count() == 500
+    assert back.agg(F2.sum("v")).first()[0] == sum(range(500))
+
+
+def test_ivm_view_evicts_drained_groups(spark):
+    """Groups whose count reaches zero must vanish from the maintained
+    view (a zero-count group row would diverge from the recompute)."""
+    from options_data_pipeline_spark.plans.quality import q_agg_ivm_twin
+
+    from .conftest import SF_DIR as _SF
+
+    rows = q_agg_ivm_twin(spark, _SF).collect()
+    assert rows
+    assert all(r["cnt"] > 0 for r in rows)
