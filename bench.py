@@ -67,6 +67,77 @@ def _prev_round_detail(detail_path: str) -> dict[str, float]:
         return {}
 
 
+#: Fixed canary set (VERDICT r10 ask #2): ten cheap, code-stable r1-era
+#: queries whose collective runtime MEASURES the host, not the code —
+#: they run untimed-for-the-headline at session start, middle, and end,
+#: and the committed detail records all three sweeps.  A cross-round
+#: comparison can then normalize by the canary medians instead of
+#: re-litigating "environment or regression?" from scratch (r10's
+#: common-set anchor swung 1.02x-1.20x across one evening purely from
+#: shared-host drift).
+CANARY_QUERIES = [
+    "daily_sessions",
+    "weekly_sessions",
+    "monthly_sessions",
+    "candle_resample",
+    "pricing_summary",
+    "top_supplier",
+    "top2_extremes",
+    "watermark_probe",
+    "gap_scan",
+    "option_chain_ohlc",
+]
+
+
+def _run_canary(spark, sf_dir: str, qmap, phase: str) -> dict[str, float]:
+    """One single-execution sweep of the canary set.  Single runs on
+    purpose: the canary measures what the host gives a query RIGHT NOW,
+    so min-of-2 smoothing would hide exactly the drift it exists to
+    record."""
+    sweep: dict[str, float] = {}
+    for name in CANARY_QUERIES:
+        fn = qmap.get(name)
+        if fn is None:  # registry rename: record the hole, don't crash
+            continue
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        sweep[name] = round(time.perf_counter() - t0, 3)
+    tot = sum(sweep.values())
+    log(f"  canary[{phase}]: {tot:.2f}s total over {len(sweep)} queries")
+    return sweep
+
+
+def prev_detail_canary(detail_path: str) -> float | None:
+    """Previous round's committed canary total (median sweep) for the
+    cross-round host normalization — same `round N:` anchor discipline
+    as :func:`_prev_round_detail`."""
+    import subprocess
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    try:
+        out = subprocess.run(
+            ["git", "log", "--format=%H %s", "-200"],
+            cwd=repo, capture_output=True, text=True, timeout=30,
+        ).stdout
+        for line in out.splitlines():
+            sha, _, subject = line.partition(" ")
+            if re.match(r"^round \d+:", subject):
+                blob = subprocess.run(
+                    ["git", "show", f"{sha}:BENCH_DETAIL.json"],
+                    cwd=repo, capture_output=True, text=True, timeout=30,
+                )
+                if blob.returncode == 0:
+                    return (
+                        json.loads(blob.stdout)
+                        .get("canary", {})
+                        .get("total_median_sec")
+                    )
+                break
+    except (OSError, ValueError, subprocess.SubprocessError):
+        pass
+    return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -92,6 +163,12 @@ def main() -> None:
     log(f"  warmup: {time.perf_counter()-t0:.2f}s (untimed)")
 
     timings: dict[str, float] = {}
+
+    from options_data_pipeline_spark.plans import registry as _reg
+
+    qmap_canary = _reg.queries()
+    canary: dict[str, dict[str, float]] = {}
+    canary["start"] = _run_canary(spark, sf_dir, qmap_canary, "start")
 
     # Session ARTIFACTS (operators/artifacts.py) are derived once per corpus
     # snapshot, then shared by every downstream query — the artifact-store
@@ -187,7 +264,11 @@ def main() -> None:
     finally:
         shutil.rmtree(fp_work, ignore_errors=True)
 
-    for name, fn in registry.queries().items():
+    all_queries = list(registry.queries().items())
+    mid_at = len(all_queries) // 2
+    for i, (name, fn) in enumerate(all_queries):
+        if i == mid_at:
+            canary["mid"] = _run_canary(spark, sf_dir, qmap_canary, "mid")
         # two executions, report the min: the first pays plan compilation
         # and fills OS page cache; the min is the steady-state number a
         # warmed cluster would see and is far less noisy on a shared host
@@ -257,6 +338,39 @@ def main() -> None:
             f"rerun_min={rerun_min:.2f}s"
         )
 
+    canary["end"] = _run_canary(spark, sf_dir, qmap_canary, "end")
+    # per-query median across the three sweeps + session drift summary:
+    # end/start total ratio quantifies how much the HOST moved during
+    # this run, and prev_total (previous round's committed end sweep)
+    # anchors the cross-round normalization
+    canary_median: dict[str, float] = {}
+    for q in CANARY_QUERIES:
+        vals = sorted(ph[q] for ph in canary.values() if q in ph)
+        if vals:
+            canary_median[q] = round(vals[len(vals) // 2], 3)
+    c_start = sum(canary["start"].values())
+    c_end = sum(canary["end"].values())
+    canary_block = {
+        "sweeps": canary,
+        "median_sec": canary_median,
+        "total_median_sec": round(sum(canary_median.values()), 3),
+        "session_drift_end_over_start": (
+            round(c_end / c_start, 3) if c_start else None
+        ),
+    }
+    prev_canary = prev_detail_canary(detail_path)
+    if prev_canary:
+        canary_block["prev_total_median_sec"] = prev_canary
+        if prev_canary > 0:
+            canary_block["host_ratio_vs_prev_round"] = round(
+                canary_block["total_median_sec"] / prev_canary, 3
+            )
+    log(
+        f"  canary: median total {canary_block['total_median_sec']:.2f}s, "
+        f"session drift {canary_block['session_drift_end_over_start']}, "
+        f"vs prev round {canary_block.get('host_ratio_vs_prev_round')}"
+    )
+
     total = round(sum(timings.values()), 3)
     with open(detail_path, "w") as fh:
         json.dump(
@@ -268,6 +382,7 @@ def main() -> None:
                 "n_queries": len(timings),
                 "queries": timings,
                 "noise_reruns": noise_reruns,
+                "canary": canary_block,
             },
             fh,
             indent=1,
@@ -286,6 +401,10 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(timings),
         "queries": slowest,
+        "canary_median_sec": canary_block["total_median_sec"],
+        "canary_host_ratio_vs_prev_round": canary_block.get(
+            "host_ratio_vs_prev_round"
+        ),
         "detail": "BENCH_DETAIL.json",
     }), flush=True)
     spark.stop()

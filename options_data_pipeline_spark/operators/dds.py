@@ -38,15 +38,30 @@ DDS_SIG = 3
 DDS_QS = (0.5, 0.9, 0.99, 0.999)
 
 
+#: magnitude bound of the in-range bucketing: |v| * 1e9 + 0.5 must fit
+#: a signed 64-bit long (Long.MAX ~ 9.22e18), so |v| above this bound
+#: routes to the overflow bucket instead of the scaled-long quantizer.
+#: Without the guard Spark's non-ANSI cast CLAMPS to Long.MAX while
+#: DuckDB RAISES on the same out-of-range cast (ADVICE r10) — the guard
+#: text is shared, so both engines take the same branch.
+DDS_MAX_ABS = 9.0e9
+
+#: overflow bucket id: strictly above every in-range bucket id (the
+#: largest in-range id is 922 * 10^16 for m near Long.MAX), so the
+#: sentinel keeps value ordering and stays a valid BIGINT in both
+#: engines.
+DDS_OVERFLOW_BUCKET = 9_223_000_000_000_000_000
+
+
 def sql_dds_bucket(val_sql: str) -> str:
     """Bucket id of ``val_sql`` as shared Spark/DuckDB SQL text: the
     signed lower absolute bound of the value's relative-error bucket,
     as a BIGINT at 1e-9 scale.  Pure integer/string arithmetic — no
-    ln(), no pow()."""
-    m = (
-        f"CAST(floor(abs(CAST({val_sql} AS DOUBLE)) * 1000000000.0 + 0.5)"
-        " AS BIGINT)"
-    )
+    ln(), no pow().  Magnitudes at or above :data:`DDS_MAX_ABS` land in
+    the signed overflow bucket (the scaled long would overflow, and
+    Spark clamps where DuckDB raises)."""
+    v = f"CAST({val_sql} AS DOUBLE)"
+    m = f"CAST(floor(abs({v}) * 1000000000.0 + 0.5) AS BIGINT)"
     digits = f"length(CAST({m} AS STRING))"
     prefix = f"CAST(substr(CAST({m} AS STRING), 1, {DDS_SIG}) AS BIGINT)"
     # 10^(digits-3) built by string repeat: exact at any magnitude,
@@ -55,9 +70,11 @@ def sql_dds_bucket(val_sql: str) -> str:
         f"CAST('1' || repeat('0', greatest({digits} - {DDS_SIG}, 0))"
         " AS BIGINT)"
     )
-    sign = f"(CASE WHEN CAST({val_sql} AS DOUBLE) < 0 THEN -1 ELSE 1 END)"
+    sign = f"(CASE WHEN {v} < 0 THEN -1 ELSE 1 END)"
     return (
-        f"(CASE WHEN {m} = 0 THEN CAST(0 AS BIGINT)"
+        f"(CASE WHEN abs({v}) >= {DDS_MAX_ABS!r}"
+        f" THEN {sign} * CAST({DDS_OVERFLOW_BUCKET} AS BIGINT)"
+        f" WHEN {m} = 0 THEN CAST(0 AS BIGINT)"
         f" ELSE {sign} * {prefix} * {scale} END)"
     )
 

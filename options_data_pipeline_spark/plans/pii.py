@@ -208,11 +208,15 @@ def q_exact_substring_contamination(
     the span length without ever comparing strings beyond the join.
 
     Scale shape: docs fan out to positional grams row-locally (no
-    shuffle); the eval side is a benchmark set — tiny vs a 100 TB
-    corpus — so its gram frame BROADCASTS and the train-side gram frame
-    never shuffles at all; islands run on match rows only (output-
-    proportional, like every screen in this family).  No suffix array,
-    no driver-side text."""
+    shuffle); in production the eval side is a benchmark set — tiny vs
+    a 100 TB corpus — and the optimizer (AQE) broadcasts it, leaving
+    the train-side gram frame unshuffled.  The join strategy is LEFT TO
+    THE OPTIMIZER rather than forced: the harness selector
+    (``doc_id % 10``) makes the eval slice corpus-proportional, so a
+    hard ``F.broadcast`` would lie about the scale contract (ADVICE
+    r10).  Islands run on match rows only (output-proportional, like
+    every screen in this family).  No suffix array, no driver-side
+    text."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return exact_substring_spans(docs)
 
@@ -242,9 +246,12 @@ def exact_substring_spans(docs: DataFrame) -> DataFrame:
 
     # match rows feed BOTH the island windows and the hit counts —
     # materialize (output-proportional frame) or the gram join
-    # re-derives per branch
+    # re-derives per branch.  No forced broadcast: the eval side is
+    # benchmark-sized in production but corpus-proportional under the
+    # harness selector, so the optimizer picks the strategy (ADVICE
+    # r10)
     m = materialize(
-        tr.join(F.broadcast(ev), "gram")
+        tr.join(ev, "gram")
         .select(
             "train_doc",
             "eval_doc",

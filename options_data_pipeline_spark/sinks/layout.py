@@ -225,26 +225,47 @@ def compact_partitions(
             targets.append((value, os.path.join(path, entry)))
 
     # size-targeted mode: ONE job computes every partition's row count
-    # (metadata-grade aggregate), not a count() job per partition
+    # (metadata-grade aggregate), not a count() job per partition.
+    # Keyed by the RAW DIRECTORY TOKEN (extracted from the file path),
+    # not str() of the Spark-inferred partition value — inference can
+    # normalize tokens (zero-padded ints like p=00 read back as 0,
+    # URL-escaped strings, __HIVE_DEFAULT_PARTITION__) and a missed
+    # lookup would silently compact to 1 file (ADVICE r10).
     part_rows: dict[str, int] = {}
     if rows_per_file is not None and targets:
+        tok = F.regexp_extract(
+            F.input_file_name(), f"/{partition_col}=([^/]+)/", 1
+        )
         counts = (
             spark.read.parquet(path)
-            .groupBy(partition_col)
+            .groupBy(tok.alias("__tok"))
             .count()
             .collect()
         )
-        part_rows = {str(r[0]): r["count"] for r in counts}
+        part_rows = {r["__tok"]: r["count"] for r in counts}
 
     def _compact_one(value: str, part_dir: str) -> tuple[int, int]:
         files = [f for f in os.listdir(part_dir) if f.endswith(".parquet")]
         if rows_per_file is not None:
-            n_rows = part_rows.get(value, 0)
+            n_rows = part_rows.get(value)
+            if n_rows is None:
+                # token didn't round-trip through input_file_name (URI
+                # escaping of exotic values): count this directory
+                # directly rather than guessing
+                n_rows = spark.read.parquet(part_dir).count()
             n_target = max(1, -(-n_rows // rows_per_file))
+            # deterministic-layout contract: rewrite on ANY mismatch,
+            # not only when fragmented above the target — a partition
+            # holding fewer-but-oversized files must SPLIT too, or the
+            # post-state file count diverges from the ceil arithmetic
+            # once partitions outgrow the incoming fragment count
+            # (ADVICE r10 medium)
+            if len(files) == n_target:
+                return len(files), len(files)
         else:
             n_target = files_per_partition
-        if len(files) <= n_target:
-            return len(files), len(files)
+            if len(files) <= n_target:
+                return len(files), len(files)
         staging = f"{part_dir}.staging-{uuid.uuid4().hex[:8]}"
         # repartition (round-robin) rather than coalesce: with n_rows >=
         # n_target every output partition is non-empty, so exactly

@@ -9,6 +9,8 @@ import pytest
 from pyspark.sql import functions as F
 
 from options_data_pipeline_spark.operators.dds import (
+    DDS_MAX_ABS,
+    DDS_OVERFLOW_BUCKET,
     DDS_QS,
     sql_dds_bucket,
     sql_dds_mid,
@@ -52,6 +54,36 @@ def test_bucket_ordering_is_value_ordering(spark):
         else:
             assert (r["b"] < 0) == (r["v"] < 0)
             assert abs(r["b"]) <= abs(r["v"]) * 1e9 + 0.5
+
+
+def test_overflow_guard_matches_duckdb(spark):
+    """|v| >= DDS_MAX_ABS routes to the signed overflow bucket in BOTH
+    engines — without the guard Spark's non-ANSI cast clamps to
+    Long.MAX while DuckDB raises on the out-of-range cast (ADVICE r10).
+    The sentinel must stay above every in-range bucket id so ordering
+    survives."""
+    import duckdb
+
+    vals = [8.9e9, DDS_MAX_ABS, 1.0e12, -1.0e12, 1.7e308, -1.7e308]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    got = {
+        r["v"]: r["b"]
+        for r in df.selectExpr("v", f"{sql_dds_bucket('v')} AS b").collect()
+    }
+    con = duckdb.connect()
+    for v in vals:
+        (db,) = con.execute(
+            f"SELECT {sql_dds_bucket('v')} FROM (SELECT CAST({v!r} AS DOUBLE) AS v)"
+        ).fetchone()
+        assert got[v] == db, f"v={v}: spark {got[v]} vs duckdb {db}"
+    # in-range stays in range; overflow is the sentinel, correctly signed
+    assert abs(got[8.9e9]) < DDS_OVERFLOW_BUCKET
+    for v in (DDS_MAX_ABS, 1.0e12, 1.7e308):
+        assert got[v] == DDS_OVERFLOW_BUCKET
+    assert got[-1.0e12] == -DDS_OVERFLOW_BUCKET
+    assert got[-1.7e308] == -DDS_OVERFLOW_BUCKET
+    # ordering: every in-range bucket sits strictly below the sentinel
+    assert got[8.9e9] < DDS_OVERFLOW_BUCKET
 
 
 def test_mid_within_half_percent(spark):

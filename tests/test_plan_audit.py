@@ -107,3 +107,35 @@ def test_audit_catches_injected_shuffle(spark):
     live = audit_row(spark, "pricing_summary", broken, AUDIT_SF_DIR)
     assert live != committed["pricing_summary"]
     assert live[1] == committed["pricing_summary"][1] + 1  # exactly +1 shuffle
+
+
+def test_no_terminal_collect_roundtrips_in_plans():
+    """VERDICT r10 ask #1's backstop: a tempdir-scoped query must
+    survive teardown via materialize() (lineage cut, blocks stay on
+    executors), never by collecting the result to the driver and
+    re-parallelizing it — that shape silently funnels with output size
+    (ivf_index_recluster's was per-indexed-vector).  Grep-grade pin:
+    no `collect()` result may be fed back through createDataFrame in
+    the plans package.  Algorithmic driver folds living in operators/
+    (graph.py's union-find fallback) are out of scope and documented
+    at their site."""
+    import re
+
+    plans_dir = os.path.join(
+        REPO, "options_data_pipeline_spark", "plans"
+    )
+    offenders = []
+    for fname in sorted(os.listdir(plans_dir)):
+        if not fname.endswith(".py"):
+            continue
+        src = open(os.path.join(plans_dir, fname)).read()
+        for m in re.finditer(r"createDataFrame\((\w+)", src):
+            var = m.group(1)
+            # flag when the fed variable is a collect() result
+            if re.search(rf"\b{var}\s*=\s*\w+(\.\w+\(\))*\.collect\(\)", src):
+                line = src[: m.start()].count("\n") + 1
+                offenders.append(f"{fname}:{line} createDataFrame({var})")
+    assert not offenders, (
+        "terminal collect round-trip(s) in plans/ — use "
+        f"operators.materialize.materialize instead: {offenders}"
+    )

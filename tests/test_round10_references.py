@@ -190,6 +190,69 @@ def test_compaction_reduces_files_and_preserves_content(spark, tmp_path):
     assert back.agg(F2.sum("v")).first()[0] == sum(range(500))
 
 
+def test_compaction_splits_oversized_partitions(spark, tmp_path):
+    """rows_per_file mode must rewrite on ANY file-count mismatch: a
+    partition holding FEWER files than ceil(rows/target) (e.g. one fat
+    file after a bulk load) must SPLIT to the deterministic ceil, not
+    be skipped — otherwise the layout oracle diverges as soon as
+    partitions outgrow the incoming fragment count (ADVICE r10)."""
+    import os
+
+    from pyspark.sql import functions as F2
+
+    from options_data_pipeline_spark.sinks.layout import compact_partitions
+
+    store = str(tmp_path / "t")
+    df = spark.range(500).select(
+        (F2.col("id") % 2).cast("string").alias("p"), F2.col("id").alias("v")
+    )
+    # 1 writer task: each partition lands exactly ONE (oversized) file
+    df.repartition(1).write.partitionBy("p").parquet(store)
+
+    def nfiles(p):
+        return len(
+            [f for f in os.listdir(f"{store}/p={p}") if f.endswith(".parquet")]
+        )
+
+    assert nfiles("0") == 1 and nfiles("1") == 1
+    compact_partitions(spark, store, "p", rows_per_file=100)
+    assert nfiles("0") == -(-250 // 100)  # split 1 -> ceil = 3
+    assert nfiles("1") == -(-250 // 100)
+    back = spark.read.parquet(store)
+    assert back.count() == 500
+    assert back.agg(F2.sum("v")).first()[0] == sum(range(500))
+
+
+def test_compaction_counts_keyed_by_directory_token(spark, tmp_path):
+    """Partition tokens that Spark's inference normalizes (zero-padded
+    ints: directory p=00 reads back as int 0) must still resolve to
+    their true row counts — a missed lookup used to default to 0 rows
+    and wrongly compact to a single file (ADVICE r10)."""
+    import os
+
+    from pyspark.sql import functions as F2
+
+    from options_data_pipeline_spark.sinks.layout import compact_partitions
+
+    store = str(tmp_path / "t")
+    df = spark.range(500).select(
+        F2.when(F2.col("id") % 2 == 0, "00").otherwise("01").alias("p"),
+        F2.col("id").alias("v"),
+    )
+    df.repartition(8).write.partitionBy("p").parquet(store)
+
+    def nfiles(p):
+        return len(
+            [f for f in os.listdir(f"{store}/p={p}") if f.endswith(".parquet")]
+        )
+
+    compact_partitions(spark, store, "p", rows_per_file=100)
+    # 250 rows per partition -> ceil(250/100) = 3 files, NOT 1
+    assert nfiles("00") == 3
+    assert nfiles("01") == 3
+    assert spark.read.parquet(store).count() == 500
+
+
 def test_ivm_view_evicts_drained_groups(spark):
     """Groups whose count reaches zero must vanish from the maintained
     view (a zero-count group row would diverge from the recompute)."""
