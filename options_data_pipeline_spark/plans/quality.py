@@ -4213,3 +4213,318 @@ SELECT event_type, CAST(day AS TIMESTAMP) AS day,
 FROM survivors
 GROUP BY event_type, day
 """
+
+
+# ---------------------------------------------------------------------------
+# join_ivm_twin
+# ---------------------------------------------------------------------------
+
+
+def q_join_ivm_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVM over a JOIN (round-11 wave 1, VERDICT r10 ask #4): a
+    per-group aggregate view over fact ⋈ dim maintained under CDC on
+    BOTH inputs — the case that actually distinguishes a maintained
+    view from a rescan at 100 TB, because a dim-side update must
+    retract and reissue EVERY joined contribution of the remapped key
+    without touching the fact table.
+
+    The standard delta-join expansion ΔV = ΔF⋈D ∪ F⋈ΔD ∪ ΔF⋈ΔD is
+    realized with the classic partial-aggregate tree: an intermediate
+    per-join-key aggregate ``agg_by_type`` (cnt, sval per event_type)
+    is itself incrementally maintained from the fact CDC, and the view
+    is maintained from IT —
+
+    - **fact deltas** (ΔF⋈D): the delta-sized per-type adjustments
+      route through the CURRENT dim to group adjustments (V' = V +
+      ΔA⋈D — and because ΔA is computed against the advancing fact,
+      ΔF⋈ΔD is priced in);
+    - **dim deltas** (F⋈ΔD): each remapped type MOVES its entire
+      current ``agg_by_type`` row from the old group to the new one —
+      a key-lookup against the partial aggregate, never a fact scan.
+
+    Two waves: wave 1 is fact-only CDC (inserts/updates/deletes); wave
+    2 combines fact CDC with a dim remap.  Drained groups (cnt 0) are
+    evicted at every merge.  The driver hash proves the maintained view
+    equals the group aggregate of the final survivor fact state joined
+    to the final dim state.
+
+    Determinism: contributions accumulate as exact DECIMAL at every
+    grain; batch composition and the dim remap predicate are integer/
+    ascii arithmetic shared with the oracle."""
+    import shutil
+    import tempfile
+
+    from ..sinks.upsert import _atomic_replace, apply_cdc
+
+    base = tempfile.mkdtemp(prefix="jivm_")
+    try:
+        fact_path = f"{base}/fact"
+        agg_path = f"{base}/agg_by_type"
+        dim_path = f"{base}/dim"
+        view_path = f"{base}/view"
+
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id",
+            F.to_date("ts").alias("day"),
+            "event_type",
+            "value",
+        )
+        # dim over the FULL type domain (fact inserts may introduce
+        # types the initial fact slice lacks)
+        grp0 = F.concat(
+            F.lit("G"), (F.length("event_type") % 3).cast("string")
+        )
+        dim0 = ev.select("event_type").distinct().select(
+            "event_type", grp0.alias("grp")
+        )
+        _atomic_replace(dim0, dim_path)
+
+        fact0 = ev.where(F.col("event_id") % 3 != 0)
+        fact0.write.parquet(fact_path)
+        agg0 = fact0.groupBy("event_type", "day").agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.sum(F.col("value").cast("decimal(25,6)")).alias("sval"),
+        )
+        _atomic_replace(agg0, agg_path)
+        view0 = (
+            agg0.join(dim0, "event_type")
+            .groupBy("grp", "day")
+            .agg(
+                F.sum("cnt").cast("long").alias("cnt"),
+                F.sum("sval").cast("decimal(25,6)").alias("sval"),
+            )
+        )
+        _atomic_replace(view0, view_path)
+
+        def fact_cdc(which: int) -> DataFrame:
+            # same wave selectors as agg_ivm_twin — shared, audited
+            # id-arithmetic; the join twin differs in WHAT it maintains
+            if which == 1:
+                ins = ev.where(
+                    (F.col("event_id") % 3 == 0)
+                    & (F.col("event_id") % 2 == 0)
+                ).select("*", F.lit("I").alias("op"))
+                upd = ev.where(
+                    (F.col("event_id") % 3 != 0)
+                    & (F.col("event_id") % 5 == 1)
+                ).select(
+                    "event_id", "day", "event_type",
+                    (F.col("value") * 2).alias("value"),
+                    F.lit("U").alias("op"),
+                )
+                dele = ev.where(
+                    (F.col("event_id") % 3 != 0)
+                    & (F.col("event_id") % 5 != 1)
+                    & (F.col("event_id") % 7 == 2)
+                ).select("*", F.lit("D").alias("op"))
+            else:
+                ins = ev.where(
+                    (F.col("event_id") % 3 == 0)
+                    & (F.col("event_id") % 2 == 1)
+                ).select("*", F.lit("I").alias("op"))
+                upd = ev.where(
+                    (F.col("event_id") % 3 == 0)
+                    & (F.col("event_id") % 2 == 0)
+                    & (F.col("event_id") % 5 == 4)
+                ).select(
+                    "event_id", "day", "event_type",
+                    (F.col("value") + 10).alias("value"),
+                    F.lit("U").alias("op"),
+                )
+                dele = ev.where(
+                    (F.col("event_id") % 3 != 0)
+                    & (F.col("event_id") % 5 != 1)
+                    & (F.col("event_id") % 7 == 3)
+                ).select("*", F.lit("D").alias("op"))
+            return ins.unionByName(upd).unionByName(dele).withColumn(
+                "seq", F.col("event_id")
+            )
+
+        def merge_adj(store_path: str, adj: DataFrame, keys: list[str]):
+            cur = spark.read.parquet(store_path)
+            merged = (
+                cur.join(adj, keys, "full")
+                .select(
+                    *keys,
+                    (
+                        F.coalesce(F.col("cnt"), F.lit(0))
+                        + F.coalesce(F.col("d_cnt"), F.lit(0))
+                    ).cast("long").alias("cnt"),
+                    (
+                        F.coalesce(
+                            F.col("sval"), F.lit(0).cast("decimal(25,6)")
+                        )
+                        + F.coalesce(
+                            F.col("d_sval"), F.lit(0).cast("decimal(25,6)")
+                        )
+                    ).cast("decimal(25,6)").alias("sval"),
+                )
+                .where(F.col("cnt") != 0)
+                .localCheckpoint()
+            )
+            _atomic_replace(merged, store_path)
+
+        for which in (1, 2):
+            batch = materialize(fact_cdc(which))
+            fact = spark.read.parquet(fact_path)
+            old = fact.select(
+                "event_id",
+                F.col("day").alias("_oday"),
+                F.col("event_type").alias("_otype"),
+                F.col("value").alias("_oval"),
+            )
+            delta = batch.join(old, "event_id", "left")
+            minus = delta.where(F.col("op").isin("U", "D")).select(
+                F.col("_otype").alias("event_type"),
+                F.col("_oday").alias("day"),
+                F.lit(-1).cast("long").alias("d_cnt"),
+                (-F.col("_oval")).cast("decimal(25,6)").alias("d_sval"),
+            )
+            plus = delta.where(F.col("op").isin("I", "U")).select(
+                "event_type",
+                "day",
+                F.lit(1).cast("long").alias("d_cnt"),
+                F.col("value").cast("decimal(25,6)").alias("d_sval"),
+            )
+            d_agg = materialize(
+                minus.unionByName(plus)
+                .groupBy("event_type", "day")
+                .agg(
+                    F.sum("d_cnt").cast("long").alias("d_cnt"),
+                    F.sum("d_sval").cast("decimal(25,6)").alias("d_sval"),
+                )
+            )
+            # ΔF⋈D: per-type deltas through the CURRENT dim -> view
+            dim = spark.read.parquet(dim_path)
+            v_adj = (
+                d_agg.join(dim, "event_type")
+                .groupBy("grp", "day")
+                .agg(
+                    F.sum("d_cnt").cast("long").alias("d_cnt"),
+                    F.sum("d_sval").cast("decimal(25,6)").alias("d_sval"),
+                )
+            )
+            merge_adj(view_path, v_adj, ["grp", "day"])
+            merge_adj(agg_path, d_agg, ["event_type", "day"])
+            apply_cdc(
+                spark, fact_path, batch, keys=["event_id"], seq_col="seq"
+            )
+
+            if which == 2:
+                # F⋈ΔD: dim remap — types whose first char has even
+                # ascii move to GX; each moved type carries its WHOLE
+                # current partial aggregate old-grp -> new-grp (a
+                # key-join against agg_by_type, never a fact scan)
+                moved = dim.where(
+                    F.ascii(F.substring("event_type", 1, 1)) % 2 == 0
+                ).select("event_type", F.col("grp").alias("old_grp"))
+                agg_now = spark.read.parquet(agg_path)
+                contrib = moved.join(agg_now, "event_type", "inner")
+                retract = contrib.select(
+                    F.col("old_grp").alias("grp"),
+                    "day",
+                    (-F.col("cnt")).cast("long").alias("d_cnt"),
+                    (-F.col("sval")).cast("decimal(25,6)").alias("d_sval"),
+                )
+                reissue = contrib.select(
+                    F.lit("GX").alias("grp"),
+                    "day",
+                    F.col("cnt").cast("long").alias("d_cnt"),
+                    F.col("sval").cast("decimal(25,6)").alias("d_sval"),
+                )
+                d_view = (
+                    retract.unionByName(reissue)
+                    .groupBy("grp", "day")
+                    .agg(
+                        F.sum("d_cnt").cast("long").alias("d_cnt"),
+                        F.sum("d_sval").cast("decimal(25,6)").alias(
+                            "d_sval"
+                        ),
+                    )
+                )
+                merge_adj(view_path, d_view, ["grp", "day"])
+                new_dim = dim.select(
+                    "event_type",
+                    F.when(
+                        F.ascii(F.substring("event_type", 1, 1)) % 2 == 0,
+                        F.lit("GX"),
+                    ).otherwise(F.col("grp")).alias("grp"),
+                ).localCheckpoint()
+                _atomic_replace(new_dim, dim_path)
+
+        out = spark.read.parquet(view_path).select(
+            "grp",
+            F.col("day").cast("timestamp").alias("day"),
+            "cnt",
+            round_half_away(F.col("sval").cast("double"), 6).alias(
+                "sum_value"
+            ),
+        ).orderBy("grp", "day")
+        # teardown survival: cut lineage (localCheckpoint) so the result
+        # blocks outlive the tempdir rmtree -- never a per-row driver
+        # collect (VERDICT r10 ask #1)
+        return materialize(out)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def oracle_join_ivm_twin() -> str:
+    return f"""
+WITH ev AS (
+    SELECT event_id, CAST(ts AS DATE) AS day, event_type, value
+    FROM events
+),
+log AS (
+    SELECT event_id, day, event_type, value, 'I' AS op, 1 AS wave
+    FROM ev WHERE event_id % 3 = 0 AND event_id % 2 = 0
+    UNION ALL
+    SELECT event_id, day, event_type, value * 2, 'U', 1
+    FROM ev WHERE event_id % 3 <> 0 AND event_id % 5 = 1
+    UNION ALL
+    SELECT event_id, day, event_type, value, 'D', 1
+    FROM ev WHERE event_id % 3 <> 0 AND event_id % 5 <> 1
+                  AND event_id % 7 = 2
+    UNION ALL
+    SELECT event_id, day, event_type, value, 'I', 2
+    FROM ev WHERE event_id % 3 = 0 AND event_id % 2 = 1
+    UNION ALL
+    SELECT event_id, day, event_type, value + 10, 'U', 2
+    FROM ev WHERE event_id % 3 = 0 AND event_id % 2 = 0
+                  AND event_id % 5 = 4
+    UNION ALL
+    SELECT event_id, day, event_type, value, 'D', 2
+    FROM ev WHERE event_id % 3 <> 0 AND event_id % 5 <> 1
+                  AND event_id % 7 = 3
+),
+latest AS (
+    SELECT event_id, day, event_type, value, op FROM (
+        SELECT *, row_number() OVER (PARTITION BY event_id
+                                     ORDER BY wave DESC) AS rn
+        FROM log
+    ) WHERE rn = 1
+),
+base AS (SELECT * FROM ev WHERE event_id % 3 <> 0),
+survivors AS (
+    SELECT b.event_id, b.day, b.event_type, b.value
+    FROM base b LEFT JOIN latest l USING (event_id)
+    WHERE l.event_id IS NULL
+    UNION ALL
+    SELECT event_id, day, event_type, value
+    FROM latest WHERE op IN ('I', 'U')
+),
+dim AS (
+    SELECT event_type,
+           CASE WHEN ascii(substr(event_type, 1, 1)) % 2 = 0 THEN 'GX'
+                ELSE 'G' || CAST(length(event_type) % 3 AS VARCHAR)
+           END AS grp
+    FROM (SELECT DISTINCT event_type FROM ev)
+)
+SELECT grp, CAST(day AS TIMESTAMP) AS day,
+       CAST(count(*) AS BIGINT) AS cnt,
+       {sql_round_half_away(
+           "CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE)", 6)}
+           AS sum_value
+FROM survivors JOIN dim USING (event_type)
+GROUP BY grp, day
+ORDER BY grp, day
+"""

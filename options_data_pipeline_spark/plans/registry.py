@@ -147,6 +147,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
         quality.oracle_small_file_compaction,
     ),
     "agg_ivm_twin": (quality.q_agg_ivm_twin, quality.oracle_agg_ivm_twin),
+    "join_ivm_twin": (quality.q_join_ivm_twin, quality.oracle_join_ivm_twin),
     "hist_quantiles": (quality.q_hist_quantiles, quality.oracle_hist_quantiles),
     # --- sketch-store consumers: answers from stored registers only ---
     "hll_week_from_store": (
@@ -361,6 +362,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
         text.oracle_bloom_prefilter_dedup,
     ),
     "zorder_layout": (tpch2.q_zorder_layout, tpch2.oracle_zorder_layout),
+    "zorder_prune": (tpch2.q_zorder_prune, tpch2.oracle_zorder_prune),
     "pq_ann_topk": (vectors.q_pq_ann_topk, vectors.oracle_pq_ann_topk),
     "ivfadc_topk": (vectors.q_ivfadc_topk, vectors.oracle_ivfadc_topk),
     "cms_token_freq": (text.q_cms_token_freq, text.oracle_cms_token_freq),

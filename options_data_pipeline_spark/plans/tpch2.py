@@ -21,7 +21,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.rounding import dec_sum, sql_dec_sum
+from ..functions.rounding import (
+    dec_sum,
+    round_half_away,
+    sql_dec_sum,
+    sql_round_half_away,
+)
 from ..operators import zorder as Z
 from ..sources.tables import load_table
 
@@ -752,4 +757,215 @@ SELECT c_mktsegment AS segment, n AS n_customers,
        {sql_round_half_away('CAST(sx AS DOUBLE)', 2)} AS total_spend,
        {sql_round_half_away(gini, 6)} AS gini
 FROM agg
+"""
+
+
+# --- Z-order physical pruning contract (round 11) --------------------------
+
+#: z-prefix shift: file_id = z >> ZP_SHIFT.  BITS=10 per dim gives a
+#: 20-bit z space, so 2^(20-14) = 64 file slots (occupancy is
+#: data-dependent but a pure function of the data — deterministic).
+ZP_SHIFT = 14
+
+#: probe windows as (lo_tenths, hi_tenths) of each dimension's span —
+#: pinned literals shared with the oracle's integer-division arithmetic
+ZP_PROBES = ((1, 2), (6, 7))
+
+
+def q_zorder_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END Z-order pruning contract (round-11 wave 1, VERDICT
+    r10 ask #3): physically write ``orders`` Z-order-clustered on
+    (custkey, order-day), then adjudicate BOTH halves —
+
+    - **content identity**: per-file row counts and exact-decimal
+      totalprice sums of the store equal the source partition of the
+      same z arithmetic;
+    - **the pruning property**: per-file min/max of BOTH dimensions,
+      read from the parquet FOOTERS (the statistics a real scan prunes
+      with, via the same pyarrow path as ``sinks.layout.
+      parquet_file_ranges``), must bound which files a range predicate
+      on EITHER dimension touches — the touched-file matrix for four
+      pinned probe windows (two per dimension) is in the driver hash.
+
+    Determinism is the design problem ``write_zordered_n`` can't solve
+    for a hash oracle: its approxQuantile breakpoints and
+    repartitionByRange boundaries are SAMPLED.  The adjudicated twin
+    uses the integer-exact grid path instead (operators/zorder.py —
+    ``(x-min)*2^bits // span``, bit-interleave), with file assignment =
+    the z-code's high bits (``z >> ZP_SHIFT``): a pure function of the
+    data, so the footer stats equal group aggregates and the oracle
+    predicts the full physical layout by arithmetic.  The write lands
+    exactly one file per populated slot (all rows of a slot hash to one
+    task; partitionBy splits dirs per task).
+
+    Scale shape: one 4-scalar bounds aggregate, one z-keyed exchange for
+    the clustered write (the same shuffle budget as any clustered
+    rewrite), one map-side-combined per-file content aggregate; the
+    footer walk is O(#files) metadata reads, the same work a Delta log
+    replay does.  Probe flags are row-local expressions on the <= 64
+    per-file stat rows."""
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from ..operators.materialize import materialize
+
+    orders = load_table(spark, sf_dir, "orders")
+    day = F.datediff(
+        F.to_date("o_orderdate"), F.to_date(F.lit("1970-01-01"))
+    )
+    base = orders.select(
+        F.col("o_custkey").alias("ck"),
+        day.cast("long").alias("day"),
+        F.col("o_totalprice").alias("price"),
+    )
+    b = base.agg(
+        F.min("ck"), F.max("ck"), F.min("day"), F.max("day")
+    ).first()
+    ck_min, ck_max, day_min, day_max = (int(v) for v in b)
+
+    qx = Z.quantize(F.col("ck"), F.lit(ck_min), F.lit(ck_max))
+    qy = Z.quantize(F.col("day"), F.lit(day_min), F.lit(day_max))
+    fid = F.shiftright(Z.interleave_bits(qx, qy), ZP_SHIFT).alias(
+        "file_id"
+    )
+    coded = base.select("ck", "day", "price", fid)
+
+    base_dir = tempfile.mkdtemp(prefix="zprune_")
+    try:
+        store = f"{base_dir}/orders_z"
+        (
+            coded.repartition(F.col("file_id"))
+            .write.partitionBy("file_id")
+            .parquet(store)
+        )
+
+        # physical layout from the FOOTERS: (file_id, n_rows, min/max
+        # of both dims) per file — metadata reads only, no data pages
+        stat_rows = []
+        for entry in sorted(os.listdir(store)):
+            if not entry.startswith("file_id="):
+                continue
+            slot = int(entry.split("=", 1)[1])
+            part_dir = os.path.join(store, entry)
+            pfiles = [
+                f for f in os.listdir(part_dir) if f.endswith(".parquet")
+            ]
+            assert len(pfiles) == 1, (
+                f"slot {slot}: {len(pfiles)} files — the one-task-per-"
+                "slot write contract broke"
+            )
+            md = pq.ParquetFile(os.path.join(part_dir, pfiles[0])).metadata
+            idx = {
+                md.schema.column(i).name: i for i in range(md.num_columns)
+            }
+            stats = {}
+            for col in ("ck", "day"):
+                mins, maxs = [], []
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(idx[col]).statistics
+                    mins.append(st.min)
+                    maxs.append(st.max)
+                stats[col] = (min(mins), max(maxs))
+            stat_rows.append(
+                (
+                    slot,
+                    md.num_rows,
+                    stats["ck"][0],
+                    stats["ck"][1],
+                    stats["day"][0],
+                    stats["day"][1],
+                )
+            )
+        phys = spark.createDataFrame(
+            stat_rows,
+            "file_id long, n_rows long, min_ck long, max_ck long,"
+            " min_day long, max_day long",
+        )
+
+        # content identity: re-read the STORE (not the source) so a
+        # row lost or duplicated by the rewrite fails the hash
+        content = (
+            spark.read.parquet(store)
+            .groupBy(F.col("file_id").cast("long").alias("file_id"))
+            .agg(round_half_away(dec_sum(F.col("price")), 2).alias(
+                "sum_price"
+            ))
+        )
+
+        # probe flags: does file [min,max] intersect each pinned window?
+        cols = [
+            "file_id", "n_rows", "sum_price",
+            "min_ck", "max_ck", "min_day", "max_day",
+        ]
+        flags = []
+        for dim, lo_b, hi_b in (
+            ("ck", ck_min, ck_max), ("day", day_min, day_max),
+        ):
+            span = hi_b - lo_b
+            for lo_t, hi_t in ZP_PROBES:
+                p_lo = lo_b + span * lo_t // 10
+                p_hi = lo_b + span * hi_t // 10
+                flag = (
+                    (F.col(f"min_{dim}") <= F.lit(p_hi))
+                    & (F.col(f"max_{dim}") >= F.lit(p_lo))
+                ).cast("int")
+                flags.append(flag.alias(f"hit_{dim}_{lo_t}{hi_t}"))
+        out = (
+            phys.join(content, "file_id")
+            .select(*cols, *flags)
+            .orderBy("file_id")
+        )
+        # teardown survival: cut lineage (localCheckpoint) so the result
+        # blocks outlive the tempdir rmtree -- never a per-row driver
+        # collect (VERDICT r10 ask #1)
+        return materialize(out)
+    finally:
+        shutil.rmtree(base_dir, ignore_errors=True)
+
+
+def oracle_zorder_prune() -> str:
+    z = Z.interleave_sql(
+        Z.quantize_sql("ck", "ck_min", "ck_max"),
+        Z.quantize_sql("day", "day_min", "day_max"),
+    )
+    probe_flags = []
+    for dim in ("ck", "day"):
+        for lo_t, hi_t in ZP_PROBES:
+            lo = f"({dim}_min + ({dim}_max - {dim}_min) * {lo_t} // 10)"
+            hi = f"({dim}_min + ({dim}_max - {dim}_min) * {hi_t} // 10)"
+            probe_flags.append(
+                f"CAST((min_{dim} <= {hi} AND max_{dim} >= {lo})"
+                f" AS INTEGER) AS hit_{dim}_{lo_t}{hi_t}"
+            )
+    flags_sql = ",\n       ".join(probe_flags)
+    return f"""
+WITH base AS (
+    SELECT o_custkey AS ck,
+           CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS day,
+           o_totalprice AS price
+    FROM orders
+),
+b AS (
+    SELECT min(ck) AS ck_min, max(ck) AS ck_max,
+           min(day) AS day_min, max(day) AS day_max
+    FROM base
+),
+f AS (
+    SELECT ck, day, price, ({z}) >> {ZP_SHIFT} AS file_id
+    FROM base, b
+),
+g AS (
+    SELECT file_id, CAST(count(*) AS BIGINT) AS n_rows,
+           {sql_round_half_away(sql_dec_sum('price'), 2)} AS sum_price,
+           min(ck) AS min_ck, max(ck) AS max_ck,
+           min(day) AS min_day, max(day) AS max_day
+    FROM f GROUP BY 1
+)
+SELECT file_id, n_rows, sum_price,
+       min_ck, max_ck, min_day, max_day,
+       {flags_sql}
+FROM g, b
 """
