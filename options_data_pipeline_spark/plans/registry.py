@@ -167,6 +167,14 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
         stores.oracle_cms_store_replay_twin,
     ),
     "hll_cube": (stores.q_hll_cube, stores.oracle_hll_cube),
+    "reservoir_sample_store": (
+        stores.q_reservoir_sample_store,
+        stores.oracle_reservoir_sample_store,
+    ),
+    "weighted_sample_store": (
+        stores.q_weighted_sample_store,
+        stores.oracle_weighted_sample_store,
+    ),
     "dds_quantile_store": (
         stores.q_dds_quantile_store,
         stores.oracle_dds_quantile_store,

@@ -982,3 +982,214 @@ def q_dds_store_stream_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
 def oracle_dds_store_stream_twin() -> str:
     # the stream's fixed point IS the batch store: same buckets, same CDF
     return oracle_dds_quantile_store()
+
+
+# --- Reservoir: row-level sample stores (round 11) --------------------------
+
+
+def build_reservoir_day_store(
+    spark: SparkSession, sf_dir: str, store_path: str
+) -> None:
+    """Ingest stage: ONE scan of events -> per-(day, type) bottom-K row
+    reservoirs under the deterministic rank-hash priority (<= K rows
+    per group), written day-partitioned.  The first ROW-level member of
+    the store family: it keeps the rows themselves, not counters."""
+    from ..operators.reservoir import reservoir_bottom_k, rsv_priority
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"),
+        "event_type",
+        "event_id",
+        "value",
+        rsv_priority(F.col("event_id")).alias("p"),
+    )
+    kept = reservoir_bottom_k(
+        ev, ["day", "event_type"], "p", "event_id"
+    ).drop("rank")
+    kept.write.mode("overwrite").partitionBy("day").parquet(store_path)
+
+
+def reservoir_week_consumer(
+    spark: SparkSession, store_path: str
+) -> DataFrame:
+    """(week, event_type, rank, event_id, value) — the weekly sample
+    merged from stored day reservoirs ONLY (union -> re-bottom-k, the
+    KMV merge law on whole rows).  No events scan in this plan."""
+    from ..operators.reservoir import reservoir_bottom_k
+
+    days = spark.read.parquet(store_path).select(
+        F.date_trunc("week", F.col("day").cast("date")).alias("week"),
+        "event_type",
+        "event_id",
+        "value",
+        "p",
+    )
+    return reservoir_bottom_k(
+        days, ["week", "event_type"], "p", "event_id"
+    ).select("week", "event_type", "rank", "event_id", "value")
+
+
+def q_reservoir_sample_store(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Row-level sample store (round-11 wave 2, VERDICT r10 ask #5b):
+    per-(day, type) bottom-K row reservoirs under a DETERMINISTIC
+    rank-hash priority (operators/reservoir.py), rolled up to weekly
+    samples by union + re-bottom-k — the merge that never re-touches
+    raw data.  Deterministic priorities are the point: the sample is
+    identical under task retries, at-least-once replays, and across
+    engines — the property ``rand()``/Vitter reservoirs lose — so the
+    driver hash can adjudicate the SAMPLE CONTENT itself, rows and
+    ranks, not just its size.
+
+    Scale shape: one raw scan at ingest (the store build), salted
+    two-phase ranking (never a one-task-per-group window), and the
+    weekly consumer reads <= 7*K stored rows per (week, type)."""
+    import shutil
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="rsv_store_")
+    try:
+        store = f"{base}/rsv_days"
+        build_reservoir_day_store(spark, sf_dir, store)
+        out = reservoir_week_consumer(spark, store).orderBy(
+            "week", "event_type", "rank"
+        )
+        # teardown survival: cut lineage (localCheckpoint) so the result
+        # blocks outlive the tempdir rmtree -- never a per-row driver
+        # collect (VERDICT r10 ask #1)
+        return materialize(out)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def oracle_reservoir_sample_store() -> str:
+    from ..operators.reservoir import RSV_K, sql_rsv_priority
+
+    p = sql_rsv_priority("event_id")
+    return f"""
+WITH ev AS (
+    SELECT CAST(ts AS DATE) AS day, event_type, event_id, value,
+           {p} AS p
+    FROM events
+),
+day_kept AS (
+    SELECT day, event_type, event_id, value, p FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY day, event_type ORDER BY p, event_id) AS rk
+        FROM ev
+    ) WHERE rk <= {RSV_K}
+),
+wk AS (
+    SELECT CAST(date_trunc('week', day) AS TIMESTAMP) AS week,
+           event_type, event_id, value, p
+    FROM day_kept
+)
+SELECT week, event_type, CAST(rank AS BIGINT) AS rank, event_id, value
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY week, event_type ORDER BY p, event_id) AS rank
+    FROM wk
+) WHERE rank <= {RSV_K}
+ORDER BY week, event_type, rank
+"""
+
+
+def build_weighted_sample_store(
+    spark: SparkSession, sf_dir: str, store_path: str
+) -> None:
+    """Ingest stage: per-(lang, source) WEIGHTED bottom-K document
+    reservoirs — priority h/n_chars, so token-heavy docs systematically
+    win slots (the token-mass-proportional eyeball sample).  Written
+    lang-partitioned."""
+    from ..operators.reservoir import (
+        reservoir_bottom_k,
+        rsv_weighted_priority,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang",
+        "source",
+        "doc_id",
+        "n_chars",
+        rsv_weighted_priority(F.col("doc_id"), F.col("n_chars")).alias(
+            "wp"
+        ),
+    )
+    kept = reservoir_bottom_k(
+        docs, ["lang", "source"], "wp", "doc_id"
+    ).drop("rank")
+    kept.write.mode("overwrite").partitionBy("lang").parquet(store_path)
+
+
+def weighted_lang_consumer(
+    spark: SparkSession, store_path: str
+) -> DataFrame:
+    """(lang, rank, doc_id, n_chars) — per-language weighted sample
+    merged from the stored per-(lang, source) reservoirs ONLY."""
+    from ..operators.reservoir import reservoir_bottom_k
+
+    shards = spark.read.parquet(store_path).select(
+        "lang", "doc_id", "n_chars", "wp"
+    )
+    return reservoir_bottom_k(shards, ["lang"], "wp", "doc_id").select(
+        "lang", "rank", "doc_id", "n_chars"
+    )
+
+
+def q_weighted_sample_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted row-sample store (round-11 wave 2): the weighted
+    variant of :func:`q_reservoir_sample_store` over documents —
+    priority = hash/weight via two IEEE-correctly-rounded core ops
+    (long→double conversion + division, no libm), weight = n_chars, so
+    the kept set is the deterministic token-mass-proportional sample
+    (Efraimidis-Spirakis exponential-clock shape with the exp() hazard
+    removed).  Same union + re-bottom-k merge law: per-(lang, source)
+    shard reservoirs roll up to per-lang samples without re-reading the
+    corpus.
+
+    n_chars is a positive BIGINT by schema contract (asserted in the
+    build's domain); a zero/negative weight would make the priority
+    unordered and is a data bug upstream of this store."""
+    import shutil
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="wrsv_store_")
+    try:
+        store = f"{base}/wrsv_shards"
+        build_weighted_sample_store(spark, sf_dir, store)
+        out = weighted_lang_consumer(spark, store).orderBy(
+            "lang", "rank"
+        )
+        # teardown survival: cut lineage (localCheckpoint) so the result
+        # blocks outlive the tempdir rmtree -- never a per-row driver
+        # collect (VERDICT r10 ask #1)
+        return materialize(out)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def oracle_weighted_sample_store() -> str:
+    from ..operators.reservoir import RSV_K, sql_rsv_weighted_priority
+
+    wp = sql_rsv_weighted_priority("doc_id", "n_chars")
+    return f"""
+WITH docs AS (
+    SELECT lang, source, doc_id, n_chars, {wp} AS wp
+    FROM documents
+),
+shard_kept AS (
+    SELECT lang, doc_id, n_chars, wp FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY lang, source ORDER BY wp, doc_id) AS rk
+        FROM docs
+    ) WHERE rk <= {RSV_K}
+)
+SELECT lang, CAST(rank AS BIGINT) AS rank, doc_id, n_chars
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY lang ORDER BY wp, doc_id) AS rank
+    FROM shard_kept
+) WHERE rank <= {RSV_K}
+ORDER BY lang, rank
+"""
