@@ -4528,3 +4528,52 @@ FROM survivors JOIN dim USING (event_type)
 GROUP BY grp, day
 ORDER BY grp, day
 """
+
+
+# ---------------------------------------------------------------------------
+# asof_forward_twin
+# ---------------------------------------------------------------------------
+
+
+def q_asof_forward_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join adjudicated end-to-end (round-11 wave 3):
+    each purchase picks up the user's EARLIEST click at-or-after it —
+    the "next touch" attribution shape, and the mirror direction of
+    `asof_attribution` (backward, r5).  Same single union+window
+    operator (operators/asof.py), traversed in descending time; one
+    shuffle on the key either direction.  The oracle is DuckDB's native
+    ASOF with the inequality flipped (``p.ts <= c.ts``) — a genuinely
+    independent formulation, so the driver hash pins the direction AND
+    the tie rule (an exactly-simultaneous click matches) at every
+    scale."""
+    from ..operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("value").alias("click_value"),
+        F.col("event_id").alias("click_id"),
+    )
+    out = asof_join(
+        purchases, clicks, on=["user_id"],
+        right_cols=["click_value", "click_id"],
+        direction="forward",
+    )
+    return out.select(
+        "event_id", "user_id", "ts", "value",
+        F.col("ts_asof").alias("click_ts"),
+        "click_value_asof", "click_id_asof",
+    )
+
+
+def oracle_asof_forward_twin() -> str:
+    return """
+SELECT p.event_id, p.user_id, p.ts, p.value,
+       c.ts AS click_ts, c.value AS click_value_asof,
+       c.event_id AS click_id_asof
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts <= c.ts
+"""

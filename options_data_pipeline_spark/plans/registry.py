@@ -81,6 +81,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
     "value_percentiles": (quality.q_value_percentiles, quality.oracle_value_percentiles),
     "approx_stats": (quality.q_approx_stats, quality.oracle_approx_stats),
     "asof_attribution": (quality.q_asof_attribution, quality.oracle_asof_attribution),
+    "asof_forward_twin": (
+        quality.q_asof_forward_twin,
+        quality.oracle_asof_forward_twin,
+    ),
     "conversion_latency": (quality.q_conversion_latency, quality.oracle_conversion_latency),
     "nearest_click": (quality.q_nearest_click, quality.oracle_nearest_click),
     "activity_heatmap": (quality.q_activity_heatmap, quality.oracle_activity_heatmap),
@@ -174,6 +178,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
     "weighted_sample_store": (
         stores.q_weighted_sample_store,
         stores.oracle_weighted_sample_store,
+    ),
+    "stream_reservoir_twin": (
+        stores.q_stream_reservoir_twin,
+        stores.oracle_stream_reservoir_twin,
     ),
     "dds_quantile_store": (
         stores.q_dds_quantile_store,

@@ -1193,3 +1193,67 @@ FROM (
 ) WHERE rank <= {RSV_K}
 ORDER BY lang, rank
 """
+
+
+def q_stream_reservoir_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming + REPLAY parity for the row-reservoir store (round-11
+    wave 3): two interleaved waves through the real foreachBatch job
+    (:func:`..streaming.sketches.reservoir_register_stream`) and one
+    checkpoint, then BOTH at-least-once failure modes re-driven through
+    the exposed apply unit — a trailing same-slice retry AND a stale
+    out-of-order re-delivery of the first wave.  Bottom-k under a
+    deterministic priority is idempotent BY CONSTRUCTION (dedup on the
+    row key + re-rank: min of a min), so the replayed store must
+    hash-equal the exactly-once fixed point — the first store twin
+    whose replay safety needs no ``_bid`` stamp, completing the family
+    matrix (max-idempotent / stamped-additive / order-statistic).
+
+    The oracle is the batch fixed point: identical to
+    `reservoir_sample_store`'s whole-table build."""
+    import shutil
+    import tempfile
+
+    from ..streaming.sketches import (
+        reservoir_apply_batch,
+        reservoir_register_stream,
+    )
+
+    base = tempfile.mkdtemp(prefix="rsv_twin_")
+    try:
+        src, store, ckpt = f"{base}/src", f"{base}/store", f"{base}/ckpt"
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "ts", "event_type", "value"
+        )
+        wave1 = ev.where(F.col("event_id") % 3 != 0)
+        wave2 = ev.where(F.col("event_id") % 3 == 0)
+        wave1.coalesce(1).write.mode("append").parquet(src)
+        if not reservoir_register_stream(
+            spark, src, store, ckpt
+        ).awaitTermination(120):
+            raise TimeoutError("reservoir wave 1 did not drain in 120s")
+        wave2.coalesce(1).write.mode("append").parquet(src)
+        if not reservoir_register_stream(
+            spark, src, store, ckpt
+        ).awaitTermination(120):
+            raise TimeoutError("reservoir wave 2 did not drain in 120s")
+        # at-least-once: trailing retry of the last slice...
+        reservoir_apply_batch(spark, store, wave2, batch_id=1)
+        # ...and a stale out-of-order re-delivery from wave 1
+        reservoir_apply_batch(
+            spark, store, wave1.where(F.col("event_id") % 5 == 2),
+            batch_id=0,
+        )
+        out = reservoir_week_consumer(spark, store).orderBy(
+            "week", "event_type", "rank"
+        )
+        # teardown survival: cut lineage (localCheckpoint) so the result
+        # blocks outlive the tempdir rmtree -- never a per-row driver
+        # collect (VERDICT r10 ask #1)
+        return materialize(out)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def oracle_stream_reservoir_twin() -> str:
+    # the stream's fixed point IS the batch sample: same rows, same ranks
+    return oracle_reservoir_sample_store()

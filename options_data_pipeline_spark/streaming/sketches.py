@@ -434,3 +434,91 @@ def dds_register_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def reservoir_apply_batch(
+    spark: SparkSession,
+    store_path: str,
+    batch_events: DataFrame,
+    batch_id: int,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    key_col: str = "event_id",
+    value_col: str = "value",
+) -> None:
+    """Fold one micro-batch slice into the per-(day, type) row-reservoir
+    store, exactly once — the FIFTH store type, and the second (after
+    HLL max) whose merge law is replay-idempotent BY CONSTRUCTION, so
+    it needs no ``_bid`` stamp: bottom-k under a deterministic priority
+    is an order statistic, and re-delivered rows dedup against the
+    stored keys and re-rank identically (min of a min is the min).
+
+    Per trigger: bottom-k the slice per (day, type), union with the
+    stored rows of the SAME days (partition-pruned read), dedup on the
+    row key, re-bottom-k, and slot-keyed partitioned upsert — write
+    cost follows touched days; rank slots only ever improve (the
+    candidate set grows monotonically)."""
+    from ..operators.reservoir import reservoir_bottom_k, rsv_priority
+    from ..sinks.upsert import _read_target
+
+    ev = batch_events.select(
+        F.to_date(F.col(ts_col)).alias("day"),
+        F.col(type_col).alias("event_type"),
+        F.col(key_col).alias("event_id"),
+        F.col(value_col).alias("value"),
+        rsv_priority(F.col(key_col)).alias("p"),
+    )
+    kept = reservoir_bottom_k(
+        ev, ["day", "event_type"], "p", "event_id"
+    ).drop("rank")
+    target = _read_target(spark, store_path)
+    if target is None:
+        merged_src = kept
+    else:
+        stored = target.select(
+            "day", "event_type", "event_id", "value", "p"
+        ).join(kept.select("day").distinct(), "day")
+        merged_src = kept.unionByName(stored).dropDuplicates(
+            ["day", "event_type", "event_id"]
+        )
+    merged = reservoir_bottom_k(
+        merged_src, ["day", "event_type"], "p", "event_id"
+    )
+    upsert_partitioned(
+        spark,
+        store_path,
+        merged,
+        keys=["day", "event_type", "rank"],
+        partition_col="day",
+        collect_metrics=False,
+    )
+
+
+def reservoir_register_stream(
+    spark: SparkSession,
+    source_dir: str,
+    store_path: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Maintain the per-(day, type) row-reservoir store from an event
+    stream: the deterministic sample is always current, and any window
+    rollup (:func:`..plans.stores.reservoir_week_consumer`) reads <=
+    7*K stored rows per group.  Exactly-once story: idempotent by
+    construction — see :func:`reservoir_apply_batch`."""
+    stream = read_event_stream(
+        spark, source_dir, max_files_per_trigger=max_files_per_trigger
+    )
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        reservoir_apply_batch(spark, store_path, batch_df, batch_id)
+
+    writer = (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
