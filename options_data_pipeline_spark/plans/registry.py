@@ -152,6 +152,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
     ),
     "agg_ivm_twin": (quality.q_agg_ivm_twin, quality.oracle_agg_ivm_twin),
     "join_ivm_twin": (quality.q_join_ivm_twin, quality.oracle_join_ivm_twin),
+    "bloom_file_index": (
+        quality.q_bloom_file_index,
+        quality.oracle_bloom_file_index,
+    ),
     "hist_quantiles": (quality.q_hist_quantiles, quality.oracle_hist_quantiles),
     # --- sketch-store consumers: answers from stored registers only ---
     "hll_week_from_store": (
