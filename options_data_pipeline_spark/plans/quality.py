@@ -4242,11 +4242,13 @@ def q_join_ivm_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
       current ``agg_by_type`` row from the old group to the new one —
       a key-lookup against the partial aggregate, never a fact scan.
 
-    Two waves: wave 1 is fact-only CDC (inserts/updates/deletes); wave
-    2 combines fact CDC with a dim remap.  Drained groups (cnt 0) are
-    evicted at every merge.  The driver hash proves the maintained view
-    equals the group aggregate of the final survivor fact state joined
-    to the final dim state.
+    Three waves: wave 1 is fact-only CDC (inserts/updates/deletes);
+    wave 2 combines fact CDC with a dim remap; wave 3 is a dim-side
+    DELETE — dropping a dim key retracts every joined contribution
+    (inner-join semantics) and drains its group, exercising eviction.
+    Drained groups (cnt 0) are evicted at every merge.  The driver hash
+    proves the maintained view equals the group aggregate of the final
+    survivor fact state joined to the final dim state.
 
     Determinism: contributions accumulate as exact DECIMAL at every
     grain; batch composition and the dim remap predicate are integer/
@@ -4452,6 +4454,29 @@ def q_join_ivm_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).localCheckpoint()
                 _atomic_replace(new_dim, dim_path)
 
+        # wave 3: dim-side DELETE CDC — dropping a dim row must retract
+        # EVERY joined contribution of that key from the view (inner-
+        # join semantics) and evict groups it drains; same key-lookup
+        # against the partial aggregate, never a fact scan
+        dim = spark.read.parquet(dim_path)
+        dropped = dim.where(
+            F.length("event_type") % 5 == 0
+        ).select("event_type", "grp")
+        agg_now = spark.read.parquet(agg_path)
+        gone = dropped.join(agg_now, "event_type", "inner")
+        d_view = (
+            gone.groupBy("grp", "day")
+            .agg(
+                (-F.sum("cnt")).cast("long").alias("d_cnt"),
+                (-F.sum("sval")).cast("decimal(25,6)").alias("d_sval"),
+            )
+        )
+        merge_adj(view_path, d_view, ["grp", "day"])
+        survivors_dim = dim.where(
+            F.length("event_type") % 5 != 0
+        ).localCheckpoint()
+        _atomic_replace(survivors_dim, dim_path)
+
         out = spark.read.parquet(view_path).select(
             "grp",
             F.col("day").cast("timestamp").alias("day"),
@@ -4513,11 +4538,13 @@ survivors AS (
     FROM latest WHERE op IN ('I', 'U')
 ),
 dim AS (
+    -- final dim state: wave-2 remap applied, wave-3 deletes gone
     SELECT event_type,
            CASE WHEN ascii(substr(event_type, 1, 1)) % 2 = 0 THEN 'GX'
                 ELSE 'G' || CAST(length(event_type) % 3 AS VARCHAR)
            END AS grp
     FROM (SELECT DISTINCT event_type FROM ev)
+    WHERE length(event_type) % 5 <> 0
 )
 SELECT grp, CAST(day AS TIMESTAMP) AS day,
        CAST(count(*) AS BIGINT) AS cnt,

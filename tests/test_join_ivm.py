@@ -23,11 +23,13 @@ def test_remap_moves_contributions(spark):
     assert gx_cnt > 0
     # every surviving row is positive (drained groups evicted)
     assert all(r["cnt"] > 0 for r in rows)
-    # remapped types (first-char ascii even: purchase, view at the test
-    # domain) must NOT appear under their pre-remap groups: the total
-    # equals the survivor fact count, split across G*/GX
+    # the total equals the survivor fact count restricted to the dim
+    # keys that survive the wave-3 dim delete (length % 5 != 0): the
+    # deleted dim keys' entire contributions were retracted
     total = sum(r["cnt"] for r in rows)
-    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").where(
+        F.length("event_type") % 5 != 0
+    )
     # survivor arithmetic mirrors the oracle: base minus deletes plus
     # inserts (updates replace in place)
     eid = F.col("event_id")
@@ -37,3 +39,7 @@ def test_remap_moves_contributions(spark):
     ).count()
     inserted = ev.where(eid % 3 == 0).count()
     assert total == base.count() - deleted + inserted
+    # the drained group (all its types deleted) must be evicted: at the
+    # test domain 'click'/'error' (both G2 pre-remap, ascii-odd so
+    # never remapped) are wave-3-deleted, draining G2 entirely
+    assert "G2" not in grps
