@@ -623,6 +623,22 @@ _PRIORITY: list[str] = [
     "daily_sessions",
     "option_chain_ohlc",
     "candle_resample",
+    # round-11 new operators: first driver adjudication this round
+    "zorder_prune",
+    "join_ivm_twin",
+    "reservoir_sample_store",
+    "weighted_sample_store",
+    "stream_reservoir_twin",
+    "asof_forward_twin",
+    "bloom_file_index",
+    # round-11 code changes: re-adjudicate under the driver (materialize
+    # teardown pattern, compact_partitions split-on-mismatch, DDS
+    # overflow guard, exact-substring broadcast drop)
+    "small_file_compaction",
+    "dds_quantile_store",
+    "dds_store_stream_twin",
+    "exact_substring_contamination",
+    "ivf_index_recluster",
     # round-10 new operators: first driver adjudication this round
     "minhash_index_maintain",
     "stream_candles_replay_twin",

@@ -83,6 +83,10 @@ SENTINELS = [
     "exact_substring_contamination",
     "ledoit_wolf_shrinkage",
     "mwu_domain_reweight",
+    # round-11: the one statically-shaped new plan (the stores/twins
+    # resolve to ExistingRDD after materialize() and are pinned by
+    # their dedicated tests); 1 shuffle, whole-stage codegen
+    "asof_forward_twin",
 ]
 
 
