@@ -642,16 +642,11 @@ _PRIORITY: list[str] = [
     # round-10 new operators: first driver adjudication this round
     "minhash_index_maintain",
     "stream_candles_replay_twin",
-    "dds_quantile_store",
-    "exact_substring_contamination",
-    "ivf_index_recluster",
-    "dds_store_stream_twin",
     "ledoit_wolf_shrinkage",
     "mwu_domain_reweight",
     "kalman_local_level",
     "tokenizer_coverage_drift",
     "self_dup_span_mass",
-    "small_file_compaction",
     "agg_ivm_twin",
     # round-10 code changes: re-adjudicate under the driver
     "importance_ess",
