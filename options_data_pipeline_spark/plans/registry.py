@@ -156,6 +156,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
         quality.q_bloom_file_index,
         quality.oracle_bloom_file_index,
     ),
+    "bloom_index_maintain": (
+        quality.q_bloom_index_maintain,
+        quality.oracle_bloom_index_maintain,
+    ),
     "hist_quantiles": (quality.q_hist_quantiles, quality.oracle_hist_quantiles),
     # --- sketch-store consumers: answers from stored registers only ---
     "hll_week_from_store": (
@@ -631,6 +635,7 @@ _PRIORITY: list[str] = [
     "stream_reservoir_twin",
     "asof_forward_twin",
     "bloom_file_index",
+    "bloom_index_maintain",
     # round-11 code changes: re-adjudicate under the driver (materialize
     # teardown pattern, compact_partitions split-on-mismatch, DDS
     # overflow guard, exact-substring broadcast drop)

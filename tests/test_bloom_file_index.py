@@ -30,3 +30,22 @@ def test_no_false_negatives_and_absent_keys_prune(spark):
         assert touched <= len(days) // 4, (
             f"absent key {k} would touch {touched}/{len(days)} files"
         )
+
+
+def test_maintained_index_equals_rebuild(spark):
+    """bloom_index_maintain: OR-mergeable maintenance must converge to
+    the from-scratch rebuild (the oracle recomputes over the full
+    corpus); here pin the probe-visible consequences — no false
+    negatives against the FULL corpus including delta-only arrivals,
+    and per-day bitmap weights are positive."""
+    from options_data_pipeline_spark.plans.quality import (
+        q_bloom_index_maintain,
+    )
+
+    rows = q_bloom_index_maintain(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        if r["present"] == 1:
+            assert r["maybe"] == 1, f"false negative at {r}"
+        assert r["day_words"] > 0
+        assert r["day_set_bits"] >= r["day_words"]
