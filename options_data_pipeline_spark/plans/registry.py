@@ -215,6 +215,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
         vectors.q_ivf_index_recluster,
         vectors.oracle_ivf_index_recluster,
     ),
+    "embedding_drift": (
+        vectors.q_embedding_drift,
+        vectors.oracle_embedding_drift,
+    ),
     "mwu_domain_reweight": (
         text.q_mwu_domain_reweight,
         text.oracle_mwu_domain_reweight,
@@ -387,6 +391,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
     ),
     "zorder_layout": (tpch2.q_zorder_layout, tpch2.oracle_zorder_layout),
     "zorder_prune": (tpch2.q_zorder_prune, tpch2.oracle_zorder_prune),
+    "zorder_maintain": (
+        tpch2.q_zorder_maintain,
+        tpch2.oracle_zorder_maintain,
+    ),
     "pq_ann_topk": (vectors.q_pq_ann_topk, vectors.oracle_pq_ann_topk),
     "ivfadc_topk": (vectors.q_ivfadc_topk, vectors.oracle_ivfadc_topk),
     "cms_token_freq": (text.q_cms_token_freq, text.oracle_cms_token_freq),
@@ -629,6 +637,7 @@ _PRIORITY: list[str] = [
     "candle_resample",
     # round-11 new operators: first driver adjudication this round
     "zorder_prune",
+    "zorder_maintain",
     "join_ivm_twin",
     "reservoir_sample_store",
     "weighted_sample_store",
@@ -636,6 +645,7 @@ _PRIORITY: list[str] = [
     "asof_forward_twin",
     "bloom_file_index",
     "bloom_index_maintain",
+    "embedding_drift",
     # round-11 code changes: re-adjudicate under the driver (materialize
     # teardown pattern, compact_partitions split-on-mismatch, DDS
     # overflow guard, exact-substring broadcast drop)

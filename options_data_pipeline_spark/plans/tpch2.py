@@ -969,3 +969,151 @@ SELECT file_id, n_rows, sum_price,
        {flags_sql}
 FROM g, b
 """
+
+
+#: delta selector for the z-layout maintenance twin (shared with oracle)
+ZM_DELTA_MOD = 4
+
+
+def q_zorder_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental OPTIMIZE ZORDER (round-11 wave 5): the maintenance
+    trend line for the clustered layout — `zorder_prune` adjudicates
+    the BUILD; this adjudicates the RECURRING cost.  A delta appended
+    into the z-slot layout cannot break the bounding-box invariant
+    (slot membership is pure z-arithmetic over pinned grid bounds, so
+    appended rows land in their correct slots by construction); what
+    it breaks is the one-file-per-slot contract.  Maintenance therefore
+    rewrites EXACTLY the delta-touched slots — compaction scoped by
+    the delta's slot set — and the driver hash adjudicates content
+    identity, per-slot ``files_before`` (1 + touched, predicted
+    arithmetically by the oracle from the delta's slot assignment),
+    and ``files_after`` = 1 read back from the filesystem.
+
+    Scale shape: base write = one z-keyed exchange; the delta append
+    is one small job; maintenance reads and rewrites touched slot
+    directories only (`sinks.layout.compact_partitions` — per-slot
+    independent swap jobs, pooled)."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators.materialize import materialize
+    from ..sinks.layout import compact_partitions
+
+    orders = load_table(spark, sf_dir, "orders")
+    day = F.datediff(
+        F.to_date("o_orderdate"), F.to_date(F.lit("1970-01-01"))
+    )
+    base = orders.select(
+        F.col("o_orderkey").alias("ok"),
+        F.col("o_custkey").alias("ck"),
+        day.cast("long").alias("day"),
+        F.col("o_totalprice").alias("price"),
+    )
+    # grid bounds from table stats over the FULL table (pinned at
+    # layout creation — production reads these from the manifest), so
+    # delta rows always land inside the grid
+    b = base.agg(
+        F.min("ck"), F.max("ck"), F.min("day"), F.max("day")
+    ).first()
+    ck_min, ck_max, day_min, day_max = (int(v) for v in b)
+    qx = Z.quantize(F.col("ck"), F.lit(ck_min), F.lit(ck_max))
+    qy = Z.quantize(F.col("day"), F.lit(day_min), F.lit(day_max))
+    fid = F.shiftright(Z.interleave_bits(qx, qy), ZP_SHIFT).alias(
+        "file_id"
+    )
+    coded = base.select("ok", "ck", "day", "price", fid)
+
+    base_dir = tempfile.mkdtemp(prefix="zmaint_")
+    try:
+        store = f"{base_dir}/orders_z"
+        init = coded.where(F.col("ok") % ZM_DELTA_MOD != 0)
+        delta = coded.where(F.col("ok") % ZM_DELTA_MOD == 0)
+        (
+            init.repartition(F.col("file_id"))
+            .write.partitionBy("file_id")
+            .parquet(store)
+        )
+        # the micro-batch append: delta rows into their slots as EXTRA
+        # files (mode=append leaves existing slot files untouched)
+        (
+            delta.repartition(F.col("file_id"))
+            .write.mode("append")
+            .partitionBy("file_id")
+            .parquet(store)
+        )
+
+        def slot_files() -> dict[int, int]:
+            return {
+                int(e.split("=", 1)[1]): len(
+                    [
+                        f
+                        for f in os.listdir(os.path.join(store, e))
+                        if f.endswith(".parquet")
+                    ]
+                )
+                for e in os.listdir(store)
+                if e.startswith("file_id=")
+            }
+
+        before = slot_files()
+        compact_partitions(spark, store, "file_id", files_per_partition=1)
+        after = slot_files()
+        layout = spark.createDataFrame(
+            [
+                (slot, before[slot], after[slot])
+                for slot in sorted(before)
+            ],
+            "file_id long, files_before long, files_after long",
+        )
+        content = (
+            spark.read.parquet(store)
+            .groupBy(F.col("file_id").cast("long").alias("file_id"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                round_half_away(dec_sum(F.col("price")), 2).alias(
+                    "sum_price"
+                ),
+            )
+        )
+        out = (
+            content.join(F.broadcast(layout), "file_id")
+            .orderBy("file_id")
+        )
+        # teardown survival: cut lineage (localCheckpoint) so the result
+        # blocks outlive the tempdir rmtree -- never a per-row driver
+        # collect (VERDICT r10 ask #1)
+        return materialize(out)
+    finally:
+        shutil.rmtree(base_dir, ignore_errors=True)
+
+
+def oracle_zorder_maintain() -> str:
+    z = Z.interleave_sql(
+        Z.quantize_sql("ck", "ck_min", "ck_max"),
+        Z.quantize_sql("day", "day_min", "day_max"),
+    )
+    return f"""
+WITH base AS (
+    SELECT o_orderkey AS ok, o_custkey AS ck,
+           CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS day,
+           o_totalprice AS price
+    FROM orders
+),
+b AS (
+    SELECT min(ck) AS ck_min, max(ck) AS ck_max,
+           min(day) AS day_min, max(day) AS day_max
+    FROM base
+),
+f AS (
+    SELECT ok, price, ({z}) >> {ZP_SHIFT} AS file_id
+    FROM base, b
+)
+SELECT file_id, CAST(count(*) AS BIGINT) AS n_rows,
+       {sql_round_half_away(sql_dec_sum('price'), 2)} AS sum_price,
+       CAST(1 + max(CASE WHEN ok % {ZM_DELTA_MOD} = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS files_before,
+       CAST(1 AS BIGINT) AS files_after
+FROM f GROUP BY 1
+ORDER BY file_id
+"""

@@ -1648,3 +1648,143 @@ SELECT qid, CAST(step AS INT) AS step, cid,
        {sql_round_half_away("CAST(p_score AS DOUBLE)", 6)} AS mmr_score
 FROM sel
 """
+
+
+# --- embedding drift monitor (round 11) -------------------------------------
+
+
+def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift monitor (round-11 wave 5): the ml-ops
+    check a training pipeline runs before trusting a new crawl batch —
+    freeze a reference centroid on vec-id deciles 0-2, then per decile
+    report the cohort size and the cosine of its exact-decimal centroid
+    against the frozen one.  A decile whose cosine sags is a
+    distribution shift in the vector column (new domain, encoder
+    regression, pipeline bug) caught BEFORE a 100 TB tokenize/index
+    job consumes it.
+
+    Determinism end-to-end: components quantize at 1e-6 as scaled longs
+    (the shared pca/ivf formula), per-(decile, dim) means close as
+    exact DECIMAL sums (order-free) rounded to 9 dp, the cosine's dot
+    and norms re-quantize those means at 1e-9 and accumulate as exact
+    DECIMAL(38,0) products, and the single double division + IEEE sqrt
+    at the end are correctly rounded on identical operands in both
+    engines — no libm beyond sqrt.
+
+    Scale shape: one posexplode scan + two map-side-combined aggregates
+    (per-decile-dim, then per-decile over <= 10*DIM mean rows); the
+    frozen centroid is the same aggregate over three deciles.  Nothing
+    is ever collected."""
+    from ..operators.materialize import materialize
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    dec = (F.col("vec_id") % 10).cast("int").alias("decile")
+    vd = F.col("vf").cast("double")
+    w = F.floor(F.abs(vd) * F.lit(1000000.0) + F.lit(0.5)) * F.when(
+        vd < 0, F.lit(-1)
+    ).otherwise(F.lit(1))
+    flat = emb.select(
+        dec, F.posexplode("embedding").alias("pos", "vf")
+    ).select("decile", (F.col("pos") + 1).alias("i"), w.cast("long").alias("w"))
+
+    def mean_by(df, keys):
+        return df.groupBy(*keys).agg(
+            round_half_away(
+                F.sum(F.col("w").cast("decimal(38,0)")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+                / F.lit(1000000.0),
+                9,
+            ).alias("mu")
+        )
+
+    per_dec = mean_by(flat, ["decile", "i"])
+    frozen = mean_by(
+        flat.where(F.col("decile") <= 2).drop("decile"), ["i"]
+    ).select("i", F.col("mu").alias("mu0"))
+
+    def q9(c):
+        return (
+            F.floor(F.abs(c) * F.lit(1000000000.0) + F.lit(0.5))
+            * F.when(c < 0, F.lit(-1)).otherwise(F.lit(1))
+        ).cast("decimal(38,0)")
+
+    j = per_dec.join(F.broadcast(frozen), "i").select(
+        "decile",
+        (q9(F.col("mu0")) * q9(F.col("mu"))).alias("xy"),
+        (q9(F.col("mu0")) * q9(F.col("mu0"))).alias("xx"),
+        (q9(F.col("mu")) * q9(F.col("mu"))).alias("yy"),
+    )
+    sums = j.groupBy("decile").agg(
+        F.sum("xy").alias("sxy"),
+        F.sum("xx").alias("sxx"),
+        F.sum("yy").alias("syy"),
+    )
+    counts = emb.select(dec).groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs")
+    )
+    cos = F.col("sxy").cast("double") / F.sqrt(
+        F.col("sxx").cast("double") * F.col("syy").cast("double")
+    )
+    out = (
+        sums.join(counts, "decile")
+        .select(
+            "decile",
+            "n_vecs",
+            round_half_away(cos, 6).alias("cos_vs_frozen"),
+        )
+        .orderBy("decile")
+    )
+    return materialize(out)
+
+
+def oracle_embedding_drift() -> str:
+    mu = sql_round_half_away(
+        "CAST(SUM(CAST(w AS DECIMAL(38,0))) AS DOUBLE)"
+        " / CAST(COUNT(*) AS DOUBLE) / 1000000.0",
+        9,
+    )
+    q9 = (
+        "CAST(CAST(floor(abs({c}) * 1000000000.0 + 0.5) AS BIGINT)"
+        " * (CASE WHEN {c} < 0 THEN -1 ELSE 1 END) AS DECIMAL(38,0))"
+    )
+    cos = (
+        "CAST(sxy AS DOUBLE) / sqrt(CAST(sxx AS DOUBLE)"
+        " * CAST(syy AS DOUBLE))"
+    )
+    return f"""
+WITH flat AS (
+    SELECT CAST(vec_id % 10 AS INTEGER) AS decile, u.i,
+           CAST(floor(abs(CAST(embedding[i] AS DOUBLE)) * 1000000.0 + 0.5)
+                AS BIGINT)
+           * (CASE WHEN CAST(embedding[i] AS DOUBLE) < 0 THEN -1 ELSE 1 END)
+               AS w
+    FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(i)
+),
+per_dec AS (
+    SELECT decile, i, {mu} AS mu FROM flat GROUP BY decile, i
+),
+frozen AS (
+    SELECT i, {mu} AS mu0 FROM flat WHERE decile <= 2 GROUP BY i
+),
+j AS (
+    SELECT decile,
+           {q9.format(c='mu0')} * {q9.format(c='mu')} AS xy,
+           {q9.format(c='mu0')} * {q9.format(c='mu0')} AS xx,
+           {q9.format(c='mu')} * {q9.format(c='mu')} AS yy
+    FROM per_dec JOIN frozen USING (i)
+),
+sums AS (
+    SELECT decile, SUM(xy) AS sxy, SUM(xx) AS sxx, SUM(yy) AS syy
+    FROM j GROUP BY decile
+),
+counts AS (
+    SELECT CAST(vec_id % 10 AS INTEGER) AS decile,
+           CAST(count(*) AS BIGINT) AS n_vecs
+    FROM embeddings GROUP BY 1
+)
+SELECT decile, n_vecs, {sql_round_half_away(cos, 6)} AS cos_vs_frozen
+FROM sums JOIN counts USING (decile)
+ORDER BY decile
+"""
