@@ -5297,3 +5297,68 @@ SELECT event_type, CAST(q_pct AS INTEGER) AS q_pct, value AS wq_value,
 FROM hits WHERE rn = 1
 ORDER BY event_type, q_pct
 """
+
+
+# ---------------------------------------------------------------------------
+# asof_nearest_twin
+# ---------------------------------------------------------------------------
+
+
+def q_asof_nearest_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of join adjudicated end-to-end (round-11): each
+    purchase picks the click CLOSEST in time (either direction), equal
+    distance resolving backward (pandas ``merge_asof`` semantics) —
+    completing the direction matrix (backward `asof_attribution` r5,
+    forward `asof_forward_twin` r11).  The operator runs BOTH window
+    passes over one unioned frame — two sorts, a single key exchange.
+
+    The oracle composes DuckDB's native ASOF twice (backward + forward)
+    and takes the closer side with the same tie rule — a genuinely
+    independent formulation of nearest."""
+    from ..operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id"),
+    )
+    out = asof_join(
+        purchases, clicks, on=["user_id"],
+        right_cols=["click_id"],
+        direction="nearest",
+    )
+    return out.select(
+        "event_id", "user_id", "ts", "value",
+        F.col("ts_asof").alias("click_ts"), "click_id_asof",
+    )
+
+
+def oracle_asof_nearest_twin() -> str:
+    return """
+WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+c AS (SELECT * FROM events WHERE event_type = 'click'),
+bwd AS (
+    SELECT p.event_id, c.ts AS bts, c.event_id AS bid
+    FROM p ASOF LEFT JOIN c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+),
+fwd AS (
+    SELECT p.event_id, c.ts AS fts, c.event_id AS fid
+    FROM p ASOF LEFT JOIN c
+      ON p.user_id = c.user_id AND p.ts <= c.ts
+)
+SELECT p.event_id, p.user_id, p.ts, p.value,
+       CASE WHEN b.bts IS NOT NULL AND (f.fts IS NULL
+                 OR epoch_us(p.ts) - epoch_us(b.bts)
+                    <= epoch_us(f.fts) - epoch_us(p.ts))
+            THEN b.bts ELSE f.fts END AS click_ts,
+       CASE WHEN b.bts IS NOT NULL AND (f.fts IS NULL
+                 OR epoch_us(p.ts) - epoch_us(b.bts)
+                    <= epoch_us(f.fts) - epoch_us(p.ts))
+            THEN b.bid ELSE f.fid END AS click_id_asof
+FROM p
+LEFT JOIN bwd b ON b.event_id = p.event_id
+LEFT JOIN fwd f ON f.event_id = p.event_id
+"""

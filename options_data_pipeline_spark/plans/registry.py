@@ -93,6 +93,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
         quality.q_asof_forward_twin,
         quality.oracle_asof_forward_twin,
     ),
+    "asof_nearest_twin": (
+        quality.q_asof_nearest_twin,
+        quality.oracle_asof_nearest_twin,
+    ),
     "conversion_latency": (quality.q_conversion_latency, quality.oracle_conversion_latency),
     "nearest_click": (quality.q_nearest_click, quality.oracle_nearest_click),
     "activity_heatmap": (quality.q_activity_heatmap, quality.oracle_activity_heatmap),
@@ -656,6 +660,7 @@ _PRIORITY: list[str] = [
     "embedding_drift",
     "bitemporal_probe",
     "weighted_median",
+    "asof_nearest_twin",
     # round-11 code changes: re-adjudicate under the driver (materialize
     # teardown pattern, compact_partitions split-on-mismatch, DDS
     # overflow guard, exact-substring broadcast drop)
