@@ -5123,19 +5123,26 @@ def q_bitemporal_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.unix_timestamp("ts")).alias("vt_lo"),
         F.max(F.unix_timestamp("ts")).alias("vt_hi"),
     )
-    probes = None
-    for pid, (tx_pct, v_pct) in enumerate(BITEMPORAL_PROBES):
-        row = bounds.select(
-            F.lit(pid).cast("int").alias("probe_id"),
-            F.floor(F.col("max_seq") * tx_pct / 100).cast("long").alias(
-                "tx_cut"
-            ),
-            F.floor(
-                F.col("vt_lo")
-                + (F.col("vt_hi") - F.col("vt_lo")) * v_pct / 100
-            ).cast("long").alias("v_cut"),
-        )
-        probes = row if probes is None else probes.unionByName(row)
+    # ONE bounds aggregate crossed with the literal probe table (3
+    # rows built driver-side from pinned constants — not data): one
+    # exchange instead of a union of per-probe re-aggregations
+    pr = spark.createDataFrame(
+        [
+            (pid, tx, vp)
+            for pid, (tx, vp) in enumerate(BITEMPORAL_PROBES)
+        ],
+        "probe_id int, tx_pct int, v_pct int",
+    )
+    probes = pr.crossJoin(F.broadcast(bounds)).select(
+        "probe_id",
+        F.floor(F.col("max_seq") * F.col("tx_pct") / 100).cast(
+            "long"
+        ).alias("tx_cut"),
+        F.floor(
+            F.col("vt_lo")
+            + (F.col("vt_hi") - F.col("vt_lo")) * F.col("v_pct") / 100
+        ).cast("long").alias("v_cut"),
+    )
 
     joined = log.crossJoin(F.broadcast(probes)).where(
         (F.col("seq") <= F.col("tx_cut")) & (F.col("vt") <= F.col("v_cut"))
@@ -5246,23 +5253,26 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum = ev.withColumn("cum", F.sum("w").over(win)).join(
         F.broadcast(tot), "event_type"
     )
-    out = None
-    for q in WQ_QS:
-        hit = (
-            cum.where(F.col("cum") * 100 >= F.col("tw") * q)
-            .groupBy("event_type")
-            .agg(
-                F.min(F.struct("value", "event_id")).alias("b"),
-                F.max("tw").alias("total_weight"),
-            )
-            .select(
-                "event_type",
-                F.lit(q).cast("int").alias("q_pct"),
-                F.col("b.value").alias("wq_value"),
-                "total_weight",
-            )
+    # literal q frame crossed in, ONE (type, q) aggregate — not a
+    # union of per-q re-aggregations
+    qs = spark.createDataFrame(
+        [(q,) for q in WQ_QS], "q_pct int"
+    )
+    out = (
+        cum.crossJoin(F.broadcast(qs))
+        .where(F.col("cum") * 100 >= F.col("tw") * F.col("q_pct"))
+        .groupBy("event_type", "q_pct")
+        .agg(
+            F.min(F.struct("value", "event_id")).alias("b"),
+            F.max("tw").alias("total_weight"),
         )
-        out = hit if out is None else out.unionByName(hit)
+        .select(
+            "event_type",
+            "q_pct",
+            F.col("b.value").alias("wq_value"),
+            "total_weight",
+        )
+    )
     return out.orderBy("event_type", "q_pct")
 
 
