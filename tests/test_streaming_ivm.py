@@ -1,0 +1,64 @@
+"""streaming/ivm.py: the _bid stamp is load-bearing — replayed
+additive maintenance must no-op, and WITHOUT the stamp it provably
+double-applies (red control)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from options_data_pipeline_spark.sinks.upsert import _atomic_replace
+from options_data_pipeline_spark.streaming.ivm import ivm_apply_batch
+
+
+def _setup(spark, tmp_path):
+    fact_path = str(tmp_path / "fact")
+    view_path = str(tmp_path / "view")
+    fact0 = spark.createDataFrame(
+        [(1, "2024-01-01", "a", 10.0), (2, "2024-01-01", "a", 20.0)],
+        "event_id long, day string, event_type string, value double",
+    ).withColumn("day", F.col("day").cast("date"))
+    fact0.write.parquet(fact_path)
+    view0 = fact0.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum(F.col("value").cast("decimal(25,6)")).alias("sval"),
+    ).withColumn("_bid", F.lit(-1))
+    _atomic_replace(view0, view_path)
+    batch = spark.createDataFrame(
+        [(3, "2024-01-01", "a", 5.0, "I", 3)],
+        "event_id long, day string, event_type string, value double,"
+        " op string, seq long",
+    ).withColumn("day", F.col("day").cast("date"))
+    return fact_path, view_path, batch
+
+
+def test_same_id_replay_is_noop(spark, tmp_path):
+    fact_path, view_path, batch = _setup(spark, tmp_path)
+    ivm_apply_batch(spark, fact_path, view_path, batch, 0)
+    once = spark.read.parquet(view_path).collect()
+    assert once[0]["cnt"] == 3 and float(once[0]["sval"]) == 35.0
+    # at-least-once retry with the same id: must not double-apply
+    ivm_apply_batch(spark, fact_path, view_path, batch, 0)
+    twice = spark.read.parquet(view_path).collect()
+    assert twice[0]["cnt"] == 3 and float(twice[0]["sval"]) == 35.0
+    # stale smaller id: also a no-op
+    ivm_apply_batch(spark, fact_path, view_path, batch, -1)
+    assert spark.read.parquet(view_path).first()["cnt"] == 3
+
+
+def test_without_stamp_replay_double_applies(spark, tmp_path):
+    """Red control: strip the stamp from the committed view and replay
+    — the adjustment applies AGAIN, proving the guard (not luck) is
+    what makes delivery exactly-once."""
+    fact_path, view_path, batch = _setup(spark, tmp_path)
+    ivm_apply_batch(spark, fact_path, view_path, batch, 0)
+    stripped = (
+        spark.read.parquet(view_path)
+        .drop("_bid")
+        .withColumn("_bid", F.lit(-1))
+        .localCheckpoint()
+    )
+    _atomic_replace(stripped, view_path)
+    ivm_apply_batch(spark, fact_path, view_path, batch, 0)
+    row = spark.read.parquet(view_path).first()
+    # event 3 already in fact -> the replayed I re-adds its contribution
+    assert row["cnt"] == 4 and float(row["sval"]) == 40.0
