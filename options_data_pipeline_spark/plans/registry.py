@@ -168,6 +168,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
         quality.oracle_stream_agg_ivm_twin,
     ),
     "join_ivm_twin": (quality.q_join_ivm_twin, quality.oracle_join_ivm_twin),
+    "stream_join_ivm_twin": (
+        quality.q_stream_join_ivm_twin,
+        quality.oracle_stream_join_ivm_twin,
+    ),
     "bloom_file_index": (
         quality.q_bloom_file_index,
         quality.oracle_bloom_file_index,
@@ -666,6 +670,7 @@ _PRIORITY: list[str] = [
     "weighted_median",
     "asof_nearest_twin",
     "stream_agg_ivm_twin",
+    "stream_join_ivm_twin",
     # round-11 code changes: re-adjudicate under the driver (materialize
     # teardown pattern, compact_partitions split-on-mismatch, DDS
     # overflow guard, exact-substring broadcast drop)

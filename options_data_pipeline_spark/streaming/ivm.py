@@ -155,3 +155,160 @@ def ivm_view_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def _stamped(view: DataFrame | None, batch_id: int) -> bool:
+    """True when the store's ``_bid`` already reached ``batch_id``."""
+    if view is None or "_bid" not in view.columns:
+        return False
+    last = view.agg(F.max("_bid")).first()[0]
+    return last is not None and last >= batch_id
+
+
+def _merge_adj_stamped(
+    spark: SparkSession,
+    store_path: str,
+    adj: DataFrame,
+    keys: list[str],
+    batch_id: int,
+) -> None:
+    """Full-join merge of (+cnt, +sval) adjustments into a stamped
+    count/sum store, evicting drained groups; counters + stamp in one
+    atomic replace."""
+    cur = _read_target(spark, store_path)
+    zero = F.lit(0).cast("decimal(25,6)")
+    base = cur.select(*keys, "cnt", "sval") if cur is not None else None
+    if base is None:
+        merged = adj.select(
+            *keys,
+            F.col("d_cnt").alias("cnt"),
+            F.coalesce(F.col("d_sval"), zero).cast("decimal(25,6)").alias(
+                "sval"
+            ),
+        )
+    else:
+        merged = base.join(adj, keys, "full").select(
+            *keys,
+            (
+                F.coalesce(F.col("cnt"), F.lit(0))
+                + F.coalesce(F.col("d_cnt"), F.lit(0))
+            ).cast("long").alias("cnt"),
+            (
+                F.coalesce(F.col("sval"), zero)
+                + F.coalesce(F.col("d_sval"), zero)
+            ).cast("decimal(25,6)").alias("sval"),
+        )
+    _atomic_replace(
+        merged.where(F.col("cnt") > 0)
+        .withColumn("_bid", F.lit(batch_id))
+        .localCheckpoint(),
+        store_path,
+    )
+
+
+def join_ivm_apply_batch(
+    spark: SparkSession,
+    fact_path: str,
+    agg_path: str,
+    view_path: str,
+    dim_path: str,
+    batch: DataFrame,
+    batch_id: int,
+) -> None:
+    """Fold one fact-CDC micro-batch into the JOIN-view maintenance
+    triple (fact, per-(type, day) partial aggregate, per-(grp, day)
+    view), exactly once under at-least-once delivery.
+
+    Replay discipline for a MULTI-store commit: both derived stores
+    carry their own ``_bid`` (additive merges double-apply without
+    one), the adjustments are computed ONLY from pre-batch state
+    (batch, fact, dim) — never from the other derived store — and the
+    fact advances LAST, unstamped (apply_cdc is last-write-wins
+    idempotent).  Any crash point replays convergently: adjustments
+    recompute identically from the unchanged fact, already-stamped
+    stores skip, the fact re-applies idempotently."""
+    agg_cur = _read_target(spark, agg_path)
+    view_cur = _read_target(spark, view_path)
+    agg_done = _stamped(agg_cur, batch_id)
+    view_done = _stamped(view_cur, batch_id)
+    if not (agg_done and view_done):
+        batch = batch.localCheckpoint()
+        fact = spark.read.parquet(fact_path)
+        old = fact.select(
+            "event_id",
+            F.col("day").alias("_oday"),
+            F.col("event_type").alias("_otype"),
+            F.col("value").alias("_oval"),
+        )
+        delta = batch.join(old, "event_id", "left")
+        minus = delta.where(F.col("op").isin("U", "D")).select(
+            F.col("_otype").alias("event_type"),
+            F.col("_oday").alias("day"),
+            F.lit(-1).cast("long").alias("d_cnt"),
+            (-F.col("_oval")).cast("decimal(25,6)").alias("d_sval"),
+        )
+        plus = delta.where(F.col("op").isin("I", "U")).select(
+            "event_type",
+            "day",
+            F.lit(1).cast("long").alias("d_cnt"),
+            F.col("value").cast("decimal(25,6)").alias("d_sval"),
+        )
+        d_agg = (
+            minus.unionByName(plus)
+            .groupBy("event_type", "day")
+            .agg(
+                F.sum("d_cnt").cast("long").alias("d_cnt"),
+                F.sum("d_sval").cast("decimal(25,6)").alias("d_sval"),
+            )
+            .localCheckpoint()
+        )
+        if not agg_done:
+            _merge_adj_stamped(
+                spark, agg_path, d_agg, ["event_type", "day"], batch_id
+            )
+        if not view_done:
+            dim = spark.read.parquet(dim_path)
+            v_adj = (
+                d_agg.join(dim, "event_type")
+                .groupBy("grp", "day")
+                .agg(
+                    F.sum("d_cnt").cast("long").alias("d_cnt"),
+                    F.sum("d_sval").cast("decimal(25,6)").alias("d_sval"),
+                )
+            )
+            _merge_adj_stamped(
+                spark, view_path, v_adj, ["grp", "day"], batch_id
+            )
+    apply_cdc(spark, fact_path, batch, keys=["event_id"], seq_col="seq")
+
+
+def join_ivm_view_stream(
+    spark: SparkSession,
+    source_dir: str,
+    fact_path: str,
+    agg_path: str,
+    view_path: str,
+    dim_path: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Maintain the fact ⋈ dim aggregate view (and its partial-
+    aggregate tree) from a fact-CDC stream — the join-IVM algebra of
+    ``plans/quality.q_join_ivm_twin`` under the streaming delivery
+    model."""
+    stream = read_event_stream(spark, source_dir)
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        join_ivm_apply_batch(
+            spark, fact_path, agg_path, view_path, dim_path,
+            batch_df, batch_id,
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

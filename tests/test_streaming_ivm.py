@@ -62,3 +62,94 @@ def test_without_stamp_replay_double_applies(spark, tmp_path):
     row = spark.read.parquet(view_path).first()
     # event 3 already in fact -> the replayed I re-adds its contribution
     assert row["cnt"] == 4 and float(row["sval"]) == 40.0
+
+
+def test_join_ivm_partial_crash_replay_converges(spark, tmp_path):
+    """Multi-store commit: simulate a crash BETWEEN the agg swap and
+    the view swap (agg stamped, view not), then replay the batch — the
+    replay must skip the agg, apply the view, and converge to the
+    no-crash outcome."""
+    from options_data_pipeline_spark.streaming.ivm import (
+        join_ivm_apply_batch,
+    )
+
+    fact_path = str(tmp_path / "fact")
+    agg_path = str(tmp_path / "agg")
+    view_path = str(tmp_path / "view")
+    dim_path = str(tmp_path / "dim")
+    fact0 = spark.createDataFrame(
+        [(1, "2024-01-01", "aa", 10.0), (2, "2024-01-01", "bbb", 20.0)],
+        "event_id long, day string, event_type string, value double",
+    ).withColumn("day", F.col("day").cast("date"))
+    fact0.write.parquet(fact_path)
+    dim0 = spark.createDataFrame(
+        [("aa", "G2"), ("bbb", "G0")], "event_type string, grp string"
+    )
+    _atomic_replace(dim0, dim_path)
+    agg0 = fact0.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum(F.col("value").cast("decimal(25,6)")).alias("sval"),
+    ).withColumn("_bid", F.lit(-1))
+    _atomic_replace(agg0, agg_path)
+    view0 = (
+        agg0.join(dim0, "event_type")
+        .groupBy("grp", "day")
+        .agg(
+            F.sum("cnt").cast("long").alias("cnt"),
+            F.sum("sval").cast("decimal(25,6)").alias("sval"),
+        )
+        .withColumn("_bid", F.lit(-1))
+    )
+    _atomic_replace(view0, view_path)
+    batch = spark.createDataFrame(
+        [(3, "2024-01-01", "aa", 5.0, "I", 3)],
+        "event_id long, day string, event_type string, value double,"
+        " op string, seq long",
+    ).withColumn("day", F.col("day").cast("date"))
+
+    # full apply on a COPY to get the no-crash expectation
+    import shutil as _sh
+
+    for p_src, p_dst in ((agg_path, agg_path + "_ref"),
+                         (view_path, view_path + "_ref"),
+                         (fact_path, fact_path + "_ref")):
+        _sh.copytree(p_src, p_dst)
+    join_ivm_apply_batch(
+        spark, fact_path + "_ref", agg_path + "_ref",
+        view_path + "_ref", dim_path, batch, 0,
+    )
+    expect = {
+        (r["grp"], str(r["day"])): (r["cnt"], float(r["sval"]))
+        for r in spark.read.parquet(view_path + "_ref").collect()
+    }
+
+    # simulate the crash: advance ONLY the agg store (stamped), leave
+    # the view unstamped, fact unadvanced — then replay the same batch
+    from options_data_pipeline_spark.streaming.ivm import (
+        _merge_adj_stamped,
+    )
+
+    d_agg = spark.createDataFrame(
+        [("aa", "2024-01-01", 1, 5.0)],
+        "event_type string, day string, d_cnt long, d_sval double",
+    ).select(
+        "event_type",
+        F.col("day").cast("date").alias("day"),
+        F.col("d_cnt"),
+        F.col("d_sval").cast("decimal(25,6)").alias("d_sval"),
+    )
+    _merge_adj_stamped(spark, agg_path, d_agg, ["event_type", "day"], 0)
+    join_ivm_apply_batch(
+        spark, fact_path, agg_path, view_path, dim_path, batch, 0
+    )
+    got = {
+        (r["grp"], str(r["day"])): (r["cnt"], float(r["sval"]))
+        for r in spark.read.parquet(view_path).collect()
+    }
+    assert got == expect
+    # agg wasn't double-applied either
+    agg_rows = {
+        r["event_type"]: r["cnt"]
+        for r in spark.read.parquet(agg_path).collect()
+    }
+    assert agg_rows["aa"] == 2 and agg_rows["bbb"] == 1
