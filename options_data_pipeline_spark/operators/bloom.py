@@ -16,8 +16,13 @@ Spark's own bloom machinery is unusable here: ``bloom_filter_agg`` /
 registry), and ``DataFrameStatFunctions.bloomFilter`` materializes the
 filter on the driver and would need a row-at-a-time Python UDF to
 probe.  This module instead builds the filter AS A DATAFRAME — a
-``(word, bits)`` bitmap of at most ``m/64`` rows aggregated with
-``bit_or`` — and probes it with a broadcast hash join.  Every step is
+``(word, bits)`` bitmap of at most ``ceil(m/63)`` rows aggregated with
+``bit_or`` — and probes it with a broadcast hash join.  Words pack 63
+usable bits (shift 0..62): the repo-wide bloom convention (shared with
+the two index queries in ``plans/quality.py``) that keeps the sign bit
+forever clear — DuckDB raises on ``1::BIGINT << 63`` where Spark
+wraps negative, and ``bit_count`` on a sign-bit word need not be
+litigated if bits ever reach an oracle.  Every step is
 JVM-side expression work, fully distributed, and (deliberately)
 oracle-checkable: the k probe positions derive from md5 hex arithmetic
 that Spark (``conv(substr(md5(x),..),16,10)``) and DuckDB
@@ -72,19 +77,19 @@ def bloom_positions(key: Column, m_bits: int = M_BITS, k: int = K_HASHES) -> Col
 def bloom_build(
     existing: DataFrame, key: Column, m_bits: int = M_BITS, k: int = K_HASHES
 ) -> DataFrame:
-    """Aggregate existing keys into a ``(word int, bits long)`` bitmap.
+    """Aggregate existing keys into a ``(word long, bits long)`` bitmap.
 
-    At most ``m_bits/64`` rows regardless of |existing| — the whole
-    frame is broadcastable by construction.  One shuffle (the word
-    groupBy), map-side combined: each task emits at most m/64 partial
-    words no matter how many keys it scans.
+    At most ``ceil(m_bits/63)`` rows regardless of |existing| — the
+    whole frame is broadcastable by construction.  One shuffle (the
+    word groupBy), map-side combined: each task emits at most ~m/63
+    partial words no matter how many keys it scans.
     """
     pos = existing.select(
         F.explode(bloom_positions(key, m_bits, k)).alias("pos")
     )
     return (
-        pos.groupBy(F.shiftright("pos", 6).alias("word"))
-        .agg(F.bit_or(F.expr("shiftleft(1L, CAST(pos % 64 AS INT))")).alias("bits"))
+        pos.groupBy(F.floor(F.col("pos") / F.lit(63)).cast("long").alias("word"))
+        .agg(F.bit_or(F.expr("shiftleft(1L, CAST(pos % 63 AS INT))")).alias("bits"))
     )
 
 
@@ -123,12 +128,13 @@ def bloom_probe(
         bm = bitmap.alias(f"_bf{i}")
         out = out.join(
             F.broadcast(bm),
-            F.shiftright(F.col(pos_c), 6) == F.col(f"_bf{i}.word"),
+            F.floor(F.col(pos_c) / F.lit(63)).cast("long")
+            == F.col(f"_bf{i}.word"),
             "left",
         )
         hits.append(
             F.coalesce(F.col(f"_bf{i}.bits"), F.lit(0)).bitwiseAND(
-                F.expr(f"shiftleft(1L, CAST({pos_c} % 64 AS INT))")
+                F.expr(f"shiftleft(1L, CAST({pos_c} % 63 AS INT))")
             )
             != 0
         )

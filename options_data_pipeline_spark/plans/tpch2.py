@@ -985,9 +985,10 @@ def q_zorder_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     it breaks is the one-file-per-slot contract.  Maintenance therefore
     rewrites EXACTLY the delta-touched slots — compaction scoped by
     the delta's slot set — and the driver hash adjudicates content
-    identity, per-slot ``files_before`` (1 + touched, predicted
-    arithmetically by the oracle from the delta's slot assignment),
-    and ``files_after`` = 1 read back from the filesystem.
+    identity, per-slot ``files_before`` (has-init + has-delta per slot,
+    predicted arithmetically by the oracle from the slot assignment —
+    a delta-ONLY slot physically starts at one file, not two), and
+    ``files_after`` = 1 read back from the filesystem.
 
     Scale shape: base write = one z-keyed exchange; the delta append
     is one small job; maintenance reads and rewrites touched slot
@@ -1111,7 +1112,12 @@ f AS (
 )
 SELECT file_id, CAST(count(*) AS BIGINT) AS n_rows,
        {sql_round_half_away(sql_dec_sum('price'), 2)} AS sum_price,
-       CAST(1 + max(CASE WHEN ok % {ZM_DELTA_MOD} = 0 THEN 1 ELSE 0 END)
+       -- one file per populated side per slot: the init write creates a
+       -- slot directory only if the slot HAS init rows, the append only
+       -- if it has delta rows — a delta-only slot starts at 1 file, not
+       -- 2 (ADVICE r11, low)
+       CAST(max(CASE WHEN ok % {ZM_DELTA_MOD} != 0 THEN 1 ELSE 0 END)
+          + max(CASE WHEN ok % {ZM_DELTA_MOD} = 0 THEN 1 ELSE 0 END)
             AS BIGINT) AS files_before,
        CAST(1 AS BIGINT) AS files_after
 FROM f GROUP BY 1

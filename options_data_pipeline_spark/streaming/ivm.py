@@ -47,17 +47,22 @@ def ivm_apply_batch(
     count/sum view, exactly once.
 
     Batch schema: (event_id, day, event_type, value, op, seq) — the
-    Debezium-shaped log the batch twins use.  Skip-on-stamp happens
-    BEFORE any work: a replayed batch costs one 1-row read of the
-    view's ``_bid``."""
+    Debezium-shaped log the batch twins use.  Skip-on-stamp covers the
+    VIEW only: a replayed batch costs one 1-row read of the view's
+    ``_bid`` plus the (idempotent, last-write-wins) fact re-apply —
+    the fact advance is OUTSIDE the skip, because a crash between the
+    view swap and the fact advance replays with the view stamped and
+    the fact stale; skipping apply_cdc there would lose the batch's
+    CDC rows forever (ADVICE r11, high)."""
     view = _read_target(spark, view_path)
-    if view is not None and "_bid" in view.columns:
-        # explicit None check: `or -1` would treat a legitimate stamp
-        # of 0 as unset and re-apply batch 0's adjustments (caught by
-        # tests/test_streaming_ivm.py's same-id red-test)
-        last = view.agg(F.max("_bid")).first()[0]
-        if last is not None and last >= batch_id:
-            return  # already folded: at-least-once replay, skip wholesale
+    if _stamped(view, batch_id):
+        # already folded into the view: at-least-once replay.  The
+        # view skips wholesale, but the fact must still advance —
+        # apply_cdc is keyed last-write-wins on (event_id, seq), so
+        # re-applying an identical batch is a no-op when the fact
+        # already advanced and the missing advance when it didn't.
+        apply_cdc(spark, fact_path, batch, keys=["event_id"], seq_col="seq")
+        return
     batch = batch.localCheckpoint()
 
     fact = spark.read.parquet(fact_path)

@@ -454,8 +454,8 @@ def test_bloom_bitmap_is_bounded_and_broadcastable(spark):
     m = 1 << 12
     keys = _docs(spark, [(i, f"k{i}") for i in range(500)])
     bitmap = BF.bloom_build(keys, F.col("text"), m_bits=m)
-    # never more rows than 64-bit words in the filter, however many keys
-    assert bitmap.count() <= m // 64
+    # never more rows than 63-bit words in the filter, however many keys
+    assert bitmap.count() <= (m + 62) // 63
     assert dict(bitmap.dtypes)["bits"] == "bigint"
 
 

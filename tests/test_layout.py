@@ -81,6 +81,34 @@ def test_compact_partitions_reduces_files_keeps_content(spark, tmp):
     assert rows_after == rows_before
 
 
+def test_delta_only_partition_starts_at_one_file(spark, tmp):
+    """ADVICE r11 (low): a slot populated ONLY by the appended delta
+    physically has one file before compaction (the init write never
+    created its directory) — the zorder_maintain oracle predicts
+    files_before as has_init + has_delta, not 1 + touched.  Pin the
+    filesystem physics that prediction rests on."""
+    t = f"{tmp}/t"
+    init = spark.createDataFrame(
+        [(1, 0, 1.0), (2, 0, 2.0), (3, 1, 3.0)], "k long, slot long, v double"
+    )
+    init.repartition(F.col("slot")).write.partitionBy("slot").parquet(t)
+    # delta touches slot 1 (exists) and slot 2 (delta-only)
+    delta = spark.createDataFrame(
+        [(4, 1, 4.0), (5, 2, 5.0)], "k long, slot long, v double"
+    )
+    delta.repartition(F.col("slot")).write.mode("append").partitionBy(
+        "slot"
+    ).parquet(t)
+
+    def nfiles(slot):
+        d = os.path.join(t, f"slot={slot}")
+        return len([f for f in os.listdir(d) if f.endswith(".parquet")])
+
+    assert nfiles(0) == 1  # init only, untouched
+    assert nfiles(1) == 2  # init + delta
+    assert nfiles(2) == 1  # delta-only: ONE file, not two
+
+
 # --- token-budgeted shard packing -------------------------------------------
 
 

@@ -45,6 +45,54 @@ def test_same_id_replay_is_noop(spark, tmp_path):
     assert spark.read.parquet(view_path).first()["cnt"] == 3
 
 
+def test_crash_window_replay_advances_fact(spark, tmp_path):
+    """ADVICE r11 (high): crash BETWEEN the view swap and the fact
+    advance — on replay the view is stamped (skips) but the fact is
+    stale; apply_cdc must still run or the batch's CDC rows are lost
+    forever and every later retraction computes against a stale fact."""
+    fact_path, view_path, batch = _setup(spark, tmp_path)
+    # simulate the crash window: commit the view WITH the stamp, but
+    # never advance the fact (exactly what a kill between the two
+    # writes inside ivm_apply_batch leaves behind)
+    view0 = spark.read.parquet(view_path)
+    adj = batch.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).cast("long").alias("d_cnt"),
+        F.sum(F.col("value").cast("decimal(25,6)")).alias("d_sval"),
+    )
+    merged = (
+        view0.drop("_bid")
+        .join(adj, ["event_type", "day"], "full")
+        .select(
+            "event_type",
+            "day",
+            (F.coalesce(F.col("cnt"), F.lit(0))
+             + F.coalesce(F.col("d_cnt"), F.lit(0))).cast("long").alias("cnt"),
+            (F.coalesce(F.col("sval"), F.lit(0).cast("decimal(25,6)"))
+             + F.coalesce(F.col("d_sval"), F.lit(0).cast("decimal(25,6)"))
+             ).cast("decimal(25,6)").alias("sval"),
+        )
+        .withColumn("_bid", F.lit(0))
+        .localCheckpoint()
+    )
+    _atomic_replace(merged, view_path)
+    assert spark.read.parquet(fact_path).count() == 2  # fact is stale
+
+    # at-least-once replay of the same batch id
+    ivm_apply_batch(spark, fact_path, view_path, batch, 0)
+
+    # view untouched (stamped skip) ...
+    row = spark.read.parquet(view_path).first()
+    assert row["cnt"] == 3 and float(row["sval"]) == 35.0
+    # ... but the fact ADVANCED: event 3 is now present
+    fact = spark.read.parquet(fact_path)
+    assert fact.count() == 3
+    assert fact.where(F.col("event_id") == 3).count() == 1
+    # and a second replay stays converged (idempotent fact re-apply)
+    ivm_apply_batch(spark, fact_path, view_path, batch, 0)
+    assert spark.read.parquet(fact_path).count() == 3
+    assert spark.read.parquet(view_path).first()["cnt"] == 3
+
+
 def test_without_stamp_replay_double_applies(spark, tmp_path):
     """Red control: strip the stamp from the committed view and replay
     — the adjustment applies AGAIN, proving the guard (not luck) is
