@@ -1,0 +1,102 @@
+"""Block-carry decomposition for exact bounded trailing windows.
+
+``Window.partitionBy(group).orderBy(...).rowsBetween(-k, 0)`` has a
+constant per-row frame, but Spark still routes EVERY row of a group
+through one task's sort — a one-task-per-enum-group funnel at 100 TB
+(VERDICT r11 #1 sweep).  The block-carry decomposition keeps the frame
+exact and the sort parallel:
+
+- blocks are contiguous ranges of the total order (any monotone
+  bucketing of the leading order column qualifies — week buckets of a
+  timestamp here);
+- each block's trailing window runs independently, in parallel;
+- the k rows a block's head needs from the past are exactly the last
+  k rows of the union of all earlier blocks' TAILS: a row outside its
+  own block's last-k has ≥ k successors inside that block, so it can
+  never reach a later block's frame.  Tails are one parallel
+  per-block window; selecting each block's carry windows over
+  ≤ k·|blocks| candidate rows per group — metadata-sized,
+  data-size-independent — and is exact even when a block's carry
+  spans MANY sparse earlier blocks;
+- carried context rows seed the frame and are dropped from the
+  output; the first block of a group gets no context, exactly like a
+  global window's truncated leading frames.
+
+Used by ``plans/quality.q_rolling_median``; the sparse-block carry
+path (context reaching across several near-empty blocks) is pinned by
+``tests/test_rolling_blocked.py`` against the naive global window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def blocked_trailing_list(
+    df: DataFrame,
+    groups: list[str],
+    order_cols: list[str],
+    value_col: str,
+    k: int,
+    blk: Column,
+    out_col: str = "__w",
+) -> DataFrame:
+    """Append ``out_col`` = the SORTED array of ``value_col`` over the
+    exact trailing ``(k-1)``-preceding-to-current rows frame in
+    ``order_cols`` order within ``groups`` — computed with per-block
+    windows plus tail carry, never a whole-group window.
+
+    ``blk`` must be monotone non-decreasing in the leading order
+    column(s) so blocks are contiguous ranges of the total order;
+    ``order_cols`` must be a deterministic total order (include a
+    unique tiebreak).  Output keeps ``df``'s columns.
+    """
+    carry = k - 1
+    base = df.withColumn("__blk", blk.cast("long"))
+    desc = [F.col(c).desc() for c in order_cols]
+    w_tail = Window.partitionBy(*groups, "__blk").orderBy(*desc)
+    tails = (
+        base.withColumn("__trn", F.row_number().over(w_tail))
+        .where(F.col("__trn") <= carry)
+        .drop("__trn")
+    )
+    blocks = base.select(
+        *groups, F.col("__blk").alias("__tgt")
+    ).distinct()
+    from functools import reduce
+
+    on = reduce(
+        lambda a, b2: a & b2,
+        [F.col(f"t.{g}") == F.col(f"b.{g}") for g in groups],
+    )
+    cand = (
+        tails.alias("t")
+        .join(
+            F.broadcast(blocks).alias("b"),
+            on & (F.col("t.__blk") < F.col("b.__tgt")),
+        )
+        .select(
+            *[F.col(f"t.{c}").alias(c) for c in df.columns],
+            F.col("b.__tgt").alias("__blk"),
+        )
+    )
+    w_ctx = Window.partitionBy(*groups, "__blk").orderBy(*desc)
+    ctx = (
+        cand.withColumn("__crn", F.row_number().over(w_ctx))
+        .where(F.col("__crn") <= carry)
+        .drop("__crn")
+        .withColumn("__ctx", F.lit(True))
+    )
+    unioned = base.withColumn("__ctx", F.lit(False)).unionByName(ctx)
+    w = (
+        Window.partitionBy(*groups, "__blk")
+        .orderBy(*order_cols)
+        .rowsBetween(-carry, 0)
+    )
+    arr = F.array_sort(F.collect_list(value_col).over(w))
+    return (
+        unioned.withColumn(out_col, arr)
+        .where(~F.col("__ctx"))
+        .drop("__blk", "__ctx")
+    )

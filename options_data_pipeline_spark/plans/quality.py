@@ -815,17 +815,34 @@ def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``quantile_cont``-style interpolation (lo + (hi-lo)*0.5) is NOT used
     because it differs from (lo+hi)/2 in the last ulp.
 
-    Scale: the frame is bounded (25 rows), so per-row sort cost is
-    constant; partitions are per-instrument like every series window in
-    this engine."""
-    ev = load_table(spark, sf_dir, "events")
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy("ts", "event_id")
-        .rowsBetween(-24, 0)
+    Scale (re-planned round 12, VERDICT r11 #1 sweep): the frame is
+    bounded (25 rows) but ``Window.partitionBy(event_type)`` still
+    funnels EVERY row of an enum type through one task's sort.  The
+    block-carry decomposition keeps the frame exact and the sort
+    parallel: blocks are contiguous week ranges of the (ts, event_id)
+    order, each block's window runs independently, and the 24 rows a
+    block's head needs from the past are exactly the last 24 rows of
+    the union of all earlier blocks' TAILS (a row outside its own
+    block's last-24 has ≥24 successors in that block and can never
+    reach a later block's frame).  Tails are one parallel per-block
+    window; the carry selection windows over ≤ 24·|blocks| candidate
+    rows per type — metadata-sized, data-size-independent.  Carried
+    context rows seed the frame and are dropped from the output; the
+    first block of a type gets no context, exactly like a global
+    window's truncated leading frames."""
+    from ..operators.rolling import blocked_trailing_list
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts", "value"
     )
-    arr = F.array_sort(F.collect_list("value").over(w))
-    ev = ev.select("event_id", "event_type", "ts", "value", arr.alias("__w"))
+    ev = blocked_trailing_list(
+        ev,
+        ["event_type"],
+        ["ts", "event_id"],
+        "value",
+        k=25,
+        blk=F.floor(F.unix_timestamp("ts") / F.lit(604800)),
+    )
     n = F.size("__w")
     med = F.when(
         n % 2 == 1, F.element_at("__w", ((n + 1) / 2).cast("int"))

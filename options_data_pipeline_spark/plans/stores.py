@@ -140,14 +140,19 @@ def build_cms_day_store(
     day_counts = ev.groupBy("day", "user_id").agg(
         F.count(F.lit(1)).alias("cnt")
     )
-    from pyspark.sql import Window
+    # salted two-phase top-k (operators/ranks.py): distinct users per
+    # day is unbounded at 100 TB, so a per-day row_number window would
+    # funnel each day through one task (VERDICT r11 #1 sweep)
+    from ..operators.ranks import grouped_topk
 
-    w = Window.partitionBy("day").orderBy(
-        F.col("cnt").desc(), F.col("user_id").asc()
-    )
     (
-        day_counts.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= CAND_PER_DAY)
+        grouped_topk(
+            day_counts,
+            ["day"],
+            [("cnt", True), ("user_id", False)],
+            CAND_PER_DAY,
+            salt_col="user_id",
+        )
         .select("day", "user_id")
         .write.mode("overwrite")
         .partitionBy("day")

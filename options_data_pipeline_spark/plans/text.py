@@ -1057,11 +1057,21 @@ def q_vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = parallelized(spark, load_table(spark, sf_dir, "documents"))
     toks = docs.select("lang", F.explode(F.split("text", " ", -1)).alias("token"))
     counts = toks.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("n"))
-    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("token").asc())
+    # salted two-phase top-k: the (lang, token) aggregate is
+    # vocabulary-sized (10^8 terms at 100 TB), so a per-lang
+    # row_number window would sort a whole language's vocabulary in
+    # one task (VERDICT r11 #1 sweep)
+    from ..operators.ranks import grouped_topk
+
     return (
-        counts.withColumn("rk", F.row_number().over(w).cast("long"))
-        .where(F.col("rk") <= 5)
-        .select("lang", "token", "n", "rk")
+        grouped_topk(
+            counts.withColumn("__salt", F.xxhash64("token")),
+            ["lang"],
+            [("n", True), ("token", False)],
+            5,
+            salt_col="__salt",
+        )
+        .select("lang", "token", "n", F.col("rank").alias("rk"))
     )
 
 
