@@ -127,3 +127,75 @@ def heavy_hitters(
             (F.col("n_rows") / F.lit(float(n_total))).alias("share"),
         )
     )
+
+
+# --- truncated-counts heavy-hitters STORE (round 12) ------------------------
+
+#: counters kept per day summary — sized so truncation genuinely fires
+#: at every test scale (>= 11 distinct keys per day at sf0.001); at
+#: production scale m sizes to the 1/phi heavy-hitter threshold.
+MG_STORE_M = 8
+
+
+def mg_truncate(
+    counts: DataFrame,
+    group_cols: list[str],
+    key_col: str,
+    m: int = MG_STORE_M,
+    cnt_col: str = "cnt",
+    err_col: str = "err",
+) -> DataFrame:
+    """Truncate exact per-key ``counts`` to the top-``m`` keys per
+    group — the DETERMINISTIC mergeable heavy-hitters summary (the
+    store form of Misra-Gries / SpaceSaving; Agarwal et al.,
+    "Mergeable Summaries"), completing the family next to the
+    probabilistic CMS store.
+
+    Input rows: ``(*group_cols, key_col, cnt_col, err_col)`` where
+    ``err_col`` is the accumulated bound carried in (constant per
+    group; 0 for exact first-pass counts).  Output keeps the top-m
+    keys by the total order (cnt desc, key asc) with their counts
+    UNCHANGED, appends ``rank`` (1..m), and sets
+    ``err_out = err_in + c_{m+1}`` where ``c_{m+1}`` is the (m+1)-th
+    largest count (0 when the group has <= m keys).
+
+    The bound law (pinned in tests/test_mg_store.py): for any key,
+    true count ∈ [cnt, cnt + err] if present, true count <= err if
+    absent — preserved by truncation (absent keys' counts are <=
+    c_{m+1} + their prior slack) and by additive merges (sum counts,
+    sum the sources' errs).
+
+    Scale shape: ranking goes through the salted two-phase
+    ``grouped_topk`` (never a one-task-per-group window); the (m+1)-th
+    count and the per-group err are broadcast-sized aggregates."""
+    from .ranks import grouped_topk
+
+    top = grouped_topk(
+        counts,
+        group_cols,
+        [(cnt_col, True), (key_col, False)],
+        m + 1,
+        salt_col=key_col,
+    )
+    cm1 = top.where(F.col("rank") == m + 1).groupBy(*group_cols).agg(
+        F.max(cnt_col).alias("__cm1")
+    )
+    err_in = counts.groupBy(*group_cols).agg(
+        F.max(err_col).alias("__err_in")
+    )
+    return (
+        top.where(F.col("rank") <= m)
+        .drop(err_col)
+        .join(F.broadcast(cm1), group_cols, "left")
+        .join(F.broadcast(err_in), group_cols)
+        .select(
+            *group_cols,
+            key_col,
+            F.col(cnt_col).cast("long").alias(cnt_col),
+            (
+                F.col("__err_in")
+                + F.coalesce(F.col("__cm1"), F.lit(0))
+            ).cast("long").alias(err_col),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

@@ -4064,6 +4064,120 @@ FROM content
 # ---------------------------------------------------------------------------
 
 
+def ivm_events_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDC-log base frame both IVM twins derive from."""
+    return load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.to_date("ts").alias("day"),
+        "event_type",
+        "value",
+    )
+
+
+def ivm_fact_cdc(ev: DataFrame, which: int) -> DataFrame:
+    """Wave ``which`` of the shared CDC batch composition (id
+    arithmetic mirrored in both twins' oracles)."""
+    if which == 1:
+        ins = ev.where(
+            (F.col("event_id") % 3 == 0) & (F.col("event_id") % 2 == 0)
+        ).select("*", F.lit("I").alias("op"))
+        upd = ev.where(
+            (F.col("event_id") % 3 != 0) & (F.col("event_id") % 5 == 1)
+        ).select(
+            "event_id", "day", "event_type",
+            (F.col("value") * 2).alias("value"),
+            F.lit("U").alias("op"),
+        )
+        dele = ev.where(
+            (F.col("event_id") % 3 != 0)
+            & (F.col("event_id") % 5 != 1)
+            & (F.col("event_id") % 7 == 2)
+        ).select("*", F.lit("D").alias("op"))
+    else:
+        ins = ev.where(
+            (F.col("event_id") % 3 == 0) & (F.col("event_id") % 2 == 1)
+        ).select("*", F.lit("I").alias("op"))
+        # second-wave updates touch batch-1 inserts too
+        upd = ev.where(
+            (F.col("event_id") % 3 == 0)
+            & (F.col("event_id") % 2 == 0)
+            & (F.col("event_id") % 5 == 4)
+        ).select(
+            "event_id", "day", "event_type",
+            (F.col("value") + 10).alias("value"),
+            F.lit("U").alias("op"),
+        )
+        dele = ev.where(
+            (F.col("event_id") % 3 != 0)
+            & (F.col("event_id") % 5 != 1)
+            & (F.col("event_id") % 7 == 3)
+        ).select("*", F.lit("D").alias("op"))
+    return ins.unionByName(upd).unionByName(dele).withColumn(
+        "seq", F.col("event_id")
+    )
+
+
+def ivm_adjust_frame(batch: DataFrame, fact: DataFrame) -> DataFrame:
+    """Delta-sized per-(type, day) IVM adjustments from one CDC batch
+    against the PRE-batch fact — the maintenance shape shared by
+    `agg_ivm_twin`, `join_ivm_twin`, and the streaming twins
+    (`streaming/ivm.py`).  Module-level so the plan audit inspects the
+    executed interior plan (`audit_frames`, VERDICT r11 #3)."""
+    old = fact.select(
+        "event_id",
+        F.col("day").alias("_oday"),
+        F.col("event_type").alias("_otype"),
+        F.col("value").alias("_oval"),
+    )
+    delta = batch.join(old, "event_id", "left")
+    minus = delta.where(F.col("op").isin("U", "D")).select(
+        F.col("_otype").alias("event_type"),
+        F.col("_oday").alias("day"),
+        F.lit(-1).cast("long").alias("d_cnt"),
+        (-F.col("_oval")).cast("decimal(25,6)").alias("d_sval"),
+    )
+    plus = delta.where(F.col("op").isin("I", "U")).select(
+        "event_type",
+        "day",
+        F.lit(1).cast("long").alias("d_cnt"),
+        F.col("value").cast("decimal(25,6)").alias("d_sval"),
+    )
+    return (
+        minus.unionByName(plus)
+        .groupBy("event_type", "day")
+        .agg(
+            F.sum("d_cnt").cast("long").alias("d_cnt"),
+            F.sum("d_sval").cast("decimal(25,6)").alias("d_sval"),
+        )
+    )
+
+
+def ivm_merge_frame(
+    cur: DataFrame,
+    adj: DataFrame,
+    keys: list[str],
+    evict_nonzero: bool = False,
+) -> DataFrame:
+    """Full-join merge of (+cnt, +sval) adjustments into a count/sum
+    store with drained-group eviction — the commit-granule shape both
+    twins atomic-swap."""
+    zero = F.lit(0).cast("decimal(25,6)")
+    merged = cur.join(adj, keys, "full").select(
+        *keys,
+        (
+            F.coalesce(F.col("cnt"), F.lit(0))
+            + F.coalesce(F.col("d_cnt"), F.lit(0))
+        ).cast("long").alias("cnt"),
+        (
+            F.coalesce(F.col("sval"), zero)
+            + F.coalesce(F.col("d_sval"), zero)
+        ).cast("decimal(25,6)").alias("sval"),
+    )
+    return merged.where(
+        F.col("cnt") != 0 if evict_nonzero else F.col("cnt") > 0
+    )
+
+
 def q_agg_ivm_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental view maintenance (round-10 wave 5): a per-(type, day)
     count/sum materialized aggregate maintained through TWO CDC delta
@@ -4092,12 +4206,7 @@ def q_agg_ivm_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = tempfile.mkdtemp(prefix="ivm_")
     try:
         fact_path, view_path = f"{base}/fact", f"{base}/view"
-        ev = load_table(spark, sf_dir, "events").select(
-            "event_id",
-            F.to_date("ts").alias("day"),
-            "event_type",
-            "value",
-        )
+        ev = ivm_events_frame(spark, sf_dir)
         fact0 = ev.where(F.col("event_id") % 3 != 0)
         fact0.write.parquet(fact_path)
         view = fact0.groupBy("event_type", "day").agg(
@@ -4106,103 +4215,16 @@ def q_agg_ivm_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         _atomic_replace(view, view_path)
 
-        def cdc_batch(which: int) -> DataFrame:
-            if which == 1:
-                ins = ev.where(
-                    (F.col("event_id") % 3 == 0)
-                    & (F.col("event_id") % 2 == 0)
-                ).select("*", F.lit("I").alias("op"))
-                upd = ev.where(
-                    (F.col("event_id") % 3 != 0)
-                    & (F.col("event_id") % 5 == 1)
-                ).select(
-                    "event_id", "day", "event_type",
-                    (F.col("value") * 2).alias("value"),
-                    F.lit("U").alias("op"),
-                )
-                dele = ev.where(
-                    (F.col("event_id") % 3 != 0)
-                    & (F.col("event_id") % 5 != 1)
-                    & (F.col("event_id") % 7 == 2)
-                ).select("*", F.lit("D").alias("op"))
-            else:
-                ins = ev.where(
-                    (F.col("event_id") % 3 == 0)
-                    & (F.col("event_id") % 2 == 1)
-                ).select("*", F.lit("I").alias("op"))
-                # second-wave updates touch batch-1 inserts too
-                upd = ev.where(
-                    (F.col("event_id") % 3 == 0)
-                    & (F.col("event_id") % 2 == 0)
-                    & (F.col("event_id") % 5 == 4)
-                ).select(
-                    "event_id", "day", "event_type",
-                    (F.col("value") + 10).alias("value"),
-                    F.lit("U").alias("op"),
-                )
-                dele = ev.where(
-                    (F.col("event_id") % 3 != 0)
-                    & (F.col("event_id") % 5 != 1)
-                    & (F.col("event_id") % 7 == 3)
-                ).select("*", F.lit("D").alias("op"))
-            return ins.unionByName(upd).unionByName(dele).withColumn(
-                "seq", F.col("event_id")
-            )
-
         for which in (1, 2):
-            batch = materialize(cdc_batch(which))
+            batch = materialize(ivm_fact_cdc(ev, which))
             fact = spark.read.parquet(fact_path)
-            old = fact.select(
-                "event_id",
-                F.col("day").alias("_oday"),
-                F.col("event_type").alias("_otype"),
-                F.col("value").alias("_oval"),
-            )
-            delta = batch.join(old, "event_id", "left")
-            minus = delta.where(F.col("op").isin("U", "D")).select(
-                F.col("_otype").alias("event_type"),
-                F.col("_oday").alias("day"),
-                F.lit(-1).cast("long").alias("d_cnt"),
-                (-F.col("_oval")).cast("decimal(25,6)").alias("d_sval"),
-            )
-            plus = delta.where(F.col("op").isin("I", "U")).select(
-                "event_type",
-                "day",
-                F.lit(1).cast("long").alias("d_cnt"),
-                F.col("value").cast("decimal(25,6)").alias("d_sval"),
-            )
-            adj = (
-                minus.unionByName(plus)
-                .groupBy("event_type", "day")
-                .agg(
-                    F.sum("d_cnt").cast("long").alias("d_cnt"),
-                    F.sum("d_sval").alias("d_sval"),
-                )
-            )
+            adj = ivm_adjust_frame(batch, fact)
             # updates retract their count and re-add it: net 0 — the
             # count delta is inserts minus deletes
             cur = spark.read.parquet(view_path)
-            merged = (
-                cur.join(adj, ["event_type", "day"], "full")
-                .select(
-                    "event_type",
-                    "day",
-                    (
-                        F.coalesce(F.col("cnt"), F.lit(0))
-                        + F.coalesce(F.col("d_cnt"), F.lit(0))
-                    ).cast("long").alias("cnt"),
-                    (
-                        F.coalesce(
-                            F.col("sval"), F.lit(0).cast("decimal(25,6)")
-                        )
-                        + F.coalesce(
-                            F.col("d_sval"), F.lit(0).cast("decimal(25,6)")
-                        )
-                    ).cast("decimal(25,6)").alias("sval"),
-                )
-                .where(F.col("cnt") > 0)
-                .localCheckpoint()
-            )
+            merged = ivm_merge_frame(
+                cur, adj, ["event_type", "day"]
+            ).localCheckpoint()
             _atomic_replace(merged, view_path)
             apply_cdc(spark, fact_path, batch, keys=["event_id"], seq_col="seq")
 
@@ -4283,6 +4305,154 @@ GROUP BY event_type, day
 # ---------------------------------------------------------------------------
 
 
+def jivm_dim_move_frame(moved: DataFrame, agg_now: DataFrame) -> DataFrame:
+    """F⋈ΔD dim-remap adjustments: each moved type carries its WHOLE
+    current partial-aggregate row old-grp → new-grp — a key-lookup
+    against ``agg_now``, never a fact scan.  Module-level seam for the
+    plan audit (`audit_frames`, VERDICT r11 #3)."""
+    contrib = moved.join(agg_now, "event_type", "inner")
+    retract = contrib.select(
+        F.col("old_grp").alias("grp"),
+        "day",
+        (-F.col("cnt")).cast("long").alias("d_cnt"),
+        (-F.col("sval")).cast("decimal(25,6)").alias("d_sval"),
+    )
+    reissue = contrib.select(
+        F.lit("GX").alias("grp"),
+        "day",
+        F.col("cnt").cast("long").alias("d_cnt"),
+        F.col("sval").cast("decimal(25,6)").alias("d_sval"),
+    )
+    return (
+        retract.unionByName(reissue)
+        .groupBy("grp", "day")
+        .agg(
+            F.sum("d_cnt").cast("long").alias("d_cnt"),
+            F.sum("d_sval").cast("decimal(25,6)").alias("d_sval"),
+        )
+    )
+
+
+def af_agg_ivm_twin(
+    spark: SparkSession, sf_dir: str, scratch: str
+) -> dict[str, DataFrame]:
+    """Interior frames for the plan audit (`audit_frames`, VERDICT r11
+    #3): the delta-sized adjustment join and the full-join view merge
+    — the maintenance plans `materialize()` hides from the terminal
+    audit."""
+    from ..operators.materialize import materialize
+    from ..sinks.upsert import _atomic_replace
+
+    ev = ivm_events_frame(spark, sf_dir)
+    fact_path, view_path = f"{scratch}/fact", f"{scratch}/view"
+    fact0 = ev.where(F.col("event_id") % 3 != 0)
+    fact0.write.parquet(fact_path)
+    view0 = fact0.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum(F.col("value").cast("decimal(25,6)")).alias("sval"),
+    )
+    _atomic_replace(view0, view_path)
+    batch = materialize(ivm_fact_cdc(ev, 1))
+    fact = spark.read.parquet(fact_path)
+    adj = ivm_adjust_frame(batch, fact)
+    merge = ivm_merge_frame(
+        spark.read.parquet(view_path), adj, ["event_type", "day"]
+    )
+    return {"adjust": adj, "merge": merge}
+
+
+def af_join_ivm_twin(
+    spark: SparkSession, sf_dir: str, scratch: str
+) -> dict[str, DataFrame]:
+    """Interior frames: the shared adjustment join, the dim routing of
+    per-type deltas to view groups, the stamped merge, and the dim-
+    remap move (key-lookup against the partial aggregate — the
+    never-a-fact-scan contract in plan form)."""
+    from ..operators.materialize import materialize
+    from ..sinks.upsert import _atomic_replace
+
+    ev = ivm_events_frame(spark, sf_dir)
+    fact_path = f"{scratch}/fact"
+    agg_path = f"{scratch}/agg_by_type"
+    view_path = f"{scratch}/view"
+    grp0 = F.concat(
+        F.lit("G"), (F.length("event_type") % 3).cast("string")
+    )
+    dim0 = ev.select("event_type").distinct().select(
+        "event_type", grp0.alias("grp")
+    ).localCheckpoint()
+    fact0 = ev.where(F.col("event_id") % 3 != 0)
+    fact0.write.parquet(fact_path)
+    agg0 = fact0.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum(F.col("value").cast("decimal(25,6)")).alias("sval"),
+    )
+    _atomic_replace(agg0, agg_path)
+    view0 = (
+        agg0.join(dim0, "event_type")
+        .groupBy("grp", "day")
+        .agg(
+            F.sum("cnt").cast("long").alias("cnt"),
+            F.sum("sval").cast("decimal(25,6)").alias("sval"),
+        )
+    )
+    _atomic_replace(view0, view_path)
+    batch = materialize(ivm_fact_cdc(ev, 1))
+    fact = spark.read.parquet(fact_path)
+    d_agg = ivm_adjust_frame(batch, fact)
+    v_adj = (
+        d_agg.join(dim0, "event_type")
+        .groupBy("grp", "day")
+        .agg(
+            F.sum("d_cnt").cast("long").alias("d_cnt"),
+            F.sum("d_sval").cast("decimal(25,6)").alias("d_sval"),
+        )
+    )
+    merge = ivm_merge_frame(
+        spark.read.parquet(view_path), v_adj, ["grp", "day"],
+        evict_nonzero=True,
+    )
+    moved = dim0.where(
+        F.ascii(F.substring("event_type", 1, 1)) % 2 == 0
+    ).select("event_type", F.col("grp").alias("old_grp"))
+    dim_move = jivm_dim_move_frame(moved, spark.read.parquet(agg_path))
+    return {
+        "adjust": d_agg,
+        "view_route": v_adj,
+        "merge": merge,
+        "dim_move": dim_move,
+    }
+
+
+def af_bloom_index_maintain(
+    spark: SparkSession, sf_dir: str, scratch: str
+) -> dict[str, DataFrame]:
+    """Interior frames: the delta-only word build and the touched-day
+    OR-merge against the stored index."""
+    from ..sinks.upsert import _read_target
+
+    index_path = f"{scratch}/bloom_index"
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "user_id", "event_id"
+    )
+    initial = ev.where(F.col("event_id") % BLOOM_FI_DELTA_MOD != 0)
+    bloom_day_words(initial).write.mode("overwrite").partitionBy(
+        "day"
+    ).parquet(index_path)
+    delta = ev.where(F.col("event_id") % BLOOM_FI_DELTA_MOD == 0)
+    delta_words = bloom_day_words(delta)
+    stored = _read_target(spark, index_path)
+    touched = delta_words.select("day").distinct()
+    merged = (
+        stored.select("day", "word", "bits")
+        .join(touched, "day")
+        .unionByName(delta_words)
+        .groupBy("day", "word")
+        .agg(F.bit_or("bits").alias("bits"))
+    )
+    return {"delta_build": delta_words, "or_merge": merged}
+
+
 def q_join_ivm_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVM over a JOIN (round-11 wave 1, VERDICT r10 ask #4): a
     per-group aggregate view over fact ⋈ dim maintained under CDC on
@@ -4328,12 +4498,7 @@ def q_join_ivm_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
         dim_path = f"{base}/dim"
         view_path = f"{base}/view"
 
-        ev = load_table(spark, sf_dir, "events").select(
-            "event_id",
-            F.to_date("ts").alias("day"),
-            "event_type",
-            "value",
-        )
+        ev = ivm_events_frame(spark, sf_dir)
         # dim over the FULL type domain (fact inserts may introduce
         # types the initial fact slice lacks)
         grp0 = F.concat(
@@ -4361,104 +4526,19 @@ def q_join_ivm_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         _atomic_replace(view0, view_path)
 
-        def fact_cdc(which: int) -> DataFrame:
-            # same wave selectors as agg_ivm_twin — shared, audited
-            # id-arithmetic; the join twin differs in WHAT it maintains
-            if which == 1:
-                ins = ev.where(
-                    (F.col("event_id") % 3 == 0)
-                    & (F.col("event_id") % 2 == 0)
-                ).select("*", F.lit("I").alias("op"))
-                upd = ev.where(
-                    (F.col("event_id") % 3 != 0)
-                    & (F.col("event_id") % 5 == 1)
-                ).select(
-                    "event_id", "day", "event_type",
-                    (F.col("value") * 2).alias("value"),
-                    F.lit("U").alias("op"),
-                )
-                dele = ev.where(
-                    (F.col("event_id") % 3 != 0)
-                    & (F.col("event_id") % 5 != 1)
-                    & (F.col("event_id") % 7 == 2)
-                ).select("*", F.lit("D").alias("op"))
-            else:
-                ins = ev.where(
-                    (F.col("event_id") % 3 == 0)
-                    & (F.col("event_id") % 2 == 1)
-                ).select("*", F.lit("I").alias("op"))
-                upd = ev.where(
-                    (F.col("event_id") % 3 == 0)
-                    & (F.col("event_id") % 2 == 0)
-                    & (F.col("event_id") % 5 == 4)
-                ).select(
-                    "event_id", "day", "event_type",
-                    (F.col("value") + 10).alias("value"),
-                    F.lit("U").alias("op"),
-                )
-                dele = ev.where(
-                    (F.col("event_id") % 3 != 0)
-                    & (F.col("event_id") % 5 != 1)
-                    & (F.col("event_id") % 7 == 3)
-                ).select("*", F.lit("D").alias("op"))
-            return ins.unionByName(upd).unionByName(dele).withColumn(
-                "seq", F.col("event_id")
-            )
-
         def merge_adj(store_path: str, adj: DataFrame, keys: list[str]):
             cur = spark.read.parquet(store_path)
-            merged = (
-                cur.join(adj, keys, "full")
-                .select(
-                    *keys,
-                    (
-                        F.coalesce(F.col("cnt"), F.lit(0))
-                        + F.coalesce(F.col("d_cnt"), F.lit(0))
-                    ).cast("long").alias("cnt"),
-                    (
-                        F.coalesce(
-                            F.col("sval"), F.lit(0).cast("decimal(25,6)")
-                        )
-                        + F.coalesce(
-                            F.col("d_sval"), F.lit(0).cast("decimal(25,6)")
-                        )
-                    ).cast("decimal(25,6)").alias("sval"),
-                )
-                .where(F.col("cnt") != 0)
-                .localCheckpoint()
-            )
+            merged = ivm_merge_frame(
+                cur, adj, keys, evict_nonzero=True
+            ).localCheckpoint()
             _atomic_replace(merged, store_path)
 
         for which in (1, 2):
-            batch = materialize(fact_cdc(which))
+            # same wave selectors as agg_ivm_twin — shared, audited
+            # id-arithmetic; the join twin differs in WHAT it maintains
+            batch = materialize(ivm_fact_cdc(ev, which))
             fact = spark.read.parquet(fact_path)
-            old = fact.select(
-                "event_id",
-                F.col("day").alias("_oday"),
-                F.col("event_type").alias("_otype"),
-                F.col("value").alias("_oval"),
-            )
-            delta = batch.join(old, "event_id", "left")
-            minus = delta.where(F.col("op").isin("U", "D")).select(
-                F.col("_otype").alias("event_type"),
-                F.col("_oday").alias("day"),
-                F.lit(-1).cast("long").alias("d_cnt"),
-                (-F.col("_oval")).cast("decimal(25,6)").alias("d_sval"),
-            )
-            plus = delta.where(F.col("op").isin("I", "U")).select(
-                "event_type",
-                "day",
-                F.lit(1).cast("long").alias("d_cnt"),
-                F.col("value").cast("decimal(25,6)").alias("d_sval"),
-            )
-            d_agg = materialize(
-                minus.unionByName(plus)
-                .groupBy("event_type", "day")
-                .agg(
-                    F.sum("d_cnt").cast("long").alias("d_cnt"),
-                    F.sum("d_sval").cast("decimal(25,6)").alias("d_sval"),
-                )
-            )
+            d_agg = materialize(ivm_adjust_frame(batch, fact))
             # ΔF⋈D: per-type deltas through the CURRENT dim -> view
             dim = spark.read.parquet(dim_path)
             v_adj = (
@@ -4484,29 +4564,7 @@ def q_join_ivm_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.ascii(F.substring("event_type", 1, 1)) % 2 == 0
                 ).select("event_type", F.col("grp").alias("old_grp"))
                 agg_now = spark.read.parquet(agg_path)
-                contrib = moved.join(agg_now, "event_type", "inner")
-                retract = contrib.select(
-                    F.col("old_grp").alias("grp"),
-                    "day",
-                    (-F.col("cnt")).cast("long").alias("d_cnt"),
-                    (-F.col("sval")).cast("decimal(25,6)").alias("d_sval"),
-                )
-                reissue = contrib.select(
-                    F.lit("GX").alias("grp"),
-                    "day",
-                    F.col("cnt").cast("long").alias("d_cnt"),
-                    F.col("sval").cast("decimal(25,6)").alias("d_sval"),
-                )
-                d_view = (
-                    retract.unionByName(reissue)
-                    .groupBy("grp", "day")
-                    .agg(
-                        F.sum("d_cnt").cast("long").alias("d_cnt"),
-                        F.sum("d_sval").cast("decimal(25,6)").alias(
-                            "d_sval"
-                        ),
-                    )
-                )
+                d_view = jivm_dim_move_frame(moved, agg_now)
                 merge_adj(view_path, d_view, ["grp", "day"])
                 new_dim = dim.select(
                     "event_type",
@@ -4899,6 +4957,31 @@ ORDER BY m.user_id, m.day
 BLOOM_FI_DELTA_MOD = 4
 
 
+def bloom_day_words(rows: DataFrame) -> DataFrame:
+    """(day, word, bits) bloom words of ``rows``' user_ids — 63 usable
+    bits per word: shift stays in 0..62, so no sign-bit word ever
+    forms — DuckDB raises on 1::BIGINT<<63 where Spark wraps negative,
+    and bit_count semantics on the sign bit need not be litigated
+    (ADVICE-grade hazard).  Module-level so the plan audit inspects
+    the executed maintenance plan (`audit_frames`, VERDICT r11 #3)."""
+    from ..operators.bloom import bloom_positions
+
+    pos = rows.select(
+        "day",
+        F.explode(
+            bloom_positions(F.col("user_id"), BLOOM_FI_M, BLOOM_FI_K)
+        ).alias("pos"),
+    )
+    return pos.groupBy(
+        "day",
+        F.floor(F.col("pos") / F.lit(63)).cast("long").alias("word"),
+    ).agg(
+        F.bit_or(
+            F.expr("shiftleft(1L, CAST(pos % 63 AS INT))")
+        ).alias("bits")
+    )
+
+
 def q_bloom_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom index MAINTENANCE (round-11): the recurring cost of the
     point-lookup index isolated, completing the index-maintenance
@@ -4935,29 +5018,7 @@ def q_bloom_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.to_date("ts").alias("day"), "user_id", "event_id"
         )
 
-        def day_words(rows: DataFrame) -> DataFrame:
-            pos = rows.select(
-                "day",
-                F.explode(
-                    bloom_positions(
-                        F.col("user_id"), BLOOM_FI_M, BLOOM_FI_K
-                    )
-                ).alias("pos"),
-            )
-            # 63 usable bits per word: shift stays in 0..62, so no
-            # sign-bit word ever forms — DuckDB raises on 1::BIGINT<<63
-            # where Spark wraps negative, and bit_count semantics on
-            # the sign bit need not be litigated (ADVICE-grade hazard)
-            return pos.groupBy(
-                "day",
-                F.floor(F.col("pos") / F.lit(63)).cast("long").alias(
-                    "word"
-                ),
-            ).agg(
-                F.bit_or(
-                    F.expr("shiftleft(1L, CAST(pos % 63 AS INT))")
-                ).alias("bits")
-            )
+        day_words = bloom_day_words
 
         # initial build over the standing corpus
         initial = ev.where(F.col("event_id") % BLOOM_FI_DELTA_MOD != 0)

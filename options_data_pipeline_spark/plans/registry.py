@@ -211,6 +211,14 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
         stores.q_stream_reservoir_twin,
         stores.oracle_stream_reservoir_twin,
     ),
+    "mg_topk_store": (
+        stores.q_mg_topk_store,
+        stores.oracle_mg_topk_store,
+    ),
+    "stream_mg_topk_twin": (
+        stores.q_stream_mg_topk_twin,
+        stores.oracle_stream_mg_topk_twin,
+    ),
     "dds_quantile_store": (
         stores.q_dds_quantile_store,
         stores.oracle_dds_quantile_store,
@@ -414,6 +422,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
     "zorder_maintain": (
         tpch2.q_zorder_maintain,
         tpch2.oracle_zorder_maintain,
+    ),
+    "composite_prune": (
+        tpch2.q_composite_prune,
+        tpch2.oracle_composite_prune,
     ),
     "pq_ann_topk": (vectors.q_pq_ann_topk, vectors.oracle_pq_ann_topk),
     "ivfadc_topk": (vectors.q_ivfadc_topk, vectors.oracle_ivfadc_topk),
@@ -655,6 +667,19 @@ _PRIORITY: list[str] = [
     "daily_sessions",
     "option_chain_ohlc",
     "candle_resample",
+    # round-12 new operators: first driver adjudication this round
+    "mg_topk_store",
+    "stream_mg_topk_twin",
+    "composite_prune",
+    # round-12 re-planned queries (prefix-sum quantiles, blocked
+    # rolling window, salted top-k selections, IVM/zorder/bloom seams)
+    "weighted_median",
+    "conformal_interval",
+    "value_percentiles",
+    "rolling_median",
+    "vocab_top_tokens",
+    "cms_topk_from_store",
+    "agg_ivm_twin",
     # round-11 new operators: first driver adjudication this round
     "zorder_prune",
     "zorder_maintain",
@@ -667,7 +692,6 @@ _PRIORITY: list[str] = [
     "bloom_index_maintain",
     "embedding_drift",
     "bitemporal_probe",
-    "weighted_median",
     "asof_nearest_twin",
     "stream_agg_ivm_twin",
     "stream_join_ivm_twin",
@@ -687,7 +711,6 @@ _PRIORITY: list[str] = [
     "kalman_local_level",
     "tokenizer_coverage_drift",
     "self_dup_span_mass",
-    "agg_ivm_twin",
     # round-10 code changes: re-adjudicate under the driver
     "importance_ess",
     "hll_cube",
@@ -725,7 +748,6 @@ _PRIORITY: list[str] = [
     # drained-drop journal): re-adjudicate the affected twins
     # round-8 new operators: second driver pass
     "hll_week_from_store",
-    "cms_topk_from_store",
     "bpe_apply_expr",
     "crr_binomial_price",
     "bigram_perplexity",
@@ -739,7 +761,6 @@ _PRIORITY: list[str] = [
     "token_kl_divergence",
     "kaplan_meier",
     "american_put_premium",
-    "conformal_interval",
     "poisson_bootstrap_ci",
     "readability_score",
     "revenue_gini",
@@ -879,3 +900,32 @@ def oracle_sql() -> dict[str, str]:
         for name in _ordered_names()
         if _REGISTRY[name][1] is not None
     }
+
+
+# Interior-frame audit hooks (VERDICT r11 #3): tempdir-scoped store/
+# twin queries return a materialize()d ExistingRDD, so the terminal
+# plan audit sees none of their maintenance plans.  Each hook builds
+# its minimal store state under a caller-owned scratch dir and returns
+# the INTERIOR frames (build / adjust / merge / consume) lazily, for
+# tools/plan_audit.py to explain as `query#frame` rows in PLANS.md —
+# CI-pinned by tests/test_plan_audit.py's frame sentinels.
+_AUDIT_FRAMES: dict[
+    str, Callable[[SparkSession, str, str], dict[str, DataFrame]]
+] = {
+    "zorder_prune": tpch2.af_zorder_prune,
+    "composite_prune": tpch2.af_composite_prune,
+    "zorder_maintain": tpch2.af_zorder_maintain,
+    "reservoir_sample_store": stores.af_reservoir_sample_store,
+    "weighted_sample_store": stores.af_weighted_sample_store,
+    "stream_reservoir_twin": stores.af_stream_reservoir_twin,
+    "mg_topk_store": stores.af_mg_topk_store,
+    "agg_ivm_twin": quality.af_agg_ivm_twin,
+    "join_ivm_twin": quality.af_join_ivm_twin,
+    "bloom_index_maintain": quality.af_bloom_index_maintain,
+}
+
+
+def audit_frames() -> dict[
+    str, Callable[[SparkSession, str, str], dict[str, DataFrame]]
+]:
+    return dict(_AUDIT_FRAMES)

@@ -999,6 +999,14 @@ def build_reservoir_day_store(
     reservoirs under the deterministic rank-hash priority (<= K rows
     per group), written day-partitioned.  The first ROW-level member of
     the store family: it keeps the rows themselves, not counters."""
+    reservoir_day_kept(spark, sf_dir).write.mode("overwrite").partitionBy(
+        "day"
+    ).parquet(store_path)
+
+
+def reservoir_day_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The day-store build frame (pre-write) — the seam the plan audit
+    inspects (`audit_frames`, VERDICT r11 #3)."""
     from ..operators.reservoir import reservoir_bottom_k, rsv_priority
 
     ev = load_table(spark, sf_dir, "events").select(
@@ -1008,10 +1016,9 @@ def build_reservoir_day_store(
         "value",
         rsv_priority(F.col("event_id")).alias("p"),
     )
-    kept = reservoir_bottom_k(
+    return reservoir_bottom_k(
         ev, ["day", "event_type"], "p", "event_id"
     ).drop("rank")
-    kept.write.mode("overwrite").partitionBy("day").parquet(store_path)
 
 
 def reservoir_week_consumer(
@@ -1107,6 +1114,14 @@ def build_weighted_sample_store(
     reservoirs — priority h/n_chars, so token-heavy docs systematically
     win slots (the token-mass-proportional eyeball sample).  Written
     lang-partitioned."""
+    weighted_shard_kept(spark, sf_dir).write.mode("overwrite").partitionBy(
+        "lang"
+    ).parquet(store_path)
+
+
+def weighted_shard_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The weighted shard-store build frame (pre-write) — the seam the
+    plan audit inspects (`audit_frames`, VERDICT r11 #3)."""
     from ..operators.reservoir import (
         reservoir_bottom_k,
         rsv_weighted_priority,
@@ -1121,10 +1136,9 @@ def build_weighted_sample_store(
             "wp"
         ),
     )
-    kept = reservoir_bottom_k(
+    return reservoir_bottom_k(
         docs, ["lang", "source"], "wp", "doc_id"
     ).drop("rank")
-    kept.write.mode("overwrite").partitionBy("lang").parquet(store_path)
 
 
 def weighted_lang_consumer(
@@ -1200,6 +1214,53 @@ ORDER BY lang, rank
 """
 
 
+def af_reservoir_sample_store(
+    spark: SparkSession, sf_dir: str, scratch: str
+) -> dict[str, DataFrame]:
+    """Interior frames for the plan audit (`audit_frames`, VERDICT r11
+    #3): the day-store build (salted two-phase bottom-k over the raw
+    scan) and the week consumer (union → re-bottom-k over stored rows
+    only) — the plans `materialize()` hides from the terminal audit."""
+    store = f"{scratch}/rsv_days"
+    build = reservoir_day_kept(spark, sf_dir)
+    build.write.mode("overwrite").partitionBy("day").parquet(store)
+    return {
+        "build": build,
+        "consume": reservoir_week_consumer(spark, store),
+    }
+
+
+def af_weighted_sample_store(
+    spark: SparkSession, sf_dir: str, scratch: str
+) -> dict[str, DataFrame]:
+    store = f"{scratch}/wrsv_shards"
+    build = weighted_shard_kept(spark, sf_dir)
+    build.write.mode("overwrite").partitionBy("lang").parquet(store)
+    return {
+        "build": build,
+        "consume": weighted_lang_consumer(spark, store),
+    }
+
+
+def af_stream_reservoir_twin(
+    spark: SparkSession, sf_dir: str, scratch: str
+) -> dict[str, DataFrame]:
+    """The streaming twin's interior apply: one micro-batch slice's
+    merge frame (slice bottom-k ∪ same-day stored rows → dedup →
+    re-bottom-k) against a seeded store."""
+    from ..streaming.sketches import reservoir_merge_frame
+
+    store = f"{scratch}/rsv_stream"
+    build_reservoir_day_store(spark, sf_dir, store)
+    ev = load_table(spark, sf_dir, "events")
+    slice1 = ev.where(F.col("event_id") % 2 == 0).select(
+        "ts", "event_type", "event_id", "value"
+    )
+    return {
+        "apply_merge": reservoir_merge_frame(spark, store, slice1),
+    }
+
+
 def q_stream_reservoir_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming + REPLAY parity for the row-reservoir store (round-11
     wave 3): two interleaved waves through the real foreachBatch job
@@ -1262,3 +1323,315 @@ def q_stream_reservoir_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
 def oracle_stream_reservoir_twin() -> str:
     # the stream's fixed point IS the batch sample: same rows, same ranks
     return oracle_reservoir_sample_store()
+
+
+# --- MG/SpaceSaving: deterministic top-k STORE (round 12) -------------------
+
+#: weekly top-k reported from the merged summaries
+MG_WEEK_TOPK = 10
+
+
+def mg_day_counts(ev: DataFrame) -> DataFrame:
+    """Exact per-(day, user) counts — ONE map-side-combined shuffle,
+    the only pass that ever touches raw rows."""
+    return ev.groupBy("day", "user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+
+
+def build_mg_day_store(
+    spark: SparkSession, sf_dir: str, store_path: str
+) -> None:
+    """Ingest stage: ONE scan of events -> per-day truncated-counts
+    heavy-hitters summaries (top-m exact counts + the c_{m+1} error
+    bound as a column), written day-partitioned.  The DETERMINISTIC
+    twin of the CMS store: same question (who are the heavy users),
+    no hashing, no probabilistic bound — the summary IS its own
+    certificate."""
+    mg_day_summary(spark, sf_dir).write.mode("overwrite").partitionBy(
+        "day"
+    ).parquet(store_path)
+
+
+def mg_day_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The day-store build frame (pre-write) — the seam the plan audit
+    inspects (`audit_frames`)."""
+    from ..operators.heavyhitters import mg_truncate
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    counts = mg_day_counts(ev).withColumn(
+        "err", F.lit(0).cast("long")
+    )
+    return mg_truncate(counts, ["day"], "user_id")
+
+
+def mg_week_topk_consumer(
+    spark: SparkSession, store_path: str
+) -> DataFrame:
+    """(week, rank, user_id, mg_cnt, err_bound) — weekly top-k merged
+    from the stored day summaries ONLY: counts ADD per key, the day
+    error bounds ADD per week (each source summary contributes its
+    slack once), rank by (cnt desc, user_id asc).  No events scan
+    anywhere in this plan.
+
+    Bound law carried into the hash: every reported key's true weekly
+    count lies in [mg_cnt, mg_cnt + err_bound]; any unreported key's
+    count is <= err_bound + the k-th reported count (pinned exactly in
+    tests/test_mg_store.py)."""
+    week_of = lambda c: F.date_trunc("week", F.col(c).cast("date"))  # noqa: E731
+    s = spark.read.parquet(store_path).select(
+        week_of("day").alias("week"),
+        F.col("day").cast("date").alias("day"),
+        "user_id",
+        "cnt",
+        "err",
+    )
+    wk = s.groupBy("week", "user_id").agg(
+        F.sum("cnt").cast("long").alias("mg_cnt")
+    )
+    werr = (
+        s.groupBy("week", "day")
+        .agg(F.max("err").alias("derr"))
+        .groupBy("week")
+        .agg(F.sum("derr").cast("long").alias("err_bound"))
+    )
+    from pyspark.sql import Window
+
+    # candidates are <= 7*m stored rows per week — bounded by the
+    # summary geometry, not the data — so a plain window is the
+    # metadata-sized rank the CMS consumer also uses
+    w = Window.partitionBy("week").orderBy(
+        F.col("mg_cnt").desc(), F.col("user_id").asc()
+    )
+    return (
+        wk.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= MG_WEEK_TOPK)
+        .join(F.broadcast(werr), "week")
+        .select("week", "rank", "user_id", "mg_cnt", "err_bound")
+    )
+
+
+def q_mg_topk_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic heavy-hitters STORE (round-12 wave C, VERDICT r11
+    #4): per-day truncated-counts summaries — top-m exact counts under
+    the total order (cnt desc, user_id asc), with the standard error
+    bound (the (m+1)-th largest count, the largest count any dropped
+    key can hide) carried as a column — merged upward to weekly top-k
+    by counter addition + bound addition.  Completes the heavy-hitters
+    family's store form: `token_heavy_hitters` is the two-pass
+    operator, the CMS store answers the same question probabilistically;
+    this summary is exact-deterministic with a self-certifying bound.
+
+    Scale shape: one raw scan (the day build), salted two-phase
+    ranking for the per-day truncation (never a one-task-per-day
+    window over distinct users), and the weekly consumer reads <= 7*m
+    stored rows per week.  The driver hash adjudicates the maintained
+    summaries against the oracle's from-scratch recompute of the same
+    truncation algebra — maintained ≡ recomputed, ranks, counts, and
+    bounds."""
+    import shutil
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="mg_store_")
+    try:
+        store = f"{base}/mg_days"
+        build_mg_day_store(spark, sf_dir, store)
+        out = mg_week_topk_consumer(spark, store).orderBy("week", "rank")
+        # teardown survival: cut lineage (localCheckpoint) so the result
+        # blocks outlive the tempdir rmtree -- never a per-row driver
+        # collect (VERDICT r10 ask #1)
+        return materialize(out)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def oracle_mg_topk_store() -> str:
+    from ..operators.heavyhitters import MG_STORE_M as m
+
+    return f"""
+WITH ev AS (
+    SELECT CAST(ts AS DATE) AS day, user_id FROM events
+),
+dc AS (
+    SELECT day, user_id, CAST(count(*) AS BIGINT) AS cnt
+    FROM ev GROUP BY 1, 2
+),
+rk AS (
+    SELECT day, user_id, cnt, row_number() OVER (
+        PARTITION BY day ORDER BY cnt DESC, user_id ASC) AS rn
+    FROM dc
+),
+cm1 AS (
+    SELECT day,
+           COALESCE(MAX(CASE WHEN rn = {m + 1} THEN cnt END), 0) AS derr
+    FROM rk GROUP BY 1
+),
+kept AS (
+    SELECT r.day, r.user_id, r.cnt FROM rk r WHERE r.rn <= {m}
+),
+wk AS (
+    SELECT CAST(date_trunc('week', day) AS TIMESTAMP) AS week, user_id,
+           CAST(SUM(cnt) AS BIGINT) AS mg_cnt
+    FROM kept GROUP BY 1, 2
+),
+werr AS (
+    SELECT CAST(date_trunc('week', day) AS TIMESTAMP) AS week,
+           CAST(SUM(derr) AS BIGINT) AS err_bound
+    FROM cm1 GROUP BY 1
+),
+ranked AS (
+    SELECT week, user_id, mg_cnt, row_number() OVER (
+        PARTITION BY week ORDER BY mg_cnt DESC, user_id ASC) AS rank
+    FROM wk
+)
+SELECT r.week, CAST(r.rank AS BIGINT) AS rank, r.user_id, r.mg_cnt,
+       w.err_bound
+FROM ranked r JOIN werr w ON r.week = w.week
+WHERE r.rank <= {MG_WEEK_TOPK}
+ORDER BY r.week, r.rank
+"""
+
+
+def af_mg_topk_store(
+    spark: SparkSession, sf_dir: str, scratch: str
+) -> dict[str, DataFrame]:
+    """Interior frames for the plan audit: the day-summary build
+    (exact counts -> salted truncation) and the weekly merge-and-rank
+    consumer over stored rows only."""
+    store = f"{scratch}/mg_days"
+    build = mg_day_summary(spark, sf_dir)
+    build.write.mode("overwrite").partitionBy("day").parquet(store)
+    return {
+        "build": build,
+        "consume": mg_week_topk_consumer(spark, store),
+    }
+
+
+def q_stream_mg_topk_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming + REPLAY parity for the truncated-counts heavy-hitters
+    store (round-12 wave C): two interleaved waves through the real
+    foreachBatch job (:func:`..streaming.sketches.mg_register_stream`)
+    and one checkpoint, then BOTH at-least-once failure modes
+    re-driven through the exposed apply unit — a trailing same-id
+    retry AND a stale out-of-order re-delivery of part of wave 1.
+
+    Unlike the reservoir twin (idempotent by construction), the MG
+    fold double-counts on replay UNLESS the ``_bid`` stamp skips the
+    re-delivered batch — the stamp is load-bearing, and the red
+    control stripping it is in tests/test_mg_store.py.  Truncation
+    also makes the fold ORDER-DEPENDENT (wave 1's dropped keys cannot
+    resurface from the store), so the oracle replays the IDENTICAL
+    wave order: counts(wave 1) → truncate → +counts(wave 2) →
+    truncate → weekly merge.  The driver hash therefore pins the
+    wave-fold fixed point, the error-bound accumulation
+    (err = c_{m+1}(wave 1) + c_{m+1}(merge)), and the replay
+    protection, end to end."""
+    import shutil
+    import tempfile
+
+    from ..streaming.sketches import mg_apply_batch, mg_register_stream
+
+    base = tempfile.mkdtemp(prefix="mg_twin_")
+    try:
+        src, store, ckpt = f"{base}/src", f"{base}/store", f"{base}/ckpt"
+        ev_w = load_table(spark, sf_dir, "events").select(
+            "event_id", "ts", "user_id"
+        )
+        wave1 = ev_w.where(F.col("event_id") % 3 != 0)
+        wave2 = ev_w.where(F.col("event_id") % 3 == 0)
+        wave1.drop("event_id").coalesce(1).write.mode("append").parquet(src)
+        if not mg_register_stream(spark, src, store, ckpt).awaitTermination(
+            120
+        ):
+            raise TimeoutError("mg store wave 1 did not drain in 120s")
+        wave2.drop("event_id").coalesce(1).write.mode("append").parquet(src)
+        if not mg_register_stream(spark, src, store, ckpt).awaitTermination(
+            120
+        ):
+            raise TimeoutError("mg store wave 2 did not drain in 120s")
+        # at-least-once: trailing retry of the last slice (same id) ...
+        mg_apply_batch(spark, store, wave2, batch_id=1)
+        # ... and a stale out-of-order re-delivery from wave 1
+        mg_apply_batch(
+            spark, store, wave1.where(F.col("event_id") % 5 == 2),
+            batch_id=0,
+        )
+        out = mg_week_topk_consumer(spark, store).orderBy("week", "rank")
+        # teardown survival: cut lineage (localCheckpoint) so the result
+        # blocks outlive the tempdir rmtree -- never a per-row driver
+        # collect (VERDICT r10 ask #1)
+        return materialize(out)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def oracle_stream_mg_topk_twin() -> str:
+    from ..operators.heavyhitters import MG_STORE_M as m
+
+    return f"""
+WITH ev AS (
+    SELECT event_id, CAST(ts AS DATE) AS day, user_id FROM events
+),
+c1 AS (
+    SELECT day, user_id, CAST(count(*) AS BIGINT) AS cnt
+    FROM ev WHERE event_id % 3 <> 0 GROUP BY 1, 2
+),
+r1 AS (
+    SELECT day, user_id, cnt, row_number() OVER (
+        PARTITION BY day ORDER BY cnt DESC, user_id ASC) AS rn
+    FROM c1
+),
+e1 AS (
+    SELECT day,
+           COALESCE(MAX(CASE WHEN rn = {m + 1} THEN cnt END), 0) AS derr
+    FROM r1 GROUP BY 1
+),
+k1 AS (SELECT day, user_id, cnt FROM r1 WHERE rn <= {m}),
+c2 AS (
+    SELECT day, user_id, CAST(count(*) AS BIGINT) AS cnt
+    FROM ev WHERE event_id % 3 = 0 GROUP BY 1, 2
+),
+comb AS (
+    SELECT day, user_id, CAST(SUM(cnt) AS BIGINT) AS cnt FROM (
+        SELECT * FROM k1 UNION ALL SELECT * FROM c2
+    ) GROUP BY 1, 2
+),
+r2 AS (
+    SELECT day, user_id, cnt, row_number() OVER (
+        PARTITION BY day ORDER BY cnt DESC, user_id ASC) AS rn
+    FROM comb
+),
+e2 AS (
+    SELECT day,
+           COALESCE(MAX(CASE WHEN rn = {m + 1} THEN cnt END), 0) AS derr
+    FROM r2 GROUP BY 1
+),
+k2 AS (SELECT day, user_id, cnt FROM r2 WHERE rn <= {m}),
+derr AS (
+    SELECT COALESCE(e2.day, e1.day) AS day,
+           COALESCE(e1.derr, 0) + COALESCE(e2.derr, 0) AS derr
+    FROM e2 FULL OUTER JOIN e1 ON e2.day = e1.day
+),
+wk AS (
+    SELECT CAST(date_trunc('week', day) AS TIMESTAMP) AS week, user_id,
+           CAST(SUM(cnt) AS BIGINT) AS mg_cnt
+    FROM k2 GROUP BY 1, 2
+),
+werr AS (
+    SELECT CAST(date_trunc('week', day) AS TIMESTAMP) AS week,
+           CAST(SUM(derr) AS BIGINT) AS err_bound
+    FROM derr GROUP BY 1
+),
+ranked AS (
+    SELECT week, user_id, mg_cnt, row_number() OVER (
+        PARTITION BY week ORDER BY mg_cnt DESC, user_id ASC) AS rank
+    FROM wk
+)
+SELECT r.week, CAST(r.rank AS BIGINT) AS rank, r.user_id, r.mg_cnt,
+       w.err_bound
+FROM ranked r JOIN werr w ON r.week = w.week
+WHERE r.rank <= {MG_WEEK_TOPK}
+ORDER BY r.week, r.rank
+"""

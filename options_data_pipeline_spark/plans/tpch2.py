@@ -772,6 +772,39 @@ ZP_SHIFT = 14
 ZP_PROBES = ((1, 2), (6, 7))
 
 
+def z_coded_orders(
+    spark: SparkSession, sf_dir: str, include_ok: bool = False
+) -> tuple[DataFrame, tuple[int, int, int, int]]:
+    """The z-coded orders frame shared by `zorder_prune` and
+    `zorder_maintain`: grid bounds from a 4-scalar aggregate, integer
+    quantize + bit-interleave, slot id = z >> ZP_SHIFT.  Module-level
+    so the plan audit inspects the SAME build frame the queries
+    execute (`audit_frames`, VERDICT r11 #3)."""
+    orders = load_table(spark, sf_dir, "orders")
+    day = F.datediff(
+        F.to_date("o_orderdate"), F.to_date(F.lit("1970-01-01"))
+    )
+    cols = [
+        F.col("o_custkey").alias("ck"),
+        day.cast("long").alias("day"),
+        F.col("o_totalprice").alias("price"),
+    ]
+    if include_ok:
+        cols.insert(0, F.col("o_orderkey").alias("ok"))
+    base = orders.select(*cols)
+    b = base.agg(
+        F.min("ck"), F.max("ck"), F.min("day"), F.max("day")
+    ).first()
+    ck_min, ck_max, day_min, day_max = (int(v) for v in b)
+    qx = Z.quantize(F.col("ck"), F.lit(ck_min), F.lit(ck_max))
+    qy = Z.quantize(F.col("day"), F.lit(day_min), F.lit(day_max))
+    fid = F.shiftright(Z.interleave_bits(qx, qy), ZP_SHIFT).alias(
+        "file_id"
+    )
+    keep = (["ok"] if include_ok else []) + ["ck", "day", "price"]
+    return base.select(*keep, fid), (ck_min, ck_max, day_min, day_max)
+
+
 def q_zorder_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """END-TO-END Z-order pruning contract (round-11 wave 1, VERDICT
     r10 ask #3): physically write ``orders`` Z-order-clustered on
@@ -812,26 +845,9 @@ def q_zorder_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators.materialize import materialize
 
-    orders = load_table(spark, sf_dir, "orders")
-    day = F.datediff(
-        F.to_date("o_orderdate"), F.to_date(F.lit("1970-01-01"))
+    coded, (ck_min, ck_max, day_min, day_max) = z_coded_orders(
+        spark, sf_dir
     )
-    base = orders.select(
-        F.col("o_custkey").alias("ck"),
-        day.cast("long").alias("day"),
-        F.col("o_totalprice").alias("price"),
-    )
-    b = base.agg(
-        F.min("ck"), F.max("ck"), F.min("day"), F.max("day")
-    ).first()
-    ck_min, ck_max, day_min, day_max = (int(v) for v in b)
-
-    qx = Z.quantize(F.col("ck"), F.lit(ck_min), F.lit(ck_max))
-    qy = Z.quantize(F.col("day"), F.lit(day_min), F.lit(day_max))
-    fid = F.shiftright(Z.interleave_bits(qx, qy), ZP_SHIFT).alias(
-        "file_id"
-    )
-    coded = base.select("ck", "day", "price", fid)
 
     base_dir = tempfile.mkdtemp(prefix="zprune_")
     try:
@@ -1001,29 +1017,10 @@ def q_zorder_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.materialize import materialize
     from ..sinks.layout import compact_partitions
 
-    orders = load_table(spark, sf_dir, "orders")
-    day = F.datediff(
-        F.to_date("o_orderdate"), F.to_date(F.lit("1970-01-01"))
-    )
-    base = orders.select(
-        F.col("o_orderkey").alias("ok"),
-        F.col("o_custkey").alias("ck"),
-        day.cast("long").alias("day"),
-        F.col("o_totalprice").alias("price"),
-    )
     # grid bounds from table stats over the FULL table (pinned at
     # layout creation — production reads these from the manifest), so
     # delta rows always land inside the grid
-    b = base.agg(
-        F.min("ck"), F.max("ck"), F.min("day"), F.max("day")
-    ).first()
-    ck_min, ck_max, day_min, day_max = (int(v) for v in b)
-    qx = Z.quantize(F.col("ck"), F.lit(ck_min), F.lit(ck_max))
-    qy = Z.quantize(F.col("day"), F.lit(day_min), F.lit(day_max))
-    fid = F.shiftright(Z.interleave_bits(qx, qy), ZP_SHIFT).alias(
-        "file_id"
-    )
-    coded = base.select("ok", "ck", "day", "price", fid)
+    coded, _bounds = z_coded_orders(spark, sf_dir, include_ok=True)
 
     base_dir = tempfile.mkdtemp(prefix="zmaint_")
     try:
@@ -1089,6 +1086,53 @@ def q_zorder_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(base_dir, ignore_errors=True)
 
 
+def af_zorder_prune(
+    spark: SparkSession, sf_dir: str, scratch: str
+) -> dict[str, DataFrame]:
+    """Interior frames for the plan audit (`audit_frames`, VERDICT r11
+    #3): the clustered-write exchange and the per-file content
+    aggregate over the written store — the plans `materialize()` hides
+    from the terminal audit."""
+    coded, _b = z_coded_orders(spark, sf_dir)
+    store = f"{scratch}/orders_z"
+    build = coded.repartition(F.col("file_id"))
+    build.write.partitionBy("file_id").parquet(store)
+    content = (
+        spark.read.parquet(store)
+        .groupBy(F.col("file_id").cast("long").alias("file_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            round_half_away(dec_sum(F.col("price")), 2).alias("sum_price"),
+        )
+    )
+    return {"build": build, "consume": content}
+
+
+def af_zorder_maintain(
+    spark: SparkSession, sf_dir: str, scratch: str
+) -> dict[str, DataFrame]:
+    """Interior frames: the init clustered write, the delta append
+    (same exchange shape, delta-sized input), and the post-maintenance
+    content read."""
+    coded, _b = z_coded_orders(spark, sf_dir, include_ok=True)
+    store = f"{scratch}/orders_zm"
+    init = coded.where(F.col("ok") % ZM_DELTA_MOD != 0)
+    delta = coded.where(F.col("ok") % ZM_DELTA_MOD == 0)
+    build = init.repartition(F.col("file_id"))
+    build.write.partitionBy("file_id").parquet(store)
+    append = delta.repartition(F.col("file_id"))
+    append.write.mode("append").partitionBy("file_id").parquet(store)
+    content = (
+        spark.read.parquet(store)
+        .groupBy(F.col("file_id").cast("long").alias("file_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            round_half_away(dec_sum(F.col("price")), 2).alias("sum_price"),
+        )
+    )
+    return {"build": build, "delta_append": append, "consume": content}
+
+
 def oracle_zorder_maintain() -> str:
     z = Z.interleave_sql(
         Z.quantize_sql("ck", "ck_min", "ck_max"),
@@ -1123,3 +1167,357 @@ SELECT file_id, CAST(count(*) AS BIGINT) AS n_rows,
 FROM f GROUP BY 1
 ORDER BY file_id
 """
+
+
+# --- composite_prune: z-order x bloom composed pruning (round 12) -----------
+
+#: ck-range probe windows in tenths of the ck span (shared w/ oracle)
+CP_WINDOWS = ((0, 3), (4, 7))
+#: equality-probe selectors over the NON-clustered key ok
+CP_PRESENT_MOD, CP_PRESENT_RES, CP_N_PRESENT = 13, 4, 4
+CP_N_ABSENT = 2
+#: per-file bloom geometry over ok — 63-bit words (the repo-wide
+#: convention; see operators/bloom.py)
+CP_BLOOM_M = 1 << 16
+CP_BLOOM_K = 5
+
+
+def q_composite_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPOSED physical-index pruning (round-12 wave D, VERDICT r11
+    #5): one orders table z-clustered on (custkey, order-day) — parquet
+    footer min/max prunes RANGE predicates on the clustered dims
+    (`zorder_prune`'s contract) — PLUS a per-file 63-bit bloom index
+    over the NON-clustered ``o_orderkey`` — probing prunes EQUALITY
+    lookups (`bloom_file_index`'s contract).  A range(ck) × equality
+    (ok) predicate pair must touch only files BOTH indexes rule in:
+    the driver hash adjudicates the full (probe, window, file) matrix
+    — ``range_hit`` (footer interval intersects the window),
+    ``bloom_maybe`` (all k index bits set, computed from the WRITTEN
+    index artifact), ``touched`` = AND of the two, and ``present``
+    (ground truth: the file physically holds a row with that ok inside
+    the window) — which pins the no-false-negative composition law
+    (present ⇒ touched) and the file counts at every scale.
+
+    Scale shape: one z-keyed exchange for the clustered write, one
+    map-side-combined word aggregate for the index (<= m/63 rows per
+    file), a metadata-only footer walk, and a probe plan that joins
+    the BROADCAST index — |probes| × |files| rows, never a data scan.
+    The oracle predicts file assignment arithmetically from the z
+    grammar, footer stats as group aggregates (one file per slot by
+    construction), and the bloom verdict from md5 position sets — the
+    whole physical layout adjudicated without reading a data page."""
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from ..operators.bloom import bloom_positions
+    from ..operators.materialize import materialize
+
+    coded, (ck_min, ck_max, _dmin, _dmax) = z_coded_orders(
+        spark, sf_dir, include_ok=True
+    )
+    base_dir = tempfile.mkdtemp(prefix="cprune_")
+    try:
+        store = f"{base_dir}/orders_z"
+        (
+            coded.repartition(F.col("file_id"))
+            .write.partitionBy("file_id")
+            .parquet(store)
+        )
+        # per-file bloom over ok, built FROM THE WRITTEN STORE and
+        # persisted as the standing index artifact
+        index_path = f"{base_dir}/bloom"
+        rows = spark.read.parquet(store).select(
+            F.col("file_id").cast("long").alias("file_id"), "ok"
+        )
+        pos = rows.select(
+            "file_id",
+            F.explode(
+                bloom_positions(F.col("ok"), CP_BLOOM_M, CP_BLOOM_K)
+            ).alias("pos"),
+        )
+        (
+            pos.groupBy(
+                "file_id",
+                F.floor(F.col("pos") / F.lit(63)).cast("long").alias(
+                    "word"
+                ),
+            )
+            .agg(
+                F.bit_or(
+                    F.expr("shiftleft(1L, CAST(pos % 63 AS INT))")
+                ).alias("bits")
+            )
+            .write.mode("overwrite")
+            .parquet(index_path)
+        )
+
+        # footer stats: per-file min/max ck — metadata reads only
+        stat_rows = []
+        for entry in sorted(os.listdir(store)):
+            if not entry.startswith("file_id="):
+                continue
+            slot = int(entry.split("=", 1)[1])
+            part_dir = os.path.join(store, entry)
+            pfiles = [
+                f for f in os.listdir(part_dir) if f.endswith(".parquet")
+            ]
+            assert len(pfiles) == 1, (
+                f"slot {slot}: {len(pfiles)} files — the one-task-per-"
+                "slot write contract broke"
+            )
+            md = pq.ParquetFile(os.path.join(part_dir, pfiles[0])).metadata
+            idx = {
+                md.schema.column(i).name: i for i in range(md.num_columns)
+            }
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx["ck"]).statistics
+                mins.append(st.min)
+                maxs.append(st.max)
+            stat_rows.append((slot, min(mins), max(maxs)))
+        phys = spark.createDataFrame(
+            stat_rows, "file_id long, min_ck long, max_ck long"
+        )
+
+        # probe frames: equality keys (present + guaranteed-absent) ×
+        # range windows (integer arithmetic shared with the oracle)
+        present = (
+            coded.where(
+                F.col("ok") % CP_PRESENT_MOD == CP_PRESENT_RES
+            )
+            .select("ok")
+            .distinct()
+            .orderBy("ok")
+            .limit(CP_N_PRESENT)
+        )
+        absent = coded.agg(F.max("ok").alias("mx")).select(
+            F.explode(
+                F.sequence(F.col("mx") + 1, F.col("mx") + CP_N_ABSENT)
+            ).alias("ok")
+        )
+        oks = present.unionByName(absent)
+        span = ck_max - ck_min
+        win_rows = [
+            (lo_t, hi_t, ck_min + span * lo_t // 10,
+             ck_min + span * hi_t // 10)
+            for lo_t, hi_t in CP_WINDOWS
+        ]
+        wins = spark.createDataFrame(
+            win_rows, "lo_t int, hi_t int, p_lo long, p_hi long"
+        )
+
+        # bloom verdict per (ok, file): k probe positions against the
+        # broadcast written index
+        index = spark.read.parquet(index_path)
+        files = phys.select("file_id")
+        gpos = oks.crossJoin(files).select(
+            "ok",
+            "file_id",
+            F.explode(
+                bloom_positions(F.col("ok"), CP_BLOOM_M, CP_BLOOM_K)
+            ).alias("pos"),
+        )
+        hit = gpos.join(
+            F.broadcast(index),
+            (gpos["file_id"] == index["file_id"])
+            & (
+                F.floor(F.col("pos") / F.lit(63)).cast("long")
+                == F.col("word")
+            ),
+            "left",
+        ).select(
+            "ok",
+            gpos["file_id"].alias("file_id"),
+            (
+                F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(
+                    F.expr("shiftleft(1L, CAST(pos % 63 AS INT))")
+                )
+                != 0
+            ).cast("int").alias("h"),
+        )
+        maybe = hit.groupBy("ok", "file_id").agg(
+            F.min("h").alias("bloom_maybe")
+        )
+
+        # ground truth: does the file hold the key INSIDE the window?
+        truth = (
+            spark.read.parquet(store)
+            .select(
+                F.col("file_id").cast("long").alias("file_id"),
+                "ok",
+                "ck",
+            )
+            .join(F.broadcast(oks), "ok")
+            .crossJoin(F.broadcast(wins))
+            .where(
+                (F.col("ck") >= F.col("p_lo"))
+                & (F.col("ck") <= F.col("p_hi"))
+            )
+            .select("ok", "file_id", "lo_t", "hi_t")
+            .distinct()
+            .withColumn("present", F.lit(1))
+        )
+
+        grid = maybe.crossJoin(F.broadcast(wins)).join(
+            F.broadcast(phys), "file_id"
+        )
+        out = (
+            grid.join(truth, ["ok", "file_id", "lo_t", "hi_t"], "left")
+            .select(
+                "ok",
+                "lo_t",
+                "hi_t",
+                "file_id",
+                (
+                    (F.col("min_ck") <= F.col("p_hi"))
+                    & (F.col("max_ck") >= F.col("p_lo"))
+                ).cast("int").alias("range_hit"),
+                "bloom_maybe",
+                (
+                    (
+                        (F.col("min_ck") <= F.col("p_hi"))
+                        & (F.col("max_ck") >= F.col("p_lo"))
+                    ).cast("int")
+                    * F.col("bloom_maybe")
+                ).alias("touched"),
+                F.coalesce("present", F.lit(0)).alias("present"),
+            )
+            .orderBy("ok", "lo_t", "file_id")
+        )
+        # teardown survival: cut lineage (localCheckpoint) so the result
+        # blocks outlive the tempdir rmtree -- never a per-row driver
+        # collect (VERDICT r10 ask #1)
+        return materialize(out)
+    finally:
+        shutil.rmtree(base_dir, ignore_errors=True)
+
+
+def oracle_composite_prune() -> str:
+    z = Z.interleave_sql(
+        Z.quantize_sql("ck", "ck_min", "ck_max"),
+        Z.quantize_sql("day", "day_min", "day_max"),
+    )
+    m, k = CP_BLOOM_M, CP_BLOOM_K
+    win_sql = ", ".join(f"({lo}, {hi})" for lo, hi in CP_WINDOWS)
+    return f"""
+WITH base AS (
+    SELECT o_orderkey AS ok, o_custkey AS ck,
+           CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS day
+    FROM orders
+),
+b AS (
+    SELECT min(ck) AS ck_min, max(ck) AS ck_max,
+           min(day) AS day_min, max(day) AS day_max
+    FROM base
+),
+f AS (
+    SELECT ok, ck, ({z}) >> {ZP_SHIFT} AS file_id
+    FROM base, b
+),
+phys AS (
+    SELECT file_id, min(ck) AS min_ck, max(ck) AS max_ck
+    FROM f GROUP BY 1
+),
+file_bits AS (
+    SELECT DISTINCT file_id, (h1 + g.i * h2) % {m} AS pos
+    FROM (
+        SELECT file_id,
+               ('0x' || substr(md5(CAST(ok AS VARCHAR)), 1, 15))
+                   ::UBIGINT::BIGINT AS h1,
+               ('0x' || substr(md5(CAST(ok AS VARCHAR)), 16, 15))
+                   ::UBIGINT::BIGINT AS h2
+        FROM f
+    )
+    CROSS JOIN generate_series(0, {k - 1}) AS g(i)
+),
+pres AS (
+    SELECT DISTINCT ok FROM base
+    WHERE ok % {CP_PRESENT_MOD} = {CP_PRESENT_RES}
+    ORDER BY ok LIMIT {CP_N_PRESENT}
+),
+absent AS (
+    SELECT mx + g.i AS ok
+    FROM (SELECT max(ok) AS mx FROM base)
+    CROSS JOIN generate_series(1, {CP_N_ABSENT}) AS g(i)
+),
+oks AS (SELECT ok FROM pres UNION ALL SELECT ok FROM absent),
+wins AS (
+    SELECT lo_t, hi_t,
+           ck_min + (ck_max - ck_min) * lo_t // 10 AS p_lo,
+           ck_min + (ck_max - ck_min) * hi_t // 10 AS p_hi
+    FROM (VALUES {win_sql}) AS w(lo_t, hi_t), b
+),
+gpos AS (
+    SELECT o.ok, p.file_id, (h1 + g.i * h2) % {m} AS pos
+    FROM (
+        SELECT ok,
+               ('0x' || substr(md5(CAST(ok AS VARCHAR)), 1, 15))
+                   ::UBIGINT::BIGINT AS h1,
+               ('0x' || substr(md5(CAST(ok AS VARCHAR)), 16, 15))
+                   ::UBIGINT::BIGINT AS h2
+        FROM oks
+    ) o
+    CROSS JOIN (SELECT DISTINCT file_id FROM phys) p
+    CROSS JOIN generate_series(0, {k - 1}) AS g(i)
+),
+maybe AS (
+    SELECT g.ok, g.file_id,
+           CAST(bool_and(fb.pos IS NOT NULL) AS INTEGER) AS bloom_maybe
+    FROM gpos g LEFT OUTER JOIN file_bits fb
+        ON g.file_id = fb.file_id AND g.pos = fb.pos
+    GROUP BY 1, 2
+),
+truth AS (
+    SELECT DISTINCT o.ok, ff.file_id, w.lo_t, w.hi_t
+    FROM oks o
+    JOIN f ff ON ff.ok = o.ok
+    CROSS JOIN wins w
+    WHERE ff.ck >= w.p_lo AND ff.ck <= w.p_hi
+)
+SELECT m.ok, CAST(w.lo_t AS INTEGER) AS lo_t,
+       CAST(w.hi_t AS INTEGER) AS hi_t, m.file_id,
+       CAST(p.min_ck <= w.p_hi AND p.max_ck >= w.p_lo AS INTEGER)
+           AS range_hit,
+       m.bloom_maybe,
+       CAST(p.min_ck <= w.p_hi AND p.max_ck >= w.p_lo AS INTEGER)
+           * m.bloom_maybe AS touched,
+       CASE WHEN t.ok IS NULL THEN 0 ELSE 1 END AS present
+FROM maybe m
+CROSS JOIN wins w
+JOIN phys p ON m.file_id = p.file_id
+LEFT OUTER JOIN truth t
+    ON t.ok = m.ok AND t.file_id = m.file_id
+   AND t.lo_t = w.lo_t AND t.hi_t = w.hi_t
+ORDER BY m.ok, w.lo_t, m.file_id
+"""
+
+
+def af_composite_prune(
+    spark: SparkSession, sf_dir: str, scratch: str
+) -> dict[str, DataFrame]:
+    """Interior frames: the clustered write and the per-file bloom
+    word aggregate — the two index builds the matrix adjudicates."""
+    from ..operators.bloom import bloom_positions
+
+    coded, _b = z_coded_orders(spark, sf_dir, include_ok=True)
+    store = f"{scratch}/orders_z"
+    build = coded.repartition(F.col("file_id"))
+    build.write.partitionBy("file_id").parquet(store)
+    pos = spark.read.parquet(store).select(
+        F.col("file_id").cast("long").alias("file_id"),
+        F.explode(
+            bloom_positions(F.col("ok"), CP_BLOOM_M, CP_BLOOM_K)
+        ).alias("pos"),
+    )
+    words = pos.groupBy(
+        "file_id",
+        F.floor(F.col("pos") / F.lit(63)).cast("long").alias("word"),
+    ).agg(
+        F.bit_or(
+            F.expr("shiftleft(1L, CAST(pos % 63 AS INT))")
+        ).alias("bits")
+    )
+    return {"build": build, "index_build": words}

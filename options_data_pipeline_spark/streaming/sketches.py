@@ -458,6 +458,35 @@ def reservoir_apply_batch(
     row key, re-bottom-k, and slot-keyed partitioned upsert — write
     cost follows touched days; rank slots only ever improve (the
     candidate set grows monotonically)."""
+    merged = reservoir_merge_frame(
+        spark, store_path, batch_events,
+        ts_col=ts_col, type_col=type_col,
+        key_col=key_col, value_col=value_col,
+    )
+    upsert_partitioned(
+        spark,
+        store_path,
+        merged,
+        keys=["day", "event_type", "rank"],
+        partition_col="day",
+        collect_metrics=False,
+    )
+
+
+def reservoir_merge_frame(
+    spark: SparkSession,
+    store_path: str,
+    batch_events: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    key_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """The one apply's merge frame (pre-upsert): bottom-k the slice,
+    union with the stored rows of the SAME days (partition-pruned),
+    dedup on the row key, re-bottom-k.  Split out of
+    :func:`reservoir_apply_batch` so the plan audit can inspect the
+    interior maintenance plan (`audit_frames`, VERDICT r11 #3)."""
     from ..operators.reservoir import reservoir_bottom_k, rsv_priority
     from ..sinks.upsert import _read_target
 
@@ -481,16 +510,8 @@ def reservoir_apply_batch(
         merged_src = kept.unionByName(stored).dropDuplicates(
             ["day", "event_type", "event_id"]
         )
-    merged = reservoir_bottom_k(
+    return reservoir_bottom_k(
         merged_src, ["day", "event_type"], "p", "event_id"
-    )
-    upsert_partitioned(
-        spark,
-        store_path,
-        merged,
-        keys=["day", "event_type", "rank"],
-        partition_col="day",
-        collect_metrics=False,
     )
 
 
@@ -513,6 +534,121 @@ def reservoir_register_stream(
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         reservoir_apply_batch(spark, store_path, batch_df, batch_id)
+
+    writer = (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def mg_apply_batch(
+    spark: SparkSession,
+    store_path: str,
+    batch_events: DataFrame,
+    batch_id: int,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> None:
+    """Fold one micro-batch slice into the per-day truncated-counts
+    heavy-hitters store (the SIXTH store type), exactly once.
+
+    Unlike the reservoir (idempotent order statistic) the MG fold is
+    NOT replay-safe by construction: the slice's counts ADD into the
+    stored counters before re-truncation, so a re-delivered batch
+    would double-count — the additive-store hazard.  Protection is the
+    shared ``_bid`` recipe: every stored row carries the id of the
+    last batch folded into its day, stamped in the SAME partition swap
+    as the counters; stamped days are skipped wholesale (their
+    partitions never rewritten).
+
+    Per trigger: exact slice counts per (day, key), ADD-merge with the
+    stored top-m rows of the SAME days (partition-pruned read), then
+    re-truncate — the error bound grows by the merged (m+1)-th count,
+    exactly the SpaceSaving merge bound (Agarwal et al., "Mergeable
+    Summaries").  Truncation makes the fold order-DEPENDENT; the
+    adjudicating oracle replays the identical wave order."""
+    from ..operators.heavyhitters import mg_truncate
+    from ..sinks.upsert import _read_target
+
+    ev = batch_events.select(
+        F.to_date(F.col(ts_col)).alias("day"),
+        F.col(key_col).alias("user_id"),
+    )
+    target = _read_target(spark, store_path)
+    if target is not None and "_bid" in target.columns:
+        done_days = (
+            target.groupBy("day")
+            .agg(F.max("_bid").alias("_mx"))
+            .where(F.col("_mx") >= batch_id)
+            .select("day")
+        )
+        ev = ev.join(F.broadcast(done_days), "day", "left_anti")
+        if not ev.limit(1).collect():
+            return  # every day already applied this batch id
+    dc = ev.groupBy("day", "user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    if target is None:
+        comb = dc
+        err_in = None
+    else:
+        touched = dc.select("day").distinct()
+        stored = target.select("day", "user_id", "cnt").join(
+            touched, "day"
+        )
+        comb = (
+            dc.unionByName(stored)
+            .groupBy("day", "user_id")
+            .agg(F.sum("cnt").cast("long").alias("cnt"))
+        )
+        err_in = target.select("day", "err").join(
+            touched, "day"
+        ).groupBy("day").agg(F.max("err").alias("_err_in"))
+    if err_in is None:
+        with_err = comb.withColumn("err", F.lit(0).cast("long"))
+    else:
+        with_err = comb.join(F.broadcast(err_in), "day", "left").select(
+            "day",
+            "user_id",
+            "cnt",
+            F.coalesce(F.col("_err_in"), F.lit(0)).cast("long").alias(
+                "err"
+            ),
+        )
+    summary = mg_truncate(with_err, ["day"], "user_id").withColumn(
+        "_bid", F.lit(batch_id)
+    )
+    upsert_partitioned(
+        spark,
+        store_path,
+        summary,
+        keys=["day", "rank"],
+        partition_col="day",
+        collect_metrics=False,
+    )
+
+
+def mg_register_stream(
+    spark: SparkSession,
+    source_dir: str,
+    store_path: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Maintain the per-day truncated-counts heavy-hitters store from
+    an event stream; the weekly rollup
+    (:func:`..plans.stores.mg_week_topk_consumer`) reads <= 7*m stored
+    rows per week."""
+    from .candles import read_event_stream
+
+    stream = read_event_stream(spark, source_dir)
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        mg_apply_batch(spark, store_path, batch_df, batch_id)
 
     writer = (
         stream.writeStream.foreachBatch(_apply)

@@ -102,6 +102,54 @@ def test_sentinel_plan_matches_committed_audit(spark, name):
     )
 
 
+@pytest.mark.parametrize(
+    "name", sorted(registry.audit_frames().keys())
+)
+def test_interior_frames_match_committed_audit(spark, name, tmp_path):
+    """VERDICT r11 #3: the materialized store/twin queries commit
+    all-zero terminal rows (ExistingRDD after materialize()), so their
+    INTERIOR build/adjust/merge/consume plans are audited via the
+    audit_frames hooks and pinned here — a new shuffle inside the
+    maintenance path fails CI even though the terminal plan can't
+    show it."""
+    from tools.plan_audit import audit_df
+
+    committed = committed_rows(PLANS_MD)
+    hook = registry.audit_frames()[name]
+    frames = hook(spark, AUDIT_SF_DIR, str(tmp_path))
+    assert frames, f"{name}: hook returned no frames"
+    for frame, df in frames.items():
+        key = f"{name}#{frame}"
+        assert key in committed, f"{key} missing from PLANS.md — regenerate"
+        live = audit_df(spark, key, df)
+        assert live == committed[key], (
+            f"{key}: interior plan drifted from the committed audit "
+            f"(live {live} != committed {committed[key]}). If "
+            "intentional, regenerate with `python tools/plan_audit.py` "
+            "and review the diff."
+        )
+        # the blind spot this closes: interior frames must not be
+        # ExistingRDD stubs — at least one has real plan structure
+    assert any(
+        committed[f"{name}#{f}"][1:5] != (0, 0, 0, 0) for f in frames
+    ), f"{name}: every interior frame audited all-zero — hook is inert"
+
+
+def test_interior_audit_catches_injected_shuffle(spark, tmp_path):
+    """Negative control for the interior audit: a deliberately
+    degraded maintenance frame (extra repartition) must NOT match the
+    committed row."""
+    from tools.plan_audit import audit_df
+
+    committed = committed_rows(PLANS_MD)
+    hook = registry.audit_frames()["join_ivm_twin"]
+    frames = hook(spark, AUDIT_SF_DIR, str(tmp_path))
+    broken = frames["adjust"].repartition(77)
+    live = audit_df(spark, "join_ivm_twin#adjust", broken)
+    assert live != committed["join_ivm_twin#adjust"]
+    assert live[1] == committed["join_ivm_twin#adjust"][1] + 1
+
+
 def test_audit_catches_injected_shuffle(spark):
     """Negative control: a deliberately-degraded plan (extra
     repartition) must NOT match the committed row."""
