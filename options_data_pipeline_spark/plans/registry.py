@@ -919,6 +919,10 @@ _AUDIT_FRAMES: dict[
     "weighted_sample_store": stores.af_weighted_sample_store,
     "stream_reservoir_twin": stores.af_stream_reservoir_twin,
     "mg_topk_store": stores.af_mg_topk_store,
+    "hll_week_from_store": stores.af_hll_week_from_store,
+    "cms_topk_from_store": stores.af_cms_topk_from_store,
+    "hist_quantile_store": stores.af_hist_quantile_store,
+    "dds_quantile_store": stores.af_dds_quantile_store,
     "agg_ivm_twin": quality.af_agg_ivm_twin,
     "join_ivm_twin": quality.af_join_ivm_twin,
     "bloom_index_maintain": quality.af_bloom_index_maintain,

@@ -1635,3 +1635,42 @@ FROM ranked r JOIN werr w ON r.week = w.week
 WHERE r.rank <= {MG_WEEK_TOPK}
 ORDER BY r.week, r.rank
 """
+
+
+# --- consumer-frame audit hooks for the sketch-store family -----------------
+# (VERDICT r11 #3 follow-through: the consumers are where the store
+# economics live — each must stay a stored-rows-only merge plan; the
+# builds are single map-side-combined groupBy writes already pinned by
+# tests/test_scale_plans.py's no-events-scan checks.)
+
+
+def af_hll_week_from_store(
+    spark: SparkSession, sf_dir: str, scratch: str
+) -> dict[str, DataFrame]:
+    store = f"{scratch}/hll_days"
+    build_hll_day_store(spark, sf_dir, store)
+    return {"consume": hll_week_consumer(spark, store)}
+
+
+def af_cms_topk_from_store(
+    spark: SparkSession, sf_dir: str, scratch: str
+) -> dict[str, DataFrame]:
+    grid, cand = f"{scratch}/cms_days", f"{scratch}/cands"
+    build_cms_day_store(spark, sf_dir, grid, cand)
+    return {"consume": cms_week_topk_consumer(spark, grid, cand)}
+
+
+def af_hist_quantile_store(
+    spark: SparkSession, sf_dir: str, scratch: str
+) -> dict[str, DataFrame]:
+    store = f"{scratch}/hist_days"
+    build_hist_day_store(spark, sf_dir, store)
+    return {"consume": hist_week_quantile_consumer(spark, store)}
+
+
+def af_dds_quantile_store(
+    spark: SparkSession, sf_dir: str, scratch: str
+) -> dict[str, DataFrame]:
+    store = f"{scratch}/dds_days"
+    build_dds_day_store(spark, sf_dir, store)
+    return {"consume": dds_week_quantile_consumer(spark, store)}
