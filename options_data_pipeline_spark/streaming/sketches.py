@@ -482,11 +482,17 @@ def reservoir_merge_frame(
     key_col: str = "event_id",
     value_col: str = "value",
 ) -> DataFrame:
-    """The one apply's merge frame (pre-upsert): bottom-k the slice,
-    union with the stored rows of the SAME days (partition-pruned),
-    dedup on the row key, re-bottom-k.  Split out of
+    """The one apply's merge frame (pre-upsert): union the slice with
+    the stored rows of the SAME days (partition-pruned), dedup on the
+    row key, bottom-k once.  Split out of
     :func:`reservoir_apply_batch` so the plan audit can inspect the
-    interior maintenance plan (`audit_frames`, VERDICT r11 #3)."""
+    interior maintenance plan (`audit_frames`, VERDICT r11 #3) — and
+    the first committed audit promptly flagged the original shape
+    (pre-shrinking the slice with its OWN bottom-k before the union:
+    11 shuffles / 8 windows per trigger).  The pre-shrink is
+    redundant: the final salted re-rank dominates it — bottom-k(slice
+    ∪ stored) ≡ bottom-k(bottom-k(slice) ∪ stored) — so one ranking
+    pass suffices (5 shuffles / 2 windows), identical hashes."""
     from ..operators.reservoir import reservoir_bottom_k, rsv_priority
     from ..sinks.upsert import _read_target
 
@@ -497,17 +503,14 @@ def reservoir_merge_frame(
         F.col(value_col).alias("value"),
         rsv_priority(F.col(key_col)).alias("p"),
     )
-    kept = reservoir_bottom_k(
-        ev, ["day", "event_type"], "p", "event_id"
-    ).drop("rank")
     target = _read_target(spark, store_path)
     if target is None:
-        merged_src = kept
+        merged_src = ev
     else:
         stored = target.select(
             "day", "event_type", "event_id", "value", "p"
-        ).join(kept.select("day").distinct(), "day")
-        merged_src = kept.unionByName(stored).dropDuplicates(
+        ).join(ev.select("day").distinct(), "day")
+        merged_src = ev.unionByName(stored).dropDuplicates(
             ["day", "event_type", "event_id"]
         )
     return reservoir_bottom_k(
