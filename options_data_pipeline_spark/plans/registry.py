@@ -427,6 +427,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
         tpch2.q_composite_prune,
         tpch2.oracle_composite_prune,
     ),
+    "composite_maintain": (
+        tpch2.q_composite_maintain,
+        tpch2.oracle_composite_maintain,
+    ),
     "pq_ann_topk": (vectors.q_pq_ann_topk, vectors.oracle_pq_ann_topk),
     "ivfadc_topk": (vectors.q_ivfadc_topk, vectors.oracle_ivfadc_topk),
     "cms_token_freq": (text.q_cms_token_freq, text.oracle_cms_token_freq),
@@ -671,6 +675,7 @@ _PRIORITY: list[str] = [
     "mg_topk_store",
     "stream_mg_topk_twin",
     "composite_prune",
+    "composite_maintain",
     # round-12 re-planned queries (prefix-sum quantiles, blocked
     # rolling window, salted top-k selections, IVM/zorder/bloom seams)
     "weighted_median",

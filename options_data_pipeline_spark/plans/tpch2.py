@@ -1521,3 +1521,240 @@ def af_composite_prune(
         ).alias("bits")
     )
     return {"build": build, "index_build": words}
+
+
+def q_composite_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed-index MAINTENANCE (round 12): the recurring cost of
+    `composite_prune`'s layout isolated — a delta appended into the
+    z-slot store fragments ONLY its slots (compaction rewrites exactly
+    those), and the delta's bloom words OR into ONLY the touched
+    slots' index rows (delta-only by algebra, replay-idempotent like
+    `bloom_index_maintain`).  The driver hash adjudicates the probe
+    matrix of `composite_prune` AGAINST THE MAINTAINED ARTIFACTS —
+    post-compaction footers, OR-merged index — plus per-slot
+    ``files_after`` = 1, while the oracle recomputes everything from
+    the FULL corpus arithmetically: maintained ≡ rebuilt for the
+    composed physical layout.
+
+    Scale shape: the delta append and its word build touch delta rows
+    only; compaction reads and rewrites the delta's slot directories;
+    the index merge reads <= m/63 stored words for the touched slots.
+    Nothing rescans the standing corpus."""
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from ..operators.bloom import bloom_positions
+    from ..operators.materialize import materialize
+    from ..sinks.layout import compact_partitions
+
+    coded, (ck_min, ck_max, _dmin, _dmax) = z_coded_orders(
+        spark, sf_dir, include_ok=True
+    )
+    base_dir = tempfile.mkdtemp(prefix="cmaint_")
+    try:
+        store = f"{base_dir}/orders_z"
+        index_path = f"{base_dir}/bloom"
+        init = coded.where(F.col("ok") % ZM_DELTA_MOD != 0)
+        delta = coded.where(F.col("ok") % ZM_DELTA_MOD == 0)
+
+        def slot_words(rows: DataFrame) -> DataFrame:
+            pos = rows.select(
+                "file_id",
+                F.explode(
+                    bloom_positions(F.col("ok"), CP_BLOOM_M, CP_BLOOM_K)
+                ).alias("pos"),
+            )
+            return pos.groupBy(
+                "file_id",
+                F.floor(F.col("pos") / F.lit(63)).cast("long").alias(
+                    "word"
+                ),
+            ).agg(
+                F.bit_or(
+                    F.expr("shiftleft(1L, CAST(pos % 63 AS INT))")
+                ).alias("bits")
+            )
+
+        # initial layout + index over the standing corpus
+        (
+            init.repartition(F.col("file_id"))
+            .write.partitionBy("file_id")
+            .parquet(store)
+        )
+        slot_words(
+            init.select(F.col("file_id").cast("long").alias("file_id"), "ok")
+        ).write.mode("overwrite").parquet(index_path)
+
+        # maintenance: append the delta, compact ONLY fragmented slots,
+        # OR-merge the delta's words into the touched slots' index
+        (
+            delta.repartition(F.col("file_id"))
+            .write.mode("append")
+            .partitionBy("file_id")
+            .parquet(store)
+        )
+        compact_partitions(spark, store, "file_id", files_per_partition=1)
+        delta_words = slot_words(
+            delta.select(F.col("file_id").cast("long").alias("file_id"), "ok")
+        )
+        stored = spark.read.parquet(index_path)
+        touched = delta_words.select("file_id").distinct()
+        merged = (
+            stored.join(touched, "file_id")
+            .unionByName(delta_words)
+            .groupBy("file_id", "word")
+            .agg(F.bit_or("bits").alias("bits"))
+        )
+        untouched = stored.join(touched, "file_id", "left_anti")
+        merged.unionByName(untouched).write.mode("overwrite").parquet(
+            f"{base_dir}/bloom2"
+        )
+        index = spark.read.parquet(f"{base_dir}/bloom2")
+
+        # post-maintenance footers + per-slot file count
+        stat_rows = []
+        for entry in sorted(os.listdir(store)):
+            if not entry.startswith("file_id="):
+                continue
+            slot = int(entry.split("=", 1)[1])
+            part_dir = os.path.join(store, entry)
+            pfiles = [
+                f for f in os.listdir(part_dir) if f.endswith(".parquet")
+            ]
+            mins, maxs = [], []
+            for pf in pfiles:
+                md = pq.ParquetFile(os.path.join(part_dir, pf)).metadata
+                idx = {
+                    md.schema.column(i).name: i
+                    for i in range(md.num_columns)
+                }
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(idx["ck"]).statistics
+                    mins.append(st.min)
+                    maxs.append(st.max)
+            stat_rows.append((slot, min(mins), max(maxs), len(pfiles)))
+        phys = spark.createDataFrame(
+            stat_rows,
+            "file_id long, min_ck long, max_ck long, files_after long",
+        )
+
+        present = (
+            coded.where(
+                F.col("ok") % CP_PRESENT_MOD == CP_PRESENT_RES
+            )
+            .select("ok")
+            .distinct()
+            .orderBy("ok")
+            .limit(CP_N_PRESENT)
+        )
+        absent = coded.agg(F.max("ok").alias("mx")).select(
+            F.explode(
+                F.sequence(F.col("mx") + 1, F.col("mx") + CP_N_ABSENT)
+            ).alias("ok")
+        )
+        oks = present.unionByName(absent)
+        span = ck_max - ck_min
+        win_rows = [
+            (lo_t, hi_t, ck_min + span * lo_t // 10,
+             ck_min + span * hi_t // 10)
+            for lo_t, hi_t in CP_WINDOWS
+        ]
+        wins = spark.createDataFrame(
+            win_rows, "lo_t int, hi_t int, p_lo long, p_hi long"
+        )
+        files = phys.select("file_id")
+        gpos = oks.crossJoin(files).select(
+            "ok",
+            "file_id",
+            F.explode(
+                bloom_positions(F.col("ok"), CP_BLOOM_M, CP_BLOOM_K)
+            ).alias("pos"),
+        )
+        hit = gpos.join(
+            F.broadcast(index),
+            (gpos["file_id"] == index["file_id"])
+            & (
+                F.floor(F.col("pos") / F.lit(63)).cast("long")
+                == F.col("word")
+            ),
+            "left",
+        ).select(
+            "ok",
+            gpos["file_id"].alias("file_id"),
+            (
+                F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(
+                    F.expr("shiftleft(1L, CAST(pos % 63 AS INT))")
+                )
+                != 0
+            ).cast("int").alias("h"),
+        )
+        maybe = hit.groupBy("ok", "file_id").agg(
+            F.min("h").alias("bloom_maybe")
+        )
+        truth = (
+            spark.read.parquet(store)
+            .select(
+                F.col("file_id").cast("long").alias("file_id"),
+                "ok",
+                "ck",
+            )
+            .join(F.broadcast(oks), "ok")
+            .crossJoin(F.broadcast(wins))
+            .where(
+                (F.col("ck") >= F.col("p_lo"))
+                & (F.col("ck") <= F.col("p_hi"))
+            )
+            .select("ok", "file_id", "lo_t", "hi_t")
+            .distinct()
+            .withColumn("present", F.lit(1))
+        )
+        grid = maybe.crossJoin(F.broadcast(wins)).join(
+            F.broadcast(phys), "file_id"
+        )
+        out = (
+            grid.join(truth, ["ok", "file_id", "lo_t", "hi_t"], "left")
+            .select(
+                "ok",
+                "lo_t",
+                "hi_t",
+                "file_id",
+                (
+                    (F.col("min_ck") <= F.col("p_hi"))
+                    & (F.col("max_ck") >= F.col("p_lo"))
+                ).cast("int").alias("range_hit"),
+                "bloom_maybe",
+                (
+                    (
+                        (F.col("min_ck") <= F.col("p_hi"))
+                        & (F.col("max_ck") >= F.col("p_lo"))
+                    ).cast("int")
+                    * F.col("bloom_maybe")
+                ).alias("touched"),
+                F.coalesce("present", F.lit(0)).alias("present"),
+                "files_after",
+            )
+            .orderBy("ok", "lo_t", "file_id")
+        )
+        # teardown survival: cut lineage (localCheckpoint) so the result
+        # blocks outlive the tempdir rmtree -- never a per-row driver
+        # collect (VERDICT r10 ask #1)
+        return materialize(out)
+    finally:
+        shutil.rmtree(base_dir, ignore_errors=True)
+
+
+def oracle_composite_maintain() -> str:
+    # maintained ≡ rebuilt: the oracle is composite_prune's full-corpus
+    # recompute + files_after = 1 everywhere (compaction restores the
+    # one-file-per-slot contract; delta-only slots are born compact)
+    base = oracle_composite_prune().rstrip()
+    head, tail = base.rsplit("FROM maybe m", 1)
+    head = head.replace(
+        "CASE WHEN t.ok IS NULL THEN 0 ELSE 1 END AS present",
+        "CASE WHEN t.ok IS NULL THEN 0 ELSE 1 END AS present,\n"
+        "       CAST(1 AS BIGINT) AS files_after",
+    )
+    return head + "FROM maybe m" + tail
