@@ -928,6 +928,8 @@ _AUDIT_FRAMES: dict[
     "cms_topk_from_store": stores.af_cms_topk_from_store,
     "hist_quantile_store": stores.af_hist_quantile_store,
     "dds_quantile_store": stores.af_dds_quantile_store,
+    "ivf_index_upsert": vectors.af_ivf_index_upsert,
+    "minhash_index_maintain": text.af_minhash_index_maintain,
     "agg_ivm_twin": quality.af_agg_ivm_twin,
     "join_ivm_twin": quality.af_join_ivm_twin,
     "bloom_index_maintain": quality.af_bloom_index_maintain,

@@ -5257,3 +5257,30 @@ agg AS (
 SELECT decile, n_tokens, oov_tokens, oov_types, {rate} AS oov_rate
 FROM agg
 """
+
+
+def af_minhash_index_maintain(
+    spark: SparkSession, sf_dir: str, scratch: str
+) -> dict[str, DataFrame]:
+    """Interior frames for the plan audit (`audit_frames`): the
+    delta-only band re-signature and the candidate-pair consumption
+    over the maintained index."""
+    from ..sinks.upsert import upsert_partitioned_moving
+
+    index_path = f"{scratch}/bands"
+    minhash_band_artifact(spark, sf_dir).write.mode(
+        "overwrite"
+    ).partitionBy("shard").parquet(index_path)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    delta_rows = _mh_band_rows(_mh_delta(docs))
+    upsert_partitioned_moving(
+        spark,
+        index_path,
+        delta_rows,
+        keys=["doc_id", "band"],
+        partition_col="shard",
+    )
+    return {
+        "delta_build": delta_rows,
+        "consume": band_index_candidates(spark, index_path),
+    }

@@ -1157,24 +1157,34 @@ def _maintained_ivf_index(
     """
     from ..operators.similarity import ivf_assign
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
-    )
-    base = emb.where(F.col("cid") % IDX_NEW_MOD != 0)
+    base, delta = _ivf_base_delta(spark, sf_dir)
     idx0 = ivf_assign(base, "cv", nprobe=1).select("cid", "cv", "cell")
     idx0.write.mode("overwrite").partitionBy("cell").parquet(index_path)
 
-    delta = emb.where(F.col("cid") % IDX_NEW_MOD == 0).unionByName(
-        base.where(F.col("cid") % IDX_UPD_MOD == 1).select(
-            "cid", F.reverse(F.col("cv")).alias("cv")
-        )
-    )
     didx = ivf_assign(delta, "cv", nprobe=1).select("cid", "cv", "cell")
     from ..sinks.upsert import upsert_partitioned_moving
 
     return upsert_partitioned_moving(
         spark, index_path, didx, keys=["cid"], partition_col="cell"
     )
+
+
+def _ivf_base_delta(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """The shared (standing corpus, delta batch) split — module-level
+    so the plan audit inspects the same delta-assignment frame the
+    maintenance executes (`audit_frames`)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    base = emb.where(F.col("cid") % IDX_NEW_MOD != 0)
+    delta = emb.where(F.col("cid") % IDX_NEW_MOD == 0).unionByName(
+        base.where(F.col("cid") % IDX_UPD_MOD == 1).select(
+            "cid", F.reverse(F.col("cv")).alias("cv")
+        )
+    )
+    return base, delta
 
 
 def ivf_index_search(
@@ -1788,3 +1798,21 @@ SELECT decile, n_vecs, {sql_round_half_away(cos, 6)} AS cos_vs_frozen
 FROM sums JOIN counts USING (decile)
 ORDER BY decile
 """
+
+
+def af_ivf_index_upsert(
+    spark: SparkSession, sf_dir: str, scratch: str
+) -> dict[str, DataFrame]:
+    """Interior frames for the plan audit (`audit_frames`): the
+    delta-only assignment (frozen centroids, cost ∝ |delta|) and the
+    IVF search over the maintained store."""
+    from ..operators.similarity import ivf_assign
+
+    index_path = f"{scratch}/index"
+    _maintained_ivf_index(spark, sf_dir, index_path)
+    _base, delta = _ivf_base_delta(spark, sf_dir)
+    didx = ivf_assign(delta, "cv", nprobe=1).select("cid", "cv", "cell")
+    return {
+        "delta_assign": didx,
+        "search": ivf_index_search(spark, index_path),
+    }
