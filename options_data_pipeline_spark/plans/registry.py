@@ -219,6 +219,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
         stores.q_stream_mg_topk_twin,
         stores.oracle_stream_mg_topk_twin,
     ),
+    "stream_weighted_sample_twin": (
+        stores.q_stream_weighted_sample_twin,
+        stores.oracle_stream_weighted_sample_twin,
+    ),
     "dds_quantile_store": (
         stores.q_dds_quantile_store,
         stores.oracle_dds_quantile_store,
@@ -674,6 +678,7 @@ _PRIORITY: list[str] = [
     # round-12 new operators: first driver adjudication this round
     "mg_topk_store",
     "stream_mg_topk_twin",
+    "stream_weighted_sample_twin",
     "composite_prune",
     "composite_maintain",
     # round-12 re-planned queries (prefix-sum quantiles, blocked
@@ -930,6 +935,7 @@ _AUDIT_FRAMES: dict[
     "dds_quantile_store": stores.af_dds_quantile_store,
     "ivf_index_upsert": vectors.af_ivf_index_upsert,
     "minhash_index_maintain": text.af_minhash_index_maintain,
+    "stream_weighted_sample_twin": stores.af_stream_weighted_sample_twin,
     "agg_ivm_twin": quality.af_agg_ivm_twin,
     "join_ivm_twin": quality.af_join_ivm_twin,
     "bloom_index_maintain": quality.af_bloom_index_maintain,

@@ -1674,3 +1674,79 @@ def af_dds_quantile_store(
     store = f"{scratch}/dds_days"
     build_dds_day_store(spark, sf_dir, store)
     return {"consume": dds_week_quantile_consumer(spark, store)}
+
+
+def q_stream_weighted_sample_twin(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming + REPLAY parity for the WEIGHTED sample store
+    (round 12): two interleaved document waves through the real
+    foreachBatch job
+    (:func:`..streaming.sketches.weighted_reservoir_register_stream`)
+    and one checkpoint, then both at-least-once failure modes
+    re-driven through the exposed apply unit — completing the sample-
+    store streaming matrix (uniform twin landed r11).  Weighted
+    bottom-k under the deterministic h/w priority is idempotent by
+    construction (dedup on doc_id + re-rank), so the fixed point IS
+    the batch store — the same oracle adjudicates both."""
+    import shutil
+    import tempfile
+
+    from ..streaming.sketches import (
+        weighted_reservoir_apply_batch,
+        weighted_reservoir_register_stream,
+    )
+
+    base = tempfile.mkdtemp(prefix="wrsv_twin_")
+    try:
+        src, store, ckpt = f"{base}/src", f"{base}/store", f"{base}/ckpt"
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "source", "n_chars"
+        )
+        wave1 = docs.where(F.col("doc_id") % 3 != 0)
+        wave2 = docs.where(F.col("doc_id") % 3 == 0)
+        wave1.coalesce(1).write.mode("append").parquet(src)
+        if not weighted_reservoir_register_stream(
+            spark, src, store, ckpt
+        ).awaitTermination(120):
+            raise TimeoutError("weighted wave 1 did not drain in 120s")
+        wave2.coalesce(1).write.mode("append").parquet(src)
+        if not weighted_reservoir_register_stream(
+            spark, src, store, ckpt
+        ).awaitTermination(120):
+            raise TimeoutError("weighted wave 2 did not drain in 120s")
+        # at-least-once: trailing retry of the last slice...
+        weighted_reservoir_apply_batch(spark, store, wave2, batch_id=1)
+        # ...and a stale out-of-order re-delivery from wave 1
+        weighted_reservoir_apply_batch(
+            spark, store, wave1.where(F.col("doc_id") % 5 == 2),
+            batch_id=0,
+        )
+        out = weighted_lang_consumer(spark, store).orderBy("lang", "rank")
+        # teardown survival: cut lineage (localCheckpoint) so the result
+        # blocks outlive the tempdir rmtree -- never a per-row driver
+        # collect (VERDICT r10 ask #1)
+        return materialize(out)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def oracle_stream_weighted_sample_twin() -> str:
+    # the stream's fixed point IS the batch sample: same rows, same ranks
+    return oracle_weighted_sample_store()
+
+
+def af_stream_weighted_sample_twin(
+    spark: SparkSession, sf_dir: str, scratch: str
+) -> dict[str, DataFrame]:
+    from ..streaming.sketches import weighted_reservoir_merge_frame
+
+    store = f"{scratch}/wrsv_stream"
+    build_weighted_sample_store(spark, sf_dir, store)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    slice1 = docs.where(F.col("doc_id") % 2 == 0)
+    return {
+        "apply_merge": weighted_reservoir_merge_frame(spark, store, slice1),
+    }

@@ -661,3 +661,91 @@ def mg_register_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def weighted_reservoir_merge_frame(
+    spark: SparkSession,
+    store_path: str,
+    batch_docs: DataFrame,
+) -> DataFrame:
+    """One apply's merge frame for the WEIGHTED row-reservoir store:
+    union the slice with the stored rows of the SAME langs
+    (partition-pruned), dedup on doc_id, bottom-k once under the
+    h/w priority — the weighted sibling of
+    :func:`reservoir_merge_frame`, same single-ranking-pass shape."""
+    from ..operators.reservoir import (
+        reservoir_bottom_k,
+        rsv_weighted_priority,
+    )
+    from ..sinks.upsert import _read_target
+
+    docs = batch_docs.select(
+        "lang",
+        "source",
+        "doc_id",
+        "n_chars",
+        rsv_weighted_priority(F.col("doc_id"), F.col("n_chars")).alias(
+            "wp"
+        ),
+    )
+    target = _read_target(spark, store_path)
+    if target is None:
+        merged_src = docs
+    else:
+        stored = target.select(
+            "lang", "source", "doc_id", "n_chars", "wp"
+        ).join(docs.select("lang").distinct(), "lang")
+        merged_src = docs.unionByName(stored).dropDuplicates(
+            ["lang", "source", "doc_id"]
+        )
+    return reservoir_bottom_k(
+        merged_src, ["lang", "source"], "wp", "doc_id"
+    )
+
+
+def weighted_reservoir_apply_batch(
+    spark: SparkSession,
+    store_path: str,
+    batch_docs: DataFrame,
+    batch_id: int,
+) -> None:
+    """Fold one document micro-batch into the per-(lang, source)
+    WEIGHTED row-reservoir store.  Idempotent BY CONSTRUCTION like the
+    uniform reservoir — priorities are deterministic (h/w), re-delivered
+    rows dedup on doc_id and re-rank identically — so no ``_bid`` stamp
+    is needed; ``batch_id`` is accepted for the shared foreachBatch
+    signature only."""
+    merged = weighted_reservoir_merge_frame(spark, store_path, batch_docs)
+    upsert_partitioned(
+        spark,
+        store_path,
+        merged,
+        keys=["lang", "source", "rank"],
+        partition_col="lang",
+        collect_metrics=False,
+    )
+
+
+def weighted_reservoir_register_stream(
+    spark: SparkSession,
+    source_dir: str,
+    store_path: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Maintain the weighted sample store from a document-file stream."""
+    from .candles import read_event_stream
+
+    stream = read_event_stream(spark, source_dir)
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        weighted_reservoir_apply_batch(spark, store_path, batch_df, batch_id)
+
+    writer = (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
