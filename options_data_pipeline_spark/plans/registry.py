@@ -690,6 +690,9 @@ _PRIORITY: list[str] = [
     "vocab_top_tokens",
     "cms_topk_from_store",
     "agg_ivm_twin",
+    "bloom_prefilter_dedup",
+    "minhash_index_upsert",
+    "ivf_index_upsert",
     # round-11 new operators: first driver adjudication this round
     "zorder_prune",
     "zorder_maintain",
@@ -732,8 +735,6 @@ _PRIORITY: list[str] = [
     "stream_candles_twin",
     "stream_dedup_twin",
     "collection_lifecycle_twin",
-    "ivf_index_upsert",
-    "minhash_index_upsert",
     # round-9 new operators: second driver pass
     "vol_surface_fit",
     "ou_half_life",
@@ -788,7 +789,6 @@ _PRIORITY: list[str] = [
     "sequence_pack",
     "sequence_pack_scan",
     "leakage_safe_split",
-    "bloom_prefilter_dedup",
     "zorder_layout",
     "pq_ann_topk",
     "ivfadc_topk",
