@@ -912,6 +912,18 @@ def oracle_sql() -> dict[str, str]:
     }
 
 
+def _af_sink_compact(spark, sf_dir, scratch):
+    from ..sinks.layout import af_sink_compact
+
+    return af_sink_compact(spark, sf_dir, scratch)
+
+
+def _af_sink_moving_upsert(spark, sf_dir, scratch):
+    from ..sinks.upsert import af_sink_moving_upsert
+
+    return af_sink_moving_upsert(spark, sf_dir, scratch)
+
+
 # Interior-frame audit hooks (VERDICT r11 #3): tempdir-scoped store/
 # twin queries return a materialize()d ExistingRDD, so the terminal
 # plan audit sees none of their maintenance plans.  Each hook builds
@@ -936,6 +948,10 @@ _AUDIT_FRAMES: dict[
     "ivf_index_upsert": vectors.af_ivf_index_upsert,
     "minhash_index_maintain": text.af_minhash_index_maintain,
     "stream_weighted_sample_twin": stores.af_stream_weighted_sample_twin,
+    # sink-level interior plans (not registry queries): the two shared
+    # sinks whose plans were previously only pytest-pinned
+    "sink_compact_partitions": _af_sink_compact,
+    "sink_moving_upsert": _af_sink_moving_upsert,
     "agg_ivm_twin": quality.af_agg_ivm_twin,
     "join_ivm_twin": quality.af_join_ivm_twin,
     "bloom_index_maintain": quality.af_bloom_index_maintain,

@@ -196,6 +196,31 @@ def write_token_shards(
     )
 
 
+def compact_swap_frame(spark: SparkSession, part_dir: str, n_target: int):
+    """One partition's compaction swap plan: read the fragmented
+    directory, round-robin repartition to exactly ``n_target`` files
+    (with n_rows >= n_target every output partition is non-empty, so
+    the file count is deterministic).  Module-level seam so the plan
+    audit pins the sink's interior plan (`audit_frames`, the r12
+    sink-level extension)."""
+    return spark.read.parquet(part_dir).repartition(n_target)
+
+
+def af_sink_compact(spark: SparkSession, sf_dir: str, scratch: str):
+    """Audit hook: a fragmented two-partition scratch table; the swap
+    frame for one partition is the sink's entire per-slot job."""
+    from pyspark.sql import functions as F
+
+    t = f"{scratch}/frag"
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 2).cast("string").alias("d"),
+        (F.col("id") * 2).cast("double").alias("v"),
+    )
+    df.repartition(8).write.partitionBy("d").parquet(t)
+    return {"swap": compact_swap_frame(spark, f"{t}/d=0", 1)}
+
+
 def compact_partitions(
     spark: SparkSession,
     path: str,
@@ -270,7 +295,7 @@ def compact_partitions(
         # repartition (round-robin) rather than coalesce: with n_rows >=
         # n_target every output partition is non-empty, so exactly
         # n_target files land — the deterministic-layout contract
-        spark.read.parquet(part_dir).repartition(n_target).write.mode(
+        compact_swap_frame(spark, part_dir, n_target).write.mode(
             "overwrite"
         ).parquet(staging)
         old = f"{part_dir}.old-{uuid.uuid4().hex[:8]}"

@@ -378,6 +378,54 @@ def upsert_partitioned(
     return {"inserted": inserted, "updated": updated}
 
 
+def moving_probe_frame(
+    current: DataFrame, ukp: DataFrame, keys: list[str], partition_col: str
+) -> DataFrame:
+    """The move-aware MERGE's key-only probe: a column-pruned
+    (keys, partition) scan broadcast-joined to the batch's key set —
+    module-level seam so the plan audit pins the sink's interior plan
+    (`audit_frames`, the r12 sink-level extension)."""
+    return current.select(
+        *keys, F.col(partition_col).alias("_old_part")
+    ).join(F.broadcast(ukp), keys)
+
+
+def moving_merge_frame(
+    touched: DataFrame,
+    ukeys: DataFrame,
+    updates: DataFrame,
+    keys: list[str],
+) -> DataFrame:
+    """The move-aware MERGE's eviction + add: every row of an updated
+    key leaves the touched slice (old and new partition alike), then
+    the batch lands."""
+    survivors = touched.join(ukeys, keys, "left_anti")
+    return survivors.select(updates.columns).unionByName(updates)
+
+
+def af_sink_moving_upsert(spark: SparkSession, sf_dir: str, scratch: str):
+    """Audit hook: a small target + a batch whose keys MOVE partitions;
+    the probe and merge frames are the sink's entire interior."""
+    t = f"{scratch}/mv"
+    cur = spark.range(0, 500).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4).cast("string").alias("cell"),
+        (F.col("id") * 1.5).alias("v"),
+    )
+    cur.write.partitionBy("cell").parquet(t)
+    current = spark.read.parquet(t)
+    updates = spark.range(0, 100).select(
+        (F.col("id") * 5).alias("k"),
+        ((F.col("id") + 1) % 4).cast("string").alias("cell"),
+        (F.col("id") * 2.5).alias("v"),
+    )
+    ukp = updates.select("k", F.col("cell").alias("_new_part")).distinct()
+    probe = moving_probe_frame(current, ukp, ["k"], "cell")
+    touched = current  # audit shape: the pruned slice has the same plan
+    merged = moving_merge_frame(touched, ukp.select("k"), updates, ["k"])
+    return {"probe": probe, "merge": merged}
+
+
 def upsert_partitioned_moving(
     spark: SparkSession,
     target_path: str,
@@ -436,9 +484,7 @@ def upsert_partitioned_moving(
     # per-job overhead dominated this sink's latency on small batches;
     # current's keys are unique by the upsert invariant, so plain
     # counts ARE key counts)
-    old_locs = current.select(
-        *keys, F.col(partition_col).alias("_old_part")
-    ).join(F.broadcast(ukp), keys)
+    old_locs = moving_probe_frame(current, ukp, keys, partition_col)
     probe = old_locs.agg(
         F.count(F.lit(1)).alias("updated"),
         F.sum(
@@ -454,8 +500,7 @@ def upsert_partitioned_moving(
     touched = current.where(F.col(partition_col).isin(parts))
     # evict EVERY row of an updated key from the touched slice (old and
     # new partition alike), then add the batch
-    survivors = touched.join(ukeys, keys, "left_anti")
-    merged = survivors.select(updates.columns).unionByName(updates)
+    merged = moving_merge_frame(touched, ukeys, updates, keys)
     staging = f"{target_path}.staging-{uuid.uuid4().hex[:8]}"
     merged.write.mode("overwrite").parquet(staging)
     staged = spark.read.parquet(staging)
