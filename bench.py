@@ -372,6 +372,31 @@ def main() -> None:
     )
 
     total = round(sum(timings.values()), 3)
+    # cross-round common-set ratios, RAW and CANARY-NORMALIZED (the r12
+    # protocol): the anchor is the last `round N:` commit's detail, the
+    # divisor is the canary host ratio — emitted into both the detail
+    # and the driver-captured stdout line so every future round's
+    # comparison is mechanical, not re-derived by hand
+    common_block = None
+    host_ratio = canary_block.get("host_ratio_vs_prev_round")
+    common = [q for q in timings if q in prev and prev[q] > 0]
+    if common and host_ratio:
+        t_new = sum(timings[q] for q in common)
+        t_old = sum(prev[q] for q in common)
+        common_block = {
+            "n_common": len(common),
+            "new_sec": round(t_new, 3),
+            "prev_sec": round(t_old, 3),
+            "raw_ratio": round(t_new / t_old, 3),
+            "canary_normalized_ratio": round(
+                (t_new / t_old) / host_ratio, 3
+            ),
+        }
+        log(
+            f"  common set ({len(common)}): raw "
+            f"{common_block['raw_ratio']}x, canary-normalized "
+            f"{common_block['canary_normalized_ratio']}x"
+        )
     with open(detail_path, "w") as fh:
         json.dump(
             {
@@ -383,6 +408,7 @@ def main() -> None:
                 "queries": timings,
                 "noise_reruns": noise_reruns,
                 "canary": canary_block,
+                "common_vs_prev_round": common_block,
             },
             fh,
             indent=1,
@@ -405,6 +431,7 @@ def main() -> None:
         "canary_host_ratio_vs_prev_round": canary_block.get(
             "host_ratio_vs_prev_round"
         ),
+        "common_vs_prev_round": common_block,
         "detail": "BENCH_DETAIL.json",
     }), flush=True)
     spark.stop()
