@@ -21,20 +21,30 @@ into a fully parallel plan, exactly (not approximately):
 2. **Over distinct values, the cumulative sum decomposes into the
    two-level segment prefix sum** (the ``pack_token_shards`` algebra,
    :mod:`.packing`): segments are contiguous value intervals (any
-   monotone bucketing — ``floor(value / width)`` — qualifies), so
+   monotone bucketing qualifies), so
 
        global_cum = Σ (whole earlier segments)  +  local running sum
 
-   Level 1 windows run per (group, segment) in parallel, each bounded
-   by its segment's distinct-value count; level 2 runs over the
-   per-segment totals — ONE row per segment, data-size-independent —
-   and broadcasts back.  No task ever sees more than one segment of
-   one group's distinct values.
+   Level 1 windows run per (group, segment) in parallel; level 2 runs
+   over the per-segment totals and broadcasts back.
+
+Segment assignment derives from the OBSERVED per-group (min, max): the
+group's value span splits into ``n_segments`` equal intervals, so the
+per-group segment count is bounded by a CONSTANT — independent of the
+value domain and of the distinct-value count (ADVICE r12: a fixed
+absolute width made the level-2 offset window and its broadcast scale
+with the domain for wide-domain doubles such as conformal residuals).
+The bounds come from the same distinct-value pre-aggregate that feeds
+the group totals, so deriving them adds no extra pass over the data.
+Any monotone bucketing yields identical results — the segmentation is
+a parallelism knob, never a correctness knob.
 
 Used by ``plans/quality.py``: `weighted_median` (weighted quantiles),
 `conformal_interval` (single order-statistic selection), and
 `value_percentiles` (interpolated percentiles from the two bracketing
-order statistics).  Reference parity: the reference computes order
+order statistics); and by ``plans/text.py``: `length_ks_drift` /
+`quantile_map_lengths` (cumulative distribution tables over distinct
+document lengths).  Reference parity: the reference computes order
 statistics inside PostgreSQL (``percentile_cont``), which hides the
 same distribution problem this module solves engine-side.
 """
@@ -44,9 +54,38 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-#: default value-segment width — a tunable, not a correctness knob:
-#: any width yields identical results, it only sets level-1 task size.
-DEFAULT_SEG_WIDTH = 16.0
+#: default per-group segment count — a parallelism tunable, not a
+#: correctness knob: any segmentation yields identical results, it only
+#: sets level-1 task size (distinct values per segment) and the level-2
+#: offsets frame size (<= N_SEGMENTS rows per group, by construction).
+N_SEGMENTS = 256
+
+
+def segment_expr(
+    value: Column, vmin: Column, vmax: Column, n_segments: int
+) -> Column:
+    """Segment id in ``[0, n_segments)`` for ``value`` within the
+    observed group bounds ``[vmin, vmax]`` — monotone non-decreasing in
+    ``value`` (IEEE subtraction/multiplication/division by a positive
+    constant preserve order; floor and the top cap preserve it), so
+    segments are contiguous value intervals as the prefix-sum algebra
+    requires.  Degenerate span (single distinct value) maps to 0."""
+    span = vmax.cast("double") - vmin.cast("double")
+    rel = (
+        (value.cast("double") - vmin.cast("double"))
+        * F.lit(float(n_segments))
+        / span
+    )
+    return (
+        F.when(span <= 0, F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(n_segments - 1).cast("long"),
+                F.floor(rel).cast("long"),
+            )
+        )
+        .cast("long")
+    )
 
 
 def grouped_value_prefix(
@@ -54,13 +93,18 @@ def grouped_value_prefix(
     groups: list[str],
     value_col: str = "value",
     weight_col: Column | None = None,
-    seg_width: float = DEFAULT_SEG_WIDTH,
+    n_segments: int = N_SEGMENTS,
+    seg_width: float | None = None,
 ) -> DataFrame:
     """Per (``groups``, distinct ``value_col``): the exact inclusive
     cumulative weight ``cum`` in value order, plus the group total
     ``tw`` — computed with zero unbounded-group windows.
 
     ``weight_col`` defaults to 1 per row (plain cumulative counts).
+    ``groups`` may be empty (one global distribution).  ``seg_width``
+    forces a fixed absolute segment width instead of the derived
+    bounded-count segmentation — for tests that pin equality across
+    segmentations; production callers should leave the default.
     Output columns: ``*groups, value, vw (this value's weight), cum
     (inclusive cumulative weight), tw (group total)``.  All weight
     arithmetic is exact (long); the caller picks thresholds.
@@ -71,9 +115,24 @@ def grouped_value_prefix(
         .groupBy(*groups, "value")
         .agg(F.sum("w").alias("vw"))
     )
-    with_seg = vw.withColumn(
-        "__seg", F.floor(F.col("value") / F.lit(seg_width)).cast("long")
+    # group bounds + total from the SAME distinct-value pre-aggregate:
+    # one tiny frame (|groups| rows) broadcast back
+    gstats = vw.groupBy(*groups).agg(
+        F.min("value").alias("__vmin"),
+        F.max("value").alias("__vmax"),
+        F.sum("vw").alias("tw"),
     )
+    if groups:
+        joined = vw.join(F.broadcast(gstats), list(groups))
+    else:
+        joined = vw.crossJoin(F.broadcast(gstats))
+    if seg_width is not None:
+        seg = F.floor(F.col("value") / F.lit(seg_width)).cast("long")
+    else:
+        seg = segment_expr(
+            F.col("value"), F.col("__vmin"), F.col("__vmax"), n_segments
+        )
+    with_seg = joined.withColumn("__seg", seg)
     # level 1: local inclusive cumsum inside each (group, segment)
     w_local = (
         Window.partitionBy(*groups, "__seg")
@@ -82,7 +141,7 @@ def grouped_value_prefix(
     )
     local = with_seg.withColumn("__local_cum", F.sum("vw").over(w_local))
     # level 2: per-segment totals -> exclusive running offset per group
-    # (one row per segment regardless of data size), broadcast back
+    # (<= n_segments rows per group by construction), broadcast back
     w_seg = (
         Window.partitionBy(*groups)
         .orderBy("__seg")
@@ -97,10 +156,8 @@ def grouped_value_prefix(
         )
         .select(*groups, "__seg", "__offset")
     )
-    tot = vw.groupBy(*groups).agg(F.sum("vw").alias("tw"))
     return (
         local.join(F.broadcast(offsets), [*groups, "__seg"])
-        .join(F.broadcast(tot), list(groups))
         .select(
             *groups,
             "value",

@@ -11,13 +11,18 @@ exact and the sort parallel:
   timestamp here);
 - each block's trailing window runs independently, in parallel;
 - the k rows a block's head needs from the past are exactly the last
-  k rows of the union of all earlier blocks' TAILS: a row outside its
+  k rows of the union of earlier blocks' TAILS: a row outside its
   own block's last-k has ≥ k successors inside that block, so it can
-  never reach a later block's frame.  Tails are one parallel
-  per-block window; selecting each block's carry windows over
-  ≤ k·|blocks| candidate rows per group — metadata-sized,
-  data-size-independent — and is exact even when a block's carry
-  spans MANY sparse earlier blocks;
+  never reach a later block's frame.  And because every NON-EMPTY
+  block contributes ≥ 1 tail row, those last k rows lie entirely
+  within the k NEAREST non-empty predecessor blocks — so each target
+  block pairs with at most k predecessor blocks (≤ k² candidate rows
+  per target block, ≤ k²·|blocks| per group overall, linear in the
+  time span; ADVICE r12: the unpruned pairing joined every target
+  with ALL earlier tails, quadratic in block count).  The per-group
+  block list used for the pruning is metadata-sized (one row per
+  non-empty block) and is exact even when a block's carry spans MANY
+  sparse earlier blocks;
 - carried context rows seed the frame and are dropped from the
   output; the first block of a group gets no context, exactly like a
   global window's truncated leading frames.
@@ -61,9 +66,22 @@ def blocked_trailing_list(
         .where(F.col("__trn") <= carry)
         .drop("__trn")
     )
-    blocks = base.select(
-        *groups, F.col("__blk").alias("__tgt")
-    ).distinct()
+    # rank the per-group NON-EMPTY block list (metadata-sized — one row
+    # per block; the window runs over block counts, never data): the
+    # dense rank lets the carry join pair each target with only its
+    # `carry` nearest non-empty predecessors
+    w_rank = Window.partitionBy(*groups).orderBy("__blk")
+    blocks = (
+        base.select(*groups, "__blk")
+        .distinct()
+        .withColumn("__brank", F.row_number().over(w_rank))
+    )
+    tails_r = tails.join(F.broadcast(blocks), [*groups, "__blk"])
+    tgts = blocks.select(
+        *groups,
+        F.col("__blk").alias("__tgt"),
+        F.col("__brank").alias("__tgt_rank"),
+    )
     from functools import reduce
 
     on = reduce(
@@ -71,10 +89,15 @@ def blocked_trailing_list(
         [F.col(f"t.{g}") == F.col(f"b.{g}") for g in groups],
     )
     cand = (
-        tails.alias("t")
+        tails_r.alias("t")
         .join(
-            F.broadcast(blocks).alias("b"),
-            on & (F.col("t.__blk") < F.col("b.__tgt")),
+            F.broadcast(tgts).alias("b"),
+            on
+            & (F.col("t.__blk") < F.col("b.__tgt"))
+            # nearest-predecessor prune: each non-empty block tails >= 1
+            # row, so context beyond `carry` non-empty blocks back is
+            # unreachable (>= carry nearer rows precede it in the union)
+            & (F.col("b.__tgt_rank") - F.col("t.__brank") <= carry),
         )
         .select(
             *[F.col(f"t.{c}").alias(c) for c in df.columns],

@@ -5369,13 +5369,6 @@ ORDER BY probe_id, k
 #: weighted-quantile probe points (percent), shared with the oracle
 WQ_QS = (25, 50, 75)
 
-#: value-range segment width for the two-level prefix sum: segments
-#: are contiguous value intervals, so per-segment local cumsums +
-#: per-segment offsets compose into the exact global cumulative
-#: weight.  A tunable, not a correctness knob — any width gives
-#: identical results; it only sets the local-window task size.
-WQ_SEG_WIDTH = 16.0
-
 
 def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted grouped quantiles (round-11 wave 6; re-planned round
@@ -5404,12 +5397,12 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     2. Over that distinct-value table, the cumulative sum is the
        two-level distributed prefix sum
        (``operators/prefixsum.grouped_value_prefix`` — the
-       ``pack_token_shards`` algebra): segments are contiguous value
-       intervals (``floor(value / WQ_SEG_WIDTH)``), local windows run
-       per (type, segment) in parallel, and the per-segment totals —
-       one row per segment, data-size-independent — get the tiny
-       cross-segment offset window.  No task ever sees more than one
-       segment of one type's distinct values.
+       ``pack_token_shards`` algebra): segments split the observed
+       per-type value span into a CONSTANT number of intervals, local
+       windows run per (type, segment) in parallel, and the
+       per-segment totals — bounded by ``N_SEGMENTS`` rows per type —
+       get the tiny cross-segment offset window.  No task ever sees
+       more than one segment of one type's distinct values.
     """
     from ..operators.prefixsum import grouped_value_prefix
 
@@ -5421,7 +5414,6 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["event_type"],
         value_col="value",
         weight_col=(F.col("user_id") % 5) + 1,
-        seg_width=WQ_SEG_WIDTH,
     )
     # literal q frame crossed in, ONE (type, q) aggregate — not a
     # union of per-q re-aggregations

@@ -869,10 +869,14 @@ def q_zorder_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             pfiles = [
                 f for f in os.listdir(part_dir) if f.endswith(".parquet")
             ]
-            assert len(pfiles) == 1, (
-                f"slot {slot}: {len(pfiles)} files — the one-task-per-"
-                "slot write contract broke"
-            )
+            if len(pfiles) != 1:
+                # unconditional (a bare assert is stripped under
+                # `python -O`, letting a broken layout flow into the
+                # adjudicated footer stats — ADVICE r12)
+                raise RuntimeError(
+                    f"slot {slot}: {len(pfiles)} files — the one-task-"
+                    "per-slot write contract broke"
+                )
             md = pq.ParquetFile(os.path.join(part_dir, pfiles[0])).metadata
             idx = {
                 md.schema.column(i).name: i for i in range(md.num_columns)
@@ -1264,10 +1268,14 @@ def q_composite_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             pfiles = [
                 f for f in os.listdir(part_dir) if f.endswith(".parquet")
             ]
-            assert len(pfiles) == 1, (
-                f"slot {slot}: {len(pfiles)} files — the one-task-per-"
-                "slot write contract broke"
-            )
+            if len(pfiles) != 1:
+                # unconditional (a bare assert is stripped under
+                # `python -O`, letting a broken layout flow into the
+                # adjudicated footer stats — ADVICE r12)
+                raise RuntimeError(
+                    f"slot {slot}: {len(pfiles)} files — the one-task-"
+                    "per-slot write contract broke"
+                )
             md = pq.ParquetFile(os.path.join(part_dir, pfiles[0])).metadata
             idx = {
                 md.schema.column(i).name: i for i in range(md.num_columns)
@@ -1395,7 +1403,11 @@ def q_composite_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(base_dir, ignore_errors=True)
 
 
-def oracle_composite_prune() -> str:
+def oracle_composite_prune(extra_cols: str = "") -> str:
+    """``extra_cols`` is appended verbatim after the last select item
+    (leading comma included by the caller) — the parameterization that
+    lets `oracle_composite_maintain` share this text without post-hoc
+    string surgery (ADVICE r12)."""
     z = Z.interleave_sql(
         Z.quantize_sql("ck", "ck_min", "ck_max"),
         Z.quantize_sql("day", "day_min", "day_max"),
@@ -1484,7 +1496,7 @@ SELECT m.ok, CAST(w.lo_t AS INTEGER) AS lo_t,
        m.bloom_maybe,
        CAST(p.min_ck <= w.p_hi AND p.max_ck >= w.p_lo AS INTEGER)
            * m.bloom_maybe AS touched,
-       CASE WHEN t.ok IS NULL THEN 0 ELSE 1 END AS present
+       CASE WHEN t.ok IS NULL THEN 0 ELSE 1 END AS present{extra_cols}
 FROM maybe m
 CROSS JOIN wins w
 JOIN phys p ON m.file_id = p.file_id
@@ -1750,11 +1762,6 @@ def oracle_composite_maintain() -> str:
     # maintained ≡ rebuilt: the oracle is composite_prune's full-corpus
     # recompute + files_after = 1 everywhere (compaction restores the
     # one-file-per-slot contract; delta-only slots are born compact)
-    base = oracle_composite_prune().rstrip()
-    head, tail = base.rsplit("FROM maybe m", 1)
-    head = head.replace(
-        "CASE WHEN t.ok IS NULL THEN 0 ELSE 1 END AS present",
-        "CASE WHEN t.ok IS NULL THEN 0 ELSE 1 END AS present,\n"
-        "       CAST(1 AS BIGINT) AS files_after",
+    return oracle_composite_prune(
+        extra_cols=",\n       CAST(1 AS BIGINT) AS files_after"
     )
-    return head + "FROM maybe m" + tail

@@ -118,3 +118,43 @@ def test_probe_matrix_catches_skipped_merge_red_control(spark):
     # merge is VISIBLE to the adjudication (fpp can mask some cells,
     # never all — k independent bits per key)
     assert stale.where(F.col("maybe") == 0).count() > 0
+
+
+def test_layout_contract_check_survives_optimized_mode():
+    """ADVICE r12: the one-file-per-slot write contract must be
+    enforced unconditionally (a bare `assert` is stripped under
+    `python -O`, letting a broken layout flow into the adjudicated
+    footer stats).  Grep-grade pin: no bare assert guards the pfiles
+    contract in tpch2.py; the explicit RuntimeError does."""
+    import os
+    import re
+
+    src = open(
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "options_data_pipeline_spark",
+            "plans",
+            "tpch2.py",
+        )
+    ).read()
+    assert not re.search(r"assert len\(pfiles\)", src)
+    assert src.count("per-slot write contract broke") >= 2  # both sites
+    assert "raise RuntimeError(" in src
+
+
+def test_maintain_oracle_shares_prune_text_by_parameter():
+    """ADVICE r12: oracle_composite_maintain must be the parameterized
+    oracle_composite_prune (extra_cols), not post-hoc string surgery —
+    byte-identity modulo the appended files_after column."""
+    from options_data_pipeline_spark.plans.tpch2 import (
+        oracle_composite_maintain,
+        oracle_composite_prune,
+    )
+
+    prune = oracle_composite_prune()
+    maint = oracle_composite_maintain()
+    extra = ",\n       CAST(1 AS BIGINT) AS files_after"
+    assert maint == prune.replace(
+        "END AS present\nFROM maybe m", f"END AS present{extra}\nFROM maybe m"
+    )
+    assert maint.count("files_after") == 1

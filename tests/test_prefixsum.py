@@ -58,6 +58,93 @@ def test_prefix_equals_naive_window_across_widths(spark):
             ).collect()
         }
         assert got == expect, f"width={width}"
+    # derived bounded-count segmentation (the default) across segment
+    # counts, including n_segments=1 (everything in one segment) and a
+    # count larger than the distinct-value count
+    for n in (1, 3, 256, 10_000):
+        got = {
+            (r["grp"], r["value"]): (r["cum"], r["tw"])
+            for r in grouped_value_prefix(
+                df, ["grp"], weight_col=F.col("w"), n_segments=n
+            ).collect()
+        }
+        assert got == expect, f"n_segments={n}"
+
+
+def test_derived_segments_bounded_on_wide_domain(spark):
+    """ADVICE r12: a fixed absolute segment width made the level-2
+    offsets frame scale with the VALUE DOMAIN (wide-domain doubles ->
+    one segment per distinct value).  The derived segmentation must
+    keep the per-group segment count <= n_segments regardless of the
+    domain, stay monotone in value, and still produce exact sums."""
+    from options_data_pipeline_spark.operators.prefixsum import (
+        segment_expr,
+    )
+
+    # values spanning 15 orders of magnitude in one group
+    vals = [(-1e15, 3), (-7.0, 1), (0.0, 2), (1e-9, 5), (42.0, 1),
+            (1e12, 2), (9e14, 4)]
+    df = spark.createDataFrame(
+        [("g", v, w) for v, w in vals], "grp string, value double, w long"
+    )
+    n = 8
+    segs = (
+        df.groupBy("grp", "value").agg(F.sum("w").alias("vw"))
+        .crossJoin(
+            df.agg(
+                F.min("value").alias("__vmin"),
+                F.max("value").alias("__vmax"),
+            )
+        )
+        .select(
+            "value",
+            segment_expr(
+                F.col("value"), F.col("__vmin"), F.col("__vmax"), n
+            ).alias("seg"),
+        )
+        .orderBy("value")
+        .collect()
+    )
+    ids = [r["seg"] for r in segs]
+    assert all(0 <= s < n for s in ids), ids  # bounded by the constant
+    assert ids == sorted(ids), ids  # monotone in value
+    assert ids[0] == 0 and ids[-1] == n - 1  # span actually used
+    # and the prefix itself is exact on this frame
+    expect = {
+        (r["grp"], r["value"]): (r["cum"], r["tw"])
+        for r in _naive(df).collect()
+    }
+    got = {
+        (r["grp"], r["value"]): (r["cum"], r["tw"])
+        for r in grouped_value_prefix(
+            df, ["grp"], weight_col=F.col("w"), n_segments=n
+        ).collect()
+    }
+    assert got == expect
+
+
+def test_ungrouped_prefix(spark):
+    """groups=[] — one global distribution (the text.py cumulative
+    length tables use this form)."""
+    df = _frame(spark)
+    w = Window.orderBy("value").rangeBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    expect = {
+        r["value"]: (r["cum"], r["tw"])
+        for r in df.withColumn("cum", F.sum("w").over(w))
+        .crossJoin(df.agg(F.sum("w").alias("tw")))
+        .select("value", "cum", "tw")
+        .distinct()
+        .collect()
+    }
+    got = {
+        r["value"]: (r["cum"], r["tw"])
+        for r in grouped_value_prefix(
+            df, [], weight_col=F.col("w")
+        ).collect()
+    }
+    assert got == expect
 
 
 def test_default_weight_is_row_count(spark):

@@ -66,6 +66,23 @@ def test_dense_and_multi_group_with_nulls(spark):
     _check(spark, rows, k=4, blk_width=5)
 
 
+def test_many_blocks_prune_exactness(spark):
+    """ADVICE r12 prune: with MANY blocks (here 40 per group) and a
+    mix of dense and near-empty stretches, the nearest-predecessor
+    prune must still hand every head frame its exact context — the
+    adversarial case is a target whose carry spans several sparse
+    blocks while nearer blocks are dense enough to satisfy it alone."""
+    rows = []
+    for g in ("a", "b"):
+        for o in range(200):
+            # blocks of width 5; blocks 10..19 and 25..34 nearly empty
+            b = o // 5
+            if (10 <= b < 20 or 25 <= b < 35) and o % 5 != 0:
+                continue
+            rows.append((g, o, o, float(o) + (0.5 if g == "b" else 0.0)))
+    _check(spark, rows, k=7, blk_width=5)
+
+
 def test_ties_on_order_column(spark):
     # identical o values straddling a block boundary: the i tiebreak
     # decides frame membership identically in both plans
