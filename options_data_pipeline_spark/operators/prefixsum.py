@@ -95,6 +95,7 @@ def grouped_value_prefix(
     weight_col: Column | None = None,
     n_segments: int = N_SEGMENTS,
     seg_width: float | None = None,
+    materialize_values: bool = True,
 ) -> DataFrame:
     """Per (``groups``, distinct ``value_col``): the exact inclusive
     cumulative weight ``cum`` in value order, plus the group total
@@ -105,6 +106,13 @@ def grouped_value_prefix(
     forces a fixed absolute segment width instead of the derived
     bounded-count segmentation — for tests that pin equality across
     segmentations; production callers should leave the default.
+    ``materialize_values`` (default on) cuts lineage at the
+    distinct-value pre-aggregate: the level-1 window, the group-stats
+    frame, and the level-2 offsets are three plan BRANCHES of that
+    aggregate, and unbarriered Catalyst re-derives each branch from
+    the source — three corpus scans where one suffices (the r13
+    scan-count audit made this visible).  The checkpoint costs one
+    compact |distinct values| frame and bounds every branch by it.
     Output columns: ``*groups, value, vw (this value's weight), cum
     (inclusive cumulative weight), tw (group total)``.  All weight
     arithmetic is exact (long); the caller picks thresholds.
@@ -115,6 +123,10 @@ def grouped_value_prefix(
         .groupBy(*groups, "value")
         .agg(F.sum("w").alias("vw"))
     )
+    if materialize_values:
+        from .materialize import materialize
+
+        vw = materialize(vw)
     # group bounds + total from the SAME distinct-value pre-aggregate:
     # one tiny frame (|groups| rows) broadcast back
     gstats = vw.groupBy(*groups).agg(
@@ -141,9 +153,14 @@ def grouped_value_prefix(
     )
     local = with_seg.withColumn("__local_cum", F.sum("vw").over(w_local))
     # level 2: per-segment totals -> exclusive running offset per group
-    # (<= n_segments rows per group by construction), broadcast back
+    # (<= n_segments rows per group by construction), broadcast back.
+    # For the ungrouped form, partition by a literal: the one-task
+    # window over <= n_segments rows is DESIGNED (bounded by the
+    # constant, not data), and the explicit spec says so instead of
+    # tripping Spark's no-partition-defined warning.
+    seg_parts = [F.col(g) for g in groups] or [F.lit(0)]
     w_seg = (
-        Window.partitionBy(*groups)
+        Window.partitionBy(*seg_parts)
         .orderBy("__seg")
         .rowsBetween(Window.unboundedPreceding, -1)
     )

@@ -3295,8 +3295,18 @@ def q_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     (DECIMAL-exact); q_hat is an EXACT order statistic (row_number over
     the calibration residuals, ties on event_id) — no approximate
     percentile, so both engines agree bit-for-bit. Per event type:
-    (n_cal, q_hat, test coverage)."""
+    (n_cal, q_hat, test coverage).
+
+    Scan diet (VERDICT r12 #1): `base` feeds the train/cal/test
+    branches and `model` joins twice — unbarriered, Catalyst re-read
+    the events parquet for every branch (~5 corpus scans; the fattest
+    plan in PLANS.md).  Both shared frames are materialize()d, so one
+    execution scans the corpus ONCE and every branch reads the
+    checkpoint — the sequential dependency (model → residuals → q_hat
+    → coverage) makes some barrier unavoidable; this one costs the
+    corpus once instead of per branch."""
     from ..functions.rounding import dec_sum, round_half_away
+    from ..operators.materialize import materialize
 
     ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
     key = F.substring(
@@ -3307,17 +3317,23 @@ def q_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(key < "c000", F.lit("cal"))          # ~25%
         .otherwise(F.lit("test"))
     )
-    base = ev.select(
-        "event_id",
-        "event_type",
-        F.hour("ts").alias("hod"),
-        "value",
-        split.alias("split"),
+    base = materialize(
+        ev.select(
+            "event_id",
+            "event_type",
+            F.hour("ts").alias("hod"),
+            "value",
+            split.alias("split"),
+        )
     )
-    model = (
+    model = materialize(
         base.where(F.col("split") == "train")
         .groupBy("event_type", "hod")
-        .agg((dec_sum(F.col("value"), scale=6) / F.count(F.lit(1))).alias("pred"))
+        .agg(
+            (dec_sum(F.col("value"), scale=6) / F.count(F.lit(1))).alias(
+                "pred"
+            )
+        )
     )
     cal = (
         base.where(F.col("split") == "cal")

@@ -131,7 +131,7 @@ def test_interior_frames_match_committed_audit(spark, name, tmp_path):
         # the blind spot this closes: interior frames must not be
         # ExistingRDD stubs — at least one has real plan structure
     assert any(
-        committed[f"{name}#{f}"][1:5] != (0, 0, 0, 0) for f in frames
+        committed[f"{name}#{f}"][1:6] != (0, 0, 0, 0, 0) for f in frames
     ), f"{name}: every interior frame audited all-zero — hook is inert"
 
 
@@ -147,7 +147,7 @@ def test_interior_audit_catches_injected_shuffle(spark, tmp_path):
     broken = frames["adjust"].repartition(77)
     live = audit_df(spark, "join_ivm_twin#adjust", broken)
     assert live != committed["join_ivm_twin#adjust"]
-    assert live[1] == committed["join_ivm_twin#adjust"][1] + 1
+    assert live[2] == committed["join_ivm_twin#adjust"][2] + 1
 
 
 def test_audit_catches_injected_shuffle(spark):
@@ -158,7 +158,21 @@ def test_audit_catches_injected_shuffle(spark):
     broken = lambda s, d: fn(s, d).repartition(77)  # noqa: E731
     live = audit_row(spark, "pricing_summary", broken, AUDIT_SF_DIR)
     assert live != committed["pricing_summary"]
-    assert live[1] == committed["pricing_summary"][1] + 1  # exactly +1 shuffle
+    assert live[2] == committed["pricing_summary"][2] + 1  # exactly +1 shuffle
+
+
+def test_audit_catches_injected_scan(spark):
+    """Negative control for the r13 scan column: a plan that reads its
+    source TWICE (self-union — the multi-branch re-read shape VERDICT
+    r12 #1 flagged) must not match the committed row, and the scans
+    column must show exactly the doubling."""
+    committed = committed_rows(PLANS_MD)
+    fn = registry.queries()["pricing_summary"]
+    broken = lambda s, d: fn(s, d).unionByName(fn(s, d))  # noqa: E731
+    live = audit_row(spark, "pricing_summary", broken, AUDIT_SF_DIR)
+    assert live != committed["pricing_summary"]
+    assert committed["pricing_summary"][1] >= 1  # the source read is visible
+    assert live[1] == 2 * committed["pricing_summary"][1]
 
 
 def test_no_terminal_collect_roundtrips_in_plans():
