@@ -117,22 +117,63 @@ def grouped_value_prefix(
     (inclusive cumulative weight), tw (group total)``.  All weight
     arithmetic is exact (long); the caller picks thresholds.
     """
-    w = (weight_col if weight_col is not None else F.lit(1)).cast("long")
+    out = grouped_value_prefix_multi(
+        df,
+        groups,
+        value_col=value_col,
+        weights={"w": weight_col if weight_col is not None else F.lit(1)},
+        n_segments=n_segments,
+        seg_width=seg_width,
+        materialize_values=materialize_values,
+    )
+    return out.select(
+        *groups,
+        "value",
+        F.col("vw_w").alias("vw"),
+        F.col("cum_w").alias("cum"),
+        F.col("tw_w").alias("tw"),
+    )
+
+
+def grouped_value_prefix_multi(
+    df: DataFrame,
+    groups: list[str],
+    value_col: str,
+    weights: dict[str, Column],
+    n_segments: int = N_SEGMENTS,
+    seg_width: float | None = None,
+    materialize_values: bool = True,
+) -> DataFrame:
+    """:func:`grouped_value_prefix` for SEVERAL weight columns over the
+    SAME value order in one pass — the two-sample shape (`length_ks_drift`
+    cumulates the en and non-en counts per distinct length; computing
+    them as two separate prefixes would scan the corpus twice and then
+    need an as-of join to align the tables).  Output per (``groups``,
+    distinct value): ``vw_<name>, cum_<name>, tw_<name>`` per weight.
+    """
+    names = list(weights)
     vw = (
-        df.select(*groups, F.col(value_col).alias("value"), w.alias("w"))
+        df.select(
+            *groups,
+            F.col(value_col).alias("value"),
+            *[
+                w.cast("long").alias(f"__w_{n}")
+                for n, w in weights.items()
+            ],
+        )
         .groupBy(*groups, "value")
-        .agg(F.sum("w").alias("vw"))
+        .agg(*[F.sum(f"__w_{n}").alias(f"vw_{n}") for n in names])
     )
     if materialize_values:
         from .materialize import materialize
 
         vw = materialize(vw)
-    # group bounds + total from the SAME distinct-value pre-aggregate:
+    # group bounds + totals from the SAME distinct-value pre-aggregate:
     # one tiny frame (|groups| rows) broadcast back
     gstats = vw.groupBy(*groups).agg(
         F.min("value").alias("__vmin"),
         F.max("value").alias("__vmax"),
-        F.sum("vw").alias("tw"),
+        *[F.sum(f"vw_{n}").alias(f"tw_{n}") for n in names],
     )
     if groups:
         joined = vw.join(F.broadcast(gstats), list(groups))
@@ -145,14 +186,20 @@ def grouped_value_prefix(
             F.col("value"), F.col("__vmin"), F.col("__vmax"), n_segments
         )
     with_seg = joined.withColumn("__seg", seg)
-    # level 1: local inclusive cumsum inside each (group, segment)
+    # level 1: local inclusive cumsums inside each (group, segment)
     w_local = (
         Window.partitionBy(*groups, "__seg")
         .orderBy("value")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    local = with_seg.withColumn("__local_cum", F.sum("vw").over(w_local))
-    # level 2: per-segment totals -> exclusive running offset per group
+    local = with_seg.select(
+        "*",
+        *[
+            F.sum(f"vw_{n}").over(w_local).alias(f"__lc_{n}")
+            for n in names
+        ],
+    )
+    # level 2: per-segment totals -> exclusive running offsets per group
     # (<= n_segments rows per group by construction), broadcast back.
     # For the ungrouped form, partition by a literal: the one-task
     # window over <= n_segments rows is DESIGNED (bounded by the
@@ -166,21 +213,31 @@ def grouped_value_prefix(
     )
     offsets = (
         with_seg.groupBy(*groups, "__seg")
-        .agg(F.sum("vw").alias("__seg_total"))
-        .withColumn(
-            "__offset",
-            F.coalesce(F.sum("__seg_total").over(w_seg), F.lit(0)),
+        .agg(*[F.sum(f"vw_{n}").alias(f"__st_{n}") for n in names])
+        .select(
+            *groups,
+            "__seg",
+            *[
+                F.coalesce(
+                    F.sum(f"__st_{n}").over(w_seg), F.lit(0)
+                ).alias(f"__off_{n}")
+                for n in names
+            ],
         )
-        .select(*groups, "__seg", "__offset")
     )
     return (
         local.join(F.broadcast(offsets), [*groups, "__seg"])
         .select(
             *groups,
             "value",
-            "vw",
-            (F.col("__local_cum") + F.col("__offset")).alias("cum"),
-            "tw",
+            *[f"vw_{n}" for n in names],
+            *[
+                (F.col(f"__lc_{n}") + F.col(f"__off_{n}")).alias(
+                    f"cum_{n}"
+                )
+                for n in names
+            ],
+            *[f"tw_{n}" for n in names],
         )
     )
 

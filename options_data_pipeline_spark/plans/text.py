@@ -2385,31 +2385,32 @@ def q_length_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     INTEGER cross-product |ca*n2 - cb*n1| (ca, cb = cumulative counts at
     each distinct length), so the argmax and the max are found with zero
     float comparisons; the single division by n1*n2 happens once at the
-    end. Shapes: one scan + one hash aggregate on the length value, a
-    cumulative window over the ~|distinct lengths| aggregate (compact by
-    construction — lengths, not documents), one 1-row reduce.
+    end. Shapes (re-planned r13, VERDICT r12 #3): both cumulative
+    distributions come from ONE two-level segment prefix sum over the
+    distinct lengths (``operators/prefixsum.grouped_value_prefix_multi``
+    — the en and non-en weights cumulate in the same pass), so no
+    unpartitioned window ever sees more than one bounded value-segment;
+    the totals ride along as ``tw_*``, and the final argmax is one
+    1-row reduce.
     """
+    from ..operators.prefixsum import grouped_value_prefix_multi
+
     docs = load_table(spark, sf_dir, "documents")
-    per_len = (
-        docs.groupBy(F.col("n_chars").alias("v"))
-        .agg(
-            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("a"),
-            F.sum(F.when(F.col("lang") != "en", 1).otherwise(0)).alias("b"),
-        )
+    pfx = grouped_value_prefix_multi(
+        docs,
+        [],
+        value_col="n_chars",
+        weights={
+            "a": F.when(F.col("lang") == "en", 1).otherwise(0),
+            "b": F.when(F.col("lang") != "en", 1).otherwise(0),
+        },
     )
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    cum = per_len.select(
-        "v",
-        F.sum("a").over(w).alias("ca"),
-        F.sum("b").over(w).alias("cb"),
-    )
-    totals = per_len.agg(
-        F.sum("a").cast("long").alias("n1"), F.sum("b").cast("long").alias("n2")
-    )
-    scored = cum.crossJoin(F.broadcast(totals)).select(
-        "v", "n1", "n2",
+    scored = pfx.select(
+        F.col("value").alias("v"),
+        F.col("tw_a").cast("long").alias("n1"),
+        F.col("tw_b").cast("long").alias("n2"),
         F.abs(
-            F.col("ca") * F.col("n2") - F.col("cb") * F.col("n1")
+            F.col("cum_a") * F.col("tw_b") - F.col("cum_b") * F.col("tw_a")
         ).alias("num"),
     )
     # argmax with smallest-v tie-break: struct-ordered max_by
@@ -2573,38 +2574,48 @@ def q_quantile_map_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     the target rank in the en distribution is ceil(cb*n1/n2) — integer
     ceiling division, no float quantiles — and the mapped length is the
     smallest en length whose cumulative count reaches that rank. Both
-    cumulative tables are O(distinct lengths); the rank-lookup
-    inequality join runs between those compact tables (the as-of
-    operator is the swap-in at scale). Zero float comparisons anywhere.
+    cumulative tables come from the two-level segment prefix sum
+    (``operators/prefixsum.grouped_value_prefix_multi`` — re-planned
+    r13, VERDICT r12 #3: one pass cumulates both language sides, no
+    unpartitioned data-sized window); they are O(distinct lengths), and
+    the rank-lookup inequality join runs between those compact tables
+    (the as-of operator is the swap-in at scale). Zero float
+    comparisons anywhere.
     """
     from ..operators.materialize import materialize
+    from ..operators.prefixsum import grouped_value_prefix_multi
 
     docs = load_table(spark, sf_dir, "documents")
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-
-    def cum(side):
-        per = side.groupBy(F.col("n_chars").alias("v")).agg(
-            F.count(F.lit(1)).alias("c")
+    # one pass over the corpus cumulates BOTH distributions; the prefix
+    # frame feeds the scalar-total branch, the target side, and the
+    # rank join, so it is materialized once (compact by construction)
+    pfx = materialize(
+        grouped_value_prefix_multi(
+            docs,
+            [],
+            value_col="n_chars",
+            weights={
+                "en": F.when(F.col("lang") == "en", 1).otherwise(0),
+                "ot": F.when(F.col("lang") != "en", 1).otherwise(0),
+            },
         )
-        # materialized: each cumulative table feeds its total branch AND
-        # the rank join; unbarriered, Catalyst re-ran the scan+window per
-        # branch (8 exchanges / 4 windows at audit; now each window runs
-        # once, inside its table's materialization job)
-        return materialize(per.select("v", F.sum("c").over(w).alias("cum")))
-
-    en = cum(docs.where(F.col("lang") == "en"))
-    other = cum(docs.where(F.col("lang") != "en"))
-    n1 = en.agg(F.max("cum").cast("long").alias("n1"))
-    n2 = other.agg(F.max("cum").cast("long").alias("n2"))
+    )
+    n1 = pfx.agg(F.max("tw_en").cast("long").alias("n1"))
+    other = pfx.where(F.col("vw_ot") > 0).select(
+        F.col("value").alias("v"),
+        F.col("cum_ot").alias("cum"),
+        F.col("tw_ot").cast("long").alias("n2"),
+    )
     tgt = (
         other.crossJoin(F.broadcast(n1))
-        .crossJoin(F.broadcast(n2))
         .select(
             "v", F.col("cum").alias("cb"), "n1", "n2",
             F.expr("(cum * n1 + n2 - 1) div n2").alias("r"),
         )
     )
-    en_l = en.select(F.col("v").alias("u"), F.col("cum").alias("ca"))
+    en_l = pfx.where(F.col("vw_en") > 0).select(
+        F.col("value").alias("u"), F.col("cum_en").alias("ca")
+    )
     mapped = (
         tgt.join(F.broadcast(en_l), F.col("ca") >= F.col("r"))
         .groupBy("v", "cb", "r")
