@@ -5877,3 +5877,65 @@ FROM survivors JOIN dim USING (event_type)
 GROUP BY grp, day
 ORDER BY grp, day
 """
+
+
+def af_stream_agg_ivm_twin(
+    spark: SparkSession, sf_dir: str, scratch: str
+) -> dict[str, DataFrame]:
+    """Per-trigger apply path of the STREAMING agg-IVM twin (VERDICT
+    r12 #2): seed fact + stamped view, then audit the exact lazy
+    merged-view frame :func:`..streaming.ivm.ivm_apply_batch` commits
+    per trigger."""
+    from ..operators.materialize import materialize
+    from ..sinks.upsert import _atomic_replace
+    from ..streaming.ivm import ivm_apply_merge_frame
+
+    ev = ivm_events_frame(spark, sf_dir)
+    fact_path, view_path = f"{scratch}/fact", f"{scratch}/view"
+    fact0 = ev.where(F.col("event_id") % 3 != 0)
+    fact0.write.parquet(fact_path)
+    view0 = fact0.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum(F.col("value").cast("decimal(25,6)")).alias("sval"),
+    ).withColumn("_bid", F.lit(0))
+    _atomic_replace(view0, view_path)
+    batch = materialize(ivm_fact_cdc(ev, 1))
+    view = spark.read.parquet(view_path)
+    return {
+        "apply_merge": ivm_apply_merge_frame(
+            spark, fact_path, view, batch, 1
+        )
+    }
+
+
+def af_stream_join_ivm_twin(
+    spark: SparkSession, sf_dir: str, scratch: str
+) -> dict[str, DataFrame]:
+    """Per-trigger apply path of the STREAMING join-IVM twin: the
+    pre-batch fact adjustment join and its dim routing — the two
+    recurring frames :func:`..streaming.ivm.join_ivm_apply_batch`
+    computes per trigger (the stamped store merges are audited via the
+    batch twin's `#merge` row; the adjust frames are the per-trigger
+    cost that scales with the batch)."""
+    from ..operators.materialize import materialize
+    from ..streaming.ivm import (
+        join_ivm_adjust_frame,
+        join_ivm_view_adjust_frame,
+    )
+
+    ev = ivm_events_frame(spark, sf_dir)
+    fact_path = f"{scratch}/fact"
+    fact0 = ev.where(F.col("event_id") % 3 != 0)
+    fact0.write.parquet(fact_path)
+    grp0 = F.concat(
+        F.lit("G"), (F.length("event_type") % 3).cast("string")
+    )
+    dim0 = ev.select("event_type").distinct().select(
+        "event_type", grp0.alias("grp")
+    ).localCheckpoint()
+    batch = materialize(ivm_fact_cdc(ev, 1))
+    d_agg = join_ivm_adjust_frame(spark, fact_path, batch)
+    return {
+        "apply_adjust": d_agg,
+        "apply_view_adjust": join_ivm_view_adjust_frame(d_agg, dim0),
+    }

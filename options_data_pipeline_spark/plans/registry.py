@@ -955,6 +955,16 @@ _AUDIT_FRAMES: dict[
     "agg_ivm_twin": quality.af_agg_ivm_twin,
     "join_ivm_twin": quality.af_join_ivm_twin,
     "bloom_index_maintain": quality.af_bloom_index_maintain,
+    # r13 (VERDICT r12 #2): per-trigger #apply rows for the remaining
+    # streaming twins — the recurring 100 TB cost the terminal audit
+    # can't see (the twins resolve to ExistingRDD after materialize())
+    "cms_store_replay_twin": stores.af_cms_store_replay_twin,
+    "hist_store_stream_twin": stores.af_hist_store_stream_twin,
+    "dds_store_stream_twin": stores.af_dds_store_stream_twin,
+    "stream_mg_topk_twin": stores.af_stream_mg_topk_twin,
+    "stream_candles_replay_twin": sessions.af_stream_candles_replay_twin,
+    "stream_agg_ivm_twin": quality.af_stream_agg_ivm_twin,
+    "stream_join_ivm_twin": quality.af_stream_join_ivm_twin,
 }
 
 

@@ -789,3 +789,31 @@ SELECT instrument, CAST(count(*) AS BIGINT) AS n_candles,
        {sql_round_half_away("CAST(SUM(CAST(t_gk AS DECIMAL(38,9))) AS DOUBLE)", 6)} AS rv_gk
 FROM terms GROUP BY 1
 """
+
+
+def af_stream_candles_replay_twin(
+    spark: SparkSession, sf_dir: str, scratch: str
+) -> dict[str, DataFrame]:
+    """Per-trigger apply path of the candles replay twin (VERDICT r12
+    #2): stage the source, seed gold with the leading time slice
+    through the REAL apply, then audit the exact lazy rebuild frame a
+    trailing slice's trigger runs — touched-bucket checkpoint, literal
+    range predicate into the source scan, broadcast semi-join, OHLC
+    rollup."""
+    from ..streaming.candles import (
+        candles_apply_batch,
+        candles_rebuild_frame,
+    )
+
+    src, gold = f"{scratch}/events", f"{scratch}/gold"
+    ev = load_table(spark, sf_dir, "events")
+    ev.repartitionByRange(3, "ts").write.parquet(src)
+    staged = spark.read.parquet(src)
+    b = staged.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).first()
+    t1 = b["lo"] + (b["hi"] - b["lo"]) / 3
+    candles_apply_batch(spark, src, gold, staged.where(F.col("ts") < t1))
+    return {
+        "apply_rebuild": candles_rebuild_frame(
+            spark, src, staged.where(F.col("ts") >= t1)
+        )
+    }

@@ -1750,3 +1750,71 @@ def af_stream_weighted_sample_twin(
     return {
         "apply_merge": weighted_reservoir_merge_frame(spark, store, slice1),
     }
+
+
+def af_cms_store_replay_twin(
+    spark: SparkSession, sf_dir: str, scratch: str
+) -> dict[str, DataFrame]:
+    """Per-trigger apply path of the CMS store twin (VERDICT r12 #2):
+    seed the store with wave 1 through the REAL apply, then audit the
+    exact lazy merge frame a second wave writes."""
+    from ..streaming.sketches import cms_apply_batch, cms_merge_frame
+
+    store = f"{scratch}/cms_store"
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id"
+    )
+    w1 = ev.where(F.col("event_id") % 2 == 0).drop("event_id")
+    w2 = ev.where(F.col("event_id") % 2 == 1).drop("event_id")
+    cms_apply_batch(spark, store, w1, 0)
+    return {"apply_merge": cms_merge_frame(spark, store, w2, 1)}
+
+
+def af_hist_store_stream_twin(
+    spark: SparkSession, sf_dir: str, scratch: str
+) -> dict[str, DataFrame]:
+    """Per-trigger apply path of the histogram store twin."""
+    from ..streaming.sketches import hist_apply_batch, hist_merge_frame
+
+    store = f"{scratch}/hist_store"
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    w1 = ev.where(F.col("event_id") % 2 == 0).drop("event_id")
+    w2 = ev.where(F.col("event_id") % 2 == 1).drop("event_id")
+    hist_apply_batch(spark, store, w1, 0)
+    return {"apply_merge": hist_merge_frame(spark, store, w2, 1)}
+
+
+def af_dds_store_stream_twin(
+    spark: SparkSession, sf_dir: str, scratch: str
+) -> dict[str, DataFrame]:
+    """Per-trigger apply path of the DDS store twin."""
+    from ..streaming.sketches import dds_apply_batch, dds_merge_frame
+
+    store = f"{scratch}/dds_store"
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    w1 = ev.where(F.col("event_id") % 2 == 0).drop("event_id")
+    w2 = ev.where(F.col("event_id") % 2 == 1).drop("event_id")
+    dds_apply_batch(spark, store, w1, 0)
+    return {"apply_merge": dds_merge_frame(spark, store, w2, 1)}
+
+
+def af_stream_mg_topk_twin(
+    spark: SparkSession, sf_dir: str, scratch: str
+) -> dict[str, DataFrame]:
+    """Per-trigger apply path of the MG heavy-hitters store twin —
+    the stamped-day anti-join, add-merge, and re-truncate one trigger
+    executes (the same wave split as the twin query)."""
+    from ..streaming.sketches import mg_apply_batch, mg_merge_frame
+
+    store = f"{scratch}/mg_store"
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id"
+    )
+    w1 = ev.where(F.col("event_id") % 3 != 0).drop("event_id")
+    w2 = ev.where(F.col("event_id") % 3 == 0).drop("event_id")
+    mg_apply_batch(spark, store, w1, 0)
+    return {"apply_merge": mg_merge_frame(spark, store, w2, 1)}

@@ -111,6 +111,55 @@ def dedup_append_stream(
     return writer.start()
 
 
+def candles_rebuild_frame(
+    spark: SparkSession,
+    source_dir: str,
+    batch_df: DataFrame,
+    instrument_col: str = "event_type",
+    ts_col: str = "ts",
+    price_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame | None:
+    """The EXACT lazy candle recompute one apply runs per trigger:
+    distinct touched buckets (localCheckpoint — reused for bounds + the
+    semi-join) → literal (lo, hi) range predicate into the source scan
+    → broadcast semi-join on exact bucket membership → OHLC rollup.
+    Returns None for an empty batch.  The audit seam for
+    `stream_candles_replay_twin#apply_rebuild` (VERDICT r12 #2)."""
+    touched = (
+        batch_df.select(
+            F.col(instrument_col).alias("instrument"),
+            F.date_trunc("hour", F.col(ts_col)).alias("bucket_ts"),
+        )
+        .distinct()
+        .localCheckpoint()  # reused for bounds + the semi-join
+    )
+    bounds = touched.agg(
+        F.min("bucket_ts").alias("lo"), F.max("bucket_ts").alias("hi")
+    ).first()
+    if bounds["lo"] is None:
+        return None
+    source = spark.read.parquet(source_dir).withColumnRenamed(
+        instrument_col, "instrument"
+    )
+    in_scope = (
+        source.where(
+            (F.col(ts_col) >= F.lit(bounds["lo"]))
+            & (F.col(ts_col) < F.lit(bounds["hi"]) + F.expr("INTERVAL 1 HOUR"))
+        )
+        .withColumn("bucket_ts", F.date_trunc("hour", F.col(ts_col)))
+        .join(F.broadcast(touched), ["instrument", "bucket_ts"], "left_semi")
+    )
+    return ticks_to_ohlc(
+        in_scope,
+        bucket=F.col("bucket_ts"),
+        keys=("instrument",),
+        time_col=ts_col,
+        price_col=price_col,
+        tiebreak_cols=(id_col,),
+    )
+
+
 def candles_apply_batch(
     spark: SparkSession,
     source_dir: str,
@@ -140,38 +189,17 @@ def candles_apply_batch(
     literal range predicate that reaches the parquet scan (row-group /
     partition pruning on a date-partitioned source); exact bucket
     membership is a broadcast semi-join against the touched set."""
-    touched = (
-        batch_df.select(
-            F.col(instrument_col).alias("instrument"),
-            F.date_trunc("hour", F.col(ts_col)).alias("bucket_ts"),
-        )
-        .distinct()
-        .localCheckpoint()  # reused for bounds + the semi-join
-    )
-    bounds = touched.agg(
-        F.min("bucket_ts").alias("lo"), F.max("bucket_ts").alias("hi")
-    ).first()
-    if bounds["lo"] is None:
-        return
-    source = spark.read.parquet(source_dir).withColumnRenamed(
-        instrument_col, "instrument"
-    )
-    in_scope = (
-        source.where(
-            (F.col(ts_col) >= F.lit(bounds["lo"]))
-            & (F.col(ts_col) < F.lit(bounds["hi"]) + F.expr("INTERVAL 1 HOUR"))
-        )
-        .withColumn("bucket_ts", F.date_trunc("hour", F.col(ts_col)))
-        .join(F.broadcast(touched), ["instrument", "bucket_ts"], "left_semi")
-    )
-    candles = ticks_to_ohlc(
-        in_scope,
-        bucket=F.col("bucket_ts"),
-        keys=("instrument",),
-        time_col=ts_col,
+    candles = candles_rebuild_frame(
+        spark,
+        source_dir,
+        batch_df,
+        instrument_col=instrument_col,
+        ts_col=ts_col,
         price_col=price_col,
-        tiebreak_cols=(id_col,),
+        id_col=id_col,
     )
+    if candles is None:
+        return
     if day_partitioned:
         upsert_partitioned(
             spark,

@@ -64,7 +64,26 @@ def ivm_apply_batch(
         apply_cdc(spark, fact_path, batch, keys=["event_id"], seq_col="seq")
         return
     batch = batch.localCheckpoint()
+    merged = ivm_apply_merge_frame(spark, fact_path, view, batch, batch_id)
+    # counters + stamp in ONE atomic replace: the commit granule
+    _atomic_replace(merged.localCheckpoint(), view_path)
+    # fact advance AFTER the view commit: replay-idempotent on its own
+    # (last-write-wins by seq), so it carries no stamp
+    apply_cdc(spark, fact_path, batch, keys=["event_id"], seq_col="seq")
 
+
+def ivm_apply_merge_frame(
+    spark: SparkSession,
+    fact_path: str,
+    view: DataFrame | None,
+    batch: DataFrame,
+    batch_id: int,
+) -> DataFrame:
+    """The EXACT lazy merged-view frame one IVM apply commits per
+    trigger: batch joined against PRE-batch fact truth → (+/-)
+    adjustments → full-join merge with the current view → drained-group
+    eviction → ``_bid`` stamp.  The audit seam for
+    `stream_agg_ivm_twin#apply_merge` (VERDICT r12 #2)."""
     fact = spark.read.parquet(fact_path)
     old = fact.select(
         "event_id",
@@ -125,14 +144,7 @@ def ivm_apply_batch(
             )
             .where(F.col("cnt") > 0)
         )
-    # counters + stamp in ONE atomic replace: the commit granule
-    _atomic_replace(
-        merged.withColumn("_bid", F.lit(batch_id)).localCheckpoint(),
-        view_path,
-    )
-    # fact advance AFTER the view commit: replay-idempotent on its own
-    # (last-write-wins by seq), so it carries no stamp
-    apply_cdc(spark, fact_path, batch, keys=["event_id"], seq_col="seq")
+    return merged.withColumn("_bid", F.lit(batch_id))
 
 
 def ivm_view_stream(
@@ -238,53 +250,69 @@ def join_ivm_apply_batch(
     view_done = _stamped(view_cur, batch_id)
     if not (agg_done and view_done):
         batch = batch.localCheckpoint()
-        fact = spark.read.parquet(fact_path)
-        old = fact.select(
-            "event_id",
-            F.col("day").alias("_oday"),
-            F.col("event_type").alias("_otype"),
-            F.col("value").alias("_oval"),
-        )
-        delta = batch.join(old, "event_id", "left")
-        minus = delta.where(F.col("op").isin("U", "D")).select(
-            F.col("_otype").alias("event_type"),
-            F.col("_oday").alias("day"),
-            F.lit(-1).cast("long").alias("d_cnt"),
-            (-F.col("_oval")).cast("decimal(25,6)").alias("d_sval"),
-        )
-        plus = delta.where(F.col("op").isin("I", "U")).select(
-            "event_type",
-            "day",
-            F.lit(1).cast("long").alias("d_cnt"),
-            F.col("value").cast("decimal(25,6)").alias("d_sval"),
-        )
-        d_agg = (
-            minus.unionByName(plus)
-            .groupBy("event_type", "day")
-            .agg(
-                F.sum("d_cnt").cast("long").alias("d_cnt"),
-                F.sum("d_sval").cast("decimal(25,6)").alias("d_sval"),
-            )
-            .localCheckpoint()
-        )
+        d_agg = join_ivm_adjust_frame(spark, fact_path, batch).localCheckpoint()
         if not agg_done:
             _merge_adj_stamped(
                 spark, agg_path, d_agg, ["event_type", "day"], batch_id
             )
         if not view_done:
             dim = spark.read.parquet(dim_path)
-            v_adj = (
-                d_agg.join(dim, "event_type")
-                .groupBy("grp", "day")
-                .agg(
-                    F.sum("d_cnt").cast("long").alias("d_cnt"),
-                    F.sum("d_sval").cast("decimal(25,6)").alias("d_sval"),
-                )
-            )
+            v_adj = join_ivm_view_adjust_frame(d_agg, dim)
             _merge_adj_stamped(
                 spark, view_path, v_adj, ["grp", "day"], batch_id
             )
     apply_cdc(spark, fact_path, batch, keys=["event_id"], seq_col="seq")
+
+
+def join_ivm_adjust_frame(
+    spark: SparkSession, fact_path: str, batch: DataFrame
+) -> DataFrame:
+    """The EXACT lazy per-(type, day) adjustment frame one join-IVM
+    apply computes per trigger — batch joined against PRE-batch fact
+    truth only (never the derived stores).  The audit seam for
+    `stream_join_ivm_twin#apply_adjust` (VERDICT r12 #2)."""
+    fact = spark.read.parquet(fact_path)
+    old = fact.select(
+        "event_id",
+        F.col("day").alias("_oday"),
+        F.col("event_type").alias("_otype"),
+        F.col("value").alias("_oval"),
+    )
+    delta = batch.join(old, "event_id", "left")
+    minus = delta.where(F.col("op").isin("U", "D")).select(
+        F.col("_otype").alias("event_type"),
+        F.col("_oday").alias("day"),
+        F.lit(-1).cast("long").alias("d_cnt"),
+        (-F.col("_oval")).cast("decimal(25,6)").alias("d_sval"),
+    )
+    plus = delta.where(F.col("op").isin("I", "U")).select(
+        "event_type",
+        "day",
+        F.lit(1).cast("long").alias("d_cnt"),
+        F.col("value").cast("decimal(25,6)").alias("d_sval"),
+    )
+    return (
+        minus.unionByName(plus)
+        .groupBy("event_type", "day")
+        .agg(
+            F.sum("d_cnt").cast("long").alias("d_cnt"),
+            F.sum("d_sval").cast("decimal(25,6)").alias("d_sval"),
+        )
+    )
+
+
+def join_ivm_view_adjust_frame(d_agg: DataFrame, dim: DataFrame) -> DataFrame:
+    """Route the partial-aggregate adjustments through the dimension to
+    per-(grp, day) view adjustments — the second recurring frame of one
+    join-IVM apply (`stream_join_ivm_twin#apply_view_adjust`)."""
+    return (
+        d_agg.join(dim, "event_type")
+        .groupBy("grp", "day")
+        .agg(
+            F.sum("d_cnt").cast("long").alias("d_cnt"),
+            F.sum("d_sval").cast("decimal(25,6)").alias("d_sval"),
+        )
+    )
 
 
 def join_ivm_view_stream(

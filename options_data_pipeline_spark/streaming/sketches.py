@@ -104,60 +104,83 @@ def hll_register_stream(
     return writer.start()
 
 
-def _add_merge_batch_into_store(
+def _stamped_day_filter(
+    ev: DataFrame, target: DataFrame | None, batch_id: int
+) -> DataFrame:
+    """Drop the slice's rows for days whose stored ``_bid`` already
+    reached this batch id (broadcast done-day anti-join) — the
+    replay-skip every additive apply runs BEFORE building its grid."""
+    if target is None or "_bid" not in target.columns:
+        return ev
+    done_days = (
+        target.groupBy("day")
+        .agg(F.max("_bid").alias("_mx"))
+        .where(F.col("_mx") >= batch_id)
+        .select("day")
+    )
+    return ev.join(F.broadcast(done_days), "day", "left_anti")
+
+
+def additive_merge_frame(
     spark: SparkSession,
     store_path: str,
-    batch_grid: DataFrame,
+    ev: DataFrame,
+    build_grid,
     batch_id: int,
+    cell_cols: tuple[str, ...],
     target: DataFrame | None = None,
     target_read: bool = False,
-    cell_cols: tuple[str, ...] = ("r", "c"),
-) -> None:
-    """ADD-merge a batch's (day, *cell_cols, cnt) counter cells with the stored
-    grid rows of the SAME days, then partition-pruned upsert.  Unlike
-    the HLL max (idempotent), counter addition is NOT replay-idempotent
-    by itself, and foreachBatch only guarantees AT-LEAST-ONCE delivery:
-    a micro-batch that commits its partition swaps but dies before the
-    checkpoint commit is re-executed on restart with the SAME batch_id
-    and the same slice (ADVICE r8 medium).  Exactly-once is therefore
-    carried by the store itself: every grid row carries ``_bid``, the
-    id of the last batch folded into its day, stamped in the SAME
-    atomic partition swap as the counters.  On apply, days whose stored
-    ``_bid`` already reached this batch's id are skipped wholesale —
-    their partitions are not even rewritten — so a committed-then-
-    replayed batch converges instead of double-counting.  The granule
-    is the day partition (the swap unit), so a crash between two days'
-    swaps replays only the day that did not commit.  ``target_read``
-    lets the caller pass its already-loaded store frame so one apply
-    reads the store once (the done-day probe and the merge share it).
-    ``cell_cols`` names the counter key within a day — ("r", "c") for
-    the CMS grid, ("event_type", "bin") for the histogram store — the
-    add-merge law and the replay protection are IDENTICAL for every
-    additive store, so the machinery is shared, not duplicated."""
+) -> DataFrame:
+    """The EXACT lazy frame one additive-store apply writes per
+    trigger: stamped-day anti-join → ``build_grid`` → ADD-merge with
+    the stored rows of the SAME days → ``_bid`` stamp.  Extracted as a
+    module seam so the plan audit pins the per-trigger apply path
+    (`*_twin#apply_merge` rows in PLANS.md, VERDICT r12 #2) on the
+    code :func:`_additive_apply_batch` actually executes.
+
+    Replay contract: unlike the HLL max (idempotent), counter addition
+    is NOT replay-idempotent by itself, and foreachBatch only
+    guarantees AT-LEAST-ONCE delivery — a micro-batch that commits its
+    partition swaps but dies before the checkpoint commit re-executes
+    on restart with the SAME batch_id and slice (ADVICE r8 medium).
+    Exactly-once is carried by the store itself: every row carries
+    ``_bid``, the id of the last batch folded into its day, stamped in
+    the SAME atomic partition swap as the counters; days whose stored
+    ``_bid`` already reached this batch's id are dropped by the
+    anti-join, so a committed-then-replayed batch converges instead of
+    double-counting.  The granule is the day partition (the swap
+    unit).  ``target_read`` lets the caller pass its already-loaded
+    store frame so one apply reads the store once.  ``cell_cols``
+    names the counter key within a day — ("r", "c") for the CMS grid,
+    ("event_type", "bin") for the histogram store — the add-merge law
+    and the replay protection are IDENTICAL for every additive store,
+    so the machinery is shared, not duplicated."""
     from ..sinks.upsert import _read_target
 
-    cols = ["day", *cell_cols, "cnt"]
     if not target_read:
         target = _read_target(spark, store_path)
+    ev = _stamped_day_filter(ev, target, batch_id)
+    grid = build_grid(ev)
+    cols = ["day", *cell_cols, "cnt"]
     if target is None:
-        merged = batch_grid.withColumn("_bid", F.lit(batch_id))
-    else:
-        batch_days = batch_grid.select("day").distinct()
-        stored = target.select(*cols).join(batch_days, "day")
-        merged = (
-            batch_grid.select(*cols)
-            .unionByName(stored)
-            .groupBy("day", *cell_cols)
-            .agg(F.sum("cnt").alias("cnt"))
-            .withColumn("_bid", F.lit(batch_id))
-        )
-    upsert_partitioned(
-        spark,
-        store_path,
-        merged,
-        keys=["day", *cell_cols],
-        partition_col="day",
-        collect_metrics=False,
+        return grid.withColumn("_bid", F.lit(batch_id))
+    # the grid feeds the touched-day probe AND the add-merge union —
+    # unbarriered, each branch re-scans the slice and re-aggregates
+    # (the r13 #apply audit showed 7 slice scans per trigger).  The
+    # grid is the compact form (cells bounded by sketch geometry ×
+    # touched days), so one checkpoint bounds the whole apply at one
+    # slice scan.
+    from ..operators.materialize import materialize
+
+    grid = materialize(grid)
+    batch_days = grid.select("day").distinct()
+    stored = target.select(*cols).join(batch_days, "day")
+    return (
+        grid.select(*cols)
+        .unionByName(stored)
+        .groupBy("day", *cell_cols)
+        .agg(F.sum("cnt").alias("cnt"))
+        .withColumn("_bid", F.lit(batch_id))
     )
 
 
@@ -172,32 +195,34 @@ def _additive_apply_batch(
     """Shared exactly-once apply for ADDITIVE day stores: skip stamped
     days BEFORE building the grid (anti-join the raw slice against the
     broadcast done-day set, early-exit probe), then add-merge + stamp in
-    one partition swap.  ``ev`` must carry a ``day`` column;
-    ``build_grid(ev)`` returns (day, *cell_cols, cnt) rows."""
+    one partition swap (:func:`additive_merge_frame`).  ``ev`` must
+    carry a ``day`` column; ``build_grid(ev)`` returns
+    (day, *cell_cols, cnt) rows."""
     from ..sinks.upsert import _read_target
 
     target = _read_target(spark, store_path)
     if target is not None and "_bid" in target.columns:
-        done_days = (
-            target.groupBy("day")
-            .agg(F.max("_bid").alias("_mx"))
-            .where(F.col("_mx") >= batch_id)
-            .select("day")
-        )
-        ev = ev.join(F.broadcast(done_days), "day", "left_anti")
         # bounded early-exit probe: LocalLimit(1) stops at the first
         # surviving row; a fully-replayed batch scans to prove emptiness
-        if not ev.limit(1).collect():
+        if not _stamped_day_filter(ev, target, batch_id).limit(1).collect():
             return  # every day already applied this batch id
-    grid = build_grid(ev)
-    _add_merge_batch_into_store(
+    merged = additive_merge_frame(
         spark,
         store_path,
-        grid,
+        ev,
+        build_grid,
         batch_id,
+        cell_cols,
         target=target,
         target_read=True,
-        cell_cols=cell_cols,
+    )
+    upsert_partitioned(
+        spark,
+        store_path,
+        merged,
+        keys=["day", *cell_cols],
+        partition_col="day",
+        collect_metrics=False,
     )
 
 
@@ -225,19 +250,38 @@ def cms_apply_batch(
     set, so the md5 cell aggregation, staging write, and partition swap
     are never paid for days already committed — a full same-id replay
     costs one early-exit probe of the slice and nothing else."""
+    ev, build = _cms_parts(batch_events, key_col, ts_col)
+    _additive_apply_batch(
+        spark, store_path, ev, build, batch_id, cell_cols=("r", "c")
+    )
+
+
+def _cms_parts(batch_events: DataFrame, key_col: str, ts_col: str):
+    """(slice-with-day, grid builder) for the CMS apply — one shared
+    construction site so the executed apply and the audit frame can
+    never drift apart."""
     from ..operators.cms import cms_build
 
     ev = batch_events.select(
         F.to_date(F.col(ts_col)).alias("day"),
         F.col(key_col),
     )
-    _additive_apply_batch(
-        spark,
-        store_path,
-        ev,
-        lambda e: cms_build(e, key_col, ["day"]),
-        batch_id,
-        cell_cols=("r", "c"),
+    return ev, (lambda e: cms_build(e, key_col, ["day"]))
+
+
+def cms_merge_frame(
+    spark: SparkSession,
+    store_path: str,
+    batch_events: DataFrame,
+    batch_id: int,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """The lazy frame :func:`cms_apply_batch` writes per trigger — the
+    audit seam for `cms_store_replay_twin#apply_merge`."""
+    ev, build = _cms_parts(batch_events, key_col, ts_col)
+    return additive_merge_frame(
+        spark, store_path, ev, build, batch_id, cell_cols=("r", "c")
     )
 
 
@@ -298,6 +342,22 @@ def hist_apply_batch(
     protection (:func:`_additive_apply_batch`).  Bin arithmetic is the
     plans' shared 256-bin equi-width convention, so the converged store
     equals the batch build bit-for-bit."""
+    ev, build = _hist_parts(batch_events, ts_col, type_col, value_col)
+    _additive_apply_batch(
+        spark,
+        store_path,
+        ev,
+        build,
+        batch_id,
+        cell_cols=("event_type", "bin"),
+    )
+
+
+def _hist_parts(
+    batch_events: DataFrame, ts_col: str, type_col: str, value_col: str
+):
+    """(slice-with-day, grid builder) for the histogram apply — shared
+    by the executed apply and the audit frame."""
     from ..plans.quality import HIST_BINS, HIST_LO, HIST_W
 
     ev = batch_events.where(F.col(value_col).isNotNull()).select(
@@ -319,13 +379,23 @@ def hist_apply_batch(
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
 
-    _additive_apply_batch(
-        spark,
-        store_path,
-        ev,
-        build,
-        batch_id,
-        cell_cols=("event_type", "bin"),
+    return ev, build
+
+
+def hist_merge_frame(
+    spark: SparkSession,
+    store_path: str,
+    batch_events: DataFrame,
+    batch_id: int,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """The lazy frame :func:`hist_apply_batch` writes per trigger — the
+    audit seam for `hist_store_stream_twin#apply_merge`."""
+    ev, build = _hist_parts(batch_events, ts_col, type_col, value_col)
+    return additive_merge_frame(
+        spark, store_path, ev, build, batch_id, cell_cols=("event_type", "bin")
     )
 
 
@@ -376,6 +446,22 @@ def dds_apply_batch(
     per-day ``_bid`` replay protection (:func:`_additive_apply_batch`).
     Bucket arithmetic is operators/dds.py's shared decimal-log text, so
     the converged store equals the batch build bit-for-bit."""
+    ev, build = _dds_parts(batch_events, ts_col, type_col, value_col)
+    _additive_apply_batch(
+        spark,
+        store_path,
+        ev,
+        build,
+        batch_id,
+        cell_cols=("event_type", "bucket"),
+    )
+
+
+def _dds_parts(
+    batch_events: DataFrame, ts_col: str, type_col: str, value_col: str
+):
+    """(slice-with-day, grid builder) for the DDS apply — shared by the
+    executed apply and the audit frame."""
     from ..operators.dds import sql_dds_bucket
 
     ev = batch_events.where(F.col(value_col).isNotNull()).select(
@@ -394,7 +480,22 @@ def dds_apply_batch(
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
 
-    _additive_apply_batch(
+    return ev, build
+
+
+def dds_merge_frame(
+    spark: SparkSession,
+    store_path: str,
+    batch_events: DataFrame,
+    batch_id: int,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """The lazy frame :func:`dds_apply_batch` writes per trigger — the
+    audit seam for `dds_store_stream_twin#apply_merge`."""
+    ev, build = _dds_parts(batch_events, ts_col, type_col, value_col)
+    return additive_merge_frame(
         spark,
         store_path,
         ev,
@@ -574,24 +675,64 @@ def mg_apply_batch(
     exactly the SpaceSaving merge bound (Agarwal et al., "Mergeable
     Summaries").  Truncation makes the fold order-DEPENDENT; the
     adjudicating oracle replays the identical wave order."""
+    from ..sinks.upsert import _read_target
+
+    target = _read_target(spark, store_path)
+    if target is not None and "_bid" in target.columns:
+        ev = batch_events.select(
+            F.to_date(F.col(ts_col)).alias("day"),
+            F.col(key_col).alias("user_id"),
+        )
+        if not _stamped_day_filter(ev, target, batch_id).limit(1).collect():
+            return  # every day already applied this batch id
+    summary = mg_merge_frame(
+        spark,
+        store_path,
+        batch_events,
+        batch_id,
+        ts_col=ts_col,
+        key_col=key_col,
+        target=target,
+        target_read=True,
+    )
+    upsert_partitioned(
+        spark,
+        store_path,
+        summary,
+        keys=["day", "rank"],
+        partition_col="day",
+        collect_metrics=False,
+    )
+
+
+def mg_merge_frame(
+    spark: SparkSession,
+    store_path: str,
+    batch_events: DataFrame,
+    batch_id: int,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    target: DataFrame | None = None,
+    target_read: bool = False,
+) -> DataFrame:
+    """The EXACT lazy summary frame one MG apply writes per trigger:
+    stamped-day anti-join → exact slice counts → ADD-merge with the
+    same days' stored counters + carried error bound → re-truncate →
+    ``_bid`` stamp.  The audit seam for
+    `stream_mg_topk_twin#apply_merge` (VERDICT r12 #2)."""
     from ..operators.heavyhitters import mg_truncate
     from ..sinks.upsert import _read_target
 
-    ev = batch_events.select(
-        F.to_date(F.col(ts_col)).alias("day"),
-        F.col(key_col).alias("user_id"),
+    if not target_read:
+        target = _read_target(spark, store_path)
+    ev = _stamped_day_filter(
+        batch_events.select(
+            F.to_date(F.col(ts_col)).alias("day"),
+            F.col(key_col).alias("user_id"),
+        ),
+        target,
+        batch_id,
     )
-    target = _read_target(spark, store_path)
-    if target is not None and "_bid" in target.columns:
-        done_days = (
-            target.groupBy("day")
-            .agg(F.max("_bid").alias("_mx"))
-            .where(F.col("_mx") >= batch_id)
-            .select("day")
-        )
-        ev = ev.join(F.broadcast(done_days), "day", "left_anti")
-        if not ev.limit(1).collect():
-            return  # every day already applied this batch id
     dc = ev.groupBy("day", "user_id").agg(
         F.count(F.lit(1)).cast("long").alias("cnt")
     )
@@ -599,6 +740,14 @@ def mg_apply_batch(
         comb = dc
         err_in = None
     else:
+        # dc feeds the touched-day probe, the add-merge union, and the
+        # error-bound lookup — unbarriered, the r13 #apply audit showed
+        # 33 slice/store scans per trigger from branch re-derivation.
+        # One checkpoint of the compact per-(day, key) slice counts
+        # bounds the apply at one slice scan.
+        from ..operators.materialize import materialize
+
+        dc = materialize(dc)
         touched = dc.select("day").distinct()
         stored = target.select("day", "user_id", "cnt").join(
             touched, "day"
@@ -622,16 +771,8 @@ def mg_apply_batch(
                 "err"
             ),
         )
-    summary = mg_truncate(with_err, ["day"], "user_id").withColumn(
+    return mg_truncate(with_err, ["day"], "user_id").withColumn(
         "_bid", F.lit(batch_id)
-    )
-    upsert_partitioned(
-        spark,
-        store_path,
-        summary,
-        keys=["day", "rank"],
-        partition_col="day",
-        collect_metrics=False,
     )
 
 

@@ -161,6 +161,21 @@ def test_audit_catches_injected_shuffle(spark):
     assert live[2] == committed["pricing_summary"][2] + 1  # exactly +1 shuffle
 
 
+def test_apply_frame_audit_catches_injected_shuffle(spark, tmp_path):
+    """Negative control against one of the NEW r13 per-trigger #apply
+    frames (VERDICT r12 #2): a degraded apply plan (extra repartition)
+    must not match the committed row."""
+    from tools.plan_audit import audit_df
+
+    committed = committed_rows(PLANS_MD)
+    hook = registry.audit_frames()["cms_store_replay_twin"]
+    frames = hook(spark, AUDIT_SF_DIR, str(tmp_path))
+    broken = frames["apply_merge"].repartition(77)
+    live = audit_df(spark, "cms_store_replay_twin#apply_merge", broken)
+    assert live != committed["cms_store_replay_twin#apply_merge"]
+    assert live[2] == committed["cms_store_replay_twin#apply_merge"][2] + 1
+
+
 def test_audit_catches_injected_scan(spark):
     """Negative control for the r13 scan column: a plan that reads its
     source TWICE (self-union — the multi-branch re-read shape VERDICT
