@@ -372,11 +372,36 @@ def main() -> None:
     )
 
     total = round(sum(timings.values()), 3)
+    # analytics vs adjudication-harness subtotals (VERDICT r12 #4): the
+    # harness entries (scratch stores / layouts / replay waves, tagged
+    # in registry._HARNESS_QUERIES) grew the headline ~28 s/round while
+    # the ~250 cheap analytics queries became a rounding error in it —
+    # split the headline so each population trends on its own.
+    harness_names = registry.harness_queries()
+    artifact_names = set(artifact_builds) | {"file_pruned_upsert"}
+
+    def _tag(name: str) -> str:
+        if name in artifact_names:
+            return "artifact"
+        return "harness" if name in harness_names else "analytics"
+
+    subtotals = {
+        t: round(
+            sum(v for q, v in timings.items() if _tag(q) == t), 3
+        )
+        for t in ("analytics", "harness", "artifact")
+    }
+    log(
+        f"  subtotals: analytics {subtotals['analytics']:.1f}s, "
+        f"harness {subtotals['harness']:.1f}s, "
+        f"artifact {subtotals['artifact']:.1f}s"
+    )
     # cross-round common-set ratios, RAW and CANARY-NORMALIZED (the r12
     # protocol): the anchor is the last `round N:` commit's detail, the
     # divisor is the canary host ratio — emitted into both the detail
     # and the driver-captured stdout line so every future round's
-    # comparison is mechanical, not re-derived by hand
+    # comparison is mechanical, not re-derived by hand.  Since r13 the
+    # block also carries the per-tag split.
     common_block = None
     host_ratio = canary_block.get("host_ratio_vs_prev_round")
     common = [q for q in timings if q in prev and prev[q] > 0]
@@ -392,11 +417,34 @@ def main() -> None:
                 (t_new / t_old) / host_ratio, 3
             ),
         }
+        for t in ("analytics", "harness"):
+            sub = [q for q in common if _tag(q) == t]
+            if not sub:
+                continue
+            s_new = sum(timings[q] for q in sub)
+            s_old = sum(prev[q] for q in sub)
+            if s_old > 0:
+                common_block[t] = {
+                    "n_common": len(sub),
+                    "new_sec": round(s_new, 3),
+                    "prev_sec": round(s_old, 3),
+                    "raw_ratio": round(s_new / s_old, 3),
+                    "canary_normalized_ratio": round(
+                        (s_new / s_old) / host_ratio, 3
+                    ),
+                }
         log(
             f"  common set ({len(common)}): raw "
             f"{common_block['raw_ratio']}x, canary-normalized "
             f"{common_block['canary_normalized_ratio']}x"
         )
+        for t in ("analytics", "harness"):
+            if t in common_block:
+                log(
+                    f"    {t} common ({common_block[t]['n_common']}): raw "
+                    f"{common_block[t]['raw_ratio']}x, canary-normalized "
+                    f"{common_block[t]['canary_normalized_ratio']}x"
+                )
     with open(detail_path, "w") as fh:
         json.dump(
             {
@@ -406,6 +454,7 @@ def main() -> None:
                 "sf": sf,
                 "n_queries": len(timings),
                 "queries": timings,
+                "subtotals": subtotals,
                 "noise_reruns": noise_reruns,
                 "canary": canary_block,
                 "common_vs_prev_round": common_block,
@@ -427,6 +476,7 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(timings),
         "queries": slowest,
+        "subtotals": subtotals,
         "canary_median_sec": canary_block["total_median_sec"],
         "canary_host_ratio_vs_prev_round": canary_block.get(
             "host_ratio_vs_prev_round"

@@ -42,3 +42,27 @@ def test_priority_ordering_names_are_registry_keys():
         sorted(set(registry._PRIORITY) - set(registry._REGISTRY))
     )
     assert names[: len(valid)] == valid
+
+
+def test_harness_tag_matches_scratch_state_construction():
+    """The bench-subtotal split (VERDICT r12 #4) is only meaningful if
+    the tag tracks reality: EXACTLY the registry queries that build
+    scratch state (tempfile.mkdtemp in their source — stores, layouts,
+    checkpointed streams, replay waves) are tagged harness."""
+    import inspect
+
+    from options_data_pipeline_spark.plans import registry
+
+    derived = set()
+    for name, fn in registry.queries().items():
+        try:
+            src = inspect.getsource(fn)
+        except OSError:
+            src = ""
+        if "mkdtemp" in src:
+            derived.add(name)
+    tagged = registry.harness_queries()
+    assert tagged == derived, (
+        f"harness tag drift: tagged-not-scratch={sorted(tagged - derived)} "
+        f"scratch-not-tagged={sorted(derived - tagged)}"
+    )
