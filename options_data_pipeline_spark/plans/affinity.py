@@ -317,11 +317,17 @@ def q_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("i", "j")
         .agg(F.sum("n").alias("n"))
     )
-    n_matches = pairsd.groupBy("i").agg(F.sum("n").alias("n_matches"))
-
     from ..operators.materialize import materialize
 
+    # the iterate references pairsd AND wins once per unrolled MM round
+    # — unbarriered, every round re-embedded the events scan behind
+    # `wins` (the r13 scans audit showed 18 parquet scans / 66
+    # exchanges in the static plan).  All three fixtures are compact
+    # (<= players / pairs rows), so checkpointing them bounds the whole
+    # fit at one corpus scan per fixture.
     pairsd = materialize(pairsd)
+    wins = materialize(wins)
+    n_matches = pairsd.groupBy("i").agg(F.sum("n").alias("n_matches"))
     r = pairsd.select("i").distinct().select("i", F.lit(1.0).alias("r"))
     w_all = Window.partitionBy()
     for _ in range(BT_ITERS):
