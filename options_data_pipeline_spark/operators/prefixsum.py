@@ -201,13 +201,14 @@ def grouped_value_prefix_multi(
     )
     # level 2: per-segment totals -> exclusive running offsets per group
     # (<= n_segments rows per group by construction), broadcast back.
-    # For the ungrouped form, partition by a literal: the one-task
-    # window over <= n_segments rows is DESIGNED (bounded by the
-    # constant, not data), and the explicit spec says so instead of
-    # tripping Spark's no-partition-defined warning.
-    seg_parts = [F.col(g) for g in groups] or [F.lit(0)]
+    # In the ungrouped form this is a one-task window over <= n_segments
+    # rows — DESIGNED (bounded by the constant, not data).  Spark still
+    # logs its no-partition-defined warning for it: a literal partition
+    # key is constant-folded away before WindowExec checks the spec, so
+    # the warning keys on the spec shape, never the input size
+    # (adjudicated in PERFORMANCE.md r13).
     w_seg = (
-        Window.partitionBy(*seg_parts)
+        Window.partitionBy(*groups)
         .orderBy("__seg")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
