@@ -220,3 +220,18 @@ def test_no_terminal_collect_roundtrips_in_plans():
         "terminal collect round-trip(s) in plans/ — use "
         f"operators.materialize.materialize instead: {offenders}"
     )
+
+
+def test_bloom_prefilter_executed_plan_reuses_bitmap(spark):
+    """The static scans/exchange columns over-count plans whose
+    identical broadcast subtrees reuse at runtime — documented at
+    `q_bloom_prefilter_dedup`'s site since r7.  Make the claim
+    mechanical: the AQE-FINAL executed plan must show the bitmap
+    subtree built ONCE and reused across the k probe joins (9
+    ReusedExchange for k=10 across both union branches)."""
+    from tools.plan_audit import executed_audit
+
+    fn = registry.queries()["bloom_prefilter_dedup"]
+    ex = executed_audit(spark, fn(spark, AUDIT_SF_DIR))
+    assert ex["is_final"]
+    assert ex["reused_exchanges"] == 9, ex

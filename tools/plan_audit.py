@@ -56,6 +56,39 @@ def audit_df(spark, name: str, df) -> tuple:
     return (name, scans, shuffles, bhj, smj, windows, pyeval, pushed)
 
 
+def executed_audit(spark, df) -> dict:
+    """EXECUTED-plan audit: run ``df`` once and count nodes in the
+    AQE-FINAL plan — the runtime truth the static columns can only
+    over-approximate (identical broadcast subtrees collapse to one
+    build + ReusedExchange at stage materialization, which a static
+    explain cannot show).  Used to adjudicate documented static
+    over-counts (e.g. `bloom_prefilter_dedup`'s k probe joins);
+    pinned by tests/test_plan_audit.py."""
+    df.collect()
+    explain_mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = df._jdf.queryExecution().explainString(explain_mode)
+    tree = [
+        ln.strip() for ln in plan.splitlines() if re.match(r"^\(\d+\)", ln.strip())
+    ]
+    return {
+        "is_final": "isFinalPlan=true" in plan,
+        "scans": sum(
+            1 for ln in tree if re.match(r"^\(\d+\) Scan parquet", ln)
+        ),
+        "exchanges": sum(
+            1 for ln in tree if re.match(r"^\(\d+\) Exchange$", ln)
+        ),
+        "broadcast_exchanges": sum(
+            1 for ln in tree if "BroadcastExchange" in ln
+        ),
+        "reused_exchanges": sum(
+            1 for ln in tree if "ReusedExchange" in ln
+        ),
+    }
+
+
 def committed_rows(plans_md_path: str) -> dict[str, tuple]:
     """Parse the committed PLANS.md table back into audit_row tuples."""
     rows: dict[str, tuple] = {}
