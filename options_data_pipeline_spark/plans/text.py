@@ -1563,9 +1563,11 @@ def q_bloom_prefilter_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles), one equi-join that only the bloom survivors enter.  The
     static PLANS.md row over-counts exchanges: the k probe joins all
     broadcast the SAME canonical bitmap plan, which AQE dedups at stage
-    materialization — the executed plan shows 1 BroadcastExchange + 9
-    ReusedExchange across both union branches (verified; static
-    explain can't show reuse under AQE).  Cite: reference dedup-on-write is
+    materialization — the executed plan shows the bitmap built once + 9
+    ReusedExchange across both union branches (static explain can't
+    show reuse under AQE; mechanically pinned since r13 by
+    tests/test_plan_audit.py::test_bloom_prefilter_executed_plan_reuses_bitmap
+    via tools/plan_audit.executed_audit).  Cite: reference dedup-on-write is
     PostgreSQL ``ON CONFLICT (trade_id) DO NOTHING``
     (`reference/src/pipeline/collectors/deribit.py:128`); this is the
     engine-side equivalent that K2 ``insert_if_absent`` composes with.
