@@ -470,9 +470,18 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "support",
         )
     )
-    seeds = parts.where(
-        F.col("p_partkey") % LP_SEED_MOD == 0
-    ).select(F.col("p_partkey").alias("node"), F.col("p_brand").alias("label"))
+    from ..operators.materialize import materialize
+
+    # seeds are referenced TWICE per unrolled round (clamp union +
+    # anti-join) — unbarriered, every round re-embedded the parts scan
+    # (the r13 scans audit showed 10 parquet scans).  The seed frame is
+    # compact (|parts|/LP_SEED_MOD rows), so one checkpoint bounds the
+    # whole spread at one parts scan.
+    seeds = materialize(
+        parts.where(F.col("p_partkey") % LP_SEED_MOD == 0).select(
+            F.col("p_partkey").alias("node"), F.col("p_brand").alias("label")
+        )
+    )
     labels = seeds
     for _ in range(LP_ROUNDS):
         votes = (

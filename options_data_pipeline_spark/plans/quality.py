@@ -540,8 +540,18 @@ def q_user_churn_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(unix_micros(min(ts)) + unix_micros(max(ts))) div 2")
         )
     ).first()[0]
-    first = ev.where(F.col("ts") < F.lit(mid)).select("user_id").distinct()
-    second = ev.where(F.col("ts") >= F.lit(mid)).select("user_id").distinct()
+    from ..operators.materialize import materialize
+
+    # each period's distinct-user set feeds TWO set ops — unbarriered,
+    # the three set ops re-scanned events six times (r13 scans audit).
+    # The sets are compact (distinct users), so two checkpoints bound
+    # the classification at two corpus scans.
+    first = materialize(
+        ev.where(F.col("ts") < F.lit(mid)).select("user_id").distinct()
+    )
+    second = materialize(
+        ev.where(F.col("ts") >= F.lit(mid)).select("user_id").distinct()
+    )
     return (
         first.intersect(second).withColumn("status", F.lit("retained"))
         .unionByName(first.exceptAll(second).withColumn("status", F.lit("churned")))

@@ -698,6 +698,13 @@ _PRIORITY: list[str] = [
     "stream_candles_replay_twin",
     "stream_agg_ivm_twin",
     "stream_join_ivm_twin",
+    # r13 scans-audit sweep: compact shared frames checkpointed out of
+    # multi-branch re-derivation (bradley_terry's MM fixtures, LPA
+    # seeds, churn period sets, the overlap matrix aggregate)
+    "bradley_terry",
+    "label_propagation",
+    "user_churn_sets",
+    "source_overlap",
     # round-12 new operators: keep in the sample window while fresh
     # (VERDICT r12 #5)
     "mg_topk_store",
@@ -758,7 +765,6 @@ _PRIORITY: list[str] = [
     "min_var_portfolio",
     "drawdown_duration",
     "hist_quantile_store",
-    "label_propagation",
     "logistic_irls",
     "jump_test",
     "k_anonymity",
@@ -774,7 +780,6 @@ _PRIORITY: list[str] = [
     "mmr_rerank",
     "group_advantage",
     "fim_transform",
-    "bradley_terry",
     "seasonal_decompose",
     "cusum_changepoint",
     "token_kl_divergence",
@@ -833,7 +838,6 @@ _PRIORITY: list[str] = [
     "text_normalize",
     "quality_calibration",
     "corpus_report",
-    "source_overlap",
     "snapshot_diff",
     "span_corruption",
     "rfm_segments",

@@ -1838,8 +1838,14 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     the content hash restricted to hashes seen in >1 source; pair count
     = n_a x n_b. The join input is one row per (hash, source), a
     vanishing fraction of the corpus."""
+    from ..operators.materialize import materialize
+
     corpus = planted_corpus(spark, sf_dir)
-    hs = (
+    # hs feeds BOTH sides of the self-join — unbarriered, each side
+    # re-scanned the corpus (r13 scans audit: 6 scans).  hs is the
+    # compact per-(hash, source) aggregate, so one checkpoint bounds
+    # the matrix at one corpus scan.
+    hs = materialize(
         corpus.select(F.md5("text").alias("h"), "source")
         .groupBy("h", "source")
         .agg(F.count(F.lit(1)).alias("n"))
