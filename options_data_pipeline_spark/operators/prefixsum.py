@@ -257,3 +257,59 @@ def grouped_rank_select(
         .groupBy(*groups)
         .agg(F.min("value").alias("value"), F.max("tw").alias("tw"))
     )
+
+
+def grouped_interp_percentiles(
+    df: DataFrame,
+    groups: list[str],
+    value_col: str,
+    qs: list[float],
+    out_names: list[str],
+) -> DataFrame:
+    """Exact INTERPOLATED percentiles per group from the distinct-value
+    prefix sum — the drop-in for Spark's exact ``percentile`` aggregate,
+    which buffers EVERY value of a group in one reducer's hash map (the
+    same one-task-per-enum-group funnel as an ordered window, hidden
+    inside an aggregate; r12 memory rule).  Each percentile needs only
+    the two order statistics bracketing rank p = q·(n−1), both read off
+    the cumulative counts, plus the exact interpolation expression
+    Spark's Percentile.scala evaluates — ``(ceil(p)−p)·lo +
+    (p−floor(p))·hi`` with the integral-rank case short-circuited to
+    ``lo`` — which DuckDB's ``quantile_cont`` matches bit-for-bit
+    (verified across rounds on this data; `value_percentiles` is the
+    long-standing driver row for the law).
+
+    Output: one row per group with ``*groups, *out_names (double),
+    n (long — the non-null value count the percentile ranks over)``.
+    """
+    pfx = grouped_value_prefix(df, groups, value_col=value_col)
+    aggs = []
+    for q, nm in zip(qs, out_names):
+        p = F.lit(q) * (F.col("tw") - 1).cast("double")
+        aggs.append(
+            F.min(
+                F.when(F.col("cum") >= F.floor(p) + 1, F.col("value"))
+            ).alias(f"__lo_{nm}")
+        )
+        aggs.append(
+            F.min(
+                F.when(F.col("cum") >= F.ceil(p) + 1, F.col("value"))
+            ).alias(f"__hi_{nm}")
+        )
+    sel = pfx.groupBy(*groups).agg(*aggs, F.max("tw").alias("__n"))
+    outs = []
+    for q, nm in zip(qs, out_names):
+        p = F.lit(q) * (F.col("__n") - 1).cast("double")
+        lo = F.col(f"__lo_{nm}").cast("double")
+        hi = F.col(f"__hi_{nm}").cast("double")
+        outs.append(
+            F.when(F.floor(p) == F.ceil(p), lo)
+            .otherwise(
+                (F.ceil(p).cast("double") - p) * lo
+                + (p - F.floor(p).cast("double")) * hi
+            )
+            .alias(nm)
+        )
+    return sel.select(
+        *groups, *outs, F.col("__n").cast("long").alias("n")
+    )

@@ -1505,24 +1505,29 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust per-type outlier profile: median / MAD / 3-sigma-equivalent
     outlier counts over event values.
 
-    Median absolute deviation needs two exact-percentile passes (median
-    of values, then median of |v - median|); each is a partial-aggregable
-    groupBy on the ~5-row event_type domain, and the tiny per-type stats
-    are broadcast back between passes — the fact table is scanned twice
-    but never shuffled on anything wider than event_type. |v - med| and
-    3*mad are IEEE double ops on identical operands in both engines, so
-    the flag is hash-stable.
+    Median absolute deviation needs two exact-median passes (median of
+    values, then median of |v - median|).  Re-planned r13: Spark's
+    exact ``percentile`` aggregate buffers EVERY value of a type in ONE
+    reducer (the hidden one-task-per-enum-group funnel the r12 quantile
+    sweep retired for windows) — both passes now run on the distinct-
+    value prefix sum (``operators/prefixsum.grouped_interp_percentiles``,
+    fully parallel, tie-skew immune), and the tiny per-type stats are
+    broadcast back between passes.  |v - med| and 3*mad are IEEE double
+    ops on identical operands in both engines, so the flag is
+    hash-stable.
     """
+    from ..operators.prefixsum import grouped_interp_percentiles
+
     ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
-    med = ev.groupBy("event_type").agg(
-        F.expr("percentile(value, 0.5)").alias("median_value")
-    )
+    med = grouped_interp_percentiles(
+        ev, ["event_type"], "value", [0.5], ["median_value"]
+    ).select("event_type", "median_value")
     dev = ev.join(F.broadcast(med), "event_type").withColumn(
         "absdev", F.abs(F.col("value") - F.col("median_value"))
     )
-    mad = dev.groupBy("event_type").agg(
-        F.expr("percentile(absdev, 0.5)").alias("mad")
-    )
+    mad = grouped_interp_percentiles(
+        dev, ["event_type"], "absdev", [0.5], ["mad"]
+    ).select("event_type", "mad")
     return (
         dev.join(F.broadcast(mad), "event_type")
         .groupBy("event_type")
@@ -2469,7 +2474,15 @@ def q_cdc_apply_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("value"), F.lit(-1.0)).alias("v"),
         F.col("event_type").alias("t"),
     )
-    med = int(log.agg(F.expr("percentile(seq, 0.5)")).collect()[0][0])
+    # split point via the prefix sum (re-planned r13: the exact
+    # `percentile` scalar buffered every seq in one reducer); identical
+    # interpolated median, one driver scalar
+    from ..operators.prefixsum import grouped_interp_percentiles
+
+    med = int(
+        grouped_interp_percentiles(log, [], "seq", [0.5], ["m"])
+        .collect()[0]["m"]
+    )
     base = tempfile.mkdtemp(prefix="cdc_twin_")
     try:
         target = f"{base}/target"
@@ -3127,23 +3140,27 @@ def q_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s.bin") * HIST_W
         + ((t - (F.col("s.cum") - F.col("s.cnt"))) / F.col("s.cnt")) * HIST_W
     )
+    # the exact audit side rides the distinct-value prefix sum
+    # (re-planned r13: Spark's exact `percentile` buffered every value
+    # of a type in one reducer — the hidden enum-group funnel)
+    from ..operators.prefixsum import grouped_interp_percentiles
+
+    qnames = [f"__q{i}" for i in range(len(HIST_QS))]
     exact = (
-        load_table(spark, sf_dir, "events")
-        .where(F.col("value").isNotNull())
-        .groupBy("event_type")
-        .agg(
-            F.expr(
-                "percentile(value, array("
-                + ", ".join(repr(q) for q in HIST_QS)
-                + "))"
-            ).alias("p")
+        grouped_interp_percentiles(
+            load_table(spark, sf_dir, "events")
+            .where(F.col("value").isNotNull()),
+            ["event_type"],
+            "value",
+            list(HIST_QS),
+            qnames,
         )
         .select(
             "event_type",
             F.explode(
                 F.arrays_zip(
                     F.array(*[F.lit(q) for q in HIST_QS]).alias("q"),
-                    F.col("p").alias("exact"),
+                    F.array(*[F.col(nm) for nm in qnames]).alias("exact"),
                 )
             ).alias("z"),
         )

@@ -705,6 +705,14 @@ _PRIORITY: list[str] = [
     "label_propagation",
     "user_churn_sets",
     "source_overlap",
+    # r13 percentile-funnel sweep: every exact `percentile` aggregate
+    # over fact- or corpus-sized input re-planned onto the distinct-
+    # value prefix sum (grouped_interp_percentiles)
+    "mad_outliers",
+    "shipping_sla",
+    "hist_quantiles",
+    "rfm_segments",
+    "logprob_trim",
     # round-12 new operators: keep in the sample window while fresh
     # (VERDICT r12 #5)
     "mg_topk_store",
@@ -795,7 +803,6 @@ _PRIORITY: list[str] = [
     "amihud_illiq",
     "hurst_exponent",
     # round-8 code changes: re-adjudicate under the driver
-    "hist_quantiles",
     "cms_token_freq",
     "bpe_tokenize",
     # round-7 new operators: keep their driver rows fresh
@@ -823,7 +830,6 @@ _PRIORITY: list[str] = [
     "put_call_ratio",
     "iv_smile",
     "skyline_parts",
-    "mad_outliers",
     "trailing_spend",
     "candle_interpolate",
     "interval_coverage",
@@ -840,7 +846,6 @@ _PRIORITY: list[str] = [
     "corpus_report",
     "snapshot_diff",
     "span_corruption",
-    "rfm_segments",
     "order_cadence",
     "hierarchy_rollup",
     "sales_grouping_sets",
@@ -852,7 +857,6 @@ _PRIORITY: list[str] = [
     "yoy_revenue",
     "revenue_contribution",
     "supplier_concentration",
-    "shipping_sla",
     "min_cost_supplier",
     "market_share",
     "top_supplier",
@@ -889,7 +893,6 @@ _PRIORITY: list[str] = [
     "bm25_search",
     "mixture_resample",
     "domain_mixture",
-    "logprob_trim",
     "doc_keywords",
     "pii_scrub",
     "ngram_contamination",

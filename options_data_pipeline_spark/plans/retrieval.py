@@ -332,10 +332,14 @@ def q_logprob_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .text import q_unigram_logprob
 
     scored = q_unigram_logprob(spark, sf_dir).select("doc_id", "avg_logprob")
-    bounds = scored.agg(
-        F.expr("percentile(avg_logprob, 0.05)").alias("p05"),
-        F.expr("percentile(avg_logprob, 0.95)").alias("p95"),
-    )
+    # winsorization bounds from the distinct-value prefix sum
+    # (re-planned r13: the exact `percentile` aggregate buffered every
+    # doc's score in one reducer — an ungrouped funnel over |docs|)
+    from ..operators.prefixsum import grouped_interp_percentiles
+
+    bounds = grouped_interp_percentiles(
+        scored, [], "avg_logprob", [0.05, 0.95], ["p05", "p95"]
+    ).select("p05", "p95")
     clamped = F.least(F.greatest(F.col("avg_logprob"), F.col("p05")), F.col("p95"))
     return scored.crossJoin(F.broadcast(bounds)).select(
         "doc_id",

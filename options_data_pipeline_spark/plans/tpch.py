@@ -1290,16 +1290,22 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(unix_micros(anchor) - unix_micros(last_order))"
                " div 86400000000"),
     )
-    th = prof.agg(
-        F.expr(
-            "percentile(recency_days, array(0.2, 0.4, 0.6, 0.8))"
-        ).alias("tr"),
-        F.expr("percentile(frequency, array(0.2, 0.4, 0.6, 0.8))").alias(
-            "tf"
-        ),
-        F.expr("percentile(monetary, array(0.2, 0.4, 0.6, 0.8))").alias(
-            "tm"
-        ),
+    # quintile thresholds from the distinct-value prefix sum
+    # (re-planned r13: Spark's exact `percentile` buffered EVERY
+    # customer's profile value in one reducer — an ungrouped funnel
+    # over |customers| rows); three 1-row frames crossed back
+    from ..operators.prefixsum import grouped_interp_percentiles
+
+    def _tharr(col: str, out: str):
+        names = [f"__t{i}" for i in range(4)]
+        return grouped_interp_percentiles(
+            prof, [], col, [0.2, 0.4, 0.6, 0.8], names
+        ).select(F.array(*[F.col(n) for n in names]).alias(out))
+
+    th = (
+        _tharr("recency_days", "tr")
+        .crossJoin(_tharr("frequency", "tf"))
+        .crossJoin(_tharr("monetary", "tm"))
     )
 
     def bucket(col, t):
@@ -1695,11 +1701,18 @@ def q_shipping_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
     {SLA_DAYS}-day SLA — the fulfillment report.
 
     Latency is an exact BIGINT (floored-micros day division on both
-    engines); the percentiles are Spark's exact ``percentile`` against
-    DuckDB's ``quantile_cont`` (bit-parity proven by
-    `value_percentiles`); the SLA share is one double division of exact
-    counts. One fact-fact join on the order key, one hash aggregate.
+    engines); the percentiles match DuckDB's ``quantile_cont``
+    bit-for-bit (the `value_percentiles` interpolation law) but are
+    computed on the distinct-value prefix sum
+    (``operators/prefixsum.grouped_interp_percentiles``, re-planned
+    r13: Spark's exact ``percentile`` buffered every lag of a PRIORITY
+    — a 5-enum group over the whole lineitem table — in one reducer);
+    the SLA share is one double division of exact counts. One fact-fact
+    join on the order key, one hash aggregate, one broadcast stats
+    join-back.
     """
+    from ..operators.prefixsum import grouped_interp_percentiles
+
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority", "o_orderdate"
     )
@@ -1708,21 +1721,30 @@ def q_shipping_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
     lat = F.expr(
         "(unix_micros(l_shipdate) - unix_micros(o_orderdate)) div 86400000000"
     )
-    base = j.select(F.col("o_orderpriority").alias("priority"), lat.alias("lat"))
-    pct = F.expr("percentile(lat, array(0.5, 0.9))")
+    from ..operators.materialize import materialize
+
+    # base feeds the count/SLA aggregate AND the percentile prefix —
+    # checkpoint the compact (priority, lat) day-lag form so the
+    # fact-fact join runs once (r13 scans discipline)
+    base = materialize(
+        j.select(F.col("o_orderpriority").alias("priority"), lat.alias("lat"))
+    )
+    pct = grouped_interp_percentiles(
+        base, ["priority"], "lat", [0.5, 0.9], ["p50_days", "p90_days"]
+    ).select("priority", "p50_days", "p90_days")
     return (
         base.groupBy("priority")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_lineitems"),
-            pct.alias("p"),
             F.sum(
                 F.when(F.col("lat") <= SLA_DAYS, 1).otherwise(0)
             ).cast("long").alias("within_sla"),
         )
+        .join(F.broadcast(pct), "priority")
         .select(
             "priority", "n_lineitems",
-            F.col("p")[0].alias("p50_days"),
-            F.col("p")[1].alias("p90_days"),
+            "p50_days",
+            "p90_days",
             "within_sla",
             (
                 F.col("within_sla").cast("double")
