@@ -69,15 +69,22 @@ def segment_expr(
     ``value`` (IEEE subtraction/multiplication/division by a positive
     constant preserve order; floor and the top cap preserve it), so
     segments are contiguous value intervals as the prefix-sum algebra
-    requires.  Degenerate span (single distinct value) maps to 0."""
+    requires.  Degenerate span (single distinct value) maps to 0.
+
+    NaN handling (ADVICE r13): NaN sorts LAST in Spark's total order,
+    so NaN values map to the top segment — without the guard, a single
+    NaN made ``rel`` NaN for itself and (via a NaN ``span``) for EVERY
+    row of the group, collapsing the whole group into one segment and
+    silently reintroducing the one-task funnel this module removes.
+    ``span`` can still be NaN only when the caller passes NaN bounds
+    (or inf - inf); that degrades to segment 0 for the non-NaN rows —
+    correct, just unparallel — instead of corrupting monotonicity."""
+    v = value.cast("double")
     span = vmax.cast("double") - vmin.cast("double")
-    rel = (
-        (value.cast("double") - vmin.cast("double"))
-        * F.lit(float(n_segments))
-        / span
-    )
+    rel = (v - vmin.cast("double")) * F.lit(float(n_segments)) / span
     return (
-        F.when(span <= 0, F.lit(0))
+        F.when(F.isnan(v), F.lit(n_segments - 1))
+        .when(span.isNull() | F.isnan(span) | (span <= 0), F.lit(0))
         .otherwise(
             F.least(
                 F.lit(n_segments - 1).cast("long"),
@@ -152,8 +159,15 @@ def grouped_value_prefix_multi(
     distinct value): ``vw_<name>, cum_<name>, tw_<name>`` per weight.
     """
     names = list(weights)
+    # null semantics (ADVICE r13): Spark's `percentile` (and every
+    # order-statistic consumer here) IGNORES null values — without the
+    # filter the null distinct-value row was dropped by the null-unsafe
+    # segment join while its weight still inflated tw and the offsets,
+    # silently treating nulls as smallest values.  NaN is a real value
+    # (sorts last) and stays; `segment_expr` routes it monotonically.
     vw = (
-        df.select(
+        df.where(F.col(value_col).isNotNull())
+        .select(
             *groups,
             F.col(value_col).alias("value"),
             *[
@@ -169,10 +183,13 @@ def grouped_value_prefix_multi(
 
         vw = materialize(vw)
     # group bounds + totals from the SAME distinct-value pre-aggregate:
-    # one tiny frame (|groups| rows) broadcast back
+    # one tiny frame (|groups| rows) broadcast back.  Bounds exclude
+    # NaN (max() would return it, making the span NaN for the whole
+    # group); NaN rows segment via segment_expr's top-segment branch.
+    not_nan = ~F.isnan(F.col("value").cast("double"))
     gstats = vw.groupBy(*groups).agg(
-        F.min("value").alias("__vmin"),
-        F.max("value").alias("__vmax"),
+        F.min(F.when(not_nan, F.col("value"))).alias("__vmin"),
+        F.max(F.when(not_nan, F.col("value"))).alias("__vmax"),
         *[F.sum(f"vw_{n}").alias(f"tw_{n}") for n in names],
     )
     if groups:
@@ -180,7 +197,12 @@ def grouped_value_prefix_multi(
     else:
         joined = vw.crossJoin(F.broadcast(gstats))
     if seg_width is not None:
-        seg = F.floor(F.col("value") / F.lit(seg_width)).cast("long")
+        seg = F.when(
+            F.isnan(F.col("value").cast("double")),
+            F.lit(1 << 62),  # NaN sorts last -> past every floor id
+        ).otherwise(
+            F.floor(F.col("value") / F.lit(seg_width))
+        ).cast("long")
     else:
         seg = segment_expr(
             F.col("value"), F.col("__vmin"), F.col("__vmax"), n_segments

@@ -1285,10 +1285,16 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     anchor = prof.agg(F.max("last_order").alias("anchor"))
-    prof = prof.crossJoin(F.broadcast(anchor)).withColumn(
-        "recency_days",
-        F.expr("(unix_micros(anchor) - unix_micros(last_order))"
-               " div 86400000000"),
+    # ADVICE r13: the three _tharr percentile calls below each take an
+    # eager distinct-value checkpoint over this lineage — materialize
+    # the EXTENDED profile once so the anchor join + recency expression
+    # run once, not once per threshold column (and never re-derive).
+    prof = materialize(
+        prof.crossJoin(F.broadcast(anchor)).withColumn(
+            "recency_days",
+            F.expr("(unix_micros(anchor) - unix_micros(last_order))"
+                   " div 86400000000"),
+        )
     )
     # quintile thresholds from the distinct-value prefix sum
     # (re-planned r13: Spark's exact `percentile` buffered EVERY

@@ -175,3 +175,93 @@ def test_rank_select_matches_row_level_order_statistic(spark):
         assert got[0]["value"] == ordered[k - 1], f"k={k}"
     # rank beyond the group: empty, mirroring a row_number miss
     assert grouped_rank_select(pfx, ["grp"], F.lit(41)).count() == 0
+
+
+def test_null_values_ignored_like_spark_percentile(spark):
+    """ADVICE r13 (medium): nulls in value_col must be IGNORED — the
+    null row used to be dropped by the null-unsafe segment join while
+    its weight still inflated tw and every later segment's offset, so
+    percentiles silently treated nulls as smallest values."""
+    from options_data_pipeline_spark.operators.prefixsum import (
+        grouped_interp_percentiles,
+    )
+
+    rows = [("a", float(v)) for v in range(1, 11)]
+    rows += [("a", None)] * 7  # nulls must not shift any rank
+    rows += [("b", 5.0), ("b", None), ("b", 9.0)]
+    df = spark.createDataFrame(rows, "grp string, value double")
+
+    got = {
+        r["grp"]: (r["p50"], r["p90"], r["n"])
+        for r in grouped_interp_percentiles(
+            df, ["grp"], "value", [0.5, 0.9], ["p50", "p90"]
+        ).collect()
+    }
+    expect = {
+        r["grp"]: (r["p50"], r["p90"], r["n"])
+        for r in df.groupBy("grp")
+        .agg(
+            F.expr("percentile(value, 0.5)").alias("p50"),
+            F.expr("percentile(value, 0.9)").alias("p90"),
+            F.count("value").alias("n"),
+        )
+        .collect()
+    }
+    assert got == expect
+    # the prefix frame itself: no null value row, totals = non-null count
+    pfx = grouped_value_prefix(df, ["grp"])
+    assert pfx.where(F.col("value").isNull()).count() == 0
+    tw = {r["grp"]: r["tw"] for r in pfx.select("grp", "tw").distinct().collect()}
+    assert tw == {"a": 10, "b": 2}
+
+
+def test_nan_does_not_collapse_segmentation(spark):
+    """ADVICE r13 (low): a single NaN made the observed span NaN, so
+    every row's segment id collapsed to 0 — correct results but the
+    whole group funneled through one level-1 task.  NaN must route to
+    the TOP segment (it sorts last) while the finite rows keep their
+    derived spread, and the cumulative sums must stay exact."""
+    from options_data_pipeline_spark.operators.prefixsum import (
+        grouped_value_prefix_multi,
+        segment_expr,
+    )
+
+    vals = [float(v) for v in range(0, 64)] + [float("nan")]
+    df = spark.createDataFrame(
+        [("g", v) for v in vals], "grp string, value double"
+    )
+    n = 8
+    seg_rows = (
+        df.crossJoin(
+            df.where(~F.isnan("value")).agg(
+                F.min("value").alias("__vmin"),
+                F.max("value").alias("__vmax"),
+            )
+        )
+        .select(
+            "value",
+            segment_expr(
+                F.col("value"), F.col("__vmin"), F.col("__vmax"), n
+            ).alias("seg"),
+        )
+        .collect()
+    )
+    finite = sorted(
+        (r["value"], r["seg"]) for r in seg_rows if r["value"] == r["value"]
+    )
+    nan_segs = [r["seg"] for r in seg_rows if r["value"] != r["value"]]
+    assert nan_segs == [n - 1]
+    assert len({s for _, s in finite}) == n  # spread, not collapsed
+    segs = [s for _, s in finite]
+    assert segs == sorted(segs)  # monotone; NaN (top segment) sorts last
+    # exact cumulative weights: NaN is a real largest value
+    out = grouped_value_prefix_multi(
+        df, ["grp"], "value", {"w": F.lit(1)}, n_segments=n
+    ).collect()
+    by_val = {r["value"]: (r["cum_w"], r["tw_w"]) for r in out}
+    assert by_val[0.0] == (1, 65)
+    assert by_val[63.0] == (64, 65)
+    nan_cums = [
+        (r["cum_w"], r["tw_w"]) for r in out if r["value"] != r["value"]
+    ]
+    assert nan_cums == [(65, 65)]

@@ -63,8 +63,15 @@ def executed_audit(spark, df) -> dict:
     build + ReusedExchange at stage materialization, which a static
     explain cannot show).  Used to adjudicate documented static
     over-counts (e.g. `bloom_prefilter_dedup`'s k probe joins);
-    pinned by tests/test_plan_audit.py."""
-    df.collect()
+    pinned by tests/test_plan_audit.py.
+
+    Execution goes through the SAME QueryExecution's physical RDD —
+    a JVM-side count, so no row ever reaches the driver (ADVICE r13:
+    ``df.collect()`` pulled the full result set into the driver, an
+    OOM on any large-result query; a ``noop``-sink write would stay
+    driver-free too but runs a DIFFERENT QueryExecution, leaving this
+    df's AQE plan unfinalized)."""
+    df._jdf.queryExecution().executedPlan().execute().count()
     explain_mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
         "formatted"
     )
