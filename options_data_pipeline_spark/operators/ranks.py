@@ -71,8 +71,46 @@ def distributed_row_number(
     tie-break column) — the same contract an unpartitioned row_number
     has, minus the single-task bottleneck.
     """
+    return grouped_distributed_row_number(
+        df, [], order, out_col=out_col, num_buckets=num_buckets
+    )
+
+
+def grouped_distributed_row_number(
+    df: DataFrame,
+    groups: Sequence[str],
+    order: Sequence[tuple[str, bool]],
+    out_col: str = "rank",
+    num_buckets: int | None = None,
+    total_col: str | None = None,
+) -> DataFrame:
+    """Exact per-group ``row_number`` over ``order`` WITHOUT one task
+    per group — the grouped form of the two-phase rank (VERDICT r13
+    ask #1: ``Window.partitionBy(enum_key)`` over a non-aggregated
+    input funnels ~1/|enums| of the table through one task's sort).
+
+    The range shuffle gains a partition-key prefix: split points are
+    sampled from the SORT KEYS globally (groups with similar value
+    distributions share them — the enum-dim case), every row buckets
+    by pure value comparison exactly as in the ungrouped form, and the
+    local ``row_number`` runs per ``(group, bucket)``.  Per-group
+    bucket counts cumsum into offsets with a window over AT MOST
+    ``num_buckets`` rows per group (constant-bounded), broadcast back
+    on the null-safe ``(group, bucket)`` key — null group keys rank
+    within their own group, matching ``Window.partitionBy``.
+
+    Intended for LOW-cardinality group keys (enums, priorities,
+    segments): the offsets frame is |groups| x buckets rows and is
+    broadcast.  For high-cardinality groups a plain partitioned window
+    is already parallel — use that instead.
+
+    ``total_col``: when set, also append the per-group row count
+    (rank denominators — percent_rank/cume_dist/ntile are pure rank
+    arithmetic once ``(rank, n)`` are known).
+    """
     from .materialize import materialize
 
+    groups = list(groups)
     order = [(n, bool(d)) for n, d in order]
     key_names = [n for n, _ in order]
     if num_buckets is None:
@@ -134,21 +172,43 @@ def distributed_row_number(
         ).cast("int"),
     ).otherwise(bucket)
     bucketed = df.withColumn("_bkt", bucket)
-    w_local = Window.partitionBy("_bkt").orderBy(*_order_exprs(order))
+    w_local = Window.partitionBy(*groups, "_bkt").orderBy(
+        *_order_exprs(order)
+    )
     local = bucketed.withColumn(
         "_lrank", F.row_number().over(w_local).cast("long")
     )
-    counts = local.groupBy("_bkt").agg(F.count(F.lit(1)).alias("_cnt"))
-    # cumsum over <= num_buckets rows: bounded by a constant, so the
-    # unpartitioned window here is NOT a scale hazard
-    w_off = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = counts.select(
-        "_bkt", F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).alias("_off")
+    counts = local.groupBy(*groups, "_bkt").agg(
+        F.count(F.lit(1)).alias("_cnt")
     )
+    # cumsum over <= num_buckets rows PER GROUP: bounded by a constant,
+    # so the (group-)partitioned window here is NOT a scale hazard
+    w_off = (
+        Window.partitionBy(*groups)
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off_cols = [
+        F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).alias("_off")
+    ]
+    if total_col is not None:
+        off_cols.append(
+            F.sum("_cnt").over(Window.partitionBy(*groups)).alias(total_col)
+        )
+    offsets = counts.select(*groups, "_bkt", *off_cols)
+    # null-safe equi join on the group prefix: Window.partitionBy puts
+    # null group keys in their own partition, and a plain column-list
+    # join would silently DROP those rows
+    ren = offsets.withColumnRenamed("_bkt", "__o_bkt")
+    for g in groups:
+        ren = ren.withColumnRenamed(g, f"__o_{g}")
+    cond = F.col("_bkt") == F.col("__o_bkt")
+    for g in groups:
+        cond = cond & F.col(g).eqNullSafe(F.col(f"__o_{g}"))
     return (
-        local.join(F.broadcast(offsets), "_bkt")
+        local.join(F.broadcast(ren), cond)
         .withColumn(out_col, (F.col("_lrank") + F.col("_off")).cast("long"))
-        .drop("_bkt", "_lrank", "_off")
+        .drop("_bkt", "_lrank", "_off", "__o_bkt", *[f"__o_{g}" for g in groups])
     )
 
 

@@ -545,15 +545,38 @@ def q_customer_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """percent_rank / cume_dist within each market segment ordered by
     account balance (ties broken by custkey for full determinism). Both
     are pure rank arithmetic — (rank-1)/(n-1) and rank/n — so the
-    doubles agree bitwise across engines with no rounding needed."""
+    doubles agree bitwise across engines with no rounding needed.
+
+    Re-planned r14 (VERDICT r13 ask #1): ``Window.partitionBy(
+    c_mktsegment)`` put ~1/5 of the full customer dim in one task's
+    sort — the last enum-group window over a non-aggregated input.
+    The grouped two-phase distributed rank buckets rows by a global
+    acctbal sample, ranks per (segment, bucket), and reassembles the
+    exact per-segment row_number from constant-bounded offsets; the
+    (c_acctbal, c_custkey) order is tie-free, so rank == row_number,
+    percent_rank = (rn-1)/(n-1) and cume_dist = rn/n exactly — the
+    same double divisions the window functions evaluate."""
+    from ..operators.ranks import grouped_distributed_row_number
+
     customer = load_table(spark, sf_dir, "customer")
-    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
-    return customer.select(
+    ranked = grouped_distributed_row_number(
+        customer.select("c_custkey", "c_mktsegment", "c_acctbal"),
+        ["c_mktsegment"],
+        [("c_acctbal", False), ("c_custkey", False)],
+        out_col="__rn",
+        total_col="__n",
+    )
+    rn, n = F.col("__rn"), F.col("__n")
+    return ranked.select(
         "c_custkey",
         F.col("c_mktsegment").alias("segment"),
         "c_acctbal",
-        F.percent_rank().over(w).alias("bal_pct_rank"),
-        F.cume_dist().over(w).alias("bal_cume_dist"),
+        F.when(
+            n > 1, (rn - 1).cast("double") / (n - 1).cast("double")
+        )
+        .otherwise(F.lit(0.0))
+        .alias("bal_pct_rank"),
+        (rn.cast("double") / n.cast("double")).alias("bal_cume_dist"),
     )
 
 

@@ -167,3 +167,98 @@ def test_rrf_fuse_three_lists(spark):
     ]
     [row] = rrf_fuse(frames, "id", k=10).collect()
     assert row.rrf_raw == (1.0 / 13 + 1.0 / 15) + 1.0 / 17
+
+
+def test_grouped_rank_matches_window_row_number(spark, force_bucketed):
+    """VERDICT r13 ask #1 pin: the grouped two-phase rank must equal
+    row_number() OVER (PARTITION BY group ORDER BY ...) exactly —
+    including on the bucketed path, with a skewed enum group and a
+    NULL group key (Window.partitionBy ranks nulls as their own
+    group; a null-unsafe bucket join would drop them)."""
+    from pyspark.sql import Window
+
+    from options_data_pipeline_spark.operators.ranks import (
+        grouped_distributed_row_number,
+    )
+
+    df = spark.range(0, 20_000).select(
+        F.when(F.col("id") % 7 == 0, F.lit(None).cast("string"))
+        .when(F.col("id") % 2 == 0, F.lit("BIG"))  # skewed enum
+        .otherwise(F.concat(F.lit("g"), (F.col("id") % 3).cast("string")))
+        .alias("grp"),
+        F.pmod(F.xxhash64("id"), F.lit(997)).alias("v"),
+        F.col("id").alias("tie"),
+    )
+    out = grouped_distributed_row_number(
+        df,
+        ["grp"],
+        [("v", False), ("tie", False)],
+        out_col="r",
+        num_buckets=6,
+        total_col="n",
+    )
+    w = Window.partitionBy("grp").orderBy("v", "tie")
+    expect = df.select(
+        "grp",
+        "tie",
+        F.row_number().over(w).cast("long").alias("r"),
+        F.count(F.lit(1)).over(Window.partitionBy("grp")).alias("n"),
+    )
+    got = {(r["grp"], r["tie"]): (r["r"], r["n"]) for r in out.collect()}
+    exp = {(r["grp"], r["tie"]): (r["r"], r["n"]) for r in expect.collect()}
+    assert got == exp
+
+
+def test_grouped_rank_window_is_bucket_partitioned(spark, force_bucketed):
+    """The data-sized row_number window must be partitioned by
+    (group, bucket) — never by the enum group alone."""
+    from options_data_pipeline_spark.operators.ranks import (
+        grouped_distributed_row_number,
+    )
+
+    df = spark.range(0, 20_000).select(
+        (F.col("id") % 5).cast("string").alias("grp"),
+        F.col("id").alias("v"),
+    )
+    out = grouped_distributed_row_number(
+        df, ["grp"], [("v", False)], out_col="r", num_buckets=6
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    windows = [
+        ln
+        for ln in plan.splitlines()
+        if "Window" in ln and "row_number" in ln
+    ]
+    assert windows, plan
+    assert all("_bkt" in ln for ln in windows), plan
+
+
+def test_customer_percentile_equals_window_form(spark):
+    """The re-planned query must be value-identical to the plain
+    window-function formulation it replaced."""
+    from pyspark.sql import Window
+
+    from options_data_pipeline_spark.plans.tpch import (
+        q_customer_percentile,
+    )
+    from options_data_pipeline_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(
+        map(tuple, q_customer_percentile(spark, sf).collect())
+    )
+    customer = load_table(spark, sf, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    expect = sorted(
+        map(
+            tuple,
+            customer.select(
+                "c_custkey",
+                F.col("c_mktsegment").alias("segment"),
+                "c_acctbal",
+                F.percent_rank().over(w).alias("bal_pct_rank"),
+                F.cume_dist().over(w).alias("bal_cume_dist"),
+            ).collect(),
+        )
+    )
+    assert got == expect
