@@ -101,6 +101,15 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("ps_partkey", "ps_suppkey", "ps_cost", "s_acctbal",
                 "s_name", "n_name", "p_brand")
     )
+    # r14 scan diet: the min-cost branch and the detail branch both
+    # reference `regional` — unbarriered, Catalyst re-derived the whole
+    # 5-table join per branch, scanning lineitem (the fact) TWICE.
+    # `regional` is compact (one part size+type, one region), so the
+    # checkpoint bounds both branches by it; 10 static scans -> one
+    # corpus read inside the materialization job.
+    from ..operators.materialize import materialize
+
+    regional = materialize(regional)
     min_cost = regional.groupBy("ps_partkey").agg(
         F.min("ps_cost").alias("__min_cost")
     )

@@ -149,3 +149,26 @@ def test_join_ivm_apply_routes_through_adjust_frames(
                 0,
             ),
         )
+
+
+def test_ivm_consumers_route_through_consume_seams(
+    spark, tmp_path, monkeypatch
+):
+    """VERDICT r13 ask #3: the `#consume` audit rows pin the view-READ
+    paths — meaningful only if the twins' terminal reads actually
+    execute the seams.  Both batch twins (and their stream twins, which
+    share the same final read) must trip them."""
+    from options_data_pipeline_spark.plans import quality
+
+    _route_check(
+        monkeypatch,
+        quality,
+        "ivm_view_consume_frame",
+        lambda: quality.q_agg_ivm_twin(spark, SF_DIR),
+    )
+    _route_check(
+        monkeypatch,
+        quality,
+        "jivm_view_consume_frame",
+        lambda: quality.q_join_ivm_twin(spark, SF_DIR),
+    )
