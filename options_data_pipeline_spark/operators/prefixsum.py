@@ -305,6 +305,21 @@ def grouped_interp_percentiles(
     n (long — the non-null value count the percentile ranks over)``.
     """
     pfx = grouped_value_prefix(df, groups, value_col=value_col)
+    return prefix_interp_percentiles(pfx, groups, qs, out_names)
+
+
+def prefix_interp_percentiles(
+    pfx: DataFrame,
+    groups: list[str],
+    qs: list[float],
+    out_names: list[str],
+) -> DataFrame:
+    """:func:`grouped_interp_percentiles` from an ALREADY-BUILT
+    :func:`grouped_value_prefix` frame — for callers that need the
+    prefix for more than the thresholds (winsorized/trimmed moments,
+    outlier-fence counts) and must not scan the corpus once per use
+    (r14; the prefix frame is the compact shared intermediate the r13
+    scan doctrine says to reuse)."""
     aggs = []
     for q, nm in zip(qs, out_names):
         p = F.lit(q) * (F.col("tw") - 1).cast("double")

@@ -20,6 +20,7 @@ from . import (
     timeseries,
     tpch,
     tpch2,
+    tpch3,
     vectors,
 )
 
@@ -324,6 +325,22 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
         tpch.oracle_sales_grouping_sets,
     ),
     "customer_percentile": (tpch.q_customer_percentile, tpch.oracle_customer_percentile),
+    # --- r14 rank-arithmetic analytics (plans/tpch3.py) ---
+    "order_ntile": (tpch3.q_order_ntile, tpch3.oracle_order_ntile),
+    "part_size_rank": (tpch3.q_part_size_rank, tpch3.oracle_part_size_rank),
+    "spearman_qty_price": (
+        tpch3.q_spearman_qty_price,
+        tpch3.oracle_spearman_qty_price,
+    ),
+    "winsorized_revenue": (
+        tpch3.q_winsorized_revenue,
+        tpch3.oracle_winsorized_revenue,
+    ),
+    "iqr_outliers": (tpch3.q_iqr_outliers, tpch3.oracle_iqr_outliers),
+    "segment_priority_chisq": (
+        tpch3.q_segment_priority_chisq,
+        tpch3.oracle_segment_priority_chisq,
+    ),
     "supplier_blame": (tpch.q_supplier_blame, tpch.oracle_supplier_blame),
     "order_priority_check": (
         tpch.q_order_priority_check,
@@ -675,6 +692,26 @@ _PRIORITY: list[str] = [
     "daily_sessions",
     "option_chain_ohlc",
     "candle_resample",
+    # round-14 new queries (first driver adjudication) + changed
+    # queries: the grouped-rank re-plan, the min_cost_supplier scan
+    # diet, the IVM consume-seam refactor, and the prefixsum/ranks
+    # consumers touched by the ADVICE null/NaN fix and the
+    # distributed_row_number delegation
+    "order_ntile",
+    "part_size_rank",
+    "spearman_qty_price",
+    "winsorized_revenue",
+    "iqr_outliers",
+    "segment_priority_chisq",
+    "customer_percentile",
+    "min_cost_supplier",
+    "cdc_apply_twin",
+    "agg_ivm_twin",
+    "join_ivm_twin",
+    "auc_roc",
+    "key_skew_report",
+    "retrieval_ndcg",
+    "zipf_fit",
     # round-13 changed queries: derived-bounds prefix segmentation +
     # scan diet (quantile family), nearest-predecessor carry prune
     # (rolling), prefix-sum re-route (the two text distributions),
@@ -720,14 +757,12 @@ _PRIORITY: list[str] = [
     # round-12 re-planned queries
     "vocab_top_tokens",
     "cms_topk_from_store",
-    "agg_ivm_twin",
     "bloom_prefilter_dedup",
     "minhash_index_upsert",
     "ivf_index_upsert",
     # round-11 new operators: first driver adjudication this round
     "zorder_prune",
     "zorder_maintain",
-    "join_ivm_twin",
     "reservoir_sample_store",
     "weighted_sample_store",
     "stream_reservoir_twin",
@@ -797,7 +832,6 @@ _PRIORITY: list[str] = [
     "readability_score",
     "revenue_gini",
     "huber_regression",
-    "auc_roc",
     "returns_acf",
     "transition_entropy",
     "amihud_illiq",
@@ -849,7 +883,6 @@ _PRIORITY: list[str] = [
     "order_cadence",
     "hierarchy_rollup",
     "sales_grouping_sets",
-    "customer_percentile",
     "supplier_blame",
     "order_priority_check",
     "nation_trade_volume",
@@ -857,7 +890,6 @@ _PRIORITY: list[str] = [
     "yoy_revenue",
     "revenue_contribution",
     "supplier_concentration",
-    "min_cost_supplier",
     "market_share",
     "top_supplier",
     "excess_suppliers",
@@ -898,7 +930,6 @@ _PRIORITY: list[str] = [
     "ngram_contamination",
     "token_shards",
     "token_heavy_hitters",
-    "zipf_fit",
     "repeated_spans",
     "frequent_ngrams",
     "bpe_pair_counts",

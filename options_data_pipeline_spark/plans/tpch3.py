@@ -1,0 +1,625 @@
+"""Rank-arithmetic analytics (round 14): the query family that rides
+the grouped two-phase distributed rank (`operators/ranks.py`) and the
+distinct-value prefix sum (`operators/prefixsum.py`) — each mechanism
+carrying several oracle-paired proofs instead of one.
+
+Reference parity: the reference computes its percentile/rank reports
+inside PostgreSQL window functions (the same shapes its
+``scripts/analyze_*.py`` would run over the trades store); engine-side
+the whole family reduces to rank arithmetic over either (a) the exact
+per-group row_number from the two-phase rank, or (b) VALUE-level
+cumulative weights — never a one-task-per-enum-group sort:
+
+- ``order_ntile``      — ntile(100) at fact scale = pure integer
+  arithmetic over (row_number, group count);
+- ``part_size_rank``   — rank()/dense_rank() WITH ties never needs a
+  row-level window at all: rank = cum − vw + 1, dense_rank = the
+  distinct-value index;
+- ``spearman_qty_price`` — tie-averaged ranks (2·avg = 2·cum − vw + 1,
+  integer) from ONE corpus scan at the distinct-pair grain;
+- ``winsorized_revenue`` / ``iqr_outliers`` — clamp thresholds AND the
+  clamped/fenced aggregates both read off the same prefix frame;
+- ``segment_priority_chisq`` — enum×enum independence over a
+  constant-bounded cell spine (the ``benford_chisq`` fold pattern).
+
+Determinism rules (tests/_compare hash parity): exact long/DECIMAL
+accumulation everywhere, doubles only in final IEEE core-op
+expressions (+ − × ÷ sqrt) whose text is shared with the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.rounding import (
+    dec_sum,
+    round_half_away,
+    sql_dec_sum,
+    sql_round_half_away,
+)
+from ..sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# order_ntile: ntile(100) of order value within priority, at fact scale
+# ---------------------------------------------------------------------------
+
+_NTILE_K = 100
+
+
+def q_order_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile buckets (ntile(100)) of o_totalprice within each
+    order priority, re-aggregated to (priority, tile) with exact
+    counts and DECIMAL revenue — the curriculum-bucketing shape (rank
+    a fact table into quality/value tiles per enum stratum).
+
+    Scale: ntile is PURE RANK ARITHMETIC — with (rn, n) from the
+    grouped two-phase distributed rank, tile membership is the SQL
+    law (first ``n % k`` tiles get ``n div k + 1`` rows), so no
+    enum-partitioned window ever sees the fact table.  The (price,
+    orderkey) order is tie-free, matching ntile's nondeterminism-free
+    precondition."""
+    from ..operators.ranks import grouped_distributed_row_number
+
+    o = load_table(spark, sf_dir, "orders")
+    ranked = grouped_distributed_row_number(
+        o.select("o_orderpriority", "o_totalprice", "o_orderkey"),
+        ["o_orderpriority"],
+        [("o_totalprice", False), ("o_orderkey", False)],
+        out_col="__rn",
+        total_col="__n",
+    )
+    k = _NTILE_K
+    t = (
+        ranked.withColumn("__q", F.expr(f"__n div {k}"))
+        .withColumn("__r", F.expr(f"__n % {k}"))
+        .withColumn(
+            "tile",
+            F.when(
+                F.col("__rn") <= F.col("__r") * (F.col("__q") + 1),
+                F.expr("(__rn - 1) div (__q + 1) + 1"),
+            )
+            .otherwise(
+                F.expr(
+                    "__r + (__rn - __r * (__q + 1) - 1)"
+                    " div greatest(__q, 1) + 1"
+                )
+            )
+            .cast("long"),
+        )
+    )
+    return (
+        t.groupBy(
+            F.col("o_orderpriority").alias("priority"), "tile"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dec_sum(F.col("o_totalprice")).alias("revenue"),
+        )
+    )
+
+
+def oracle_order_ntile() -> str:
+    return f"""
+WITH ranked AS (
+    SELECT o_orderpriority AS priority, o_totalprice,
+           ntile({_NTILE_K}) OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY o_totalprice, o_orderkey
+           ) AS tile
+    FROM orders
+)
+SELECT priority, CAST(tile AS BIGINT) AS tile,
+       count(*) AS n_orders,
+       {sql_dec_sum("o_totalprice")} AS revenue
+FROM ranked
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# part_size_rank: rank()/dense_rank() with ties, window-free
+# ---------------------------------------------------------------------------
+
+
+def q_part_size_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank() and dense_rank() of part size within each brand, at the
+    distinct-(brand, size) grain — heavy ties (sizes repeat across
+    thousands of parts), which is exactly when the two-phase ROW rank
+    is the wrong tool and the value-level prefix sum is the right one:
+
+        rank(v)       = cum(v) − vw(v) + 1   (first row of the tie run)
+        dense_rank(v) = index of v among the group's distinct values
+
+    Both reads are rank arithmetic over the distinct-value frame; the
+    dense index is a SECOND prefix pass over that (already compact,
+    already materialized) frame — never over the input rows."""
+    from ..operators.prefixsum import grouped_value_prefix
+
+    p = load_table(spark, sf_dir, "part")
+    pfx = grouped_value_prefix(p, ["p_brand"], value_col="p_size")
+    dns = (
+        grouped_value_prefix(pfx, ["p_brand"], value_col="value")
+        .select(
+            "p_brand",
+            "value",
+            F.col("cum").alias("drnk"),
+        )
+    )
+    return (
+        pfx.join(dns, ["p_brand", "value"])
+        .select(
+            "p_brand",
+            F.col("value").cast("int").alias("p_size"),
+            F.col("vw").alias("n_parts"),
+            (F.col("cum") - F.col("vw") + 1).cast("long").alias("rnk"),
+            F.col("drnk").cast("long").alias("drnk"),
+        )
+    )
+
+
+def oracle_part_size_rank() -> str:
+    return """
+WITH ranked AS (
+    SELECT p_brand, p_size,
+           rank()       OVER w AS rnk,
+           dense_rank() OVER w AS drnk
+    FROM part
+    WINDOW w AS (PARTITION BY p_brand ORDER BY p_size)
+)
+SELECT p_brand, p_size, count(*) AS n_parts,
+       CAST(MIN(rnk) AS BIGINT) AS rnk,
+       CAST(MIN(drnk) AS BIGINT) AS drnk
+FROM ranked
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# spearman_qty_price: Spearman rank correlation, one corpus scan
+# ---------------------------------------------------------------------------
+
+
+def q_spearman_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between quantity and extended price
+    over lineitem — the robust-association probe a curation pipeline
+    runs between any two numeric quality signals.
+
+    Ties use average ranks (the standard Spearman-with-ties form).
+    DOUBLED average ranks are integers — 2·avg(v) = 2·cum(v) − vw(v)
+    + 1 — so every moment accumulates exactly; the doubling cancels in
+    the correlation.  ONE corpus scan builds the distinct (qty, price)
+    PAIR grain (materialized, compact); both marginal rank tables
+    derive from it by re-aggregation, never by rescanning the fact,
+    and the final scalar is IEEE core ops over exactly-summed moments
+    (identical expression text in the oracle)."""
+    from ..operators.materialize import materialize
+    from ..operators.prefixsum import grouped_value_prefix
+
+    l = load_table(spark, sf_dir, "lineitem")
+    pairs = materialize(
+        l.where(
+            F.col("l_quantity").isNotNull()
+            & F.col("l_extendedprice").isNotNull()
+        )
+        .groupBy(
+            F.col("l_quantity").alias("q"),
+            F.col("l_extendedprice").alias("p"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    rx = grouped_value_prefix(
+        pairs, [], value_col="q", weight_col=F.col("c")
+    ).select(
+        F.col("value").alias("q"),
+        (2 * F.col("cum") - F.col("vw") + 1).alias("r2x"),
+    )
+    ry = grouped_value_prefix(
+        pairs, [], value_col="p", weight_col=F.col("c")
+    ).select(
+        F.col("value").alias("p"),
+        (2 * F.col("cum") - F.col("vw") + 1).alias("r2y"),
+    )
+    joined = pairs.join(F.broadcast(rx), "q").join(ry, "p")
+    cd = F.col("c").cast("double")
+    x, y = F.col("r2x").cast("double"), F.col("r2y").cast("double")
+
+    def dsum(col: F.Column) -> F.Column:
+        return F.sum(col.cast("decimal(38,0)")).cast("double")
+
+    s = joined.agg(
+        F.sum("c").alias("n"),
+        dsum(cd * x * y).alias("sxy"),
+        dsum(cd * x).alias("sx"),
+        dsum(cd * y).alias("sy"),
+        dsum(cd * x * x).alias("sxx"),
+        dsum(cd * y * y).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    rho = (nd * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(
+        (nd * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (nd * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return s.select(F.col("n").cast("long").alias("n"), rho.alias("rho"))
+
+
+def oracle_spearman_qty_price() -> str:
+    return """
+WITH pairs AS (
+    SELECT l_quantity AS q, l_extendedprice AS p, count(*) AS c
+    FROM lineitem
+    WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+    GROUP BY 1, 2
+),
+qcum AS (
+    SELECT q, SUM(c) AS vw FROM pairs GROUP BY q
+),
+qrank AS (
+    SELECT q, 2 * SUM(vw) OVER (ORDER BY q) - vw + 1 AS r2x FROM qcum
+),
+pcum AS (
+    SELECT p, SUM(c) AS vw FROM pairs GROUP BY p
+),
+prank AS (
+    SELECT p, 2 * SUM(vw) OVER (ORDER BY p) - vw + 1 AS r2y FROM pcum
+),
+terms AS (
+    SELECT pairs.c, qrank.r2x, prank.r2y
+    FROM pairs JOIN qrank USING (q) JOIN prank USING (p)
+),
+moments AS (
+    SELECT SUM(c) AS n,
+           CAST(SUM(CAST(CAST(c AS DOUBLE) * CAST(r2x AS DOUBLE) * CAST(r2y AS DOUBLE) AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
+           CAST(SUM(CAST(CAST(c AS DOUBLE) * CAST(r2x AS DOUBLE) AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+           CAST(SUM(CAST(CAST(c AS DOUBLE) * CAST(r2y AS DOUBLE) AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+           CAST(SUM(CAST(CAST(c AS DOUBLE) * CAST(r2x AS DOUBLE) * CAST(r2x AS DOUBLE) AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+           CAST(SUM(CAST(CAST(c AS DOUBLE) * CAST(r2y AS DOUBLE) * CAST(r2y AS DOUBLE) AS DECIMAL(38,0))) AS DOUBLE) AS syy
+    FROM terms
+)
+SELECT CAST(n AS BIGINT) AS n,
+       (CAST(n AS DOUBLE) * sxy - sx * sy)
+       / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+              * (CAST(n AS DOUBLE) * syy - sy * sy)) AS rho
+FROM moments
+"""
+
+
+# ---------------------------------------------------------------------------
+# winsorized_revenue: clamped mean per priority, all off one prefix
+# ---------------------------------------------------------------------------
+
+_WINS_LO, _WINS_HI = 0.05, 0.95
+_QSCALE = "1000000.0"  # the shared scaled-long mean quantization
+
+
+def _quantize(col: F.Column) -> F.Column:
+    """floor(|x|·1e6 + 0.5)·sign(x) — the repo's exact-mean rule (see
+    memory: means quantize to scaled longs, DECIMAL sums, one double
+    division)."""
+    mag = F.floor(F.abs(col) * F.lit(1e6) + F.lit(0.5))
+    return F.when(col < 0, -mag).otherwise(mag).cast("long")
+
+
+def _sql_quantize(expr: str) -> str:
+    return (
+        f"CAST(floor(abs({expr}) * {_QSCALE} + 0.5) AS BIGINT)"
+        f" * (CASE WHEN ({expr}) < 0 THEN -1 ELSE 1 END)"
+    )
+
+
+def q_winsorized_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean of order value per priority: clamp to the
+    [p05, p95] interpolated percentiles, then the exact quantized
+    mean — the robust per-stratum statistic quality dashboards want
+    when a few whale orders dominate.
+
+    Scale: thresholds AND the clamped mean both read off ONE
+    distinct-value prefix frame (`prefix_interp_percentiles` shares
+    the `grouped_value_prefix` the mean aggregates) — one corpus scan
+    total, no enum-group window, no percentile value buffer."""
+    from ..operators.prefixsum import (
+        grouped_value_prefix,
+        prefix_interp_percentiles,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    pfx = grouped_value_prefix(
+        o.select("o_orderpriority", "o_totalprice"),
+        ["o_orderpriority"],
+        value_col="o_totalprice",
+    )
+    th = prefix_interp_percentiles(
+        pfx, ["o_orderpriority"], [_WINS_LO, _WINS_HI], ["lo", "hi"]
+    )
+    clamped = F.least(
+        F.greatest(F.col("value"), F.col("lo")), F.col("hi")
+    )
+    agg = (
+        pfx.join(F.broadcast(th), ["o_orderpriority"])
+        .select(
+            "o_orderpriority",
+            "lo",
+            "hi",
+            "vw",
+            (
+                F.col("vw").cast("decimal(19,0)")
+                * _quantize(clamped).cast("decimal(19,0)")
+            ).alias("__qsum"),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("vw").cast("long").alias("n_orders"),
+            F.min("lo").alias("lo"),
+            F.min("hi").alias("hi"),
+            F.sum("__qsum").alias("__s"),
+        )
+    )
+    mean = (
+        F.col("__s").cast("double")
+        / F.col("n_orders").cast("double")
+        / F.lit(1e6)
+    )
+    return agg.select(
+        F.col("o_orderpriority").alias("priority"),
+        "n_orders",
+        "lo",
+        "hi",
+        round_half_away(mean, 9).alias("mean_winsorized"),
+    )
+
+
+def oracle_winsorized_revenue() -> str:
+    mean = f"CAST(s AS DOUBLE) / CAST(n_orders AS DOUBLE) / {_QSCALE}"
+    clamp = "least(greatest(o_totalprice, lo), hi)"
+    return f"""
+WITH th AS (
+    SELECT o_orderpriority,
+           quantile_cont(o_totalprice, {_WINS_LO}) AS lo,
+           quantile_cont(o_totalprice, {_WINS_HI}) AS hi
+    FROM orders GROUP BY 1
+),
+agg AS (
+    SELECT o.o_orderpriority AS priority,
+           count(*) AS n_orders,
+           MIN(lo) AS lo, MIN(hi) AS hi,
+           SUM(CAST({_sql_quantize(clamp)} AS DECIMAL(38,0))) AS s
+    FROM orders o JOIN th USING (o_orderpriority)
+    GROUP BY 1
+)
+SELECT priority, n_orders, lo, hi,
+       {sql_round_half_away(mean, 9)} AS mean_winsorized
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# iqr_outliers: Tukey fences per return flag, all off one prefix
+# ---------------------------------------------------------------------------
+
+
+def q_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier report per return flag: p25/p75
+    interpolated percentiles, fences at 1.5·IQR, exact outlier counts
+    — the standard robust spread screen, and like
+    `winsorized_revenue` both the thresholds and the fence counts
+    read the SAME distinct-value prefix frame (one corpus scan)."""
+    from ..operators.prefixsum import (
+        grouped_value_prefix,
+        prefix_interp_percentiles,
+    )
+
+    l = load_table(spark, sf_dir, "lineitem")
+    pfx = grouped_value_prefix(
+        l.select("l_returnflag", "l_extendedprice"),
+        ["l_returnflag"],
+        value_col="l_extendedprice",
+    )
+    th = prefix_interp_percentiles(
+        pfx, ["l_returnflag"], [0.25, 0.75], ["p25", "p75"]
+    )
+    lo_f = F.col("p25") - F.lit(1.5) * (F.col("p75") - F.col("p25"))
+    hi_f = F.col("p75") + F.lit(1.5) * (F.col("p75") - F.col("p25"))
+    agg = (
+        pfx.join(F.broadcast(th), ["l_returnflag"])
+        .select(
+            "l_returnflag",
+            "p25",
+            "p75",
+            "vw",
+            lo_f.alias("lo_fence"),
+            hi_f.alias("hi_fence"),
+            F.when(
+                (F.col("value") < lo_f) | (F.col("value") > hi_f),
+                F.col("vw"),
+            )
+            .otherwise(F.lit(0))
+            .alias("__out"),
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum("vw").cast("long").alias("n_rows"),
+            F.min("p25").alias("p25"),
+            F.min("p75").alias("p75"),
+            F.min("lo_fence").alias("lo_fence"),
+            F.min("hi_fence").alias("hi_fence"),
+            F.sum("__out").cast("long").alias("n_outliers"),
+        )
+    )
+    return agg.select(
+        F.col("l_returnflag").alias("flag"),
+        "n_rows",
+        "p25",
+        "p75",
+        "lo_fence",
+        "hi_fence",
+        "n_outliers",
+        (
+            F.col("n_outliers").cast("double")
+            / F.col("n_rows").cast("double")
+        ).alias("outlier_share"),
+    )
+
+
+def oracle_iqr_outliers() -> str:
+    return """
+WITH th AS (
+    SELECT l_returnflag,
+           quantile_cont(l_extendedprice, 0.25) AS p25,
+           quantile_cont(l_extendedprice, 0.75) AS p75
+    FROM lineitem GROUP BY 1
+),
+fences AS (
+    SELECT l_returnflag, p25, p75,
+           p25 - 1.5 * (p75 - p25) AS lo_fence,
+           p75 + 1.5 * (p75 - p25) AS hi_fence
+    FROM th
+),
+agg AS (
+    SELECT l.l_returnflag AS flag, count(*) AS n_rows,
+           MIN(p25) AS p25, MIN(p75) AS p75,
+           MIN(lo_fence) AS lo_fence, MIN(hi_fence) AS hi_fence,
+           CAST(SUM(CASE WHEN l_extendedprice < lo_fence
+                           OR l_extendedprice > hi_fence
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM lineitem l JOIN fences USING (l_returnflag)
+    GROUP BY 1
+)
+SELECT flag, n_rows, p25, p75, lo_fence, hi_fence, n_outliers,
+       CAST(n_outliers AS DOUBLE) / CAST(n_rows AS DOUBLE)
+           AS outlier_share
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# segment_priority_chisq: enum×enum independence test
+# ---------------------------------------------------------------------------
+
+# chi-square 95% critical value, df = (5-1)*(5-1) = 16; the SAME
+# literal appears in the oracle text, so the flag is parity-safe by
+# construction
+_CHI2_CRIT_DF16 = 26.29622760486423
+
+
+def q_segment_priority_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between customer market segment
+    and order priority — the enum×enum association screen (a leakage/
+    stratification check between any two categorical columns).
+
+    Scale: ONE fact⋈dim aggregate builds the contingency table
+    (≤ |segments|·|priorities| cells, materialized); margins and the
+    statistic are arithmetic over that constant-bounded frame — the
+    `benford_chisq` full-spine fold, with terms summed in DECIMAL so
+    partitioning cannot perturb the statistic."""
+    from ..operators.materialize import materialize
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority"
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    obs = materialize(
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("o_orderpriority").alias("pri"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    spine = (
+        obs.select("seg")
+        .distinct()
+        .crossJoin(F.broadcast(obs.select("pri").distinct()))
+    )
+    full = spine.join(obs, ["seg", "pri"], "left").fillna(0, subset=["n"])
+    rs = full.groupBy("seg").agg(F.sum("n").alias("__rs"))
+    cs = full.groupBy("pri").agg(F.sum("n").alias("__cs"))
+    tot = full.agg(
+        F.sum("n").alias("__tot"),
+        F.count_distinct("seg").alias("__nseg"),
+        F.count_distinct("pri").alias("__npri"),
+    )
+    e = (
+        F.col("__rs").cast("double")
+        * F.col("__cs").cast("double")
+        / F.col("__tot").cast("double")
+    )
+    term = (
+        (F.col("n").cast("double") - e)
+        * (F.col("n").cast("double") - e)
+        / e
+    )
+    cells = (
+        full.join(F.broadcast(rs), "seg")
+        .join(F.broadcast(cs), "pri")
+        .crossJoin(F.broadcast(tot))
+    )
+    agg = cells.agg(
+        F.max("__tot").cast("long").alias("n_orders"),
+        ((F.max("__nseg") - 1) * (F.max("__npri") - 1))
+        .cast("long")
+        .alias("df"),
+        dec_sum(term).alias("chisq"),
+        F.least(F.max("__nseg") - 1, F.max("__npri") - 1)
+        .cast("double")
+        .alias("__mindim"),
+    )
+    return agg.select(
+        "n_orders",
+        "df",
+        "chisq",
+        F.sqrt(
+            F.col("chisq")
+            / (F.col("n_orders").cast("double") * F.col("__mindim"))
+        ).alias("cramers_v"),
+        (F.col("chisq") > F.lit(_CHI2_CRIT_DF16)).alias("reject_95"),
+    )
+
+
+def oracle_segment_priority_chisq() -> str:
+    return f"""
+WITH obs AS (
+    SELECT c_mktsegment AS seg, o_orderpriority AS pri, count(*) AS n
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY 1, 2
+),
+spine AS (
+    SELECT s.seg, p.pri
+    FROM (SELECT DISTINCT seg FROM obs) s
+    CROSS JOIN (SELECT DISTINCT pri FROM obs) p
+),
+full_t AS (
+    SELECT spine.seg, spine.pri, COALESCE(obs.n, 0) AS n
+    FROM spine LEFT JOIN obs USING (seg, pri)
+),
+rs AS (SELECT seg, SUM(n) AS rsum FROM full_t GROUP BY 1),
+cs AS (SELECT pri, SUM(n) AS csum FROM full_t GROUP BY 1),
+tot AS (
+    SELECT SUM(n) AS total,
+           COUNT(DISTINCT seg) AS nseg,
+           COUNT(DISTINCT pri) AS npri
+    FROM full_t
+),
+terms AS (
+    SELECT f.n, t.total, t.nseg, t.npri,
+           CAST(r.rsum AS DOUBLE) * CAST(c.csum AS DOUBLE)
+               / CAST(t.total AS DOUBLE) AS e
+    FROM full_t f JOIN rs r USING (seg) JOIN cs c USING (pri)
+    CROSS JOIN tot t
+),
+agg AS (
+    SELECT CAST(MAX(total) AS BIGINT) AS n_orders,
+           CAST((MAX(nseg) - 1) * (MAX(npri) - 1) AS BIGINT) AS df,
+           {sql_dec_sum(
+               "(CAST(n AS DOUBLE) - e) * (CAST(n AS DOUBLE) - e) / e"
+           )} AS chisq,
+           CAST(LEAST(MAX(nseg) - 1, MAX(npri) - 1) AS DOUBLE)
+               AS mindim
+    FROM terms
+)
+SELECT n_orders, df, chisq,
+       sqrt(chisq / (CAST(n_orders AS DOUBLE) * mindim)) AS cramers_v,
+       chisq > {_CHI2_CRIT_DF16} AS reject_95
+FROM agg
+"""
