@@ -341,6 +341,18 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
         tpch3.q_segment_priority_chisq,
         tpch3.oracle_segment_priority_chisq,
     ),
+    "mann_whitney_returns": (
+        tpch3.q_mann_whitney_returns,
+        tpch3.oracle_mann_whitney_returns,
+    ),
+    "trimmed_mean_revenue": (
+        tpch3.q_trimmed_mean_revenue,
+        tpch3.oracle_trimmed_mean_revenue,
+    ),
+    "doc_length_deciles": (
+        tpch3.q_doc_length_deciles,
+        tpch3.oracle_doc_length_deciles,
+    ),
     "supplier_blame": (tpch.q_supplier_blame, tpch.oracle_supplier_blame),
     "order_priority_check": (
         tpch.q_order_priority_check,
@@ -703,6 +715,9 @@ _PRIORITY: list[str] = [
     "winsorized_revenue",
     "iqr_outliers",
     "segment_priority_chisq",
+    "mann_whitney_returns",
+    "trimmed_mean_revenue",
+    "doc_length_deciles",
     "customer_percentile",
     "min_cost_supplier",
     "cdc_apply_twin",

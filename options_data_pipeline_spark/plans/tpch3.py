@@ -623,3 +623,291 @@ SELECT n_orders, df, chisq,
        chisq > {_CHI2_CRIT_DF16} AS reject_95
 FROM agg
 """
+
+
+# ---------------------------------------------------------------------------
+# mann_whitney_returns: two-sample rank test off the same prefix sums
+# ---------------------------------------------------------------------------
+
+_Z_CRIT_95 = 1.959963984540054
+
+
+def q_mann_whitney_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (two-sided normal approximation with tie
+    correction, no continuity correction) comparing extended price of
+    returned vs non-returned lines — the nonparametric two-sample
+    shift screen (any quality signal vs any binary label).
+
+    Scale: rank sums need only VALUE-level weights — per distinct
+    price, the returned-count ``a`` and the total ``t`` cumulate in
+    one multi-weight prefix pass (one corpus scan, no global window).
+    DOUBLED tie-averaged ranks (2·avg = 2·cum − vw + 1) keep every
+    rank-sum integral; moments quantize to DECIMAL(38,0) so
+    partitioning cannot perturb them; the z statistic is IEEE core
+    ops with oracle-identical text."""
+    from ..operators.prefixsum import grouped_value_prefix_multi
+
+    l = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_extendedprice").isNotNull()
+    )
+    pfx = grouped_value_prefix_multi(
+        l,
+        [],
+        "l_extendedprice",
+        weights={
+            "a": (F.col("l_returnflag") == "R").cast("int"),
+            "t": F.lit(1),
+        },
+    )
+    r2 = (2 * F.col("cum_t") - F.col("vw_t") + 1).cast("double")
+    ad = F.col("vw_a").cast("double")
+    td = F.col("vw_t").cast("double")
+
+    def dsum(col: F.Column) -> F.Column:
+        return F.sum(col.cast("decimal(38,0)")).cast("double")
+
+    m = pfx.agg(
+        F.max("tw_a").cast("long").alias("n1"),
+        F.max("tw_t").cast("long").alias("nn"),
+        dsum(ad * r2).alias("s2r1"),
+        dsum(td * td * td - td).alias("tsum"),
+    )
+    n1d = F.col("n1").cast("double")
+    u2 = F.col("s2r1") - n1d * (n1d + F.lit(1.0))
+    calc = m.select(
+        "n1",
+        "nn",
+        (F.col("nn") - F.col("n1")).cast("long").alias("n2"),
+        u2.alias("u2"),
+        "tsum",
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    nd = F.col("nn").cast("double")
+    var = (
+        n1d
+        * n2d
+        / F.lit(12.0)
+        * (
+            (nd + F.lit(1.0))
+            - F.col("tsum") / (nd * (nd - F.lit(1.0)))
+        )
+    )
+    z = (F.col("u2") - n1d * n2d) / (F.lit(2.0) * F.sqrt(var))
+    return calc.select(
+        F.col("n1").alias("n_returned"),
+        F.col("n2").alias("n_other"),
+        (F.col("u2") / F.lit(2.0)).alias("u"),
+        z.alias("z"),
+        (F.abs(z) > F.lit(_Z_CRIT_95)).alias("reject_95"),
+    )
+
+
+def oracle_mann_whitney_returns() -> str:
+    return f"""
+WITH vals AS (
+    SELECT l_extendedprice AS v,
+           SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS a,
+           count(*) AS t
+    FROM lineitem
+    WHERE l_extendedprice IS NOT NULL
+    GROUP BY 1
+),
+pfx AS (
+    SELECT v, a, t, 2 * SUM(t) OVER (ORDER BY v) - t + 1 AS r2
+    FROM vals
+),
+m AS (
+    SELECT CAST(SUM(a) AS BIGINT) AS n1,
+           CAST(SUM(t) AS BIGINT) AS nn,
+           CAST(SUM(CAST(CAST(a AS DOUBLE) * CAST(r2 AS DOUBLE)
+                AS DECIMAL(38,0))) AS DOUBLE) AS s2r1,
+           CAST(SUM(CAST(CAST(t AS DOUBLE) * CAST(t AS DOUBLE)
+                * CAST(t AS DOUBLE) - CAST(t AS DOUBLE)
+                AS DECIMAL(38,0))) AS DOUBLE) AS tsum
+    FROM pfx
+),
+calc AS (
+    SELECT n1, nn, CAST(nn - n1 AS BIGINT) AS n2,
+           s2r1 - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1.0) AS u2,
+           tsum
+    FROM m
+),
+zed AS (
+    SELECT n1, n2, u2,
+           (u2 - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+           / (2.0 * sqrt(
+               CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0
+               * ((CAST(nn AS DOUBLE) + 1.0)
+                  - tsum / (CAST(nn AS DOUBLE)
+                            * (CAST(nn AS DOUBLE) - 1.0)))
+             )) AS z
+    FROM calc
+)
+SELECT n1 AS n_returned, n2 AS n_other, u2 / 2.0 AS u, z,
+       abs(z) > {_Z_CRIT_95} AS reject_95
+FROM zed
+"""
+
+
+# ---------------------------------------------------------------------------
+# trimmed_mean_revenue: exact row-trimmed mean, window-free
+# ---------------------------------------------------------------------------
+
+
+def q_trimmed_mean_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10%-trimmed mean of order value per priority: drop the k =
+    n div 10 lowest- and highest-ranked rows, average the rest — the
+    complement of `winsorized_revenue` (discard vs clamp).
+
+    Scale: the kept-row sum needs no row ranks at all — per distinct
+    value, the kept weight is the overlap of its cumulative interval
+    (cum − vw, cum] with (k, n − k]:
+
+        kept(v) = clip(cum) − clip(cum − vw),  clip(x) = min(max(x, k), n−k)
+
+    exact integers off the one prefix frame (equal values are
+    interchangeable, so the row tie-break can never change the kept
+    SUM).  One corpus scan; quantized-long DECIMAL mean."""
+    from ..operators.prefixsum import grouped_value_prefix
+
+    o = load_table(spark, sf_dir, "orders")
+    pfx = grouped_value_prefix(
+        o.select("o_orderpriority", "o_totalprice"),
+        ["o_orderpriority"],
+        value_col="o_totalprice",
+    )
+    k = F.expr("tw div 10")
+    hi = F.col("tw") - k
+
+    def clip(x: F.Column) -> F.Column:
+        return F.least(F.greatest(x, k), hi)
+
+    kept = clip(F.col("cum")) - clip(F.col("cum") - F.col("vw"))
+    agg = (
+        pfx.select(
+            "o_orderpriority",
+            "tw",
+            (F.col("tw") - 2 * k).alias("__nk"),
+            (
+                kept.cast("decimal(19,0)")
+                * _quantize(F.col("value")).cast("decimal(19,0)")
+            ).alias("__qs"),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.min("tw").cast("long").alias("n_orders"),
+            F.min("__nk").cast("long").alias("n_kept"),
+            F.sum("__qs").alias("__s"),
+        )
+    )
+    mean = (
+        F.col("__s").cast("double")
+        / F.col("n_kept").cast("double")
+        / F.lit(1e6)
+    )
+    return agg.select(
+        F.col("o_orderpriority").alias("priority"),
+        "n_orders",
+        "n_kept",
+        round_half_away(mean, 9).alias("mean_trimmed"),
+    )
+
+
+def oracle_trimmed_mean_revenue() -> str:
+    mean = f"CAST(s AS DOUBLE) / CAST(n_kept AS DOUBLE) / {_QSCALE}"
+    return f"""
+WITH ranked AS (
+    SELECT o_orderpriority, o_totalprice,
+           row_number() OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY o_totalprice, o_orderkey
+           ) AS rn,
+           count(*) OVER (PARTITION BY o_orderpriority) AS n
+    FROM orders
+),
+kept AS (
+    SELECT * FROM ranked
+    WHERE rn > n // 10 AND rn <= n - n // 10
+),
+agg AS (
+    SELECT o_orderpriority AS priority,
+           CAST(MIN(n) AS BIGINT) AS n_orders,
+           count(*) AS n_kept,
+           SUM(CAST({_sql_quantize("o_totalprice")}
+                    AS DECIMAL(38,0))) AS s
+    FROM kept GROUP BY 1
+)
+SELECT priority, n_orders, n_kept,
+       {sql_round_half_away(mean, 9)} AS mean_trimmed
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# doc_length_deciles: curriculum buckets over the documents corpus
+# ---------------------------------------------------------------------------
+
+
+def q_doc_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length deciles of the documents corpus per source — the
+    curriculum/stratification cut a training-data pipeline makes
+    before mixing (short-doc vs long-doc buckets per source), using
+    the same grouped two-phase rank + ntile arithmetic as
+    `order_ntile`, on the documents table."""
+    from ..operators.ranks import grouped_distributed_row_number
+
+    d = load_table(spark, sf_dir, "documents")
+    ranked = grouped_distributed_row_number(
+        d.select("source", "n_chars", "doc_id"),
+        ["source"],
+        [("n_chars", False), ("doc_id", False)],
+        out_col="__rn",
+        total_col="__n",
+    )
+    t = (
+        ranked.withColumn("__q", F.expr("__n div 10"))
+        .withColumn("__r", F.expr("__n % 10"))
+        .withColumn(
+            "decile",
+            F.when(
+                F.col("__rn") <= F.col("__r") * (F.col("__q") + 1),
+                F.expr("(__rn - 1) div (__q + 1) + 1"),
+            )
+            .otherwise(
+                F.expr(
+                    "__r + (__rn - __r * (__q + 1) - 1)"
+                    " div greatest(__q, 1) + 1"
+                )
+            )
+            .cast("long"),
+        )
+    )
+    return (
+        t.groupBy("source", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").cast("long").alias("min_chars"),
+            F.max("n_chars").cast("long").alias("max_chars"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
+
+
+def oracle_doc_length_deciles() -> str:
+    return """
+WITH ranked AS (
+    SELECT source, n_chars,
+           ntile(10) OVER (
+               PARTITION BY source ORDER BY n_chars, doc_id
+           ) AS decile
+    FROM documents
+)
+SELECT source, CAST(decile AS BIGINT) AS decile,
+       count(*) AS n_docs,
+       CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+       CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM ranked
+GROUP BY 1, 2
+"""

@@ -110,3 +110,50 @@ def test_doubled_average_rank_is_integer_and_correct(spark):
         for r in rn.groupBy("v").agg(F.avg("rn").alias("ar")).collect()
     }
     assert got == expect
+
+
+def test_trimmed_kept_weight_overlap_law(spark):
+    """trimmed_mean_revenue's law: per distinct value, kept weight =
+    clip(cum) - clip(cum - vw) with clip into (k, n-k], vs explicitly
+    filtering row ranks — including k=0 (nothing trimmed) and a group
+    small enough that everything survives."""
+    from options_data_pipeline_spark.operators.prefixsum import (
+        grouped_value_prefix,
+    )
+
+    rows = [("g", v) for v in [5, 5, 5, 1, 2, 2, 9, 9, 9, 9, 3, 7]] + [
+        ("tiny", 4),
+        ("tiny", 8),
+    ]
+    df = spark.createDataFrame(rows, "grp string, v long")
+    pfx = grouped_value_prefix(df, ["grp"], value_col="v")
+    k = F.expr("tw div 10")
+    hi = F.col("tw") - k
+
+    def clip(x):
+        return F.least(F.greatest(x, k), hi)
+
+    got = {
+        (r["grp"], r["value"]): r["kept"]
+        for r in pfx.select(
+            "grp",
+            "value",
+            (clip(F.col("cum")) - clip(F.col("cum") - F.col("vw"))).alias(
+                "kept"
+            ),
+        ).collect()
+        if r["kept"] > 0
+    }
+    w = Window.partitionBy("grp").orderBy("v", F.monotonically_increasing_id())
+    ranked = df.select(
+        "grp",
+        "v",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("grp")).alias("n"),
+    )
+    expect = {}
+    for r in ranked.collect():
+        kk = r["n"] // 10
+        if kk < r["rn"] <= r["n"] - kk:
+            expect[(r["grp"], r["v"])] = expect.get((r["grp"], r["v"]), 0) + 1
+    assert got == expect
