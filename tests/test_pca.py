@@ -84,3 +84,33 @@ def test_registry_query_runs_and_is_stable(spark):
     b = q_pca_project(spark, SF_DIR).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
     assert len(a) > 0
+
+
+def test_reconstruction_error_matches_residual_spectrum(spark, emb):
+    """VERDICT r13 #7: a second independent axis for the one no-oracle
+    registry row.  PCA optimality identity: the mean squared
+    reconstruction error of the REGISTRY QUERY's own (pc1, pc2) output
+    equals the residual spectrum trace(cov) − λ1 − λ2 — ties the
+    golden-hashed projection to the eigendecomposition through an
+    algebraic law neither pin shares with the other."""
+    import numpy as np
+
+    from options_data_pipeline_spark.operators.pca import fit_loadings
+    from options_data_pipeline_spark.plans.vectors import q_pca_project
+
+    loadings, eigvals = fit_loadings(emb, n_components=2)
+    m = np.stack(
+        [np.asarray(r["embedding"], dtype=np.float64) for r in emb.collect()]
+    )
+    means = m.mean(axis=0)
+    out = {
+        r["vec_id"]: (r["pc1"], r["pc2"])
+        for r in q_pca_project(spark, SF_DIR).collect()
+    }
+    ids = [r["vec_id"] for r in emb.select("vec_id").collect()]
+    pcs = np.array([out[i] for i in ids])
+    recon = means + pcs @ loadings
+    mse = float(np.mean(np.sum((m - recon) ** 2, axis=1)))
+    cov = np.cov(m, rowvar=False, bias=True)
+    residual = float(np.trace(cov) - eigvals[0] - eigvals[1])
+    assert np.isclose(mse, residual, rtol=1e-4, atol=1e-6), (mse, residual)
