@@ -451,6 +451,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
         text.oracle_bloom_prefilter_dedup,
     ),
     "zorder_layout": (tpch2.q_zorder_layout, tpch2.oracle_zorder_layout),
+    "hilbert_layout": (tpch2.q_hilbert_layout, tpch2.oracle_hilbert_layout),
     "zorder_prune": (tpch2.q_zorder_prune, tpch2.oracle_zorder_prune),
     "zorder_maintain": (
         tpch2.q_zorder_maintain,
@@ -718,6 +719,7 @@ _PRIORITY: list[str] = [
     "mann_whitney_returns",
     "trimmed_mean_revenue",
     "doc_length_deciles",
+    "hilbert_layout",
     "customer_percentile",
     "min_cost_supplier",
     "cdc_apply_twin",
