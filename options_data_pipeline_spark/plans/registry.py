@@ -452,6 +452,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
     ),
     "zorder_layout": (tpch2.q_zorder_layout, tpch2.oracle_zorder_layout),
     "hilbert_layout": (tpch2.q_hilbert_layout, tpch2.oracle_hilbert_layout),
+    "hilbert_prune_compare": (
+        tpch2.q_hilbert_prune_compare,
+        tpch2.oracle_hilbert_prune_compare,
+    ),
     "zorder_prune": (tpch2.q_zorder_prune, tpch2.oracle_zorder_prune),
     "zorder_maintain": (
         tpch2.q_zorder_maintain,
@@ -720,6 +724,7 @@ _PRIORITY: list[str] = [
     "trimmed_mean_revenue",
     "doc_length_deciles",
     "hilbert_layout",
+    "hilbert_prune_compare",
     "customer_percentile",
     "min_cost_supplier",
     "cdc_apply_twin",
