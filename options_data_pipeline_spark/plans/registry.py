@@ -353,6 +353,11 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
         tpch3.q_doc_length_deciles,
         tpch3.oracle_doc_length_deciles,
     ),
+    "ks_returns": (tpch3.q_ks_returns, tpch3.oracle_ks_returns),
+    "price_percentile_disc": (
+        tpch3.q_price_percentile_disc,
+        tpch3.oracle_price_percentile_disc,
+    ),
     "supplier_blame": (tpch.q_supplier_blame, tpch.oracle_supplier_blame),
     "order_priority_check": (
         tpch.q_order_priority_check,
@@ -725,6 +730,8 @@ _PRIORITY: list[str] = [
     "doc_length_deciles",
     "hilbert_layout",
     "hilbert_prune_compare",
+    "ks_returns",
+    "price_percentile_disc",
     "customer_percentile",
     "min_cost_supplier",
     "cdc_apply_twin",

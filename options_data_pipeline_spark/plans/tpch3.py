@@ -911,3 +911,151 @@ SELECT source, CAST(decile AS BIGINT) AS decile,
 FROM ranked
 GROUP BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# ks_returns: two-sample Kolmogorov-Smirnov off the same multi prefix
+# ---------------------------------------------------------------------------
+
+# c(0.05) = sqrt(-ln(0.025)/2); compile-time constant, shared literal
+_KS_C_95 = 1.3581015157406195
+
+
+def q_ks_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov distance between the extended-
+    price distributions of returned vs non-returned lines, with the
+    large-sample 95% decision — the distribution-shift screen that
+    complements `mann_whitney_returns` (location) with shape.
+
+    Scale: D = max over DISTINCT values of |CDF_a − CDF_b| — both
+    CDFs come from one multi-weight value prefix pass (the same
+    machinery as MWU; one corpus scan, no global window).  The max of
+    per-value doubles is order-free, and each per-value expression is
+    IEEE division with oracle-identical text."""
+    from ..operators.prefixsum import grouped_value_prefix_multi
+
+    l = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_extendedprice").isNotNull()
+    )
+    pfx = grouped_value_prefix_multi(
+        l,
+        [],
+        "l_extendedprice",
+        weights={
+            "a": (F.col("l_returnflag") == "R").cast("int"),
+            "b": (F.col("l_returnflag") != "R").cast("int"),
+        },
+    )
+    diff = F.abs(
+        F.col("cum_a").cast("double") / F.col("tw_a").cast("double")
+        - F.col("cum_b").cast("double") / F.col("tw_b").cast("double")
+    )
+    m = pfx.agg(
+        F.max("tw_a").cast("long").alias("n_returned"),
+        F.max("tw_b").cast("long").alias("n_other"),
+        F.max(diff).alias("d_stat"),
+    )
+    n1d = F.col("n_returned").cast("double")
+    n2d = F.col("n_other").cast("double")
+    crit = F.lit(_KS_C_95) * F.sqrt((n1d + n2d) / (n1d * n2d))
+    return m.select(
+        "n_returned",
+        "n_other",
+        "d_stat",
+        crit.alias("d_crit_95"),
+        (F.col("d_stat") > crit).alias("reject_95"),
+    )
+
+
+def oracle_ks_returns() -> str:
+    return f"""
+WITH vals AS (
+    SELECT l_extendedprice AS v,
+           SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS a,
+           SUM(CASE WHEN l_returnflag <> 'R' THEN 1 ELSE 0 END) AS b
+    FROM lineitem
+    WHERE l_extendedprice IS NOT NULL
+    GROUP BY 1
+),
+cums AS (
+    SELECT SUM(a) OVER (ORDER BY v) AS ca,
+           SUM(b) OVER (ORDER BY v) AS cb,
+           SUM(a) OVER () AS ta,
+           SUM(b) OVER () AS tb
+    FROM vals
+),
+m AS (
+    SELECT CAST(MAX(ta) AS BIGINT) AS n_returned,
+           CAST(MAX(tb) AS BIGINT) AS n_other,
+           MAX(abs(CAST(ca AS DOUBLE) / CAST(ta AS DOUBLE)
+                   - CAST(cb AS DOUBLE) / CAST(tb AS DOUBLE)))
+               AS d_stat
+    FROM cums
+)
+SELECT n_returned, n_other, d_stat,
+       {_KS_C_95} * sqrt((CAST(n_returned AS DOUBLE)
+                          + CAST(n_other AS DOUBLE))
+                         / (CAST(n_returned AS DOUBLE)
+                            * CAST(n_other AS DOUBLE))) AS d_crit_95,
+       d_stat > {_KS_C_95} * sqrt((CAST(n_returned AS DOUBLE)
+                          + CAST(n_other AS DOUBLE))
+                         / (CAST(n_returned AS DOUBLE)
+                            * CAST(n_other AS DOUBLE))) AS reject_95
+FROM m
+"""
+
+
+# ---------------------------------------------------------------------------
+# price_percentile_disc: discrete percentiles (no interpolation)
+# ---------------------------------------------------------------------------
+
+_DISC_QS = (0.25, 0.5, 0.75, 0.95)
+
+
+def q_price_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISCRETE percentiles (the value at rank ceil(p·n) — an actual
+    observed price, no interpolation) of extended price per return
+    flag — the percentile_disc/quantile_disc law, completing the
+    quantile surface next to the interpolated family.
+
+    Scale: all four order statistics are conditional-min reads off
+    ONE distinct-value prefix frame (rank thresholds are pure (p, n)
+    arithmetic); the oracle derives the same values through DuckDB's
+    native ``quantile_disc`` — an independent implementation of the
+    law, which is what makes the hash meaningful."""
+    from ..operators.prefixsum import grouped_value_prefix
+
+    l = load_table(spark, sf_dir, "lineitem")
+    pfx = grouped_value_prefix(
+        l.select("l_returnflag", "l_extendedprice"),
+        ["l_returnflag"],
+        value_col="l_extendedprice",
+    )
+    aggs = []
+    names = [f"p{int(q * 100)}" for q in _DISC_QS]
+    for q, nm in zip(_DISC_QS, names):
+        rank = F.ceil(F.lit(q) * F.col("tw").cast("double"))
+        aggs.append(
+            F.min(
+                F.when(F.col("cum") >= rank, F.col("value"))
+            ).alias(nm)
+        )
+    return (
+        pfx.groupBy(F.col("l_returnflag").alias("flag"))
+        .agg(*aggs, F.max("tw").cast("long").alias("n_rows"))
+        .select("flag", *names, "n_rows")
+    )
+
+
+def oracle_price_percentile_disc() -> str:
+    cols = ",\n       ".join(
+        f"quantile_disc(l_extendedprice, {q}) AS p{int(q * 100)}"
+        for q in _DISC_QS
+    )
+    return f"""
+SELECT l_returnflag AS flag,
+       {cols},
+       count(l_extendedprice) AS n_rows
+FROM lineitem
+GROUP BY 1
+"""
