@@ -461,6 +461,15 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
         tpch2.q_hilbert_prune_compare,
         tpch2.oracle_hilbert_prune_compare,
     ),
+    "hilbert_prune": (tpch2.q_hilbert_prune, tpch2.oracle_hilbert_prune),
+    "hilbert_prune_narrow": (
+        tpch2.q_hilbert_prune_narrow,
+        tpch2.oracle_hilbert_prune_narrow,
+    ),
+    "hilbert_prune_ranked": (
+        tpch2.q_hilbert_prune_ranked,
+        tpch2.oracle_hilbert_prune_ranked,
+    ),
     "zorder_prune": (tpch2.q_zorder_prune, tpch2.oracle_zorder_prune),
     "zorder_maintain": (
         tpch2.q_zorder_maintain,
@@ -714,6 +723,13 @@ _PRIORITY: list[str] = [
     "daily_sessions",
     "option_chain_ohlc",
     "candle_resample",
+    # round-14 extension wave (second session): the Hilbert physical
+    # prune + narrow probes (hilbert_prune_compare re-adjudicated
+    # after the hm_joint_cells seam extraction) and the distributed
+    # exact Kendall family
+    "hilbert_prune",
+    "hilbert_prune_narrow",
+    "hilbert_prune_ranked",
     # round-14 new queries (first driver adjudication) + changed
     # queries: the grouped-rank re-plan, the min_cost_supplier scan
     # diet, the IVM consume-seam refactor, and the prefixsum/ranks
