@@ -1004,6 +1004,7 @@ _HARNESS_QUERIES: set[str] = {
     "composite_prune",
     "dds_quantile_store",
     "dds_store_stream_twin",
+    "hilbert_prune",
     "hist_quantile_store",
     "hist_store_stream_twin",
     "hll_cube",
