@@ -1,0 +1,274 @@
+"""Exact distributed Kendall S (concordant − discordant pairs).
+
+Kendall's tau-b and the Mann-Kendall trend test both reduce to the
+pair statistic ``S = Σ_{i<j} sign(x_j − x_i) · sign(y_j − y_i)`` — an
+all-pairs sum that naive engines compute with an O(n²) self-join and
+single-node libraries with a Fenwick/merge-sort sweep, neither of
+which distributes.  The r14 frontier parked tau-b for exactly this
+reason ("needs a 2-D dominance sweep that doesn't decompose into the
+prefix algebra").  It does decompose; the observation is the same
+value-level one that powers :mod:`.prefixsum`:
+
+1. **Bucket x by VALUE** (the integer-grid quantization of
+   :mod:`.zorder` — monotone, deterministic, and x-ties can never
+   straddle a bucket).  Every pair is then either *within* one bucket
+   or *across* two buckets whose x-order is known.
+
+2. **Across buckets the x-sign is constant (+1)**, so the pair sum
+   collapses onto VALUE-level y-weights: for a row with value ``v`` in
+   bucket ``b``, its contribution against every earlier bucket ``b'``
+   is ``(# y < v in b') − (# y > v in b')``.  With ``cum``/``vw``/
+   ``tw`` from ONE :func:`..operators.prefixsum.grouped_value_prefix`
+   pass over the (bucket, y)-cells — probe values from later buckets
+   union-merged in with weight 0, the classic merge trick — that is
+
+       f(b', v) = (cum − vw) − (tw − cum) = 2·cum − vw − tw
+
+   and the cross-bucket total per cell is ``Σ_{b'<b} f(b', v)``: a
+   cumulative window over a ≤ n_buckets-row partition per (group,
+   value) — bounded by the CONSTANT bucket count, never by data.
+
+3. **Within a bucket** pairs need the full sign·sign, but the bucket
+   is a bounded slice (n/B rows, tunable) and ties are pre-collapsed
+   to distinct (x, y) cells — an exact vectorized kernel per (group,
+   bucket) task (`applyInPandas`), embarrassingly parallel.
+
+Everything is integer-exact end-to-end (the contract requires integer
+x/y — quantize money to cents, dates to epoch days), so a DuckDB
+oracle reproduces S bit-for-bit from an independent O(pairs)
+self-join at adjudication scale.  Tie terms for tau-b's denominator
+and Mann-Kendall's variance come off the SAME materialized cell frame
+(zero extra corpus scans).
+
+Scale shape: one corpus scan → distinct-(x,y) cell aggregate
+(map-side combined, materialized); one bounded broadcast of the
+per-group bucket list; the ≤ (B−1)× probe expansion feeds one
+grouped prefix pass (two-level segment algebra, fully parallel); the
+within-bucket kernels are independent tasks.  No pair join, no
+one-task sweep, no driver loop.
+
+Skew caveat (same class as ``segment_expr``): bucket occupancy follows
+the x VALUE distribution, so a pathological x domain (all mass in one
+grid cell with distinct y) concentrates one kernel task; ties are
+immune (cells collapse), and B is a parallelism knob, never a
+correctness knob (tests pin B-invariance).
+
+Reference parity: the reference ships correlation analytics for its
+trades store via pandas/PostgreSQL (``scipy.stats.kendalltau`` scale
+class — single node); this module is the engine-side replacement.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+#: default x-bucket count — parallelism/kernel-size tradeoff: the
+#: probe expansion is ≤ (B−1)×cells rows and a kernel task sees
+#: ~n_group/B rows
+N_XBUCKETS = 32
+
+#: chunk edge for the within-bucket O(m²) sign kernel — bounds the
+#: dense (chunk × m) sign matrices to ~16 MB
+_KERNEL_CHUNK = 1024
+
+
+def _within_bucket_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Exact Σ sign(Δx)·sign(Δy)·c_i·c_j over unordered cell pairs of
+    one (group, bucket) slice.  The matrix is symmetric (both signs
+    flip), so S = Σ_{i,j} / 2 with a zero diagonal; chunked so memory
+    stays bounded regardless of cell count."""
+    x = pdf["__kx"].to_numpy(np.int64)
+    y = pdf["__ky"].to_numpy(np.int64)
+    c = pdf["__kc"].to_numpy(np.int64)
+    total = 0
+    m = len(x)
+    for lo in range(0, m, _KERNEL_CHUNK):
+        hi = min(lo + _KERNEL_CHUNK, m)
+        sx = np.sign(x[np.newaxis, :] - x[lo:hi, np.newaxis])
+        sy = np.sign(y[np.newaxis, :] - y[lo:hi, np.newaxis])
+        w = c[lo:hi, np.newaxis] * c[np.newaxis, :]
+        total += int((sx * sy * w).sum())
+    out = pdf.iloc[:1].drop(columns=["__kx", "__ky", "__kc"]).copy()
+    out["s_within"] = total // 2
+    return out
+
+
+def kendall_s_frame(
+    df: DataFrame,
+    groups: list[str],
+    x_col: str,
+    y_col: str,
+    n_xbuckets: int = N_XBUCKETS,
+) -> DataFrame:
+    """Per group: the exact pair statistic and every tie aggregate the
+    tau-b / Mann-Kendall family needs.
+
+    ``x_col`` and ``y_col`` MUST be integer-valued (long-castable
+    without loss — cents, counts, epoch days): all arithmetic is then
+    exact and the result is engine-independent.  Null x or y rows are
+    dropped (pairwise-complete, the scipy/PostgreSQL convention).
+
+    Output per group: ``n`` (rows), ``s`` (Σ sign·sign over pairs),
+    ``tx_pairs``/``ty_pairs`` (Σ t(t−1)/2 over x-/y-tie groups — the
+    tau-b denominator terms), ``ty_var`` (Σ t(t−1)(2t+5) over y-tie
+    groups — the Mann-Kendall variance correction).
+    """
+    from .materialize import materialize
+    from .prefixsum import grouped_value_prefix
+
+    base = df.where(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    ).select(
+        *groups,
+        F.col(x_col).cast("long").alias("__kx"),
+        F.col(y_col).cast("long").alias("__ky"),
+    )
+    gb = base.groupBy(*groups).agg(
+        F.min("__kx").alias("__xmin"), F.max("__kx").alias("__xmax")
+    )
+    if groups:
+        withb = base.join(F.broadcast(gb), list(groups))
+    else:
+        withb = base.crossJoin(F.broadcast(gb))
+    # value-grid bucket: (x − xmin) · B // span — monotone, x-ties
+    # bucket-stable (same integer-exactness argument as zorder.quantize)
+    num = (F.col("__kx") - F.col("__xmin")) * F.lit(n_xbuckets).cast(
+        "long"
+    )
+    den = (F.col("__xmax") - F.col("__xmin") + F.lit(1)).cast("long")
+    xb = F.floor(num / den).cast("long")
+    cells = materialize(
+        withb.select(*groups, xb.alias("__xb"), "__kx", "__ky")
+        .groupBy(*groups, "__xb", "__kx", "__ky")
+        .agg(F.count(F.lit(1)).alias("__kc"))
+    )
+
+    # --- within-bucket exact kernel (independent bounded tasks) ---
+    key_cols = [*groups, "__xb"]
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in cells.select(*key_cols).schema.fields
+    )
+    s_within = (
+        cells.groupBy(*key_cols)
+        .applyInPandas(_within_bucket_kernel, f"{schema}, s_within long")
+        .groupBy(*groups)
+        .agg(F.sum("s_within").alias("__sw"))
+    )
+
+    # --- cross-bucket term off ONE grouped prefix pass ---
+    cy = cells.groupBy(*groups, "__xb", "__ky").agg(
+        F.sum("__kc").alias("__w")
+    )
+    buckets = cy.select(*groups, "__xb").distinct()
+    if groups:
+        probes = cy.alias("t").join(
+            F.broadcast(buckets.alias("p")),
+            [F.col(f"t.{g}").eqNullSafe(F.col(f"p.{g}")) for g in groups]
+            + [F.col("p.__xb") < F.col("t.__xb")],
+        )
+    else:
+        probes = cy.alias("t").join(
+            F.broadcast(buckets.alias("p")),
+            F.col("p.__xb") < F.col("t.__xb"),
+        )
+    probes = probes.select(
+        *[F.col(f"t.{g}") for g in groups],
+        F.col("p.__xb").alias("__xb"),
+        F.col("t.__ky").alias("__ky"),
+        F.lit(0).cast("long").alias("__w"),
+    )
+    pre = grouped_value_prefix(
+        cy.select(*groups, "__xb", "__ky", "__w").unionByName(probes),
+        [*groups, "__xb"],
+        value_col="__ky",
+        weight_col=F.col("__w"),
+    )
+    f_term = (2 * F.col("cum") - F.col("vw") - F.col("tw")).alias("__f")
+    w_lg = (
+        Window.partitionBy(*groups, "value")
+        .orderBy("__xb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    lg = pre.select(*groups, "__xb", "value", "vw", f_term).select(
+        *groups,
+        "__xb",
+        "value",
+        "vw",
+        F.coalesce(F.sum("__f").over(w_lg), F.lit(0)).alias("__lg"),
+    )
+    s_cross = lg.groupBy(*groups).agg(
+        F.sum(F.col("vw") * F.col("__lg")).alias("__sc")
+    )
+
+    # --- tie aggregates, all off the materialized cell frame ---
+    def tie_aggs(col: str, tag: str, with_var: bool) -> DataFrame:
+        t = cells.groupBy(*groups, col).agg(F.sum("__kc").alias("__t"))
+        # t(t−1) is even, so >>1 IS the exact /2 — never a double
+        # division (whose 2^53 mantissa a giant tie group's t² exceeds)
+        aggs = [
+            F.sum(
+                F.shiftright(F.col("__t") * (F.col("__t") - 1), 1)
+            ).cast("long").alias(f"t{tag}_pairs")
+        ]
+        if with_var:
+            aggs.append(
+                F.sum(
+                    F.col("__t")
+                    * (F.col("__t") - 1)
+                    * (2 * F.col("__t") + 5)
+                ).cast("long").alias(f"t{tag}_var")
+            )
+        return t.groupBy(*groups).agg(*aggs)
+
+    counts = cells.groupBy(*groups).agg(
+        F.sum("__kc").cast("long").alias("n")
+    )
+
+    def j(a: DataFrame, b: DataFrame) -> DataFrame:
+        if groups:
+            return a.join(b, list(groups), "left")
+        return a.crossJoin(b)
+
+    out = j(
+        j(j(j(counts, tie_aggs("__kx", "x", False)),
+            tie_aggs("__ky", "y", True)), s_within),
+        s_cross,
+    )
+    return out.select(
+        *groups,
+        "n",
+        (
+            F.coalesce(F.col("__sw"), F.lit(0))
+            + F.coalesce(F.col("__sc"), F.lit(0))
+        ).cast("long").alias("s"),
+        F.col("tx_pairs"),
+        F.col("ty_pairs"),
+        F.col("ty_var"),
+    )
+
+
+def kendall_s_reference(
+    rows: list[tuple[int, int]]
+) -> tuple[int, int, int, int, int]:
+    """Driver-side O(n²) reference for the unit suite (never on a data
+    path): returns ``(n, s, tx_pairs, ty_pairs, ty_var)``."""
+    from collections import Counter
+
+    n = len(rows)
+    s = 0
+    for i in range(n):
+        for k in range(i + 1, n):
+            sx = (rows[k][0] > rows[i][0]) - (rows[k][0] < rows[i][0])
+            sy = (rows[k][1] > rows[i][1]) - (rows[k][1] < rows[i][1])
+            s += sx * sy
+    tx = Counter(r[0] for r in rows)
+    ty = Counter(r[1] for r in rows)
+    tx_pairs = sum(t * (t - 1) // 2 for t in tx.values())
+    ty_pairs = sum(t * (t - 1) // 2 for t in ty.values())
+    ty_var = sum(t * (t - 1) * (2 * t + 5) for t in ty.values())
+    return n, s, tx_pairs, ty_pairs, ty_var

@@ -470,6 +470,14 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
         tpch2.q_hilbert_prune_ranked,
         tpch2.oracle_hilbert_prune_ranked,
     ),
+    "kendall_orders_spend": (
+        tpch3.q_kendall_orders_spend,
+        tpch3.oracle_kendall_orders_spend,
+    ),
+    "mann_kendall_revenue": (
+        tpch3.q_mann_kendall_revenue,
+        tpch3.oracle_mann_kendall_revenue,
+    ),
     "zorder_prune": (tpch2.q_zorder_prune, tpch2.oracle_zorder_prune),
     "zorder_maintain": (
         tpch2.q_zorder_maintain,
@@ -730,6 +738,8 @@ _PRIORITY: list[str] = [
     "hilbert_prune",
     "hilbert_prune_narrow",
     "hilbert_prune_ranked",
+    "kendall_orders_spend",
+    "mann_kendall_revenue",
     # round-14 new queries (first driver adjudication) + changed
     # queries: the grouped-rank re-plan, the min_cost_supplier scan
     # diet, the IVM consume-seam refactor, and the prefixsum/ranks
