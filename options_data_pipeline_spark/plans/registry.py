@@ -478,6 +478,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
         tpch3.q_mann_kendall_revenue,
         tpch3.oracle_mann_kendall_revenue,
     ),
+    "km_survival": (tpch3.q_km_survival, tpch3.oracle_km_survival),
     "zorder_prune": (tpch2.q_zorder_prune, tpch2.oracle_zorder_prune),
     "zorder_maintain": (
         tpch2.q_zorder_maintain,
@@ -740,6 +741,7 @@ _PRIORITY: list[str] = [
     "hilbert_prune_ranked",
     "kendall_orders_spend",
     "mann_kendall_revenue",
+    "km_survival",
     # round-14 new queries (first driver adjudication) + changed
     # queries: the grouped-rank re-plan, the min_cost_supplier scan
     # diet, the IVM consume-seam refactor, and the prefixsum/ranks

@@ -1332,3 +1332,199 @@ SELECT nation, n AS n_days, s, tx_pairs, ty_var,
             ELSE 'no_trend' END AS trend
 FROM fin
 """
+
+
+# ---------------------------------------------------------------------------
+# km_survival: Kaplan-Meier with right-censoring over inter-order gaps
+# ---------------------------------------------------------------------------
+
+#: pinned probe horizons (days) — survival read at these points
+_KM_PROBES = (7, 14, 30, 60, 90, 180)
+
+
+def q_km_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival of the customer reorder process per
+    market segment: "what fraction of reorder waits exceed t days?"
+    with the open waits RIGHT-CENSORED at the data horizon — the
+    estimator churn/retention teams actually need (dropping the open
+    waits, a naive gap histogram, biases survival DOWN because long
+    waits are exactly the ones still open).
+
+    Durations: consecutive-order gaps per customer (events) plus
+    last-order→horizon waits (censored).  The risk sets come off ONE
+    :func:`..operators.prefixsum.grouped_value_prefix_multi` pass with
+    (event, censored) as the two weights — at-risk before v is
+    ``total − cum_excl(d+c)``, value-level, no per-segment row window.
+    The survival curve is the ordered product Π (1 − d/r) over event
+    times ≤ t — folded SEQUENTIALLY over the compact per-segment
+    event-time array on BOTH engines (FP multiplication is not
+    associative; the shared left-fold order pins the bits — the
+    `ewma_close` pattern), with per-element factors from single IEEE
+    divisions.  The event-time array is bounded by the distinct-gap
+    domain (calendar days), not by data.
+
+    Tie note: same-day repeat orders make the lead() tiebreak
+    ambiguous per ROW, but the duration MULTISET of a tied sequence
+    is order-invariant, and everything downstream is multiset-level."""
+    from pyspark.sql import Window
+
+    from ..operators.prefixsum import grouped_value_prefix_multi
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    day = F.datediff(
+        F.to_date("o_orderdate"), F.to_date(F.lit("1970-01-01"))
+    )
+    ords = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("o_custkey").alias("ck"),
+            day.cast("long").alias("day"),
+        )
+    )
+    horizon = int(ords.agg(F.max("day")).first()[0])
+    w = Window.partitionBy("ck").orderBy("day")
+    nxt = F.lead("day").over(w)
+    durs = ords.select(
+        "segment",
+        F.when(nxt.isNotNull(), nxt - F.col("day"))
+        .otherwise(F.lit(horizon) - F.col("day"))
+        .alias("dur"),
+        F.when(nxt.isNotNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("__d"),
+        F.when(nxt.isNotNull(), F.lit(0))
+        .otherwise(F.lit(1))
+        .cast("long")
+        .alias("__c"),
+    )
+    pre = grouped_value_prefix_multi(
+        durs,
+        ["segment"],
+        value_col="dur",
+        weights={"d": F.col("__d"), "c": F.col("__c")},
+    )
+    at_risk = (F.col("tw_d") + F.col("tw_c")) - (
+        (F.col("cum_d") - F.col("vw_d"))
+        + (F.col("cum_c") - F.col("vw_c"))
+    )
+    ev = pre.select(
+        "segment",
+        "value",
+        "vw_d",
+        at_risk.alias("r"),
+        "tw_d",
+        "tw_c",
+    )
+    arrs = ev.groupBy("segment").agg(
+        (F.max("tw_d") + F.max("tw_c")).cast("long").alias("n"),
+        F.max("tw_d").cast("long").alias("n_events"),
+        F.max("tw_c").cast("long").alias("n_censored"),
+        F.array_sort(
+            F.collect_list(
+                F.when(
+                    F.col("vw_d") > 0,
+                    F.struct(
+                        F.col("value").alias("v"),
+                        F.col("vw_d").alias("d"),
+                        F.col("r").alias("r"),
+                    ),
+                )
+            )
+        ).alias("evs"),
+    )
+    probed = arrs.select(
+        "segment",
+        "n",
+        "n_events",
+        "n_censored",
+        F.explode(
+            F.array(*[F.lit(t).cast("long") for t in _KM_PROBES])
+        ).alias("t"),
+        "evs",
+    )
+    surv = F.aggregate(
+        F.filter("evs", lambda s: s["v"] <= F.col("t")),
+        F.lit(1.0),
+        lambda acc, s: acc
+        * (
+            F.lit(1.0)
+            - s["d"].cast("double") / s["r"].cast("double")
+        ),
+    )
+    return probed.select(
+        "segment",
+        "t",
+        "n",
+        "n_events",
+        "n_censored",
+        round_half_away(surv, 9).alias("survival"),
+    )
+
+
+def oracle_km_survival() -> str:
+    probes = ", ".join(str(t) for t in _KM_PROBES)
+    fold = (
+        "list_reduce(list_prepend(CAST(1.0 AS DOUBLE), fs),"
+        " (acc, f) -> acc * f)"
+    )
+    return f"""
+WITH ords AS (
+    SELECT c_mktsegment AS segment, o_custkey AS ck,
+           CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+             AS day
+    FROM orders JOIN customer ON c_custkey = o_custkey
+),
+hz AS (SELECT max(day) AS horizon FROM ords),
+durs AS (
+    SELECT segment,
+           COALESCE(LEAD(day) OVER (PARTITION BY ck ORDER BY day) - day,
+                    horizon - day) AS dur,
+           CASE WHEN LEAD(day) OVER (PARTITION BY ck ORDER BY day)
+                IS NULL THEN 0 ELSE 1 END AS d
+    FROM ords, hz
+),
+cells AS (
+    SELECT segment, dur,
+           CAST(SUM(d) AS BIGINT) AS dv,
+           CAST(SUM(1 - d) AS BIGINT) AS cv
+    FROM durs GROUP BY 1, 2
+),
+pre AS (
+    SELECT segment, dur, dv, cv,
+           COALESCE(SUM(dv + cv) OVER (PARTITION BY segment ORDER BY dur
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS cum_excl,
+           SUM(dv + cv) OVER (PARTITION BY segment) AS tot,
+           SUM(dv) OVER (PARTITION BY segment) AS tot_d,
+           SUM(cv) OVER (PARTITION BY segment) AS tot_c
+    FROM cells
+),
+ev AS (
+    SELECT segment, dur AS v, dv AS d, tot - cum_excl AS r,
+           tot, tot_d, tot_c
+    FROM pre WHERE dv > 0
+),
+tots AS (
+    SELECT segment, CAST(MAX(tot) AS BIGINT) AS n,
+           CAST(MAX(tot_d) AS BIGINT) AS n_events,
+           CAST(MAX(tot_c) AS BIGINT) AS n_censored
+    FROM pre GROUP BY 1
+),
+probes AS (SELECT CAST(unnest([{probes}]) AS BIGINT) AS t),
+sv AS (
+    SELECT e.segment, p.t,
+           list(1.0 - CAST(d AS DOUBLE) / CAST(r AS DOUBLE) ORDER BY v)
+             FILTER (WHERE v <= p.t) AS fs
+    FROM ev e CROSS JOIN probes p
+    GROUP BY 1, 2
+)
+SELECT tt.segment, p.t, tt.n, tt.n_events, tt.n_censored,
+       CASE WHEN fs IS NULL THEN CAST(1.0 AS DOUBLE)
+            ELSE {sql_round_half_away(fold, 9)} END AS survival
+FROM tots tt
+CROSS JOIN probes p
+LEFT JOIN sv ON sv.segment = tt.segment AND sv.t = p.t
+"""
