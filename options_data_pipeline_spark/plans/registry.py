@@ -479,6 +479,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
         tpch3.oracle_mann_kendall_revenue,
     ),
     "km_survival": (tpch3.q_km_survival, tpch3.oracle_km_survival),
+    "logrank_segments": (
+        tpch3.q_logrank_segments,
+        tpch3.oracle_logrank_segments,
+    ),
     "zorder_prune": (tpch2.q_zorder_prune, tpch2.oracle_zorder_prune),
     "zorder_maintain": (
         tpch2.q_zorder_maintain,
@@ -742,6 +746,7 @@ _PRIORITY: list[str] = [
     "kendall_orders_spend",
     "mann_kendall_revenue",
     "km_survival",
+    "logrank_segments",
     # round-14 new queries (first driver adjudication) + changed
     # queries: the grouped-rank re-plan, the min_cost_supplier scan
     # diet, the IVM consume-seam refactor, and the prefixsum/ranks

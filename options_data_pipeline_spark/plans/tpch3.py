@@ -1342,6 +1342,48 @@ FROM fin
 _KM_PROBES = (7, 14, 30, 60, 90, 180)
 
 
+def km_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (segment, duration, event/censored) frame shared by
+    `km_survival` and `logrank_segments`: consecutive-order gaps per
+    customer (events, ``__d``), last-order→horizon waits (censored,
+    ``__c``); the horizon is the global max order day.  Per-customer
+    lead windows are bounded by the customer's own order count —
+    millions of tiny partitions, fully parallel.  Module-level so the
+    plan audit inspects the SAME build frame both queries execute."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    day = F.datediff(
+        F.to_date("o_orderdate"), F.to_date(F.lit("1970-01-01"))
+    )
+    ords = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("o_custkey").alias("ck"),
+            day.cast("long").alias("day"),
+        )
+    )
+    horizon = int(ords.agg(F.max("day")).first()[0])
+    w = Window.partitionBy("ck").orderBy("day")
+    nxt = F.lead("day").over(w)
+    return ords.select(
+        "segment",
+        F.when(nxt.isNotNull(), nxt - F.col("day"))
+        .otherwise(F.lit(horizon) - F.col("day"))
+        .alias("dur"),
+        F.when(nxt.isNotNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("__d"),
+        F.when(nxt.isNotNull(), F.lit(0))
+        .otherwise(F.lit(1))
+        .cast("long")
+        .alias("__c"),
+    )
+
+
 def q_km_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kaplan-Meier survival of the customer reorder process per
     market segment: "what fraction of reorder waits exceed t days?"
@@ -1366,40 +1408,9 @@ def q_km_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
     Tie note: same-day repeat orders make the lead() tiebreak
     ambiguous per ROW, but the duration MULTISET of a tied sequence
     is order-invariant, and everything downstream is multiset-level."""
-    from pyspark.sql import Window
-
     from ..operators.prefixsum import grouped_value_prefix_multi
 
-    o = load_table(spark, sf_dir, "orders")
-    c = load_table(spark, sf_dir, "customer")
-    day = F.datediff(
-        F.to_date("o_orderdate"), F.to_date(F.lit("1970-01-01"))
-    )
-    ords = (
-        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
-        .select(
-            F.col("c_mktsegment").alias("segment"),
-            F.col("o_custkey").alias("ck"),
-            day.cast("long").alias("day"),
-        )
-    )
-    horizon = int(ords.agg(F.max("day")).first()[0])
-    w = Window.partitionBy("ck").orderBy("day")
-    nxt = F.lead("day").over(w)
-    durs = ords.select(
-        "segment",
-        F.when(nxt.isNotNull(), nxt - F.col("day"))
-        .otherwise(F.lit(horizon) - F.col("day"))
-        .alias("dur"),
-        F.when(nxt.isNotNull(), F.lit(1))
-        .otherwise(F.lit(0))
-        .cast("long")
-        .alias("__d"),
-        F.when(nxt.isNotNull(), F.lit(0))
-        .otherwise(F.lit(1))
-        .cast("long")
-        .alias("__c"),
-    )
+    durs = km_durations(spark, sf_dir)
     pre = grouped_value_prefix_multi(
         durs,
         ["segment"],
@@ -1527,4 +1538,207 @@ SELECT tt.segment, p.t, tt.n, tt.n_events, tt.n_censored,
 FROM tots tt
 CROSS JOIN probes p
 LEFT JOIN sv ON sv.segment = tt.segment AND sv.t = p.t
+"""
+
+
+# ---------------------------------------------------------------------------
+# logrank_segments: two-sample log-rank test on the reorder survival
+# ---------------------------------------------------------------------------
+
+#: the two segments whose reorder survival is compared — pinned
+#: literals shared with the oracle
+_LR_A = "BUILDING"
+_LR_B = "MACHINERY"
+
+
+def q_logrank_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample log-rank test: do BUILDING and MACHINERY customers
+    have the SAME reorder-wait survival curve?  The hypothesis test
+    that goes with `km_survival`'s estimate (an A/B readout on
+    censored durations — the retention-experiment primitive), and the
+    second proof on the same risk-set machinery.
+
+    O₁ = Σ d₁(v) is integer-exact.  E₁ = Σ d·r₁/r and
+    V = Σ d·r₁·r₂·(r−d) / (r²·(r−1)) have non-terminating per-term
+    rationals, so both are folded SEQUENTIALLY over the sorted
+    event-time array with per-element single-division terms — the
+    order-pinned left fold (`km_survival` pattern) that makes the
+    double sums bit-identical cross-engine.  The event-time array is
+    bounded by the distinct-gap domain; everything before it is one
+    4-weight value-prefix pass (no per-time window, no pair join).
+    z = (O₁ − E₁)/√V with the standard r=1 term guard."""
+    from ..operators.prefixsum import grouped_value_prefix_multi
+
+    durs = km_durations(spark, sf_dir).where(
+        F.col("segment").isin(_LR_A, _LR_B)
+    )
+    is_a = F.col("segment") == _LR_A
+    pre = grouped_value_prefix_multi(
+        durs,
+        [],
+        value_col="dur",
+        weights={
+            "d1": F.when(is_a, F.col("__d")).otherwise(F.lit(0)),
+            "c1": F.when(is_a, F.col("__c")).otherwise(F.lit(0)),
+            "d2": F.when(~is_a, F.col("__d")).otherwise(F.lit(0)),
+            "c2": F.when(~is_a, F.col("__c")).otherwise(F.lit(0)),
+        },
+    )
+    r1 = (F.col("tw_d1") + F.col("tw_c1")) - (
+        (F.col("cum_d1") - F.col("vw_d1"))
+        + (F.col("cum_c1") - F.col("vw_c1"))
+    )
+    r2 = (F.col("tw_d2") + F.col("tw_c2")) - (
+        (F.col("cum_d2") - F.col("vw_d2"))
+        + (F.col("cum_c2") - F.col("vw_c2"))
+    )
+    d = F.col("vw_d1") + F.col("vw_d2")
+    r = r1 + r2
+    dd, rr1, rr2 = (
+        d.cast("double"),
+        r1.cast("double"),
+        r2.cast("double"),
+    )
+    rrd = r.cast("double")
+    te = dd * rr1 / rrd
+    tv = F.when(
+        r > 1,
+        (dd * rr1 * rr2 * (r - d).cast("double"))
+        / (rrd * rrd * (r - 1).cast("double")),
+    ).otherwise(F.lit(0.0))
+    cells = pre.select(
+        "value",
+        "vw_d1",
+        d.alias("__dtot"),
+        te.alias("__te"),
+        tv.alias("__tv"),
+        (F.col("tw_d1") + F.col("tw_c1")).alias("__n1"),
+        (F.col("tw_d2") + F.col("tw_c2")).alias("__n2"),
+    )
+    arr = cells.groupBy().agg(
+        F.max("__n1").cast("long").alias("n1"),
+        F.max("__n2").cast("long").alias("n2"),
+        F.sum("vw_d1").cast("long").alias("o1"),
+        F.array_sort(
+            F.collect_list(
+                F.when(
+                    F.col("__dtot") > 0,
+                    F.struct(
+                        F.col("value").alias("v"),
+                        F.col("__te").alias("te"),
+                        F.col("__tv").alias("tv"),
+                    ),
+                )
+            )
+        ).alias("evs"),
+    )
+    e1 = F.aggregate(
+        "evs", F.lit(0.0), lambda acc, s: acc + s["te"]
+    )
+    vv = F.aggregate(
+        "evs", F.lit(0.0), lambda acc, s: acc + s["tv"]
+    )
+    folded = arr.select(
+        "n1", "n2", "o1", e1.alias("__e1"), vv.alias("__vv")
+    )
+    z = F.when(
+        F.col("__vv") > 0,
+        (F.col("o1").cast("double") - F.col("__e1"))
+        / F.sqrt(F.col("__vv")),
+    )
+    return folded.select(
+        F.lit(_LR_A).alias("group_a"),
+        F.lit(_LR_B).alias("group_b"),
+        "n1",
+        "n2",
+        "o1",
+        round_half_away(F.col("__e1"), 9).alias("e1"),
+        round_half_away(F.col("__vv"), 9).alias("var_s"),
+        round_half_away(z, 6).alias("z"),
+    )
+
+
+def oracle_logrank_segments() -> str:
+    te = "CAST(d AS DOUBLE) * CAST(r1 AS DOUBLE) / CAST(r AS DOUBLE)"
+    tv = (
+        "CASE WHEN r > 1 THEN"
+        " (CAST(d AS DOUBLE) * CAST(r1 AS DOUBLE) * CAST(r2 AS DOUBLE)"
+        " * CAST(r - d AS DOUBLE))"
+        " / (CAST(r AS DOUBLE) * CAST(r AS DOUBLE)"
+        " * CAST(r - 1 AS DOUBLE))"
+        " ELSE 0.0 END"
+    )
+    fold = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), {l}),"
+        " (acc, x) -> acc + x)"
+    )
+    z = "(CAST(o1 AS DOUBLE) - e1) / sqrt(vv)"
+    return f"""
+WITH ords AS (
+    SELECT c_mktsegment AS segment, o_custkey AS ck,
+           CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+             AS day
+    FROM orders JOIN customer ON c_custkey = o_custkey
+),
+hz AS (SELECT max(day) AS horizon FROM ords),
+durs AS (
+    SELECT segment,
+           COALESCE(LEAD(day) OVER (PARTITION BY ck ORDER BY day) - day,
+                    horizon - day) AS dur,
+           CASE WHEN LEAD(day) OVER (PARTITION BY ck ORDER BY day)
+                IS NULL THEN 0 ELSE 1 END AS d
+    FROM ords, hz
+    WHERE segment IN ('{_LR_A}', '{_LR_B}')
+),
+cells AS (
+    SELECT dur AS v,
+           CAST(SUM(CASE WHEN segment = '{_LR_A}' THEN d ELSE 0 END)
+             AS BIGINT) AS d1,
+           CAST(SUM(CASE WHEN segment = '{_LR_A}' THEN 1 - d ELSE 0 END)
+             AS BIGINT) AS c1,
+           CAST(SUM(CASE WHEN segment = '{_LR_B}' THEN d ELSE 0 END)
+             AS BIGINT) AS d2,
+           CAST(SUM(CASE WHEN segment = '{_LR_B}' THEN 1 - d ELSE 0 END)
+             AS BIGINT) AS c2
+    FROM durs GROUP BY 1
+),
+pre AS (
+    SELECT v, d1, d2, d1 + d2 AS d,
+           SUM(d1 + c1) OVER () -
+             COALESCE(SUM(d1 + c1) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS r1,
+           SUM(d2 + c2) OVER () -
+             COALESCE(SUM(d2 + c2) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS r2,
+           SUM(d1 + c1) OVER () AS n1,
+           SUM(d2 + c2) OVER () AS n2
+    FROM cells
+),
+terms AS (
+    SELECT v, d1, d, n1, n2, r1, r2, r1 + r2 AS r
+    FROM pre
+),
+terms2 AS (
+    SELECT v, d1, d, n1, n2, {te} AS te, {tv} AS tv
+    FROM terms
+),
+folded AS (
+    SELECT CAST(MAX(n1) AS BIGINT) AS n1,
+           CAST(MAX(n2) AS BIGINT) AS n2,
+           CAST(SUM(d1) AS BIGINT) AS o1,
+           {fold.format(l="list(te ORDER BY v) FILTER (WHERE d > 0)")}
+             AS e1,
+           {fold.format(l="list(tv ORDER BY v) FILTER (WHERE d > 0)")}
+             AS vv
+    FROM terms2
+)
+SELECT '{_LR_A}' AS group_a, '{_LR_B}' AS group_b,
+       n1, n2, o1,
+       {sql_round_half_away('e1', 9)} AS e1,
+       {sql_round_half_away('vv', 9)} AS var_s,
+       CASE WHEN vv > 0 THEN {sql_round_half_away(z, 6)}
+            ELSE NULL END AS z
+FROM folded
 """
