@@ -483,6 +483,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
         tpch3.q_logrank_segments,
         tpch3.oracle_logrank_segments,
     ),
+    "theil_sen_revenue": (
+        tpch3.q_theil_sen_revenue,
+        tpch3.oracle_theil_sen_revenue,
+    ),
     "zorder_prune": (tpch2.q_zorder_prune, tpch2.oracle_zorder_prune),
     "zorder_maintain": (
         tpch2.q_zorder_maintain,
@@ -747,6 +751,7 @@ _PRIORITY: list[str] = [
     "mann_kendall_revenue",
     "km_survival",
     "logrank_segments",
+    "theil_sen_revenue",
     # round-14 new queries (first driver adjudication) + changed
     # queries: the grouped-rank re-plan, the min_cost_supplier scan
     # diet, the IVM consume-seam refactor, and the prefixsum/ranks
