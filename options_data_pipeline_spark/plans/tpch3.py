@@ -1407,71 +1407,29 @@ def q_km_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Tie note: same-day repeat orders make the lead() tiebreak
     ambiguous per ROW, but the duration MULTISET of a tied sequence
-    is order-invariant, and everything downstream is multiset-level."""
-    from ..operators.prefixsum import grouped_value_prefix_multi
+    is order-invariant, and everything downstream is multiset-level.
 
-    durs = km_durations(spark, sf_dir)
-    pre = grouped_value_prefix_multi(
-        durs,
+    The estimator itself lives in ``operators/survival.py``
+    (`km_survival_at`) and is unit-pinned against the textbook
+    Freireich 6-MP arm with exact-fraction expectations — oracle
+    parity alone can't catch a shared risk-set-convention error."""
+    from ..operators.survival import km_survival_at
+
+    out = km_survival_at(
+        km_durations(spark, sf_dir),
         ["segment"],
-        value_col="dur",
-        weights={"d": F.col("__d"), "c": F.col("__c")},
+        "dur",
+        "__d",
+        "__c",
+        _KM_PROBES,
     )
-    at_risk = (F.col("tw_d") + F.col("tw_c")) - (
-        (F.col("cum_d") - F.col("vw_d"))
-        + (F.col("cum_c") - F.col("vw_c"))
-    )
-    ev = pre.select(
-        "segment",
-        "value",
-        "vw_d",
-        at_risk.alias("r"),
-        "tw_d",
-        "tw_c",
-    )
-    arrs = ev.groupBy("segment").agg(
-        (F.max("tw_d") + F.max("tw_c")).cast("long").alias("n"),
-        F.max("tw_d").cast("long").alias("n_events"),
-        F.max("tw_c").cast("long").alias("n_censored"),
-        F.array_sort(
-            F.collect_list(
-                F.when(
-                    F.col("vw_d") > 0,
-                    F.struct(
-                        F.col("value").alias("v"),
-                        F.col("vw_d").alias("d"),
-                        F.col("r").alias("r"),
-                    ),
-                )
-            )
-        ).alias("evs"),
-    )
-    probed = arrs.select(
-        "segment",
-        "n",
-        "n_events",
-        "n_censored",
-        F.explode(
-            F.array(*[F.lit(t).cast("long") for t in _KM_PROBES])
-        ).alias("t"),
-        "evs",
-    )
-    surv = F.aggregate(
-        F.filter("evs", lambda s: s["v"] <= F.col("t")),
-        F.lit(1.0),
-        lambda acc, s: acc
-        * (
-            F.lit(1.0)
-            - s["d"].cast("double") / s["r"].cast("double")
-        ),
-    )
-    return probed.select(
+    return out.select(
         "segment",
         "t",
         "n",
         "n_events",
         "n_censored",
-        round_half_away(surv, 9).alias("survival"),
+        round_half_away(F.col("survival"), 9).alias("survival"),
     )
 
 
@@ -1566,95 +1524,28 @@ def q_logrank_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     double sums bit-identical cross-engine.  The event-time array is
     bounded by the distinct-gap domain; everything before it is one
     4-weight value-prefix pass (no per-time window, no pair join).
-    z = (O₁ − E₁)/√V with the standard r=1 term guard."""
-    from ..operators.prefixsum import grouped_value_prefix_multi
+    z = (O₁ − E₁)/√V with the standard r=1 term guard.
+
+    The test itself lives in ``operators/survival.py``
+    (`logrank_two_sample`), unit-pinned against the full two-arm
+    Freireich fixture (the lifelines-documented O/E/V values)."""
+    from ..operators.survival import logrank_two_sample
 
     durs = km_durations(spark, sf_dir).where(
         F.col("segment").isin(_LR_A, _LR_B)
     )
-    is_a = F.col("segment") == _LR_A
-    pre = grouped_value_prefix_multi(
-        durs,
-        [],
-        value_col="dur",
-        weights={
-            "d1": F.when(is_a, F.col("__d")).otherwise(F.lit(0)),
-            "c1": F.when(is_a, F.col("__c")).otherwise(F.lit(0)),
-            "d2": F.when(~is_a, F.col("__d")).otherwise(F.lit(0)),
-            "c2": F.when(~is_a, F.col("__c")).otherwise(F.lit(0)),
-        },
+    out = logrank_two_sample(
+        durs, F.col("segment") == _LR_A, "dur", "__d", "__c"
     )
-    r1 = (F.col("tw_d1") + F.col("tw_c1")) - (
-        (F.col("cum_d1") - F.col("vw_d1"))
-        + (F.col("cum_c1") - F.col("vw_c1"))
-    )
-    r2 = (F.col("tw_d2") + F.col("tw_c2")) - (
-        (F.col("cum_d2") - F.col("vw_d2"))
-        + (F.col("cum_c2") - F.col("vw_c2"))
-    )
-    d = F.col("vw_d1") + F.col("vw_d2")
-    r = r1 + r2
-    dd, rr1, rr2 = (
-        d.cast("double"),
-        r1.cast("double"),
-        r2.cast("double"),
-    )
-    rrd = r.cast("double")
-    te = dd * rr1 / rrd
-    tv = F.when(
-        r > 1,
-        (dd * rr1 * rr2 * (r - d).cast("double"))
-        / (rrd * rrd * (r - 1).cast("double")),
-    ).otherwise(F.lit(0.0))
-    cells = pre.select(
-        "value",
-        "vw_d1",
-        d.alias("__dtot"),
-        te.alias("__te"),
-        tv.alias("__tv"),
-        (F.col("tw_d1") + F.col("tw_c1")).alias("__n1"),
-        (F.col("tw_d2") + F.col("tw_c2")).alias("__n2"),
-    )
-    arr = cells.groupBy().agg(
-        F.max("__n1").cast("long").alias("n1"),
-        F.max("__n2").cast("long").alias("n2"),
-        F.sum("vw_d1").cast("long").alias("o1"),
-        F.array_sort(
-            F.collect_list(
-                F.when(
-                    F.col("__dtot") > 0,
-                    F.struct(
-                        F.col("value").alias("v"),
-                        F.col("__te").alias("te"),
-                        F.col("__tv").alias("tv"),
-                    ),
-                )
-            )
-        ).alias("evs"),
-    )
-    e1 = F.aggregate(
-        "evs", F.lit(0.0), lambda acc, s: acc + s["te"]
-    )
-    vv = F.aggregate(
-        "evs", F.lit(0.0), lambda acc, s: acc + s["tv"]
-    )
-    folded = arr.select(
-        "n1", "n2", "o1", e1.alias("__e1"), vv.alias("__vv")
-    )
-    z = F.when(
-        F.col("__vv") > 0,
-        (F.col("o1").cast("double") - F.col("__e1"))
-        / F.sqrt(F.col("__vv")),
-    )
-    return folded.select(
+    return out.select(
         F.lit(_LR_A).alias("group_a"),
         F.lit(_LR_B).alias("group_b"),
         "n1",
         "n2",
         "o1",
-        round_half_away(F.col("__e1"), 9).alias("e1"),
-        round_half_away(F.col("__vv"), 9).alias("var_s"),
-        round_half_away(z, 6).alias("z"),
+        round_half_away(F.col("e1"), 9).alias("e1"),
+        round_half_away(F.col("var_s"), 9).alias("var_s"),
+        round_half_away(F.col("z"), 6).alias("z"),
     )
 
 
