@@ -76,27 +76,6 @@ N_XBUCKETS = 32
 _KERNEL_CHUNK = 1024
 
 
-def _within_bucket_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Exact Σ sign(Δx)·sign(Δy)·c_i·c_j over unordered cell pairs of
-    one (group, bucket) slice.  The matrix is symmetric (both signs
-    flip), so S = Σ_{i,j} / 2 with a zero diagonal; chunked so memory
-    stays bounded regardless of cell count."""
-    x = pdf["__kx"].to_numpy(np.int64)
-    y = pdf["__ky"].to_numpy(np.int64)
-    c = pdf["__kc"].to_numpy(np.int64)
-    total = 0
-    m = len(x)
-    for lo in range(0, m, _KERNEL_CHUNK):
-        hi = min(lo + _KERNEL_CHUNK, m)
-        sx = np.sign(x[np.newaxis, :] - x[lo:hi, np.newaxis])
-        sy = np.sign(y[np.newaxis, :] - y[lo:hi, np.newaxis])
-        w = c[lo:hi, np.newaxis] * c[np.newaxis, :]
-        total += int((sx * sy * w).sum())
-    out = pdf.iloc[:1].drop(columns=["__kx", "__ky", "__kc"]).copy()
-    out["s_within"] = total // 2
-    return out
-
-
 def kendall_s_frame(
     df: DataFrame,
     groups: list[str],
@@ -148,6 +127,32 @@ def kendall_s_frame(
     )
 
     # --- within-bucket exact kernel (independent bounded tasks) ---
+    # NESTED so cloudpickle serializes it by VALUE: a module-level
+    # kernel pickles by reference and the external driver's Python
+    # workers cannot import this package (only numpy/pandas are on
+    # their path) — the repo-wide applyInPandas contract.
+    chunk = _KERNEL_CHUNK
+
+    def _within_bucket_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        # exact Σ sign(Δx)·sign(Δy)·c_i·c_j over unordered cell pairs
+        # of one (group, bucket) slice: the matrix is symmetric (both
+        # signs flip), so S = Σ_{i,j} / 2 with a zero diagonal;
+        # chunked so memory stays bounded regardless of cell count
+        x = pdf["__kx"].to_numpy(np.int64)
+        y = pdf["__ky"].to_numpy(np.int64)
+        c = pdf["__kc"].to_numpy(np.int64)
+        total = 0
+        m = len(x)
+        for lo in range(0, m, chunk):
+            hi = min(lo + chunk, m)
+            sx = np.sign(x[np.newaxis, :] - x[lo:hi, np.newaxis])
+            sy = np.sign(y[np.newaxis, :] - y[lo:hi, np.newaxis])
+            w = c[lo:hi, np.newaxis] * c[np.newaxis, :]
+            total += int((sx * sy * w).sum())
+        out = pdf.iloc[:1].drop(columns=["__kx", "__ky", "__kc"]).copy()
+        out["s_within"] = total // 2
+        return out
+
     key_cols = [*groups, "__xb"]
     schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}"
