@@ -135,18 +135,24 @@ def logrank_two_sample(
     dur_col: str,
     event_col: str,
     censor_col: str,
+    strata: list[str] | None = None,
 ) -> DataFrame:
-    """Two-sample log-rank test: one row with ``n1, n2, o1`` (exact
-    longs), ``e1, var_s, z`` (unrounded doubles; ``z`` null when the
-    variance is 0).  ``is_a`` marks sample A's rows; the risk sets
-    come off one 4-weight prefix pass and the rational moment sums are
-    order-pinned left folds over the sorted event-time array."""
+    """Two-sample log-rank test: one row per stratum (one total when
+    ``strata`` is empty/None) with ``n1, n2, o1`` (exact longs),
+    ``e1, var_s, z`` (unrounded doubles; ``z`` null when the variance
+    is 0).  ``is_a`` marks sample A's rows; the risk sets come off one
+    4-weight prefix pass and the rational moment sums are order-pinned
+    left folds over the sorted event-time array.  For the STRATIFIED
+    test, combine the per-stratum rows with
+    :func:`combine_logrank_strata` — risk sets never mix across
+    strata, only the O/E/V moments add."""
     from .prefixsum import grouped_value_prefix_multi
 
+    strata = list(strata or [])
     zero = F.lit(0)
     pre = grouped_value_prefix_multi(
         durs,
-        [],
+        strata,
         value_col=dur_col,
         weights={
             "d1": F.when(is_a, F.col(event_col)).otherwise(zero),
@@ -174,6 +180,7 @@ def logrank_two_sample(
         / (rrd * rrd * (r - 1).cast("double")),
     ).otherwise(F.lit(0.0))
     cells = pre.select(
+        *strata,
         F.col("value").alias("v"),
         "vw_d1",
         d.alias("__dtot"),
@@ -182,7 +189,7 @@ def logrank_two_sample(
         (F.col("tw_d1") + F.col("tw_c1")).alias("__n1"),
         (F.col("tw_d2") + F.col("tw_c2")).alias("__n2"),
     )
-    arr = cells.groupBy().agg(
+    arr = cells.groupBy(*strata).agg(
         F.max("__n1").cast("long").alias("n1"),
         F.max("__n2").cast("long").alias("n2"),
         F.sum("vw_d1").cast("long").alias("o1"),
@@ -202,7 +209,7 @@ def logrank_two_sample(
     e1 = F.aggregate("evs", F.lit(0.0), lambda acc, s: acc + s["te"])
     vv = F.aggregate("evs", F.lit(0.0), lambda acc, s: acc + s["tv"])
     folded = arr.select(
-        "n1", "n2", "o1", e1.alias("e1"), vv.alias("var_s")
+        *strata, "n1", "n2", "o1", e1.alias("e1"), vv.alias("var_s")
     )
     z = F.when(
         F.col("var_s") > 0,
@@ -210,5 +217,151 @@ def logrank_two_sample(
         / F.sqrt(F.col("var_s")),
     )
     return folded.select(
-        "n1", "n2", "o1", "e1", "var_s", z.alias("z")
+        *strata, "n1", "n2", "o1", "e1", "var_s", z.alias("z")
+    )
+
+
+def combine_logrank_strata(
+    per_stratum: DataFrame, stratum_col: str
+) -> DataFrame:
+    """The stratified log-rank statistic from per-stratum rows:
+    O = Σ o1 (exact), E = Σ e1 and V = Σ var_s folded in STRATUM-KEY
+    ORDER (double sums are order-dependent; the sorted fold is the
+    cross-engine contract), z = (O − E)/√V.  One row out."""
+    arr = per_stratum.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n_strata"),
+        F.sum("n1").cast("long").alias("n1"),
+        F.sum("n2").cast("long").alias("n2"),
+        F.sum("o1").cast("long").alias("o1"),
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col(stratum_col).alias("k"),
+                    F.col("e1").alias("e1"),
+                    F.col("var_s").alias("vv"),
+                )
+            )
+        ).alias("ks"),
+    )
+    e1 = F.aggregate("ks", F.lit(0.0), lambda acc, s: acc + s["e1"])
+    vv = F.aggregate("ks", F.lit(0.0), lambda acc, s: acc + s["vv"])
+    folded = arr.select(
+        "n_strata", "n1", "n2", "o1",
+        e1.alias("e1"), vv.alias("var_s"),
+    )
+    z = F.when(
+        F.col("var_s") > 0,
+        (F.col("o1").cast("double") - F.col("e1"))
+        / F.sqrt(F.col("var_s")),
+    )
+    return folded.select(
+        "n_strata", "n1", "n2", "o1", "e1", "var_s", z.alias("z")
+    )
+
+
+def aalen_johansen_at(
+    durs: DataFrame,
+    groups: list[str],
+    dur_col: str,
+    cause_col: str,
+    censor_col: str,
+    other_col: str,
+    probes: tuple[int, ...],
+) -> DataFrame:
+    """Aalen-Johansen cumulative incidence of the CAUSE event under
+    competing risks: CIF(t) = Σ_{v≤t} S(v−)·d_cause(v)/r(v), where S
+    is the ALL-CAUSE Kaplan-Meier — the estimator that answers "what
+    fraction has had the cause event by t" when other events compete
+    (1 − KM of the cause alone overstates it; the classic competing-
+    risks fallacy).  ``cause_col``/``other_col``/``censor_col`` are
+    0/1 row weights.
+
+    Same algebra as KM — risk sets off one 3-weight prefix pass — plus
+    a STRUCT-accumulator fold carrying (s, cif) through the sorted
+    event-time array: cif' = cif + s·(d_cause/r) BEFORE s' = s·(1 −
+    d/r), per-element fractions precomputed as single divisions.  One
+    row per (group, probe): ``n, n_cause, n_other, n_censored,
+    surv (all-cause), cif`` (unrounded doubles)."""
+    from .prefixsum import grouped_value_prefix_multi
+
+    pre = grouped_value_prefix_multi(
+        durs,
+        groups,
+        value_col=dur_col,
+        weights={
+            "d1": F.col(cause_col),
+            "d2": F.col(other_col),
+            "c": F.col(censor_col),
+        },
+    )
+    tot = F.col("tw_d1") + F.col("tw_d2") + F.col("tw_c")
+    cum_excl = (
+        (F.col("cum_d1") - F.col("vw_d1"))
+        + (F.col("cum_d2") - F.col("vw_d2"))
+        + (F.col("cum_c") - F.col("vw_c"))
+    )
+    r = tot - cum_excl
+    d = F.col("vw_d1") + F.col("vw_d2")
+    fd = F.col("vw_d1").cast("double") / r.cast("double")
+    fs = F.lit(1.0) - d.cast("double") / r.cast("double")
+    cells = pre.select(
+        *groups,
+        F.col("value").alias("v"),
+        d.alias("__dtot"),
+        fd.alias("__fd"),
+        fs.alias("__fs"),
+        F.col("tw_d1").alias("__nd1"),
+        F.col("tw_d2").alias("__nd2"),
+        F.col("tw_c").alias("__nc"),
+    )
+    arrs = cells.groupBy(*groups).agg(
+        (
+            F.max("__nd1") + F.max("__nd2") + F.max("__nc")
+        ).cast("long").alias("n"),
+        F.max("__nd1").cast("long").alias("n_cause"),
+        F.max("__nd2").cast("long").alias("n_other"),
+        F.max("__nc").cast("long").alias("n_censored"),
+        F.array_sort(
+            F.collect_list(
+                F.when(
+                    F.col("__dtot") > 0,
+                    F.struct(
+                        F.col("v").alias("v"),
+                        F.col("__fd").alias("fd"),
+                        F.col("__fs").alias("fs"),
+                    ),
+                )
+            )
+        ).alias("evs"),
+    )
+    probed = arrs.select(
+        *groups,
+        "n",
+        "n_cause",
+        "n_other",
+        "n_censored",
+        F.explode(
+            F.array(*[F.lit(int(t)).cast("long") for t in probes])
+        ).alias("t"),
+        "evs",
+    )
+    state = F.aggregate(
+        F.filter("evs", lambda s: s["v"] <= F.col("t")),
+        F.struct(
+            F.lit(1.0).alias("s"), F.lit(0.0).alias("cif")
+        ),
+        lambda acc, x: F.struct(
+            (acc["s"] * x["fs"]).alias("s"),
+            (acc["cif"] + acc["s"] * x["fd"]).alias("cif"),
+        ),
+    )
+    return probed.select(
+        *groups,
+        "t",
+        "n",
+        "n_cause",
+        "n_other",
+        "n_censored",
+        state["s"].alias("surv"),
+        state["cif"].alias("cif"),
     )

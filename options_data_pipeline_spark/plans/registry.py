@@ -487,6 +487,18 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Callable[[]
         tpch3.q_theil_sen_revenue,
         tpch3.oracle_theil_sen_revenue,
     ),
+    "hodges_lehmann_revenue": (
+        tpch3.q_hodges_lehmann_revenue,
+        tpch3.oracle_hodges_lehmann_revenue,
+    ),
+    "stratified_logrank": (
+        tpch3.q_stratified_logrank,
+        tpch3.oracle_stratified_logrank,
+    ),
+    "aj_next_purchase": (
+        tpch3.q_aj_next_purchase,
+        tpch3.oracle_aj_next_purchase,
+    ),
     "zorder_prune": (tpch2.q_zorder_prune, tpch2.oracle_zorder_prune),
     "zorder_maintain": (
         tpch2.q_zorder_maintain,
@@ -752,6 +764,9 @@ _PRIORITY: list[str] = [
     "km_survival",
     "logrank_segments",
     "theil_sen_revenue",
+    "hodges_lehmann_revenue",
+    "stratified_logrank",
+    "aj_next_purchase",
     # round-14 new queries (first driver adjudication) + changed
     # queries: the grouped-rank re-plan, the min_cost_supplier scan
     # diet, the IVM consume-seam refactor, and the prefixsum/ranks

@@ -1343,24 +1343,30 @@ _KM_PROBES = (7, 14, 30, 60, 90, 180)
 
 
 def km_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The (segment, duration, event/censored) frame shared by
-    `km_survival` and `logrank_segments`: consecutive-order gaps per
-    customer (events, ``__d``), last-order→horizon waits (censored,
-    ``__c``); the horizon is the global max order day.  Per-customer
-    lead windows are bounded by the customer's own order count —
-    millions of tiny partitions, fully parallel.  Module-level so the
-    plan audit inspects the SAME build frame both queries execute."""
+    """The (segment, region, duration, event/censored) frame shared by
+    `km_survival`, `logrank_segments`, and `stratified_logrank`:
+    consecutive-order gaps per customer (events, ``__d``),
+    last-order→horizon waits (censored, ``__c``); the horizon is the
+    global max order day.  Per-customer lead windows are bounded by
+    the customer's own order count — millions of tiny partitions,
+    fully parallel.  Module-level so the plan audit inspects the SAME
+    build frame all three queries execute."""
     from pyspark.sql import Window
 
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
     day = F.datediff(
         F.to_date("o_orderdate"), F.to_date(F.lit("1970-01-01"))
     )
     ords = (
         o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
         .select(
             F.col("c_mktsegment").alias("segment"),
+            F.col("r_name").alias("region"),
             F.col("o_custkey").alias("ck"),
             day.cast("long").alias("day"),
         )
@@ -1370,6 +1376,7 @@ def km_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
     nxt = F.lead("day").over(w)
     return ords.select(
         "segment",
+        "region",
         F.when(nxt.isNotNull(), nxt - F.col("day"))
         .otherwise(F.lit(horizon) - F.col("day"))
         .alias("dur"),
@@ -1639,6 +1646,28 @@ FROM folded
 # theil_sen_revenue: robust trend slope of daily revenue per nation
 # ---------------------------------------------------------------------------
 
+def weekly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation weekly revenue cents (``nation, w, y``) —
+    materialized, shared by `theil_sen_revenue` and
+    `hodges_lehmann_revenue` so the plan audit inspects the SAME
+    compact build frame both pair analyses execute."""
+    from ..operators.materialize import materialize
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    day = F.datediff(
+        F.to_date("o_orderdate"), F.to_date(F.lit("1970-01-01"))
+    )
+    week = F.floor(day / F.lit(7)).cast("long")
+    return materialize(
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nation"), week.alias("w"))
+        .agg(F.sum(_cents(F.col("o_totalprice"))).alias("y"))
+    )
+
+
 def q_theil_sen_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theil-Sen estimator on per-nation WEEKLY revenue: slope =
     median of all pairwise slopes (y_j − y_i)/(w_j − w_i), intercept =
@@ -1660,22 +1689,9 @@ def q_theil_sen_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Oracle: independent pair CTE + DuckDB ``quantile_cont`` (the
     proven interpolation-law twin) + identical residual arithmetic."""
-    from ..operators.materialize import materialize
     from ..operators.prefixsum import grouped_interp_percentiles
 
-    o = load_table(spark, sf_dir, "orders")
-    c = load_table(spark, sf_dir, "customer")
-    n = load_table(spark, sf_dir, "nation")
-    day = F.datediff(
-        F.to_date("o_orderdate"), F.to_date(F.lit("1970-01-01"))
-    )
-    week = F.floor(day / F.lit(7)).cast("long")
-    per_week = materialize(
-        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
-        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
-        .groupBy(F.col("n_name").alias("nation"), week.alias("w"))
-        .agg(F.sum(_cents(F.col("o_totalprice"))).alias("y"))
-    )
+    per_week = weekly_revenue(spark, sf_dir)
     a = per_week.select(
         "nation", F.col("w").alias("wa"), F.col("y").alias("ya")
     )
@@ -1756,4 +1772,399 @@ SELECT med.nation, n_weeks, n_pairs,
        {sql_round_half_away('m', 9)} AS slope,
        {sql_round_half_away('b0', 9)} AS intercept
 FROM med JOIN icept ON med.nation = icept.nation
+"""
+
+
+# ---------------------------------------------------------------------------
+# hodges_lehmann_revenue: pseudo-median of weekly revenue per nation
+# ---------------------------------------------------------------------------
+
+
+def q_hodges_lehmann_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hodges-Lehmann one-sample estimator per nation: the median of
+    all Walsh averages (y_i + y_j)/2 over week pairs i ≤ j — the
+    location estimate dual to the Wilcoxon signed-rank test (~95%
+    efficient under normality, 29%-breakdown robust; the right
+    "typical weekly revenue" when the mean is whale-skewed and the
+    median throws away efficiency).
+
+    Scale: same structural bound as `theil_sen_revenue` — the Walsh
+    frame is (weeks)² per group, calendar-bounded; averages are exact
+    ((y_i + y_j) ≤ 2^53 so the /2.0 is a lossless IEEE halving); the
+    median rides `grouped_interp_percentiles` off one prefix pass.
+    The weekly aggregate is the SAME materialized seam
+    (`weekly_revenue`) the Theil-Sen query reads."""
+    from ..operators.prefixsum import grouped_interp_percentiles
+
+    per_week = weekly_revenue(spark, sf_dir)
+    a = per_week.select(
+        "nation", F.col("w").alias("wa"), F.col("y").alias("ya")
+    )
+    b = per_week.select(
+        "nation", F.col("w").alias("wb"), F.col("y").alias("yb")
+    )
+    walsh = (
+        a.join(b, "nation")
+        .where(F.col("wa") <= F.col("wb"))
+        .select(
+            "nation",
+            (
+                (F.col("ya") + F.col("yb")).cast("double") / F.lit(2.0)
+            ).alias("wavg"),
+        )
+    )
+    med = grouped_interp_percentiles(
+        walsh, ["nation"], "wavg", [0.5], ["hl"]
+    )
+    return med.select(
+        "nation",
+        F.col("n").alias("n_pairs"),
+        round_half_away(F.col("hl"), 9).alias("hl_cents"),
+    )
+
+
+def oracle_hodges_lehmann_revenue() -> str:
+    cents = _SQL_CENTS.format(c="o_totalprice")
+    return f"""
+WITH per_week AS (
+    SELECT n_name AS nation,
+           (CAST(o_orderdate AS DATE) - DATE '1970-01-01') // 7 AS w,
+           SUM({cents}) AS y
+    FROM orders
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation ON n_nationkey = c_nationkey
+    GROUP BY 1, 2
+),
+walsh AS (
+    SELECT a.nation,
+           CAST(a.y + b.y AS DOUBLE) / 2.0 AS wavg
+    FROM per_week a JOIN per_week b
+      ON a.nation = b.nation AND a.w <= b.w
+)
+SELECT nation, CAST(count(*) AS BIGINT) AS n_pairs,
+       {sql_round_half_away('quantile_cont(wavg, 0.5)', 9)} AS hl_cents
+FROM walsh GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# stratified_logrank: region-stratified two-sample log-rank
+# ---------------------------------------------------------------------------
+
+
+def q_stratified_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Region-STRATIFIED log-rank: the BUILDING-vs-MACHINERY reorder
+    comparison of `logrank_segments`, with region as a confounder —
+    risk sets never mix across strata (each region contributes its own
+    O/E/V) and only the moments add, so a region-composition imbalance
+    between the two segments can't masquerade as a survival
+    difference.  This is the covariate-adjusted A/B readout (the
+    stratified test every clinical package defaults to).
+
+    Per-stratum rows come from the SAME `logrank_two_sample` operator
+    with ``strata=[region]`` (the prefix pass just gains a group key —
+    still one pass, still fully parallel); the cross-stratum E/V sums
+    fold in stratum-key order (`combine_logrank_strata`), O exactly."""
+    from ..operators.survival import (
+        combine_logrank_strata,
+        logrank_two_sample,
+    )
+
+    durs = km_durations(spark, sf_dir).where(
+        F.col("segment").isin(_LR_A, _LR_B)
+    )
+    per = logrank_two_sample(
+        durs,
+        F.col("segment") == _LR_A,
+        "dur",
+        "__d",
+        "__c",
+        strata=["region"],
+    )
+    out = combine_logrank_strata(per, "region")
+    return out.select(
+        F.lit(_LR_A).alias("group_a"),
+        F.lit(_LR_B).alias("group_b"),
+        "n_strata",
+        "n1",
+        "n2",
+        "o1",
+        round_half_away(F.col("e1"), 9).alias("e1"),
+        round_half_away(F.col("var_s"), 9).alias("var_s"),
+        round_half_away(F.col("z"), 6).alias("z"),
+    )
+
+
+def oracle_stratified_logrank() -> str:
+    te = "CAST(d AS DOUBLE) * CAST(r1 AS DOUBLE) / CAST(r AS DOUBLE)"
+    tv = (
+        "CASE WHEN r > 1 THEN"
+        " (CAST(d AS DOUBLE) * CAST(r1 AS DOUBLE) * CAST(r2 AS DOUBLE)"
+        " * CAST(r - d AS DOUBLE))"
+        " / (CAST(r AS DOUBLE) * CAST(r AS DOUBLE)"
+        " * CAST(r - 1 AS DOUBLE))"
+        " ELSE 0.0 END"
+    )
+    fold0 = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), {l}),"
+        " (acc, x) -> acc + x)"
+    )
+    z = "(CAST(o1 AS DOUBLE) - e1) / sqrt(vv)"
+    return f"""
+WITH ords AS (
+    SELECT c_mktsegment AS segment, r_name AS region,
+           o_custkey AS ck,
+           CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+             AS day
+    FROM orders
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation ON n_nationkey = c_nationkey
+    JOIN region ON r_regionkey = n_regionkey
+),
+hz AS (SELECT max(day) AS horizon FROM ords),
+durs AS (
+    SELECT segment, region,
+           COALESCE(LEAD(day) OVER (PARTITION BY ck ORDER BY day) - day,
+                    horizon - day) AS dur,
+           CASE WHEN LEAD(day) OVER (PARTITION BY ck ORDER BY day)
+                IS NULL THEN 0 ELSE 1 END AS d
+    FROM ords, hz
+    WHERE segment IN ('{_LR_A}', '{_LR_B}')
+),
+cells AS (
+    SELECT region, dur AS v,
+           CAST(SUM(CASE WHEN segment = '{_LR_A}' THEN d ELSE 0 END)
+             AS BIGINT) AS d1,
+           CAST(SUM(CASE WHEN segment = '{_LR_A}' THEN 1 - d ELSE 0 END)
+             AS BIGINT) AS c1,
+           CAST(SUM(CASE WHEN segment = '{_LR_B}' THEN d ELSE 0 END)
+             AS BIGINT) AS d2,
+           CAST(SUM(CASE WHEN segment = '{_LR_B}' THEN 1 - d ELSE 0 END)
+             AS BIGINT) AS c2
+    FROM durs GROUP BY 1, 2
+),
+pre AS (
+    SELECT region, v, d1, d2, d1 + d2 AS d,
+           SUM(d1 + c1) OVER (PARTITION BY region) -
+             COALESCE(SUM(d1 + c1) OVER (PARTITION BY region ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS r1,
+           SUM(d2 + c2) OVER (PARTITION BY region) -
+             COALESCE(SUM(d2 + c2) OVER (PARTITION BY region ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS r2,
+           SUM(d1 + c1) OVER (PARTITION BY region) AS n1,
+           SUM(d2 + c2) OVER (PARTITION BY region) AS n2
+    FROM cells
+),
+terms AS (
+    SELECT region, v, d1, d, n1, n2, r1, r2, r1 + r2 AS r FROM pre
+),
+terms2 AS (
+    SELECT region, v, d1, d, n1, n2, {te} AS te, {tv} AS tv
+    FROM terms
+),
+per_stratum AS (
+    SELECT region,
+           CAST(MAX(n1) AS BIGINT) AS n1,
+           CAST(MAX(n2) AS BIGINT) AS n2,
+           CAST(SUM(d1) AS BIGINT) AS o1,
+           {fold0.format(l="list(te ORDER BY v) FILTER (WHERE d > 0)")}
+             AS e1,
+           {fold0.format(l="list(tv ORDER BY v) FILTER (WHERE d > 0)")}
+             AS vv
+    FROM terms2
+    GROUP BY 1
+),
+combined AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_strata,
+           CAST(SUM(n1) AS BIGINT) AS n1,
+           CAST(SUM(n2) AS BIGINT) AS n2,
+           CAST(SUM(o1) AS BIGINT) AS o1,
+           {fold0.format(l="list(e1 ORDER BY region)")} AS e1,
+           {fold0.format(l="list(vv ORDER BY region)")} AS vv
+    FROM per_stratum
+)
+SELECT '{_LR_A}' AS group_a, '{_LR_B}' AS group_b,
+       n_strata, n1, n2, o1,
+       {sql_round_half_away('e1', 9)} AS e1,
+       {sql_round_half_away('vv', 9)} AS var_s,
+       CASE WHEN vv > 0 THEN {sql_round_half_away(z, 6)}
+            ELSE NULL END AS z
+FROM combined
+"""
+
+
+# ---------------------------------------------------------------------------
+# aj_next_purchase: Aalen-Johansen competing-risks incidence on events
+# ---------------------------------------------------------------------------
+
+#: pinned probe horizons in MICROSECONDS (1 min, 5 min, 30 min, 2 h,
+#: 12 h) — the inter-event waits live at the seconds-to-hours scale
+_AJ_PROBES = tuple(s * 1_000_000 for s in (60, 300, 1800, 7200, 43200))
+
+#: the cause event — the outcome whose cumulative incidence is read
+_AJ_CAUSE = "purchase"
+
+
+def q_aj_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aalen-Johansen cumulative incidence of "the NEXT event is a
+    purchase", by preceding event type — the competing-risks estimator
+    behind any funnel/conversion-latency readout: after a click (or
+    view, or error), what fraction of users' next actions are a
+    purchase within t, when every other event type COMPETES for being
+    next?  1 − KM of purchase-only waits overstates this (the classic
+    competing-risks fallacy: censoring the competitors treats them as
+    still-waiting); Aalen-Johansen integrates the cause hazard against
+    the ALL-CAUSE survival, CIF(t) = Σ_{v≤t} S(v−)·d_purchase(v)/r(v).
+
+    Waits: per-user consecutive-event gaps in exact MICROSECONDS
+    (truncated-nanos parity with DuckDB's epoch_us, the repo's events
+    convention) ordered by (ts, event_id) — the tie-break pins the
+    (gap, next-type) assignment deterministically on both engines.
+    The last wait per user is right-censored at the global horizon.
+    Risk sets off one 3-weight prefix pass; the (S, CIF) pair walks
+    the sorted event-time array in ONE struct-accumulator fold
+    (`operators/survival.aalen_johansen_at`) with per-element
+    single-division fractions — bit-identical to DuckDB's struct
+    `list_reduce`."""
+    from pyspark.sql import Window
+
+    from ..operators.survival import aalen_johansen_at
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("us"),
+    )
+    horizon = int(ev.agg(F.max("us")).first()[0])
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    nxt_us = F.lead("us").over(w)
+    nxt_ty = F.lead("event_type").over(w)
+    durs = ev.select(
+        F.col("event_type").alias("prev_type"),
+        F.when(nxt_us.isNotNull(), nxt_us - F.col("us"))
+        .otherwise(F.lit(horizon) - F.col("us"))
+        .alias("dur"),
+        F.when(nxt_us.isNotNull() & (nxt_ty == _AJ_CAUSE), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("__d1"),
+        F.when(nxt_us.isNotNull() & (nxt_ty != _AJ_CAUSE), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("__d2"),
+        F.when(nxt_us.isNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("__c"),
+    )
+    out = aalen_johansen_at(
+        durs, ["prev_type"], "dur", "__d1", "__c", "__d2", _AJ_PROBES
+    )
+    return out.select(
+        "prev_type",
+        "t",
+        "n",
+        "n_cause",
+        "n_other",
+        "n_censored",
+        round_half_away(F.col("surv"), 9).alias("surv"),
+        round_half_away(F.col("cif"), 9).alias("cif"),
+    )
+
+
+def oracle_aj_next_purchase() -> str:
+    probes = ", ".join(str(t) for t in _AJ_PROBES)
+    # DuckDB's list_reduce types the accumulator as the ELEMENT type,
+    # so the per-event fractions ride in accumulator-shaped structs
+    # (the 'cif' slot carries fd, the 's' slot carries fs) — and the
+    # lambda's struct fields are evaluated SEQUENTIALLY with acc
+    # updating in place (measured: an s-first struct made the cif
+    # expression see the already-updated S(v), not S(v−)), so 'cif'
+    # MUST come first to read the pre-update survival
+    fold = (
+        "list_reduce("
+        "list_prepend({'cif': CAST(0.0 AS DOUBLE), 's': CAST(1.0 AS DOUBLE)}, fs),"
+        " (acc, x) -> {'cif': acc.cif + acc.s * x.cif, 's': acc.s * x.s})"
+    )
+    return f"""
+WITH ev AS (
+    SELECT user_id, event_type, event_id, epoch_us(ts) AS us
+    FROM events
+),
+hz AS (SELECT max(us) AS horizon FROM ev),
+seq AS (
+    SELECT event_type AS prev_type, us, horizon,
+           LEAD(us) OVER (PARTITION BY user_id
+                          ORDER BY us, event_id) AS nus,
+           LEAD(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY us, event_id) AS nty
+    FROM ev, hz
+),
+durs AS (
+    SELECT prev_type,
+           COALESCE(nus - us, horizon - us) AS dur,
+           CASE WHEN nus IS NOT NULL AND nty = '{_AJ_CAUSE}'
+                THEN 1 ELSE 0 END AS d1,
+           CASE WHEN nus IS NOT NULL AND nty <> '{_AJ_CAUSE}'
+                THEN 1 ELSE 0 END AS d2,
+           CASE WHEN nus IS NULL THEN 1 ELSE 0 END AS c
+    FROM seq
+),
+cells AS (
+    SELECT prev_type, dur AS v,
+           CAST(SUM(d1) AS BIGINT) AS d1,
+           CAST(SUM(d2) AS BIGINT) AS d2,
+           CAST(SUM(c) AS BIGINT) AS c
+    FROM durs GROUP BY 1, 2
+),
+pre AS (
+    SELECT prev_type, v, d1, d2, d1 + d2 AS d,
+           SUM(d1 + d2 + c) OVER (PARTITION BY prev_type) -
+             COALESCE(SUM(d1 + d2 + c) OVER (PARTITION BY prev_type
+               ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS r,
+           SUM(d1) OVER (PARTITION BY prev_type) AS nd1,
+           SUM(d2) OVER (PARTITION BY prev_type) AS nd2,
+           SUM(c) OVER (PARTITION BY prev_type) AS nc
+    FROM cells
+),
+terms AS (
+    SELECT prev_type, v, d, nd1, nd2, nc,
+           CAST(d1 AS DOUBLE) / CAST(r AS DOUBLE) AS fd,
+           1.0 - CAST(d AS DOUBLE) / CAST(r AS DOUBLE) AS fs
+    FROM pre
+),
+tots AS (
+    SELECT prev_type,
+           CAST(MAX(nd1) + MAX(nd2) + MAX(nc) AS BIGINT) AS n,
+           CAST(MAX(nd1) AS BIGINT) AS n_cause,
+           CAST(MAX(nd2) AS BIGINT) AS n_other,
+           CAST(MAX(nc) AS BIGINT) AS n_censored
+    FROM pre GROUP BY 1
+),
+probes AS (SELECT CAST(unnest([{probes}]) AS BIGINT) AS t),
+sv AS (
+    SELECT e.prev_type, p.t,
+           list({{'cif': fd, 's': fs}} ORDER BY v)
+             FILTER (WHERE d > 0 AND v <= p.t) AS fs
+    FROM terms e CROSS JOIN probes p
+    GROUP BY 1, 2
+),
+folded AS (
+    SELECT prev_type, t,
+           CASE WHEN fs IS NULL THEN CAST(1.0 AS DOUBLE)
+                ELSE ({fold}).s END AS surv,
+           CASE WHEN fs IS NULL THEN CAST(0.0 AS DOUBLE)
+                ELSE ({fold}).cif END AS cif
+    FROM sv
+)
+SELECT tt.prev_type, f.t, tt.n, tt.n_cause, tt.n_other, tt.n_censored,
+       {sql_round_half_away('surv', 9)} AS surv,
+       {sql_round_half_away('cif', 9)} AS cif
+FROM tots tt
+JOIN folded f ON f.prev_type = tt.prev_type
 """

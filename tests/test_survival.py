@@ -121,3 +121,94 @@ def test_km_no_censoring_is_empirical_survival(spark):
     for t in (2, 5, 9):
         frac = sum(1 for e in events if e > t) / n
         assert got[t] == pytest.approx(frac, rel=1e-12)
+
+
+def test_aalen_johansen_matches_fraction_reference(spark):
+    # competing risks: cause events, other events, censored — exact
+    # fraction walk of CIF(t) = sum S(v-) * d1(v)/r(v)
+    cause = [2, 2, 5, 8]
+    other = [1, 3, 5, 5, 9]
+    cens = [4, 7, 10, 10]
+    rows = (
+        [("g", t, 1, 0, 0) for t in cause]
+        + [("g", t, 0, 1, 0) for t in other]
+        + [("g", t, 0, 0, 1) for t in cens]
+    )
+    df = spark.createDataFrame(
+        rows, "g string, dur long, d1 long, d2 long, c long"
+    )
+    from options_data_pipeline_spark.operators.survival import (
+        aalen_johansen_at,
+    )
+
+    probes = (1, 2, 5, 8, 10)
+    out = aalen_johansen_at(
+        df, ["g"], "dur", "d1", "c", "d2", probes
+    )
+    got = {r["t"]: r for r in out.collect()}
+
+    def ref(t):
+        times = sorted(set(cause) | set(other))
+        s = Fraction(1)
+        cif = Fraction(0)
+        for v in times:
+            if v > t:
+                break
+            d1 = cause.count(v)
+            d = d1 + other.count(v)
+            r = (
+                sum(1 for e in cause if e >= v)
+                + sum(1 for e in other if e >= v)
+                + sum(1 for e in cens if e >= v)
+            )
+            cif += s * Fraction(d1, r)
+            s *= 1 - Fraction(d, r)
+        return s, cif
+
+    for t in probes:
+        s, cif = ref(t)
+        assert got[t]["surv"] == pytest.approx(float(s), rel=1e-12), t
+        assert got[t]["cif"] == pytest.approx(float(cif), rel=1e-12), t
+        assert (got[t]["n"], got[t]["n_cause"], got[t]["n_other"],
+                got[t]["n_censored"]) == (13, 4, 5, 4)
+    # invariant: CIF_cause + CIF_other + S = 1 wherever no censoring
+    # precedes — at t=2 (no censor before 2): spot-check CIF <= 1 - S
+    assert got[10]["cif"] <= 1 - got[10]["surv"] + 1e-12
+
+
+def test_stratified_logrank_combines_strata(spark):
+    # two strata, each the SAME small two-arm dataset: the combined
+    # O/E/V must be exactly twice the single-stratum values, and the
+    # single-stratum values must match the fraction reference
+    a_ev, a_cn = [3, 5, 7], [6]
+    b_ev, b_cn = [1, 2, 4], [8]
+    rows = []
+    for stratum in ("s1", "s2"):
+        rows += [(stratum, "A", t, 1, 0) for t in a_ev]
+        rows += [(stratum, "A", t, 0, 1) for t in a_cn]
+        rows += [(stratum, "B", t, 1, 0) for t in b_ev]
+        rows += [(stratum, "B", t, 0, 1) for t in b_cn]
+    df = spark.createDataFrame(
+        rows, "st string, arm string, dur long, d long, c long"
+    )
+    from options_data_pipeline_spark.operators.survival import (
+        combine_logrank_strata,
+        logrank_two_sample,
+    )
+
+    per = logrank_two_sample(
+        df, F.col("arm") == "A", "dur", "d", "c", strata=["st"]
+    )
+    rows_per = {r["st"]: r for r in per.collect()}
+    o1, e1, v = _logrank_reference(a_ev, a_cn, b_ev, b_cn)
+    for st in ("s1", "s2"):
+        r = rows_per[st]
+        assert (r["n1"], r["n2"], r["o1"]) == (4, 4, o1)
+        assert r["e1"] == pytest.approx(float(e1), rel=1e-12)
+        assert r["var_s"] == pytest.approx(float(v), rel=1e-12)
+    comb = combine_logrank_strata(per, "st").collect()[0]
+    assert (comb["n_strata"], comb["n1"], comb["n2"], comb["o1"]) == (
+        2, 8, 8, 2 * o1,
+    )
+    assert comb["e1"] == pytest.approx(2 * float(e1), rel=1e-12)
+    assert comb["var_s"] == pytest.approx(2 * float(v), rel=1e-12)
