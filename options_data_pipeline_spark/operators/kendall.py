@@ -89,7 +89,12 @@ def kendall_s_frame(
     ``x_col`` and ``y_col`` MUST be integer-valued (long-castable
     without loss — cents, counts, epoch days): all arithmetic is then
     exact and the result is engine-independent.  Null x or y rows are
-    dropped (pairwise-complete, the scipy/PostgreSQL convention).
+    dropped (pairwise-complete, the scipy/PostgreSQL convention), and
+    so are NULL-KEYED groups — the internal reassembly joins are
+    column-list (null-unsafe) joins, so without the filter a null
+    group key would keep its ``n`` row but silently lose its
+    tie/within columns (the r13 prefixsum ADVICE trap class); an
+    explicit drop makes the contract total instead of latent.
 
     Output per group: ``n`` (rows), ``s`` (Σ sign·sign over pairs),
     ``tx_pairs``/``ty_pairs`` (Σ t(t−1)/2 over x-/y-tie groups — the
@@ -99,9 +104,10 @@ def kendall_s_frame(
     from .materialize import materialize
     from .prefixsum import grouped_value_prefix
 
-    base = df.where(
-        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
-    ).select(
+    keep = F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    for g in groups:
+        keep = keep & F.col(g).isNotNull()
+    base = df.where(keep).select(
         *groups,
         F.col(x_col).cast("long").alias("__kx"),
         F.col(y_col).cast("long").alias("__ky"),

@@ -92,3 +92,18 @@ def test_ungrouped_form(spark):
     exp = kendall_s_reference(rows)
     r = out[0]
     assert (r["n"], r["s"], r["tx_pairs"], r["ty_pairs"], r["ty_var"]) == exp
+
+
+def test_null_group_keys_dropped_not_half_joined(spark):
+    # a null group key must be DROPPED (documented contract), never
+    # emitted as a half-joined row with null tie/within columns — the
+    # internal reassembly joins are column-list (null-unsafe) joins
+    df = spark.createDataFrame(
+        [("a", 1, 10), ("a", 2, 20), (None, 3, 30), (None, 4, 40)],
+        "g string, x long, y long",
+    )
+    out = kendall_s_frame(df, ["g"], "x", "y").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["g"] == "a"
+    assert (r["n"], r["s"], r["tx_pairs"], r["ty_pairs"]) == (2, 1, 0, 0)
