@@ -100,6 +100,13 @@ def kendall_s_frame(
     ``tx_pairs``/``ty_pairs`` (Σ t(t−1)/2 over x-/y-tie groups — the
     tau-b denominator terms), ``ty_var`` (Σ t(t−1)(2t+5) over y-tie
     groups — the Mann-Kendall variance correction).
+
+    Range bound: every output is a 64-bit long and |s| ≤ n(n−1)/2, so
+    the statistic is exact for group sizes up to ~3×10⁹ rows (≳2^63
+    pairs beyond that) — comfortably past any per-GROUP cardinality a
+    100 TB table's enum keys produce; for a single global group
+    larger than that, pre-aggregate to the distinct-(x, y) grain
+    first (the cell collapse is lossless for S).
     """
     from .materialize import materialize
     from .prefixsum import grouped_value_prefix
