@@ -167,12 +167,26 @@ def kendall_s_frame(
         return out
 
     key_cols = [*groups, "__xb"]
+    # Single-x-bucket short-circuit (r14 optimization): a bucket whose
+    # cells share ONE x value has sign(Δx) = 0 for every within-bucket
+    # pair, so its s_within is identically zero — only multi-x buckets
+    # need the kernel.  On a tie-heavy x (order counts: a handful of
+    # distinct values spread over the value grid) this empties the
+    # Python path entirely; the filter is one tiny aggregate over the
+    # materialized cell frame broadcast back, never a corpus pass.
+    multi_x = (
+        cells.groupBy(*key_cols)
+        .agg((F.min("__kx") < F.max("__kx")).alias("__mx"))
+        .where(F.col("__mx"))
+        .select(*key_cols)
+    )
+    kcells = cells.join(F.broadcast(multi_x), key_cols)
     schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}"
         for f in cells.select(*key_cols).schema.fields
     )
     s_within = (
-        cells.groupBy(*key_cols)
+        kcells.groupBy(*key_cols)
         .applyInPandas(_within_bucket_kernel, f"{schema}, s_within long")
         .groupBy(*groups)
         .agg(F.sum("s_within").alias("__sw"))
@@ -224,7 +238,7 @@ def kendall_s_frame(
     )
 
     # --- tie aggregates, all off the materialized cell frame ---
-    def tie_aggs(col: str, tag: str, with_var: bool) -> DataFrame:
+    def tie_aggs(col: str, tag: str, with_var: bool, with_n: bool) -> DataFrame:
         t = cells.groupBy(*groups, col).agg(F.sum("__kc").alias("__t"))
         # t(t−1) is even, so >>1 IS the exact /2 — never a double
         # division (whose 2^53 mantissa a giant tie group's t² exceeds)
@@ -241,20 +255,25 @@ def kendall_s_frame(
                     * (2 * F.col("__t") + 5)
                 ).cast("long").alias(f"t{tag}_var")
             )
+        if with_n:
+            # Σ_x t_x IS the group row count — riding it here retires
+            # the separate counts aggregation branch over cells and its
+            # reassembly join (r14 optimization: one less shuffle chain,
+            # one less join, identical algebra)
+            aggs.append(F.sum("__t").cast("long").alias("n"))
         return t.groupBy(*groups).agg(*aggs)
-
-    counts = cells.groupBy(*groups).agg(
-        F.sum("__kc").cast("long").alias("n")
-    )
 
     def j(a: DataFrame, b: DataFrame) -> DataFrame:
         if groups:
             return a.join(b, list(groups), "left")
-        return a.crossJoin(b)
+        # left-preserving even when b is EMPTY (the single-x-bucket
+        # short-circuit can legitimately empty s_within; a plain
+        # crossJoin would annihilate the output row)
+        return a.join(b, F.lit(True), "left")
 
     out = j(
-        j(j(j(counts, tie_aggs("__kx", "x", False)),
-            tie_aggs("__ky", "y", True)), s_within),
+        j(j(tie_aggs("__kx", "x", False, True),
+            tie_aggs("__ky", "y", True, False)), s_within),
         s_cross,
     )
     return out.select(

@@ -590,7 +590,19 @@ def q_implied_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigma_true = 0.3 + (F.col("strike") / 100 % 5).cast("double") * 0.1
     inv_sqrt2pi = 1.0 / math.sqrt(2.0 * math.pi)
 
-    def ncdf(x):
+    # Expression staging (r14 optimization): the original inline form
+    # evaluated the Zelen-Severo `upper` stack EIGHT times per price
+    # (twice inside each ncdf's CASE, four ncdf's per call/put pair) —
+    # ncdf(x) and ncdf(−x) share upper(|x|) bit-for-bit (abs(−x) ≡
+    # abs(x)), so ONE staged column per d-value serves both signs and
+    # both CASE branches.  Every staged expression below is the exact
+    # subtree the inline form evaluated — naming a subtree as a column
+    # does not change a single IEEE operation — so the output is
+    # bit-identical (oracle re-verified); the tree just stops growing
+    # ~8× per iteration.
+
+    def upper_col(x):
+        # upper(|x|) = 1 − φ(|x|)·poly(k(|x|)) — the one heavy stack
         ax = F.abs(x)
         k = 1.0 / (1.0 + 0.2316419 * ax)
         poly = k * (
@@ -602,8 +614,11 @@ def q_implied_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         phi_ax = F.exp(-(ax * ax) / 2.0) * inv_sqrt2pi
-        upper = 1.0 - phi_ax * poly
-        return F.when(x >= 0, upper).otherwise(1.0 - upper)
+        return 1.0 - phi_ax * poly
+
+    def ncdf_from(x, u):
+        # the inline ncdf's CASE, reading the staged upper column
+        return F.when(x >= 0, u).otherwise(1.0 - u)
 
     def d_cols(sig):
         srt = sig * F.sqrt(F.col("t_years"))
@@ -613,9 +628,13 @@ def q_implied_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) / srt
         return d1, d1 - srt
 
-    def price(d1, d2):
-        call = F.col("s_bar") * ncdf(d1) - F.col("strike") * ncdf(d2)
-        put = F.col("strike") * ncdf(-d2) - F.col("s_bar") * ncdf(-d1)
+    def price_from(d1, d2, u1, u2):
+        call = F.col("s_bar") * ncdf_from(d1, u1) - F.col(
+            "strike"
+        ) * ncdf_from(d2, u2)
+        put = F.col("strike") * ncdf_from(-d2, u2) - F.col(
+            "s_bar"
+        ) * ncdf_from(-d1, u1)
         return F.when(F.col("opt_type") == "C", call).otherwise(put)
 
     def vega(d1):
@@ -627,19 +646,33 @@ def q_implied_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = (
         df.withColumn("td1", td1)
         .withColumn("td2", td2)
-        .withColumn("p_mkt", price(F.col("td1"), F.col("td2")))
+        .withColumn("tu1", upper_col(F.col("td1")))
+        .withColumn("tu2", upper_col(F.col("td2")))
+        .withColumn(
+            "p_mkt",
+            price_from(
+                F.col("td1"), F.col("td2"), F.col("tu1"), F.col("tu2")
+            ),
+        )
         .withColumn("sig", F.lit(_IV_SIG0))
+        .drop("td1", "td2", "tu1", "tu2")
     )
-    for _ in range(IV_ITERS):
+    for it in range(IV_ITERS):
         i1, i2 = d_cols(F.col("sig"))
-        df = df.withColumn("i1", i1).withColumn("i2", i2)
+        df = (
+            df.withColumn("i1", i1)
+            .withColumn("i2", i2)
+            .withColumn("u1", upper_col(F.col("i1")))
+            .withColumn("u2", upper_col(F.col("i2")))
+        )
         step = F.col("sig") - (
-            price(F.col("i1"), F.col("i2")) - F.col("p_mkt")
+            price_from(F.col("i1"), F.col("i2"), F.col("u1"), F.col("u2"))
+            - F.col("p_mkt")
         ) / vega(F.col("i1"))
         df = df.withColumn(
             "sig",
             F.least(F.lit(_IV_HI), F.greatest(F.lit(_IV_LO), step)),
-        ).drop("i1", "i2")
+        ).drop("i1", "i2", "u1", "u2")
     return df.select(
         "strike",
         "opt_type",

@@ -1227,7 +1227,14 @@ def q_mann_kendall_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("n_name").alias("nation"), day.alias("day"))
         .agg(F.sum(_cents(F.col("o_totalprice"))).alias("y"))
     )
-    sf = kendall_s_frame(per_day, ["nation"], "day", "y")
+    # B=16 (r14 optimization): x is the CALENDAR day — distinct-x per
+    # group is calendar-bounded at every scale, so the within-bucket
+    # kernels stay trivially small while the (B−1)× cross-term probe
+    # expansion (the dominant cost of this shape — all-distinct x means
+    # every bucket is multi-x) halves vs the default.  B is a
+    # parallelism knob, never a correctness knob (B-invariance is
+    # unit-pinned in tests/test_kendall.py).
+    sf = kendall_s_frame(per_day, ["nation"], "day", "y", n_xbuckets=16)
     nvar = (
         F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
     ).cast("long")
