@@ -228,6 +228,7 @@ def compact_partitions(
     partitions: list[str] | None = None,
     files_per_partition: int = 1,
     rows_per_file: int | None = None,
+    max_workers: int | None = None,
 ) -> dict[str, int]:
     """Compact a ``partitionBy(partition_col)`` parquet table down to
     ``files_per_partition`` files per partition — or, with
@@ -314,8 +315,16 @@ def compact_partitions(
     # OPTIMIZE shape: one rewrite task stream per partition.
     from concurrent.futures import ThreadPoolExecutor
 
+    # Pool width (r14 optimization, guide §2.6): each rewrite is a
+    # 1-2-task job, so in-flight jobs ≈ busy cores; a fixed 8 left most
+    # of a 32-core session idle through a 64-slot compaction.  Sized
+    # from the session's own parallelism and capped — on a small
+    # executor it degrades to the old width, on a big cluster the
+    # scheduler interleaves the streams exactly as §2.6 prescribes.
+    if max_workers is None:
+        max_workers = max(8, min(16, spark.sparkContext.defaultParallelism // 2))
     files_before = files_after = 0
-    with ThreadPoolExecutor(max_workers=8) as pool:
+    with ThreadPoolExecutor(max_workers=max_workers) as pool:
         for b, a in pool.map(lambda t: _compact_one(*t), targets):
             files_before += b
             files_after += a
