@@ -287,6 +287,7 @@ def grouped_interp_percentiles(
     value_col: str,
     qs: list[float],
     out_names: list[str],
+    materialize_values: bool = True,
 ) -> DataFrame:
     """Exact INTERPOLATED percentiles per group from the distinct-value
     prefix sum — the drop-in for Spark's exact ``percentile`` aggregate,
@@ -304,7 +305,10 @@ def grouped_interp_percentiles(
     Output: one row per group with ``*groups, *out_names (double),
     n (long — the non-null value count the percentile ranks over)``.
     """
-    pfx = grouped_value_prefix(df, groups, value_col=value_col)
+    pfx = grouped_value_prefix(
+        df, groups, value_col=value_col,
+        materialize_values=materialize_values,
+    )
     return prefix_interp_percentiles(pfx, groups, qs, out_names)
 
 

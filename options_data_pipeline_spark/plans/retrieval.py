@@ -337,8 +337,13 @@ def q_logprob_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
     # doc's score in one reducer — an ungrouped funnel over |docs|)
     from ..operators.prefixsum import grouped_interp_percentiles
 
+    # materialize_values=False (r14): `scored` serves from the session
+    # artifact store (already materialized), so the prefix branches
+    # re-aggregate the compact doc-score frame instead of paying an
+    # eager checkpoint — no corpus scan either way
     bounds = grouped_interp_percentiles(
-        scored, [], "avg_logprob", [0.05, 0.95], ["p05", "p95"]
+        scored, [], "avg_logprob", [0.05, 0.95], ["p05", "p95"],
+        materialize_values=False,
     ).select("p05", "p95")
     clamped = F.least(F.greatest(F.col("avg_logprob"), F.col("p05")), F.col("p95"))
     return scored.crossJoin(F.broadcast(bounds)).select(

@@ -1326,9 +1326,15 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.prefixsum import grouped_interp_percentiles
 
     def _tharr(col: str, out: str):
+        # materialize_values=False (r14): `prof` is ALREADY a compact
+        # materialized frame, so the prefix branches re-aggregate 15k
+        # checkpoint-block rows instead of paying an eager distinct-
+        # value checkpoint per threshold column (A/B: 3.01 → 2.47 s
+        # for the three calls; no corpus scan either way)
         names = [f"__t{i}" for i in range(4)]
         return grouped_interp_percentiles(
-            prof, [], col, [0.2, 0.4, 0.6, 0.8], names
+            prof, [], col, [0.2, 0.4, 0.6, 0.8], names,
+            materialize_values=False,
         ).select(F.array(*[F.col(n) for n in names]).alias(out))
 
     th = (
@@ -1758,8 +1764,13 @@ def q_shipping_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = materialize(
         j.select(F.col("o_orderpriority").alias("priority"), lat.alias("lat"))
     )
+    # materialize_values=False (r14): `base` is already the materialized
+    # compact (priority, lat) frame and lat is an integer day-lag, so
+    # the distinct-value pre-aggregate is a few hundred rows — cheaper
+    # to re-derive per branch than to eager-checkpoint
     pct = grouped_interp_percentiles(
-        base, ["priority"], "lat", [0.5, 0.9], ["p50_days", "p90_days"]
+        base, ["priority"], "lat", [0.5, 0.9], ["p50_days", "p90_days"],
+        materialize_values=False,
     ).select("priority", "p50_days", "p90_days")
     return (
         base.groupBy("priority")
