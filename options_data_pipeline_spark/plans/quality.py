@@ -4897,15 +4897,8 @@ def q_bloom_file_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev = load_table(spark, sf_dir, "events").select(
             F.to_date("ts").alias("day"), "user_id"
         )
-        # ONE corpus pass builds the compact distinct (day, user) frame;
-        # the probe keys (present / absent) and the ground truth are all
-        # functions of it (r14 scan diet: the original derived each from
-        # its own events scan — 3 extra corpus reads per execution; the
-        # key sets are identical — distinct user_ids, max user_id and
-        # the distinct pairs are invariant under the distinct collapse)
-        truth_base = materialize(ev.distinct())
         present_keys = (
-            truth_base.where(
+            ev.where(
                 F.col("user_id") % BLOOM_FI_PRESENT_MOD
                 == BLOOM_FI_PRESENT_RES
             )
@@ -4915,7 +4908,7 @@ def q_bloom_file_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(BLOOM_FI_N_PRESENT)
         )
         absent_keys = (
-            truth_base.agg(F.max("user_id").alias("mx"))
+            ev.agg(F.max("user_id").alias("mx"))
             .select(
                 F.explode(
                     F.sequence(
@@ -4960,7 +4953,9 @@ def q_bloom_file_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         maybe = j.groupBy("user_id", "day").agg(
             F.min("hit").alias("maybe")
         )
-        truth = truth_base.withColumn("present", F.lit(1))
+        truth = ev.select("day", "user_id").distinct().withColumn(
+            "present", F.lit(1)
+        )
         out = (
             maybe.join(truth, ["user_id", "day"], "left")
             .select(
@@ -5148,14 +5143,8 @@ def q_bloom_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("day_words"),
             F.sum(F.bit_count("bits")).cast("long").alias("day_set_bits"),
         )
-        # ONE corpus pass builds the compact distinct (day, user) frame;
-        # present/absent probe keys and the ground truth all derive from
-        # it (r14 scan diet — same identity argument as
-        # q_bloom_file_index: the key sets are invariant under the
-        # distinct collapse)
-        truth_base = materialize(ev.select("day", "user_id").distinct())
         present_keys = (
-            truth_base.where(
+            ev.where(
                 F.col("user_id") % BLOOM_FI_PRESENT_MOD
                 == BLOOM_FI_PRESENT_RES
             )
@@ -5164,7 +5153,7 @@ def q_bloom_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("user_id")
             .limit(BLOOM_FI_N_PRESENT)
         )
-        absent_keys = truth_base.agg(F.max("user_id").alias("mx")).select(
+        absent_keys = ev.agg(F.max("user_id").alias("mx")).select(
             F.explode(
                 F.sequence(
                     F.col("mx") + 1, F.col("mx") + BLOOM_FI_N_ABSENT
@@ -5201,7 +5190,9 @@ def q_bloom_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
         maybe = j.groupBy("user_id", "day").agg(
             F.min("hit").alias("maybe")
         )
-        truth = truth_base.withColumn("present", F.lit(1))
+        truth = ev.select("day", "user_id").distinct().withColumn(
+            "present", F.lit(1)
+        )
         out = (
             maybe.join(truth, ["user_id", "day"], "left")
             .join(F.broadcast(weights), "day")
