@@ -752,6 +752,30 @@ _PRIORITY: list[str] = [
     "daily_sessions",
     "option_chain_ohlc",
     "candle_resample",
+    # round-14 OPTIMIZATION round: every query whose plan changed this
+    # round (VERDICT r13 ask #4 — promote changed queries while fresh).
+    # implied_vol: staged ncdf subtrees (codegen fix); kendall pair:
+    # reassembly diet + single-x kernel skip + B=16; composite pair:
+    # store-read index/probes; rfm/shipping_sla/logprob_trim:
+    # percentile checkpoint policy; the sink-consuming twins cover the
+    # upsert_partitioned staging->checkpoint change.
+    "implied_vol",
+    "composite_maintain",
+    "composite_prune",
+    "rfm_segments",
+    "shipping_sla",
+    "logprob_trim",
+    "small_file_compaction",
+    "zorder_maintain",
+    "stream_reservoir_twin",
+    "cms_store_twin",
+    "dds_store_stream_twin",
+    "hist_store_stream_twin",
+    "stream_weighted_sample_twin",
+    "stream_mg_topk_twin",
+    "minhash_index_maintain",
+    "ivf_index_upsert",
+    "ivf_index_recluster",
     # round-14 extension wave (second session): the Hilbert physical
     # prune + narrow probes (hilbert_prune_compare re-adjudicated
     # after the hm_joint_cells seam extraction) and the distributed
@@ -806,13 +830,7 @@ _PRIORITY: list[str] = [
     "rolling_median",
     "length_ks_drift",
     "quantile_map_lengths",
-    "composite_prune",
-    "composite_maintain",
     "cms_store_replay_twin",
-    "cms_store_twin",
-    "hist_store_stream_twin",
-    "dds_store_stream_twin",
-    "stream_mg_topk_twin",
     "stream_candles_twin",
     "stream_candles_replay_twin",
     "stream_agg_ivm_twin",
@@ -828,26 +846,19 @@ _PRIORITY: list[str] = [
     # over fact- or corpus-sized input re-planned onto the distinct-
     # value prefix sum (grouped_interp_percentiles)
     "mad_outliers",
-    "shipping_sla",
     "hist_quantiles",
-    "rfm_segments",
-    "logprob_trim",
     # round-12 new operators: keep in the sample window while fresh
     # (VERDICT r12 #5)
     "mg_topk_store",
-    "stream_weighted_sample_twin",
     # round-12 re-planned queries
     "vocab_top_tokens",
     "cms_topk_from_store",
     "bloom_prefilter_dedup",
     "minhash_index_upsert",
-    "ivf_index_upsert",
     # round-11 new operators: first driver adjudication this round
     "zorder_prune",
-    "zorder_maintain",
     "reservoir_sample_store",
     "weighted_sample_store",
-    "stream_reservoir_twin",
     "asof_forward_twin",
     "bloom_file_index",
     "bloom_index_maintain",
@@ -857,12 +868,9 @@ _PRIORITY: list[str] = [
     # round-11 code changes: re-adjudicate under the driver (materialize
     # teardown pattern, compact_partitions split-on-mismatch, DDS
     # overflow guard, exact-substring broadcast drop)
-    "small_file_compaction",
     "dds_quantile_store",
     "exact_substring_contamination",
-    "ivf_index_recluster",
     # round-10 new operators: first driver adjudication this round
-    "minhash_index_maintain",
     "ledoit_wolf_shrinkage",
     "mwu_domain_reweight",
     "kalman_local_level",
@@ -934,7 +942,6 @@ _PRIORITY: list[str] = [
     "hll_rolling_users",
     "ams_f2_skew",
     "ams_join_size",
-    "implied_vol",
     "feature_hash",
     "pnl_explain",
     # previously driver-green queries, prior rounds' order
@@ -1076,7 +1083,9 @@ def harness_queries() -> set[str]:
 
 
 def _ordered_names() -> list[str]:
-    promoted = [n for n in _PRIORITY if n in _REGISTRY]
+    promoted = list(
+        dict.fromkeys(n for n in _PRIORITY if n in _REGISTRY)
+    )  # first mention wins; later duplicates (re-promotions) collapse
     seen = set(promoted)
     return promoted + [n for n in _REGISTRY if n not in seen]
 
