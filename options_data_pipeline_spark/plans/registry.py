@@ -1094,6 +1094,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: _REGISTRY[name][0] for name in _ordered_names()}
 
 
+def bench_order() -> list[str]:
+    """STABLE bench execution order: pure registration order (the
+    ``_REGISTRY`` literal), independent of ``_PRIORITY``.
+
+    VERDICT r14 ask #2: ``queries()`` iteration order drives the
+    driver's oracle-sample window, so ``_PRIORITY`` reshuffles it every
+    round — but the bench main loop used the same order, which seated
+    each round's changed queries at the COLD FRONT of the session
+    (where the canary start-sweep shows 2-4× penalties), i.e. the
+    round's own changes were always measured at their worst position.
+    The bench now runs in this round-invariant order (new queries
+    append at the tail); ``_PRIORITY`` continues to drive only the
+    oracle sample.  Same name set as ``queries()`` by construction.
+    """
+    return list(_REGISTRY)
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         name: _REGISTRY[name][1]()

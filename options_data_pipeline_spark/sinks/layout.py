@@ -315,14 +315,18 @@ def compact_partitions(
     # OPTIMIZE shape: one rewrite task stream per partition.
     from concurrent.futures import ThreadPoolExecutor
 
-    # Pool width (r14 optimization, guide §2.6): each rewrite is a
-    # 1-2-task job, so in-flight jobs ≈ busy cores; a fixed 8 left most
-    # of a 32-core session idle through a 64-slot compaction.  Sized
-    # from the session's own parallelism and capped — on a small
-    # executor it degrades to the old width, on a big cluster the
-    # scheduler interleaves the streams exactly as §2.6 prescribes.
+    # Pool width: 8 (r15 — reverted from the r14 parallelism-derived
+    # 16).  The r14 widening won an ISOLATED fresh-store A/B (5.26 s at
+    # 8 vs 4.27 s at 16) but did not survive bench conditions: the
+    # driver's full r14 run had all three consumers regress
+    # (composite_maintain 10.07 → 15.46 s, and composite_maintain ran
+    # FASTER at 8 cores — where the formula degrades back to width 8 —
+    # than at 32), and VERDICT r14 adjudicated 16 concurrent 1-2-task
+    # jobs on local[32] as scheduler/FS thrash.  Guide §2.6's "2-3 jobs
+    # in flight is plenty" points the same direction; 8 already keeps
+    # the tail back-filled.  Callers can still override.
     if max_workers is None:
-        max_workers = max(8, min(16, spark.sparkContext.defaultParallelism // 2))
+        max_workers = 8
     files_before = files_after = 0
     with ThreadPoolExecutor(max_workers=max_workers) as pool:
         for b, a in pool.map(lambda t: _compact_one(*t), targets):

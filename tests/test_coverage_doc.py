@@ -44,6 +44,23 @@ def test_priority_ordering_names_are_registry_keys():
     assert names[: len(valid)] == valid
 
 
+def test_bench_order_is_stable_registration_order():
+    """r15 (VERDICT r14 ask #2): the bench executes queries in
+    REGISTRATION order — round-invariant, decoupled from the
+    _PRIORITY promotion that seats the driver's oracle sample — so a
+    promoted (= freshly changed) query no longer pays the session's
+    cold front.  Same name set as queries(), pure _REGISTRY order."""
+    order = registry.bench_order()
+    assert order == list(registry._REGISTRY)
+    assert set(order) == set(registry.queries())
+    # the decoupling is real: priority promotion reorders queries()
+    # but must never reorder bench_order()
+    assert order != list(registry.queries()), (
+        "queries() iteration order unexpectedly equals registration "
+        "order — the _PRIORITY promotion is inert, check _ordered_names"
+    )
+
+
 def test_harness_tag_matches_scratch_state_construction():
     """The bench-subtotal split (VERDICT r12 #4) is only meaningful if
     the tag tracks reality: EXACTLY the registry queries that build
