@@ -18,15 +18,18 @@ value-level one that powers :mod:`.prefixsum`:
    collapses onto VALUE-level y-weights: for a row with value ``v`` in
    bucket ``b``, its contribution against every earlier bucket ``b'``
    is ``(# y < v in b') − (# y > v in b')``.  With ``cum``/``vw``/
-   ``tw`` from ONE :func:`..operators.prefixsum.grouped_value_prefix`
-   pass over the (bucket, y)-cells — probe values from later buckets
-   union-merged in with weight 0, the classic merge trick — that is
+   ``tw`` per bucket from ONE
+   :func:`..operators.prefixsum.grouped_value_prefix_multi` pass over
+   the (bucket, y)-cells — B per-bucket weight columns over the
+   group's shared value order, so every bucket's cumulative table is
+   evaluated at EVERY value in the group with zero probe rows — that
+   is
 
        f(b', v) = (cum − vw) − (tw − cum) = 2·cum − vw − tw
 
    and the cross-bucket total per cell is ``Σ_{b'<b} f(b', v)``: a
-   cumulative window over a ≤ n_buckets-row partition per (group,
-   value) — bounded by the CONSTANT bucket count, never by data.
+   CONSTANT-width fold over the B per-bucket columns at the cell's own
+   row — bounded by the bucket count, never by data.
 
 3. **Within a bucket** pairs need the full sign·sign, but the bucket
    is a bounded slice (n/B rows, tunable) and ties are pre-collapsed
@@ -41,11 +44,10 @@ and Mann-Kendall's variance come off the SAME materialized cell frame
 (zero extra corpus scans).
 
 Scale shape: one corpus scan → distinct-(x,y) cell aggregate
-(map-side combined, materialized); one bounded broadcast of the
-per-group bucket list; the ≤ (B−1)× probe expansion feeds one
-grouped prefix pass (two-level segment algebra, fully parallel); the
-within-bucket kernels are independent tasks.  No pair join, no
-one-task sweep, no driver loop.
+(map-side combined, materialized); ONE multi-weight grouped prefix
+pass over the y-cells (two-level segment algebra, fully parallel —
+no probe expansion, r15); the within-bucket kernels are independent
+tasks.  No pair join, no one-task sweep, no driver loop.
 
 Skew caveat (same class as ``segment_expr``): bucket occupancy follows
 the x VALUE distribution, so a pathological x domain (all mass in one
@@ -64,11 +66,10 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
-#: default x-bucket count — parallelism/kernel-size tradeoff: the
-#: probe expansion is ≤ (B−1)×cells rows and a kernel task sees
-#: ~n_group/B rows
+#: default x-bucket count — a kernel-size knob: a within-bucket kernel
+#: task sees ~n_group/B rows; the cross-bucket fold is B literal
+#: columns wide but its ROW count no longer depends on B (r15)
 N_XBUCKETS = 32
 
 #: chunk edge for the within-bucket O(m²) sign kernel — bounds the
@@ -82,9 +83,27 @@ def kendall_s_frame(
     x_col: str,
     y_col: str,
     n_xbuckets: int = N_XBUCKETS,
+    cross: str = "fold",
 ) -> DataFrame:
     """Per group: the exact pair statistic and every tie aggregate the
     tau-b / Mann-Kendall family needs.
+
+    ``cross`` picks the cross-bucket strategy (r15; both compute the
+    SAME integer S — equality is unit-pinned):
+
+    - ``"fold"`` (default): ONE multi-weight value prefix per group
+      with B per-bucket weight columns, then a constant-width
+      earlier-bucket column fold per cell.  1× cells_y rows — no probe
+      expansion — at the cost of ~3B generated columns, so it is the
+      right shape when B is SMALL (interleaved A/B at sf0.1: B=4 fold
+      3.7 s vs B=16 probe 5.1 s on the all-distinct calendar axis;
+      B=32 fold 6.7 s vs B=32 probe 3.9 s — the column width, not the
+      rows, dominates a toy scale).
+    - ``"probe"``: the r14 shape — every cell probes each earlier
+      bucket (≤ (B−1)× row expansion into one narrow prefix pass).
+      The right shape when B must stay LARGE, e.g. a tie-heavy x whose
+      single-x buckets skip the within-kernel only while buckets are
+      narrower than the x domain.
 
     ``x_col`` and ``y_col`` MUST be integer-valued (long-castable
     without loss — cents, counts, epoch days): all arithmetic is then
@@ -109,7 +128,6 @@ def kendall_s_frame(
     first (the cell collapse is lossless for S).
     """
     from .materialize import materialize
-    from .prefixsum import grouped_value_prefix
 
     keep = F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
     for g in groups:
@@ -192,50 +210,107 @@ def kendall_s_frame(
         .agg(F.sum("s_within").alias("__sw"))
     )
 
-    # --- cross-bucket term off ONE grouped prefix pass ---
+    # --- cross-bucket term (strategy per ``cross``, r15) ---
+    # "fold": ONE multi-weight value prefix per group (B per-bucket
+    # weight columns), then per cell (b, v) the earlier-bucket sum is a
+    # CONSTANT-width column fold of B long terms:
+    #
+    #   Σ_{b'<b} f(b', v) = Σ_{b'<b} (2·cum_{b'}(v) − vw_{b'}(v) − tw_{b'})
+    #
+    # — identical algebra to the probe shape's window (buckets absent
+    # from a group contribute all-zero columns, exactly as they
+    # contributed nothing to the window), so s is bit-identical; the
+    # cross term's ROW count no longer scales with B, making B a
+    # kernel-size knob (VERDICT r14 ask #4).
+    # "probe": the r14 union-merge — each cell probes every earlier
+    # bucket into one narrow per-(group, bucket) prefix — kept for
+    # call sites that need a LARGE B (see the docstring A/B numbers).
     cy = cells.groupBy(*groups, "__xb", "__ky").agg(
         F.sum("__kc").alias("__w")
     )
-    buckets = cy.select(*groups, "__xb").distinct()
-    if groups:
-        probes = cy.alias("t").join(
-            F.broadcast(buckets.alias("p")),
-            [F.col(f"t.{g}").eqNullSafe(F.col(f"p.{g}")) for g in groups]
-            + [F.col("p.__xb") < F.col("t.__xb")],
+    if cross == "probe":
+        from pyspark.sql.window import Window
+
+        from .prefixsum import grouped_value_prefix
+
+        buckets = cy.select(*groups, "__xb").distinct()
+        if groups:
+            probes = cy.alias("t").join(
+                F.broadcast(buckets.alias("p")),
+                [F.col(f"t.{g}").eqNullSafe(F.col(f"p.{g}")) for g in groups]
+                + [F.col("p.__xb") < F.col("t.__xb")],
+            )
+        else:
+            probes = cy.alias("t").join(
+                F.broadcast(buckets.alias("p")),
+                F.col("p.__xb") < F.col("t.__xb"),
+            )
+        probes = probes.select(
+            *[F.col(f"t.{g}") for g in groups],
+            F.col("p.__xb").alias("__xb"),
+            F.col("t.__ky").alias("__ky"),
+            F.lit(0).cast("long").alias("__w"),
+        )
+        pre = grouped_value_prefix(
+            cy.select(*groups, "__xb", "__ky", "__w").unionByName(probes),
+            [*groups, "__xb"],
+            value_col="__ky",
+            weight_col=F.col("__w"),
+        )
+        f_term = (2 * F.col("cum") - F.col("vw") - F.col("tw")).alias("__f")
+        w_lg = (
+            Window.partitionBy(*groups, "value")
+            .orderBy("__xb")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        lg = pre.select(*groups, "__xb", "value", "vw", f_term).select(
+            *groups,
+            "__xb",
+            "value",
+            "vw",
+            F.coalesce(F.sum("__f").over(w_lg), F.lit(0)).alias("__lg"),
+        )
+        s_cross = lg.groupBy(*groups).agg(
+            F.sum(F.col("vw") * F.col("__lg")).alias("__sc")
         )
     else:
-        probes = cy.alias("t").join(
-            F.broadcast(buckets.alias("p")),
-            F.col("p.__xb") < F.col("t.__xb"),
+        from .prefixsum import grouped_value_prefix_multi
+
+        pfxm = grouped_value_prefix_multi(
+            cy,
+            groups,
+            value_col="__ky",
+            weights={
+                f"b{b}": F.when(
+                    F.col("__xb") == b, F.col("__w")
+                ).otherwise(F.lit(0))
+            for b in range(n_xbuckets)
+            },
+            # cy is one small aggregate over the MATERIALIZED cell
+            # frame: the prefix's three internal branches re-derive it
+            # from ExistingRDD, so the eager distinct-value checkpoint
+            # would buy nothing and cost one sync (the r14 wave-3
+            # per-call-site policy)
+            materialize_values=False,
+        ).withColumnRenamed("value", "__ky")
+
+        def _below(prefix: str):
+            # Σ over buckets strictly before the cell's own — B literal
+            # terms, all long arithmetic (codegen-friendly at B ≤ 64)
+            expr = F.lit(0).cast("long")
+            for b in range(n_xbuckets):
+                expr = expr + F.when(
+                    F.col("__xb") > b, F.col(f"{prefix}b{b}")
+                ).otherwise(F.lit(0))
+            return expr
+
+        joined = cy.join(pfxm, [*groups, "__ky"])
+        s_cross = joined.groupBy(*groups).agg(
+            F.sum(
+                F.col("__w")
+                * (2 * _below("cum_") - _below("vw_") - _below("tw_"))
+            ).alias("__sc")
         )
-    probes = probes.select(
-        *[F.col(f"t.{g}") for g in groups],
-        F.col("p.__xb").alias("__xb"),
-        F.col("t.__ky").alias("__ky"),
-        F.lit(0).cast("long").alias("__w"),
-    )
-    pre = grouped_value_prefix(
-        cy.select(*groups, "__xb", "__ky", "__w").unionByName(probes),
-        [*groups, "__xb"],
-        value_col="__ky",
-        weight_col=F.col("__w"),
-    )
-    f_term = (2 * F.col("cum") - F.col("vw") - F.col("tw")).alias("__f")
-    w_lg = (
-        Window.partitionBy(*groups, "value")
-        .orderBy("__xb")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    lg = pre.select(*groups, "__xb", "value", "vw", f_term).select(
-        *groups,
-        "__xb",
-        "value",
-        "vw",
-        F.coalesce(F.sum("__f").over(w_lg), F.lit(0)).alias("__lg"),
-    )
-    s_cross = lg.groupBy(*groups).agg(
-        F.sum(F.col("vw") * F.col("__lg")).alias("__sc")
-    )
 
     # --- tie aggregates, all off the materialized cell frame ---
     def tie_aggs(col: str, tag: str, with_var: bool, with_n: bool) -> DataFrame:

@@ -60,6 +60,32 @@ def test_bucket_count_invariance(spark):
     assert outs[0] == outs[1] == outs[2] == _expected(rows)
 
 
+def test_cross_strategy_invariance(spark):
+    # r15: the fold and probe cross-term strategies are two physical
+    # shapes of ONE integer algebra — identical output on a tie-heavy
+    # mix, grouped and ungrouped, across bucket counts
+    rng = random.Random(11)
+    rows = [("a", rng.randrange(6), rng.randrange(-40, 40))
+            for _ in range(250)]
+    rows += [("b", i, rng.randrange(3)) for i in range(120)]
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    for b in (2, 8, 32):
+        for groups in (["g"], []):
+            from options_data_pipeline_spark.operators.kendall import (
+                kendall_s_frame as ksf,
+            )
+            fold = ksf(df, groups, "x", "y", n_xbuckets=b, cross="fold")
+            probe = ksf(df, groups, "x", "y", n_xbuckets=b, cross="probe")
+            key = lambda r: tuple(r[g] for g in groups)  # noqa: E731
+            got_f = {key(r): (r["n"], r["s"], r["tx_pairs"], r["ty_pairs"],
+                              r["ty_var"]) for r in fold.collect()}
+            got_p = {key(r): (r["n"], r["s"], r["tx_pairs"], r["ty_pairs"],
+                              r["ty_var"]) for r in probe.collect()}
+            assert got_f == got_p
+            if groups:  # and both match the O(n²) reference
+                assert got_f == _expected(rows)
+
+
 def test_degenerate_groups(spark):
     rows = [
         ("one", 5, 7),                       # single row: no pairs
@@ -92,6 +118,23 @@ def test_ungrouped_form(spark):
     exp = kendall_s_reference(rows)
     r = out[0]
     assert (r["n"], r["s"], r["tx_pairs"], r["ty_pairs"], r["ty_var"]) == exp
+
+
+def test_ungrouped_single_distinct_x(spark):
+    # ADVICE r14: the ungrouped reassembly uses a condition-true LEFT
+    # join precisely so a legitimately-EMPTY s_within (every x tied →
+    # the single-x short-circuit empties the kernel input) cannot
+    # annihilate the one output row — pin that path: one row, s = 0,
+    # n and tie terms intact.
+    df = spark.createDataFrame(
+        [(5, 1), (5, 2), (5, 3)], "x long, y long"
+    )
+    out = kendall_s_frame(df, [], "x", "y").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["n"], r["s"], r["tx_pairs"], r["ty_pairs"], r["ty_var"]) == (
+        3, 0, 3, 0, 0,
+    )
 
 
 def test_null_group_keys_dropped_not_half_joined(spark):
