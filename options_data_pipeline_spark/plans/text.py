@@ -4380,8 +4380,33 @@ def _irls_fit(spark: SparkSession, sf_dir: str):
     is the quantized (x1, x2, y) frame and ``beta`` the trained 1-row
     coefficient frame — consumed by :func:`q_logistic_irls` (the
     training query) and :func:`q_calibration_curve` (the reliability
-    audit of the SAME coefficients, chained rather than retrained)."""
-    return _irls_fit_impl(spark, sf_dir)
+    audit of the SAME coefficients, chained rather than retrained).
+
+    ``beta`` is a SESSION ARTIFACT (r15, VERDICT r14 ask #7): the
+    3-round fit — three corpus-pass moment aggregates — used to run
+    once inside EACH consumer, so one bench/session paid for six
+    corpus aggregates where three suffice.  The trained 1-row
+    coefficient frame is exactly the shape the artifact store exists
+    for (deterministic function of the immutable snapshot, consumed by
+    multiple queries); the bench times the build cold as
+    ``irls_beta_artifact_build``, like the other artifact rows."""
+    return _irls_feats(spark, sf_dir), irls_beta_artifact(spark, sf_dir)
+
+
+def irls_beta_artifact(spark: SparkSession, sf_dir: str):
+    """The trained 1-row IRLS coefficient frame as a session artifact
+    (see :func:`_irls_fit`)."""
+    from ..operators.artifacts import session_artifact
+
+    def build():
+        _feats, beta = _irls_fit_impl(spark, sf_dir)
+        return beta
+
+    return session_artifact(
+        spark,
+        f"irls_beta:{sf_dir}:rounds={IRLS_ROUNDS}:ridge={IRLS_RIDGE!r}",
+        build,
+    )
 
 
 def q_logistic_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4411,7 +4436,9 @@ def q_logistic_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _irls_fit_impl(spark: SparkSession, sf_dir: str):
+def _irls_feats(spark: SparkSession, sf_dir: str):
+    """The quantized (x1, x2, y) feature frame — one corpus pass,
+    shared text with the oracle's ``feats`` CTE."""
     from ..functions.rounding import round_half_away
 
     docs = parallelized(spark, load_table(spark, sf_dir, "documents"))
@@ -4420,11 +4447,17 @@ def _irls_fit_impl(spark: SparkSession, sf_dir: str):
         F.log(F.lit(1.0) + F.col("n_chars").cast("double")), 9
     )
     x2 = round_half_away(F.col("stopword_ratio"), 9)
-    feats = scored.select(
+    return scored.select(
         x1.alias("x1"),
         x2.alias("x2"),
         (F.col("lang") == "en").cast("double").alias("y"),
     ).where(F.col("x2").isNotNull())
+
+
+def _irls_fit_impl(spark: SparkSession, sf_dir: str):
+    from ..functions.rounding import round_half_away
+
+    feats = _irls_feats(spark, sf_dir)
 
     def mom(expr, name):
         return F.sum(
@@ -4754,9 +4787,9 @@ def q_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.materialize import materialize
 
     feats, beta = _irls_fit(spark, sf_dir)
-    # materialize the 1-row coefficient frame: without it the entire
-    # 3-round training chain re-derives for every consumer branch
-    beta = materialize(beta)
+    # beta is already materialized by the session-artifact seam
+    # (without a materialization point the 3-round training chain
+    # would re-derive per consumer branch)
     scored = feats.crossJoin(F.broadcast(beta))
     eta = (
         F.col("b0")

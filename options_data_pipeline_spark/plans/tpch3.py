@@ -1113,7 +1113,16 @@ def q_kendall_orders_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(_cents(F.col("o_totalprice"))).alias("y"),
         )
     )
-    sf = kendall_s_frame(per_cust, ["nation"], "x", "y")
+    # PROBE cross-term at the default B=32 (r15): x = order count is
+    # tie-heavy over a SMALL domain, so the scale-safety of the within
+    # kernel rests on B staying wide enough that most buckets hold one
+    # x value (the single-x short-circuit) — which rules out the
+    # small-B fold that wins on the calendar axis (interleaved A/B at
+    # sf0.1: probe B=32 3.85 s / fold B=32 6.71 s — the 3B-column
+    # width dominates; fold B≤8 wins locally but widens the kernel
+    # slices the short-circuit exists to avoid).  This keeps the
+    # audited r14 shape.
+    sf = kendall_s_frame(per_cust, ["nation"], "x", "y", cross="probe")
     n0 = F.shiftright(F.col("n") * (F.col("n") - 1), 1)
     d1 = (n0 - F.col("tx_pairs")).cast("long")
     d2 = (n0 - F.col("ty_pairs")).cast("long")
@@ -1227,14 +1236,16 @@ def q_mann_kendall_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("n_name").alias("nation"), day.alias("day"))
         .agg(F.sum(_cents(F.col("o_totalprice"))).alias("y"))
     )
-    # B=16 (r14 optimization): x is the CALENDAR day — distinct-x per
-    # group is calendar-bounded at every scale, so the within-bucket
-    # kernels stay trivially small while the (B−1)× cross-term probe
-    # expansion (the dominant cost of this shape — all-distinct x means
-    # every bucket is multi-x) halves vs the default.  B is a
-    # parallelism knob, never a correctness knob (B-invariance is
+    # FOLD cross-term + B=4 (r15, VERDICT r14 ask #4): the fold makes
+    # the cross term's row count B-independent (no probe expansion),
+    # so B shrinks to a pure kernel-size knob — and x is the CALENDAR
+    # day, so per-bucket kernel slices stay calendar-bounded at every
+    # scale (days/B distinct cells per task even at 100 TB).
+    # Interleaved A/B at sf0.1: fold B=4 3.66 s / fold B=8 3.79-3.83 s
+    # / probe B=16 (the r14 shape) 5.09 s.  B is a parallelism knob,
+    # never a correctness knob (B- and strategy-invariance are
     # unit-pinned in tests/test_kendall.py).
-    sf = kendall_s_frame(per_day, ["nation"], "day", "y", n_xbuckets=16)
+    sf = kendall_s_frame(per_day, ["nation"], "day", "y", n_xbuckets=4)
     nvar = (
         F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
     ).cast("long")
@@ -1675,6 +1686,40 @@ def weekly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def weekly_pair_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ORDERED week-pair frame ``nation, wa, ya, wb, yb`` with
+    ``wa <= wb`` — one session artifact shared by `theil_sen_revenue`
+    (slopes need ``wa < wb``; its residual branch reads the diagonal
+    ``wa = wb``, which IS the weekly seam — zero extra corpus scans)
+    and `hodges_lehmann_revenue` (Walsh averages over ``wa <= wb``)
+    (r15, VERDICT r14 ask #5: both queries built the same pair join
+    from the same weekly seam independently; one materialized pair
+    frame per corpus snapshot serves both, the artifact-store shape
+    every other session artifact already has).
+
+    Scale: (weeks)² per nation — calendar-bounded, a structural
+    constant; the fact-scale reduction happens in `weekly_revenue`
+    before the join.  The frame is bench-timed cold like the other
+    artifact builds (``weekly_pairs_artifact_build``)."""
+    from ..operators.artifacts import session_artifact
+
+    def build() -> DataFrame:
+        per_week = weekly_revenue(spark, sf_dir)
+        a = per_week.select(
+            "nation", F.col("w").alias("wa"), F.col("y").alias("ya")
+        )
+        b = per_week.select(
+            "nation", F.col("w").alias("wb"), F.col("y").alias("yb")
+        )
+        return (
+            a.join(b, "nation")
+            .where(F.col("wa") <= F.col("wb"))
+            .select("nation", "wa", "ya", "wb", "yb")
+        )
+
+    return session_artifact(spark, f"weekly_pairs:{sf_dir}", build)
+
+
 def q_theil_sen_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theil-Sen estimator on per-nation WEEKLY revenue: slope =
     median of all pairwise slopes (y_j − y_i)/(w_j − w_i), intercept =
@@ -1691,23 +1736,24 @@ def q_theil_sen_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     per element); both medians ride
     :func:`..operators.prefixsum.grouped_interp_percentiles` — the
     fully-distributed interpolated percentile, no per-nation buffering
-    aggregate.  The week frame is materialized once; slopes and
-    residuals are its two bounded descendants (scan doctrine).
+    aggregate.  Slopes and residuals are two bounded descendants of
+    the shared :func:`weekly_pair_artifact` (scan doctrine; r15 — the
+    residual branch reads the pair frame's diagonal, so the corpus is
+    aggregated once per snapshot, not once per query).
 
     Oracle: independent pair CTE + DuckDB ``quantile_cont`` (the
     proven interpolation-law twin) + identical residual arithmetic."""
     from ..operators.prefixsum import grouped_interp_percentiles
 
-    per_week = weekly_revenue(spark, sf_dir)
-    a = per_week.select(
-        "nation", F.col("w").alias("wa"), F.col("y").alias("ya")
-    )
-    b = per_week.select(
-        "nation", F.col("w").alias("wb"), F.col("y").alias("yb")
+    pairs = weekly_pair_artifact(spark, sf_dir)
+    # the weekly seam is the pair frame's DIAGONAL (every week pairs
+    # with itself under wa <= wb) — the residual branch reads it from
+    # the artifact instead of re-aggregating the corpus (r15)
+    per_week = pairs.where(F.col("wa") == F.col("wb")).select(
+        "nation", F.col("wa").alias("w"), F.col("ya").alias("y")
     )
     slopes = (
-        a.join(b, "nation")
-        .where(F.col("wa") < F.col("wb"))
+        pairs.where(F.col("wa") < F.col("wb"))
         .select(
             "nation",
             (
@@ -1799,26 +1845,15 @@ def q_hodges_lehmann_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame is (weeks)² per group, calendar-bounded; averages are exact
     ((y_i + y_j) ≤ 2^53 so the /2.0 is a lossless IEEE halving); the
     median rides `grouped_interp_percentiles` off one prefix pass.
-    The weekly aggregate is the SAME materialized seam
-    (`weekly_revenue`) the Theil-Sen query reads."""
+    The pair frame is the SAME session artifact
+    (:func:`weekly_pair_artifact`) the Theil-Sen query reads (r15)."""
     from ..operators.prefixsum import grouped_interp_percentiles
 
-    per_week = weekly_revenue(spark, sf_dir)
-    a = per_week.select(
-        "nation", F.col("w").alias("wa"), F.col("y").alias("ya")
-    )
-    b = per_week.select(
-        "nation", F.col("w").alias("wb"), F.col("y").alias("yb")
-    )
-    walsh = (
-        a.join(b, "nation")
-        .where(F.col("wa") <= F.col("wb"))
-        .select(
-            "nation",
-            (
-                (F.col("ya") + F.col("yb")).cast("double") / F.lit(2.0)
-            ).alias("wavg"),
-        )
+    walsh = weekly_pair_artifact(spark, sf_dir).select(
+        "nation",
+        (
+            (F.col("ya") + F.col("yb")).cast("double") / F.lit(2.0)
+        ).alias("wavg"),
     )
     med = grouped_interp_percentiles(
         walsh, ["nation"], "wavg", [0.5], ["hl"]
