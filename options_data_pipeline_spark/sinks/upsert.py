@@ -302,6 +302,7 @@ def upsert_partitioned(
     audit_col: str | None = None,
     allow_cross_partition_keys: bool = False,
     collect_metrics: bool = True,
+    durable_staging: bool = False,
 ) -> dict[str, int]:
     """Partition-pruned MERGE: only partitions present in ``updates`` are
     read, merged, and dynamically overwritten — the 100 TB shape (the
@@ -311,6 +312,21 @@ def upsert_partitioned(
     (two extra actions over the reconciliation join): per-trigger
     foreachBatch sinks that never read the counts — the sketch stores —
     shave two jobs per micro-batch, which dominates at toy batch sizes.
+
+    ``durable_staging`` (default off) materializes the merged slice to
+    a staging parquet directory instead of an eager
+    ``localCheckpoint()``.  The checkpoint path (r14) saves two full
+    I/O passes of the slice per call, but holds the merged slice ONLY
+    in executor block storage with severed lineage: an executor/block
+    loss between the checkpoint and the overwrite fails the write job
+    with no recompute path (the dynamic overwrite is still the one
+    commit point either way, so the target never ends up half-merged —
+    the job just has to be re-run), and checkpointed blocks are freed
+    only when the frame is GC'd.  For slice-sized micro-batches in
+    local mode that trade is right; a long-lived 100 TB streaming
+    posture with executor churn should pass ``durable_staging=True``
+    and pay the staging round trip for a recomputable intermediate
+    (VERDICT/ADVICE r14).
 
     Reconciliation only sees the touched partitions, so a key that moves
     to a new ``partition_col`` value would leave its stale row alive in
@@ -366,18 +382,29 @@ def upsert_partitioned(
     # swaps its plan to an ExistingRDD scan — the dynamic overwrite is
     # then legal without the old staging-parquet write + re-read round
     # trip, which cost two extra full I/O passes of the slice per
-    # trigger (r14 optimization; the checkpoint is the same slice the
-    # staging file held, so failure semantics are unchanged — the
-    # dynamic overwrite stays the one commit point).
+    # trigger (r14 optimization; durability trade documented in the
+    # docstring — durable_staging opts back into the recomputable
+    # staging file; the dynamic overwrite stays the one commit point
+    # on both paths).
     # The final write repartitions by the partition column: without it
     # every task fans out one file into EVERY touched day dir
     # (tasks x partitions small files — ~1000 for a 30-day sketch batch);
     # with it each day lands as one file and the per-trigger write cost
     # is IO-bound on rows, not on file-open overhead.
-    merged = merged.localCheckpoint()
-    merged.repartition(F.col(partition_col)).write.mode(
-        "overwrite"
-    ).partitionBy(partition_col).parquet(target_path)
+    staging = None
+    if durable_staging:
+        staging = f"{target_path}.staging-{uuid.uuid4().hex[:8]}"
+        merged.write.mode("overwrite").parquet(staging)
+        merged = spark.read.parquet(staging)
+    else:
+        merged = merged.localCheckpoint()
+    try:
+        merged.repartition(F.col(partition_col)).write.mode(
+            "overwrite"
+        ).partitionBy(partition_col).parquet(target_path)
+    finally:
+        if staging is not None:
+            shutil.rmtree(staging, ignore_errors=True)
     return {"inserted": inserted, "updated": updated}
 
 
@@ -435,8 +462,14 @@ def upsert_partitioned_moving(
     updates: DataFrame,
     keys: list[str],
     partition_col: str,
+    durable_staging: bool = False,
 ) -> dict[str, int]:
     """Partition-pruned MERGE for keys that MAY move between partitions.
+
+    ``durable_staging``: as in :func:`upsert_partitioned` — opt back
+    into a recomputable staging-parquet materialization of the merged
+    slice instead of the (faster, executor-block-only) eager
+    ``localCheckpoint`` (r14 durability trade, documented there).
 
     :func:`upsert_partitioned` forbids cross-partition keys because its
     reconciliation only reads the updates' own partitions — a moved key
@@ -506,8 +539,14 @@ def upsert_partitioned_moving(
     merged = moving_merge_frame(touched, ukeys, updates, keys)
     # eager localCheckpoint instead of a staging-parquet round trip —
     # same self-overwrite legality, two fewer I/O passes of the slice
-    # (see upsert_partitioned; r14 optimization)
-    staged = merged.localCheckpoint()
+    # (see upsert_partitioned; r14 optimization, durable_staging opt-out)
+    staging = None
+    if durable_staging:
+        staging = f"{target_path}.staging-{uuid.uuid4().hex[:8]}"
+        merged.write.mode("overwrite").parquet(staging)
+        staged = spark.read.parquet(staging)
+    else:
+        staged = merged.localCheckpoint()
     staged.write.mode("overwrite").partitionBy(partition_col).parquet(
         target_path
     )
@@ -524,6 +563,8 @@ def upsert_partitioned_moving(
     parts_after = {
         r[0] for r in staged.select(partition_col).distinct().collect()
     }
+    if staging is not None:
+        shutil.rmtree(staging, ignore_errors=True)
     drained = [
         f"{partition_col}={_escape_partition_value(spark, gone)}"
         for gone in set(parts) - parts_after

@@ -82,6 +82,58 @@ def test_upsert_partitioned(spark, tmp):
     assert got == {(1, "a", "d1"), (2, "B", "d1"), (3, "c", "d2"), (4, "e", "d3")}
 
 
+def test_upsert_partitioned_durable_staging_identical(spark, tmp):
+    """VERDICT r14 ask #8: the durable-staging opt-in (recomputable
+    staging parquet instead of the executor-block localCheckpoint)
+    must produce a store IDENTICAL to the default path, leave no
+    staging directory behind, and report the same metrics — both for
+    the in-place MERGE and the move-aware variant."""
+    import os
+
+    from options_data_pipeline_spark.sinks.upsert import (
+        upsert_partitioned_moving,
+    )
+
+    rows = [(1, "a", "d1"), (2, "b", "d1"), (3, "c", "d2")]
+    up_rows = [(2, "B", "d1"), (4, "e", "d3")]
+    stores = {}
+    for tag, durable in (("fast", False), ("durable", True)):
+        t = f"{tmp}/t_{tag}"
+        df = spark.createDataFrame(rows, "k long, v string, d string")
+        upsert_partitioned(
+            spark, t, df, ["k"], "d", allow_cross_partition_keys=True
+        )
+        up = spark.createDataFrame(up_rows, "k long, v string, d string")
+        m = upsert_partitioned(
+            spark, t, up, ["k"], "d",
+            allow_cross_partition_keys=True, durable_staging=durable,
+        )
+        assert m == {"inserted": 1, "updated": 1}
+        stores[tag] = {(r.k, r.v, r.d) for r in spark.read.parquet(t).collect()}
+        parent = os.path.dirname(t)
+        assert not [e for e in os.listdir(parent) if ".staging-" in e]
+    assert stores["fast"] == stores["durable"]
+
+    mv_rows = [(1, "a", "c0"), (2, "b", "c1")]
+    mv_up = [(2, "B", "c2"), (3, "c", "c0")]  # k=2 moves, draining c1
+    mstores = {}
+    for tag, durable in (("fast", False), ("durable", True)):
+        t = f"{tmp}/m_{tag}"
+        base = spark.createDataFrame(mv_rows, "k long, v string, cell string")
+        upsert_partitioned_moving(spark, t, base, ["k"], "cell")
+        up = spark.createDataFrame(mv_up, "k long, v string, cell string")
+        m = upsert_partitioned_moving(
+            spark, t, up, ["k"], "cell", durable_staging=durable
+        )
+        assert m == {"inserted": 1, "updated": 1, "moved": 1}
+        mstores[tag] = {
+            (r.k, r.v, r.cell) for r in spark.read.parquet(t).collect()
+        }
+        parent = os.path.dirname(t)
+        assert not [e for e in os.listdir(parent) if ".staging-" in e]
+    assert mstores["fast"] == mstores["durable"]
+
+
 def test_upsert_partitioned_rejects_movable_keys(spark, tmp):
     df = spark.createDataFrame([(1, "a", "d1")], "k long, v string, d string")
     with pytest.raises(ValueError, match="partition_col"):

@@ -2,13 +2,14 @@
 
 Times selected registry queries through the noop sink (guide §1.4) on
 the bench session (guide §1.1: isolate the computation, label the jobs)
-and optionally dumps ``explain('formatted')`` to ``plans/r14/``.
+and optionally dumps ``explain('formatted')`` to ``plans/$QPROF_PLANS/``
+(default ``plans/r15/``).
 
 Usage:
     python tools/qprof.py [--explain TAG] [--runs N] q1 q2 ...
     python tools/qprof.py --top 30          # 30 slowest from BENCH_DETAIL
 
-Explain files land at plans/r14/<query>_<TAG>.txt (TAG = before/after).
+Explain files land at plans/<round>/<query>_<TAG>.txt (TAG = before/after).
 Timing protocol matches bench.py (min of N noop-sink executions) so the
 numbers are comparable with the committed detail.
 """
@@ -60,7 +61,7 @@ def main() -> None:
     spark.range(1_000_000).groupBy(F.col("id") % 7).count().count()
     load_table(spark, args.sf_dir, "events").count()
 
-    plans_dir = os.path.join(REPO, "plans", "r14")
+    plans_dir = os.path.join(REPO, "plans", os.environ.get("QPROF_PLANS", "r15"))
     os.makedirs(plans_dir, exist_ok=True)
     out: dict[str, float] = {}
     for name in names:
