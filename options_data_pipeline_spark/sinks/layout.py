@@ -221,6 +221,15 @@ def af_sink_compact(spark: SparkSession, sf_dir: str, scratch: str):
     return {"swap": compact_swap_frame(spark, f"{t}/d=0", 1)}
 
 
+#: default concurrent per-partition rewrite jobs for
+#: :func:`compact_partitions` — a driver-side throughput knob, never a
+#: correctness knob.  8 measured best-or-tied at local[32] (r14/r15
+#: A/Bs; 16 regressed the full-bench consumers); on a real cluster
+#: with many executors a deploy config may raise it so rewrite streams
+#: cover the executor fleet (guide §2.6).
+DEFAULT_COMPACT_POOL = 8
+
+
 def compact_partitions(
     spark: SparkSession,
     path: str,
@@ -324,9 +333,10 @@ def compact_partitions(
     # than at 32), and VERDICT r14 adjudicated 16 concurrent 1-2-task
     # jobs on local[32] as scheduler/FS thrash.  Guide §2.6's "2-3 jobs
     # in flight is plenty" points the same direction; 8 already keeps
-    # the tail back-filled.  Callers can still override.
+    # the tail back-filled.  Callers can still override per call; the
+    # module constant is the deploy-config seam.
     if max_workers is None:
-        max_workers = 8
+        max_workers = DEFAULT_COMPACT_POOL
     files_before = files_after = 0
     with ThreadPoolExecutor(max_workers=max_workers) as pool:
         for b, a in pool.map(lambda t: _compact_one(*t), targets):
