@@ -1762,8 +1762,17 @@ def q_theil_sen_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("slope"),
         )
     )
+    # materialize_values=False (r15): slopes/residuals now derive from
+    # the ARTIFACT pair frame (ExistingRDD), so the prefix branches
+    # re-run only a cheap projection — the eager distinct-value
+    # checkpoint that paid for itself under the old per-query pair-join
+    # lineage (r14: 3.68 vs 6.20 s) now loses (interleaved A/B: 5.35 s
+    # no-ckpt vs 5.83 s ckpt).  Hodges keeps its checkpoint (2.87 vs
+    # 3.48 s — one call bounding three branches of a 1.5M-row
+    # aggregate), the same per-call-site policy as r14 wave 3.
     med = grouped_interp_percentiles(
-        slopes, ["nation"], "slope", [0.5], ["m"]
+        slopes, ["nation"], "slope", [0.5], ["m"],
+        materialize_values=False,
     ).select("nation", "m", F.col("n").alias("n_pairs"))
     resid = per_week.join(F.broadcast(med), "nation").select(
         "nation",
@@ -1773,7 +1782,8 @@ def q_theil_sen_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("res"),
     )
     icept = grouped_interp_percentiles(
-        resid, ["nation"], "res", [0.5], ["b0"]
+        resid, ["nation"], "res", [0.5], ["b0"],
+        materialize_values=False,
     ).select("nation", "b0", F.col("n").alias("n_weeks"))
     return (
         med.join(icept, "nation")
